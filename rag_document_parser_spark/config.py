@@ -1,0 +1,40 @@
+"""Engine configuration.
+
+Mirrors the reference's config surface (``/root/reference/utils/config.py``)
+for the knobs that affect extraction *semantics*; execution knobs (buckets,
+batch sizes) are ours. Per-route constants intentionally differ per route —
+the reference's inconsistent thresholds are part of the contract
+(SURVEY.md §7 risk register): OCR min-size is 100x50 for PDF-context media
+(``/root/reference/parsers/pdf_parser.py:431-432``) but 50x30 for
+slide-context media (``/root/reference/parsers/powerpoint_parser.py:337-338``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class ExtractConfig:
+    # -- text post-processing flags (reference utils/config.py:175-177) --
+    normalize_unicode: bool = True      # NFKC (text_parser.py:344-347)
+    remove_empty_lines: bool = True     # text_parser.py:349-353
+    preserve_whitespace: bool = False   # text_parser.py:355-360
+
+    # -- OCR stand-in (image_parser.py:229-233; utils/config.py:46) --
+    ocr_confidence_threshold: float = 0.3
+    # size gates: (min_width_exclusive, min_height_exclusive) per media kind
+    ocr_min_size_pdf: tuple[int, int] = (100, 50)     # pdf_parser.py:431-432
+    ocr_min_size_slide: tuple[int, int] = (50, 30)    # powerpoint_parser.py:337-338
+
+    # -- table handling (pdf_parser.py:315-345; spreadsheet caps config.py:110-111) --
+    max_table_rows: int = 10_000
+    max_table_columns: int = 100
+
+    # -- execution --
+    n_buckets: int = 256                # salted repartition granularity
+    max_spans_per_chunk: int = 4096     # giant-doc intra-row chunking budget
+    arrow_max_records_per_batch: int = 2048
+
+
+DEFAULT_CONFIG = ExtractConfig()

@@ -1,0 +1,234 @@
+"""Deterministic synthetic corpora.
+
+Two generators:
+
+1. ``generate_fixture_docs(seed, n_docs)`` — pure-Python, edge-case-rich
+   fixture corpus for the golden pytest suite (FIXTURES.md §1 recipe:
+   40% html / 30% pdf / 20% interleaved / 10% edge docs, shuffled span
+   order with monotone offsets, OCR dims straddling both thresholds).
+
+2. ``spans_df_from_documents(spark, sf_dir, mult)`` — Catalyst-only
+   synthesis of a ``(doc_id, spans)`` corpus from the driver-provided
+   ``documents`` parquet table. Used by ``__spark_entry__.entry`` and
+   ``bench.py``: because it is pure DataFrame expressions, it scales to any
+   multiplier without a driver-side loop (the 100 TB story: the corpus
+   builder itself is distributed).
+
+All randomness is ``random.Random(seed)``; no wall-clock anywhere.
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from rag_document_parser_spark.schema import INPUT_SCHEMA
+
+WORDS = (
+    "data spark arrow span document extract parse table image text "
+    "cluster shuffle partition lineage checkpoint resume offset kind media "
+    "quick brown fox jumps over lazy dog lorem ipsum dolor sit amet"
+).split()
+
+ARABIC_WORDS = ["مرحبا", "بالعالم", "وثيقة", "نص", "جدول", "صورة"]
+
+SLUG_WORDS = ["chart", "logo", "photo", "diagram", "scan", "figure", "map", "icon"]
+
+
+def _sentence(rng: random.Random, lo: int = 4, hi: int = 12, arabic_p: float = 0.15) -> str:
+    n = rng.randint(lo, hi)
+    ws = []
+    for _ in range(n):
+        if rng.random() < arabic_p:
+            ws.append(rng.choice(ARABIC_WORDS))
+        else:
+            ws.append(rng.choice(WORDS))
+    return " ".join(ws)
+
+
+def _html_payload(rng: random.Random) -> str:
+    title = _sentence(rng, 2, 5, 0)
+    body_parts = []
+    for _ in range(rng.randint(2, 6)):
+        tag = rng.choice(["p", "div", "span", "h2", "li"])
+        body_parts.append(f"<{tag} class='c{rng.randint(0,9)}'>{_sentence(rng)}</{tag}>")
+        if rng.random() < 0.4:
+            body_parts.append("   \n\t ")  # redundant whitespace to strip
+    script = f"<script type='text/javascript'>var x={rng.randint(0,99)};</script>"
+    style = "<style>.c{color:red}</style>"
+    nav = "<nav><a href='/home'>Home</a><a href='/about'>About</a></nav>"
+    footer = "<footer>&copy; corp</footer>"
+    return (
+        f"<html><head><title>{title}</title>{script}{style}</head>"
+        f"<body>{nav}{''.join(body_parts)}{footer}</body></html>"
+    )
+
+
+def _media_ref(rng: random.Random, ctx: str) -> str:
+    # dims straddle both gates: pdf needs w>100&h>50, slide w>50&h>30
+    w = rng.choice([40, 60, 90, 101, 150, 400])
+    h = rng.choice([20, 31, 45, 51, 80, 300])
+    slug = "-".join(rng.sample(SLUG_WORDS, rng.randint(1, 4)))
+    return f"img://{w}x{h}/{slug}"
+
+
+def _table_payload(rng: random.Random) -> str:
+    ncols = rng.randint(2, 5)
+    nrows = rng.randint(0, 4)  # 0 rows → header-only → span dropped
+    headers = "\t".join(f"col_{i}" for i in range(ncols))
+    rows = ["\t".join(_sentence(rng, 1, 2, 0) for _ in range(ncols)) for _ in range(nrows)]
+    return "\n".join([headers] + rows)
+
+
+def generate_fixture_docs(seed: int = 42, n_docs: int = 200,
+                          giant_doc_spans: int = 0) -> list[dict[str, Any]]:
+    """FIXTURES.md §1 recipe. Returns rows matching INPUT_SCHEMA."""
+    rng = random.Random(seed)
+    docs: list[dict[str, Any]] = []
+    for i in range(n_docs):
+        doc_id = f"doc-{i:06d}"
+        r = rng.random()
+        spans: list[dict[str, Any]] = []
+        if r < 0.40:  # html doc
+            spans.append({"kind": "html", "text": _html_payload(rng),
+                          "media_ref": None, "offset": 0})
+            if rng.random() < 0.3:  # extra whitespace-heavy text span
+                spans.append({"kind": "text",
+                              "text": f"  {_sentence(rng)} \n\n   \n {_sentence(rng)}  ",
+                              "media_ref": None, "offset": 1})
+        elif r < 0.70:  # pdf doc: shuffled blocks, monotone offsets
+            n_pages = rng.randint(1, 5)
+            for page in range(n_pages):
+                n_blocks = rng.randint(2, 8)
+                for block in range(n_blocks):
+                    off = page * 10_000 + block
+                    if rng.random() < 0.12:
+                        spans.append({"kind": "table", "text": _table_payload(rng),
+                                      "media_ref": None, "offset": off})
+                    else:
+                        spans.append({"kind": "pdf_block", "text": _sentence(rng, 6, 20),
+                                      "media_ref": None, "offset": off})
+            rng.shuffle(spans)  # output must restore reading order
+        elif r < 0.90:  # interleaved text + media
+            off = 0
+            ctx = rng.choice(["media", "media_slide"])
+            for _ in range(rng.randint(3, 8)):
+                if rng.random() < 0.4:
+                    spans.append({"kind": ctx, "text": None,
+                                  "media_ref": _media_ref(rng, ctx), "offset": off})
+                else:
+                    k = rng.choice(["text", "header", "footer", "code"])
+                    spans.append({"kind": k, "text": _sentence(rng),
+                                  "media_ref": None, "offset": off})
+                off += 1
+        else:  # edge docs
+            edge = rng.randint(0, 4)
+            if edge == 0:
+                spans = []
+            elif edge == 1:
+                spans = [{"kind": "text", "text": "   \n  \t \n ", "media_ref": None, "offset": 0}]
+            elif edge == 2:  # only media
+                ctx = rng.choice(["media", "media_slide"])
+                spans = [{"kind": ctx, "text": None,
+                          "media_ref": _media_ref(rng, ctx), "offset": j}
+                         for j in range(rng.randint(1, 4))]
+            elif edge == 3:  # duplicate offsets → stable tie-break by position
+                spans = [{"kind": "text", "text": f"tie {j} {_sentence(rng, 2, 4)}",
+                          "media_ref": None, "offset": 5} for j in range(4)]
+            else:  # unparseable media ref + null-text html
+                spans = [
+                    {"kind": "media", "text": None, "media_ref": "not-a-ref", "offset": 0},
+                    {"kind": "html", "text": None, "media_ref": None, "offset": 1},
+                    {"kind": "text", "text": "survivor", "media_ref": None, "offset": 2},
+                ]
+        docs.append({"doc_id": doc_id, "spans": spans})
+    if giant_doc_spans > 0:  # skew-test doc, FIXTURES.md edge recipe
+        grng = random.Random(seed + 1)
+        spans = [{"kind": "pdf_block", "text": _sentence(grng, 6, 20),
+                  "media_ref": None, "offset": j} for j in range(giant_doc_spans)]
+        docs.append({"doc_id": "doc-giant", "spans": spans})
+    return docs
+
+
+def fixture_df(spark: SparkSession, seed: int = 42, n_docs: int = 200,
+               giant_doc_spans: int = 0) -> DataFrame:
+    return spark.createDataFrame(
+        generate_fixture_docs(seed, n_docs, giant_doc_spans), schema=INPUT_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# Catalyst-side corpus synthesis from the driver `documents` table
+# ---------------------------------------------------------------------------
+
+def spans_df_from_documents(spark: SparkSession, sf_dir: str, mult: int = 1) -> DataFrame:
+    """Deterministically wrap driver `documents` rows into the span model.
+
+    Pure DataFrame expressions — distributes at any scale. Each source row
+    becomes `mult` documents (replica index mixed into doc_id). Routing by
+    doc_id hash: ~40% html (text wrapped in boilerplate markup), ~40% pdf
+    (sentence-split into reversed pdf_block spans; kernel must restore
+    order), ~20% interleaved text+media.
+    """
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if mult > 1:
+        df = df.crossJoin(
+            spark.range(mult).select(F.col("id").alias("replica"))
+        )
+    else:
+        df = df.withColumn("replica", F.lit(0))
+
+    doc_id = F.concat_ws("-", F.lit("d"), F.col("doc_id"), F.col("replica"))
+    h = F.abs(F.xxhash64(doc_id))
+    w = (F.pmod(h, F.lit(360)) + 41).cast("int")      # 41..400 straddles w>100 and w>50
+    ht = (F.pmod(h, F.lit(280)) + 21).cast("int")     # 21..300 straddles h>50 and h>30
+    slug = F.concat_ws(
+        "-",
+        F.element_at(F.lit(SLUG_WORDS), (F.pmod(h, F.lit(8)) + 1).cast("int")),
+        F.element_at(F.lit(SLUG_WORDS), (F.pmod(h + 3, F.lit(8)) + 1).cast("int")),
+    )
+    media_ref = F.concat(F.lit("img://"), w, F.lit("x"), ht, F.lit("/"), slug)
+
+    html_span = F.array(F.struct(
+        F.lit("html").alias("kind"),
+        F.concat(
+            F.lit("<html><head><title>t</title><script>var x=1;</script>"
+                  "<style>.a{}</style></head><body><nav><a href='/'>Home</a></nav><p>"),
+            F.col("text"),
+            F.lit("</p><footer>footer</footer></body></html>"),
+        ).alias("text"),
+        F.lit(None).cast("string").alias("media_ref"),
+        F.lit(0).cast("int").alias("offset"),
+    ))
+
+    sentences = F.split(F.col("text"), r"\. ")
+    pdf_spans = F.reverse(F.transform(  # reversed → forces reading-order sort
+        sentences,
+        lambda s, i: F.struct(
+            F.lit("pdf_block").alias("kind"),
+            s.alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            i.cast("int").alias("offset"),
+        ),
+    ))
+
+    inter_spans = F.array(
+        F.struct(F.lit("header").alias("kind"), F.col("source").alias("text"),
+                 F.lit(None).cast("string").alias("media_ref"), F.lit(0).cast("int").alias("offset")),
+        F.struct(F.lit("text").alias("kind"), F.col("text").alias("text"),
+                 F.lit(None).cast("string").alias("media_ref"), F.lit(2).cast("int").alias("offset")),
+        F.struct(
+            F.when(F.pmod(h, 2) == 0, F.lit("media")).otherwise(F.lit("media_slide")).alias("kind"),
+            F.lit(None).cast("string").alias("text"),
+            media_ref.alias("media_ref"), F.lit(1).cast("int").alias("offset")),
+    )
+
+    route_pick = F.pmod(h, F.lit(10))
+    spans = (
+        F.when(route_pick < 4, html_span)
+        .when(route_pick < 8, pdf_spans)
+        .otherwise(inter_spans)
+    )
+    return df.select(doc_id.alias("doc_id"), spans.alias("spans"))

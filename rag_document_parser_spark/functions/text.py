@@ -1,0 +1,165 @@
+"""Catalyst column-expression builders for the extraction contract.
+
+Each function returns a ``pyspark.sql.Column`` built purely from built-in
+functions — JVM-side, whole-stage-codegen eligible, zero Python at runtime.
+These are shared by ``operators/extract_catalyst.py`` and the reporting /
+oracle queries in ``__spark_entry__.py``. Regex constants come from
+``semantics.py`` so all implementations agree byte-for-byte.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+from rag_document_parser_spark import semantics as S
+from rag_document_parser_spark.config import DEFAULT_CONFIG, ExtractConfig
+
+
+def html_strip(c: Column) -> Column:
+    """E2 regex HTML strip (/root/reference/parsers/text_parser.py:309-320)."""
+    c = F.regexp_replace(c, S.RE_SCRIPT_STYLE, "")
+    c = F.regexp_replace(c, S.RE_TAG, "")
+    c = F.regexp_replace(c, S.RE_WS_RUN, " ")
+    return F.regexp_replace(c, S.RE_STRIP, "")
+
+
+def post_process_text(c: Column, cfg: ExtractConfig = DEFAULT_CONFIG) -> Column:
+    """E8 post-process minus NFKC (text_parser.py:339-362).
+
+    NFKC is not expressible in Catalyst; the Arrow kernel handles it. This
+    path is exact for ``cfg.normalize_unicode=False`` (and for any input
+    already NFKC-normal).
+    """
+    if cfg.remove_empty_lines:
+        c = F.regexp_replace(c, S.RE_EMPTY_LINES_LEAD, "")
+        c = F.regexp_replace(c, S.RE_EMPTY_LINES_MID, "\n")
+    if not cfg.preserve_whitespace:
+        c = F.regexp_replace(c, S.RE_SPACE_RUN, " ")
+    return F.regexp_replace(c, S.RE_STRIP, "")
+
+
+def strip(c: Column) -> Column:
+    return F.regexp_replace(c, S.RE_STRIP, "")
+
+
+def token_confidence(slug: Column, token: Column) -> Column:
+    """md5-derived deterministic confidence in [0,1) — see semantics.token_confidence."""
+    h = F.conv(F.substring(F.md5(F.concat(slug, F.lit(":"), token)), 1, 8), 16, 10)
+    return h.cast("double") / F.lit(4294967296.0)
+
+
+def media_dims(ref: Column) -> tuple[Column, Column, Column]:
+    w = F.regexp_extract(ref, S.RE_MEDIA_REF, 1)
+    h = F.regexp_extract(ref, S.RE_MEDIA_REF, 2)
+    slug = F.regexp_extract(ref, S.RE_MEDIA_REF, 3)
+    return (
+        F.when(w != "", w.cast("int")),
+        F.when(h != "", h.cast("int")),
+        F.when(slug != "", slug),
+    )
+
+
+def ocr_standin(ref: Column, kind: Column,
+                cfg: ExtractConfig = DEFAULT_CONFIG) -> Column:
+    """OCR-fallback stand-in (E17/E31 gates + E40 confidence filter), pure Catalyst."""
+    w, h, slug = media_dims(ref)
+    pdf_w, pdf_h = cfg.ocr_min_size_pdf
+    sl_w, sl_h = cfg.ocr_min_size_slide
+    gate = F.when(kind == "media_slide", (w > sl_w) & (h > sl_h)).otherwise(
+        (w > pdf_w) & (h > pdf_h))
+    kept = F.filter(
+        F.split(slug, "-"),
+        lambda t: token_confidence(slug, t) >= F.lit(cfg.ocr_confidence_threshold),
+    )
+    joined = F.array_join(kept, " ")
+    return F.when(gate & slug.isNotNull(), F.nullif(joined, F.lit("")))
+
+
+def render_table(c: Column) -> Column:
+    """E14 accept rule + E38 render (spreadsheet_parser.py:415-431), pure Catalyst.
+
+    Returns NULL when the span must be dropped (fewer than 2 lines)."""
+    head_raw = F.substring_index(c, "\n", 1)
+    rest_raw = F.substring(c, F.length(head_raw) + F.lit(2), F.length(c))
+    head = F.replace(head_raw, F.lit("\t"), F.lit(" | "))
+    rest = F.replace(rest_raw, F.lit("\t"), F.lit(" | "))
+    dash = F.repeat(F.lit("-"), F.length(head))
+    ok = c.isNotNull() & F.contains(c, F.lit("\n")) & (rest_raw != "")
+    return F.when(ok, F.concat_ws("\n", head, dash, rest))
+
+
+def arabic_char_count(c: Column) -> Column:
+    """A4 (/root/reference/main.py:417-421): count chars in U+0600–U+06FF."""
+    return F.length(c) - F.length(F.regexp_replace(c, f"[{S.ARABIC_RANGE}]", ""))
+
+
+def latin_char_count(c: Column) -> Column:
+    return F.length(c) - F.length(F.regexp_replace(c, "[A-Za-z]", ""))
+
+
+def language_classify(c: Column) -> Column:
+    """A6 (/root/reference/example_usage_reporting.py:427-435): 2x rule."""
+    a, l = arabic_char_count(c), latin_char_count(c)
+    return (
+        F.when(a > 2 * l, F.lit("primarily_arabic"))
+        .when(l > 2 * a, F.lit("primarily_english"))
+        .otherwise(F.lit("mixed"))
+    )
+
+
+def word_count(c: Column) -> Column:
+    """E9 (text_parser.py:371): len(content.split()) — whitespace-run split."""
+    t = strip(c)
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, S.RE_WS_RUN)))
+
+
+def line_count(c: Column) -> Column:
+    return F.size(F.split(c, "\n"))
+
+
+def page_count_estimate(c: Column) -> Column:
+    """E9 (text_parser.py:372): max(1, lines // 50)."""
+    return F.greatest(F.lit(1), F.floor(line_count(c) / 50)).cast("int")
+
+
+def title_heuristic(c: Column) -> Column:
+    """E9 (text_parser.py:374-380): first line if <100 chars, <=10 words, no trailing '.'."""
+    first = strip(F.substring_index(c, "\n", 1))
+    looks_like_title = (
+        (first != "")
+        & (F.length(first) < 100)
+        & (~F.endswith(first, F.lit(".")))
+        & (F.size(F.split(first, S.RE_WS_RUN)) <= 10)
+    )
+    return F.when(looks_like_title, first)
+
+
+def code_title(c: Column) -> Column:
+    """E6 (text_parser.py:291-298): first comment line (<100 chars) in first 10 lines."""
+    first10 = F.slice(F.split(c, "\n"), 1, 10)
+    cleaned = F.transform(
+        first10,
+        lambda line: F.regexp_replace(strip(line), r"^[#/*\-% ]+", ""),
+    )
+    candidates = F.zip_with(
+        first10,
+        cleaned,
+        lambda raw, cl: F.when(
+            F.regexp_like(strip(raw), F.lit(r"^[#/\-%][#/*\-% ]*")) |
+            F.startswith(strip(raw), F.lit("/*")),
+            cl,
+        ),
+    )
+    good = F.filter(candidates, lambda t: t.isNotNull() & (t != "") & (F.length(t) < 100))
+    return F.element_at(F.concat(good, F.array(F.lit(None).cast("string"))), 1)
+
+
+def non_empty_line_count(c: Column) -> Column:
+    """E6 (text_parser.py:287-288): count of non-blank lines."""
+    return F.size(F.filter(F.split(c, "\n"), lambda l: strip(l) != ""))
+
+
+def truncate_with_ellipsis(c: Column, n: int = 500) -> Column:
+    """L4 (parse_result.py:146-154): content[:n] + '...' when longer."""
+    return F.when(F.length(c) > n, F.concat(F.substring(c, 1, n), F.lit("...")))\
+            .otherwise(c)

@@ -1,0 +1,4 @@
+from rag_document_parser_spark.operators.extract_arrow import extract_arrow
+from rag_document_parser_spark.operators.extract_catalyst import extract_catalyst
+
+__all__ = ["extract_arrow", "extract_catalyst"]

@@ -1,0 +1,259 @@
+"""The Arrow extraction kernel — the engine's hot path.
+
+``extract_arrow(df)`` runs the full extraction contract
+(``semantics.clean_doc``) as a ``mapInArrow`` kernel: whole Arrow record
+batches in, whole batches out. Everything inside operates on *flattened*
+span arrays with ``pyarrow.compute`` (C++ vectorized) and numpy index
+arithmetic — never per-row Python (north rule). The only Python-level loop
+is over *unique* media slugs for the deterministic OCR stand-in, mirroring
+the one-call-per-image reality of a real OCR engine
+(/root/reference/parsers/image_parser.py:213-234); a real EasyOCR backend
+would slot in at the same point as a per-executor lazy singleton
+(/root/reference/parsers/image_parser.py:66-75 amortization, SURVEY.md §4).
+
+Scale notes (100 TB): the kernel is shape-preserving (1 row in → 1 row out),
+so it pipelines with the upstream salted exchange and the downstream write
+without extra shuffles. Batch size is bounded by
+``spark.sql.execution.arrow.maxRecordsPerBatch``; giant documents are
+pre-chunked by ``plans.job.chunk_giant_docs`` so a single doc cannot blow
+the Arrow batch budget.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Iterator
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from rag_document_parser_spark.config import DEFAULT_CONFIG, ExtractConfig
+from rag_document_parser_spark.schema import ARROW_KERNEL_OUTPUT, ARROW_SPAN_STRUCT
+from rag_document_parser_spark import semantics as S
+
+_KIND_CLASS_BIT = {
+    "html": 1, "pdf": 2, "text": 4, "media": 8, "doc": 16, "other": 32,
+}
+_BIT_NAME = {1: "html", 2: "pdf", 4: "text", 8: "media", 16: "doc", 32: "other"}
+
+
+def _route_names(mask: int) -> str:
+    if mask == 0:
+        return "empty"
+    return ",".join(sorted(_BIT_NAME[b] for b in _BIT_NAME if mask & b))
+
+
+_ROUTE_LOOKUP = np.array([_route_names(m) for m in range(64)], dtype=object)
+
+
+def _ocr_lookup(slugs: np.ndarray, kinds: np.ndarray,
+                refs: np.ndarray, cfg: ExtractConfig) -> np.ndarray:
+    """Deterministic OCR stand-in, computed once per unique (kind, ref)."""
+    out = np.empty(len(slugs), dtype=object)
+    out[:] = None
+    cache: dict[tuple[str, str], object] = {}
+    for i, (slug, kind, ref) in enumerate(zip(slugs, kinds, refs)):
+        if slug is None:
+            continue
+        key = (kind, ref)
+        if key not in cache:
+            cache[key] = S.ocr_standin(ref, kind, cfg)
+        out[i] = cache[key]
+    return out
+
+
+def _clean_batch(batch: pa.RecordBatch, cfg: ExtractConfig) -> pa.RecordBatch:
+    t0 = time.perf_counter_ns()
+    n = batch.num_rows
+    doc_id = batch.column("doc_id")
+    spans = batch.column("spans")
+
+    flat = pc.list_flatten(spans)  # StructArray of every span in the batch
+    parent = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False)
+    kind = flat.field("kind")
+    text = flat.field("text")
+    media_ref = flat.field("media_ref")
+    offset = flat.field("offset")
+    m = len(flat)
+
+    kind_np = np.asarray(kind.to_pandas(), dtype=object)
+
+    def is_kind(*ks: str) -> np.ndarray:
+        mask = np.zeros(m, dtype=bool)
+        for k in ks:
+            mask |= kind_np == k
+        return mask
+
+    html_m = is_kind("html")
+    textlike_m = is_kind("text", "code")
+    pdf_m = is_kind("pdf_block")
+    table_m = is_kind("table")
+    media_m = is_kind("media", "media_slide")
+    hf_m = is_kind("header", "footer")
+    known_m = html_m | textlike_m | pdf_m | table_m | media_m | hf_m
+
+    out_text = np.asarray(text.to_pandas(), dtype=object)
+    keep = np.ones(m, dtype=bool)
+    valid_text = np.asarray(pc.is_valid(text).to_numpy(zero_copy_only=False))
+
+    # ---- html route (E2 regex strip; text_parser.py:309-320), C++ regex ----
+    if html_m.any():
+        t = pc.replace_substring_regex(text, pattern=S.RE_SCRIPT_STYLE, replacement="")
+        t = pc.replace_substring_regex(t, pattern=S.RE_TAG, replacement="")
+        t = pc.replace_substring_regex(t, pattern=S.RE_WS_RUN, replacement=" ")
+        t = pc.replace_substring_regex(t, pattern=S.RE_STRIP, replacement="")
+        t_np = np.asarray(t.to_pandas(), dtype=object)
+        out_text[html_m] = t_np[html_m]
+        keep[html_m] = valid_text[html_m] & (t_np[html_m] != "")
+
+    # ---- text/code route (E8 post-process; text_parser.py:339-362) ----
+    if textlike_m.any():
+        t = text
+        if cfg.normalize_unicode:
+            t = pc.utf8_normalize(t, form="NFKC")
+        if cfg.remove_empty_lines:
+            t = pc.replace_substring_regex(t, pattern=S.RE_EMPTY_LINES_LEAD, replacement="")
+            t = pc.replace_substring_regex(t, pattern=S.RE_EMPTY_LINES_MID, replacement="\n")
+        if not cfg.preserve_whitespace:
+            t = pc.replace_substring_regex(t, pattern=S.RE_SPACE_RUN, replacement=" ")
+        t = pc.replace_substring_regex(t, pattern=S.RE_STRIP, replacement="")
+        t_np = np.asarray(t.to_pandas(), dtype=object)
+        out_text[textlike_m] = t_np[textlike_m]
+        keep[textlike_m] = valid_text[textlike_m] & (t_np[textlike_m] != "")
+
+    # ---- pdf_block route: verbatim, drop empties (pdf_parser.py:141-160) ----
+    if pdf_m.any():
+        keep[pdf_m] = valid_text[pdf_m] & (out_text[pdf_m] != "")
+
+    # ---- table route (E14 accept rule + E38 render), pandas str vectorized ----
+    if table_m.any():
+        import pandas as pd
+
+        s = pd.Series(out_text[table_m])
+        piped = s.str.replace("\t", " | ", regex=False)
+        parts = piped.str.partition("\n")
+        head, sep, rest = parts[0], parts[1], parts[2]
+        ok = s.notna() & (sep == "\n") & (rest != "")
+        dash = head.str.replace(".", "-", regex=True)  # '-' x len(header line)
+        rendered = head.str.cat(dash, sep="\n").str.cat(rest, sep="\n")
+        vals = np.where(ok.to_numpy(), rendered.to_numpy(dtype=object), None)
+        out_text[table_m] = vals
+        keep[table_m] = ok.to_numpy()
+
+    # ---- media route: size gate + OCR stand-in over unique refs ----
+    if media_m.any():
+        ref_np = np.asarray(media_ref.to_pandas(), dtype=object)
+        slug_struct = pc.extract_regex(media_ref, pattern=S.RE_MEDIA_REF.replace(
+            "(\\d+)x(\\d+)/([A-Za-z0-9_\\-.]+)",
+            "(?P<w>\\d+)x(?P<h>\\d+)/(?P<slug>[A-Za-z0-9_\\-.]+)"))
+        slug_np = np.asarray(slug_struct.field("slug").to_pandas(), dtype=object)
+        ocr = _ocr_lookup(slug_np[media_m], kind_np[media_m], ref_np[media_m], cfg)
+        out_text[media_m] = ocr
+        # media spans always kept (they carry media_ref)
+
+    # ---- header/footer route (E21 prefixes; document_parser.py:571-593) ----
+    if hf_m.any():
+        trimmed = pc.utf8_trim_whitespace(text)
+        nonblank = np.asarray(
+            pc.fill_null(pc.not_equal(trimmed, ""), False).to_numpy(zero_copy_only=False))
+        pref = np.where(kind_np == "header", "[HEADER] ", "[FOOTER] ")
+        joined = np.char.add(pref[hf_m].astype(str),
+                             np.where(valid_text[hf_m], out_text[hf_m], "").astype(str))
+        out_text[hf_m] = np.where(nonblank[hf_m], joined.astype(object), None)
+        keep[hf_m] = nonblank[hf_m]
+
+    # unknown kinds: passthrough (keep=True, text untouched)
+
+    # ---- reading-order sort (L1) + reassembly ----
+    off_np = offset.to_numpy(zero_copy_only=False).astype("float64")  # NaN = null
+    off_null = np.isnan(off_np)
+    off_fill = np.where(off_null, 0.0, off_np)
+
+    kept_idx = np.flatnonzero(keep)
+    par_k = parent[kept_idx]
+    order = np.lexsort((kept_idx, off_fill[kept_idx], off_null[kept_idx], par_k))
+    take_idx = kept_idx[order]
+
+    counts = np.bincount(par_k, minlength=n)
+    new_offsets = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(counts, out=new_offsets[1:])
+
+    take = pa.array(take_idx, type=pa.int64())
+    clean_struct = pa.StructArray.from_arrays(
+        [
+            kind.take(take),
+            pa.array(out_text[take_idx], type=pa.string()),
+            media_ref.take(take),
+            offset.take(take),
+        ],
+        fields=list(ARROW_SPAN_STRUCT),
+    )
+    spans_clean = pa.ListArray.from_arrays(pa.array(new_offsets, type=pa.int32()),
+                                           clean_struct)
+
+    # ---- route bitmask per doc (vectorized scatter-or) ----
+    class_bits = np.zeros(m, dtype=np.int64)
+    class_bits[html_m] = _KIND_CLASS_BIT["html"]
+    class_bits[pdf_m | table_m] = _KIND_CLASS_BIT["pdf"]
+    class_bits[textlike_m] = _KIND_CLASS_BIT["text"]
+    class_bits[media_m] = _KIND_CLASS_BIT["media"]
+    class_bits[hf_m] = _KIND_CLASS_BIT["doc"]
+    class_bits[~known_m] = _KIND_CLASS_BIT["other"]
+    routes = np.zeros(n, dtype=np.int64)
+    np.bitwise_or.at(routes, par_k, class_bits[kept_idx])
+    route_arr = pa.array(_ROUTE_LOOKUP[routes], type=pa.string())
+
+    elapsed_us = (time.perf_counter_ns() - t0) // 1000
+    wall = np.zeros(n, dtype=np.int64)
+    if n:
+        wall[0] = elapsed_us
+
+    return pa.RecordBatch.from_arrays(
+        [
+            doc_id,
+            spans_clean,
+            route_arr,
+            pa.array(np.ones(n, dtype=bool)),
+            pa.array([None] * n, type=pa.string()),
+            pa.array(wall),
+        ],
+        schema=ARROW_KERNEL_OUTPUT,
+    )
+
+
+def _error_batch(batch: pa.RecordBatch, err: str) -> pa.RecordBatch:
+    n = batch.num_rows
+    empty = pa.ListArray.from_arrays(
+        pa.array(np.zeros(n + 1, dtype=np.int32)),
+        pa.array([], type=ARROW_SPAN_STRUCT),
+    )
+    return pa.RecordBatch.from_arrays(
+        [
+            batch.column("doc_id"),
+            empty,
+            pa.array(["error"] * n, type=pa.string()),
+            pa.array(np.zeros(n, dtype=bool)),
+            pa.array([err] * n, type=pa.string()),
+            pa.array(np.zeros(n, dtype=np.int64)),
+        ],
+        schema=ARROW_KERNEL_OUTPUT,
+    )
+
+
+def make_kernel(cfg: ExtractConfig = DEFAULT_CONFIG):
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            try:
+                yield _clean_batch(batch, cfg)
+            except Exception as e:  # catastrophic only; rules never raise
+                yield _error_batch(batch, f"{type(e).__name__}: {e}")
+
+    return kernel
+
+
+def extract_arrow(df, cfg: ExtractConfig = DEFAULT_CONFIG):
+    """documents(doc_id, spans) -> (doc_id, spans_clean, route, success, error, wall_us)."""
+    from rag_document_parser_spark.schema import KERNEL_OUTPUT_SCHEMA
+
+    return df.mapInArrow(make_kernel(cfg), KERNEL_OUTPUT_SCHEMA)

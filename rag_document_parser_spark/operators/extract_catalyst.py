@@ -1,0 +1,106 @@
+"""Pure-Catalyst extraction — zero Python at runtime.
+
+Implements the same contract as the Arrow kernel using only built-in
+higher-order functions (``transform``/``filter``/``sort_array``): the whole
+operator is one JVM-side projection, whole-stage-codegen eligible, with no
+Arrow serialization boundary at all. At 100 TB this is the cheapest possible
+plan shape: scan → project → write, no exchange required by the operator
+itself.
+
+Caveat (documented in ``functions.text.post_process_text``): NFKC unicode
+normalization is not expressible in Catalyst, so this path implements the
+contract with ``normalize_unicode=False``. Use ``extract_arrow`` when NFKC
+matters; golden tests verify both against the oracle at their respective
+config.
+
+Reading-order sort (L1) is ``sort_array`` over structs whose *leading*
+fields are the sort key ``(offset_is_null, offset, original_position)`` —
+lexicographic struct ordering gives the stable offset sort with
+array-position tie-break, matching ``semantics.clean_doc``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from rag_document_parser_spark.config import DEFAULT_CONFIG, ExtractConfig
+from rag_document_parser_spark.functions import text as X
+from rag_document_parser_spark.semantics import KIND_CLASS
+
+
+def _clean_text(s: Column, cfg: ExtractConfig) -> Column:
+    kind, txt, ref = s["kind"], s["text"], s["media_ref"]
+    return (
+        F.when(kind == "html", X.html_strip(txt))
+        .when(kind.isin("text", "code"), X.post_process_text(txt, cfg))
+        .when(kind == "pdf_block", txt)
+        .when(kind == "table", X.render_table(txt))
+        .when(kind.isin("media", "media_slide"), X.ocr_standin(ref, kind, cfg))
+        .when(kind == "header",
+              F.when(X.strip(txt) != "", F.concat(F.lit("[HEADER] "), txt)))
+        .when(kind == "footer",
+              F.when(X.strip(txt) != "", F.concat(F.lit("[FOOTER] "), txt)))
+        .otherwise(txt)
+    )
+
+
+def _keep(s: Column) -> Column:
+    """Keep predicate over the *cleaned* span struct."""
+    kind, txt = s["kind"], s["text"]
+    text_kinds = ("html", "text", "code", "pdf_block", "table", "header", "footer")
+    return F.when(kind.isin("media", "media_slide"), F.lit(True)).otherwise(
+        F.when(kind.isin(*text_kinds), txt.isNotNull() & (txt != ""))
+        .otherwise(F.lit(True))
+    )
+
+
+def extract_catalyst(df: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG) -> DataFrame:
+    """documents(doc_id, spans) -> (doc_id, spans_clean, route, success, error, wall_us)."""
+    # 1. clean each span, carrying original position for the stable tie-break
+    cleaned = F.transform(
+        F.col("spans"),
+        lambda s, i: F.struct(
+            s["offset"].isNull().cast("int").alias("_onull"),
+            F.coalesce(s["offset"], F.lit(0)).alias("_off"),
+            i.alias("_pos"),
+            s["kind"].alias("kind"),
+            _clean_text(s, cfg).alias("text"),
+            s["media_ref"].alias("media_ref"),
+            s["offset"].alias("offset"),
+        ),
+    )
+    kept = F.filter(cleaned, _keep)
+    ordered = F.sort_array(kept)  # lexicographic on (_onull, _off, _pos, ...)
+    spans_clean = F.transform(
+        ordered,
+        lambda s: F.struct(
+            s["kind"].alias("kind"),
+            s["text"].alias("text"),
+            s["media_ref"].alias("media_ref"),
+            s["offset"].alias("offset"),
+        ),
+    )
+
+    class_map = F.create_map(
+        *[F.lit(x) for kv in KIND_CLASS.items() for x in kv]
+    )
+    classes = F.array_sort(F.array_distinct(F.transform(
+        kept, lambda s: F.coalesce(class_map[s["kind"]], F.lit("other"))
+    )))
+    route = F.when(F.size(classes) > 0, F.array_join(classes, ",")).otherwise(
+        F.lit("empty"))
+
+    return df.select(
+        F.col("doc_id"),
+        F.coalesce(spans_clean, F.array().cast(spans_clean_type())).alias("spans_clean"),
+        route.alias("route"),
+        F.lit(True).alias("success"),
+        F.lit(None).cast("string").alias("error"),
+        F.lit(0).cast("long").alias("wall_us"),
+    )
+
+
+def spans_clean_type():
+    from rag_document_parser_spark.schema import SPAN_ARRAY
+
+    return SPAN_ARRAY

@@ -1,0 +1,233 @@
+"""The extraction contract — single source of truth.
+
+This module defines, in pure Python, exactly what ``spans_clean`` must be
+for a given ``(doc_id, spans)`` row. It is the *golden oracle* for the
+pytest invariant (span-sequence equality on (kind, text, media_ref, order),
+per BASELINE.json) and the spec that the Catalyst path
+(``operators/extract_catalyst.py``), the Arrow kernel
+(``operators/extract_arrow.py``) and the DuckDB oracle SQL
+(``__spark_entry__.py``) all implement.
+
+Every rule cites the reference behavior it reproduces
+(``/root/reference/...``). Regexes are **RE2-safe** (no backreferences, no
+lookaround) so the identical pattern runs under java.util.regex (Spark),
+RE2 (DuckDB, pyarrow) and Python ``re``. Whitespace classes are explicit
+ASCII so engines with different ``\\s`` semantics agree.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import unicodedata
+from typing import Any, Optional
+
+from rag_document_parser_spark.config import DEFAULT_CONFIG, ExtractConfig
+
+# --------------------------------------------------------------------------
+# Shared regex constants (identical strings are used in Spark SQL / DuckDB)
+# --------------------------------------------------------------------------
+
+# ASCII whitespace class — explicit, engine-portable (no bare \s).
+WS = r" \t\n\r\f\x0B"
+WS_NO_NL = r" \t\r\f\x0B"
+
+# E2 html regex strip (/root/reference/parsers/text_parser.py:309-320).
+# The reference uses a backreference <(script|style)...</\1>; RE2 has no
+# backreferences, so the contract expands it to an explicit alternation
+# (identical behavior on well-formed input).
+RE_SCRIPT_STYLE = r"(?is)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>"
+RE_TAG = r"<[^>]+>"
+RE_WS_RUN = rf"[{WS}]+"
+RE_STRIP = rf"^[{WS}]+|[{WS}]+$"
+
+# E8 remove-empty-lines (/root/reference/parsers/text_parser.py:349-353),
+# reformulated without lookaround: drop leading whitespace-only lines, then
+# collapse runs of (newline + ws-only line) to a single newline. Trailing
+# whitespace-only lines are handled by the final strip. Equivalent to the
+# reference's  '\n'.join(l for l in s.split('\n') if l.strip())  followed by
+# strip(), for inputs whose whitespace is ASCII (NFKC runs first and folds
+# unicode spaces to ASCII space).
+RE_EMPTY_LINES_LEAD = rf"^(?:[{WS_NO_NL}]*\n)+"
+RE_EMPTY_LINES_MID = rf"\n(?:[{WS_NO_NL}]*\n)+"
+
+# E8 space collapse — literal-space runs only, per reference r' +'
+# (/root/reference/parsers/text_parser.py:358).
+RE_SPACE_RUN = r"  +"
+
+# media_ref grammar: img://<width>x<height>/<slug>
+RE_MEDIA_REF = r"^img://(\d+)x(\d+)/([A-Za-z0-9_\-.]+)$"
+
+ARABIC_RANGE = "؀-ۿ"  # /root/reference/main.py:417-421
+
+# OCR size gates (exclusive >): see ExtractConfig docstring for citations.
+OCR_GATES = {
+    "media": (100, 50),        # pdf context, pdf_parser.py:431-432
+    "media_slide": (50, 30),   # slide context, powerpoint_parser.py:337-338
+}
+
+HEADER_PREFIX = {"header": "[HEADER] ", "footer": "[FOOTER] "}
+
+# --------------------------------------------------------------------------
+# Scalar semantics (pure Python = the oracle)
+# --------------------------------------------------------------------------
+
+
+def html_strip(s: str) -> str:
+    """E2 regex HTML strip — /root/reference/parsers/text_parser.py:309-320."""
+    s = re.sub(RE_SCRIPT_STYLE, "", s)
+    s = re.sub(RE_TAG, "", s)
+    s = re.sub(RE_WS_RUN, " ", s)
+    return re.sub(RE_STRIP, "", s)
+
+
+def post_process_text(s: str, cfg: ExtractConfig = DEFAULT_CONFIG) -> str:
+    """E8 text post-process — /root/reference/parsers/text_parser.py:339-362.
+
+    Order matters and matches the reference: NFKC → remove empty lines →
+    collapse space runs → strip. (The reference's final '\\n\\s*\\n' collapse
+    is a no-op once whitespace-only lines are removed, so it is omitted.)
+    """
+    if not s:
+        return s
+    if cfg.normalize_unicode:
+        s = unicodedata.normalize("NFKC", s)
+    if cfg.remove_empty_lines:
+        s = re.sub(RE_EMPTY_LINES_LEAD, "", s)
+        s = re.sub(RE_EMPTY_LINES_MID, "\n", s)
+    if not cfg.preserve_whitespace:
+        s = re.sub(RE_SPACE_RUN, " ", s)
+    return re.sub(RE_STRIP, "", s)
+
+
+def token_confidence(slug: str, token: str) -> float:
+    """Deterministic OCR-confidence stand-in for a recognized token.
+
+    Stands in for EasyOCR's per-detection confidence
+    (/root/reference/parsers/image_parser.py:229-233). md5-derived so the
+    identical value is computable in Spark (conv(substring(md5(..),1,8),16,10))
+    and DuckDB (CAST('0x'||substring(md5(..),1,8) AS BIGINT)).
+    """
+    h = hashlib.md5(f"{slug}:{token}".encode("utf-8")).hexdigest()[:8]
+    return int(h, 16) / 4294967296.0
+
+
+def ocr_standin(media_ref: str, kind: str, cfg: ExtractConfig = DEFAULT_CONFIG) -> Optional[str]:
+    """OCR-fallback stand-in over a media span.
+
+    - parse ``img://WxH/slug``; unparseable refs yield no text
+    - size gate per context kind (E17 vs E31 thresholds differ by design)
+    - tokens = slug split on '-'; keep tokens with confidence >= threshold
+      (default 0.3, /root/reference/utils/config.py:46); join with ' '
+      (/root/reference/parsers/image_parser.py:229-234)
+    """
+    if media_ref is None:
+        return None
+    m = re.match(RE_MEDIA_REF, media_ref)
+    if not m:
+        return None
+    w, h, slug = int(m.group(1)), int(m.group(2)), m.group(3)
+    min_w, min_h = OCR_GATES.get(kind, OCR_GATES["media"])
+    if not (w > min_w and h > min_h):
+        return None
+    kept = [t for t in slug.split("-") if token_confidence(slug, t) >= cfg.ocr_confidence_threshold]
+    return " ".join(kept) if kept else None
+
+
+def render_table(text: str, cfg: ExtractConfig = DEFAULT_CONFIG) -> Optional[str]:
+    """Table span → rendered text, or None to drop the span.
+
+    Input serialization: rows separated by '\\n', cells by '\\t'.
+    - require header + at least one data row
+      (/root/reference/parsers/pdf_parser.py:322 ``len(table) > 1``)
+    - row/column caps (/root/reference/utils/config.py:110-111)
+    - render per _create_text_from_table
+      (/root/reference/parsers/spreadsheet_parser.py:415-431):
+      'h1 | h2', a dash underline of that line's length, then data rows.
+    """
+    if not text:
+        return None
+    grid = [row.split("\t") for row in text.split("\n")]
+    if len(grid) < 2:
+        return None
+    grid = grid[: cfg.max_table_rows + 1]
+    grid = [row[: cfg.max_table_columns] for row in grid]
+    headers, rows = grid[0], grid[1:]
+    if not headers or not rows:
+        return None
+    header_line = " | ".join(headers)
+    lines = [header_line, "-" * len(header_line)]
+    lines.extend(" | ".join(r) for r in rows)
+    return "\n".join(lines)
+
+
+KIND_CLASS = {
+    "html": "html",
+    "pdf_block": "pdf",
+    "table": "pdf",
+    "text": "text",
+    "code": "text",
+    "media": "media",
+    "media_slide": "media",
+    "header": "doc",
+    "footer": "doc",
+}
+
+
+def clean_span(kind: str, text: Optional[str], media_ref: Optional[str],
+               cfg: ExtractConfig = DEFAULT_CONFIG) -> tuple[bool, Optional[str]]:
+    """Per-span rule: returns (keep, cleaned_text). media_ref passes through."""
+    if kind == "html":
+        if text is None:
+            return False, None
+        cleaned = html_strip(text)
+        return (cleaned != ""), cleaned
+    if kind in ("text", "code"):
+        if text is None:
+            return False, None
+        cleaned = post_process_text(text, cfg)
+        return (cleaned != ""), cleaned
+    if kind == "pdf_block":
+        # pdfplumber page loop appends only truthy page text
+        # (/root/reference/parsers/pdf_parser.py:141-160); text is verbatim
+        # (post-process applies only in the text route, SURVEY.md §7).
+        return bool(text), text
+    if kind == "table":
+        rendered = render_table(text, cfg)
+        return (rendered is not None), rendered
+    if kind in ("media", "media_slide"):
+        return True, ocr_standin(media_ref, kind, cfg)
+    if kind in ("header", "footer"):
+        # non-empty gate + prefix (/root/reference/parsers/document_parser.py:571-593)
+        if text is None or text.strip() == "":
+            return False, None
+        return True, HEADER_PREFIX[kind] + text
+    # unknown kinds pass through untouched (forward compatibility)
+    return True, text
+
+
+def clean_doc(spans: Optional[list[dict[str, Any]]],
+              cfg: ExtractConfig = DEFAULT_CONFIG) -> tuple[list[dict[str, Any]], str, bool, Optional[str]]:
+    """Whole-doc oracle: returns (spans_clean, route, success, error).
+
+    spans_clean is sorted by (offset, original array position) — explicit
+    reading-order sort (L1; the reference's implicit iterate-pages-in-order,
+    /root/reference/parsers/pdf_parser.py:141-160). Null offsets sort last.
+    """
+    if not spans:
+        return [], "empty", True, None
+    kept: list[tuple[tuple, dict[str, Any]]] = []
+    classes: set[str] = set()
+    for pos, s in enumerate(spans):
+        kind = s.get("kind")
+        keep, cleaned = clean_span(kind, s.get("text"), s.get("media_ref"), cfg)
+        if not keep:
+            continue
+        classes.add(KIND_CLASS.get(kind, "other"))
+        off = s.get("offset")
+        key = (1 if off is None else 0, off if off is not None else 0, pos)
+        kept.append((key, {"kind": kind, "text": cleaned,
+                           "media_ref": s.get("media_ref"), "offset": off}))
+    kept.sort(key=lambda kv: kv[0])
+    route = ",".join(sorted(classes)) if classes else "empty"
+    return [s for _, s in kept], route, True, None

@@ -1,0 +1,100 @@
+"""Golden-fixture invariant: span-sequence equality (kind, text, media_ref, order).
+
+Both engine implementations (Arrow kernel, pure Catalyst) must reproduce
+``semantics.clean_doc`` exactly on the FIXTURES.md corpus. This is the
+north-rule verify (`python -m pytest -x -q`).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from rag_document_parser_spark.config import ExtractConfig
+from rag_document_parser_spark.corpus import fixture_df, generate_fixture_docs
+from rag_document_parser_spark.operators import extract_arrow, extract_catalyst
+from rag_document_parser_spark.semantics import clean_doc
+
+N_DOCS = 250
+
+
+def _expected(docs, cfg):
+    out = {}
+    for d in docs:
+        spans_clean, route, success, error = clean_doc(d["spans"], cfg)
+        out[d["doc_id"]] = (
+            [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans_clean],
+            route,
+        )
+    return out
+
+
+def _actual(result_df):
+    out = {}
+    for row in result_df.collect():
+        spans = [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                 for s in (row["spans_clean"] or [])]
+        out[row["doc_id"]] = (spans, row["route"])
+        assert row["success"] is True
+        assert row["error"] is None
+    return out
+
+
+def _assert_equal(expected, actual):
+    assert set(expected) == set(actual)
+    mismatches = []
+    for doc_id in expected:
+        if expected[doc_id] != actual[doc_id]:
+            mismatches.append((doc_id, expected[doc_id], actual[doc_id]))
+    assert not mismatches, (
+        f"{len(mismatches)}/{len(expected)} docs mismatch; first: "
+        f"{mismatches[0][0]}\nexpected={mismatches[0][1]}\nactual={mismatches[0][2]}"
+    )
+
+
+@pytest.fixture(scope="module")
+def docs():
+    return generate_fixture_docs(seed=42, n_docs=N_DOCS)
+
+
+def test_arrow_kernel_matches_golden(spark, docs):
+    cfg = ExtractConfig()
+    df = fixture_df(spark, seed=42, n_docs=N_DOCS)
+    _assert_equal(_expected(docs, cfg), _actual(extract_arrow(df, cfg)))
+
+
+def test_catalyst_matches_golden(spark, docs):
+    # Catalyst path implements the contract at normalize_unicode=False
+    cfg = ExtractConfig(normalize_unicode=False)
+    df = fixture_df(spark, seed=42, n_docs=N_DOCS)
+    _assert_equal(_expected(docs, cfg), _actual(extract_catalyst(df, cfg)))
+
+
+def test_engines_agree_on_ascii(spark, docs):
+    """On ASCII-only whitespace input the two engines are identical."""
+    cfg = ExtractConfig(normalize_unicode=False)
+    df = fixture_df(spark, seed=7, n_docs=60)
+    a = _actual(extract_arrow(df, cfg))
+    c = _actual(extract_catalyst(df, cfg))
+    _assert_equal(a, c)
+
+
+def test_idempotence(spark):
+    """extract(extract(x)) == extract(x) for kinds whose cleaning is a fixpoint.
+
+    header/footer (prefix-adding) and table (render-inserting) kinds are
+    excluded by design — re-parsing rendered output is not an identity for
+    them, same as re-feeding the reference parser its own text output.
+    """
+    cfg = ExtractConfig()
+    df = fixture_df(spark, seed=42, n_docs=80)
+    once = extract_arrow(df, cfg)
+    fixpoint_kinds = {"html", "text", "code", "pdf_block", "media", "media_slide"}
+    o = _actual(once)
+    again = extract_arrow(
+        once.select("doc_id", once["spans_clean"].alias("spans")), cfg
+    )
+    g = _actual(again)
+    for doc_id in o:
+        exp = [s for s in o[doc_id][0] if s[0] in fixpoint_kinds]
+        got = [s for s in g[doc_id][0] if s[0] in fixpoint_kinds]
+        assert exp == got, doc_id
