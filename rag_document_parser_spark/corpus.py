@@ -203,14 +203,19 @@ def spans_df_from_documents(spark: SparkSession, sf_dir: str, mult: int = 1) -> 
         F.lit(0).cast("int").alias("offset"),
     ))
 
-    sentences = F.split(F.col("text"), r"\. ")
-    pdf_spans = F.reverse(F.transform(  # reversed → forces reading-order sort
-        sentences,
-        lambda s, i: F.struct(
+    # block = window of 8 words (driver text has no sentence punctuation);
+    # offsets use the page*10_000+block layout-key convention and the array
+    # is reversed so the kernel must restore reading order.
+    blk_words = 8
+    toks = F.split(F.col("text"), " ")
+    n_blocks = F.greatest(F.ceil(F.size(toks) / blk_words), F.lit(1)).cast("int")
+    pdf_spans = F.reverse(F.transform(
+        F.sequence(F.lit(0), n_blocks - 1),
+        lambda i: F.struct(
             F.lit("pdf_block").alias("kind"),
-            s.alias("text"),
+            F.array_join(F.slice(toks, i * blk_words + 1, blk_words), " ").alias("text"),
             F.lit(None).cast("string").alias("media_ref"),
-            i.cast("int").alias("offset"),
+            (F.floor(i / 4) * 10_000 + F.pmod(i, 4)).cast("int").alias("offset"),
         ),
     ))
 

@@ -1,0 +1,272 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four tiers, all DataFrame-native and shuffle-conscious:
+
+- ``exact_dedup``      — md5 groupBy; one shuffle on the hash, map-side
+                         partial aggregation for the counts.
+- ``ngram_jaccard_pairs`` — word n-gram shingles → inverted-index self-join
+                         on shingle → per-pair intersection counts →
+                         Jaccard. The join is on the shingle key, so only
+                         docs *sharing a shingle* ever pair (no O(n²)
+                         cross-join); a document-frequency cap drops
+                         stop-shingles that would blow up the join at scale.
+- ``minhash_signatures`` / ``minhash_lsh_pairs`` — k md5-derived hash
+                         functions → min per function → band buckets →
+                         candidate pairs from bucket co-membership. The
+                         only shuffle keys are (band, bucket-hash). Fully
+                         deterministic (md5-based, seed-free) so the same
+                         signature is computable in DuckDB for the oracle.
+- ``simhash64``        — 64-bit SimHash over word shingles via bit-vote
+                         aggregation, expressed with explode + groupBy
+                         (map-side combinable); near-dup = hamming ≤ k over
+                         band-blocked candidates.
+
+At 100 TB: every operator here keys its shuffle on content-derived hashes
+(uniform by construction — no skew salting needed), caps fan-out
+explicitly (df_cap, band count), and never collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+# --------------------------------------------------------------------------
+# shared tokenization (must stay expressible in DuckDB for the oracle)
+# --------------------------------------------------------------------------
+
+
+def words(c: Column) -> Column:
+    """Lowercased word tokens: split on non-alphanumeric runs, drop empties."""
+    return F.filter(F.split(F.lower(c), "[^a-z0-9؀-ۿ]+"),
+                    lambda t: t != "")
+
+
+def word_shingles(c: Column, n: int = 3) -> Column:
+    """Overlapping word n-grams joined by single spaces."""
+    w = words(c)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(0)))
+    return F.transform(idx, lambda i: F.array_join(F.slice(w, i, n), " "))
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups by content hash: keeper = min(id) per group.
+
+    Returns (content_hash, n_dupes, keeper_id) for groups with n >= 2.
+    Single shuffle on md5(text); partial agg runs map-side.
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.count("*").alias("n_dupes"), F.min(id_col).alias("keeper_id"))
+        .where(F.col("n_dupes") >= 2)
+    )
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard via inverted-index join
+# --------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3,
+                        threshold: float = 0.5,
+                        df_cap: int = 1000) -> DataFrame:
+    """All pairs with shingle-set Jaccard >= threshold (id_a < id_b).
+
+    Plan shape: explode distinct shingles (1 shuffle to dedupe per doc is
+    avoided — array_distinct is done per-row), self-join on shingle
+    (shuffle keyed on shingle), count co-occurrences per pair (shuffle on
+    pair), then Jaccard = inter / (|A| + |B| - inter). ``df_cap`` drops
+    shingles appearing in more than df_cap docs — at web scale these are
+    boilerplate n-grams that contribute O(df²) candidate pairs each.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_shingles(F.col(text_col), n)).alias("shingles"),
+    ).where(F.size("shingles") > 0)
+    sizes = sh.select("id", F.size("shingles").alias("n_sh"))
+
+    flat = sh.select("id", F.explode("shingles").alias("shingle"))
+    freq = flat.groupBy("shingle").agg(F.count("*").alias("df"))
+    flat = flat.join(freq.where(F.col("df") <= df_cap), "shingle")
+
+    a = flat.select(F.col("shingle"), F.col("id").alias("id_a"))
+    b = flat.select(F.col("shingle"), F.col("id").alias("id_b"))
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "inter", "n_a", "n_b",
+                F.round("jaccard", 6).alias("jaccard"))
+    )
+    return out
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+
+def _md5_long(c: Column) -> Column:
+    """First 60 bits of md5 as a non-negative bigint (DuckDB-replicable)."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+P = 2305843009213693951  # 2^61 - 1 (Mersenne), > any 60-bit md5 value
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", n: int = 3,
+                       k: int = 32) -> DataFrame:
+    """k-permutation MinHash signature per doc.
+
+    hash_i(s) = (a_i * md5_60(s) + b_i) mod (2^61-1), with a_i, b_i
+    themselves md5-derived from the permutation index — no RNG state, so
+    signatures are reproducible anywhere (incl. the DuckDB oracle).
+    Everything is per-row Catalyst (transform/aggregate over the shingle
+    array): zero shuffles to produce signatures.
+    """
+    sh = F.array_distinct(word_shingles(F.col(text_col), n))
+    base = df.select(F.col(id_col).alias("id"), sh.alias("shingles")) \
+             .where(F.size("shingles") > 0)
+    sig_cols = []
+    for i in range(k):
+        a = F.pmod(_md5_long(F.lit(f"minhash-a-{i}")), F.lit(2**31 - 1)) + 1
+        b = F.pmod(_md5_long(F.lit(f"minhash-b-{i}")), F.lit(2**31 - 1))
+        hashed = F.transform(
+            F.col("shingles"),
+            lambda s, a=a, b=b: F.pmod(
+                a * F.pmod(_md5_long(s), F.lit(2**31 - 1)) + b, F.lit(P)
+            ),
+        )
+        sig_cols.append(F.array_min(hashed).alias(f"mh_{i}"))
+    return base.select("id", F.array(*sig_cols).alias("signature"))
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", n: int = 3,
+                      k: int = 32, bands: int = 8) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH over MinHash signatures.
+
+    rows-per-band = k/bands; two docs collide if any band of their
+    signatures is identical. Returns distinct (id_a, id_b) candidates.
+    Shuffle keys: (band_idx, band-signature hash) — uniform by construction.
+    """
+    r = k // bands
+    sigs = minhash_signatures(df, text_col, id_col, n, k)
+    banded = sigs.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bi: F.array_join(
+                    F.transform(F.slice("signature", bi * r + 1, r),
+                                lambda x: x.cast("string")),
+                    ","),
+            )
+        ).alias("band", "band_sig"),
+    )
+    a = banded.withColumnsRenamed({"id": "id_a"})
+    b = banded.withColumnsRenamed({"id": "id_b"})
+    return (
+        a.join(b, ["band", "band_sig"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+
+def simhash64(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash over word tokens, pure Catalyst per-row.
+
+    For each of 64 bit positions, vote +1/-1 per token by the token hash's
+    bit; sign of the sum sets the output bit. Implemented as a per-row
+    ``aggregate`` over the token array accumulating a 64-slot vote array —
+    no explode, no shuffle.
+    """
+    toks = words(F.col(text_col))
+    votes = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda i: F.when(
+                    F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) == 1,
+                    F.lit(1).cast("long"),
+                ).otherwise(F.lit(-1).cast("long")),
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    bits = F.aggregate(
+        F.zip_with(
+            votes,
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda v, i: F.when(v > 0, F.shiftleft(F.lit(1).cast("long"), i))
+            .otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+    return df.select(F.col(id_col).alias("id"), bits.alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming.
+
+    Pigeonhole blocking: split 64 bits into (max_hamming+1) bands; any pair
+    within distance k must agree exactly on >=1 band, so candidates come
+    from equi-joins on band values — never a cross-join.
+    """
+    nb = max_hamming + 1
+    width = 64 // nb
+    sh = simhash64(df, text_col, id_col)
+    banded = sh.select(
+        "id", "simhash",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(nb - 1)),
+                lambda bi: F.shiftright(F.col("simhash"), bi * width)
+                .bitwiseAND(F.lit((1 << width) - 1)),
+            )
+        ).alias("band", "band_val"),
+    )
+    a = banded.select("band", "band_val", F.col("id").alias("id_a"),
+                      F.col("simhash").alias("sh_a"))
+    b = banded.select("band", "band_val", F.col("id").alias("id_b"),
+                      F.col("simhash").alias("sh_b"))
+    pairs = (
+        a.join(b, ["band", "band_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return pairs.withColumn("hamming", hamming) \
+                .where(F.col("hamming") <= max_hamming) \
+                .select("id_a", "id_b", "hamming")

@@ -1,0 +1,250 @@
+"""The batch extraction job: salted repartition → kernel → sinks + lineage.
+
+Pipeline (north rule, SURVEY.md §3.1 "Our Spark lifecycle"):
+
+    read documents (Iceberg/parquet)
+      → checkpoint anti-join against committed lineage partitions (resume)
+      → deterministic salted bucketing on xxhash64(doc_id)  [skew defusal]
+      → optional intra-doc chunking for giant span arrays
+      → extraction kernel (Arrow or Catalyst)
+      → re-assemble chunks, reading-order sort preserved
+      → write output partitioned by bucket  +  lineage rows
+        (partition_id=bucket, doc_count, checksum=bit_xor(doc_hash) hex,
+         wall_ms) appended to the metrics table
+
+Resume model: ``partition_id`` IS the deterministic bucket
+(``pmod(xxhash64(doc_id), n_buckets)``), not Spark's ephemeral task
+partition id — so a re-run computes identical bucket membership, anti-joins
+the committed bucket set (broadcast: it is at most ``n_buckets`` rows), and
+processes only the remainder. On a real cluster the two writes are Iceberg
+appends (snapshot-isolated, atomic per commit); locally they are parquet
+appends with per-bucket directory layout, committed bucket-at-a-time.
+Equivalent of the reference's job registry + idempotent delete
+(/root/reference/api_server.py:233-348), done with data instead of state.
+
+Scale notes:
+- the only shuffle in the whole job is the explicit ``repartition`` on the
+  salt column; everything after is narrow.
+- the committed-partition join is a broadcast anti-join (≤ n_buckets rows).
+- one giant doc cannot stall a task: ``chunk_giant_docs`` slices its span
+  array across rows before the kernel and a final groupBy reassembles —
+  that groupBy shuffles only the chunked docs (filtered), not the corpus.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from rag_document_parser_spark.config import DEFAULT_CONFIG, ExtractConfig
+from rag_document_parser_spark.operators import extract_arrow, extract_catalyst
+from rag_document_parser_spark.schema import LINEAGE_SCHEMA
+
+
+def bucket_col(n_buckets: int):
+    return F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_buckets)).cast("int")
+
+
+def doc_hash_col():
+    """Order-sensitive per-doc content hash over the cleaned span sequence."""
+    return F.xxhash64(F.to_json(F.struct(F.col("doc_id"), F.col("spans_clean"))))
+
+
+def chunk_giant_docs(df: DataFrame, max_spans: int) -> DataFrame:
+    """Split rows whose span array exceeds ``max_spans`` into chunk rows.
+
+    Adds ``chunk_id`` (0-based) and ``n_chunks``. Normal docs pass through
+    untouched with chunk_id=0, n_chunks=1 — the common path adds a cheap
+    projection, no shuffle.
+    """
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil(F.size("spans") / F.lit(max_spans))
+    ).cast("int")
+    chunked = df.withColumn("n_chunks", n_chunks)
+    small = chunked.where(F.col("n_chunks") == 1).withColumn("chunk_id", F.lit(0))
+    big = (
+        chunked.where(F.col("n_chunks") > 1)
+        .select(
+            "doc_id",
+            "n_chunks",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("n_chunks") - 1),
+                    lambda i: F.slice("spans", i * max_spans + 1, max_spans),
+                )
+            ).alias("chunk_id", "spans"),
+        )
+        .select("doc_id", "spans", "n_chunks", "chunk_id")
+    )
+    return small.select("doc_id", "spans", "n_chunks", "chunk_id").unionByName(big)
+
+
+def reassemble_chunks(out: DataFrame) -> DataFrame:
+    """Merge kernel output of chunked docs back to one row per doc.
+
+    Chunks were sliced in input-array order and each chunk is
+    offset-sorted by the kernel; flattening in chunk order then re-sorting
+    by offset restores whole-doc reading order. Caveat: for *duplicate*
+    offsets that straddle a chunk boundary the original-array-position
+    tie-break is approximated by chunk order (exact when offsets are unique
+    within a doc, which page*10_000+block layout keys guarantee).
+    """
+    small = out.where(F.col("n_chunks") == 1)
+    big = (
+        out.where(F.col("n_chunks") > 1)
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("chunk_id", "spans_clean", "wall_us"))
+            ).alias("chunks"),
+            F.array_join(F.array_distinct(F.collect_list("route")), ",").alias("route"),
+            F.min("success").alias("success"),
+            F.max("error").alias("error"),
+        )
+        .select(
+            "doc_id",
+            F.array_sort(
+                F.flatten(F.col("chunks.spans_clean")),
+                lambda a, b: F.when(a["offset"] < b["offset"], F.lit(-1))
+                .when(a["offset"] > b["offset"], F.lit(1))
+                .otherwise(F.lit(0)),
+            ).alias("spans_clean"),
+            F.col("route"),
+            F.col("success"),
+            F.col("error"),
+            F.aggregate(F.col("chunks.wall_us"), F.lit(0).cast("long"),
+                        lambda acc, x: acc + x).alias("wall_us"),
+            F.lit(1).alias("n_chunks"),
+            F.lit(0).alias("chunk_id"),
+        )
+    )
+    cols = ["doc_id", "spans_clean", "route", "success", "error", "wall_us"]
+    return small.select(*cols).unionByName(big.select(*cols))
+
+
+def extract(df: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG,
+            engine: str = "arrow", chunk: bool = True) -> DataFrame:
+    """The composable single-operator form (SURVEY.md §3.2): no sinks."""
+    kernel = extract_arrow if engine == "arrow" else extract_catalyst
+    if chunk:
+        chunked = chunk_giant_docs(df, cfg.max_spans_per_chunk)
+        return reassemble_chunks(_extract_chunked(chunked, cfg, kernel))
+    return kernel(df, cfg)
+
+
+def _extract_chunked(chunked: DataFrame, cfg: ExtractConfig, kernel) -> DataFrame:
+    """Run the kernel while carrying (chunk_id, n_chunks) through it.
+
+    Trick: the kernel contract keys rows by doc_id; for chunked rows we
+    smuggle the chunk bookkeeping into the doc_id ("<id>#<chunk>/<n>") and
+    strip it back out after — the kernel itself stays a pure
+    (doc_id, spans) → (doc_id, spans_clean, ...) operator, and no
+    order-dependent join is needed.
+    """
+    # U+0001 as tag delimiter: cannot collide with printable doc_ids, and the
+    # strip below additionally requires the exact "<SOH><digits>/<digits>$"
+    # shape before treating a row as chunked.
+    SEP = ""
+    tagged = chunked.select(
+        F.when(
+            F.col("n_chunks") > 1,
+            F.concat(F.col("doc_id"), F.lit(SEP),
+                     F.concat_ws("/", F.col("chunk_id"), F.col("n_chunks"))),
+        ).otherwise(F.col("doc_id")).alias("doc_id"),
+        "spans",
+    )
+    out = kernel(tagged, cfg)
+    tag = F.regexp_extract("doc_id", f"{SEP}(\\d+)/(\\d+)$", 0)
+    has_tag = tag != ""
+    return out.select(
+        F.when(has_tag,
+               F.expr(f"substring(doc_id, 1, length(doc_id) - length(regexp_extract(doc_id, '{SEP}\\\\d+/\\\\d+$', 0)))"))
+        .otherwise(F.col("doc_id")).alias("doc_id"),
+        "spans_clean", "route", "success", "error", "wall_us",
+        F.when(has_tag, F.regexp_extract("doc_id", f"{SEP}(\\d+)/(\\d+)$", 1).cast("int"))
+        .otherwise(F.lit(0)).alias("chunk_id"),
+        F.when(has_tag, F.regexp_extract("doc_id", f"{SEP}(\\d+)/(\\d+)$", 2).cast("int"))
+        .otherwise(F.lit(1)).alias("n_chunks"),
+    )
+
+
+def read_lineage(spark: SparkSession, out_dir: str) -> DataFrame:
+    path = os.path.join(out_dir, "lineage")
+    # existence probe first: avoids a noisy AnalysisException stack in the
+    # JVM log on the first run. Local paths use os.path; remote URIs fall
+    # back to try/except (an Iceberg catalog would make this a table check).
+    if "://" not in path and not os.path.exists(path):
+        return spark.createDataFrame([], LINEAGE_SCHEMA)
+    try:
+        return spark.read.schema(LINEAGE_SCHEMA).parquet(path)
+    except Exception:
+        return spark.createDataFrame([], LINEAGE_SCHEMA)
+
+
+def run_job(
+    spark: SparkSession,
+    input_df: DataFrame,
+    out_dir: str,
+    cfg: ExtractConfig = DEFAULT_CONFIG,
+    engine: str = "arrow",
+    resume: bool = True,
+    fail_after_buckets: int | None = None,
+    run_id: str | None = None,
+) -> dict:
+    """Run the full extraction job. Returns summary counters.
+
+    ``fail_after_buckets`` is a test hook: process only the first K buckets
+    (by bucket id) then stop, simulating a mid-job failure so the resume
+    path can be exercised.
+    """
+    run_id = run_id or uuid.uuid4().hex[:12]
+    n_buckets = cfg.n_buckets
+    df = input_df.withColumn("bucket", bucket_col(n_buckets))
+
+    skipped = 0
+    if resume:
+        committed = read_lineage(spark, out_dir).select(
+            F.col("partition_id").alias("bucket")
+        ).distinct()
+        committed_ids = [r.bucket for r in committed.collect()]
+        if committed_ids:
+            skipped = len(committed_ids)
+            df = df.where(~F.col("bucket").isin(committed_ids))
+
+    if fail_after_buckets is not None:
+        remaining = sorted(
+            r.bucket for r in df.select("bucket").distinct().collect()
+        )[:fail_after_buckets]
+        df = df.where(F.col("bucket").isin(remaining))
+
+    # the one shuffle: salted exchange on the deterministic bucket
+    par = min(n_buckets, spark.sparkContext.defaultParallelism * 2)
+    df = df.repartition(par, "bucket")
+
+    out = extract(df.select("doc_id", "spans"), cfg, engine=engine)
+    out = out.withColumn("doc_hash", doc_hash_col()) \
+             .withColumn("bucket", bucket_col(n_buckets))
+
+    data_path = os.path.join(out_dir, "data")
+    out.write.mode("append").partitionBy("bucket").parquet(data_path)
+
+    lineage = (
+        out.groupBy(F.col("bucket").alias("partition_id"))
+        .agg(
+            F.count("*").alias("doc_count"),
+            F.lower(F.hex(F.bit_xor("doc_hash"))).alias("checksum"),
+            (F.sum("wall_us") / 1000).cast("long").alias("wall_ms"),
+        )
+        .withColumn("run_id", F.lit(run_id))
+    )
+    lineage.write.mode("append").parquet(os.path.join(out_dir, "lineage"))
+
+    done = read_lineage(spark, out_dir)
+    return {
+        "run_id": run_id,
+        "buckets_skipped": skipped,
+        "buckets_total_committed": done.select("partition_id").distinct().count(),
+        "docs_committed": done.agg(F.sum("doc_count")).collect()[0][0],
+    }

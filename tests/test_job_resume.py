@@ -1,0 +1,97 @@
+"""Job-level tests: checkpoint resume, lineage integrity, giant-doc chunking."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rag_document_parser_spark.config import ExtractConfig
+from rag_document_parser_spark.corpus import fixture_df, generate_fixture_docs
+from rag_document_parser_spark.plans.job import (
+    chunk_giant_docs,
+    extract,
+    read_lineage,
+    run_job,
+)
+from rag_document_parser_spark.semantics import clean_doc
+
+CFG = ExtractConfig(n_buckets=16, max_spans_per_chunk=512)
+
+
+def test_resume_skips_committed_partitions(spark, tmp_path):
+    out = str(tmp_path / "job")
+    df = fixture_df(spark, seed=42, n_docs=120)
+
+    # partial run: only 5 buckets commit, then "failure"
+    r1 = run_job(spark, df, out, CFG, fail_after_buckets=5, run_id="r1")
+    assert r1["buckets_total_committed"] == 5
+
+    # resume: must skip the 5 committed buckets and finish the rest
+    r2 = run_job(spark, df, out, CFG, run_id="r2")
+    assert r2["buckets_skipped"] == 5
+
+    lineage = read_lineage(spark, out)
+    # no duplicate lineage rows per partition
+    dupes = lineage.groupBy("partition_id").count().where(F.col("count") > 1)
+    assert dupes.count() == 0
+
+    # final data: every doc exactly once
+    data = spark.read.parquet(f"{out}/data")
+    assert data.count() == 120
+    assert data.select("doc_id").distinct().count() == 120
+
+    # a third run is a full no-op
+    r3 = run_job(spark, df, out, CFG, run_id="r3")
+    assert r3["docs_committed"] == 120
+    assert spark.read.parquet(f"{out}/data").count() == 120
+
+
+def test_lineage_checksum_matches_recompute(spark, tmp_path):
+    out = str(tmp_path / "job")
+    df = fixture_df(spark, seed=13, n_docs=60)
+    run_job(spark, df, out, CFG, run_id="only")
+    data = spark.read.parquet(f"{out}/data")
+    recomputed = (
+        data.groupBy("bucket")
+        .agg(F.lower(F.hex(F.bit_xor("doc_hash"))).alias("checksum2"),
+             F.count("*").alias("cnt2"))
+    )
+    lineage = read_lineage(spark, out)
+    joined = lineage.join(recomputed,
+                          lineage.partition_id == recomputed.bucket)
+    bad = joined.where(
+        (F.col("checksum") != F.col("checksum2")) | (F.col("doc_count") != F.col("cnt2"))
+    )
+    assert bad.count() == 0
+    assert joined.count() == lineage.count()
+
+
+def test_chunking_splits_and_reassembles_giant_doc(spark):
+    giant = 5000  # ~10x chunk budget
+    df = fixture_df(spark, seed=42, n_docs=30, giant_doc_spans=giant)
+
+    chunked = chunk_giant_docs(df, CFG.max_spans_per_chunk)
+    giant_chunks = chunked.where(F.col("doc_id") == "doc-giant")
+    n = giant_chunks.count()
+    assert n == -(-giant // CFG.max_spans_per_chunk)  # ceil
+    assert giant_chunks.agg(F.sum(F.size("spans"))).collect()[0][0] == giant
+
+    out = extract(df, CFG, engine="arrow", chunk=True)
+    row = out.where(F.col("doc_id") == "doc-giant").collect()[0]
+    docs = {d["doc_id"]: d for d in
+            generate_fixture_docs(seed=42, n_docs=30, giant_doc_spans=giant)}
+    expected, _, _, _ = clean_doc(docs["doc-giant"]["spans"], CFG)
+    got = [(s["kind"], s["text"], s["media_ref"], s["offset"])
+           for s in row["spans_clean"]]
+    exp = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in expected]
+    assert got == exp
+
+
+def test_chunked_extract_matches_unchunked_everywhere(spark):
+    df = fixture_df(spark, seed=99, n_docs=80)
+    cfg = ExtractConfig(max_spans_per_chunk=4)  # force chunking of normal docs
+    a = {r["doc_id"]: [tuple(s) for s in r["spans_clean"]]
+         for r in extract(df, cfg, chunk=True).collect()}
+    b = {r["doc_id"]: [tuple(s) for s in r["spans_clean"]]
+         for r in extract(df, cfg, chunk=False).collect()}
+    assert a == b
