@@ -30,6 +30,16 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+
+def _shr(c, bits):
+    # F.shiftright requires a Python int for numBits; call_function
+    # accepts a Column (needed inside higher-order lambdas)
+    return F.call_function("shiftright", c, bits)
+
+
+def _shl(c, bits):
+    return F.call_function("shiftleft", c, bits)
+
 # --------------------------------------------------------------------------
 # shared tokenization (must stay expressible in DuckDB for the oracle)
 # --------------------------------------------------------------------------
@@ -42,10 +52,17 @@ def words(c: Column) -> Column:
 
 
 def word_shingles(c: Column, n: int = 3) -> Column:
-    """Overlapping word n-grams joined by single spaces."""
+    """Overlapping word n-grams joined by single spaces.
+
+    NB: Spark's sequence(1, 0) *descends*; short docs must short-circuit to
+    an empty array rather than produce a slice(…, 0, …) call."""
     w = words(c)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(0)))
-    return F.transform(idx, lambda i: F.array_join(F.slice(w, i, n), " "))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(w) - (n - 1)),
+        lambda i: F.array_join(F.slice(w, i, n), " "),
+    )
+    return F.when(F.size(w) >= n, grams).otherwise(
+        F.array().cast("array<string>"))
 
 
 # --------------------------------------------------------------------------
@@ -145,18 +162,26 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     sh = F.array_distinct(word_shingles(F.col(text_col), n))
     base = df.select(F.col(id_col).alias("id"), sh.alias("shingles")) \
              .where(F.size("shingles") > 0)
+    # hash each shingle ONCE (md5 is the expensive part), then apply the k
+    # affine permutations over the cached longs — k× fewer md5 evaluations
+    hashed = base.select(
+        "id",
+        F.transform("shingles",
+                    lambda s: F.pmod(_md5_long(s), F.lit(2**31 - 1))).alias("hs"),
+    )
+
+    def _perm(a, b):
+        # NB: defaults in the lambda signature would change its arity for
+        # pyspark's HOF binding — close over a/b via this factory instead.
+        return lambda h: F.pmod(a * h + b, F.lit(P))
+
     sig_cols = []
     for i in range(k):
         a = F.pmod(_md5_long(F.lit(f"minhash-a-{i}")), F.lit(2**31 - 1)) + 1
         b = F.pmod(_md5_long(F.lit(f"minhash-b-{i}")), F.lit(2**31 - 1))
-        hashed = F.transform(
-            F.col("shingles"),
-            lambda s, a=a, b=b: F.pmod(
-                a * F.pmod(_md5_long(s), F.lit(2**31 - 1)) + b, F.lit(P)
-            ),
-        )
-        sig_cols.append(F.array_min(hashed).alias(f"mh_{i}"))
-    return base.select("id", F.array(*sig_cols).alias("signature"))
+        sig_cols.append(
+            F.array_min(F.transform("hs", _perm(a, b))).alias(f"mh_{i}"))
+    return hashed.select("id", F.array(*sig_cols).alias("signature"))
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
@@ -215,7 +240,7 @@ def simhash64(df: DataFrame, text_col: str = "text",
             F.transform(
                 F.sequence(F.lit(0), F.lit(63)),
                 lambda i: F.when(
-                    F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) == 1,
+                    _shr(F.xxhash64(t), i).bitwiseAND(F.lit(1)) == 1,
                     F.lit(1).cast("long"),
                 ).otherwise(F.lit(-1).cast("long")),
             ),
@@ -226,7 +251,7 @@ def simhash64(df: DataFrame, text_col: str = "text",
         F.zip_with(
             votes,
             F.sequence(F.lit(0), F.lit(63)),
-            lambda v, i: F.when(v > 0, F.shiftleft(F.lit(1).cast("long"), i))
+            lambda v, i: F.when(v > 0, _shl(F.lit(1).cast("long"), i))
             .otherwise(F.lit(0).cast("long")),
         ),
         F.lit(0).cast("long"),
@@ -251,7 +276,7 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(nb - 1)),
-                lambda bi: F.shiftright(F.col("simhash"), bi * width)
+                lambda bi: _shr(F.col("simhash"), bi * width)
                 .bitwiseAND(F.lit((1 << width) - 1)),
             )
         ).alias("band", "band_val"),

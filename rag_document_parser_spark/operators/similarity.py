@@ -1,0 +1,150 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+
+- ``cosine_topk`` — exact brute-force top-k: broadcast the (small) query
+  set against the corpus, dot products via ``F.zip_with`` +
+  ``F.aggregate`` (JVM-side, codegen), per-query top-k via window
+  ``row_number``. At 100 TB the corpus side stays partitioned; only the
+  query set is broadcast, so there is no shuffle of the big side at all —
+  the window shuffles candidate rows keyed by query id only after the
+  similarity filter/projection has pruned columns.
+
+- ``lsh_cosine_topk`` — the scale path: random-hyperplane (sign) LSH.
+  Each vector gets a ``n_bits``-bit signature from deterministic,
+  md5-seeded hyperplanes; candidates are corpus rows sharing a signature
+  band with the query, re-ranked exactly. Probing multiple bands trades
+  recall for candidate volume. Shuffle is keyed on (band, band-signature)
+  — uniform by construction.
+
+Hyperplanes are derived from md5 of (bit index, dimension index) so the
+whole operator is deterministic with no RNG state and no driver-side
+numpy materialization at scale (the plane table is a small broadcast).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _shr(c, bits):
+    # F.shiftright requires a Python int for numBits; call_function
+    # accepts a Column (needed inside higher-order lambdas)
+    return F.call_function("shiftright", c, bits)
+
+
+def _shl(c, bits):
+    return F.call_function("shiftleft", c, bits)
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine_similarity_col(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                qid_col: str = "query_id") -> DataFrame:
+    """Exact top-k by cosine for each query vector.
+
+    ``queries``: (query_id, embedding). Broadcast-joined against corpus.
+    Returns (query_id, vec_id, cosine, rank), rank 1..k, ties broken by
+    vec_id for determinism.
+    """
+    q = queries.select(F.col(qid_col), F.col(vec_col).alias("_qvec"))
+    joined = corpus.select(id_col, vec_col).crossJoin(F.broadcast(q))
+    scored = joined.select(
+        qid_col, id_col,
+        cosine_similarity_col(F.col(vec_col), F.col("_qvec")).alias("cosine"),
+    ).where(F.col(qid_col) != F.col(id_col))
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(qid_col, id_col, F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+def _hyperplane_component(bit: int, dim) -> "F.Column":
+    """Deterministic pseudo-random plane component in [-1, 1).
+
+    md5(bit:dim) → first 8 hex digits → uniform in [0,1) → shift/scale.
+    Matches semantics.token_confidence's construction so the DuckDB oracle
+    can recompute signatures if needed.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit(f"plane-{bit}"), dim.cast("string"))), 1, 8),
+        16, 10,
+    ).cast("double") / F.lit(4294967296.0)
+    return h * 2.0 - 1.0
+
+
+def lsh_signature(vec, n_bits: int = 16):
+    """Sign-LSH signature as an int (bit i = sign of <v, plane_i>)."""
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bits - 1)),
+        lambda b: F.when(
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.sequence(F.lit(0), F.size(vec) - 1),
+                    lambda x, d: x * _hyperplane_component(0, d * F.lit(1) + b * F.lit(10007)),
+                ),
+                F.lit(0.0), lambda acc, v: acc + v,
+            ) > 0,
+            _shl(F.lit(1).cast("long"), b),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda a, x: a.bitwiseOR(x))
+
+
+def lsh_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    qid_col: str = "query_id", n_bits: int = 16,
+                    bands: int = 4) -> DataFrame:
+    """Approximate top-k: candidates from LSH band collisions, exact re-rank.
+
+    Recall < 1 by design; callers wanting guarantees use cosine_topk.
+    """
+    width = n_bits // bands
+    mask = (1 << width) - 1
+
+    def banded(df, idc):
+        sig = lsh_signature(F.col(vec_col), n_bits)
+        return df.select(
+            F.col(idc), vec_col,
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda bi: _shr(sig, bi * width).bitwiseAND(F.lit(mask)),
+                )
+            ).alias("band", "band_val"),
+        )
+
+    c = banded(corpus, id_col)
+    q = banded(queries, qid_col).withColumnRenamed(vec_col, "_qvec")
+    cand = (
+        c.join(F.broadcast(q), ["band", "band_val"])
+        .where(F.col(qid_col) != F.col(id_col))
+        .select(qid_col, id_col, vec_col, "_qvec")
+        .distinct()
+    )
+    scored = cand.select(
+        qid_col, id_col,
+        cosine_similarity_col(F.col(vec_col), F.col("_qvec")).alias("cosine"),
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(qid_col, id_col, F.round("cosine", 6).alias("cosine"), "rank")
+    )

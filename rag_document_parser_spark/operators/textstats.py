@@ -1,0 +1,158 @@
+"""Text-analysis operators for training-data pipelines.
+
+All pure Catalyst (JVM, codegen) — no UDFs anywhere:
+
+- ``language_id``      — n-gram/stopword-heuristic language ID extending
+                         the reference's arabic/latin 2x classifier
+                         (/root/reference/example_usage_reporting.py:427-435)
+                         with stopword evidence for en/de/fr/es.
+- ``quality_score``    — length / punctuation-ratio / stopword-ratio /
+                         mean-word-length features plus a composite score;
+                         the web-scale "keep or drop" gate.
+- ``token_count``      — whitespace tokens and a BPE-ish subword estimate
+                         (regex segmentation into letter-runs, digit-runs,
+                         punctuation), both as counts.
+- ``fingerprint``      — winnowing-style document fingerprint: the min-K
+                         md5s over word 5-gram shingles; equal fingerprints
+                         ⇒ near-identical prefix content. Deterministic,
+                         SQL-replicable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from rag_document_parser_spark.functions.text import (
+    arabic_char_count,
+    latin_char_count,
+)
+from rag_document_parser_spark.operators.dedup import word_shingles, words
+
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it", "for", "with"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "für"],
+    "fr": ["le", "la", "les", "et", "est", "pour", "que", "une", "dans"],
+    "es": ["el", "la", "los", "que", "es", "para", "una", "con", "por"],
+}
+
+
+def _stopword_hits(c: Column, lang: str) -> Column:
+    toks = words(c)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+
+
+def language_id(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Heuristic language ID: arabic script wins by char count; otherwise
+    the latin language with the most stopword hits; 'und' (undetermined)
+    when no evidence."""
+    c = F.col(text_col)
+    a, l = arabic_char_count(c), latin_char_count(c)
+    hits = {lang: _stopword_hits(c, lang) for lang in STOPWORDS}
+    best_latin = F.greatest(*hits.values())
+    lang_pick = F.lit("und")
+    for lang in reversed(list(STOPWORDS)):  # earlier langs win ties
+        lang_pick = F.when(hits[lang] == best_latin, F.lit(lang)).otherwise(lang_pick)
+    return df.select(
+        F.col(id_col),
+        F.when(a > 2 * l, F.lit("ar"))
+        .when((best_latin > 0) & (l > 0), lang_pick)
+        .when(l > 0, F.lit("latin-und"))
+        .otherwise(F.lit("und"))
+        .alias("lang_id"),
+        a.alias("arabic_chars"),
+        l.alias("latin_chars"),
+    )
+
+
+def quality_features(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Per-doc quality features + composite score in [0,1].
+
+    Heuristics follow the reference's "readable words" filter shape
+    (/root/reference/parsers/document_parser.py:210-270: len>1, has alpha,
+    alpha+space ratio > 0.5) generalized into graded features.
+    """
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    toks = words(c)
+    n_words = F.size(toks)
+    mean_wlen = F.when(n_words > 0,
+                       F.aggregate(toks, F.lit(0).cast("long"),
+                                   lambda acc, t: acc + F.length(t)) / n_words
+                       ).otherwise(F.lit(0.0))
+    alpha_space = F.length(F.regexp_replace(c, "[^A-Za-z؀-ۿ ]", ""))
+    alpha_ratio = F.when(n_chars > 0, alpha_space / n_chars).otherwise(F.lit(0.0))
+    punct = F.length(F.regexp_replace(c, "[^.,;:!?]", ""))
+    punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0))
+    sw = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    stop_ratio = F.when(
+        n_words > 0,
+        F.size(F.filter(toks, lambda t: F.array_contains(sw, t))) / n_words,
+    ).otherwise(F.lit(0.0))
+
+    # composite: reward readable alpha ratio and sane word lengths,
+    # penalize punctuation soup; clamp to [0,1]
+    score = F.least(
+        F.lit(1.0),
+        F.greatest(
+            F.lit(0.0),
+            alpha_ratio * 0.6
+            + F.least(stop_ratio * 4, F.lit(0.2))
+            + F.when((mean_wlen >= 3) & (mean_wlen <= 12), 0.2).otherwise(0.0)
+            - F.when(punct_ratio > 0.1, punct_ratio).otherwise(0.0),
+        ),
+    )
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        F.round(mean_wlen, 4).alias("mean_word_len"),
+        F.round(alpha_ratio, 4).alias("alpha_ratio"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(score, 4).alias("quality_score"),
+    )
+
+
+def token_count(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Whitespace token count + BPE-ish subword estimate.
+
+    Subword segmentation: split into maximal runs of letters, digits, or
+    single punctuation (regex '[a-z]+|[0-9]+|[^a-z0-9\\s]' after lower),
+    then assume ~1 token per 4 chars within long letter runs (the GPT-ish
+    heuristic) — all in Catalyst arithmetic.
+    """
+    c = F.col(text_col)
+    ws_tokens = F.size(words(c))
+    lower = F.lower(c)
+    letter_runs = F.filter(F.split(lower, "[^a-z؀-ۿ]+"), lambda t: t != "")
+    digit_runs = F.filter(F.split(lower, "[^0-9]+"), lambda t: t != "")
+    punct_chars = F.length(F.regexp_replace(lower, "[a-z0-9؀-ۿ \\t\\n\\r]", ""))
+    subword = (
+        F.aggregate(letter_runs, F.lit(0).cast("long"),
+                    lambda acc, t: acc + F.greatest(F.ceil(F.length(t) / 4), F.lit(1)))
+        + F.size(digit_runs) + punct_chars
+    )
+    return df.select(
+        F.col(id_col),
+        ws_tokens.alias("ws_tokens"),
+        subword.cast("long").alias("bpe_est_tokens"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                shingle_n: int = 5, keep_k: int = 4) -> DataFrame:
+    """Winnowing-style fingerprint: the K smallest md5 hex digests over
+    word n-gram shingles, concatenated. Deterministic and SQL-replicable
+    (min over md5 strings is well-defined everywhere)."""
+    sh = F.array_distinct(word_shingles(F.col(text_col), shingle_n))
+    hashes = F.array_sort(F.transform(sh, lambda s: F.md5(s)))
+    fp = F.array_join(F.slice(hashes, 1, keep_k), "")
+    return df.select(
+        F.col(id_col),
+        F.when(F.size(sh) > 0, fp).alias("fingerprint"),
+        F.size(sh).alias("n_shingles"),
+    )
