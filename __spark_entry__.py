@@ -1,38 +1,785 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship extraction job on sf0.001 (Arrow kernel path).
+``queries()``    — one entry per implemented operator (SURVEY.md §2 +
+                   training-data operators); each callable is
+                   (spark, sf_dir) -> DataFrame.
+``oracle_sql()`` — for every query, the equivalent ANSI SQL runnable by
+                   DuckDB on the same parquet tables.
+
+Design note: every numeric output is either an integer (BIGINT) or a
+*floor-scaled* integer (``floor(x * 10^k)``) — never a rounded float —
+because Spark and DuckDB agree bitwise on IEEE double arithmetic when the
+operation sequence is identical, so ``floor`` is reproducible, while their
+``round`` half-way modes differ. All hashes are md5-derived (never
+xxhash64) in anything oracle-checked, since DuckDB has md5 but not Spark's
+xxhash64. Float folds use an explicit left-fold in both engines
+(``F.aggregate`` in Spark, ``list_reduce`` in DuckDB) so sums are
+bitwise-identical.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from rag_document_parser_spark import semantics as S
+from rag_document_parser_spark.config import DEFAULT_CONFIG
+from rag_document_parser_spark.corpus import SLUG_WORDS, spans_df_from_documents
+from rag_document_parser_spark.functions import text as X
+from rag_document_parser_spark.operators import dedup as D
+from rag_document_parser_spark.operators import multimodal as M
+from rag_document_parser_spark.operators import similarity as V
+from rag_document_parser_spark.operators import textstats as T
+from rag_document_parser_spark.plans import job as J
+from rag_document_parser_spark.reporting import by_route, summary_report, validity
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _sq(s: str) -> str:
+    """Python string -> SQL single-quoted literal."""
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _md5l(expr: str) -> str:
+    """60-bit md5-derived bigint — matches Spark conv(substring(md5,1,15),16,10)."""
+    return "('0x'||substring(md5(" + expr + "),1,15))::BIGINT"
+
+
+NL2 = "(chr(10)||chr(10))"
+
+# the exact regex constants the engine uses (semantics.py — RE2-safe)
+P_SCRIPT = _sq(S.RE_SCRIPT_STYLE)
+P_TAG = _sq(S.RE_TAG)
+P_WS = _sq(S.RE_WS_RUN)
+P_STRIP = _sq(S.RE_STRIP)
+P_EMPTY_LEAD = _sq(S.RE_EMPTY_LINES_LEAD)
+P_EMPTY_MID = _sq(S.RE_EMPTY_LINES_MID)
+P_SPACE = _sq(S.RE_SPACE_RUN)
+
+# the HTML boilerplate wrapper from corpus.spans_df_from_documents
+HTML_PRE = ("<html><head><title>t</title><script>var x=1;</script>"
+            "<style>.a{}</style></head><body><nav><a href='/'>Home</a></nav><p>")
+HTML_POST = "</p><footer>footer</footer></body></html>"
+
+SLUG_SQL = "[" + ",".join(_sq(w) for w in SLUG_WORDS) + "]"
+
+
+def _regex_chain(expr: str, *steps: tuple[str, str]) -> str:
+    out = expr
+    for pat, repl in steps:
+        out = f"regexp_replace({out}, {pat}, {repl}, 'g')"
+    return out
+
+
+# post_process_text with normalize_unicode=False (the Catalyst-path config)
+def _post_process_sql(expr: str) -> str:
+    return _regex_chain(
+        expr,
+        (P_EMPTY_LEAD, "''"),
+        (P_EMPTY_MID, "chr(10)"),
+        (P_SPACE, "' '"),
+        (P_STRIP, "''"),
+    )
+
+
+# The full extraction oracle: replicates corpus synthesis (md5-routed) +
+# the extraction contract (semantics.clean_doc) per route, emitting one row
+# per doc: (doc_id, route, n_spans, content).
+EXTRACT_CTE = f"""
+WITH base AS (
+  SELECT 'd-'||doc_id::VARCHAR||'-0' AS doc_id, text, source,
+         {_md5l("'d-'||doc_id::VARCHAR||'-0'")} AS h
+  FROM documents
+), routed AS (
+  SELECT *, h % 10 AS pick FROM base
+), html_out AS (
+  SELECT doc_id,
+    CASE WHEN cleaned <> '' THEN 'html' ELSE 'empty' END AS route,
+    (CASE WHEN cleaned <> '' THEN 1 ELSE 0 END)::BIGINT AS n_spans,
+    CASE WHEN cleaned <> '' THEN cleaned ELSE '' END AS content
+  FROM (
+    SELECT doc_id,
+      {_regex_chain(f"({_sq(HTML_PRE)} || text || {_sq(HTML_POST)})",
+                    (P_SCRIPT, "''"), (P_TAG, "''"),
+                    (P_WS, "' '"), (P_STRIP, "''"))} AS cleaned
+    FROM routed WHERE pick < 4)
+), pdf_out AS (
+  SELECT doc_id,
+    CASE WHEN len(blocks) > 0 THEN 'pdf' ELSE 'empty' END AS route,
+    len(blocks)::BIGINT AS n_spans,
+    array_to_string(blocks, {NL2}) AS content
+  FROM (
+    SELECT doc_id, list_filter(
+      list_transform(range(greatest(ceil(len(string_split(text,' '))/8.0),1)::INT),
+        i -> array_to_string(list_slice(string_split(text,' '), i*8+1, i*8+8), ' ')),
+      b -> b <> '') AS blocks
+    FROM routed WHERE pick >= 4 AND pick < 8)
+), inter_out AS (
+  SELECT doc_id,
+    CASE WHEN ptext <> '' THEN 'doc,media,text' ELSE 'doc,media' END AS route,
+    (CASE WHEN ptext <> '' THEN 3 ELSE 2 END)::BIGINT AS n_spans,
+    array_to_string(['[HEADER] '||source, ocr, nullif(ptext,'')], {NL2}) AS content
+  FROM (
+    SELECT doc_id, source, {_post_process_sql("text")} AS ptext,
+      CASE WHEN (CASE WHEN h % 2 = 1 THEN w > 50 AND hh > 30
+                      ELSE w > 100 AND hh > 50 END)
+        THEN nullif(array_to_string(list_filter(string_split(slug, '-'),
+             t -> ('0x'||substr(md5(slug||':'||t),1,8))::BIGINT / 4294967296.0
+                  >= {DEFAULT_CONFIG.ocr_confidence_threshold}), ' '), '')
+      END AS ocr
+    FROM (
+      SELECT doc_id, text, source, h,
+        (h % 360 + 41)::INT AS w, (h % 280 + 21)::INT AS hh,
+        sw[(h % 8 + 1)::INT] || '-' || sw[((h+3) % 8 + 1)::INT] AS slug
+      FROM routed, (SELECT {SLUG_SQL} AS sw)
+      WHERE pick >= 8))
+), extracted AS (
+  SELECT * FROM html_out
+  UNION ALL SELECT * FROM pdf_out
+  UNION ALL SELECT * FROM inter_out
+)
+"""
+
+# word tokens / shingles — mirrors operators.dedup.words / word_shingles
+TOKS_SQL = ("list_filter(string_split_regex(lower({c}), '[^a-z0-9؀-ۿ]+'),"
+            " t -> t <> '')")
+
+
+def _shingles_sql(c: str, n: int) -> str:
+    w = TOKS_SQL.format(c=c)
+    return (f"CASE WHEN len({w}) >= {n} THEN "
+            f"list_transform(range(1, len({w}) - {n - 2}), "
+            f"i -> array_to_string(list_slice({w}, i, i + {n - 1}), ' ')) "
+            f"ELSE []::VARCHAR[] END")
+
+
+# union-with-clones input for the dedup-family queries: the synthetic docs
+# have no duplicates, so clone doc_id<20 with id+1000000 to create dup groups
+CLONED_SQL = ("(SELECT doc_id, text FROM documents UNION ALL "
+              "SELECT doc_id + 1000000 AS doc_id, text FROM documents "
+              "WHERE doc_id < 20)")
+
+
+def _cloned_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    clones = docs.where(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    return docs.unionByName(clones)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _extract_projection(out: DataFrame) -> DataFrame:
+    return out.select(
+        "doc_id", "route",
+        F.size("spans_clean").cast("long").alias("n_spans"),
+        F.array_join(F.col("spans_clean").getField("text"), "\n\n").alias("content"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# extraction-family queries
+# ---------------------------------------------------------------------------
+
+
+def q_extract_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1/E2/E8/E10/E17/E21/E40 + L1 end-to-end — pure-Catalyst engine."""
+    out = J.extract(spans_df_from_documents(spark, sf_dir),
+                    engine="catalyst", chunk=False)
+    return _extract_projection(out)
+
+
+def q_extract_content_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same contract through the Arrow kernel + giant-doc chunking path."""
+    out = J.extract(spans_df_from_documents(spark, sf_dir),
+                    engine="arrow", chunk=True)
+    return _extract_projection(out)
+
+
+SQL_EXTRACT = EXTRACT_CTE + \
+    "SELECT doc_id, route, n_spans, content FROM extracted"
+
+
+def q_route_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/A8 report shape over extraction output."""
+    out = J.extract(spans_df_from_documents(spark, sf_dir),
+                    engine="catalyst", chunk=False)
+    return by_route(out).select(
+        "route", F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("success_rate").cast("double").alias("success_rate"),
+        F.col("n_spans").cast("long").alias("n_spans"))
+
+
+SQL_ROUTE_STATS = EXTRACT_CTE + """
+SELECT route, count(*)::BIGINT AS n_docs, 100.0::DOUBLE AS success_rate,
+       sum(n_spans)::BIGINT AS n_spans
+FROM extracted GROUP BY route"""
+
+
+def q_summary_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 summary report (/root/reference/main.py:302-330 shape)."""
+    out = J.extract(spans_df_from_documents(spark, sf_dir),
+                    engine="catalyst", chunk=False)
+    return summary_report(out).select(
+        F.col("total_docs").cast("long"), F.col("successful").cast("long"),
+        F.col("failed").cast("long"), F.col("success_rate").cast("double"),
+        F.col("total_wall_us").cast("long"), F.col("total_spans").cast("long"))
+
+
+SQL_SUMMARY = EXTRACT_CTE + """
+SELECT count(*)::BIGINT AS total_docs, count(*)::BIGINT AS successful,
+       0::BIGINT AS failed, 100.0::DOUBLE AS success_rate,
+       0::BIGINT AS total_wall_us, sum(n_spans)::BIGINT AS total_spans
+FROM extracted"""
+
+
+def q_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 validity predicate (/root/reference/models/parse_result.py:167-176)."""
+    out = J.extract(spans_df_from_documents(spark, sf_dir),
+                    engine="catalyst", chunk=False)
+    return validity(out)
+
+
+SQL_VALIDITY = EXTRACT_CTE + \
+    "SELECT doc_id, (n_spans > 0) AS is_valid FROM extracted"
+
+
+# ---------------------------------------------------------------------------
+# text-metadata queries over the raw documents table
+# ---------------------------------------------------------------------------
+
+
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11/E9 per-doc statistics + title heuristic."""
+    c = F.col("text")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.length(c).cast("long").alias("character_count"),
+        X.word_count(c).cast("long").alias("word_count"),
+        X.line_count(c).cast("long").alias("line_count"),
+        X.page_count_estimate(c).cast("long").alias("page_count"),
+        X.title_heuristic(c).alias("title"),
+    )
+
+
+_FIRST = f"regexp_replace(string_split(text, chr(10))[1], {P_STRIP}, '', 'g')"
+_STRIPPED = f"regexp_replace(text, {P_STRIP}, '', 'g')"
+SQL_DOC_STATS = f"""
+SELECT doc_id, length(text)::BIGINT AS character_count,
+  (CASE WHEN {_STRIPPED} = '' THEN 0
+        ELSE len(string_split_regex({_STRIPPED}, {P_WS})) END)::BIGINT AS word_count,
+  len(string_split(text, chr(10)))::BIGINT AS line_count,
+  greatest(1, floor(len(string_split(text, chr(10))) / 50.0))::BIGINT AS page_count,
+  CASE WHEN {_FIRST} <> '' AND length({_FIRST}) < 100
+        AND NOT ends_with({_FIRST}, '.')
+        AND len(string_split_regex({_FIRST}, {P_WS})) <= 10
+       THEN {_FIRST} END AS title
+FROM documents"""
+
+
+def q_arabic_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/A6/A7 arabic char stats + 2x language classification."""
+    c = F.col("text")
+    a = X.arabic_char_count(c).cast("long")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        a.alias("arabic_chars"),
+        X.latin_char_count(c).cast("long").alias("latin_chars"),
+        F.when(F.length(c) > 0, F.floor(a * 1000000 / F.length(c)))
+        .otherwise(0).cast("long").alias("arabic_ppm"),
+        X.language_classify(c).alias("language"),
+    )
+
+
+_ARA = f"(length(text) - length(regexp_replace(text, '[{S.ARABIC_RANGE}]', '', 'g')))::BIGINT"
+_LAT = "(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')))::BIGINT"
+SQL_ARABIC = f"""
+SELECT doc_id, {_ARA} AS arabic_chars, {_LAT} AS latin_chars,
+  (CASE WHEN length(text) > 0 THEN floor({_ARA} * 1000000 / length(text))
+        ELSE 0 END)::BIGINT AS arabic_ppm,
+  CASE WHEN {_ARA} > 2 * {_LAT} THEN 'primarily_arabic'
+       WHEN {_LAT} > 2 * {_ARA} THEN 'primarily_english'
+       ELSE 'mixed' END AS language
+FROM documents"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-evidence language ID (training-data operator)."""
+    out = T.language_id(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id", "lang_id",
+        F.col("arabic_chars").cast("long"), F.col("latin_chars").cast("long"))
+
+
+def _hits_sql(lang: str) -> str:
+    toks = TOKS_SQL.format(c="text")
+    arr = "[" + ",".join(_sq(w) for w in T.STOPWORDS[lang]) + "]"
+    return f"len(list_filter({toks}, t -> list_contains({arr}, t)))"
+
+
+SQL_LANG_ID = f"""
+WITH h AS (
+  SELECT doc_id, {_ARA} AS a, {_LAT} AS l,
+    {_hits_sql('en')} AS en, {_hits_sql('de')} AS de,
+    {_hits_sql('fr')} AS fr, {_hits_sql('es')} AS es
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN a > 2 * l THEN 'ar'
+       WHEN greatest(en,de,fr,es) > 0 AND l > 0 THEN
+         CASE WHEN en = greatest(en,de,fr,es) THEN 'en'
+              WHEN de = greatest(en,de,fr,es) THEN 'de'
+              WHEN fr = greatest(en,de,fr,es) THEN 'fr'
+              ELSE 'es' END
+       WHEN l > 0 THEN 'latin-und' ELSE 'und' END AS lang_id,
+  a AS arabic_chars, l AS latin_chars
+FROM h"""
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring — floor-scaled so doubles compare exactly."""
+    q = T.quality_exprs(F.col("text"))
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        q["n_chars"].cast("long").alias("n_chars"),
+        q["n_words"].cast("long").alias("n_words"),
+        F.floor(q["mean_word_len"] * 10000).cast("long").alias("mean_wlen_e4"),
+        F.floor(q["alpha_ratio"] * 10000).cast("long").alias("alpha_e4"),
+        F.floor(q["punct_ratio"] * 10000).cast("long").alias("punct_e4"),
+        F.floor(q["stopword_ratio"] * 10000).cast("long").alias("stop_e4"),
+        F.floor(q["quality_score"] * 10000).cast("long").alias("score_e4"),
+    )
+
+
+_QTOKS = TOKS_SQL.format(c="text")
+_EN_SW = "[" + ",".join(_sq(w) for w in T.STOPWORDS["en"]) + "]"
+SQL_QUALITY = f"""
+WITH f AS (
+  SELECT doc_id, length(text) AS n_chars, len({_QTOKS}) AS n_words,
+    CASE WHEN len({_QTOKS}) > 0
+         THEN list_sum(list_transform({_QTOKS}, t -> length(t)))::BIGINT
+              / len({_QTOKS}) ELSE 0.0 END AS mean_wlen,
+    CASE WHEN length(text) > 0
+         THEN length(regexp_replace(text, '[^A-Za-z{S.ARABIC_RANGE} ]', '', 'g'))
+              / length(text) ELSE 0.0 END AS alpha_ratio,
+    CASE WHEN length(text) > 0
+         THEN length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / length(text)
+         ELSE 0.0 END AS punct_ratio,
+    CASE WHEN len({_QTOKS}) > 0
+         THEN len(list_filter({_QTOKS}, t -> list_contains({_EN_SW}, t)))
+              / len({_QTOKS}) ELSE 0.0 END AS stop_ratio
+  FROM documents
+)
+SELECT doc_id, n_chars::BIGINT AS n_chars, n_words::BIGINT AS n_words,
+  floor(mean_wlen * 10000)::BIGINT AS mean_wlen_e4,
+  floor(alpha_ratio * 10000)::BIGINT AS alpha_e4,
+  floor(punct_ratio * 10000)::BIGINT AS punct_e4,
+  floor(stop_ratio * 10000)::BIGINT AS stop_e4,
+  floor(least(1.0, greatest(0.0,
+    alpha_ratio * 0.6
+    + least(stop_ratio * 4, 0.2)
+    + (CASE WHEN mean_wlen >= 3 AND mean_wlen <= 12 THEN 0.2 ELSE 0.0 END)
+    - (CASE WHEN punct_ratio > 0.1 THEN punct_ratio ELSE 0.0 END)
+  )) * 10000)::BIGINT AS score_e4
+FROM f"""
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish token counting (training-data operator)."""
+    out = T.token_count(_docs(spark, sf_dir))
+    return out.select("doc_id", F.col("ws_tokens").cast("long"),
+                      F.col("bpe_est_tokens").cast("long"))
+
+
+_LRUNS = ("list_filter(string_split_regex(lower(text), '[^a-z؀-ۿ]+'),"
+          " t -> t <> '')")
+_DRUNS = "list_filter(string_split_regex(lower(text), '[^0-9]+'), t -> t <> '')"
+SQL_TOKEN_COUNT = f"""
+SELECT doc_id, len({_QTOKS})::BIGINT AS ws_tokens,
+  (coalesce(list_sum(list_transform({_LRUNS},
+       t -> greatest(ceil(length(t)/4.0), 1)::BIGINT)), 0)
+   + len({_DRUNS})
+   + length(regexp_replace(lower(text), '[a-z0-9؀-ۿ \\t\\n\\r]', '', 'g'))
+  )::BIGINT AS bpe_est_tokens
+FROM documents"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style min-K md5 shingle fingerprint."""
+    out = T.fingerprint(_docs(spark, sf_dir))
+    return out.select("doc_id", "fingerprint",
+                      F.col("n_shingles").cast("long").alias("n_shingles"))
+
+
+_SH5 = _shingles_sql("text", 5)
+SQL_FINGERPRINT = f"""
+WITH s AS (SELECT doc_id, list_distinct({_SH5}) AS sh FROM documents)
+SELECT doc_id,
+  CASE WHEN len(sh) > 0 THEN
+    array_to_string(list_slice(list_sort(list_transform(sh, x -> md5(x))), 1, 4), '')
+  END AS fingerprint,
+  len(sh)::BIGINT AS n_shingles
+FROM s"""
+
+
+# ---------------------------------------------------------------------------
+# dedup-family queries (on the union-with-clones corpus)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = D.exact_dedup(_cloned_docs(spark, sf_dir))
+    return out.select("content_hash", F.col("n_dupes").cast("long"),
+                      F.col("keeper_id").cast("long"))
+
+
+SQL_DEDUP_EXACT = f"""
+SELECT md5(text) AS content_hash, count(*)::BIGINT AS n_dupes,
+       min(doc_id)::BIGINT AS keeper_id
+FROM {CLONED_SQL} GROUP BY md5(text) HAVING count(*) >= 2"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = D.ngram_jaccard_pairs(_cloned_docs(spark, sf_dir),
+                                n=3, threshold=0.5, df_cap=1000)
+    return out.select(
+        F.col("id_a").cast("long"), F.col("id_b").cast("long"),
+        F.col("inter").cast("long"),
+        F.col("n_a").cast("long"), F.col("n_b").cast("long"),
+        F.floor(F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+                * 1000000).cast("long").alias("jaccard_e6"))
+
+
+_SH3 = _shingles_sql("text", 3)
+SQL_JACCARD = f"""
+WITH u AS (SELECT * FROM {CLONED_SQL}),
+s AS (SELECT doc_id AS id, list_distinct({_SH3}) AS sh FROM u),
+s2 AS (SELECT id, sh, len(sh) AS n_sh FROM s WHERE len(sh) > 0),
+flat AS (SELECT id, unnest(sh) AS shingle FROM s2),
+freq AS (SELECT shingle, count(*) AS c FROM flat GROUP BY shingle),
+f2 AS (SELECT flat.id, flat.shingle FROM flat
+       JOIN freq ON flat.shingle = freq.shingle WHERE freq.c <= 1000),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+  FROM f2 a JOIN f2 b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id)
+SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b, inter::BIGINT AS inter,
+  sa.n_sh::BIGINT AS n_a, sb.n_sh::BIGINT AS n_b,
+  floor(inter / (sa.n_sh + sb.n_sh - inter) * 1000000)::BIGINT AS jaccard_e6
+FROM inter
+JOIN s2 sa ON inter.id_a = sa.id JOIN s2 sb ON inter.id_b = sb.id
+WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.5"""
+
+
+_K = 16          # minhash permutations in the oracle-checked query
+_BANDS = 4       # → r = 4 rows per band
+
+
+def _minhash_consts() -> list[tuple[int, int]]:
+    import hashlib
+    out = []
+    for i in range(_K):
+        a = int(hashlib.md5(f"minhash-a-{i}".encode()).hexdigest()[:15], 16) \
+            % (2**31 - 1) + 1
+        b = int(hashlib.md5(f"minhash-b-{i}".encode()).hexdigest()[:15], 16) \
+            % (2**31 - 1)
+        out.append((a, b))
+    return out
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = D.minhash_signatures(_docs(spark, sf_dir), n=3, k=_K)
+    return sigs.select(
+        F.col("id").cast("long").alias("id"),
+        F.concat_ws(",", F.transform("signature",
+                                     lambda x: x.cast("string"))).alias("sig"))
+
+
+def _sql_minhash_sig_cte(src: str) -> str:
+    consts = _minhash_consts()
+    mins = ", ".join(
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {D.P}))::VARCHAR"
+        for a, b in consts)
+    return f"""
+WITH s AS (SELECT doc_id AS id, list_distinct({_SH3}) AS sh FROM {src}),
+s2 AS (SELECT id, list_transform(sh,
+         x -> {_md5l('x')} % 2147483647) AS hs
+       FROM s WHERE len(sh) > 0),
+sigs AS (SELECT id, [{mins}] AS sigl FROM s2)
+"""
+
+
+SQL_MINHASH_SIG = _sql_minhash_sig_cte("documents") + \
+    "SELECT id::BIGINT AS id, array_to_string(sigl, ',') AS sig FROM sigs"
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = D.minhash_lsh_pairs(_cloned_docs(spark, sf_dir),
+                              n=3, k=_K, bands=_BANDS)
+    return out.select(F.col("id_a").cast("long"), F.col("id_b").cast("long"))
+
+
+_R = _K // _BANDS
+SQL_MINHASH_PAIRS = _sql_minhash_sig_cte(CLONED_SQL) + f"""
+, banded AS (
+  SELECT id, unnest(list_transform(range({_BANDS}),
+    bi -> bi::VARCHAR || '|' ||
+          array_to_string(list_slice(sigl, bi*{_R}+1, bi*{_R}+{_R}), ','))) AS bk
+  FROM sigs)
+SELECT DISTINCT a.id::BIGINT AS id_a, b.id::BIGINT AS id_b
+FROM banded a JOIN banded b ON a.bk = b.bk AND a.id < b.id"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = D.simhash64(_docs(spark, sf_dir))
+    return out.select(F.col("id").cast("long"), F.col("simhash").cast("long"))
+
+
+def _sql_simhash_cte(src: str) -> str:
+    return f"""
+WITH t AS (SELECT doc_id AS id, {_QTOKS} AS toks FROM {src}),
+sh AS (
+  SELECT id, list_reduce(list_transform(range(64), i ->
+    CASE WHEN coalesce(list_sum(list_transform(toks, tk ->
+           CASE WHEN (('0x'||substr(md5(tk), (i//4)+1, 1))::BIGINT >> (i%4)) & 1 = 1
+                THEN 1 ELSE -1 END)), 0) > 0
+         THEN CASE WHEN i = 63 THEN (-9223372036854775807 - 1)
+                   ELSE 1::BIGINT << i::INT END
+         ELSE 0::BIGINT END), (a, b) -> a | b) AS simhash
+  FROM t)
+"""
+
+
+SQL_SIMHASH = _sql_simhash_cte("documents") + \
+    "SELECT id::BIGINT AS id, simhash FROM sh"
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = D.simhash_near_pairs(_cloned_docs(spark, sf_dir), max_hamming=3)
+    return out.select(F.col("id_a").cast("long"), F.col("id_b").cast("long"),
+                      F.col("hamming").cast("long"))
+
+
+# oracle does the exact O(n²) check — banding must find the same pairs
+# (pigeonhole completeness for hamming <= 3)
+SQL_SIMHASH_PAIRS = _sql_simhash_cte(CLONED_SQL) + """
+SELECT a.id::BIGINT AS id_a, b.id::BIGINT AS id_b,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+FROM sh a JOIN sh b ON a.id < b.id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+_TOPK = 5
+_NQ = 8
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < _NQ).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    joined = emb.select("vec_id", "embedding").crossJoin(
+        F.broadcast(queries.select("query_id",
+                                   F.col("embedding").alias("_qvec"))))
+    scored = joined.select(
+        "query_id", "vec_id",
+        V.cosine_similarity_col(F.col("embedding"), F.col("_qvec")).alias("cos"),
+    ).where(F.col("query_id") != F.col("vec_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= _TOPK)
+            .select(F.col("query_id").cast("long"), F.col("vec_id").cast("long"),
+                    F.floor(F.col("cos") * 1000000).cast("long").alias("cosine_e6"),
+                    F.col("rank").cast("long")))
+
+
+_DOT = ("list_reduce(list_transform(range(1, len(v)+1), i -> v[i]*qv[i]),"
+        " (a,b) -> a+b)")
+_NRM = "sqrt(list_reduce(list_transform({x}, e -> e*e), (a,b) -> a+b))"
+SQL_COSINE_TOPK = f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+           FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {_NQ}),
+s AS (SELECT query_id, vec_id,
+        {_DOT} / ({_NRM.format(x='v')} * {_NRM.format(x='qv')}) AS cos
+      FROM e, q WHERE query_id <> vec_id),
+r AS (SELECT query_id, vec_id, cos,
+        row_number() OVER (PARTITION BY query_id
+                           ORDER BY cos DESC, vec_id ASC) AS rank FROM s)
+SELECT query_id::BIGINT AS query_id, vec_id::BIGINT AS vec_id,
+       floor(cos * 1000000)::BIGINT AS cosine_e6, rank::BIGINT AS rank
+FROM r WHERE rank <= {_TOPK}"""
+
+
+_NBITS = 16
+_VBANDS = 4
+
+
+def q_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < _NQ).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    out = V.lsh_cosine_topk(emb, queries, k=_TOPK, n_bits=_NBITS, bands=_VBANDS)
+    return out.select(
+        F.col("query_id").cast("long"), F.col("vec_id").cast("long"),
+        F.col("rank").cast("long"))
+
+
+_PLANE = ("(('0x'||substr(md5('plane-0:'||(d + b*10007)::VARCHAR),1,8))::BIGINT"
+          " / 4294967296.0 * 2.0 - 1.0)")
+_SIGBIT = (f"CASE WHEN list_reduce(list_transform(range(0, len(v)),"
+           f" d -> v[d+1] * {_PLANE}), (a,b) -> a+b) > 0"
+           f" THEN 1::BIGINT << b::INT ELSE 0::BIGINT END")
+SQL_LSH_COSINE = f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+           FROM embeddings),
+sig AS (SELECT vec_id, v,
+          list_reduce(list_transform(range({_NBITS}), b -> {_SIGBIT}),
+                      (a, b) -> a | b) AS s
+        FROM e),
+banded AS (SELECT vec_id, v, unnest(list_transform(range({_VBANDS}),
+             bi -> bi::VARCHAR || '|' ||
+                   ((s >> (bi*{_NBITS // _VBANDS})::INT)
+                    & {(1 << (_NBITS // _VBANDS)) - 1})::VARCHAR)) AS bk
+           FROM sig),
+cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS vec_id,
+                c.v AS v, q.v AS qv
+         FROM banded c JOIN banded q ON c.bk = q.bk
+         WHERE q.vec_id < {_NQ} AND q.vec_id <> c.vec_id),
+s AS (SELECT query_id, vec_id,
+        {_DOT} / ({_NRM.format(x='v')} * {_NRM.format(x='qv')}) AS cos
+      FROM cand),
+r AS (SELECT query_id, vec_id,
+        row_number() OVER (PARTITION BY query_id
+                           ORDER BY cos DESC, vec_id ASC) AS rank FROM s)
+SELECT query_id::BIGINT AS query_id, vec_id::BIGINT AS vec_id,
+       rank::BIGINT AS rank
+FROM r WHERE rank <= {_TOPK}"""
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing + classic report shapes
+# ---------------------------------------------------------------------------
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = M.extract_media_features(M.synthetic_media_df(spark, 64))
+    return out.select("media_ref", "modality", "payload_sha", "decode_ok")
+
+
+SQL_MEDIA = """
+SELECT 'img://64x64/m'||i::VARCHAR AS media_ref,
+  CASE WHEN i % 3 = 0 THEN 'image'
+       WHEN i % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+  sha256(repeat('payload-'||i::VARCHAR, 16)) AS payload_sha,
+  true AS decode_ok
+FROM (SELECT unnest(range(64)) AS i)"""
+
+
+def q_orders_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/A9-shaped group-by report on the orders table."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cents = F.floor(F.col("o_totalprice") * 100)
+    return orders.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(cents).cast("long").alias("sum_cents"),
+        F.min(cents).cast("long").alias("min_cents"),
+        F.max(cents).cast("long").alias("max_cents"))
+
+
+SQL_ORDERS = """
+SELECT o_orderstatus, count(*)::BIGINT AS n_orders,
+  sum(floor(o_totalprice * 100))::BIGINT AS sum_cents,
+  min(floor(o_totalprice * 100))::BIGINT AS min_cents,
+  max(floor(o_totalprice * 100))::BIGINT AS max_cents
+FROM orders GROUP BY o_orderstatus"""
+
+
+def q_events_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13-shaped type stats on the events stream table."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return events.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.floor(F.col("value") * 100)).cast("long").alias("sum_value_cents"),
+        F.countDistinct("user_id").cast("long").alias("n_users"))
+
+
+SQL_EVENTS = """
+SELECT event_type, count(*)::BIGINT AS n_events,
+  sum(floor(value * 100))::BIGINT AS sum_value_cents,
+  count(DISTINCT user_id)::BIGINT AS n_users
+FROM events GROUP BY event_type"""
+
+
+# ---------------------------------------------------------------------------
+# the driver contract
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full extraction job (Arrow kernel, chunking) on sf0.001."""
+    return q_extract_content_arrow(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "extract_content": q_extract_content,
+        "extract_content_arrow": q_extract_content_arrow,
+        "route_stats": q_route_stats,
+        "summary_report": q_summary_report,
+        "validity": q_validity,
+        "doc_stats": q_doc_stats,
+        "arabic_stats": q_arabic_stats,
+        "lang_id": q_lang_id,
+        "quality_features": q_quality,
+        "token_count": q_token_count,
+        "fingerprint": q_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
+        "cosine_topk": q_cosine_topk,
+        "lsh_cosine_topk": q_lsh_cosine_topk,
+        "media_features": q_media_features,
+        "orders_report": q_orders_report,
+        "events_report": q_events_report,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "extract_content": SQL_EXTRACT,
+        "extract_content_arrow": SQL_EXTRACT,
+        "route_stats": SQL_ROUTE_STATS,
+        "summary_report": SQL_SUMMARY,
+        "validity": SQL_VALIDITY,
+        "doc_stats": SQL_DOC_STATS,
+        "arabic_stats": SQL_ARABIC,
+        "lang_id": SQL_LANG_ID,
+        "quality_features": SQL_QUALITY,
+        "token_count": SQL_TOKEN_COUNT,
+        "fingerprint": SQL_FINGERPRINT,
+        "dedup_exact": SQL_DEDUP_EXACT,
+        "ngram_jaccard": SQL_JACCARD,
+        "minhash_signatures": SQL_MINHASH_SIG,
+        "minhash_lsh_pairs": SQL_MINHASH_PAIRS,
+        "simhash": SQL_SIMHASH,
+        "simhash_pairs": SQL_SIMHASH_PAIRS,
+        "cosine_topk": SQL_COSINE_TOPK,
+        "lsh_cosine_topk": SQL_LSH_COSINE,
+        "media_features": SQL_MEDIA,
+        "orders_report": SQL_ORDERS,
+        "events_report": SQL_EVENTS,
+    }

@@ -1,0 +1,121 @@
+"""Benchmark harness — one JSON line on stdout.
+
+Headline metric: extraction throughput (documents/sec) through the full
+batch job (salted repartition → Arrow kernel → parquet write + lineage),
+per BASELINE.json. Secondary timings cover the catalyst engine and the
+training-data operator families (dedup, simhash, similarity, textstats).
+
+Env:
+  SPARK_GRAFT_SF_DIR  input dir   (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local cores (default 32)
+  BENCH_MULT          corpus multiplier for the extract job (default 10)
+
+Usage: python bench.py            → one JSON line
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+MULT = int(os.environ.get("BENCH_MULT", "10"))
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession, functions as F
+
+    from rag_document_parser_spark.corpus import spans_df_from_documents
+    from rag_document_parser_spark.operators import dedup as D
+    from rag_document_parser_spark.operators import similarity as V
+    from rag_document_parser_spark.operators import textstats as T
+    from rag_document_parser_spark.operators.extract_catalyst import extract_catalyst
+    from rag_document_parser_spark.plans import job as J
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .config("spark.sql.shuffle.partitions", str(max(CPUS, 8)))
+        .config("spark.driver.memory", "48g")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.ui.enabled", "false")
+        .appName("bench")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_base = docs.count()
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # warm the JVM + python workers on a small slice (excluded from timings)
+    J.extract(spans_df_from_documents(spark, SF_DIR).limit(256),
+              engine="arrow").count()
+
+    # -- headline: full batch job, Arrow kernel, write + lineage ------------
+    n_docs = n_base * MULT
+    corpus = spans_df_from_documents(spark, SF_DIR, mult=MULT)
+    out_dir = tempfile.mkdtemp(prefix="bench_job_")
+    try:
+        timed("extract_job_arrow",
+              lambda: J.run_job(spark, corpus, out_dir, engine="arrow",
+                                resume=False))
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    extract_sec = timings["extract_job_arrow"]
+    docs_per_sec = round(n_docs / extract_sec, 1)
+
+    # -- catalyst engine, same corpus, compute-only (forces text materialize)
+    timed("extract_catalyst", lambda: extract_catalyst(corpus).agg(
+        F.count("*"),
+        F.sum(F.size("spans_clean")),
+        F.sum(F.length(F.array_join(F.col("spans_clean").getField("text"), ""))),
+    ).collect())
+
+    # -- training-data operator families on the raw documents table ---------
+    timed("dedup_minhash_pairs",
+          lambda: D.minhash_lsh_pairs(docs, n=3, k=16, bands=4).count())
+    timed("dedup_simhash",
+          lambda: D.simhash64(docs).agg(F.bit_xor("simhash")).collect())
+    timed("dedup_jaccard",
+          lambda: D.ngram_jaccard_pairs(docs, n=3, threshold=0.5).count())
+    timed("textstats", lambda: T.quality_features(docs).unionByName(
+        T.quality_features(docs)).agg(F.sum("n_words")).collect())
+    timed("fingerprint",
+          lambda: T.fingerprint(docs).agg(F.count("fingerprint")).collect())
+    queries8 = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    timed("cosine_topk", lambda: V.cosine_topk(emb, queries8, k=10).count())
+    timed("lsh_cosine_topk",
+          lambda: V.lsh_cosine_topk(emb, queries8, k=10).count())
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "extract_docs_per_sec",
+        "value": docs_per_sec,
+        "unit": "docs/sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "cores": CPUS,
+        "extract_docs": n_docs,
+        "total_sec": total,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.stdout.flush()
+    main()

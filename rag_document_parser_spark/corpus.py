@@ -181,7 +181,10 @@ def spans_df_from_documents(spark: SparkSession, sf_dir: str, mult: int = 1) -> 
         df = df.withColumn("replica", F.lit(0))
 
     doc_id = F.concat_ws("-", F.lit("d"), F.col("doc_id"), F.col("replica"))
-    h = F.abs(F.xxhash64(doc_id))
+    # md5-derived 60-bit hash (NOT xxhash64): identical value is computable
+    # in DuckDB as ('0x'||substring(md5(id),1,15))::BIGINT, so the whole
+    # corpus synthesis is replicable by the oracle in __spark_entry__.py.
+    h = F.conv(F.substring(F.md5(doc_id), 1, 15), 16, 10).cast("long")
     w = (F.pmod(h, F.lit(360)) + 41).cast("int")      # 41..400 straddles w>100 and w>50
     ht = (F.pmod(h, F.lit(280)) + 21).cast("int")     # 21..300 straddles h>50 and h>30
     slug = F.concat_ws(

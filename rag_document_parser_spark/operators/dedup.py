@@ -222,6 +222,18 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
 # --------------------------------------------------------------------------
 
 
+def _md5_bit(t: Column, i) -> Column:
+    """Bit ``i`` (0..63) of the md5 of ``t``, taken nibble-wise from the hex
+    digest: bit = (hexdigit[i//4] >> (i%4)) & 1. md5-based (not xxhash64) so
+    the identical simhash is computable in DuckDB for the oracle."""
+    nibble = F.conv(
+        F.call_function("substring", F.md5(t),
+                        (F.floor(i / 4) + 1).cast("int"), F.lit(1)),
+        16, 10,
+    ).cast("long")
+    return _shr(nibble, F.pmod(i, F.lit(4))).bitwiseAND(F.lit(1))
+
+
 def simhash64(df: DataFrame, text_col: str = "text",
               id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash over word tokens, pure Catalyst per-row.
@@ -229,7 +241,9 @@ def simhash64(df: DataFrame, text_col: str = "text",
     For each of 64 bit positions, vote +1/-1 per token by the token hash's
     bit; sign of the sum sets the output bit. Implemented as a per-row
     ``aggregate`` over the token array accumulating a 64-slot vote array —
-    no explode, no shuffle.
+    no explode, no shuffle. Token bits come from md5 nibbles (DuckDB-
+    replicable); a throughput-tuned deploy could swap xxhash64 back in at
+    the cost of oracle checkability.
     """
     toks = words(F.col(text_col))
     votes = F.aggregate(
@@ -239,10 +253,8 @@ def simhash64(df: DataFrame, text_col: str = "text",
             acc,
             F.transform(
                 F.sequence(F.lit(0), F.lit(63)),
-                lambda i: F.when(
-                    _shr(F.xxhash64(t), i).bitwiseAND(F.lit(1)) == 1,
-                    F.lit(1).cast("long"),
-                ).otherwise(F.lit(-1).cast("long")),
+                lambda i: F.when(_md5_bit(t, i) == 1, F.lit(1).cast("long"))
+                .otherwise(F.lit(-1).cast("long")),
             ),
             lambda a, v: a + v,
         ),

@@ -38,13 +38,18 @@ def _shl(c, bits):
 
 
 def _dot(a, b):
-    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
-                       F.lit(0.0), lambda acc, v: acc + v)
+    # cast float32 → float64 BEFORE multiplying: exact widening, and the
+    # left-fold sum is then bitwise-reproducible by DuckDB's list_reduce
+    # over ::DOUBLE[] lists (the oracle relies on this)
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
 
 
 def _norm(a):
-    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
-                              F.lit(0.0), lambda acc, v: acc + v))
+    return F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v))
 
 
 def cosine_similarity_col(a, b):
@@ -97,7 +102,8 @@ def lsh_signature(vec, n_bits: int = 16):
                 F.zip_with(
                     vec,
                     F.sequence(F.lit(0), F.size(vec) - 1),
-                    lambda x, d: x * _hyperplane_component(0, d * F.lit(1) + b * F.lit(10007)),
+                    lambda x, d: x.cast("double")
+                    * _hyperplane_component(0, d * F.lit(1) + b * F.lit(10007)),
                 ),
                 F.lit(0.0), lambda acc, v: acc + v,
             ) > 0,

@@ -66,15 +66,11 @@ def language_id(df: DataFrame, text_col: str = "text",
     )
 
 
-def quality_features(df: DataFrame, text_col: str = "text",
-                     id_col: str = "doc_id") -> DataFrame:
-    """Per-doc quality features + composite score in [0,1].
-
-    Heuristics follow the reference's "readable words" filter shape
-    (/root/reference/parsers/document_parser.py:210-270: len>1, has alpha,
-    alpha+space ratio > 0.5) generalized into graded features.
-    """
-    c = F.col(text_col)
+def quality_exprs(c: Column) -> dict[str, Column]:
+    """Raw (unrounded) quality feature columns — shared by the rounded
+    report shape below and the scaled-integer oracle projection in
+    ``__spark_entry__.py`` (floor(x*10⁴) of a raw double is reproducible
+    bitwise in DuckDB; round() is not, as rounding modes differ)."""
     n_chars = F.length(c)
     toks = words(c)
     n_words = F.size(toks)
@@ -104,15 +100,35 @@ def quality_features(df: DataFrame, text_col: str = "text",
             - F.when(punct_ratio > 0.1, punct_ratio).otherwise(0.0),
         ),
     )
+    return {
+        "n_chars": n_chars,
+        "n_words": n_words,
+        "mean_word_len": mean_wlen,
+        "alpha_ratio": alpha_ratio,
+        "punct_ratio": punct_ratio,
+        "stopword_ratio": stop_ratio,
+        "quality_score": score,
+    }
+
+
+def quality_features(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Per-doc quality features + composite score in [0,1].
+
+    Heuristics follow the reference's "readable words" filter shape
+    (/root/reference/parsers/document_parser.py:210-270: len>1, has alpha,
+    alpha+space ratio > 0.5) generalized into graded features.
+    """
+    q = quality_exprs(F.col(text_col))
     return df.select(
         F.col(id_col),
-        n_chars.alias("n_chars"),
-        n_words.alias("n_words"),
-        F.round(mean_wlen, 4).alias("mean_word_len"),
-        F.round(alpha_ratio, 4).alias("alpha_ratio"),
-        F.round(punct_ratio, 4).alias("punct_ratio"),
-        F.round(stop_ratio, 4).alias("stopword_ratio"),
-        F.round(score, 4).alias("quality_score"),
+        q["n_chars"].alias("n_chars"),
+        q["n_words"].alias("n_words"),
+        F.round(q["mean_word_len"], 4).alias("mean_word_len"),
+        F.round(q["alpha_ratio"], 4).alias("alpha_ratio"),
+        F.round(q["punct_ratio"], 4).alias("punct_ratio"),
+        F.round(q["stopword_ratio"], 4).alias("stopword_ratio"),
+        F.round(q["quality_score"], 4).alias("quality_score"),
     )
 
 
