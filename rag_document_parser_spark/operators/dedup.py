@@ -54,8 +54,13 @@ def words(c: Column) -> Column:
 def word_shingles(c: Column, n: int = 3) -> Column:
     """Overlapping word n-grams joined by single spaces.
 
-    NB: Spark's sequence(1, 0) *descends*; short docs must short-circuit to
-    an empty array rather than produce a slice(…, 0, …) call."""
+    NB 1: Spark's sequence(1, 0) *descends*; short docs must short-circuit
+    to an empty array rather than produce a slice(…, 0, …) call.
+    NB 2: ``c`` should be a *bound attribute* (a column projected in a
+    previous select), not a raw expression: the tokenizer is referenced
+    inside the per-gram lambda, and Catalyst re-evaluates non-attribute
+    subtrees per element — O(grams) tokenizer runs (measured 4.5x slower).
+    Prefer ``shingle_df`` which stages the projection correctly."""
     w = words(c)
     grams = F.transform(
         F.sequence(F.lit(1), F.size(w) - (n - 1)),
@@ -63,6 +68,36 @@ def word_shingles(c: Column, n: int = 3) -> Column:
     )
     return F.when(F.size(w) >= n, grams).otherwise(
         F.array().cast("array<string>"))
+
+
+def shingle_df(df: DataFrame, text_col: str, id_col: str, n: int,
+               distinct: bool = True, drop_empty: bool = False) -> DataFrame:
+    """(id, shingles) with the tokenizer materialized as an attribute first.
+
+    Two stacked projections: tokens, then grams over the *bound* token
+    array. CollapseProject keeps them separate (non-cheap expression,
+    multiple references — SPARK-36718), so the tokenizer runs once per row
+    instead of once per gram.
+
+    ``drop_empty`` filters short docs at the TOKEN stage (``size(w) >= n``
+    ⇔ shingle count > 0). Never ``.where(size(shingles) > 0)`` on the
+    result: PushDownPredicates would substitute the alias chain all the
+    way to the scan, re-inlining the tokenizer into the per-gram lambda —
+    the exact O(grams) blowup this staging exists to prevent (measured 6x).
+    """
+    toks = df.select(F.col(id_col).alias("id"),
+                     words(F.col(text_col)).alias("w"))
+    if drop_empty:
+        toks = toks.where(F.size("w") >= n)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("w") - (n - 1)),
+        lambda i: F.array_join(F.slice("w", i, n), " "),
+    )
+    sh = F.when(F.size("w") >= n, grams).otherwise(
+        F.array().cast("array<string>"))
+    if distinct:
+        sh = F.array_distinct(sh)
+    return toks.select("id", sh.alias("shingles"))
 
 
 # --------------------------------------------------------------------------
@@ -96,43 +131,40 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         df_cap: int = 1000) -> DataFrame:
     """All pairs with shingle-set Jaccard >= threshold (id_a < id_b).
 
-    Plan shape: explode distinct shingles (1 shuffle to dedupe per doc is
-    avoided — array_distinct is done per-row), self-join on shingle
-    (shuffle keyed on shingle), count co-occurrences per pair (shuffle on
-    pair), then Jaccard = inter / (|A| + |B| - inter). ``df_cap`` drops
-    shingles appearing in more than df_cap docs — at web scale these are
-    boilerplate n-grams that contribute O(df²) candidate pairs each.
+    Plan shape — ONE exchange on the shingle key feeds everything:
+    explode per-row-distinct shingles carrying the doc's shingle count
+    alongside (no separate sizes join), compute document frequency with a
+    window over the shingle partition (no separate freq aggregate+join —
+    the window, and both sides of the subsequent self-join, reuse the same
+    shuffle via ReuseExchange), drop stop-shingles with df > ``df_cap``
+    (at web scale boilerplate n-grams contribute O(df²) candidate pairs
+    each), self-join, then count co-occurrences per pair (the second and
+    final shuffle, keyed on the pair) and Jaccard = inter/(|A|+|B|-inter).
     """
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(word_shingles(F.col(text_col), n)).alias("shingles"),
-    ).where(F.size("shingles") > 0)
-    sizes = sh.select("id", F.size("shingles").alias("n_sh"))
+    sh = shingle_df(df, text_col, id_col, n, drop_empty=True)
+    flat = sh.select("id", F.size("shingles").alias("n_sh"),
+                     F.explode("shingles").alias("shingle"))
+    w = Window.partitionBy("shingle")
+    flat = flat.withColumn("df", F.count("*").over(w)) \
+               .where(F.col("df") <= df_cap)
 
-    flat = sh.select("id", F.explode("shingles").alias("shingle"))
-    freq = flat.groupBy("shingle").agg(F.count("*").alias("df"))
-    flat = flat.join(freq.where(F.col("df") <= df_cap), "shingle")
-
-    a = flat.select(F.col("shingle"), F.col("id").alias("id_a"))
-    b = flat.select(F.col("shingle"), F.col("id").alias("id_b"))
+    a = flat.select("shingle", F.col("id").alias("id_a"),
+                    F.col("n_sh").alias("n_a"))
+    b = flat.select("shingle", F.col("id").alias("id_b"),
+                    F.col("n_sh").alias("n_b"))
     inter = (
         a.join(b, "shingle")
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("inter"))
+        .agg(F.count("*").alias("inter"),
+             F.min("n_a").alias("n_a"), F.min("n_b").alias("n_b"))
     )
-    out = (
-        inter.join(sizes.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"}), "id_a")
-        .join(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"}), "id_b")
-        .withColumn(
-            "jaccard",
-            F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")),
-        )
-        .where(F.col("jaccard") >= threshold)
+    jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    return (
+        inter.where(jac >= threshold)
         .select("id_a", "id_b", "inter", "n_a", "n_b",
-                F.round("jaccard", 6).alias("jaccard"))
+                F.round(jac, 6).alias("jaccard"))
     )
-    return out
 
 
 # --------------------------------------------------------------------------
@@ -159,9 +191,7 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     Everything is per-row Catalyst (transform/aggregate over the shingle
     array): zero shuffles to produce signatures.
     """
-    sh = F.array_distinct(word_shingles(F.col(text_col), n))
-    base = df.select(F.col(id_col).alias("id"), sh.alias("shingles")) \
-             .where(F.size("shingles") > 0)
+    base = shingle_df(df, text_col, id_col, n, drop_empty=True)
     # hash each shingle ONCE (md5 is the expensive part), then apply the k
     # affine permutations over the cached longs — k× fewer md5 evaluations
     hashed = base.select(
@@ -222,12 +252,12 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
 # --------------------------------------------------------------------------
 
 
-def _md5_bit(t: Column, i) -> Column:
-    """Bit ``i`` (0..63) of the md5 of ``t``, taken nibble-wise from the hex
-    digest: bit = (hexdigit[i//4] >> (i%4)) & 1. md5-based (not xxhash64) so
-    the identical simhash is computable in DuckDB for the oracle."""
+def _hex_bit(hx: Column, i) -> Column:
+    """Bit ``i`` (0..63) of an md5 hex digest, taken nibble-wise:
+    bit = (hexdigit[i//4] >> (i%4)) & 1. md5-based (not xxhash64) so the
+    identical simhash is computable in DuckDB for the oracle."""
     nibble = F.conv(
-        F.call_function("substring", F.md5(t),
+        F.call_function("substring", hx,
                         (F.floor(i / 4) + 1).cast("int"), F.lit(1)),
         16, 10,
     ).cast("long")
@@ -244,16 +274,23 @@ def simhash64(df: DataFrame, text_col: str = "text",
     no explode, no shuffle. Token bits come from md5 nibbles (DuckDB-
     replicable); a throughput-tuned deploy could swap xxhash64 back in at
     the cost of oracle checkability.
+
+    The md5 is materialized once per token in its own projection stage —
+    referencing it inside the 64-way bit lambda would re-run the digest
+    per bit (Catalyst re-evaluates non-attribute subtrees per element).
     """
-    toks = words(F.col(text_col))
+    toks = df.select(F.col(id_col).alias("id"),
+                     words(F.col(text_col)).alias("w"))
+    hashed = toks.select(
+        "id", F.transform("w", lambda t: F.md5(t)).alias("hx"))
     votes = F.aggregate(
-        toks,
+        F.col("hx"),
         F.array_repeat(F.lit(0).cast("long"), 64),
-        lambda acc, t: F.zip_with(
+        lambda acc, hx: F.zip_with(
             acc,
             F.transform(
                 F.sequence(F.lit(0), F.lit(63)),
-                lambda i: F.when(_md5_bit(t, i) == 1, F.lit(1).cast("long"))
+                lambda i: F.when(_hex_bit(hx, i) == 1, F.lit(1).cast("long"))
                 .otherwise(F.lit(-1).cast("long")),
             ),
             lambda a, v: a + v,
@@ -269,7 +306,7 @@ def simhash64(df: DataFrame, text_col: str = "text",
         F.lit(0).cast("long"),
         lambda acc, x: acc.bitwiseOR(x),
     )
-    return df.select(F.col(id_col).alias("id"), bits.alias("simhash"))
+    return hashed.select("id", bits.alias("simhash"))
 
 
 def simhash_near_pairs(df: DataFrame, text_col: str = "text",

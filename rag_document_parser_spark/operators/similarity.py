@@ -79,38 +79,46 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     )
 
 
-def _hyperplane_component(bit: int, dim) -> "F.Column":
+# Plane literals are CreateArray(_MAX_DIM literal nodes) x n_bits; big trees
+# cost real driver-side planning time (512 → ~10s extra at 16 bits), so keep
+# this just above the embedding dim. Dims beyond this need a broadcast plane
+# table instead of literals.
+_MAX_DIM = 128
+
+
+def _plane_value(j: int) -> float:
     """Deterministic pseudo-random plane component in [-1, 1).
 
-    md5(bit:dim) → first 8 hex digits → uniform in [0,1) → shift/scale.
-    Matches semantics.token_confidence's construction so the DuckDB oracle
-    can recompute signatures if needed.
+    md5('plane-0:'+j) → first 8 hex digits → uniform in [0,1) → shift/
+    scale. Every step is exact in binary (division by 2^32, *2, -1), so
+    this Python value is bitwise-identical to the same formula evaluated
+    in Spark SQL or DuckDB — the oracle in ``__spark_entry__`` recomputes
+    it independently and the signatures match exactly.
     """
-    h = F.conv(
-        F.substring(F.md5(F.concat_ws(":", F.lit(f"plane-{bit}"), dim.cast("string"))), 1, 8),
-        16, 10,
-    ).cast("double") / F.lit(4294967296.0)
-    return h * 2.0 - 1.0
+    h = int(__import__("hashlib").md5(f"plane-0:{j}".encode()).hexdigest()[:8], 16)
+    return h / 4294967296.0 * 2.0 - 1.0
+
+
+def _plane_literal(bit: int):
+    """The hyperplane for ``bit`` as a literal double array (precomputed on
+    the driver — was an md5 per (bit, dim) per row per vector, now zero
+    runtime hashing; component d is md5-derived from d + bit*10007)."""
+    return F.lit([_plane_value(d + bit * 10007) for d in range(_MAX_DIM)])
 
 
 def lsh_signature(vec, n_bits: int = 16):
     """Sign-LSH signature as an int (bit i = sign of <v, plane_i>)."""
-    bits = F.transform(
-        F.sequence(F.lit(0), F.lit(n_bits - 1)),
-        lambda b: F.when(
-            F.aggregate(
-                F.zip_with(
-                    vec,
-                    F.sequence(F.lit(0), F.size(vec) - 1),
-                    lambda x, d: x.cast("double")
-                    * _hyperplane_component(0, d * F.lit(1) + b * F.lit(10007)),
-                ),
-                F.lit(0.0), lambda acc, v: acc + v,
-            ) > 0,
-            _shl(F.lit(1).cast("long"), b),
-        ).otherwise(F.lit(0).cast("long")),
-    )
-    return F.aggregate(bits, F.lit(0).cast("long"), lambda a, x: a.bitwiseOR(x))
+    sig = F.lit(0).cast("long")
+    for b in range(n_bits):
+        plane = F.slice(_plane_literal(b), 1, F.size(vec))
+        dot = F.aggregate(
+            F.zip_with(vec, plane, lambda x, p: x.cast("double") * p),
+            F.lit(0.0), lambda acc, v: acc + v,
+        )
+        sig = sig.bitwiseOR(
+            F.when(dot > 0, _shl(F.lit(1).cast("long"), F.lit(b)))
+            .otherwise(F.lit(0).cast("long")))
+    return sig
 
 
 def lsh_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
@@ -125,13 +133,18 @@ def lsh_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     mask = (1 << width) - 1
 
     def banded(df, idc):
-        sig = lsh_signature(F.col(vec_col), n_bits)
-        return df.select(
+        # signature staged as a bound attribute so the band explode reads
+        # it instead of recomputing the 16 dot products per band
+        staged = df.select(
+            F.col(idc), vec_col,
+            lsh_signature(F.col(vec_col), n_bits).alias("_sig"))
+        return staged.select(
             F.col(idc), vec_col,
             F.posexplode(
                 F.transform(
                     F.sequence(F.lit(0), F.lit(bands - 1)),
-                    lambda bi: _shr(sig, bi * width).bitwiseAND(F.lit(mask)),
+                    lambda bi: _shr(F.col("_sig"), bi * width)
+                    .bitwiseAND(F.lit(mask)),
                 )
             ).alias("band", "band_val"),
         )

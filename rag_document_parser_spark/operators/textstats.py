@@ -26,7 +26,7 @@ from rag_document_parser_spark.functions.text import (
     arabic_char_count,
     latin_char_count,
 )
-from rag_document_parser_spark.operators.dedup import word_shingles, words
+from rag_document_parser_spark.operators.dedup import shingle_df, words
 
 STOPWORDS = {
     "en": ["the", "and", "of", "to", "is", "in", "that", "it", "for", "with"],
@@ -46,15 +46,29 @@ def language_id(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Heuristic language ID: arabic script wins by char count; otherwise
     the latin language with the most stopword hits; 'und' (undetermined)
-    when no evidence."""
+    when no evidence.
+
+    Staged: tokens and per-language hit counts are materialized as bound
+    attributes before the CASE chain references them repeatedly — the
+    tie-break logic mentions each count ~3x, which would otherwise
+    re-tokenize per mention."""
     c = F.col(text_col)
-    a, l = arabic_char_count(c), latin_char_count(c)
-    hits = {lang: _stopword_hits(c, lang) for lang in STOPWORDS}
-    best_latin = F.greatest(*hits.values())
+    toks = df.select(
+        F.col(id_col), words(c).alias("w"),
+        arabic_char_count(c).alias("a"), latin_char_count(c).alias("l"))
+    hit_cols = {}
+    for lang in STOPWORDS:
+        sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        hit_cols[lang] = F.size(
+            F.filter("w", lambda t: F.array_contains(sw, t))).alias(f"h_{lang}")
+    hits = toks.select(F.col(id_col), "a", "l", *hit_cols.values())
+    best_latin = F.greatest(*[F.col(f"h_{la}") for la in STOPWORDS])
     lang_pick = F.lit("und")
     for lang in reversed(list(STOPWORDS)):  # earlier langs win ties
-        lang_pick = F.when(hits[lang] == best_latin, F.lit(lang)).otherwise(lang_pick)
-    return df.select(
+        lang_pick = F.when(F.col(f"h_{lang}") == best_latin,
+                           F.lit(lang)).otherwise(lang_pick)
+    a, l = F.col("a"), F.col("l")
+    return hits.select(
         F.col(id_col),
         F.when(a > 2 * l, F.lit("ar"))
         .when((best_latin > 0) & (l > 0), lang_pick)
@@ -164,11 +178,11 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     """Winnowing-style fingerprint: the K smallest md5 hex digests over
     word n-gram shingles, concatenated. Deterministic and SQL-replicable
     (min over md5 strings is well-defined everywhere)."""
-    sh = F.array_distinct(word_shingles(F.col(text_col), shingle_n))
-    hashes = F.array_sort(F.transform(sh, lambda s: F.md5(s)))
+    sh = shingle_df(df, text_col, id_col, shingle_n)
+    hashes = F.array_sort(F.transform("shingles", lambda s: F.md5(s)))
     fp = F.array_join(F.slice(hashes, 1, keep_k), "")
-    return df.select(
-        F.col(id_col),
-        F.when(F.size(sh) > 0, fp).alias("fingerprint"),
-        F.size(sh).alias("n_shingles"),
+    return sh.select(
+        F.col("id").alias(id_col),
+        F.when(F.size("shingles") > 0, fp).alias("fingerprint"),
+        F.size("shingles").alias("n_shingles"),
     )
