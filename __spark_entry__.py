@@ -686,6 +686,102 @@ SELECT 'img://64x64/m'||i::VARCHAR AS media_ref,
 FROM (SELECT unnest(range(64)) AS i)"""
 
 
+def q_detect_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1-R5 detection cascade (/root/reference/utils/file_detector.py:150-200)
+    over a deterministic synthetic (extension, mime) per document."""
+    from rag_document_parser_spark.functions import detect as DET
+
+    docs = _docs(spark, sf_dir)
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+               16, 10).cast("long")
+    exts = [".pdf", ".docx", ".txt", ".html", ".xlsx", ".jpg", ".zip", ".xyz"]
+    ext = F.element_at(F.lit(exts), (F.pmod(h, 8) + 1).cast("int"))
+    mime = (F.when(F.pmod(h, 4) == 1, "application/pdf")
+            .when(F.pmod(h, 4) == 2, "text/plain")
+            .when(F.pmod(h, 4) == 3, "application/x-awesome-spreadsheet"))
+    meta = docs.select("doc_id", ext.alias("extension"), mime.alias("mime_type"))
+    out = DET.detect_columns(meta)
+    return out.select("doc_id", "extension", "mime_type", "category",
+                      F.floor(F.col("confidence") * 10).cast("long")
+                      .alias("confidence_e1"))
+
+
+_EXT_CASE = " ".join(
+    f"WHEN ext = '{e}' THEN '{c}'"
+    for e, c in [(".pdf", "pdf"), (".docx", "document"), (".txt", "text"),
+                 (".html", "text"), (".xlsx", "spreadsheet"), (".jpg", "image")])
+SQL_DETECT = f"""
+WITH m AS (
+  SELECT doc_id, {_md5l('doc_id::VARCHAR')} AS h FROM documents
+), syn AS (
+  SELECT doc_id,
+    ['.pdf','.docx','.txt','.html','.xlsx','.jpg','.zip','.xyz'][(h % 8 + 1)::INT] AS ext,
+    CASE WHEN h % 4 = 1 THEN 'application/pdf'
+         WHEN h % 4 = 2 THEN 'text/plain'
+         WHEN h % 4 = 3 THEN 'application/x-awesome-spreadsheet' END AS mime
+  FROM m
+), cat AS (
+  SELECT doc_id, ext, mime,
+    CASE WHEN mime = 'application/pdf' THEN 'pdf'
+         WHEN mime = 'text/plain' THEN 'text'
+         WHEN mime LIKE 'text/%' THEN 'text'
+         WHEN contains(lower(mime), 'sheet') THEN 'spreadsheet' END AS by_mime,
+    CASE {_EXT_CASE} END AS by_ext
+  FROM syn
+)
+SELECT doc_id, ext AS extension, mime AS mime_type,
+  coalesce(by_mime, by_ext,
+           CASE WHEN ext IN ('.txt','.log','.cfg','.conf') THEN 'text' END,
+           'unknown') AS category,
+  (CASE WHEN by_mime IS NOT NULL THEN 10
+        WHEN by_ext IS NOT NULL THEN 8
+        WHEN ext IN ('.txt','.log','.cfg','.conf') THEN 5
+        ELSE 0 END)::BIGINT AS confidence_e1
+FROM cat"""
+
+
+def q_code_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 code-title heuristic + L4 truncation
+    (/root/reference/parsers/text_parser.py:275-301,
+     /root/reference/models/parse_result.py:146-154). Every third doc gets
+    a synthetic leading comment so the title path is exercised."""
+    docs = _docs(spark, sf_dir)
+    t = F.when(F.pmod(F.col("doc_id"), 3) == 0,
+               F.concat(F.lit("# "), F.col("source"), F.lit(" module\n"),
+                        F.col("text"))).otherwise(F.col("text"))
+    staged = docs.select("doc_id", t.alias("t"))
+    return staged.select(
+        "doc_id",
+        X.code_title(F.col("t")).alias("code_title"),
+        X.non_empty_line_count(F.col("t")).cast("long")
+        .alias("non_empty_lines"),
+        X.truncate_with_ellipsis(F.col("t"), 120).alias("preview"),
+    )
+
+
+_ST = f"regexp_replace({{x}}, {P_STRIP}, '', 'g')"
+SQL_CODE_STATS = f"""
+WITH c AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0 THEN '# ' || source || ' module' || chr(10) || text
+         ELSE text END AS t
+  FROM documents
+), l AS (
+  SELECT doc_id, t, list_slice(string_split(t, chr(10)), 1, 10) AS first10
+  FROM c
+)
+SELECT doc_id,
+  list_filter(list_transform(first10, ln ->
+    CASE WHEN regexp_matches({_ST.format(x='ln')}, '^[#/\\-%][#/*\\-% ]*')
+              OR starts_with({_ST.format(x='ln')}, '/*')
+         THEN regexp_replace({_ST.format(x='ln')}, '^[#/*\\-% ]+', '')
+    END), x -> x IS NOT NULL AND x <> '' AND length(x) < 100)[1] AS code_title,
+  len(list_filter(string_split(t, chr(10)),
+                  ln -> {_ST.format(x='ln')} <> ''))::BIGINT AS non_empty_lines,
+  CASE WHEN length(t) > 120 THEN substr(t, 1, 120) || '...' ELSE t END AS preview
+FROM l"""
+
+
 def q_orders_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2/A9-shaped group-by report on the orders table."""
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
@@ -753,6 +849,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "lsh_cosine_topk": q_lsh_cosine_topk,
         "media_features": q_media_features,
+        "detect_route": q_detect_route,
+        "code_stats": q_code_stats,
         "orders_report": q_orders_report,
         "events_report": q_events_report,
     }
@@ -780,6 +878,8 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": SQL_COSINE_TOPK,
         "lsh_cosine_topk": SQL_LSH_COSINE,
         "media_features": SQL_MEDIA,
+        "detect_route": SQL_DETECT,
+        "code_stats": SQL_CODE_STATS,
         "orders_report": SQL_ORDERS,
         "events_report": SQL_EVENTS,
     }

@@ -25,6 +25,9 @@ import time
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 MULT = int(os.environ.get("BENCH_MULT", "10"))
+# BENCH_ONLY=1 → run only the headline extraction job (the scaling runner
+# uses this to time the same job at two parallelism levels)
+ONLY_EXTRACT = os.environ.get("BENCH_ONLY", "") == "1"
 
 
 def main() -> None:
@@ -40,9 +43,13 @@ def main() -> None:
     spark = (
         SparkSession.builder.master(f"local[{CPUS}]")
         .config("spark.sql.shuffle.partitions", str(max(CPUS, 8)))
-        .config("spark.driver.memory", "48g")
+        .config("spark.driver.memory", "16g")
+        # pinned + pre-touched heap: a growable heap causes kernel-time
+        # storms (page zeroing) with many concurrent tasks → 10x variance
+        .config("spark.driver.extraJavaOptions", "-Xms16g -XX:+AlwaysPreTouch")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
         .appName("bench")
         .getOrCreate()
@@ -61,14 +68,28 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         return out
 
-    # warm the JVM + python workers on a small slice (excluded from timings)
-    J.extract(spans_df_from_documents(spark, SF_DIR).limit(256),
-              engine="arrow").count()
+    # warm the JVM + the FULL python-worker pool (excluded from timings):
+    # a narrow warmup only spawns workers for the partitions it touches,
+    # leaving the timed job to pay ~CPUS cold worker starts (pyarrow+numpy
+    # import is ~1-2s per worker). Run a full-width mini job instead.
+    warm_dir = tempfile.mkdtemp(prefix="bench_warm_")
+    try:
+        J.run_job(spark, spans_df_from_documents(spark, SF_DIR, mult=1),
+                  warm_dir, engine="arrow", resume=False)
+    finally:
+        shutil.rmtree(warm_dir, ignore_errors=True)
 
     # -- headline: full batch job, Arrow kernel, write + lineage ------------
+    # Sink on tmpfs by default: the sandbox has ONE virtio disk, so parquet
+    # commit bandwidth is fixed regardless of cores — a local artifact that
+    # would mask compute scaling (a real cluster writes to parallel object
+    # storage). tmpfs keeps the full write+lineage code path in the timing
+    # while letting it scale with cores. Override with BENCH_OUT_BASE.
     n_docs = n_base * MULT
     corpus = spans_df_from_documents(spark, SF_DIR, mult=MULT)
-    out_dir = tempfile.mkdtemp(prefix="bench_job_")
+    out_base = os.environ.get(
+        "BENCH_OUT_BASE", "/dev/shm" if os.path.isdir("/dev/shm") else None)
+    out_dir = tempfile.mkdtemp(prefix="bench_job_", dir=out_base)
     try:
         timed("extract_job_arrow",
               lambda: J.run_job(spark, corpus, out_dir, engine="arrow",
@@ -77,6 +98,16 @@ def main() -> None:
         shutil.rmtree(out_dir, ignore_errors=True)
     extract_sec = timings["extract_job_arrow"]
     docs_per_sec = round(n_docs / extract_sec, 1)
+
+    if ONLY_EXTRACT:
+        print(json.dumps({
+            "metric": "extract_docs_per_sec", "value": docs_per_sec,
+            "unit": "docs/sec", "queries": timings, "sf": SF_DIR,
+            "cores": CPUS, "extract_docs": n_docs,
+            "total_sec": round(sum(timings.values()), 3),
+        }))
+        spark.stop()
+        return
 
     # -- catalyst engine, same corpus, compute-only (forces text materialize)
     timed("extract_catalyst", lambda: extract_catalyst(corpus).agg(

@@ -179,6 +179,13 @@ def spans_df_from_documents(spark: SparkSession, sf_dir: str, mult: int = 1) -> 
         )
     else:
         df = df.withColumn("replica", F.lit(0))
+    # Repartition the cheap (text-only) rows BEFORE the span construction:
+    # the driver testdata is one parquet file, so without this every
+    # downstream projection — including the expensive span synthesis —
+    # runs in a single pre-shuffle task and nothing scales with cores.
+    # A real Iceberg corpus arrives in many files and would not need it.
+    df = df.repartition(spark.sparkContext.defaultParallelism * 2,
+                        F.col("doc_id"), F.col("replica"))
 
     doc_id = F.concat_ws("-", F.lit("d"), F.col("doc_id"), F.col("replica"))
     # md5-derived 60-bit hash (NOT xxhash64): identical value is computable

@@ -20,6 +20,15 @@ def get_spark(app: str = "rag-document-parser-spark", master: str | None = None,
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # Pin the heap (-Xms == -Xmx) and pre-touch it: a growable heap in
+        # local mode caused multi-10x run-to-run variance (kernel-time
+        # storms zero-filling pages as G1 grew/shrank the heap under 32
+        # concurrent tasks). Irrelevant on a real cluster with fixed
+        # executor memory, essential for stable local benchmarks.
+        .config("spark.driver.extraJavaOptions",
+                f"-Xms{os.environ.get('SPARK_DRIVER_MEM', '8g')} "
+                "-XX:+AlwaysPreTouch")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra or {}).items():
