@@ -87,6 +87,25 @@ def _post_process_sql(expr: str) -> str:
     )
 
 
+XML_PRE = "<?xml version='1.0'?>\n<root>\n<title>t</title>\n<p>"
+XML_POST = "</p>\n<note>a &amp; b</note>\n</root>"
+MD_PRE = "# Title\n\n**"
+MD_POST = "** and *tail* done\n---\n> quote"
+
+
+def _entity_chain(expr: str) -> str:
+    for ent, ch in S.XML_ENTITIES:
+        expr = f"replace({expr}, {_sq(ent)}, {_sq(ch)})"
+    return expr
+
+
+def _md_chain(expr: str) -> str:
+    for pat, repl in S.MD_RULES:
+        expr = (f"regexp_replace({expr}, {_sq(pat)}, "
+                f"{_sq(repl.replace('G1', chr(92) + '1'))}, 'g')")
+    return expr
+
+
 # The full extraction oracle: replicates corpus synthesis (md5-routed) +
 # the extraction contract (semantics.clean_doc) per route, emitting one row
 # per doc: (doc_id, route, n_spans, content).
@@ -107,7 +126,27 @@ WITH base AS (
       {_regex_chain(f"({_sq(HTML_PRE)} || text || {_sq(HTML_POST)})",
                     (P_SCRIPT, "''"), (P_TAG, "''"),
                     (P_WS, "' '"), (P_STRIP, "''"))} AS cleaned
-    FROM routed WHERE pick < 4)
+    FROM routed WHERE pick < 3)
+), xml_out AS (
+  SELECT doc_id,
+    CASE WHEN cleaned <> '' THEN 'text' ELSE 'empty' END AS route,
+    (CASE WHEN cleaned <> '' THEN 1 ELSE 0 END)::BIGINT AS n_spans,
+    CASE WHEN cleaned <> '' THEN cleaned ELSE '' END AS content
+  FROM (
+    SELECT doc_id,
+      {_post_process_sql(_entity_chain(
+          f"regexp_replace(({_sq(XML_PRE)} || text || {_sq(XML_POST)}), {P_TAG}, '', 'g')"))} AS cleaned
+    FROM routed WHERE pick = 3)
+), md_out AS (
+  SELECT doc_id,
+    CASE WHEN cleaned <> '' THEN 'text' ELSE 'empty' END AS route,
+    (CASE WHEN cleaned <> '' THEN 1 ELSE 0 END)::BIGINT AS n_spans,
+    CASE WHEN cleaned <> '' THEN cleaned ELSE '' END AS content
+  FROM (
+    SELECT doc_id,
+      {_post_process_sql(_md_chain(
+          f"({_sq(MD_PRE)} || text || {_sq(MD_POST)})"))} AS cleaned
+    FROM routed WHERE pick = 4)
 ), pdf_out AS (
   SELECT doc_id,
     CASE WHEN len(blocks) > 0 THEN 'pdf' ELSE 'empty' END AS route,
@@ -118,7 +157,7 @@ WITH base AS (
       list_transform(range(greatest(ceil(len(string_split(text,' '))/8.0),1)::INT),
         i -> array_to_string(list_slice(string_split(text,' '), i*8+1, i*8+8), ' ')),
       b -> b <> '') AS blocks
-    FROM routed WHERE pick >= 4 AND pick < 8)
+    FROM routed WHERE pick >= 5 AND pick < 8)
 ), inter_out AS (
   SELECT doc_id,
     CASE WHEN ptext <> '' THEN 'doc,media,text' ELSE 'doc,media' END AS route,
@@ -140,6 +179,8 @@ WITH base AS (
       WHERE pick >= 8))
 ), extracted AS (
   SELECT * FROM html_out
+  UNION ALL SELECT * FROM xml_out
+  UNION ALL SELECT * FROM md_out
   UNION ALL SELECT * FROM pdf_out
   UNION ALL SELECT * FROM inter_out
 )

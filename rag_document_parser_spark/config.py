@@ -20,6 +20,11 @@ class ExtractConfig:
     normalize_unicode: bool = True      # NFKC (text_parser.py:344-347)
     remove_empty_lines: bool = True     # text_parser.py:349-353
     preserve_whitespace: bool = False   # text_parser.py:355-360
+    # json route: True = json_parser flatten (text_parser.py:250-273);
+    # False = the raw_json fallback (content unchanged). The pure-Catalyst
+    # engine implements False (no JSON recursion in Catalyst), mirroring
+    # how it implements normalize_unicode=False.
+    flatten_json: bool = True
 
     # -- OCR stand-in (image_parser.py:229-233; utils/config.py:46) --
     ocr_confidence_threshold: float = 0.3

@@ -74,6 +74,48 @@ def _media_ref(rng: random.Random, ctx: str) -> str:
     return f"img://{w}x{h}/{slug}"
 
 
+def _xml_payload(rng: random.Random) -> str:
+    title = _sentence(rng, 2, 4, 0)
+    items = "".join(
+        f"<item id='{i}'>{_sentence(rng)}</item>\n  "
+        for i in range(rng.randint(1, 4)))
+    ent = rng.choice(["&lt;tag&gt;", "&quot;q&quot;", "&amp;lt;raw", "a &amp; b"])
+    return (f"<?xml version='1.0'?>\n<root>\n  <title>{title}</title>\n  "
+            f"{items}<note>{ent} {_sentence(rng)}</note>\n</root>")
+
+
+def _md_payload(rng: random.Random) -> str:
+    parts = [
+        f"# {_sentence(rng, 2, 4, 0)}",
+        "",
+        f"Some **{rng.choice(WORDS)}** and *{rng.choice(WORDS)}* "
+        f"text with `{rng.choice(WORDS)}` span.",
+        f"[{_sentence(rng, 1, 2, 0)}](http://example.com/{rng.randint(0, 99)})",
+        "",
+        "```python",
+        f"x = {rng.randint(0, 9)}",
+        "```",
+        "---",
+        f"> {_sentence(rng)}",
+        f"![{rng.choice(WORDS)}](img{rng.randint(0, 9)}.png)",
+    ]
+    return "\n".join(parts)
+
+
+def _json_payload(rng: random.Random) -> str:
+    import json as _json
+
+    if rng.random() < 0.15:  # invalid json → raw_json fallback path
+        return "{not valid json: " + _sentence(rng, 2, 4, 0)
+    obj = {
+        "title": _sentence(rng, 2, 4, 0),
+        "count": rng.randint(0, 99),
+        "tags": [rng.choice(WORDS) for _ in range(rng.randint(1, 3))],
+        "nested": {"a": _sentence(rng, 1, 3, 0), "flag": rng.random() < 0.5},
+    }
+    return _json.dumps(obj)
+
+
 def _table_payload(rng: random.Random) -> str:
     ncols = rng.randint(2, 5)
     nrows = rng.randint(0, 4)  # 0 rows → header-only → span dropped
@@ -91,13 +133,22 @@ def generate_fixture_docs(seed: int = 42, n_docs: int = 200,
         doc_id = f"doc-{i:06d}"
         r = rng.random()
         spans: list[dict[str, Any]] = []
-        if r < 0.40:  # html doc
+        if r < 0.30:  # html doc
             spans.append({"kind": "html", "text": _html_payload(rng),
                           "media_ref": None, "offset": 0})
             if rng.random() < 0.3:  # extra whitespace-heavy text span
                 spans.append({"kind": "text",
                               "text": f"  {_sentence(rng)} \n\n   \n {_sentence(rng)}  ",
                               "media_ref": None, "offset": 1})
+        elif r < 0.38:  # xml doc (E3)
+            spans.append({"kind": "xml", "text": _xml_payload(rng),
+                          "media_ref": None, "offset": 0})
+        elif r < 0.46:  # markdown doc (E4)
+            spans.append({"kind": "markdown", "text": _md_payload(rng),
+                          "media_ref": None, "offset": 0})
+        elif r < 0.52:  # json doc (E5; ~15% invalid → raw fallback)
+            spans.append({"kind": "json", "text": _json_payload(rng),
+                          "media_ref": None, "offset": 0})
         elif r < 0.70:  # pdf doc: shuffled blocks, monotone offsets
             n_pages = rng.randint(1, 5)
             for page in range(n_pages):
@@ -168,9 +219,9 @@ def spans_df_from_documents(spark: SparkSession, sf_dir: str, mult: int = 1) -> 
 
     Pure DataFrame expressions — distributes at any scale. Each source row
     becomes `mult` documents (replica index mixed into doc_id). Routing by
-    doc_id hash: ~40% html (text wrapped in boilerplate markup), ~40% pdf
-    (sentence-split into reversed pdf_block spans; kernel must restore
-    order), ~20% interleaved text+media.
+    doc_id hash: ~30% html (text wrapped in boilerplate markup), 10% xml,
+    10% markdown, ~30% pdf (sentence-split into reversed pdf_block spans;
+    kernel must restore order), ~20% interleaved text+media.
     """
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
     if mult > 1:
@@ -229,6 +280,28 @@ def spans_df_from_documents(spark: SparkSession, sf_dir: str, mult: int = 1) -> 
         ),
     ))
 
+    xml_span = F.array(F.struct(
+        F.lit("xml").alias("kind"),
+        F.concat(
+            F.lit("<?xml version='1.0'?>\n<root>\n<title>t</title>\n<p>"),
+            F.col("text"),
+            F.lit("</p>\n<note>a &amp; b</note>\n</root>"),
+        ).alias("text"),
+        F.lit(None).cast("string").alias("media_ref"),
+        F.lit(0).cast("int").alias("offset"),
+    ))
+
+    md_span = F.array(F.struct(
+        F.lit("markdown").alias("kind"),
+        F.concat(
+            F.lit("# Title\n\n**"),
+            F.col("text"),
+            F.lit("** and *tail* done\n---\n> quote"),
+        ).alias("text"),
+        F.lit(None).cast("string").alias("media_ref"),
+        F.lit(0).cast("int").alias("offset"),
+    ))
+
     inter_spans = F.array(
         F.struct(F.lit("header").alias("kind"), F.col("source").alias("text"),
                  F.lit(None).cast("string").alias("media_ref"), F.lit(0).cast("int").alias("offset")),
@@ -242,7 +315,9 @@ def spans_df_from_documents(spark: SparkSession, sf_dir: str, mult: int = 1) -> 
 
     route_pick = F.pmod(h, F.lit(10))
     spans = (
-        F.when(route_pick < 4, html_span)
+        F.when(route_pick < 3, html_span)
+        .when(route_pick == 3, xml_span)
+        .when(route_pick == 4, md_span)
         .when(route_pick < 8, pdf_spans)
         .otherwise(inter_spans)
     )

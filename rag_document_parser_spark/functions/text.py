@@ -42,6 +42,25 @@ def strip(c: Column) -> Column:
     return F.regexp_replace(c, S.RE_STRIP, "")
 
 
+def xml_strip(c: Column, cfg: ExtractConfig = DEFAULT_CONFIG) -> Column:
+    """E3 xml text extraction + E8 (text_parser.py:182-214, :97)."""
+    c = F.regexp_replace(c, S.RE_TAG, "")
+    for ent, ch in S.XML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return post_process_text(c, cfg)
+
+
+def markdown_strip(c: Column, cfg: ExtractConfig = DEFAULT_CONFIG) -> Column:
+    """E4 markdown → text regex subset + E8 (text_parser.py:216-248, :97).
+
+    Java regex replacements spell group refs ``$1`` (python/RE2: ``\\1``) —
+    the shared MD_RULES table carries the engine-neutral marker 'G1'.
+    """
+    for pat, repl in S.MD_RULES:
+        c = F.regexp_replace(c, pat, repl.replace("G1", "$1"))
+    return post_process_text(c, cfg)
+
+
 def token_confidence(slug: Column, token: Column) -> Column:
     """md5-derived deterministic confidence in [0,1) — see semantics.token_confidence."""
     h = F.conv(F.substring(F.md5(F.concat(slug, F.lit(":"), token)), 1, 8), 16, 10)

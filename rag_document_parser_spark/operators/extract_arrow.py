@@ -35,6 +35,19 @@ from rag_document_parser_spark import semantics as S
 _KIND_CLASS_BIT = {
     "html": 1, "pdf": 2, "text": 4, "media": 8, "doc": 16, "other": 32,
 }
+
+
+def _e8(t, cfg: ExtractConfig):
+    """E8 post-process chain over a whole Arrow string array
+    (text_parser.py:339-362), shared by the text/xml/markdown/json routes."""
+    if cfg.normalize_unicode:
+        t = pc.utf8_normalize(t, form="NFKC")
+    if cfg.remove_empty_lines:
+        t = pc.replace_substring_regex(t, pattern=S.RE_EMPTY_LINES_LEAD, replacement="")
+        t = pc.replace_substring_regex(t, pattern=S.RE_EMPTY_LINES_MID, replacement="\n")
+    if not cfg.preserve_whitespace:
+        t = pc.replace_substring_regex(t, pattern=S.RE_SPACE_RUN, replacement=" ")
+    return pc.replace_substring_regex(t, pattern=S.RE_STRIP, replacement="")
 _BIT_NAME = {1: "html", 2: "pdf", 4: "text", 8: "media", 16: "doc", 32: "other"}
 
 
@@ -87,11 +100,15 @@ def _clean_batch(batch: pa.RecordBatch, cfg: ExtractConfig) -> pa.RecordBatch:
 
     html_m = is_kind("html")
     textlike_m = is_kind("text", "code")
+    xml_m = is_kind("xml")
+    md_m = is_kind("markdown")
+    json_m = is_kind("json")
     pdf_m = is_kind("pdf_block")
     table_m = is_kind("table")
     media_m = is_kind("media", "media_slide")
     hf_m = is_kind("header", "footer")
-    known_m = html_m | textlike_m | pdf_m | table_m | media_m | hf_m
+    known_m = (html_m | textlike_m | xml_m | md_m | json_m | pdf_m
+               | table_m | media_m | hf_m)
 
     out_text = np.asarray(text.to_pandas(), dtype=object)
     keep = np.ones(m, dtype=bool)
@@ -109,18 +126,46 @@ def _clean_batch(batch: pa.RecordBatch, cfg: ExtractConfig) -> pa.RecordBatch:
 
     # ---- text/code route (E8 post-process; text_parser.py:339-362) ----
     if textlike_m.any():
-        t = text
-        if cfg.normalize_unicode:
-            t = pc.utf8_normalize(t, form="NFKC")
-        if cfg.remove_empty_lines:
-            t = pc.replace_substring_regex(t, pattern=S.RE_EMPTY_LINES_LEAD, replacement="")
-            t = pc.replace_substring_regex(t, pattern=S.RE_EMPTY_LINES_MID, replacement="\n")
-        if not cfg.preserve_whitespace:
-            t = pc.replace_substring_regex(t, pattern=S.RE_SPACE_RUN, replacement=" ")
-        t = pc.replace_substring_regex(t, pattern=S.RE_STRIP, replacement="")
-        t_np = np.asarray(t.to_pandas(), dtype=object)
+        t_np = np.asarray(_e8(text, cfg).to_pandas(), dtype=object)
         out_text[textlike_m] = t_np[textlike_m]
         keep[textlike_m] = valid_text[textlike_m] & (t_np[textlike_m] != "")
+
+    # ---- xml route (E3 + E8; text_parser.py:182-214) ----
+    if xml_m.any():
+        t = pc.replace_substring_regex(text, pattern=S.RE_TAG, replacement="")
+        for ent, ch in S.XML_ENTITIES:
+            t = pc.replace_substring(t, pattern=ent, replacement=ch)
+        t_np = np.asarray(_e8(t, cfg).to_pandas(), dtype=object)
+        out_text[xml_m] = t_np[xml_m]
+        keep[xml_m] = valid_text[xml_m] & (t_np[xml_m] != "")
+
+    # ---- markdown route (E4 + E8; text_parser.py:216-248) ----
+    if md_m.any():
+        t = text
+        for pat, repl in S.MD_RULES:
+            t = pc.replace_substring_regex(
+                t, pattern=pat, replacement=repl.replace("G1", "\\1"))
+        t_np = np.asarray(_e8(t, cfg).to_pandas(), dtype=object)
+        out_text[md_m] = t_np[md_m]
+        keep[md_m] = valid_text[md_m] & (t_np[md_m] != "")
+
+    # ---- json route (E5 + E8; text_parser.py:250-273) ----
+    # json.loads is a per-document C-library call (mirroring the reference's
+    # per-file parse), applied only to the masked rows; the E8 chain stays
+    # whole-batch Arrow.
+    if json_m.any():
+        raw = np.asarray(text.to_pandas(), dtype=object)
+        flats = np.empty(m, dtype=object)
+        for i in np.flatnonzero(json_m):
+            v = raw[i]
+            if v is not None:
+                flat = S.json_flatten(v) if cfg.flatten_json else None
+                flats[i] = v if flat is None else flat
+        t_np = np.asarray(
+            _e8(pa.array(flats, type=pa.string()), cfg).to_pandas(),
+            dtype=object)
+        out_text[json_m] = t_np[json_m]
+        keep[json_m] = valid_text[json_m] & (t_np[json_m] != "")
 
     # ---- pdf_block route: verbatim, drop empties (pdf_parser.py:141-160) ----
     if pdf_m.any():
@@ -196,7 +241,7 @@ def _clean_batch(batch: pa.RecordBatch, cfg: ExtractConfig) -> pa.RecordBatch:
     class_bits = np.zeros(m, dtype=np.int64)
     class_bits[html_m] = _KIND_CLASS_BIT["html"]
     class_bits[pdf_m | table_m] = _KIND_CLASS_BIT["pdf"]
-    class_bits[textlike_m] = _KIND_CLASS_BIT["text"]
+    class_bits[textlike_m | xml_m | md_m | json_m] = _KIND_CLASS_BIT["text"]
     class_bits[media_m] = _KIND_CLASS_BIT["media"]
     class_bits[hf_m] = _KIND_CLASS_BIT["doc"]
     class_bits[~known_m] = _KIND_CLASS_BIT["other"]

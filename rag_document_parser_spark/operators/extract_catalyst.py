@@ -33,6 +33,11 @@ def _clean_text(s: Column, cfg: ExtractConfig) -> Column:
     return (
         F.when(kind == "html", X.html_strip(txt))
         .when(kind.isin("text", "code"), X.post_process_text(txt, cfg))
+        .when(kind == "xml", X.xml_strip(txt, cfg))
+        .when(kind == "markdown", X.markdown_strip(txt, cfg))
+        # json: Catalyst implements the raw_json fallback leg of the
+        # contract (cfg.flatten_json=False) — no JSON recursion in Catalyst
+        .when(kind == "json", X.post_process_text(txt, cfg))
         .when(kind == "pdf_block", txt)
         .when(kind == "table", X.render_table(txt))
         .when(kind.isin("media", "media_slide"), X.ocr_standin(ref, kind, cfg))
@@ -47,7 +52,8 @@ def _clean_text(s: Column, cfg: ExtractConfig) -> Column:
 def _keep(s: Column) -> Column:
     """Keep predicate over the *cleaned* span struct."""
     kind, txt = s["kind"], s["text"]
-    text_kinds = ("html", "text", "code", "pdf_block", "table", "header", "footer")
+    text_kinds = ("html", "text", "code", "xml", "markdown", "json",
+                  "pdf_block", "table", "header", "footer")
     return F.when(kind.isin("media", "media_slide"), F.lit(True)).otherwise(
         F.when(kind.isin(*text_kinds), txt.isNotNull() & (txt != ""))
         .otherwise(F.lit(True))

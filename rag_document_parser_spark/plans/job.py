@@ -177,7 +177,12 @@ def extract(df: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG,
     small = df.where(F.size("spans") <= max_spans)
     big = df.where(F.size("spans") > max_spans)
     out_small = kernel(small, cfg)
-    out_big = _reassemble_big(kernel(_chunk_big(big, max_spans), cfg))
+    # Repartition the chunk rows on the (tagged, per-chunk-unique) doc_id:
+    # posexplode leaves every chunk in the giant doc's original partition,
+    # which would keep one task serialized on the whole doc — the exchange
+    # spreads chunks across tasks (it only moves the rare big branch).
+    chunked = _chunk_big(big, max_spans).repartition(F.col("doc_id"))
+    out_big = _reassemble_big(kernel(chunked, cfg))
     cols = ["doc_id", "spans_clean", "route", "success", "error", "wall_us"]
     return out_small.select(*cols).unionByName(out_big.select(*cols))
 

@@ -58,6 +58,36 @@ RE_SPACE_RUN = r"  +"
 # media_ref grammar: img://<width>x<height>/<slug>
 RE_MEDIA_REF = r"^img://(\d+)x(\d+)/([A-Za-z0-9_\-.]+)$"
 
+# E3 xml route: tag strip + the five named XML entities, decoded AFTER tag
+# removal, with &amp; last (so "&amp;lt;" yields the literal "&lt;", exactly
+# as ElementTree text nodes do). Equivalent to the reference's recursive
+# text+tail concatenation (/root/reference/parsers/text_parser.py:182-214)
+# for well-formed markup without CDATA.
+XML_ENTITIES = [
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&apos;", "'"),
+    ("&amp;", "&"),
+]
+
+# E4 markdown route — the documented regex subset of the reference's
+# markdown→HTML→get_text pipeline (/root/reference/parsers/text_parser.py:
+# 216-248): fences/headers/hr/blockquote markers dropped, links and images
+# keep their text/alt, emphasis and inline-code keep their content. All
+# patterns RE2-safe (no backreferences IN patterns; group refs only in
+# replacements, which each engine spells its own way — see MD_RULES users).
+MD_RULES: list[tuple[str, str]] = [
+    (r"(?m)^```[^\n]*$", ""),                   # code-fence delimiter lines
+    (r"(?m)^#{1,6}[ \t]+", ""),                 # ATX headers
+    (r"!\[([^\]]*)\]\(([^)]*)\)", "G1"),        # images → alt text
+    (r"\[([^\]]*)\]\(([^)]*)\)", "G1"),         # links → link text
+    (r"\*\*([^*]+)\*\*", "G1"),                 # bold
+    (r"__([^_]+)__", "G1"),                     # bold
+    (r"\*([^*]+)\*", "G1"),                     # italic
+    (r"_([^_]+)_", "G1"),                       # italic
+    (r"`([^`]+)`", "G1"),                       # inline code
+    (r"(?m)^(?:-{3,}|\*{3,})[ \t]*$", ""),      # horizontal rules
+    (r"(?m)^>[ \t]?", ""),                      # blockquote markers
+]
+
 ARABIC_RANGE = "؀-ۿ"  # /root/reference/main.py:417-421
 
 # OCR size gates (exclusive >): see ExtractConfig docstring for citations.
@@ -98,6 +128,63 @@ def post_process_text(s: str, cfg: ExtractConfig = DEFAULT_CONFIG) -> str:
     if not cfg.preserve_whitespace:
         s = re.sub(RE_SPACE_RUN, " ", s)
     return re.sub(RE_STRIP, "", s)
+
+
+def xml_strip(s: str, cfg: ExtractConfig = DEFAULT_CONFIG) -> str:
+    """E3 xml text extraction + E8 post-process
+    (/root/reference/parsers/text_parser.py:182-214, then :97 post-process)."""
+    s = re.sub(RE_TAG, "", s)
+    for ent, ch in XML_ENTITIES:
+        s = s.replace(ent, ch)
+    return post_process_text(s, cfg)
+
+
+def markdown_strip(s: str, cfg: ExtractConfig = DEFAULT_CONFIG) -> str:
+    """E4 markdown → text (regex subset) + E8 post-process
+    (/root/reference/parsers/text_parser.py:216-248, then :97)."""
+    for pat, repl in MD_RULES:
+        s = re.sub(pat, repl.replace("G1", r"\1"), s)
+    return post_process_text(s, cfg)
+
+
+def json_flatten(s: str) -> Optional[str]:
+    """E5 json → readable text, or None when the payload is not JSON
+    (the caller then applies the reference's raw_json fallback).
+
+    Replicates _json_to_text (/root/reference/parsers/text_parser.py:322-337):
+    dicts → "key: value" lines with 2-space indent per level, lists →
+    "[i]: item" lines, scalars via str().
+    """
+    import json
+
+    try:
+        data = json.loads(s)
+    except Exception:
+        return None
+    parts: list[str] = []
+
+    def walk(obj: Any, prefix: str) -> None:
+        if isinstance(obj, dict):
+            for key, value in obj.items():
+                if isinstance(value, (dict, list)):
+                    parts.append(f"{prefix}{key}:")
+                    walk(value, prefix + "  ")
+                else:
+                    parts.append(f"{prefix}{key}: {value}")
+        elif isinstance(obj, list):
+            for i, item in enumerate(obj):
+                if isinstance(item, (dict, list)):
+                    parts.append(f"{prefix}[{i}]:")
+                    walk(item, prefix + "  ")
+                else:
+                    parts.append(f"{prefix}[{i}]: {item}")
+
+    if isinstance(data, dict):
+        walk(data, "")
+        return "\n".join(parts)
+    if isinstance(data, list):
+        return "\n".join(str(item) for item in data)
+    return str(data)
 
 
 def token_confidence(slug: str, token: str) -> float:
@@ -167,6 +254,9 @@ KIND_CLASS = {
     "table": "pdf",
     "text": "text",
     "code": "text",
+    "xml": "text",
+    "markdown": "text",
+    "json": "text",
     "media": "media",
     "media_slide": "media",
     "header": "doc",
@@ -186,6 +276,25 @@ def clean_span(kind: str, text: Optional[str], media_ref: Optional[str],
         if text is None:
             return False, None
         cleaned = post_process_text(text, cfg)
+        return (cleaned != ""), cleaned
+    if kind == "xml":
+        if text is None:
+            return False, None
+        cleaned = xml_strip(text, cfg)
+        return (cleaned != ""), cleaned
+    if kind == "markdown":
+        if text is None:
+            return False, None
+        cleaned = markdown_strip(text, cfg)
+        return (cleaned != ""), cleaned
+    if kind == "json":
+        # cfg.flatten_json=True → the reference json_parser path; False →
+        # its raw_json fallback (content unchanged before post-process),
+        # which is also what the pure-Catalyst engine implements.
+        if text is None:
+            return False, None
+        flat = json_flatten(text) if cfg.flatten_json else None
+        cleaned = post_process_text(text if flat is None else flat, cfg)
         return (cleaned != ""), cleaned
     if kind == "pdf_block":
         # pdfplumber page loop appends only truthy page text

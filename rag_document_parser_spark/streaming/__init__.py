@@ -1,0 +1,6 @@
+from rag_document_parser_spark.streaming.incremental import (
+    stream_extract,
+    stream_extract_with_lineage,
+)
+
+__all__ = ["stream_extract", "stream_extract_with_lineage"]

@@ -1,0 +1,100 @@
+"""Incremental extraction via Structured Streaming (SURVEY.md §2.6).
+
+The reference has no stream engine; its closest behaviors are background
+batch jobs with progress counters and idempotent re-runs
+(/root/reference/api_server.py:230-348). The batch job in ``plans.job``
+covers that contract with lineage + resume; this module adds the genuinely
+streaming form for corpora that GROW: a file-source stream over the
+documents directory, the same Arrow kernel per micro-batch, exactly-once
+file tracking via the streaming checkpoint.
+
+Design notes:
+- ``availableNow`` trigger = "drain everything new, then stop" — the
+  idiomatic incremental-batch pattern; re-invoking processes only files
+  added since the last run (the checkpoint is the file ledger).
+- the kernel runs with ``chunk=False``: giant-doc chunking reassembles via
+  groupBy, which append-mode streaming disallows without watermarks, and a
+  streaming micro-batch is already size-bounded by ``maxFilesPerTrigger``.
+- ``stream_extract_with_lineage`` uses ``foreachBatch`` to reuse the exact
+  batch write path (bucket dirs + lineage rows) per micro-batch — each
+  micro-batch commit is the streaming analog of one resumable batch run.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession, functions as F
+
+from rag_document_parser_spark.config import DEFAULT_CONFIG, ExtractConfig
+from rag_document_parser_spark.plans.job import bucket_col, doc_hash_col, extract
+from rag_document_parser_spark.schema import INPUT_SCHEMA
+
+
+def stream_extract(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    cfg: ExtractConfig = DEFAULT_CONFIG,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """File-source stream → Arrow kernel → parquet sink. Returns the query.
+
+    Exactly-once per input file: the checkpoint under
+    ``<output_dir>/_checkpoint`` records processed files, so a second
+    invocation only extracts files added in between.
+    """
+    reader = spark.readStream.schema(INPUT_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
+    out = extract(stream, cfg, engine="arrow", chunk=False)
+    writer = (
+        out.writeStream.format("parquet")
+        .option("path", os.path.join(output_dir, "data"))
+        .option("checkpointLocation", os.path.join(output_dir, "_checkpoint"))
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_extract_with_lineage(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    cfg: ExtractConfig = DEFAULT_CONFIG,
+):
+    """Same stream, but each micro-batch commits through the batch write
+    path: bucket-partitioned data + per-bucket lineage rows tagged with the
+    micro-batch id (the ST1 progress ledger, queryable as a table)."""
+
+    data_path = os.path.join(output_dir, "data")
+    lineage_path = os.path.join(output_dir, "lineage")
+
+    def commit_batch(batch_df, batch_id: int) -> None:
+        out = (batch_df
+               .withColumn("doc_hash", doc_hash_col())
+               .withColumn("bucket", bucket_col(cfg.n_buckets)))
+        out.persist()
+        try:
+            out.write.mode("append").partitionBy("bucket").parquet(data_path)
+            (out.groupBy(F.col("bucket").alias("partition_id"))
+             .agg(F.count("*").alias("doc_count"),
+                  F.lower(F.hex(F.bit_xor("doc_hash"))).alias("checksum"),
+                  (F.sum("wall_us") / 1000).cast("long").alias("wall_ms"))
+             .withColumn("run_id", F.concat(F.lit("stream-"), F.lit(batch_id)))
+             .write.mode("append").parquet(lineage_path))
+        finally:
+            out.unpersist()
+
+    stream = spark.readStream.schema(INPUT_SCHEMA).parquet(input_dir)
+    out = extract(stream, cfg, engine="arrow", chunk=False)
+    return (
+        out.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", os.path.join(output_dir, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )

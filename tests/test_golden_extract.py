@@ -64,14 +64,15 @@ def test_arrow_kernel_matches_golden(spark, docs):
 
 def test_catalyst_matches_golden(spark, docs):
     # Catalyst path implements the contract at normalize_unicode=False
-    cfg = ExtractConfig(normalize_unicode=False)
+    # and flatten_json=False (the reference's raw_json fallback leg)
+    cfg = ExtractConfig(normalize_unicode=False, flatten_json=False)
     df = fixture_df(spark, seed=42, n_docs=N_DOCS)
     _assert_equal(_expected(docs, cfg), _actual(extract_catalyst(df, cfg)))
 
 
 def test_engines_agree_on_ascii(spark, docs):
     """On ASCII-only whitespace input the two engines are identical."""
-    cfg = ExtractConfig(normalize_unicode=False)
+    cfg = ExtractConfig(normalize_unicode=False, flatten_json=False)
     df = fixture_df(spark, seed=7, n_docs=60)
     a = _actual(extract_arrow(df, cfg))
     c = _actual(extract_catalyst(df, cfg))
