@@ -708,6 +708,58 @@ SELECT query_id::BIGINT AS query_id, vec_id::BIGINT AS vec_id,
 FROM r WHERE rank <= {_TOPK}"""
 
 
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup dedup tier. The synthetic embeddings have
+    no natural near-dups, so vec_id<30 are cloned under id+100000."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    clones = emb.where(F.col("vec_id") < 30).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    return V.embedding_near_dup_pairs(emb.unionByName(clones), threshold=0.95)
+
+
+SQL_EMB_NEAR_DUP = f"""
+WITH e0 AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id < 30
+), e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM e0),
+sig AS (SELECT vec_id, v,
+          list_reduce(list_transform(range({_NBITS}), b -> {_SIGBIT}),
+                      (a, b) -> a | b) AS s
+        FROM e),
+banded AS (SELECT vec_id, v, unnest(list_transform(range({_VBANDS}),
+             bi -> bi::VARCHAR || '|' ||
+                   ((s >> (bi*{_NBITS // _VBANDS})::INT)
+                    & {(1 << (_NBITS // _VBANDS)) - 1})::VARCHAR)) AS bk
+           FROM sig),
+cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+                a.v AS v, b.v AS qv
+         FROM banded a JOIN banded b ON a.bk = b.bk
+         WHERE a.vec_id < b.vec_id),
+s AS (SELECT id_a, id_b,
+        {_DOT} / ({_NRM.format(x='v')} * {_NRM.format(x='qv')}) AS cos
+      FROM cand)
+SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b,
+       floor(cos * 1000000)::BIGINT AS cosine_e6
+FROM s WHERE cos >= 0.95"""
+
+
+def q_failed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/L3 failed-docs projection. The contract's rules never raise, so
+    on well-formed input this is verified-empty (count and schema still
+    compared against the oracle)."""
+    from rag_document_parser_spark.reporting import failed_docs
+
+    out = J.extract(spans_df_from_documents(spark, sf_dir),
+                    engine="catalyst", chunk=False)
+    return failed_docs(out)
+
+
+SQL_FAILED = """
+SELECT 'x' AS doc_id, 'x' AS error FROM documents WHERE 1 = 0"""
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing + classic report shapes
 # ---------------------------------------------------------------------------
@@ -889,6 +941,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "cosine_topk": q_cosine_topk,
         "lsh_cosine_topk": q_lsh_cosine_topk,
+        "embedding_near_dup": q_embedding_near_dup,
+        "failed_docs": q_failed_docs,
         "media_features": q_media_features,
         "detect_route": q_detect_route,
         "code_stats": q_code_stats,
@@ -918,6 +972,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": SQL_SIMHASH_PAIRS,
         "cosine_topk": SQL_COSINE_TOPK,
         "lsh_cosine_topk": SQL_LSH_COSINE,
+        "embedding_near_dup": SQL_EMB_NEAR_DUP,
+        "failed_docs": SQL_FAILED,
         "media_features": SQL_MEDIA,
         "detect_route": SQL_DETECT,
         "code_stats": SQL_CODE_STATS,

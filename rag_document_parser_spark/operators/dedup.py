@@ -142,8 +142,14 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     final shuffle, keyed on the pair) and Jaccard = inter/(|A|+|B|-inter).
     """
     sh = shingle_df(df, text_col, id_col, n, drop_empty=True)
+    # explode_OUTER on purpose: plain explode makes InferFiltersFromGenerate
+    # add size()>0/isnotnull filters on the generator INPUT, and predicate
+    # pushdown re-inlines the whole tokenizer chain into them (measured
+    # ~10x). outer infers nothing; the cheap notnull on the generated
+    # attribute below cannot be pushed past its own Generate.
     flat = sh.select("id", F.size("shingles").alias("n_sh"),
-                     F.explode("shingles").alias("shingle"))
+                     F.explode_outer("shingles").alias("shingle")) \
+             .where(F.col("shingle").isNotNull())
     w = Window.partitionBy("shingle")
     flat = flat.withColumn("df", F.count("*").over(w)) \
                .where(F.col("df") <= df_cap)
@@ -227,7 +233,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     sigs = minhash_signatures(df, text_col, id_col, n, k)
     banded = sigs.select(
         "id",
-        F.posexplode(
+        F.posexplode_outer(  # outer: see ngram_jaccard_pairs note
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda bi: F.array_join(
@@ -236,7 +242,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                     ","),
             )
         ).alias("band", "band_sig"),
-    )
+    ).where(F.col("band_sig").isNotNull())
     a = banded.withColumnsRenamed({"id": "id_a"})
     b = banded.withColumnsRenamed({"id": "id_b"})
     return (
@@ -252,18 +258,6 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
 # --------------------------------------------------------------------------
 
 
-def _hex_bit(hx: Column, i) -> Column:
-    """Bit ``i`` (0..63) of an md5 hex digest, taken nibble-wise:
-    bit = (hexdigit[i//4] >> (i%4)) & 1. md5-based (not xxhash64) so the
-    identical simhash is computable in DuckDB for the oracle."""
-    nibble = F.conv(
-        F.call_function("substring", hx,
-                        (F.floor(i / 4) + 1).cast("int"), F.lit(1)),
-        16, 10,
-    ).cast("long")
-    return _shr(nibble, F.pmod(i, F.lit(4))).bitwiseAND(F.lit(1))
-
-
 def simhash64(df: DataFrame, text_col: str = "text",
               id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash over word tokens, pure Catalyst per-row.
@@ -275,23 +269,41 @@ def simhash64(df: DataFrame, text_col: str = "text",
     replicable); a throughput-tuned deploy could swap xxhash64 back in at
     the cost of oracle checkability.
 
-    The md5 is materialized once per token in its own projection stage —
-    referencing it inside the 64-way bit lambda would re-run the digest
-    per bit (Catalyst re-evaluates non-attribute subtrees per element).
+    The md5 is materialized once per token, then its 16 hex nibbles are
+    parsed once per token (16 conv calls) in their own projection stage;
+    the 64-way bit vote then reads bits via shift/mask on the parsed
+    nibble array. The naive form (conv(substring(md5..)) inside the bit
+    lambda) costs 64 digest+parse evaluations per token — Catalyst
+    re-evaluates non-attribute subtrees per lambda element.
     """
     toks = df.select(F.col(id_col).alias("id"),
                      words(F.col(text_col)).alias("w"))
     hashed = toks.select(
         "id", F.transform("w", lambda t: F.md5(t)).alias("hx"))
+    nibbles = hashed.select(
+        "id",
+        F.transform(
+            "hx",
+            lambda h: F.transform(
+                F.sequence(F.lit(1), F.lit(16)),
+                lambda j: F.conv(
+                    F.call_function("substring", h, j.cast("int"), F.lit(1)),
+                    16, 10).cast("long"),
+            ),
+        ).alias("nb"),
+    )
     votes = F.aggregate(
-        F.col("hx"),
+        F.col("nb"),
         F.array_repeat(F.lit(0).cast("long"), 64),
-        lambda acc, hx: F.zip_with(
+        lambda acc, nb: F.zip_with(
             acc,
             F.transform(
                 F.sequence(F.lit(0), F.lit(63)),
-                lambda i: F.when(_hex_bit(hx, i) == 1, F.lit(1).cast("long"))
-                .otherwise(F.lit(-1).cast("long")),
+                lambda i: F.when(
+                    _shr(F.element_at(nb, (F.floor(i / 4) + 1).cast("int")),
+                         F.pmod(i, F.lit(4))).bitwiseAND(F.lit(1)) == 1,
+                    F.lit(1).cast("long"),
+                ).otherwise(F.lit(-1).cast("long")),
             ),
             lambda a, v: a + v,
         ),
@@ -306,7 +318,7 @@ def simhash64(df: DataFrame, text_col: str = "text",
         F.lit(0).cast("long"),
         lambda acc, x: acc.bitwiseOR(x),
     )
-    return hashed.select("id", bits.alias("simhash"))
+    return nibbles.select("id", bits.alias("simhash"))
 
 
 def simhash_near_pairs(df: DataFrame, text_col: str = "text",
@@ -322,14 +334,14 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
     sh = simhash64(df, text_col, id_col)
     banded = sh.select(
         "id", "simhash",
-        F.posexplode(
+        F.posexplode_outer(  # outer: see ngram_jaccard_pairs note
             F.transform(
                 F.sequence(F.lit(0), F.lit(nb - 1)),
                 lambda bi: _shr(F.col("simhash"), bi * width)
                 .bitwiseAND(F.lit((1 << width) - 1)),
             )
         ).alias("band", "band_val"),
-    )
+    ).where(F.col("band_val").isNotNull())
     a = banded.select("band", "band_val", F.col("id").alias("id_a"),
                       F.col("simhash").alias("sh_a"))
     b = banded.select("band", "band_val", F.col("id").alias("id_b"),

@@ -121,6 +121,49 @@ def lsh_signature(vec, n_bits: int = 16):
     return sig
 
 
+def embedding_near_dup_pairs(corpus: DataFrame, threshold: float = 0.95,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             n_bits: int = 16, bands: int = 4) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: cosine >= threshold, id_a < id_b.
+
+    The dedup tier for embedded corpora: sign-LSH banding proposes
+    candidates (high-cosine pairs agree on many signature bits, so they
+    collide in >=1 band with high probability), then the exact cosine
+    filters. Shuffle keys are (band, band_val) — uniform by construction;
+    never an O(n²) cross-join.
+    """
+    width = n_bits // bands
+    mask = (1 << width) - 1
+    staged = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        lsh_signature(F.col(vec_col), n_bits).alias("_sig"))
+    banded = staged.select(
+        "id", "v",
+        F.posexplode_outer(  # outer: see lsh_cosine_topk note
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bi: _shr(F.col("_sig"), bi * width)
+                .bitwiseAND(F.lit(mask)),
+            )
+        ).alias("band", "band_val"),
+    ).where(F.col("band_val").isNotNull())
+    a = banded.select("band", "band_val", F.col("id").alias("id_a"),
+                      F.col("v").alias("va"))
+    b = banded.select("band", "band_val", F.col("id").alias("id_b"),
+                      F.col("v").alias("vb"))
+    cand = (
+        a.join(b, ["band", "band_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "va", "vb")
+        .distinct()
+    )
+    cos = cosine_similarity_col(F.col("va"), F.col("vb"))
+    return (cand.where(cos >= threshold)
+            .select("id_a", "id_b",
+                    F.floor(cos * 1000000).cast("long").alias("cosine_e6")))
+
+
 def lsh_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     qid_col: str = "query_id", n_bits: int = 16,
@@ -140,14 +183,14 @@ def lsh_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
             lsh_signature(F.col(vec_col), n_bits).alias("_sig"))
         return staged.select(
             F.col(idc), vec_col,
-            F.posexplode(
-                F.transform(
+            F.posexplode_outer(  # outer: avoids InferFiltersFromGenerate
+                F.transform(     # re-inlining _sig into pushed-down filters
                     F.sequence(F.lit(0), F.lit(bands - 1)),
                     lambda bi: _shr(F.col("_sig"), bi * width)
                     .bitwiseAND(F.lit(mask)),
                 )
             ).alias("band", "band_val"),
-        )
+        ).where(F.col("band_val").isNotNull())
 
     c = banded(corpus, id_col)
     q = banded(queries, qid_col).withColumnRenamed(vec_col, "_qvec")

@@ -1,0 +1,126 @@
+"""Property tests (SURVEY.md §5.2): contract invariants + cross-engine
+regex agreement. No Spark needed — these pin the PYTHON oracle against
+DuckDB's RE2 on adversarial inputs, which is the load-bearing assumption
+behind every oracle_sql() entry.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from rag_document_parser_spark import semantics as S
+from rag_document_parser_spark.config import ExtractConfig
+
+CON = duckdb.connect()
+
+
+def _sq(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def duck_regex_chain(text: str, *steps: tuple[str, str]) -> str:
+    # build inner-out: regexp_replace(...(regexp_replace(?, p1, r1), p2, r2)...)
+    expr = "?"
+    for p, r in steps:
+        expr = f"regexp_replace({expr}, {_sq(p)}, {_sq(r)}, 'g')"
+    return CON.execute(f"SELECT {expr}", [text]).fetchone()[0]
+
+
+# text strategy: heavy on regex-relevant characters
+CHARS = st.sampled_from(list(
+    "ab<>/& \t\n\r-*_#`[]()!\"'=:;.{}xyz؀ۿé") + ["script", "style", "&amp;"])
+TEXTS = st.lists(CHARS, min_size=0, max_size=60).map("".join)
+
+
+@settings(max_examples=150, deadline=None)
+@given(TEXTS)
+def test_html_strip_matches_duckdb(s):
+    expected = S.html_strip(s)
+    got = duck_regex_chain(
+        s, (S.RE_SCRIPT_STYLE, ""), (S.RE_TAG, ""),
+        (S.RE_WS_RUN, " "), (S.RE_STRIP, ""))
+    assert got == expected
+
+
+@settings(max_examples=150, deadline=None)
+@given(TEXTS)
+def test_post_process_matches_duckdb(s):
+    cfg = ExtractConfig(normalize_unicode=False)
+    expected = S.post_process_text(s, cfg)
+    got = duck_regex_chain(
+        s, (S.RE_EMPTY_LINES_LEAD, ""), (S.RE_EMPTY_LINES_MID, "\n"),
+        (S.RE_SPACE_RUN, " "), (S.RE_STRIP, ""))
+    assert got == expected
+
+
+@settings(max_examples=150, deadline=None)
+@given(TEXTS)
+def test_markdown_rules_match_duckdb(s):
+    cfg = ExtractConfig(normalize_unicode=False)
+    expected = S.markdown_strip(s, cfg)
+    expr = "?"
+    for pat, repl in S.MD_RULES:
+        expr = (f"regexp_replace({expr}, {_sq(pat)}, "
+                f"{_sq(repl.replace('G1', chr(92) + '1'))}, 'g')")
+    for pat, repl in [(S.RE_EMPTY_LINES_LEAD, ""), (S.RE_EMPTY_LINES_MID, "\n"),
+                      (S.RE_SPACE_RUN, " "), (S.RE_STRIP, "")]:
+        expr = f"regexp_replace({expr}, {_sq(pat)}, {_sq(repl)}, 'g')"
+    got = CON.execute(f"SELECT {expr}", [s]).fetchone()[0]
+    assert got == expected
+
+
+@settings(max_examples=100, deadline=None)
+@given(TEXTS)
+def test_post_process_idempotent(s):
+    cfg = ExtractConfig(normalize_unicode=False)
+    once = S.post_process_text(s, cfg)
+    assert S.post_process_text(once, cfg) == once
+
+
+SPAN = st.fixed_dictionaries({
+    "kind": st.sampled_from(["text", "pdf_block", "html", "media", "header"]),
+    "text": st.one_of(st.none(), TEXTS),
+    "media_ref": st.one_of(st.none(), st.just("img://200x100/logo-chart")),
+    "offset": st.integers(min_value=0, max_value=50),
+})
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.lists(SPAN, min_size=0, max_size=8), st.randoms())
+def test_clean_doc_order_invariant_under_permutation(spans, rnd):
+    """Docs with UNIQUE offsets produce identical spans_clean regardless of
+    input span order (the position tie-break only matters for ties)."""
+    seen, uniq = set(), []
+    for sp in spans:
+        if sp["offset"] not in seen:
+            seen.add(sp["offset"])
+            uniq.append(sp)
+    base, _, _, _ = S.clean_doc(uniq)
+    shuffled = list(uniq)
+    rnd.shuffle(shuffled)
+    got, _, _, _ = S.clean_doc(shuffled)
+    assert got == base
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.lists(SPAN, min_size=0, max_size=8))
+def test_clean_doc_offsets_sorted(spans):
+    out, route, success, error = S.clean_doc(spans)
+    offs = [s["offset"] for s in out if s["offset"] is not None]
+    assert offs == sorted(offs)
+    assert success is True and error is None
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(0, 500), st.integers(0, 300),
+       st.sampled_from(["media", "media_slide"]))
+def test_ocr_gates(w, h, kind):
+    ref = f"img://{w}x{h}/logo-chart"
+    out = S.ocr_standin(ref, kind)
+    min_w, min_h = S.OCR_GATES[kind]
+    if not (w > min_w and h > min_h):
+        assert out is None
+    # deterministic: same input → same output
+    assert S.ocr_standin(ref, kind) == out
