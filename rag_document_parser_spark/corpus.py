@@ -102,6 +102,17 @@ def _md_payload(rng: random.Random) -> str:
     return "\n".join(parts)
 
 
+def _rtf_payload(rng: random.Random) -> str:
+    return (
+        "{\\rtf1\\ansi{\\fonttbl\\f0 Arial;}\\f0\\fs24 "
+        + _sentence(rng, 3, 8, 0)
+        + "\\par " + _sentence(rng, 3, 8, 0)
+        + "\\line " + _sentence(rng, 2, 5, 0)
+        + ("\\'e9" if rng.random() < 0.5 else "")
+        + " fin}"
+    )
+
+
 def _json_payload(rng: random.Random) -> str:
     import json as _json
 
@@ -148,6 +159,9 @@ def generate_fixture_docs(seed: int = 42, n_docs: int = 200,
                           "media_ref": None, "offset": 0})
         elif r < 0.52:  # json doc (E5; ~15% invalid → raw fallback)
             spans.append({"kind": "json", "text": _json_payload(rng),
+                          "media_ref": None, "offset": 0})
+        elif r < 0.56:  # rtf doc (E27)
+            spans.append({"kind": "rtf", "text": _rtf_payload(rng),
                           "media_ref": None, "offset": 0})
         elif r < 0.70:  # pdf doc: shuffled blocks, monotone offsets
             n_pages = rng.randint(1, 5)

@@ -61,6 +61,13 @@ def markdown_strip(c: Column, cfg: ExtractConfig = DEFAULT_CONFIG) -> Column:
     return post_process_text(c, cfg)
 
 
+def rtf_strip(c: Column, cfg: ExtractConfig = DEFAULT_CONFIG) -> Column:
+    """E27 rtf → text regex subset + E8 (document_parser.py:465-506)."""
+    for pat, repl in S.RTF_RULES:
+        c = F.regexp_replace(c, pat, repl)
+    return post_process_text(c, cfg)
+
+
 def token_confidence(slug: Column, token: Column) -> Column:
     """md5-derived deterministic confidence in [0,1) — see semantics.token_confidence."""
     h = F.conv(F.substring(F.md5(F.concat(slug, F.lit(":"), token)), 1, 8), 16, 10)

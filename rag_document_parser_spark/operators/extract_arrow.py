@@ -102,12 +102,13 @@ def _clean_batch(batch: pa.RecordBatch, cfg: ExtractConfig) -> pa.RecordBatch:
     textlike_m = is_kind("text", "code")
     xml_m = is_kind("xml")
     md_m = is_kind("markdown")
+    rtf_m = is_kind("rtf")
     json_m = is_kind("json")
     pdf_m = is_kind("pdf_block")
     table_m = is_kind("table")
     media_m = is_kind("media", "media_slide")
     hf_m = is_kind("header", "footer")
-    known_m = (html_m | textlike_m | xml_m | md_m | json_m | pdf_m
+    known_m = (html_m | textlike_m | xml_m | md_m | rtf_m | json_m | pdf_m
                | table_m | media_m | hf_m)
 
     out_text = np.asarray(text.to_pandas(), dtype=object)
@@ -148,6 +149,15 @@ def _clean_batch(batch: pa.RecordBatch, cfg: ExtractConfig) -> pa.RecordBatch:
         t_np = np.asarray(_e8(t, cfg).to_pandas(), dtype=object)
         out_text[md_m] = t_np[md_m]
         keep[md_m] = valid_text[md_m] & (t_np[md_m] != "")
+
+    # ---- rtf route (E27 + E8; document_parser.py:465-506) ----
+    if rtf_m.any():
+        t = text
+        for pat, repl in S.RTF_RULES:
+            t = pc.replace_substring_regex(t, pattern=pat, replacement=repl)
+        t_np = np.asarray(_e8(t, cfg).to_pandas(), dtype=object)
+        out_text[rtf_m] = t_np[rtf_m]
+        keep[rtf_m] = valid_text[rtf_m] & (t_np[rtf_m] != "")
 
     # ---- json route (E5 + E8; text_parser.py:250-273) ----
     # json.loads is a per-document C-library call (mirroring the reference's
@@ -241,7 +251,7 @@ def _clean_batch(batch: pa.RecordBatch, cfg: ExtractConfig) -> pa.RecordBatch:
     class_bits = np.zeros(m, dtype=np.int64)
     class_bits[html_m] = _KIND_CLASS_BIT["html"]
     class_bits[pdf_m | table_m] = _KIND_CLASS_BIT["pdf"]
-    class_bits[textlike_m | xml_m | md_m | json_m] = _KIND_CLASS_BIT["text"]
+    class_bits[textlike_m | xml_m | md_m | rtf_m | json_m] = _KIND_CLASS_BIT["text"]
     class_bits[media_m] = _KIND_CLASS_BIT["media"]
     class_bits[hf_m] = _KIND_CLASS_BIT["doc"]
     class_bits[~known_m] = _KIND_CLASS_BIT["other"]

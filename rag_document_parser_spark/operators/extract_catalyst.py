@@ -35,6 +35,7 @@ def _clean_text(s: Column, cfg: ExtractConfig) -> Column:
         .when(kind.isin("text", "code"), X.post_process_text(txt, cfg))
         .when(kind == "xml", X.xml_strip(txt, cfg))
         .when(kind == "markdown", X.markdown_strip(txt, cfg))
+        .when(kind == "rtf", X.rtf_strip(txt, cfg))
         # json: Catalyst implements the raw_json fallback leg of the
         # contract (cfg.flatten_json=False) — no JSON recursion in Catalyst
         .when(kind == "json", X.post_process_text(txt, cfg))
@@ -52,7 +53,7 @@ def _clean_text(s: Column, cfg: ExtractConfig) -> Column:
 def _keep(s: Column) -> Column:
     """Keep predicate over the *cleaned* span struct."""
     kind, txt = s["kind"], s["text"]
-    text_kinds = ("html", "text", "code", "xml", "markdown", "json",
+    text_kinds = ("html", "text", "code", "xml", "markdown", "json", "rtf",
                   "pdf_block", "table", "header", "footer")
     return F.when(kind.isin("media", "media_slide"), F.lit(True)).otherwise(
         F.when(kind.isin(*text_kinds), txt.isNotNull() & (txt != ""))

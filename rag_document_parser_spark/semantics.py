@@ -55,6 +55,21 @@ RE_EMPTY_LINES_MID = rf"\n(?:[{WS_NO_NL}]*\n)+"
 # (/root/reference/parsers/text_parser.py:358).
 RE_SPACE_RUN = r"  +"
 
+# E27 rtf route — documented regex subset of striprtf's rtf_to_text
+# (/root/reference/parsers/document_parser.py:465-506): paragraph/line
+# controls become newlines, non-nested header groups (fonttbl/colortbl/
+# stylesheet/info) are dropped, hex escapes are dropped, remaining control
+# words (consuming one trailing space) and braces are stripped. Nested
+# header groups and \uN unicode escapes are out of the subset.
+RTF_RULES = [
+    (r"\\par\b ?", "\n"),
+    (r"\\line\b ?", "\n"),
+    (r"\{\\(?:fonttbl|colortbl|stylesheet|info)[^{}]*\}", ""),
+    (r"\\'[0-9a-fA-F][0-9a-fA-F]", ""),
+    (r"\\[a-z]+(?:-?[0-9]+)? ?", ""),
+    (r"[{}]", ""),
+]
+
 # media_ref grammar: img://<width>x<height>/<slug>
 RE_MEDIA_REF = r"^img://(\d+)x(\d+)/([A-Za-z0-9_\-.]+)$"
 
@@ -187,6 +202,13 @@ def json_flatten(s: str) -> Optional[str]:
     return str(data)
 
 
+def rtf_strip(s: str, cfg: ExtractConfig = DEFAULT_CONFIG) -> str:
+    """E27 rtf → text (regex subset) + E8 post-process."""
+    for pat, repl in RTF_RULES:
+        s = re.sub(pat, repl, s)
+    return post_process_text(s, cfg)
+
+
 def token_confidence(slug: str, token: str) -> float:
     """Deterministic OCR-confidence stand-in for a recognized token.
 
@@ -257,6 +279,7 @@ KIND_CLASS = {
     "xml": "text",
     "markdown": "text",
     "json": "text",
+    "rtf": "text",
     "media": "media",
     "media_slide": "media",
     "header": "doc",
@@ -286,6 +309,11 @@ def clean_span(kind: str, text: Optional[str], media_ref: Optional[str],
         if text is None:
             return False, None
         cleaned = markdown_strip(text, cfg)
+        return (cleaned != ""), cleaned
+    if kind == "rtf":
+        if text is None:
+            return False, None
+        cleaned = rtf_strip(text, cfg)
         return (cleaned != ""), cleaned
     if kind == "json":
         # cfg.flatten_json=True → the reference json_parser path; False →
