@@ -189,7 +189,7 @@ def generate_fixture_docs(seed: int = 42, n_docs: int = 200,
                                   "media_ref": None, "offset": off})
                 off += 1
         else:  # edge docs
-            edge = rng.randint(0, 4)
+            edge = rng.randint(0, 5)
             if edge == 0:
                 spans = []
             elif edge == 1:
@@ -202,11 +202,20 @@ def generate_fixture_docs(seed: int = 42, n_docs: int = 200,
             elif edge == 3:  # duplicate offsets → stable tie-break by position
                 spans = [{"kind": "text", "text": f"tie {j} {_sentence(rng, 2, 4)}",
                           "media_ref": None, "offset": 5} for j in range(4)]
-            else:  # unparseable media ref + null-text html
+            elif edge == 4:  # unparseable media ref + null-text html
                 spans = [
                     {"kind": "media", "text": None, "media_ref": "not-a-ref", "offset": 0},
                     {"kind": "html", "text": None, "media_ref": None, "offset": 1},
                     {"kind": "text", "text": "survivor", "media_ref": None, "offset": 2},
+                ]
+            else:  # unknown kind passthrough + NULL offsets (sort last)
+                spans = [
+                    {"kind": "custom_v2", "text": _sentence(rng, 2, 4),
+                     "media_ref": None, "offset": None},
+                    {"kind": "text", "text": _sentence(rng),
+                     "media_ref": None, "offset": 3},
+                    {"kind": "custom_v2", "text": None,
+                     "media_ref": None, "offset": 1},
                 ]
         docs.append({"doc_id": doc_id, "spans": spans})
     if giant_doc_spans > 0:  # skew-test doc, FIXTURES.md edge recipe
