@@ -61,6 +61,41 @@ def stream_extract(
     return writer.start()
 
 
+def stream_extract_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    cfg: ExtractConfig = DEFAULT_CONFIG,
+):
+    """Incremental extraction with STATEFUL cross-batch deduplication.
+
+    ``dropDuplicates`` on the content hash uses the streaming state store:
+    a doc whose cleaned content was already emitted in ANY earlier
+    micro-batch (even a previous invocation — state lives in the
+    checkpoint) is dropped, keyed on the order-sensitive doc_hash. This is
+    the streaming form of ``operators.dedup.exact_dedup`` keep-first
+    semantics. No watermark = state grows with distinct corpus size; a
+    production deploy bounds it with ``withWatermark`` on an event-time
+    column once the corpus has one.
+    """
+    stream = spark.readStream.schema(INPUT_SCHEMA).parquet(input_dir)
+    out = extract(stream, cfg, engine="arrow", chunk=False)
+    deduped = (
+        out.withColumn(
+            "doc_hash",
+            F.xxhash64(F.col("spans_clean")))  # content only: clones under
+        .dropDuplicates(["doc_hash"])          # new doc_ids still dedupe
+    )
+    return (
+        deduped.writeStream.format("parquet")
+        .option("path", os.path.join(output_dir, "data"))
+        .option("checkpointLocation", os.path.join(output_dir, "_checkpoint"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_extract_with_lineage(
     spark: SparkSession,
     input_dir: str,

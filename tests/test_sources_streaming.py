@@ -15,6 +15,7 @@ from rag_document_parser_spark.sources import (
 )
 from rag_document_parser_spark.streaming import (
     stream_extract,
+    stream_extract_dedup,
     stream_extract_with_lineage,
 )
 from rag_document_parser_spark.plans.job import extract
@@ -86,6 +87,28 @@ def test_stream_extract_incremental(spark, tmp_path):
     streamed = {r.doc_id: [tuple(s) for s in r.spans_clean]
                 for r in got2.collect()}
     assert batch == streamed
+
+
+def test_stream_extract_dedup_across_batches(spark, tmp_path):
+    """State-store dedup: a content-identical doc arriving in a LATER
+    micro-batch run (under a new doc_id) is dropped."""
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    docs = fixture_df(spark, seed=21, n_docs=30)
+    _write_slice(docs, in_dir)
+    q = stream_extract_dedup(spark, in_dir, out_dir)
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(os.path.join(out_dir, "data")).count()
+
+    # clone every doc under a new id; contents identical → all dropped
+    clones = docs.select(F.concat(F.lit("clone-"), "doc_id").alias("doc_id"),
+                         "spans")
+    _write_slice(clones, in_dir)
+    q = stream_extract_dedup(spark, in_dir, out_dir)
+    q.awaitTermination(120)
+    got = spark.read.parquet(os.path.join(out_dir, "data"))
+    assert got.count() == n1  # no clone survived the state store
+    assert got.where(F.col("doc_id").startswith("clone-")).count() == 0
 
 
 def test_stream_extract_with_lineage(spark, tmp_path):
