@@ -184,7 +184,8 @@ def generate_fixture_docs(seed: int = 42, n_docs: int = 200,
                     spans.append({"kind": ctx, "text": None,
                                   "media_ref": _media_ref(rng, ctx), "offset": off})
                 else:
-                    k = rng.choice(["text", "header", "footer", "code"])
+                    k = rng.choice(["text", "header", "footer", "code",
+                                    "slide", "sheet"])
                     spans.append({"kind": k, "text": _sentence(rng),
                                   "media_ref": None, "offset": off})
                 off += 1

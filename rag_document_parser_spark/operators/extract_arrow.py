@@ -108,8 +108,9 @@ def _clean_batch(batch: pa.RecordBatch, cfg: ExtractConfig) -> pa.RecordBatch:
     table_m = is_kind("table")
     media_m = is_kind("media", "media_slide")
     hf_m = is_kind("header", "footer")
+    blk_m = is_kind("slide", "sheet")
     known_m = (html_m | textlike_m | xml_m | md_m | rtf_m | json_m | pdf_m
-               | table_m | media_m | hf_m)
+               | table_m | media_m | hf_m | blk_m)
 
     out_text = np.asarray(text.to_pandas(), dtype=object)
     keep = np.ones(m, dtype=bool)
@@ -218,6 +219,18 @@ def _clean_batch(batch: pa.RecordBatch, cfg: ExtractConfig) -> pa.RecordBatch:
         out_text[hf_m] = np.where(nonblank[hf_m], joined.astype(object), None)
         keep[hf_m] = nonblank[hf_m]
 
+    # ---- slide/sheet structural markers (E28/E38 prefixes) ----
+    if blk_m.any():
+        trimmed = pc.utf8_trim_whitespace(text)
+        nonblank = np.asarray(
+            pc.fill_null(pc.not_equal(trimmed, ""), False).to_numpy(zero_copy_only=False))
+        pre = np.where(kind_np == "slide", "=== Slide ", "=== Sheet: ")
+        joined = np.char.add(np.char.add(
+            pre[blk_m].astype(str),
+            np.where(valid_text[blk_m], out_text[blk_m], "").astype(str)), " ===")
+        out_text[blk_m] = np.where(nonblank[blk_m], joined.astype(object), None)
+        keep[blk_m] = nonblank[blk_m]
+
     # unknown kinds: passthrough (keep=True, text untouched)
 
     # ---- reading-order sort (L1) + reassembly ----
@@ -253,7 +266,7 @@ def _clean_batch(batch: pa.RecordBatch, cfg: ExtractConfig) -> pa.RecordBatch:
     class_bits[pdf_m | table_m] = _KIND_CLASS_BIT["pdf"]
     class_bits[textlike_m | xml_m | md_m | rtf_m | json_m] = _KIND_CLASS_BIT["text"]
     class_bits[media_m] = _KIND_CLASS_BIT["media"]
-    class_bits[hf_m] = _KIND_CLASS_BIT["doc"]
+    class_bits[hf_m | blk_m] = _KIND_CLASS_BIT["doc"]
     class_bits[~known_m] = _KIND_CLASS_BIT["other"]
     routes = np.zeros(n, dtype=np.int64)
     np.bitwise_or.at(routes, par_k, class_bits[kept_idx])

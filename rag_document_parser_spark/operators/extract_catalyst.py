@@ -42,6 +42,12 @@ def _clean_text(s: Column, cfg: ExtractConfig) -> Column:
         .when(kind == "pdf_block", txt)
         .when(kind == "table", X.render_table(txt))
         .when(kind.isin("media", "media_slide"), X.ocr_standin(ref, kind, cfg))
+        .when(kind == "slide",
+              F.when(X.strip(txt) != "",
+                     F.concat(F.lit("=== Slide "), txt, F.lit(" ==="))))
+        .when(kind == "sheet",
+              F.when(X.strip(txt) != "",
+                     F.concat(F.lit("=== Sheet: "), txt, F.lit(" ==="))))
         .when(kind == "header",
               F.when(X.strip(txt) != "", F.concat(F.lit("[HEADER] "), txt)))
         .when(kind == "footer",
@@ -54,7 +60,7 @@ def _keep(s: Column) -> Column:
     """Keep predicate over the *cleaned* span struct."""
     kind, txt = s["kind"], s["text"]
     text_kinds = ("html", "text", "code", "xml", "markdown", "json", "rtf",
-                  "pdf_block", "table", "header", "footer")
+                  "pdf_block", "table", "header", "footer", "slide", "sheet")
     return F.when(kind.isin("media", "media_slide"), F.lit(True)).otherwise(
         F.when(kind.isin(*text_kinds), txt.isNotNull() & (txt != ""))
         .otherwise(F.lit(True))

@@ -113,6 +113,12 @@ OCR_GATES = {
 
 HEADER_PREFIX = {"header": "[HEADER] ", "footer": "[FOOTER] "}
 
+# structural block markers: E28 slide headers
+# (/root/reference/parsers/powerpoint_parser.py:120-127 "=== Slide {n} ===")
+# and E34/E38 sheet prefixes
+# (/root/reference/parsers/spreadsheet_parser.py:215-217 "=== Sheet: {name} ===")
+BLOCK_MARKER = {"slide": "=== Slide {} ===", "sheet": "=== Sheet: {} ==="}
+
 # --------------------------------------------------------------------------
 # Scalar semantics (pure Python = the oracle)
 # --------------------------------------------------------------------------
@@ -280,6 +286,8 @@ KIND_CLASS = {
     "markdown": "text",
     "json": "text",
     "rtf": "text",
+    "slide": "doc",
+    "sheet": "doc",
     "media": "media",
     "media_slide": "media",
     "header": "doc",
@@ -334,6 +342,11 @@ def clean_span(kind: str, text: Optional[str], media_ref: Optional[str],
         return (rendered is not None), rendered
     if kind in ("media", "media_slide"):
         return True, ocr_standin(media_ref, kind, cfg)
+    if kind in ("slide", "sheet"):
+        # structural markers: non-empty gate + format (E28/E38)
+        if text is None or text.strip() == "":
+            return False, None
+        return True, BLOCK_MARKER[kind].format(text)
     if kind in ("header", "footer"):
         # non-empty gate + prefix (/root/reference/parsers/document_parser.py:571-593)
         if text is None or text.strip() == "":
