@@ -3,9 +3,11 @@
 Two generators:
 
 1. ``generate_fixture_docs(seed, n_docs)`` — pure-Python, edge-case-rich
-   fixture corpus for the golden pytest suite (FIXTURES.md §1 recipe:
-   40% html / 30% pdf / 20% interleaved / 10% edge docs, shuffled span
-   order with monotone offsets, OCR dims straddling both thresholds).
+   fixture corpus for the golden pytest suite (FIXTURES.md §1 recipe,
+   extended): 30% html / 8% xml / 8% markdown / 6% json / 4% rtf /
+   14% pdf (shuffled blocks + tables) / 20% interleaved text+media
+   (incl. slide/sheet markers) / 10% edge docs (empty, blank, tie-break,
+   unknown kinds, null offsets), with OCR dims straddling both gates.
 
 2. ``spans_df_from_documents(spark, sf_dir, mult)`` — Catalyst-only
    synthesis of a ``(doc_id, spans)`` corpus from the driver-provided
