@@ -2,7 +2,8 @@ from rag_document_parser_spark.streaming.incremental import (
     stream_extract,
     stream_extract_dedup,
     stream_extract_with_lineage,
+    stream_windowed_event_counts,
 )
 
 __all__ = ["stream_extract", "stream_extract_dedup",
-           "stream_extract_with_lineage"]
+           "stream_extract_with_lineage", "stream_windowed_event_counts"]

@@ -96,6 +96,53 @@ def stream_extract_dedup(
     )
 
 
+def stream_windowed_event_counts(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+):
+    """Watermarked tumbling-window aggregation over a growing events table.
+
+    The late-data pattern the reference lacks entirely: events stream in
+    by file, are bucketed into event-time windows, and rows later than
+    ``watermark`` behind the max seen event time are dropped while closed
+    windows are finalized to the sink (append mode only emits a window
+    once the watermark passes it — exactly-once per window). Schema:
+    (event_id long, ts timestamp, user_id long, event_type string,
+    value double) — the driver ``events`` table shape.
+    """
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_duration).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.sum(F.floor(F.col("value") * 100)).cast("long")
+             .alias("sum_value_cents"))
+        .select(F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                "event_type", "n_events", "sum_value_cents")
+    )
+    return (
+        agg.writeStream.format("parquet")
+        .option("path", os.path.join(output_dir, "data"))
+        .option("checkpointLocation", os.path.join(output_dir, "_checkpoint"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_extract_with_lineage(
     spark: SparkSession,
     input_dir: str,

@@ -17,6 +17,7 @@ from rag_document_parser_spark.streaming import (
     stream_extract,
     stream_extract_dedup,
     stream_extract_with_lineage,
+    stream_windowed_event_counts,
 )
 from rag_document_parser_spark.plans.job import extract
 
@@ -109,6 +110,43 @@ def test_stream_extract_dedup_across_batches(spark, tmp_path):
     got = spark.read.parquet(os.path.join(out_dir, "data"))
     assert got.count() == n1  # no clone survived the state store
     assert got.where(F.col("doc_id").startswith("clone-")).count() == 0
+
+
+def test_stream_windowed_event_counts(spark, tmp_path):
+    """Watermark + tumbling window over a file-streamed events table:
+    windows are finalized (emitted) only once the watermark passes them,
+    and a late row behind the watermark is dropped."""
+    import datetime as dt
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+    def ev(i, hour_offset, etype="click", value=1.0):
+        return (i, base + dt.timedelta(hours=hour_offset), 7, etype, value)
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    # batch 1: events in hours 0 and 1, plus a max-ts event at hour 6 that
+    # pushes the watermark (2h) past both earlier windows
+    b1 = [ev(1, 0.2), ev(2, 0.4), ev(3, 1.5), ev(4, 6.0)]
+    spark.createDataFrame(b1, schema).write.mode("append").parquet(in_dir)
+    q = stream_windowed_event_counts(spark, in_dir, out_dir)
+    q.awaitTermination(120)
+    got = {(r.window_start.hour, r.event_type): r.n_events
+           for r in spark.read.parquet(out_dir + "/data").collect()}
+    assert got[(0, "click")] == 2 and got[(1, "click")] == 1
+    assert (6, "click") not in got  # its window is still open
+
+    # batch 2: one LATE event in hour 0 (behind the 2h watermark → dropped)
+    # and one more at hour 9 closing the hour-6 window
+    b2 = [ev(5, 0.5), ev(6, 9.0)]
+    spark.createDataFrame(b2, schema).write.mode("append").parquet(in_dir)
+    q = stream_windowed_event_counts(spark, in_dir, out_dir)
+    q.awaitTermination(120)
+    got2 = {(r.window_start.hour, r.event_type): r.n_events
+            for r in spark.read.parquet(out_dir + "/data").collect()}
+    assert got2[(0, "click")] == 2   # late event did NOT update the window
+    assert got2[(6, "click")] == 1   # hour-6 window finalized
 
 
 def test_stream_extract_with_lineage(spark, tmp_path):
