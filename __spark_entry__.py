@@ -111,7 +111,7 @@ def _md_chain(expr: str) -> str:
 # per doc: (doc_id, route, n_spans, content).
 EXTRACT_CTE = f"""
 WITH base AS (
-  SELECT 'd-'||doc_id::VARCHAR||'-0' AS doc_id, text, source,
+  SELECT 'd-'||doc_id::VARCHAR||'-0' AS doc_id, text, source, n_chars,
          {_md5l("'d-'||doc_id::VARCHAR||'-0'")} AS h
   FROM documents
 ), routed AS (
@@ -160,11 +160,14 @@ WITH base AS (
     FROM routed WHERE pick >= 5 AND pick < 8)
 ), inter_out AS (
   SELECT doc_id,
-    CASE WHEN ptext <> '' THEN 'doc,media,text' ELSE 'doc,media' END AS route,
-    (CASE WHEN ptext <> '' THEN 3 ELSE 2 END)::BIGINT AS n_spans,
-    array_to_string(['[HEADER] '||source, ocr, nullif(ptext,'')], {NL2}) AS content
+    CASE WHEN ptext <> '' THEN 'doc,media,pdf,text'
+         ELSE 'doc,media,pdf' END AS route,
+    (CASE WHEN ptext <> '' THEN 4 ELSE 3 END)::BIGINT AS n_spans,
+    array_to_string(['[HEADER] '||source, ocr, nullif(ptext,''),
+      'name | val' || chr(10) || repeat('-', 10) || chr(10)
+        || source || ' | ' || n_chars::VARCHAR], {NL2}) AS content
   FROM (
-    SELECT doc_id, source, {_post_process_sql("text")} AS ptext,
+    SELECT doc_id, source, n_chars, {_post_process_sql("text")} AS ptext,
       CASE WHEN (CASE WHEN h % 2 = 1 THEN w > 50 AND hh > 30
                       ELSE w > 100 AND hh > 50 END)
         THEN nullif(array_to_string(list_filter(string_split(slug, '-'),
@@ -172,7 +175,7 @@ WITH base AS (
                   >= {DEFAULT_CONFIG.ocr_confidence_threshold}), ' '), '')
       END AS ocr
     FROM (
-      SELECT doc_id, text, source, h,
+      SELECT doc_id, text, source, n_chars, h,
         (h % 360 + 41)::INT AS w, (h % 280 + 21)::INT AS hh,
         sw[(h % 8 + 1)::INT] || '-' || sw[((h+3) % 8 + 1)::INT] AS slug
       FROM routed, (SELECT {SLUG_SQL} AS sw)

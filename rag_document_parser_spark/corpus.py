@@ -328,6 +328,10 @@ def spans_df_from_documents(spark: SparkSession, sf_dir: str, mult: int = 1) -> 
         F.lit(0).cast("int").alias("offset"),
     ))
 
+    # raw table payload (rows \n-separated, cells \t-separated) — puts the
+    # E14 accept rule + E38 pipe/dash render under the DuckDB oracle gate
+    table_text = F.concat(F.lit("name\tval\n"), F.col("source"),
+                          F.lit("\t"), F.col("n_chars"))
     inter_spans = F.array(
         F.struct(F.lit("header").alias("kind"), F.col("source").alias("text"),
                  F.lit(None).cast("string").alias("media_ref"), F.lit(0).cast("int").alias("offset")),
@@ -337,6 +341,8 @@ def spans_df_from_documents(spark: SparkSession, sf_dir: str, mult: int = 1) -> 
             F.when(F.pmod(h, 2) == 0, F.lit("media")).otherwise(F.lit("media_slide")).alias("kind"),
             F.lit(None).cast("string").alias("text"),
             media_ref.alias("media_ref"), F.lit(1).cast("int").alias("offset")),
+        F.struct(F.lit("table").alias("kind"), table_text.alias("text"),
+                 F.lit(None).cast("string").alias("media_ref"), F.lit(3).cast("int").alias("offset")),
     )
 
     route_pick = F.pmod(h, F.lit(10))
