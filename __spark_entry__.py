@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from rag_document_parser_spark import semantics as S
 from rag_document_parser_spark.config import DEFAULT_CONFIG
@@ -639,9 +639,7 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "vec_id",
         V.cosine_similarity_col(F.col("embedding"), F.col("_qvec")).alias("cos"),
     ).where(F.col("query_id") != F.col("vec_id"))
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= _TOPK)
+    return (V.topk_per_query(scored, _TOPK, "query_id", "vec_id", "cos")
             .select(F.col("query_id").cast("long"), F.col("vec_id").cast("long"),
                     F.floor(F.col("cos") * 1000000).cast("long").alias("cosine_e6"),
                     F.col("rank").cast("long")))

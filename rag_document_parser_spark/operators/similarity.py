@@ -56,6 +56,38 @@ def cosine_similarity_col(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def topk_per_query(scored: DataFrame, k: int, qid_col: str = "query_id",
+                   id_col: str = "vec_id",
+                   score_col: str = "cosine") -> DataFrame:
+    """Scalable per-query top-k over a scored relation, two-stage.
+
+    Stage 1 ranks within (query, *source partition*): each input partition
+    contributes at most k candidate rows per query, so no task ever sorts
+    more than its own partition's share (the naive single window shuffles
+    the entire scored relation into one task per query — with 8 queries at
+    100x data that is 8 straggler tasks each sorting ~n rows). Stage 2
+    ranks the <= k * n_partitions * n_queries survivors per query — a
+    bounded-size final sort regardless of corpus size. Results are
+    identical to the single-window form: any global top-k row is also a
+    top-k row of its own partition, so stage 1 never drops a winner
+    (ties at the boundary break by ascending id in both stages, keeping
+    the selection deterministic).
+
+    Spark >= 3.5's InferWindowGroupLimit often inserts a partial group
+    limit before the shuffle on its own, but that is an optimizer
+    heuristic (off above ``spark.sql.window.group.limit.threshold``);
+    this shape makes the bound structural.
+    """
+    staged = scored.withColumn("_pid", F.spark_partition_id())
+    w1 = Window.partitionBy(qid_col, "_pid").orderBy(
+        F.desc(score_col), F.asc(id_col))
+    cand = (staged.withColumn("_pr", F.row_number().over(w1))
+            .where(F.col("_pr") <= k).drop("_pid", "_pr"))
+    w2 = Window.partitionBy(qid_col).orderBy(F.desc(score_col), F.asc(id_col))
+    return (cand.withColumn("rank", F.row_number().over(w2))
+            .where(F.col("rank") <= k))
+
+
 def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                 id_col: str = "vec_id", vec_col: str = "embedding",
                 qid_col: str = "query_id") -> DataFrame:
@@ -71,12 +103,8 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
         qid_col, id_col,
         cosine_similarity_col(F.col(vec_col), F.col("_qvec")).alias("cosine"),
     ).where(F.col(qid_col) != F.col(id_col))
-    w = Window.partitionBy(qid_col).orderBy(F.desc("cosine"), F.asc(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(qid_col, id_col, F.round("cosine", 6).alias("cosine"), "rank")
-    )
+    return topk_per_query(scored, k, qid_col, id_col).select(
+        qid_col, id_col, F.round("cosine", 6).alias("cosine"), "rank")
 
 
 # Plane literals are CreateArray(_MAX_DIM literal nodes) x n_bits; big trees
@@ -107,8 +135,20 @@ def _plane_literal(bit: int):
 
 
 def lsh_signature(vec, n_bits: int = 16):
-    """Sign-LSH signature as an int (bit i = sign of <v, plane_i>)."""
-    sig = F.lit(0).cast("long")
+    """Sign-LSH signature as an int (bit i = sign of <v, plane_i>).
+
+    Vectors longer than ``_MAX_DIM`` fail loudly: the plane literal has
+    only _MAX_DIM components, so a longer vector would get a null-padded
+    dot product, every signature would collapse to 0, and all vectors
+    would collide in every band (an O(n²) candidate blowup that also
+    silently diverges from the full-dimension oracle). assert_true turns
+    that silent degeneracy into a task error.
+    """
+    guard = F.assert_true(
+        F.size(vec) <= F.lit(_MAX_DIM),
+        F.lit(f"lsh_signature supports dims <= {_MAX_DIM}; widen _MAX_DIM "
+              "or use a broadcast plane table"))
+    sig = F.when(guard.isNull(), F.lit(0)).otherwise(F.lit(0)).cast("long")
     for b in range(n_bits):
         plane = F.slice(_plane_literal(b), 1, F.size(vec))
         dot = F.aggregate(
@@ -204,9 +244,5 @@ def lsh_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
         qid_col, id_col,
         cosine_similarity_col(F.col(vec_col), F.col("_qvec")).alias("cosine"),
     )
-    w = Window.partitionBy(qid_col).orderBy(F.desc("cosine"), F.asc(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(qid_col, id_col, F.round("cosine", 6).alias("cosine"), "rank")
-    )
+    return topk_per_query(scored, k, qid_col, id_col).select(
+        qid_col, id_col, F.round("cosine", 6).alias("cosine"), "rank")
