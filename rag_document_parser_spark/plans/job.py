@@ -169,6 +169,12 @@ def extract(df: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG,
     twice (complementary filters) -- at scale a rescan is far cheaper than
     re-running the kernel per reassembly branch (the previous design);
     only the (rare) giant-doc branch pays the explode + groupBy shuffle.
+
+    Contract: with ``chunk=True`` the input plan must be DETERMINISTIC
+    (no rand()/uuid() columns, no source that changes between scans) —
+    the two complementary scans must see the same rows or a doc can be
+    processed twice or not at all. Persist/localCheckpoint the input
+    first if its plan contains non-deterministic expressions.
     """
     kernel = extract_arrow if engine == "arrow" else extract_catalyst
     if not chunk:
@@ -225,10 +231,13 @@ def run_job(
         committed = read_lineage(spark, out_dir).select(
             F.col("partition_id").alias("bucket")
         ).distinct()
-        committed_ids = [r.bucket for r in committed.collect()]
-        if committed_ids:
-            skipped = len(committed_ids)
-            df = df.where(~F.col("bucket").isin(committed_ids))
+        skipped = committed.count()
+        if skipped:
+            # broadcast left-anti join, never a collect+isin: the committed
+            # set is <= n_buckets rows, so the broadcast is tiny, and the
+            # filter stays a hash-lookup per row instead of re-serializing
+            # an id list into every task.
+            df = df.join(F.broadcast(committed), "bucket", "left_anti")
 
     if fail_after_buckets is not None:
         remaining = sorted(
@@ -256,10 +265,15 @@ def run_job(
     # lineage from a column-pruned READ-BACK of what was just written, not
     # from `out`: recomputing the lineage aggregate from `out` would run
     # the whole extraction a second time, while reading 3 small columns
-    # back from columnar storage is nearly free at any scale.
-    written = spark.read.parquet(data_path).select("bucket", "doc_hash", "wall_us")
-    if skipped:
-        written = written.where(~F.col("bucket").isin(committed_ids))
+    # back from columnar storage is nearly free at any scale. The read-back
+    # is restricted to the buckets THIS run actually processed (a cheap
+    # doc_id-only scan of the resumed input): stale bucket dirs left by a
+    # crashed run, or pre-existing data under out_dir, must not be swept
+    # into lineage and marked committed by a run that never touched them.
+    run_buckets = df.select("bucket").distinct()
+    written = (spark.read.parquet(data_path)
+               .select("bucket", "doc_hash", "wall_us")
+               .join(F.broadcast(run_buckets), "bucket", "left_semi"))
     lineage = (
         written.groupBy(F.col("bucket").alias("partition_id"))
         .agg(

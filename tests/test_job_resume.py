@@ -46,6 +46,35 @@ def test_resume_skips_committed_partitions(spark, tmp_path):
     assert spark.read.parquet(f"{out}/data").count() == 120
 
 
+def test_stale_bucket_dirs_not_swept_into_lineage(spark, tmp_path):
+    """A crashed run's orphan data (written but never recorded in lineage)
+    must not be marked committed by a later run that didn't process those
+    buckets — otherwise resume would silently skip them forever."""
+    out = str(tmp_path / "job")
+    df = fixture_df(spark, seed=7, n_docs=100)
+
+    # simulate a crash between data write and lineage append: write data
+    # for the full corpus directly, no lineage rows at all
+    staged = extract(df, CFG, engine="arrow").withColumn(
+        "doc_hash", F.xxhash64("doc_id", "spans_clean")).withColumn(
+        "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(CFG.n_buckets)).cast("int"))
+    staged.write.mode("overwrite").partitionBy("bucket").parquet(f"{out}/data")
+
+    # a later run over a SUBSET of the corpus (some buckets absent)
+    sub = fixture_df(spark, seed=7, n_docs=100).limit(10)
+    run_job(spark, sub, out, CFG, run_id="partial")
+
+    lineage = read_lineage(spark, out)
+    sub_buckets = {
+        r.bucket for r in sub.select(
+            F.pmod(F.xxhash64("doc_id"), F.lit(CFG.n_buckets)).cast("int")
+            .alias("bucket")).distinct().collect()}
+    committed = {r.partition_id for r in lineage.collect()}
+    # only buckets this run processed are committed; orphans stay pending
+    assert committed == sub_buckets
+    assert len(committed) < CFG.n_buckets
+
+
 def test_lineage_checksum_matches_recompute(spark, tmp_path):
     out = str(tmp_path / "job")
     df = fixture_df(spark, seed=13, n_docs=60)
