@@ -192,7 +192,7 @@ def generate_fixture_docs(seed: int = 42, n_docs: int = 200,
                                   "media_ref": None, "offset": off})
                 off += 1
         else:  # edge docs
-            edge = rng.randint(0, 5)
+            edge = rng.randint(0, 6)
             if edge == 0:
                 spans = []
             elif edge == 1:
@@ -211,7 +211,7 @@ def generate_fixture_docs(seed: int = 42, n_docs: int = 200,
                     {"kind": "html", "text": None, "media_ref": None, "offset": 1},
                     {"kind": "text", "text": "survivor", "media_ref": None, "offset": 2},
                 ]
-            else:  # unknown kind passthrough + NULL offsets (sort last)
+            elif edge == 5:  # unknown kind passthrough + NULL offsets (sort last)
                 spans = [
                     {"kind": "custom_v2", "text": _sentence(rng, 2, 4),
                      "media_ref": None, "offset": None},
@@ -220,6 +220,12 @@ def generate_fixture_docs(seed: int = 42, n_docs: int = 200,
                     {"kind": "custom_v2", "text": None,
                      "media_ref": None, "offset": 1},
                 ]
+            else:  # over-cap table: >100 cols, exercises the E14 column cap
+                ncols = rng.randint(110, 130)
+                headers = "\t".join(f"c{i}" for i in range(ncols))
+                row = "\t".join(rng.choice(WORDS) for _ in range(ncols))
+                spans = [{"kind": "table", "text": f"{headers}\n{row}\n{row}",
+                          "media_ref": None, "offset": 0}]
         docs.append({"doc_id": doc_id, "spans": spans})
     if giant_doc_spans > 0:  # skew-test doc, FIXTURES.md edge recipe
         grng = random.Random(seed + 1)

@@ -101,16 +101,25 @@ def ocr_standin(ref: Column, kind: Column,
     return F.when(gate & slug.isNotNull(), F.nullif(joined, F.lit("")))
 
 
-def render_table(c: Column) -> Column:
-    """E14 accept rule + E38 render (spreadsheet_parser.py:415-431), pure Catalyst.
+def render_table(c: Column, cfg: ExtractConfig = DEFAULT_CONFIG) -> Column:
+    """E14 accept rule + row/col caps + E38 render, pure Catalyst.
 
-    Returns NULL when the span must be dropped (fewer than 2 lines)."""
-    head_raw = F.substring_index(c, "\n", 1)
-    rest_raw = F.substring(c, F.length(head_raw) + F.lit(2), F.length(c))
-    head = F.replace(head_raw, F.lit("\t"), F.lit(" | "))
-    rest = F.replace(rest_raw, F.lit("\t"), F.lit(" | "))
+    Mirrors ``semantics.render_table`` exactly: split rows on \\n / cells
+    on \\t, require >= 2 rows (header + data,
+    /root/reference/parsers/pdf_parser.py:322), cap at
+    ``max_table_rows`` data rows and ``max_table_columns`` columns
+    (/root/reference/utils/config.py:110-111), render 'h1 | h2' +
+    dash underline + data rows. Returns NULL when the span is dropped."""
+    rows = F.split(c, "\n")
+    capped = F.transform(
+        F.slice(rows, 1, cfg.max_table_rows + 1),
+        lambda r: F.array_join(
+            F.slice(F.split(r, "\t"), 1, cfg.max_table_columns), " | "),
+    )
+    head = F.element_at(capped, 1)
+    rest = F.array_join(F.slice(capped, 2, cfg.max_table_rows), "\n")
     dash = F.repeat(F.lit("-"), F.length(head))
-    ok = c.isNotNull() & F.contains(c, F.lit("\n")) & (rest_raw != "")
+    ok = c.isNotNull() & (F.size(rows) >= 2)
     return F.when(ok, F.concat_ws("\n", head, dash, rest))
 
 

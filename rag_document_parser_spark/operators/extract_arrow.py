@@ -182,20 +182,30 @@ def _clean_batch(batch: pa.RecordBatch, cfg: ExtractConfig) -> pa.RecordBatch:
     if pdf_m.any():
         keep[pdf_m] = valid_text[pdf_m] & (out_text[pdf_m] != "")
 
-    # ---- table route (E14 accept rule + E38 render), pandas str vectorized ----
+    # ---- table route (E14 accept + row/col caps + E38 render) ----
+    # list-kernel form: split rows / cells as Arrow ListArrays, cap with
+    # list_slice (semantics.render_table caps, reference utils/config.py:
+    # 110-111), rejoin with binary_join — all C++-vectorized, no Python
+    # per row. Non-table rows are blanked first so their payloads don't
+    # pay the split cost.
     if table_m.any():
-        import pandas as pd
-
-        s = pd.Series(out_text[table_m])
-        piped = s.str.replace("\t", " | ", regex=False)
-        parts = piped.str.partition("\n")
-        head, sep, rest = parts[0], parts[1], parts[2]
-        ok = s.notna() & (sep == "\n") & (rest != "")
-        dash = head.str.replace(".", "-", regex=True)  # '-' x len(header line)
-        rendered = head.str.cat(dash, sep="\n").str.cat(rest, sep="\n")
-        vals = np.where(ok.to_numpy(), rendered.to_numpy(dtype=object), None)
-        out_text[table_m] = vals
-        keep[table_m] = ok.to_numpy()
+        t_in = pa.array(np.where(table_m, out_text, ""), type=pa.string())
+        rows = pc.split_pattern(t_in, pattern="\n")
+        n_rows = pc.list_value_length(rows).to_numpy(zero_copy_only=False)
+        rows_c = pc.list_slice(rows, 0, cfg.max_table_rows + 1)
+        cells = pc.split_pattern(pc.list_flatten(rows_c), pattern="\t")
+        piped_flat = pc.binary_join(
+            pc.list_slice(cells, 0, cfg.max_table_columns), " | ")
+        piped = pa.ListArray.from_arrays(rows_c.offsets, piped_flat)
+        head = pc.list_element(piped, 0)
+        rest = pc.binary_join(pc.list_slice(piped, 1, cfg.max_table_rows + 1),
+                              "\n")
+        dash = pc.replace_substring_regex(head, pattern=".", replacement="-")
+        rendered = pc.binary_join_element_wise(head, dash, rest, "\n")
+        ok = table_m & valid_text & (n_rows >= 2)
+        r_np = np.asarray(rendered.to_pandas(), dtype=object)
+        out_text[table_m] = np.where(ok, r_np, None)[table_m]
+        keep[table_m] = ok[table_m]
 
     # ---- media route: size gate + OCR stand-in over unique refs ----
     if media_m.any():

@@ -40,7 +40,7 @@ def _clean_text(s: Column, cfg: ExtractConfig) -> Column:
         # contract (cfg.flatten_json=False) — no JSON recursion in Catalyst
         .when(kind == "json", X.post_process_text(txt, cfg))
         .when(kind == "pdf_block", txt)
-        .when(kind == "table", X.render_table(txt))
+        .when(kind == "table", X.render_table(txt, cfg))
         .when(kind.isin("media", "media_slide"), X.ocr_standin(ref, kind, cfg))
         .when(kind == "slide",
               F.when(X.strip(txt) != "",

@@ -79,6 +79,36 @@ def test_engines_agree_on_ascii(spark, docs):
     _assert_equal(a, c)
 
 
+def test_table_caps_enforced_in_both_engines(spark):
+    """Row/col caps (semantics.render_table) bind in the engines, not just
+    the oracle: a tiny-cap config on an over-cap payload must truncate
+    identically in pure Python, Arrow, and Catalyst."""
+    from rag_document_parser_spark.schema import INPUT_SCHEMA
+
+    cfg = ExtractConfig(normalize_unicode=False, flatten_json=False,
+                        max_table_rows=3, max_table_columns=2)
+    grid = "\n".join("\t".join(f"r{r}c{c}" for c in range(5))
+                     for r in range(8))
+    docs = [
+        {"doc_id": "over", "spans": [
+            {"kind": "table", "text": grid, "media_ref": None, "offset": 0}]},
+        {"doc_id": "under", "spans": [
+            {"kind": "table", "text": "h1\th2\na\tb",
+             "media_ref": None, "offset": 0}]},
+        {"doc_id": "headeronly", "spans": [
+            {"kind": "table", "text": "h1\th2", "media_ref": None,
+             "offset": 0}]},
+    ]
+    expected = _expected(docs, cfg)
+    over_text = expected["over"][0][0][1]
+    assert over_text.count("\n") == 4  # header + dash + 3 capped data rows
+    assert over_text.splitlines()[0] == "r0c0 | r0c1"  # 2-col cap
+    assert expected["headeronly"][0] == []  # accept rule drops it
+    df = spark.createDataFrame(docs, schema=INPUT_SCHEMA)
+    _assert_equal(expected, _actual(extract_arrow(df, cfg)))
+    _assert_equal(expected, _actual(extract_catalyst(df, cfg)))
+
+
 def test_idempotence(spark):
     """extract(extract(x)) == extract(x) for kinds whose cleaning is a fixpoint.
 
