@@ -60,6 +60,31 @@ P_STRIP = _sq(S.RE_STRIP)
 P_EMPTY_LEAD = _sq(S.RE_EMPTY_LINES_LEAD)
 P_EMPTY_MID = _sq(S.RE_EMPTY_LINES_MID)
 P_SPACE = _sq(S.RE_SPACE_RUN)
+P_COMMENT = _sq(S.RE_HTML_COMMENT)
+P_HEAD = _sq(S.RE_HEAD)
+P_BLOCK = _sq(S.RE_BLOCK_TAG)
+P_ANCHOR = _sq(S.RE_ANCHOR)
+P_TITLE = _sq(S.RE_TITLE)
+P_NWSCLS = _sq(f"[{S.WS}]")
+
+
+def _html_ent_sql(expr: str) -> str:
+    for ent, ch in S.HTML_ENTITIES:
+        expr = f"replace({expr}, {_sq(ent)}, {_sq(ch)})"
+    return expr
+
+
+def _vis_sql(expr: str) -> str:
+    """Visible text: tag strip + entity decode (semantics._block_display)."""
+    return _html_ent_sql(f"regexp_replace({expr}, {P_TAG}, '', 'g')")
+
+
+def _disp_sql(expr: str) -> str:
+    return _regex_chain(_vis_sql(expr), (P_WS, "' '"), (P_STRIP, "''"))
+
+
+def _nws_sql(expr: str) -> str:
+    return f"length(regexp_replace({_vis_sql(expr)}, {P_NWSCLS}, '', 'g'))"
 
 # the HTML boilerplate wrapper from corpus.spans_df_from_documents
 HTML_PRE = ("<html><head><title>t</title><script>var x=1;</script>"
@@ -106,9 +131,27 @@ def _md_chain(expr: str) -> str:
     return expr
 
 
+# DOM html extraction oracle (semantics.html_dom_strip), generic: block
+# struct per segment with visible text + link-density counts, density
+# filter, newline join. DuckDB lambda structs mirror the engine's
+# per-block stats.
+_BLOCK_STRUCT = ("{'disp': " + _disp_sql("b")
+                 + ", 'tlen': " + _nws_sql("b")
+                 + ", 'slen': "
+                 + _nws_sql(f"regexp_replace(b, {P_ANCHOR}, '', 'g')") + "}")
+_DOM_JOINED = f"""array_to_string(list_transform(list_filter(
+  list_transform(
+    string_split({_regex_chain("wrapped", (P_SCRIPT, "''"),
+                               (P_COMMENT, "''"), (P_HEAD, "''"),
+                               (P_BLOCK, "chr(1)"))}, chr(1)),
+    b -> {_BLOCK_STRUCT}),
+  x -> x.disp <> '' AND NOT ((x.tlen - x.slen) * 2 > x.tlen
+                             AND x.tlen < {DEFAULT_CONFIG.html_density_min_chars})),
+  x -> x.disp), chr(10))"""
+
 # The full extraction oracle: replicates corpus synthesis (md5-routed) +
 # the extraction contract (semantics.clean_doc) per route, emitting one row
-# per doc: (doc_id, route, n_spans, content).
+# per doc: (doc_id, route, n_spans, content, title).
 EXTRACT_CTE = f"""
 WITH base AS (
   SELECT 'd-'||doc_id::VARCHAR||'-0' AS doc_id, text, source, n_chars,
@@ -120,18 +163,20 @@ WITH base AS (
   SELECT doc_id,
     CASE WHEN cleaned <> '' THEN 'html' ELSE 'empty' END AS route,
     (CASE WHEN cleaned <> '' THEN 1 ELSE 0 END)::BIGINT AS n_spans,
-    CASE WHEN cleaned <> '' THEN cleaned ELSE '' END AS content
+    CASE WHEN cleaned <> '' THEN cleaned ELSE '' END AS content,
+    CASE WHEN cleaned <> '' THEN
+      nullif({_disp_sql(f"regexp_extract(wrapped, {P_TITLE}, 1)")}, '')
+    END AS title
   FROM (
-    SELECT doc_id,
-      {_regex_chain(f"({_sq(HTML_PRE)} || text || {_sq(HTML_POST)})",
-                    (P_SCRIPT, "''"), (P_TAG, "''"),
-                    (P_WS, "' '"), (P_STRIP, "''"))} AS cleaned
-    FROM routed WHERE pick < 3)
+    SELECT doc_id, wrapped, {_post_process_sql(_DOM_JOINED)} AS cleaned
+    FROM (SELECT doc_id, {_sq(HTML_PRE)} || text || {_sq(HTML_POST)} AS wrapped
+          FROM routed WHERE pick < 3))
 ), xml_out AS (
   SELECT doc_id,
     CASE WHEN cleaned <> '' THEN 'text' ELSE 'empty' END AS route,
     (CASE WHEN cleaned <> '' THEN 1 ELSE 0 END)::BIGINT AS n_spans,
-    CASE WHEN cleaned <> '' THEN cleaned ELSE '' END AS content
+    CASE WHEN cleaned <> '' THEN cleaned ELSE '' END AS content,
+    CAST(NULL AS VARCHAR) AS title
   FROM (
     SELECT doc_id,
       {_post_process_sql(_entity_chain(
@@ -141,7 +186,8 @@ WITH base AS (
   SELECT doc_id,
     CASE WHEN cleaned <> '' THEN 'text' ELSE 'empty' END AS route,
     (CASE WHEN cleaned <> '' THEN 1 ELSE 0 END)::BIGINT AS n_spans,
-    CASE WHEN cleaned <> '' THEN cleaned ELSE '' END AS content
+    CASE WHEN cleaned <> '' THEN cleaned ELSE '' END AS content,
+    CAST(NULL AS VARCHAR) AS title
   FROM (
     SELECT doc_id,
       {_post_process_sql(_md_chain(
@@ -151,7 +197,8 @@ WITH base AS (
   SELECT doc_id,
     CASE WHEN len(blocks) > 0 THEN 'pdf' ELSE 'empty' END AS route,
     len(blocks)::BIGINT AS n_spans,
-    array_to_string(blocks, {NL2}) AS content
+    array_to_string(blocks, {NL2}) AS content,
+    CAST(NULL AS VARCHAR) AS title
   FROM (
     SELECT doc_id, list_filter(
       list_transform(range(greatest(ceil(len(string_split(text,' '))/8.0),1)::INT),
@@ -165,7 +212,8 @@ WITH base AS (
     (CASE WHEN ptext <> '' THEN 4 ELSE 3 END)::BIGINT AS n_spans,
     array_to_string(['[HEADER] '||source, ocr, nullif(ptext,''),
       'name | val' || chr(10) || repeat('-', 10) || chr(10)
-        || source || ' | ' || n_chars::VARCHAR], {NL2}) AS content
+        || source || ' | ' || n_chars::VARCHAR], {NL2}) AS content,
+    CAST(NULL AS VARCHAR) AS title
   FROM (
     SELECT doc_id, source, n_chars, {_post_process_sql("text")} AS ptext,
       CASE WHEN (CASE WHEN h % 2 = 1 THEN w > 50 AND hh > 30
@@ -225,6 +273,7 @@ def _extract_projection(out: DataFrame) -> DataFrame:
         "doc_id", "route",
         F.size("spans_clean").cast("long").alias("n_spans"),
         F.array_join(F.col("spans_clean").getField("text"), "\n\n").alias("content"),
+        "title",
     )
 
 
@@ -248,7 +297,7 @@ def q_extract_content_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_EXTRACT = EXTRACT_CTE + \
-    "SELECT doc_id, route, n_spans, content FROM extracted"
+    "SELECT doc_id, route, n_spans, content, title FROM extracted"
 
 
 def q_route_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

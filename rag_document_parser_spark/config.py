@@ -26,6 +26,19 @@ class ExtractConfig:
     # how it implements normalize_unicode=False.
     flatten_json: bool = True
 
+    # -- html route (E1/E2) --
+    # "dom": the reference's PRIMARY html path (BeautifulSoup,
+    # text_parser.py:150-180) re-expressed as a tokenizer contract: title
+    # capture, script/style/comment/head removal, block segmentation at
+    # block-element boundaries, and a readability-style link-density
+    # filter per block (the north-star's "DOM-tree text-density
+    # heuristics"). "regex": the no-BS4 fallback (text_parser.py:309-320).
+    html_mode: str = "dom"
+    # density rule: drop a block when link_density > 1/2 AND its non-ws
+    # text is shorter than this (short, link-dominated blocks are nav/
+    # boilerplate). Integer threshold so all engines compare identically.
+    html_density_min_chars: int = 40
+
     # -- OCR stand-in (image_parser.py:229-233; utils/config.py:46) --
     ocr_confidence_threshold: float = 0.3
     # size gates: (min_width_exclusive, min_height_exclusive) per media kind

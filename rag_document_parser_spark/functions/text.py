@@ -42,6 +42,51 @@ def strip(c: Column) -> Column:
     return F.regexp_replace(c, S.RE_STRIP, "")
 
 
+def _entity_chain(c: Column) -> Column:
+    for ent, ch in S.HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return c
+
+
+def _visible(c: Column) -> Column:
+    """Visible text of a markup fragment: tag strip + entity decode."""
+    return _entity_chain(F.regexp_replace(c, S.RE_TAG, ""))
+
+
+def _nws_len(c: Column) -> Column:
+    """Non-whitespace visible-char count — the link-density unit."""
+    return F.length(F.regexp_replace(_visible(c), f"[{S.WS}]", ""))
+
+
+def html_title(c: Column) -> Column:
+    """E1 <title> capture (text_parser.py:159-162); NULL when absent."""
+    t = strip(F.regexp_replace(_visible(F.regexp_extract(c, S.RE_TITLE, 1)),
+                               S.RE_WS_RUN, " "))
+    return F.when(t != "", t)
+
+
+def html_dom_strip(c: Column, cfg: ExtractConfig = DEFAULT_CONFIG) -> Column:
+    """E1 DOM html extraction, pure Catalyst (semantics.html_dom_strip):
+    script/style/comment/head removal, block segmentation, per-block
+    link-density filter, newline join, E8. All higher-order functions —
+    JVM-side, no Python."""
+    s = F.regexp_replace(c, S.RE_SCRIPT_STYLE, "")
+    s = F.regexp_replace(s, S.RE_HTML_COMMENT, "")
+    s = F.regexp_replace(s, S.RE_HEAD, "")
+    s = F.regexp_replace(s, S.RE_BLOCK_TAG, S.BLOCK_SEP)
+    blocks = F.split(s, S.BLOCK_SEP)
+    stats = F.transform(blocks, lambda b: F.struct(
+        strip(F.regexp_replace(_visible(b), S.RE_WS_RUN, " ")).alias("disp"),
+        _nws_len(b).alias("tlen"),
+        _nws_len(F.regexp_replace(b, S.RE_ANCHOR, "")).alias("slen"),
+    ))
+    kept = F.filter(stats, lambda x: (x["disp"] != "") & ~(
+        ((x["tlen"] - x["slen"]) * 2 > x["tlen"])
+        & (x["tlen"] < F.lit(cfg.html_density_min_chars))))
+    joined = F.array_join(F.transform(kept, lambda x: x["disp"]), "\n")
+    return post_process_text(joined, cfg)
+
+
 def xml_strip(c: Column, cfg: ExtractConfig = DEFAULT_CONFIG) -> Column:
     """E3 xml text extraction + E8 (text_parser.py:182-214, :97)."""
     c = F.regexp_replace(c, S.RE_TAG, "")

@@ -50,6 +50,83 @@ def _e8(t, cfg: ExtractConfig):
     return pc.replace_substring_regex(t, pattern=S.RE_STRIP, replacement="")
 _BIT_NAME = {1: "html", 2: "pdf", 4: "text", 8: "media", 16: "doc", 32: "other"}
 
+# pc.extract_regex needs a named group; same pattern as semantics.RE_TITLE
+_RE_TITLE_NAMED = S.RE_TITLE.replace("(.*?)", "(?P<t>.*?)")
+
+
+def _visible(t):
+    """Visible text of markup fragments: strip tags, decode the named
+    entity subset (semantics.HTML_ENTITIES, &amp; last)."""
+    t = pc.replace_substring_regex(t, pattern=S.RE_TAG, replacement="")
+    for ent, ch in S.HTML_ENTITIES:
+        t = pc.replace_substring(t, pattern=ent, replacement=ch)
+    return t
+
+
+def _nws_len(t) -> np.ndarray:
+    """Per-element non-whitespace visible-char count (density unit)."""
+    t = pc.replace_substring_regex(_visible(t), pattern=rf"[{S.WS}]",
+                                   replacement="")
+    return pc.utf8_length(t).to_numpy(zero_copy_only=False)
+
+
+def _html_dom_batch(text: pa.Array, html_m: np.ndarray,
+                    cfg: ExtractConfig) -> tuple[np.ndarray, np.ndarray]:
+    """E1 DOM html extraction over a whole Arrow string array.
+
+    Mirrors ``semantics.html_dom_strip`` / ``html_title``: script/style/
+    comment/head removal, block segmentation at block-element boundaries,
+    per-block link-density filtering, newline join, E8. All passes are
+    C++ regex/list kernels over the flattened block array — no per-row
+    Python. Returns (cleaned_text, title) numpy object arrays aligned to
+    the batch; only positions where ``html_m`` holds are meaningful.
+    """
+    mask = pa.array(html_m)
+    h_in = pc.if_else(mask, pc.fill_null(text, ""), "")
+
+    # title capture (text_parser.py:159-162)
+    ti_struct = pc.extract_regex(h_in, pattern=_RE_TITLE_NAMED)
+    ti = pc.replace_substring_regex(
+        _visible(ti_struct.field("t")), pattern=S.RE_WS_RUN, replacement=" ")
+    ti = pc.replace_substring_regex(ti, pattern=S.RE_STRIP, replacement="")
+    ti_np = np.asarray(ti.to_pandas(), dtype=object)
+    ti_np[ti_np == ""] = None
+
+    # body: decompose script/style + comments + head, then segment
+    s1 = pc.replace_substring_regex(h_in, pattern=S.RE_SCRIPT_STYLE,
+                                    replacement="")
+    s1 = pc.replace_substring_regex(s1, pattern=S.RE_HTML_COMMENT,
+                                    replacement="")
+    s1 = pc.replace_substring_regex(s1, pattern=S.RE_HEAD, replacement="")
+    s1 = pc.replace_substring_regex(s1, pattern=S.RE_BLOCK_TAG,
+                                    replacement=S.BLOCK_SEP)
+    blocks = pc.split_pattern(s1, pattern=S.BLOCK_SEP)
+    flat = pc.list_flatten(blocks)
+
+    disp = pc.replace_substring_regex(_visible(flat), pattern=S.RE_WS_RUN,
+                                      replacement=" ")
+    disp = pc.replace_substring_regex(disp, pattern=S.RE_STRIP,
+                                      replacement="")
+    disp_np = np.asarray(disp.to_pandas(), dtype=object)
+    tlen = _nws_len(flat)
+    slen = _nws_len(pc.replace_substring_regex(flat, pattern=S.RE_ANCHOR,
+                                               replacement=""))
+    link = tlen - slen
+    keep_b = (disp_np != "") & ~((2 * link > tlen)
+                                 & (tlen < cfg.html_density_min_chars))
+
+    vals = pa.array(np.where(keep_b, disp_np, ""), type=pa.string())
+    joined = pc.binary_join(pa.ListArray.from_arrays(blocks.offsets, vals),
+                            "\n")
+    # dropped blocks joined as empty lines; collapsing them restores the
+    # exact '\n'.join(kept) of the contract (kept lines are never blank)
+    joined = pc.replace_substring_regex(
+        joined, pattern=S.RE_EMPTY_LINES_LEAD, replacement="")
+    joined = pc.replace_substring_regex(
+        joined, pattern=S.RE_EMPTY_LINES_MID, replacement="\n")
+    out = np.asarray(_e8(joined, cfg).to_pandas(), dtype=object)
+    return out, ti_np
+
 
 def _route_names(mask: int) -> str:
     if mask == 0:
@@ -116,13 +193,24 @@ def _clean_batch(batch: pa.RecordBatch, cfg: ExtractConfig) -> pa.RecordBatch:
     keep = np.ones(m, dtype=bool)
     valid_text = np.asarray(pc.is_valid(text).to_numpy(zero_copy_only=False))
 
-    # ---- html route (E2 regex strip; text_parser.py:309-320), C++ regex ----
+    # ---- html route: DOM path (E1, default) or regex fallback (E2) ----
+    span_title = np.empty(m, dtype=object)
+    span_title[:] = None
     if html_m.any():
-        t = pc.replace_substring_regex(text, pattern=S.RE_SCRIPT_STYLE, replacement="")
-        t = pc.replace_substring_regex(t, pattern=S.RE_TAG, replacement="")
-        t = pc.replace_substring_regex(t, pattern=S.RE_WS_RUN, replacement=" ")
-        t = pc.replace_substring_regex(t, pattern=S.RE_STRIP, replacement="")
-        t_np = np.asarray(t.to_pandas(), dtype=object)
+        if cfg.html_mode == "dom":
+            t_np, ti_np = _html_dom_batch(text, html_m, cfg)
+            span_title[html_m] = ti_np[html_m]
+        else:
+            t = pc.replace_substring_regex(text, pattern=S.RE_SCRIPT_STYLE,
+                                           replacement="")
+            t = pc.replace_substring_regex(t, pattern=S.RE_TAG, replacement="")
+            t = pc.replace_substring_regex(t, pattern=S.RE_WS_RUN,
+                                           replacement=" ")
+            t = pc.replace_substring_regex(t, pattern=S.RE_STRIP,
+                                           replacement="")
+            # E8 runs after the strip (text_parser.py:99) — only NFKC can
+            # still change anything once whitespace is collapsed
+            t_np = np.asarray(_e8(t, cfg).to_pandas(), dtype=object)
         out_text[html_m] = t_np[html_m]
         keep[html_m] = valid_text[html_m] & (t_np[html_m] != "")
 
@@ -253,6 +341,15 @@ def _clean_batch(batch: pa.RecordBatch, cfg: ExtractConfig) -> pa.RecordBatch:
     order = np.lexsort((kept_idx, off_fill[kept_idx], off_null[kept_idx], par_k))
     take_idx = kept_idx[order]
 
+    # doc title = first non-null span title in reading order (E1 metadata)
+    doc_title = np.empty(n, dtype=object)
+    doc_title[:] = None
+    st = span_title[take_idx]
+    t_valid = st != None  # noqa: E711  (elementwise on object array)
+    if t_valid.any():
+        u, fi = np.unique(parent[take_idx][t_valid], return_index=True)
+        doc_title[u] = st[t_valid][fi]
+
     counts = np.bincount(par_k, minlength=n)
     new_offsets = np.zeros(n + 1, dtype=np.int32)
     np.cumsum(counts, out=new_offsets[1:])
@@ -292,6 +389,7 @@ def _clean_batch(batch: pa.RecordBatch, cfg: ExtractConfig) -> pa.RecordBatch:
             doc_id,
             spans_clean,
             route_arr,
+            pa.array(doc_title, type=pa.string()),
             pa.array(np.ones(n, dtype=bool)),
             pa.array([None] * n, type=pa.string()),
             pa.array(wall),
@@ -311,6 +409,7 @@ def _error_batch(batch: pa.RecordBatch, err: str) -> pa.RecordBatch:
             batch.column("doc_id"),
             empty,
             pa.array(["error"] * n, type=pa.string()),
+            pa.array([None] * n, type=pa.string()),
             pa.array(np.zeros(n, dtype=bool)),
             pa.array([err] * n, type=pa.string()),
             pa.array(np.zeros(n, dtype=np.int64)),

@@ -30,8 +30,10 @@ from rag_document_parser_spark.semantics import KIND_CLASS
 
 def _clean_text(s: Column, cfg: ExtractConfig) -> Column:
     kind, txt, ref = s["kind"], s["text"], s["media_ref"]
+    html_leg = (X.html_dom_strip(txt, cfg) if cfg.html_mode == "dom"
+                else X.post_process_text(X.html_strip(txt), cfg))
     return (
-        F.when(kind == "html", X.html_strip(txt))
+        F.when(kind == "html", html_leg)
         .when(kind.isin("text", "code"), X.post_process_text(txt, cfg))
         .when(kind == "xml", X.xml_strip(txt, cfg))
         .when(kind == "markdown", X.markdown_strip(txt, cfg))
@@ -70,12 +72,20 @@ def _keep(s: Column) -> Column:
 def extract_catalyst(df: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG) -> DataFrame:
     """documents(doc_id, spans) -> (doc_id, spans_clean, route, success, error, wall_us)."""
     # 1. clean each span, carrying original position for the stable tie-break
+    # (_title rides along after the sort-key fields; _pos is unique per
+    # array so the struct sort never compares it)
+    span_title = (
+        (lambda s: F.when(s["kind"] == "html", X.html_title(s["text"])))
+        if cfg.html_mode == "dom"
+        else (lambda s: F.lit(None).cast("string"))
+    )
     cleaned = F.transform(
         F.col("spans"),
         lambda s, i: F.struct(
             s["offset"].isNull().cast("int").alias("_onull"),
             F.coalesce(s["offset"], F.lit(0)).alias("_off"),
             i.alias("_pos"),
+            span_title(s).alias("_title"),
             s["kind"].alias("kind"),
             _clean_text(s, cfg).alias("text"),
             s["media_ref"].alias("media_ref"),
@@ -93,6 +103,11 @@ def extract_catalyst(df: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG) -> Data
             s["offset"].alias("offset"),
         ),
     )
+    # doc title = first non-null span title in reading order (E1 metadata)
+    titles = F.filter(F.transform(ordered, lambda s: s["_title"]),
+                      lambda t: t.isNotNull())
+    doc_title = F.element_at(
+        F.concat(titles, F.array(F.lit(None).cast("string"))), 1)
 
     class_map = F.create_map(
         *[F.lit(x) for kv in KIND_CLASS.items() for x in kv]
@@ -107,6 +122,7 @@ def extract_catalyst(df: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG) -> Data
         F.col("doc_id"),
         F.coalesce(spans_clean, F.array().cast(spans_clean_type())).alias("spans_clean"),
         route.alias("route"),
+        doc_title.alias("title"),
         F.lit(True).alias("success"),
         F.lit(None).cast("string").alias("error"),
         F.lit(0).cast("long").alias("wall_us"),

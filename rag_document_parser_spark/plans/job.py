@@ -130,11 +130,12 @@ def _reassemble_big(out: DataFrame) -> DataFrame:
         F.expr(strip).alias("doc_id"),
         F.regexp_extract("doc_id", _SEP + "(\\d+)/(\\d+)$", 1)
         .cast("int").alias("chunk_id"),
-        "spans_clean", "route", "success", "error", "wall_us",
+        "spans_clean", "route", "title", "success", "error", "wall_us",
     )
     grouped = parsed.groupBy("doc_id").agg(
         F.array_sort(
-            F.collect_list(F.struct("chunk_id", "spans_clean", "wall_us"))
+            F.collect_list(F.struct("chunk_id", "spans_clean", "wall_us",
+                                    "title"))
         ).alias("chunks"),
         F.flatten(F.collect_list(F.split("route", ","))).alias("route_parts"),
         F.min("success").alias("success"),
@@ -142,6 +143,7 @@ def _reassemble_big(out: DataFrame) -> DataFrame:
     )
     classes = F.array_sort(F.array_distinct(F.col("route_parts")))
     classes_ne = F.filter(classes, lambda c: c != "empty")
+    titles = F.filter(F.col("chunks.title"), lambda t: t.isNotNull())
     return grouped.select(
         "doc_id",
         F.array_sort(
@@ -152,6 +154,12 @@ def _reassemble_big(out: DataFrame) -> DataFrame:
         ).alias("spans_clean"),
         F.when(F.size(classes_ne) > 0, F.array_join(classes_ne, ","))
         .otherwise(F.lit("empty")).alias("route"),
+        # first per-chunk title in chunk order (chunks sliced in input
+        # order; exact when the doc's first titled html span is in the
+        # earliest titled chunk — same approximation class as the
+        # duplicate-offset tie-break above)
+        F.element_at(F.concat(titles, F.array(F.lit(None).cast("string"))),
+                     1).alias("title"),
         "success",
         "error",
         F.aggregate(F.col("chunks.wall_us"), F.lit(0).cast("long"),
@@ -189,7 +197,8 @@ def extract(df: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG,
     # spreads chunks across tasks (it only moves the rare big branch).
     chunked = _chunk_big(big, max_spans).repartition(F.col("doc_id"))
     out_big = _reassemble_big(kernel(chunked, cfg))
-    cols = ["doc_id", "spans_clean", "route", "success", "error", "wall_us"]
+    cols = ["doc_id", "spans_clean", "route", "title", "success", "error",
+            "wall_us"]
     return out_small.select(*cols).unionByName(out_big.select(*cols))
 
 

@@ -38,6 +38,7 @@ KERNEL_OUTPUT_SCHEMA = T.StructType(
         T.StructField("doc_id", T.StringType(), nullable=False),
         T.StructField("spans_clean", SPAN_ARRAY),
         T.StructField("route", T.StringType()),
+        T.StructField("title", T.StringType()),  # DOM <title> metadata (E1)
         T.StructField("success", T.BooleanType()),
         T.StructField("error", T.StringType()),
         T.StructField("wall_us", T.LongType()),
@@ -78,6 +79,7 @@ ARROW_KERNEL_OUTPUT = pa.schema(
         pa.field("doc_id", pa.string()),
         pa.field("spans_clean", pa.list_(ARROW_SPAN_STRUCT)),
         pa.field("route", pa.string()),
+        pa.field("title", pa.string()),
         pa.field("success", pa.bool_()),
         pa.field("error", pa.string()),
         pa.field("wall_us", pa.int64()),

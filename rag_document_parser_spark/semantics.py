@@ -41,6 +41,33 @@ RE_TAG = r"<[^>]+>"
 RE_WS_RUN = rf"[{WS}]+"
 RE_STRIP = rf"^[{WS}]+|[{WS}]+$"
 
+# --- E1 DOM html path (primary; /root/reference/parsers/text_parser.py:
+# 150-180 BeautifulSoup semantics + the north-star's readability-style
+# text-density rule). All patterns RE2-safe; html.parser node classes map
+# to regex passes for well-formed markup:
+#   Comment nodes          -> RE_HTML_COMMENT removal
+#   <head> subtree         -> RE_HEAD removal (title captured first)
+#   block-level elements   -> boundaries (get_text's newline structure)
+#   NavigableString        -> tag strip + entity decode inside each block
+RE_HTML_COMMENT = r"(?s)<!--.*?-->"
+RE_HEAD = rf"(?is)<head(?:[{WS}][^>]*)?>.*?</head>"
+RE_TITLE = rf"(?is)<title(?:[{WS}][^>]*)?>(.*?)</title>"
+_BLOCK_TAGS = ("html|head|body|div|p|h1|h2|h3|h4|h5|h6|ul|ol|li|dl|dt|dd|"
+               "table|thead|tbody|tfoot|tr|caption|nav|header|footer|"
+               "section|article|aside|main|figure|figcaption|blockquote|"
+               "pre|form|fieldset|hr|br|title")
+RE_BLOCK_TAG = rf"(?i)</?(?:{_BLOCK_TAGS})\b[^>]*>"
+RE_ANCHOR = r"(?is)<a\b[^>]*>.*?</a>"
+BLOCK_SEP = "\x01"  # sentinel; cannot appear in decoded text
+
+# html.parser entity decoding, named subset (&amp; last so "&amp;lt;"
+# yields the literal "&lt;", matching DOM text nodes). Numeric character
+# references are outside the documented subset.
+HTML_ENTITIES = [
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&apos;", "'"),
+    ("&nbsp;", " "), ("&copy;", "©"), ("&amp;", "&"),
+]
+
 # E8 remove-empty-lines (/root/reference/parsers/text_parser.py:349-353),
 # reformulated without lookaround: drop leading whitespace-only lines, then
 # collapse runs of (newline + ws-only line) to a single newline. Trailing
@@ -130,6 +157,69 @@ def html_strip(s: str) -> str:
     s = re.sub(RE_TAG, "", s)
     s = re.sub(RE_WS_RUN, " ", s)
     return re.sub(RE_STRIP, "", s)
+
+
+def _decode_entities(s: str) -> str:
+    for ent, ch in HTML_ENTITIES:
+        s = s.replace(ent, ch)
+    return s
+
+
+def _block_display(b: str) -> str:
+    """Visible text of one DOM block: strip inline tags, decode entities,
+    collapse whitespace runs, strip."""
+    t = _decode_entities(re.sub(RE_TAG, "", b))
+    return re.sub(RE_STRIP, "", re.sub(RE_WS_RUN, " ", t))
+
+
+def _nws_len(x: str) -> int:
+    """Non-whitespace char count of a fragment's visible text — the unit
+    both sides of the link-density ratio are measured in."""
+    t = _decode_entities(re.sub(RE_TAG, "", x))
+    return len(re.sub(rf"[{WS}]", "", t))
+
+
+def html_title(s: str) -> Optional[str]:
+    """<title> capture (text_parser.py:159-162). The reference computes
+    this then clobbers it with the first-line heuristic at
+    text_parser.py:105; we keep the DOM title — the intended behavior,
+    same policy as the SURVEY §1.2 date-parser fix."""
+    m = re.search(RE_TITLE, s)
+    if not m:
+        return None
+    t = _block_display(m.group(1))
+    return t or None
+
+
+def html_dom_strip(s: str, cfg: ExtractConfig = DEFAULT_CONFIG) -> str:
+    """E1 DOM html extraction + E8 post-process.
+
+    1. remove script/style subtrees, comments, and the <head> subtree
+       (title is captured separately by ``html_title``);
+    2. segment at block-element boundaries (newline structure of
+       BeautifulSoup ``get_text`` for well-formed markup);
+    3. per block, compute visible text and its link-density — the share
+       of non-ws chars inside <a> elements; drop empty blocks and
+       short, link-dominated blocks (2*link_len > text_len AND
+       text_len < cfg.html_density_min_chars): readability-style
+       boilerplate removal (nav bars, footer link rows);
+    4. join kept blocks with newlines, then the shared E8 post-process.
+    """
+    s = re.sub(RE_SCRIPT_STYLE, "", s)
+    s = re.sub(RE_HTML_COMMENT, "", s)
+    s = re.sub(RE_HEAD, "", s)
+    s = re.sub(RE_BLOCK_TAG, BLOCK_SEP, s)
+    kept: list[str] = []
+    for b in s.split(BLOCK_SEP):
+        disp = _block_display(b)
+        if disp == "":
+            continue
+        text_len = _nws_len(b)
+        link_len = text_len - _nws_len(re.sub(RE_ANCHOR, "", b))
+        if 2 * link_len > text_len and text_len < cfg.html_density_min_chars:
+            continue
+        kept.append(disp)
+    return post_process_text("\n".join(kept), cfg)
 
 
 def post_process_text(s: str, cfg: ExtractConfig = DEFAULT_CONFIG) -> str:
@@ -301,7 +391,12 @@ def clean_span(kind: str, text: Optional[str], media_ref: Optional[str],
     if kind == "html":
         if text is None:
             return False, None
-        cleaned = html_strip(text)
+        if cfg.html_mode == "dom":
+            cleaned = html_dom_strip(text, cfg)
+        else:
+            # E2 fallback; E8 runs after per text_parser.py:99 (a no-op
+            # there except NFKC, since the strip already collapsed ws)
+            cleaned = post_process_text(html_strip(text), cfg)
         return (cleaned != ""), cleaned
     if kind in ("text", "code"):
         if text is None:
@@ -357,16 +452,21 @@ def clean_span(kind: str, text: Optional[str], media_ref: Optional[str],
 
 
 def clean_doc(spans: Optional[list[dict[str, Any]]],
-              cfg: ExtractConfig = DEFAULT_CONFIG) -> tuple[list[dict[str, Any]], str, bool, Optional[str]]:
-    """Whole-doc oracle: returns (spans_clean, route, success, error).
+              cfg: ExtractConfig = DEFAULT_CONFIG,
+              ) -> tuple[list[dict[str, Any]], str, Optional[str], bool, Optional[str]]:
+    """Whole-doc oracle: returns (spans_clean, route, title, success, error).
 
     spans_clean is sorted by (offset, original array position) — explicit
     reading-order sort (L1; the reference's implicit iterate-pages-in-order,
     /root/reference/parsers/pdf_parser.py:141-160). Null offsets sort last.
+
+    title: the DOM <title> of the first kept html span in reading order
+    (html_mode="dom" only) — the E13-style metadata column the reference
+    computes then clobbers (text_parser.py:105).
     """
     if not spans:
-        return [], "empty", True, None
-    kept: list[tuple[tuple, dict[str, Any]]] = []
+        return [], "empty", None, True, None
+    kept: list[tuple[tuple, dict[str, Any], Optional[str]]] = []
     classes: set[str] = set()
     for pos, s in enumerate(spans):
         kind = s.get("kind")
@@ -376,8 +476,11 @@ def clean_doc(spans: Optional[list[dict[str, Any]]],
         classes.add(KIND_CLASS.get(kind, "other"))
         off = s.get("offset")
         key = (1 if off is None else 0, off if off is not None else 0, pos)
+        t = (html_title(s["text"])
+             if kind == "html" and cfg.html_mode == "dom" else None)
         kept.append((key, {"kind": kind, "text": cleaned,
-                           "media_ref": s.get("media_ref"), "offset": off}))
+                           "media_ref": s.get("media_ref"), "offset": off}, t))
     kept.sort(key=lambda kv: kv[0])
     route = ",".join(sorted(classes)) if classes else "empty"
-    return [s for _, s in kept], route, True, None
+    title = next((t for _, _, t in kept if t is not None), None)
+    return [s for _, s, _ in kept], route, title, True, None

@@ -20,10 +20,11 @@ N_DOCS = 250
 def _expected(docs, cfg):
     out = {}
     for d in docs:
-        spans_clean, route, success, error = clean_doc(d["spans"], cfg)
+        spans_clean, route, title, success, error = clean_doc(d["spans"], cfg)
         out[d["doc_id"]] = (
             [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans_clean],
             route,
+            title,
         )
     return out
 
@@ -33,7 +34,7 @@ def _actual(result_df):
     for row in result_df.collect():
         spans = [(s["kind"], s["text"], s["media_ref"], s["offset"])
                  for s in (row["spans_clean"] or [])]
-        out[row["doc_id"]] = (spans, row["route"])
+        out[row["doc_id"]] = (spans, row["route"], row["title"])
         assert row["success"] is True
         assert row["error"] is None
     return out
@@ -79,6 +80,34 @@ def test_engines_agree_on_ascii(spark, docs):
     _assert_equal(a, c)
 
 
+def test_dom_html_differs_from_regex_fallback(spark, docs):
+    """The DOM path (E1) is really DOM semantics, not the regex fallback:
+    titles captured, nav link-blocks dropped by density, newline block
+    structure — and both engines implement BOTH modes against the
+    contract."""
+    dom_cfg = ExtractConfig(normalize_unicode=False, flatten_json=False)
+    rx_cfg = ExtractConfig(normalize_unicode=False, flatten_json=False,
+                           html_mode="regex")
+    df = fixture_df(spark, seed=42, n_docs=N_DOCS)
+    exp_dom = _expected(docs, dom_cfg)
+    exp_rx = _expected(docs, rx_cfg)
+    _assert_equal(exp_rx, _actual(extract_arrow(df, rx_cfg)))
+    _assert_equal(exp_rx, _actual(extract_catalyst(df, rx_cfg)))
+
+    html_ids = [d["doc_id"] for d in docs
+                if any(s.get("kind") == "html" and s.get("text")
+                       for s in d["spans"])]
+    assert len(html_ids) > 30
+    differs = sum(exp_dom[i][0] != exp_rx[i][0] for i in html_ids)
+    assert differs > 30  # boilerplate dropped / structure differs
+    dom_titles = [exp_dom[i][2] for i in html_ids if exp_dom[i][2]]
+    assert len(dom_titles) > 30  # <title> captured in dom mode
+    assert all(exp_rx[i][2] is None for i in html_ids)  # never in regex
+    # nav boilerplate ("Home"/"About" link row) survives regex, not DOM
+    nav_doc = next(i for i in html_ids if "Home" in exp_rx[i][0][0][1])
+    assert "Home" not in exp_dom[nav_doc][0][0][1]
+
+
 def test_table_caps_enforced_in_both_engines(spark):
     """Row/col caps (semantics.render_table) bind in the engines, not just
     the oracle: a tiny-cap config on an over-cap payload must truncate
@@ -119,7 +148,10 @@ def test_idempotence(spark):
     cfg = ExtractConfig()
     df = fixture_df(spark, seed=42, n_docs=80)
     once = extract_arrow(df, cfg)
-    fixpoint_kinds = {"html", "text", "code", "pdf_block", "media", "media_slide"}
+    # html left out since the DOM path: its output is block-per-line text,
+    # and re-parsing text as markup collapses the newline structure (one
+    # block), exactly like re-rendering a rendered table
+    fixpoint_kinds = {"text", "code", "pdf_block", "media", "media_slide"}
     o = _actual(once)
     again = extract_arrow(
         once.select("doc_id", once["spans_clean"].alias("spans")), cfg

@@ -109,7 +109,7 @@ def test_chunking_splits_and_reassembles_giant_doc(spark):
     row = out.where(F.col("doc_id") == "doc-giant").collect()[0]
     docs = {d["doc_id"]: d for d in
             generate_fixture_docs(seed=42, n_docs=30, giant_doc_spans=giant)}
-    expected, _, _, _ = clean_doc(docs["doc-giant"]["spans"], CFG)
+    expected, _, _, _, _ = clean_doc(docs["doc-giant"]["spans"], CFG)
     got = [(s["kind"], s["text"], s["media_ref"], s["offset"])
            for s in row["spans_clean"]]
     exp = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in expected]

@@ -97,17 +97,17 @@ def test_clean_doc_order_invariant_under_permutation(spans, rnd):
         if sp["offset"] not in seen:
             seen.add(sp["offset"])
             uniq.append(sp)
-    base, _, _, _ = S.clean_doc(uniq)
+    base, _, _, _, _ = S.clean_doc(uniq)
     shuffled = list(uniq)
     rnd.shuffle(shuffled)
-    got, _, _, _ = S.clean_doc(shuffled)
+    got, _, _, _, _ = S.clean_doc(shuffled)
     assert got == base
 
 
 @settings(max_examples=80, deadline=None)
 @given(st.lists(SPAN, min_size=0, max_size=8))
 def test_clean_doc_offsets_sorted(spans):
-    out, route, success, error = S.clean_doc(spans)
+    out, route, _title, success, error = S.clean_doc(spans)
     offs = [s["offset"] for s in out if s["offset"] is not None]
     assert offs == sorted(offs)
     assert success is True and error is None
