@@ -25,7 +25,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from rag_document_parser_spark import semantics as S
-from rag_document_parser_spark.config import DEFAULT_CONFIG
+from rag_document_parser_spark.config import CATALYST_CONFIG, DEFAULT_CONFIG
 from rag_document_parser_spark.corpus import SLUG_WORDS, spans_df_from_documents
 from rag_document_parser_spark.functions import text as X
 from rag_document_parser_spark.operators import dedup as D
@@ -151,14 +151,40 @@ _DOM_JOINED = f"""array_to_string(list_transform(list_filter(
 
 # The full extraction oracle: replicates corpus synthesis (md5-routed) +
 # the extraction contract (semantics.clean_doc) per route, emitting one row
-# per doc: (doc_id, route, n_spans, content, title).
-EXTRACT_CTE = f"""
+# per doc: (doc_id, route, n_spans, content, title). Parameterized by the
+# engine config it replicates:
+#   nfkc    — True for the Arrow engine (normalize_unicode=True): the
+#             corpus's NFKC-probe chars fold in every E8 route (html/xml/
+#             md/json/inter-text) but NOT in verbatim pdf_block text;
+#   flatten — True replicates flatten_json=True (json route flattened
+#             when valid), False the raw_json fallback leg (Catalyst).
+def _extract_cte(nfkc: bool, flatten: bool) -> str:
+    from rag_document_parser_spark.corpus import NFKC_PROBE, NFKC_PROBE_FOLDS
+
+    ftext = "rtext"
+    if nfkc:
+        for a, b in NFKC_PROBE_FOLDS:
+            ftext = f"replace({ftext}, {_sq(a)}, {_sq(b)})"
+    flat_json = (
+        "'title: ' || source || chr(10) || 'count: ' || n_chars::VARCHAR"
+    )
+    json_cleaned = (
+        f"""CASE WHEN h2 % 5 = 1 THEN {_post_process_sql("jraw")}
+             ELSE {_post_process_sql(flat_json)} END"""
+        if flatten else _post_process_sql("jraw")
+    )
+    return f"""
 WITH base AS (
   SELECT 'd-'||doc_id::VARCHAR||'-0' AS doc_id, text, source, n_chars,
-         {_md5l("'d-'||doc_id::VARCHAR||'-0'")} AS h
+         {_md5l("'d-'||doc_id::VARCHAR||'-0'")} AS h,
+         ('0x'||substring(md5('d-'||doc_id::VARCHAR||'-0'),16,15))::BIGINT AS h2
   FROM documents
 ), routed AS (
-  SELECT *, h % 10 AS pick FROM base
+  SELECT doc_id, source, n_chars, h, h2, h % 10 AS pick,
+    CASE WHEN h2 % 4 = 0 THEN {_sq(NFKC_PROBE)} || text ELSE text END AS rtext
+  FROM base
+), folded AS (
+  SELECT *, {ftext} AS ftext FROM routed
 ), html_out AS (
   SELECT doc_id,
     CASE WHEN cleaned <> '' THEN 'html' ELSE 'empty' END AS route,
@@ -169,8 +195,8 @@ WITH base AS (
     END AS title
   FROM (
     SELECT doc_id, wrapped, {_post_process_sql(_DOM_JOINED)} AS cleaned
-    FROM (SELECT doc_id, {_sq(HTML_PRE)} || text || {_sq(HTML_POST)} AS wrapped
-          FROM routed WHERE pick < 3))
+    FROM (SELECT doc_id, {_sq(HTML_PRE)} || ftext || {_sq(HTML_POST)} AS wrapped
+          FROM folded WHERE pick < 3))
 ), xml_out AS (
   SELECT doc_id,
     CASE WHEN cleaned <> '' THEN 'text' ELSE 'empty' END AS route,
@@ -180,8 +206,8 @@ WITH base AS (
   FROM (
     SELECT doc_id,
       {_post_process_sql(_entity_chain(
-          f"regexp_replace(({_sq(XML_PRE)} || text || {_sq(XML_POST)}), {P_TAG}, '', 'g')"))} AS cleaned
-    FROM routed WHERE pick = 3)
+          f"regexp_replace(({_sq(XML_PRE)} || ftext || {_sq(XML_POST)}), {P_TAG}, '', 'g')"))} AS cleaned
+    FROM folded WHERE pick = 3)
 ), md_out AS (
   SELECT doc_id,
     CASE WHEN cleaned <> '' THEN 'text' ELSE 'empty' END AS route,
@@ -191,8 +217,22 @@ WITH base AS (
   FROM (
     SELECT doc_id,
       {_post_process_sql(_md_chain(
-          f"({_sq(MD_PRE)} || text || {_sq(MD_POST)})"))} AS cleaned
-    FROM routed WHERE pick = 4)
+          f"({_sq(MD_PRE)} || ftext || {_sq(MD_POST)})"))} AS cleaned
+    FROM folded WHERE pick = 4)
+), json_out AS (
+  SELECT doc_id,
+    CASE WHEN cleaned <> '' THEN 'text' ELSE 'empty' END AS route,
+    (CASE WHEN cleaned <> '' THEN 1 ELSE 0 END)::BIGINT AS n_spans,
+    CASE WHEN cleaned <> '' THEN cleaned ELSE '' END AS content,
+    CAST(NULL AS VARCHAR) AS title
+  FROM (
+    SELECT doc_id, {json_cleaned} AS cleaned
+    FROM (
+      SELECT doc_id, source, n_chars, h2,
+        CASE WHEN h2 % 5 = 1 THEN '{{broken ' || source
+             ELSE '{{"title": "' || source || '", "count": '
+                  || n_chars::VARCHAR || '}}' END AS jraw
+      FROM folded WHERE pick = 5))
 ), pdf_out AS (
   SELECT doc_id,
     CASE WHEN len(blocks) > 0 THEN 'pdf' ELSE 'empty' END AS route,
@@ -201,10 +241,10 @@ WITH base AS (
     CAST(NULL AS VARCHAR) AS title
   FROM (
     SELECT doc_id, list_filter(
-      list_transform(range(greatest(ceil(len(string_split(text,' '))/8.0),1)::INT),
-        i -> array_to_string(list_slice(string_split(text,' '), i*8+1, i*8+8), ' ')),
+      list_transform(range(greatest(ceil(len(string_split(rtext,' '))/8.0),1)::INT),
+        i -> array_to_string(list_slice(string_split(rtext,' '), i*8+1, i*8+8), ' ')),
       b -> b <> '') AS blocks
-    FROM routed WHERE pick >= 5 AND pick < 8)
+    FROM folded WHERE pick >= 6 AND pick < 8)
 ), inter_out AS (
   SELECT doc_id,
     CASE WHEN ptext <> '' THEN 'doc,media,pdf,text'
@@ -215,7 +255,7 @@ WITH base AS (
         || source || ' | ' || n_chars::VARCHAR], {NL2}) AS content,
     CAST(NULL AS VARCHAR) AS title
   FROM (
-    SELECT doc_id, source, n_chars, {_post_process_sql("text")} AS ptext,
+    SELECT doc_id, source, n_chars, {_post_process_sql("ftext")} AS ptext,
       CASE WHEN (CASE WHEN h % 2 = 1 THEN w > 50 AND hh > 30
                       ELSE w > 100 AND hh > 50 END)
         THEN nullif(array_to_string(list_filter(string_split(slug, '-'),
@@ -223,19 +263,27 @@ WITH base AS (
                   >= {DEFAULT_CONFIG.ocr_confidence_threshold}), ' '), '')
       END AS ocr
     FROM (
-      SELECT doc_id, text, source, n_chars, h,
+      SELECT doc_id, ftext, source, n_chars, h,
         (h % 360 + 41)::INT AS w, (h % 280 + 21)::INT AS hh,
         sw[(h % 8 + 1)::INT] || '-' || sw[((h+3) % 8 + 1)::INT] AS slug
-      FROM routed, (SELECT {SLUG_SQL} AS sw)
+      FROM folded, (SELECT {SLUG_SQL} AS sw)
       WHERE pick >= 8))
 ), extracted AS (
   SELECT * FROM html_out
   UNION ALL SELECT * FROM xml_out
   UNION ALL SELECT * FROM md_out
+  UNION ALL SELECT * FROM json_out
   UNION ALL SELECT * FROM pdf_out
   UNION ALL SELECT * FROM inter_out
 )
 """
+
+
+# catalyst-config oracle (normalize_unicode=False, flatten_json=False) and
+# arrow-config oracle (the full DEFAULT_CONFIG) — the gate pins BOTH
+CTE_CATALYST = _extract_cte(nfkc=False, flatten=False)
+CTE_ARROW = _extract_cte(nfkc=True, flatten=True)
+EXTRACT_CTE = CTE_CATALYST  # downstream report oracles run the catalyst engine
 
 # word tokens / shingles — mirrors operators.dedup.words / word_shingles
 TOKS_SQL = ("list_filter(string_split_regex(lower({c}), '[^a-z0-9؀-ۿ]+'),"
@@ -285,7 +333,7 @@ def _extract_projection(out: DataFrame) -> DataFrame:
 def q_extract_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E1/E2/E8/E10/E17/E21/E40 + L1 end-to-end — pure-Catalyst engine."""
     out = J.extract(spans_df_from_documents(spark, sf_dir),
-                    engine="catalyst", chunk=False)
+                    cfg=CATALYST_CONFIG, engine="catalyst", chunk=False)
     return _extract_projection(out)
 
 
@@ -296,14 +344,15 @@ def q_extract_content_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _extract_projection(out)
 
 
-SQL_EXTRACT = EXTRACT_CTE + \
-    "SELECT doc_id, route, n_spans, content, title FROM extracted"
+_EXTRACT_SELECT = "SELECT doc_id, route, n_spans, content, title FROM extracted"
+SQL_EXTRACT_CATALYST = CTE_CATALYST + _EXTRACT_SELECT
+SQL_EXTRACT_ARROW = CTE_ARROW + _EXTRACT_SELECT
 
 
 def q_route_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2/A8 report shape over extraction output."""
     out = J.extract(spans_df_from_documents(spark, sf_dir),
-                    engine="catalyst", chunk=False)
+                    cfg=CATALYST_CONFIG, engine="catalyst", chunk=False)
     return by_route(out).select(
         "route", F.col("n_docs").cast("long").alias("n_docs"),
         F.col("success_rate").cast("double").alias("success_rate"),
@@ -319,7 +368,7 @@ FROM extracted GROUP BY route"""
 def q_summary_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 summary report (/root/reference/main.py:302-330 shape)."""
     out = J.extract(spans_df_from_documents(spark, sf_dir),
-                    engine="catalyst", chunk=False)
+                    cfg=CATALYST_CONFIG, engine="catalyst", chunk=False)
     return summary_report(out).select(
         F.col("total_docs").cast("long"), F.col("successful").cast("long"),
         F.col("failed").cast("long"), F.col("success_rate").cast("double"),
@@ -336,7 +385,7 @@ FROM extracted"""
 def q_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A12 validity predicate (/root/reference/models/parse_result.py:167-176)."""
     out = J.extract(spans_df_from_documents(spark, sf_dir),
-                    engine="catalyst", chunk=False)
+                    cfg=CATALYST_CONFIG, engine="catalyst", chunk=False)
     return validity(out)
 
 
@@ -802,7 +851,7 @@ def q_failed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rag_document_parser_spark.reporting import failed_docs
 
     out = J.extract(spans_df_from_documents(spark, sf_dir),
-                    engine="catalyst", chunk=False)
+                    cfg=CATALYST_CONFIG, engine="catalyst", chunk=False)
     return failed_docs(out)
 
 
@@ -1003,8 +1052,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
-        "extract_content": SQL_EXTRACT,
-        "extract_content_arrow": SQL_EXTRACT,
+        "extract_content": SQL_EXTRACT_CATALYST,
+        "extract_content_arrow": SQL_EXTRACT_ARROW,
         "route_stats": SQL_ROUTE_STATS,
         "summary_report": SQL_SUMMARY,
         "validity": SQL_VALIDITY,

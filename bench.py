@@ -37,6 +37,7 @@ def main() -> None:
     from rag_document_parser_spark.operators import dedup as D
     from rag_document_parser_spark.operators import similarity as V
     from rag_document_parser_spark.operators import textstats as T
+    from rag_document_parser_spark.config import CATALYST_CONFIG
     from rag_document_parser_spark.operators.extract_catalyst import extract_catalyst
     from rag_document_parser_spark.plans import job as J
 
@@ -117,7 +118,7 @@ def main() -> None:
         return
 
     # -- catalyst engine, same corpus, compute-only (forces text materialize)
-    timed("extract_catalyst", lambda: extract_catalyst(corpus).agg(
+    timed("extract_catalyst", lambda: extract_catalyst(corpus, CATALYST_CONFIG).agg(
         F.count("*"),
         F.sum(F.size("spans_clean")),
         F.sum(F.length(F.array_join(F.col("spans_clean").getField("text"), ""))),

@@ -56,3 +56,9 @@ class ExtractConfig:
 
 
 DEFAULT_CONFIG = ExtractConfig()
+
+# The pure-Catalyst engine's contract: NFKC is not expressible in Catalyst
+# and JSON recursion is not either, so extract_catalyst REQUIRES these two
+# flags off (it raises otherwise — a silent config downgrade would change
+# output with no signal). The Arrow kernel implements the full DEFAULT_CONFIG.
+CATALYST_CONFIG = ExtractConfig(normalize_unicode=False, flatten_json=False)

@@ -31,12 +31,20 @@ from rag_document_parser_spark.schema import INPUT_SCHEMA
 WORDS = (
     "data spark arrow span document extract parse table image text "
     "cluster shuffle partition lineage checkpoint resume offset kind media "
-    "quick brown fox jumps over lazy dog lorem ipsum dolor sit amet"
+    "quick brown fox jumps over lazy dog lorem ipsum dolor sit amet "
+    # non-NFKC-normal words: exercise the normalize_unicode config split
+    # in the golden suite (ﬁ→fi, Ⅻ→XII, ①→1 under NFKC)
+    "ﬁnal Ⅻ unit①"
 ).split()
 
 ARABIC_WORDS = ["مرحبا", "بالعالم", "وثيقة", "نص", "جدول", "صورة"]
 
 SLUG_WORDS = ["chart", "logo", "photo", "diagram", "scan", "figure", "map", "icon"]
+
+# non-NFKC-normal prefix for the oracle-gated corpus: NFKC("Ⅻ ﬁ① ") =
+# "XII fi1 " — distinguishes engines that apply NFKC from those that don't
+NFKC_PROBE = "Ⅻ ﬁ① "
+NFKC_PROBE_FOLDS = [("Ⅻ", "XII"), ("ﬁ", "fi"), ("①", "1")]
 
 
 def _sentence(rng: random.Random, lo: int = 4, hi: int = 12, arabic_p: float = 0.15) -> str:
@@ -275,6 +283,19 @@ def spans_df_from_documents(spark: SparkSession, sf_dir: str, mult: int = 1) -> 
     # in DuckDB as ('0x'||substring(md5(id),1,15))::BIGINT, so the whole
     # corpus synthesis is replicable by the oracle in __spark_entry__.py.
     h = F.conv(F.substring(F.md5(doc_id), 1, 15), 16, 10).cast("long")
+
+    # second independent hash (md5 hex chars 16..30): selectors that must
+    # not correlate with the route pick (h % 10). Integer-exact in both
+    # engines — never derived via double division of h.
+    h2 = F.conv(F.substring(F.md5(doc_id), 16, 15), 16, 10).cast("long")
+
+    # NFKC probe: ~25% of docs get non-NFKC-normal chars prepended
+    # (Ⅻ→XII, ﬁ→fi, ①→1 under NFKC) so the oracle gate PINS the unicode
+    # config per engine: the Arrow query (normalize_unicode=True) folds
+    # them in E8 routes, the Catalyst query must NOT — and pdf_block text
+    # is verbatim in both.
+    probe = F.when(F.pmod(h2, 4) == 0, F.lit(NFKC_PROBE)).otherwise(F.lit(""))
+    df = df.withColumn("text", F.concat(probe, F.col("text")))
     w = (F.pmod(h, F.lit(360)) + 41).cast("int")      # 41..400 straddles w>100 and w>50
     ht = (F.pmod(h, F.lit(280)) + 21).cast("int")     # 21..300 straddles h>50 and h>30
     slug = F.concat_ws(
@@ -334,6 +355,23 @@ def spans_df_from_documents(spark: SparkSession, sf_dir: str, mult: int = 1) -> 
         F.lit(0).cast("int").alias("offset"),
     ))
 
+    # E5 json route: fixed-shape object from oracle-replicable columns;
+    # ~20% malformed so both legs of the contract (flatten vs raw_json
+    # fallback) are exercised under the gate. flatten_json=True engines
+    # emit "title: <source>\ncount: <n>"; =False engines post-process the
+    # raw payload.
+    json_valid = F.concat(F.lit('{"title": "'), F.col("source"),
+                          F.lit('", "count": '),
+                          F.col("n_chars").cast("string"), F.lit("}"))
+    json_invalid = F.concat(F.lit("{broken "), F.col("source"))
+    json_text = F.when(F.pmod(h2, 5) == 1, json_invalid).otherwise(json_valid)
+    json_span = F.array(F.struct(
+        F.lit("json").alias("kind"),
+        json_text.alias("text"),
+        F.lit(None).cast("string").alias("media_ref"),
+        F.lit(0).cast("int").alias("offset"),
+    ))
+
     # raw table payload (rows \n-separated, cells \t-separated) — puts the
     # E14 accept rule + E38 pipe/dash render under the DuckDB oracle gate
     table_text = F.concat(F.lit("name\tval\n"), F.col("source"),
@@ -356,6 +394,7 @@ def spans_df_from_documents(spark: SparkSession, sf_dir: str, mult: int = 1) -> 
         F.when(route_pick < 3, html_span)
         .when(route_pick == 3, xml_span)
         .when(route_pick == 4, md_span)
+        .when(route_pick == 5, json_span)
         .when(route_pick < 8, pdf_spans)
         .otherwise(inter_spans)
     )

@@ -70,7 +70,19 @@ def _keep(s: Column) -> Column:
 
 
 def extract_catalyst(df: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG) -> DataFrame:
-    """documents(doc_id, spans) -> (doc_id, spans_clean, route, success, error, wall_us)."""
+    """documents(doc_id, spans) -> (doc_id, spans_clean, route, title, success, error, wall_us).
+
+    Raises on configs this engine cannot implement (see CATALYST_CONFIG):
+    silently downgrading normalize_unicode/flatten_json would diverge
+    from the Arrow kernel and the semantics contract with no signal.
+    """
+    if cfg.normalize_unicode or cfg.flatten_json:
+        raise ValueError(
+            "extract_catalyst implements normalize_unicode=False (NFKC is "
+            "not expressible in Catalyst) and flatten_json=False (the "
+            "reference's raw_json fallback leg). Pass "
+            "config.CATALYST_CONFIG, or use extract_arrow for the full "
+            "DEFAULT_CONFIG semantics.")
     # 1. clean each span, carrying original position for the stable tie-break
     # (_title rides along after the sort-key fields; _pos is unique per
     # array so the struct sort never compares it)

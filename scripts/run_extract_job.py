@@ -50,7 +50,11 @@ def main() -> None:
         df = spans_df_from_documents(spark, args.input, mult=args.mult)
     else:
         df = read_documents(spark, args.input)
-    cfg = ExtractConfig(n_buckets=args.buckets)
+    from rag_document_parser_spark.config import CATALYST_CONFIG
+    import dataclasses
+    cfg = (dataclasses.replace(CATALYST_CONFIG, n_buckets=args.buckets)
+           if args.engine == "catalyst"
+           else ExtractConfig(n_buckets=args.buckets))
     summary = run_job(spark, df, args.output, cfg, engine=args.engine,
                       resume=not args.no_resume)
     print(json.dumps(summary))
