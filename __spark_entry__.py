@@ -974,6 +974,82 @@ SELECT doc_id,
 FROM l"""
 
 
+def q_doc_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E13/E44 metadata tier: DocumentMetadata-shaped projection with the
+    multi-format date parser (pdf D:-dates incl. timezone suffixes, EXIF
+    DateTimeOriginal, ISO forms, unparseable -> NULL). Raw metadata is
+    synthesized deterministically per doc_id, covering all 6 format legs."""
+    from rag_document_parser_spark.functions import metadata as MD
+
+    docs = _docs(spark, sf_dir)
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+               16, 10).cast("long")
+    mo = F.lpad((F.pmod(h, 12) + 1).cast("string"), 2, "0")
+    dy = F.lpad((F.pmod(h, 28) + 1).cast("string"), 2, "0")
+    tz = F.when(F.pmod(h, 2) == 0, F.lit("+05'00'")).otherwise(F.lit(""))
+    pick = F.pmod(h, 6)
+    raw = (
+        F.when(pick == 0, F.concat(F.lit("D:2024"), mo, dy,
+                                   F.lit("123059"), tz))
+        .when(pick == 1, F.concat(F.lit("2024"), mo, dy))
+        .when(pick == 2, F.concat(F.lit("2024-"), mo, F.lit("-"), dy,
+                                  F.lit(" 08:30:00")))
+        .when(pick == 3, F.concat(F.lit("2024:"), mo, F.lit(":"), dy,
+                                  F.lit(" 10:20:30")))
+        .when(pick == 4, F.concat(F.lit("2024-"), mo, F.lit("-"), dy))
+        .otherwise(F.lit("not-a-date")))
+    meta = docs.select(
+        "doc_id",
+        F.concat(F.lit("author-"), F.pmod(h, 7).cast("string")).alias("author"),
+        F.when(F.pmod(h, 3) == 0,
+               F.concat(F.lit("CamCo Model-"), F.pmod(h, 9).cast("string"))
+               ).alias("creator"),
+        raw.alias("raw_date"))
+    return MD.doc_metadata(meta).select(
+        F.col("doc_id").cast("long"), "author", "creator", "created")
+
+
+def _sql_doc_metadata() -> str:
+    from rag_document_parser_spark.functions.metadata import (
+        DATE_FORMATS, RE_TZ_SUFFIX)
+
+    tries = ", ".join(f"try_strptime(s, {_sq(duck)})"
+                      for _, duck in DATE_FORMATS)
+    return f"""
+WITH m AS (
+  SELECT doc_id, {_md5l('doc_id::VARCHAR')} AS h FROM documents
+), syn AS (
+  SELECT doc_id, h,
+    lpad(((h % 12) + 1)::VARCHAR, 2, '0') AS mo,
+    lpad(((h % 28) + 1)::VARCHAR, 2, '0') AS dy
+  FROM m
+), raw AS (
+  SELECT doc_id, h,
+    CASE h % 6
+      WHEN 0 THEN 'D:2024'||mo||dy||'123059'
+                  || (CASE WHEN h % 2 = 0 THEN '+05''00''' ELSE '' END)
+      WHEN 1 THEN '2024'||mo||dy
+      WHEN 2 THEN '2024-'||mo||'-'||dy||' 08:30:00'
+      WHEN 3 THEN '2024:'||mo||':'||dy||' 10:20:30'
+      WHEN 4 THEN '2024-'||mo||'-'||dy
+      ELSE 'not-a-date' END AS raw_date
+  FROM syn
+), parsed AS (
+  SELECT doc_id, h,
+    regexp_replace(regexp_replace(trim(raw_date), '^D:', ''),
+                   {_sq(RE_TZ_SUFFIX)}, '') AS s
+  FROM raw
+)
+SELECT doc_id::BIGINT AS doc_id,
+  'author-'||(h % 7)::VARCHAR AS author,
+  CASE WHEN h % 3 = 0 THEN 'CamCo Model-'||(h % 9)::VARCHAR END AS creator,
+  strftime(coalesce({tries}), '%Y-%m-%d %H:%M:%S') AS created
+FROM parsed"""
+
+
+SQL_DOC_METADATA = _sql_doc_metadata()
+
+
 def q_orders_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2/A9-shaped group-by report on the orders table."""
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
@@ -1045,6 +1121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "detect_route": q_detect_route,
         "code_stats": q_code_stats,
+        "doc_metadata": q_doc_metadata,
         "orders_report": q_orders_report,
         "events_report": q_events_report,
     }
@@ -1076,6 +1153,7 @@ def oracle_sql() -> dict[str, str]:
         "media_features": SQL_MEDIA,
         "detect_route": SQL_DETECT,
         "code_stats": SQL_CODE_STATS,
+        "doc_metadata": SQL_DOC_METADATA,
         "orders_report": SQL_ORDERS,
         "events_report": SQL_EVENTS,
     }
