@@ -1,0 +1,84 @@
+"""Error-path coverage: the kernel's catastrophic-failure leg and the
+failed-docs report on non-empty input.
+
+The extraction RULES never raise (nulls/malformed payloads are handled
+per route), so on any schema-valid DataFrame the `_error_batch` leg is
+unreachable — these tests drive it at the Arrow level with a batch whose
+span struct violates the schema contract (text as int32), the kind of
+corruption a bad upstream writer produces.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import functions as F
+
+from rag_document_parser_spark.operators.extract_arrow import make_kernel
+from rag_document_parser_spark.reporting import failed_docs, summary_report
+from rag_document_parser_spark.schema import ARROW_KERNEL_OUTPUT
+
+
+def _poison_batch() -> pa.RecordBatch:
+    bad_struct = pa.StructArray.from_arrays(
+        [
+            pa.array(["text", "html"]),
+            pa.array([1, 2], type=pa.int32()),  # text column: wrong type
+            pa.array([None, None], type=pa.string()),
+            pa.array([0, 1], type=pa.int32()),
+        ],
+        names=["kind", "text", "media_ref", "offset"],
+    )
+    spans = pa.ListArray.from_arrays(pa.array([0, 1, 2], type=pa.int32()),
+                                     bad_struct)
+    return pa.RecordBatch.from_arrays(
+        [pa.array(["bad-1", "bad-2"]), spans], names=["doc_id", "spans"])
+
+
+def test_kernel_error_batch_shape():
+    out = list(make_kernel()(iter([_poison_batch()])))
+    assert len(out) == 1
+    b = out[0]
+    assert b.schema.equals(ARROW_KERNEL_OUTPUT)
+    assert b.column("doc_id").to_pylist() == ["bad-1", "bad-2"]
+    assert b.column("success").to_pylist() == [False, False]
+    assert b.column("route").to_pylist() == ["error", "error"]
+    errs = b.column("error").to_pylist()
+    assert all(e for e in errs)  # non-empty diagnostic per row
+    assert b.column("spans_clean").to_pylist() == [[], []]
+    assert b.column("title").to_pylist() == [None, None]
+
+
+def test_failed_docs_report_on_nonempty_failures(spark):
+    """A3/L3 on >0 rows: failed docs surface with their error, ordered,
+    capped at the report limit."""
+    rows = []
+    for i in range(8):
+        rows.append((f"ok-{i}", [], "empty", None, True, None, 0))
+    for i in range(7):
+        rows.append((f"bad-{i}", [], "error", None, False,
+                     f"ArrowInvalid: boom {i}", 0))
+    out = spark.createDataFrame(
+        rows, schema="doc_id string, spans_clean array<struct<kind:string,"
+        "text:string,media_ref:string,offset:int>>, route string, "
+        "title string, success boolean, error string, wall_us long")
+    got = failed_docs(out, limit=5).collect()
+    assert [r.doc_id for r in got] == [f"bad-{i}" for i in range(5)]
+    assert all(r.error.startswith("ArrowInvalid") for r in got)
+    summary = summary_report(out).collect()[0]
+    assert summary.failed == 7
+    assert summary.successful == 8
+
+
+def test_error_rows_counted_invalid(spark):
+    """A12: failed rows are never valid."""
+    from rag_document_parser_spark.reporting import validity
+
+    out = spark.createDataFrame(
+        [("bad", [], "error", None, False, "x", 0),
+         ("good", [("text", "hi", None, 0)], "text", None, True, None, 0)],
+        schema="doc_id string, spans_clean array<struct<kind:string,"
+        "text:string,media_ref:string,offset:int>>, route string, "
+        "title string, success boolean, error string, wall_us long")
+    got = {r.doc_id: r.is_valid for r in validity(out).collect()}
+    assert got == {"bad": False, "good": True}

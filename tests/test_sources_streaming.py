@@ -112,6 +112,54 @@ def test_stream_extract_dedup_across_batches(spark, tmp_path):
     assert got.where(F.col("doc_id").startswith("clone-")).count() == 0
 
 
+def test_stream_dedup_bounded_state_eviction(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a duplicate inside the watermark is
+    dropped; once the watermark passes, the state row is evicted and a
+    much-later duplicate is re-emitted (bounded state, by design)."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from rag_document_parser_spark.schema import INPUT_SCHEMA
+    from rag_document_parser_spark.streaming import stream_extract_dedup_bounded
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    schema = T.StructType(
+        list(INPUT_SCHEMA.fields)
+        + [T.StructField("ingest_ts", T.TimestampType())])
+    spans = [{"kind": "text", "text": "same payload", "media_ref": None,
+              "offset": 0}]
+    other = [{"kind": "text", "text": "different", "media_ref": None,
+              "offset": 0}]
+    t0 = dt.datetime(2026, 1, 1, 10, 0, 0)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    def run(rows):
+        _write_slice(spark.createDataFrame(rows, schema=schema), in_dir)
+        q = stream_extract_dedup_bounded(spark, in_dir, out_dir,
+                                         watermark="1 hour")
+        q.awaitTermination(120)
+        return sorted(r.doc_id for r in
+                      spark.read.parquet(os.path.join(out_dir, "data"))
+                      .select("doc_id").collect())
+
+    # batch 1: original A + unrelated B
+    got = run([("A", spans, ts(0)), ("B", other, ts(5))])
+    assert got == ["A", "B"]
+
+    # batch 2: dup of A within the watermark -> dropped; C at +4h
+    # advances the watermark far past A's state row
+    got = run([("dupA-early", spans, ts(30)), ("C", other + spans, ts(240))])
+    assert got == ["A", "B", "C"]  # early dup dropped
+
+    # batch 3: dup of A long after eviction -> re-emitted (state bounded)
+    got = run([("dupA-late", spans, ts(270))])
+    assert got == ["A", "B", "C", "dupA-late"]
+
+
 def test_stream_windowed_event_counts(spark, tmp_path):
     """Watermark + tumbling window over a file-streamed events table:
     windows are finalized (emitted) only once the watermark passes them,
