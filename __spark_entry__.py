@@ -974,6 +974,100 @@ SELECT doc_id,
 FROM l"""
 
 
+def q_sheet_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15 spreadsheet structure: delimiter sniff + dims + non-blank cell
+    count + header heuristic over synthesized csv-ish payloads (delimiter
+    varies by doc hash; ~25% headerless so has_header goes both ways)."""
+    from rag_document_parser_spark.operators.sheets import sheet_structure
+
+    docs = _docs(spark, sf_dir)
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+               16, 10).cast("long")
+    d = (F.when(F.pmod(h, 3) == 0, F.lit(","))
+         .when(F.pmod(h, 3) == 1, F.lit(";"))
+         .otherwise(F.lit("\t")))
+    nc = F.col("n_chars").cast("string")
+    header = F.concat_ws("", F.lit("name"), d, F.lit("value"), d, F.lit("note"))
+    r1 = F.concat_ws("", F.col("source"), d, nc, d, F.lit("x1"))
+    r2 = F.concat_ws("", F.col("source"), d, (F.col("n_chars") + 1).cast("string"), d)
+    body = F.concat_ws("\n", r1, r2)
+    payload = F.when(F.pmod(h, 4) == 0, body) \
+               .otherwise(F.concat_ws("\n", header, body))
+    staged = docs.select("doc_id", payload.alias("payload"))
+    out = sheet_structure(staged)
+    return out.select(
+        F.col("doc_id").cast("long"),
+        F.col("estimated_rows").cast("long"),
+        F.col("n_columns").cast("long"),
+        # portable rendering of the sniffed delimiter for the value hash
+        F.when(F.col("delimiter") == "\t", F.lit("TAB"))
+        .otherwise(F.col("delimiter")).alias("delimiter"),
+        "has_header",
+        F.col("cells_with_data").cast("long"))
+
+
+def _sql_sheet_structure() -> str:
+    from rag_document_parser_spark.operators.sheets import (
+        DELIM_CANDIDATES, RE_NUMERIC)
+
+    def cnt(expr, d_sql):
+        return f"(length({expr}) - length(replace({expr}, {d_sql}, '')))"
+
+    cand_structs = ", ".join(
+        "{'key': CASE WHEN " + cnt("fl", _sq(d) if d != "\t" else "chr(9)")
+        + " > 0 THEN len(list_filter(lines, l -> "
+        + cnt("l", _sq(d) if d != "\t" else "chr(9)") + " = "
+        + cnt("fl", _sq(d) if d != "\t" else "chr(9)")
+        + f")) * 16 + {15 - i} ELSE -1 END, "
+        + "'delim': " + (_sq(d) if d != "\t" else "chr(9)") + ", "
+        + "'c0': " + cnt("fl", _sq(d) if d != "\t" else "chr(9)") + "}"
+        for i, d in enumerate(DELIM_CANDIDATES))
+    ncells = (f"len(list_filter(string_split({{x}}, bd), "
+              f"c -> regexp_matches(trim(c), {_sq(RE_NUMERIC)})))")
+    return f"""
+WITH m AS (
+  SELECT doc_id, source, n_chars, {_md5l('doc_id::VARCHAR')} AS h
+  FROM documents
+), syn AS (
+  SELECT doc_id, h,
+    CASE h % 3 WHEN 0 THEN ',' WHEN 1 THEN ';' ELSE chr(9) END AS d,
+    source, n_chars
+  FROM m
+), p AS (
+  SELECT doc_id, h,
+    (CASE WHEN h % 4 = 0 THEN '' ELSE 'name'||d||'value'||d||'note'||chr(10) END)
+    || source||d||n_chars::VARCHAR||d||'x1' || chr(10)
+    || source||d||(n_chars+1)::VARCHAR||d AS payload
+  FROM syn
+), l AS (
+  SELECT doc_id, list_slice(string_split(payload, chr(10)), 1, 11) AS lines
+  FROM p
+), c AS (
+  SELECT doc_id, lines, lines[1] AS fl FROM l
+), sniffed AS (
+  SELECT doc_id, lines, fl, list_max([{cand_structs}]) AS best FROM c
+), chosen AS (
+  SELECT doc_id, lines, fl,
+    CASE WHEN best.key >= 0 THEN best.delim END AS delim,
+    CASE WHEN best.key >= 0 THEN best.c0 + 1 ELSE 1 END AS n_columns,
+    coalesce(CASE WHEN best.key >= 0 THEN best.delim END, chr(0)) AS bd
+  FROM sniffed
+)
+SELECT doc_id::BIGINT AS doc_id,
+  len(lines)::BIGINT AS estimated_rows,
+  n_columns::BIGINT AS n_columns,
+  CASE WHEN delim = chr(9) THEN 'TAB' ELSE delim END AS delimiter,
+  (len(lines) > 1 AND {ncells.format(x='fl')} = 0
+   AND coalesce({ncells.format(x='lines[2]')}, 0) > 0) AS has_header,
+  list_sum(list_transform(lines, l ->
+    len(list_filter(string_split(l, bd), c -> trim(c) <> ''))))::BIGINT
+    AS cells_with_data
+FROM chosen"""
+
+
+SQL_SHEET_STRUCTURE = _sql_sheet_structure()
+
+
 def q_doc_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E13/E44 metadata tier: DocumentMetadata-shaped projection with the
     multi-format date parser (pdf D:-dates incl. timezone suffixes, EXIF
@@ -1121,6 +1215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "detect_route": q_detect_route,
         "code_stats": q_code_stats,
+        "sheet_structure": q_sheet_structure,
         "doc_metadata": q_doc_metadata,
         "orders_report": q_orders_report,
         "events_report": q_events_report,
@@ -1153,6 +1248,7 @@ def oracle_sql() -> dict[str, str]:
         "media_features": SQL_MEDIA,
         "detect_route": SQL_DETECT,
         "code_stats": SQL_CODE_STATS,
+        "sheet_structure": SQL_SHEET_STRUCTURE,
         "doc_metadata": SQL_DOC_METADATA,
         "orders_report": SQL_ORDERS,
         "events_report": SQL_EVENTS,

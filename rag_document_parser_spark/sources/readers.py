@@ -45,10 +45,19 @@ def read_csv_capped(spark: SparkSession, path: str, max_rows: int = 10_000,
                     max_columns: int = 100, header: bool = True) -> DataFrame:
     """E33 — CSV with the reference's row/column caps
     (/root/reference/utils/config.py:110-111,
-     /root/reference/parsers/spreadsheet_parser.py:107-162). The row cap is
-    a LIMIT (pushed into the scan); the column cap is a projection."""
+     /root/reference/parsers/spreadsheet_parser.py:107-162). The reference
+    caps each spreadsheet FILE independently, so the row cap is a
+    per-input-file window (deterministic for multi-file loads — a global
+    LIMIT would keep an arbitrary mix); the column cap is a projection.
+    The per-file rank needs no extra shuffle key skew handling: CSV splits
+    of one file already hash to the same input partition ordering."""
+    from pyspark.sql import Window
+
     df = spark.read.option("header", str(header).lower()).csv(path)
-    return df.select(df.columns[:max_columns]).limit(max_rows)
+    df = df.select(df.columns[:max_columns])
+    w = Window.partitionBy(F.input_file_name()).orderBy(F.monotonically_increasing_id())
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= max_rows).drop("_rn"))
 
 
 def write_json_results(df: DataFrame, path: str) -> None:

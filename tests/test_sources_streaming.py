@@ -60,6 +60,58 @@ def _write_slice(df, path):
     df.write.mode("append").parquet(path)
 
 
+def test_read_csv_caps_per_file(spark, tmp_path):
+    """The row cap binds per input FILE (reference caps each spreadsheet
+    independently), not as one global limit over a multi-file load."""
+    from rag_document_parser_spark.sources import read_csv_capped
+
+    for f, n in [("a", 9), ("b", 3)]:
+        lines = ["c1,c2"] + [f"{f}{i},{i}" for i in range(n)]
+        (tmp_path / f"{f}.csv").write_text("\n".join(lines))
+    df = read_csv_capped(spark, str(tmp_path), max_rows=5)
+    by_prefix = {k: v for k, v in
+                 df.groupBy(F.substring("c1", 1, 1).alias("p"))
+                 .count().collect()}
+    assert by_prefix == {"a": 5, "b": 3}  # a capped, b intact
+
+
+def test_json_results_sink_roundtrip(spark, tmp_path):
+    """S6: extraction output -> JSON-lines sink -> readable back with the
+    same doc set and span payloads."""
+    from rag_document_parser_spark.sources import write_json_results
+
+    out = extract(fixture_df(spark, seed=31, n_docs=40), chunk=False)
+    path = str(tmp_path / "results")
+    write_json_results(out.select("doc_id", "route", "success",
+                                  F.to_json("spans_clean").alias("spans_json")),
+                       path)
+    back = spark.read.json(path)
+    assert back.count() == 40
+    assert set(back.columns) >= {"doc_id", "route", "success"}
+
+
+def test_csv_table_export(spark, tmp_path):
+    """S7: rendered table spans exported per doc as CSV partitions."""
+    from rag_document_parser_spark.sources import export_tables_csv
+
+    docs = [{"doc_id": "t1", "spans": [
+        {"kind": "table", "text": "h1\th2\na\tb", "media_ref": None,
+         "offset": 0}]},
+            {"doc_id": "t2", "spans": [
+                {"kind": "text", "text": "no tables", "media_ref": None,
+                 "offset": 0}]}]
+    from rag_document_parser_spark.schema import INPUT_SCHEMA
+
+    out = extract(spark.createDataFrame(docs, schema=INPUT_SCHEMA),
+                  chunk=False)
+    path = str(tmp_path / "tables")
+    export_tables_csv(out, path)
+    back = spark.read.option("multiLine", "true").csv(path)
+    rows = back.collect()
+    assert len(rows) == 1  # only the rendered table doc exports
+    assert "h1 | h2" in rows[0][1]
+
+
 def test_stream_extract_incremental(spark, tmp_path):
     in_dir = str(tmp_path / "in")
     out_dir = str(tmp_path / "out")
