@@ -974,6 +974,93 @@ SELECT doc_id,
 FROM l"""
 
 
+def q_content_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/A10 content-structure totals over extraction output: table and
+    media span counts plus the count of docs whose media spans produced
+    OCR text (/root/reference/example_usage_reporting.py shapes)."""
+    from rag_document_parser_spark.reporting import content_structure_totals
+
+    out = J.extract(spans_df_from_documents(spark, sf_dir),
+                    cfg=CATALYST_CONFIG, engine="catalyst", chunk=False)
+    t = content_structure_totals(out)
+    return t.select(F.col("total_tables").cast("long"),
+                    F.col("total_media").cast("long"),
+                    F.col("docs_with_ocr_text").cast("long"))
+
+
+# recompute the inter-route media/table/ocr facts from the corpus CTE's
+# `folded` stage (the unioned `extracted` view flattens them into content)
+SQL_CONTENT_STRUCTURE = CTE_CATALYST + f"""
+, g AS (
+  SELECT doc_id, h, (h % 360 + 41)::INT AS w, (h % 280 + 21)::INT AS hh,
+    sw[(h % 8 + 1)::INT] || '-' || sw[((h+3) % 8 + 1)::INT] AS slug
+  FROM folded, (SELECT {SLUG_SQL} AS sw)
+  WHERE pick >= 8
+), o AS (
+  SELECT doc_id,
+    CASE WHEN (CASE WHEN h % 2 = 1 THEN w > 50 AND hh > 30
+                    ELSE w > 100 AND hh > 50 END)
+      THEN nullif(array_to_string(list_filter(string_split(slug, '-'),
+           t -> ('0x'||substr(md5(slug||':'||t),1,8))::BIGINT / 4294967296.0
+                >= {DEFAULT_CONFIG.ocr_confidence_threshold}), ' '), '')
+    END AS ocr
+  FROM g
+)
+SELECT count(*)::BIGINT AS total_tables, count(*)::BIGINT AS total_media,
+       count(ocr)::BIGINT AS docs_with_ocr_text
+FROM o"""
+
+
+def q_arabic_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E25 opt-in Arabic normalizer: tashkeel/tatweel strip, alef/ya/ha
+    unification, over text decorated with diacritic-heavy tokens."""
+    docs = _docs(spark, sf_dir)
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+               16, 10).cast("long")
+    decor = (F.when(F.pmod(h, 3) == 0, F.lit("مُحَمَّدٌ أَهْلاً "))
+             .when(F.pmod(h, 3) == 1, F.lit("الإِسْـلامُ مَدْرَسَةٌ "))
+             .otherwise(F.lit("")))
+    t = F.concat(decor, F.col("text"))
+    staged = docs.select("doc_id", t.alias("t"))
+    norm = X.arabic_normalize(F.col("t"))
+    return staged.select(
+        F.col("doc_id").cast("long"),
+        F.substring(norm, 1, 40).alias("norm_prefix"),
+        X.arabic_char_count(F.col("t")).cast("long").alias("arabic_before"),
+        X.arabic_char_count(norm).cast("long").alias("arabic_after"))
+
+
+def _sql_arabic_normalized() -> str:
+    from rag_document_parser_spark.functions.text import (
+        ALEF_VARIANTS, RE_TASHKEEL, TATWEEL)
+
+    norm = "t"
+    norm = f"regexp_replace({norm}, {_sq(RE_TASHKEEL)}, '', 'g')"
+    norm = f"replace({norm}, {_sq(TATWEEL)}, '')"
+    norm = f"regexp_replace({norm}, {_sq(ALEF_VARIANTS)}, 'ا', 'g')"
+    norm = f"replace(replace({norm}, 'ى', 'ي'), 'ة', 'ه')"
+    ara = ("(length({x}) - length(regexp_replace({x}, '[" + S.ARABIC_RANGE
+           + "]', '', 'g')))")
+    return f"""
+WITH m AS (
+  SELECT doc_id, text, {_md5l('doc_id::VARCHAR')} AS h FROM documents
+), d AS (
+  SELECT doc_id,
+    (CASE h % 3 WHEN 0 THEN 'مُحَمَّدٌ أَهْلاً '
+                WHEN 1 THEN 'الإِسْـلامُ مَدْرَسَةٌ '
+                ELSE '' END) || text AS t
+  FROM m
+)
+SELECT doc_id::BIGINT AS doc_id,
+  substr({norm}, 1, 40) AS norm_prefix,
+  {ara.format(x='t')}::BIGINT AS arabic_before,
+  {ara.format(x=norm)}::BIGINT AS arabic_after
+FROM d"""
+
+
+SQL_ARABIC_NORMALIZED = _sql_arabic_normalized()
+
+
 def q_sheet_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A15 spreadsheet structure: delimiter sniff + dims + non-blank cell
     count + header heuristic over synthesized csv-ish payloads (delimiter
@@ -1215,6 +1302,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "detect_route": q_detect_route,
         "code_stats": q_code_stats,
+        "content_structure": q_content_structure,
+        "arabic_normalized": q_arabic_normalized,
         "sheet_structure": q_sheet_structure,
         "doc_metadata": q_doc_metadata,
         "orders_report": q_orders_report,
@@ -1248,6 +1337,8 @@ def oracle_sql() -> dict[str, str]:
         "media_features": SQL_MEDIA,
         "detect_route": SQL_DETECT,
         "code_stats": SQL_CODE_STATS,
+        "content_structure": SQL_CONTENT_STRUCTURE,
+        "arabic_normalized": SQL_ARABIC_NORMALIZED,
         "sheet_structure": SQL_SHEET_STRUCTURE,
         "doc_metadata": SQL_DOC_METADATA,
         "orders_report": SQL_ORDERS,

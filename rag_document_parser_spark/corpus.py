@@ -190,9 +190,20 @@ def generate_fixture_docs(seed: int = 42, n_docs: int = 200,
             off = 0
             ctx = rng.choice(["media", "media_slide"])
             for _ in range(rng.randint(3, 8)):
-                if rng.random() < 0.4:
+                roll = rng.random()
+                if roll < 0.4:
                     spans.append({"kind": ctx, "text": None,
                                   "media_ref": _media_ref(rng, ctx), "offset": off})
+                elif roll < 0.5:  # slide table: lax accept, header-only ok
+                    ncols = rng.randint(2, 4)
+                    tbl = "\t".join(f"h{i}" for i in range(ncols))
+                    if rng.random() < 0.5:  # header-only (E30 lax accept)
+                        payload = tbl
+                    else:
+                        payload = tbl + "\n" + "\t".join(
+                            _sentence(rng, 1, 2, 0) for _ in range(ncols))
+                    spans.append({"kind": "table_slide", "text": payload,
+                                  "media_ref": None, "offset": off})
                 else:
                     k = rng.choice(["text", "header", "footer", "code",
                                     "slide", "sheet"])

@@ -168,6 +168,44 @@ def render_table(c: Column, cfg: ExtractConfig = DEFAULT_CONFIG) -> Column:
     return F.when(ok, F.concat_ws("\n", head, dash, rest))
 
 
+def render_table_lax(c: Column, cfg: ExtractConfig = DEFAULT_CONFIG) -> Column:
+    """E30 slide-table render (LAX accept: headers OR rows,
+    powerpoint_parser.py:279) — header-only tables render as header +
+    dash underline. NULL only for NULL/empty payloads."""
+    rows = F.split(c, "\n")
+    capped = F.transform(
+        F.slice(rows, 1, cfg.max_table_rows + 1),
+        lambda r: F.array_join(
+            F.slice(F.split(r, "\t"), 1, cfg.max_table_columns), " | "),
+    )
+    head = F.element_at(capped, 1)
+    rest = F.array_join(F.slice(capped, 2, cfg.max_table_rows), "\n")
+    dash = F.repeat(F.lit("-"), F.length(head))
+    rendered = F.when(F.size(rows) > 1, F.concat_ws("\n", head, dash, rest)) \
+                .otherwise(F.concat_ws("\n", head, dash))
+    return F.when(c.isNotNull() & (c != ""), rendered)
+
+
+# E25 opt-in Arabic normalizer — the processing-side analog of the
+# reference's reshape+bidi DISPLAY pipeline
+# (/root/reference/parsers/document_parser.py:410-429), promised as an
+# opt-in by SURVEY §7. Documented subset: strip tashkeel diacritics and
+# tatweel, unify alef variants, alef-maqsura→ya, teh-marbuta→ha. Shared
+# literal char classes so the DuckDB oracle embeds identical patterns.
+RE_TASHKEEL = "[ًٌٍَُِّْٰ]"     # U+064B–U+0652 + U+0670
+ALEF_VARIANTS = "[أإآٱ]"
+TATWEEL = "ـ"                    # U+0640
+
+
+def arabic_normalize(c: Column) -> Column:
+    c = F.regexp_replace(c, RE_TASHKEEL, "")
+    c = F.replace(c, F.lit(TATWEEL), F.lit(""))
+    c = F.regexp_replace(c, ALEF_VARIANTS, "ا")
+    c = F.replace(c, F.lit("ى"), F.lit("ي"))
+    c = F.replace(c, F.lit("ة"), F.lit("ه"))
+    return c
+
+
 def arabic_char_count(c: Column) -> Column:
     """A4 (/root/reference/main.py:417-421): count chars in U+0600–U+06FF."""
     return F.length(c) - F.length(F.regexp_replace(c, f"[{S.ARABIC_RANGE}]", ""))

@@ -183,11 +183,12 @@ def _clean_batch(batch: pa.RecordBatch, cfg: ExtractConfig) -> pa.RecordBatch:
     json_m = is_kind("json")
     pdf_m = is_kind("pdf_block")
     table_m = is_kind("table")
+    tslide_m = is_kind("table_slide")
     media_m = is_kind("media", "media_slide")
     hf_m = is_kind("header", "footer")
     blk_m = is_kind("slide", "sheet")
     known_m = (html_m | textlike_m | xml_m | md_m | rtf_m | json_m | pdf_m
-               | table_m | media_m | hf_m | blk_m)
+               | table_m | tslide_m | media_m | hf_m | blk_m)
 
     out_text = np.asarray(text.to_pandas(), dtype=object)
     keep = np.ones(m, dtype=bool)
@@ -270,14 +271,16 @@ def _clean_batch(batch: pa.RecordBatch, cfg: ExtractConfig) -> pa.RecordBatch:
     if pdf_m.any():
         keep[pdf_m] = valid_text[pdf_m] & (out_text[pdf_m] != "")
 
-    # ---- table route (E14 accept + row/col caps + E38 render) ----
+    # ---- table routes (E14 strict pdf accept / E30 lax slide accept,
+    # row/col caps, E38 render) ----
     # list-kernel form: split rows / cells as Arrow ListArrays, cap with
     # list_slice (semantics.render_table caps, reference utils/config.py:
     # 110-111), rejoin with binary_join — all C++-vectorized, no Python
     # per row. Non-table rows are blanked first so their payloads don't
     # pay the split cost.
-    if table_m.any():
-        t_in = pa.array(np.where(table_m, out_text, ""), type=pa.string())
+    tbl_m = table_m | tslide_m
+    if tbl_m.any():
+        t_in = pa.array(np.where(tbl_m, out_text, ""), type=pa.string())
         rows = pc.split_pattern(t_in, pattern="\n")
         n_rows = pc.list_value_length(rows).to_numpy(zero_copy_only=False)
         rows_c = pc.list_slice(rows, 0, cfg.max_table_rows + 1)
@@ -289,11 +292,18 @@ def _clean_batch(batch: pa.RecordBatch, cfg: ExtractConfig) -> pa.RecordBatch:
         rest = pc.binary_join(pc.list_slice(piped, 1, cfg.max_table_rows + 1),
                               "\n")
         dash = pc.replace_substring_regex(head, pattern=".", replacement="-")
-        rendered = pc.binary_join_element_wise(head, dash, rest, "\n")
-        ok = table_m & valid_text & (n_rows >= 2)
-        r_np = np.asarray(rendered.to_pandas(), dtype=object)
-        out_text[table_m] = np.where(ok, r_np, None)[table_m]
-        keep[table_m] = ok[table_m]
+        with_rest = np.asarray(
+            pc.binary_join_element_wise(head, dash, rest, "\n").to_pandas(),
+            dtype=object)
+        head_only = np.asarray(
+            pc.binary_join_element_wise(head, dash, "\n").to_pandas(),
+            dtype=object)
+        r_np = np.where(n_rows >= 2, with_rest, head_only)
+        nonempty = np.zeros(m, dtype=bool)
+        nonempty[tbl_m] = valid_text[tbl_m] & (out_text[tbl_m] != "")
+        ok = (table_m & valid_text & (n_rows >= 2)) | (tslide_m & nonempty)
+        out_text[tbl_m] = np.where(ok, r_np, None)[tbl_m]
+        keep[tbl_m] = ok[tbl_m]
 
     # ---- media route: size gate + OCR stand-in over unique refs ----
     if media_m.any():
@@ -373,7 +383,7 @@ def _clean_batch(batch: pa.RecordBatch, cfg: ExtractConfig) -> pa.RecordBatch:
     class_bits[pdf_m | table_m] = _KIND_CLASS_BIT["pdf"]
     class_bits[textlike_m | xml_m | md_m | rtf_m | json_m] = _KIND_CLASS_BIT["text"]
     class_bits[media_m] = _KIND_CLASS_BIT["media"]
-    class_bits[hf_m | blk_m] = _KIND_CLASS_BIT["doc"]
+    class_bits[hf_m | blk_m | tslide_m] = _KIND_CLASS_BIT["doc"]
     class_bits[~known_m] = _KIND_CLASS_BIT["other"]
     routes = np.zeros(n, dtype=np.int64)
     np.bitwise_or.at(routes, par_k, class_bits[kept_idx])

@@ -43,6 +43,7 @@ def _clean_text(s: Column, cfg: ExtractConfig) -> Column:
         .when(kind == "json", X.post_process_text(txt, cfg))
         .when(kind == "pdf_block", txt)
         .when(kind == "table", X.render_table(txt, cfg))
+        .when(kind == "table_slide", X.render_table_lax(txt, cfg))
         .when(kind.isin("media", "media_slide"), X.ocr_standin(ref, kind, cfg))
         .when(kind == "slide",
               F.when(X.strip(txt) != "",
@@ -62,7 +63,8 @@ def _keep(s: Column) -> Column:
     """Keep predicate over the *cleaned* span struct."""
     kind, txt = s["kind"], s["text"]
     text_kinds = ("html", "text", "code", "xml", "markdown", "json", "rtf",
-                  "pdf_block", "table", "header", "footer", "slide", "sheet")
+                  "pdf_block", "table", "table_slide", "header", "footer",
+                  "slide", "sheet")
     return F.when(kind.isin("media", "media_slide"), F.lit(True)).otherwise(
         F.when(kind.isin(*text_kinds), txt.isNotNull() & (txt != ""))
         .otherwise(F.lit(True))

@@ -366,10 +366,34 @@ def render_table(text: str, cfg: ExtractConfig = DEFAULT_CONFIG) -> Optional[str
     return "\n".join(lines)
 
 
+def render_table_lax(text: str, cfg: ExtractConfig = DEFAULT_CONFIG) -> Optional[str]:
+    """E30 slide-table render — the pptx context's LAX accept rule.
+
+    The reference accepts a slide table when it has headers OR rows
+    (/root/reference/parsers/powerpoint_parser.py:279 ``if headers or
+    rows``), unlike the pdf context's strict ``len(table) > 1``
+    (pdf_parser.py:322). SURVEY §7: the inconsistent thresholds are part
+    of the contract — header-only slide tables render (header + dash
+    underline, no data rows); header-only pdf tables drop. Caps and
+    render format are shared with ``render_table``.
+    """
+    if not text:
+        return None
+    grid = [row.split("\t") for row in text.split("\n")]
+    grid = grid[: cfg.max_table_rows + 1]
+    grid = [row[: cfg.max_table_columns] for row in grid]
+    headers, rows = grid[0], grid[1:]
+    header_line = " | ".join(headers)
+    lines = [header_line, "-" * len(header_line)]
+    lines.extend(" | ".join(r) for r in rows)
+    return "\n".join(lines)
+
+
 KIND_CLASS = {
     "html": "html",
     "pdf_block": "pdf",
     "table": "pdf",
+    "table_slide": "doc",
     "text": "text",
     "code": "text",
     "xml": "text",
@@ -434,6 +458,9 @@ def clean_span(kind: str, text: Optional[str], media_ref: Optional[str],
         return bool(text), text
     if kind == "table":
         rendered = render_table(text, cfg)
+        return (rendered is not None), rendered
+    if kind == "table_slide":
+        rendered = render_table_lax(text, cfg)
         return (rendered is not None), rendered
     if kind in ("media", "media_slide"):
         return True, ocr_standin(media_ref, kind, cfg)
