@@ -878,6 +878,41 @@ SELECT 'img://64x64/m'||i::VARCHAR AS media_ref,
 FROM (SELECT unnest(range(64)) AS i)"""
 
 
+def q_ocr_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E40-E42 OCR engine chain (priority fallback, confidence filter)
+    over the synthetic media table — the stand-in engine wins in this
+    container; a real easyocr/tesseract install changes only the probe."""
+    out = M.ocr_media(M.synthetic_media_df(spark, 64))
+    return out.select("media_ref", "ocr_text", "ocr_engine",
+                      F.col("n_tokens").cast("long"), "mean_conf_e4")
+
+
+_OCR_TOK = ("{'tok': substr(h, p, 4), 'conf': "
+            "('0x'||substr(md5(h||':'||substr(h, p, 4)),1,8))::BIGINT"
+            " / 4294967296.0}")
+SQL_OCR_MEDIA = f"""
+WITH s AS (
+  SELECT 'img://64x64/m'||i::VARCHAR AS media_ref,
+         md5(repeat('payload-'||i::VARCHAR, 16)) AS h
+  FROM (SELECT unnest(range(64)) AS i)
+), t AS (
+  SELECT media_ref,
+    list_filter(list_transform([1, 5, 9], p -> {_OCR_TOK}),
+                x -> x.conf >= {M.OCR_CONFIDENCE_THRESHOLD}) AS toks
+  FROM s
+)
+SELECT media_ref,
+  CASE WHEN len(toks) > 0
+       THEN array_to_string(list_transform(toks, x -> x.tok), ' ') END
+    AS ocr_text,
+  CASE WHEN len(toks) > 0 THEN 'standin' END AS ocr_engine,
+  len(toks)::BIGINT AS n_tokens,
+  CASE WHEN len(toks) > 0 THEN
+    floor(list_sum(list_transform(toks, x -> x.conf)) / len(toks)
+          * 10000)::BIGINT END AS mean_conf_e4
+FROM t"""
+
+
 def q_detect_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R1-R5 detection cascade (/root/reference/utils/file_detector.py:150-200)
     over a deterministic synthetic (extension, mime) per document."""
@@ -1300,6 +1335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "failed_docs": q_failed_docs,
         "media_features": q_media_features,
+        "ocr_media": q_ocr_media,
         "detect_route": q_detect_route,
         "code_stats": q_code_stats,
         "content_structure": q_content_structure,
@@ -1335,6 +1371,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": SQL_EMB_NEAR_DUP,
         "failed_docs": SQL_FAILED,
         "media_features": SQL_MEDIA,
+        "ocr_media": SQL_OCR_MEDIA,
         "detect_route": SQL_DETECT,
         "code_stats": SQL_CODE_STATS,
         "content_structure": SQL_CONTENT_STRUCTURE,

@@ -28,6 +28,10 @@ MULT = int(os.environ.get("BENCH_MULT", "10"))
 # BENCH_ONLY=1 → run only the headline extraction job (the scaling runner
 # uses this to time the same job at two parallelism levels)
 ONLY_EXTRACT = os.environ.get("BENCH_ONLY", "") == "1"
+# repetitions of the headline job (best-of-N); scaling runs use 1 at a
+# large enough mult that fixed driver costs (commit, lineage tail) are
+# amortized and a single timing is stable
+REPS = int(os.environ.get("BENCH_REPS", "2"))
 
 
 def main() -> None:
@@ -49,7 +53,17 @@ def main() -> None:
         # storms (page zeroing) with many concurrent tasks → 10x variance
         .config("spark.driver.extraJavaOptions", "-Xms16g -XX:+AlwaysPreTouch")
         .config("spark.sql.adaptive.enabled", "true")
+        # shuffle/spill files on tmpfs: the sandbox's one virtio disk is a
+        # local artifact that a real cluster's NVMe/disaggregated shuffle
+        # would not impose
+        .config("spark.local.dir", "/dev/shm/spark-local"
+                if os.path.isdir("/dev/shm") else "/tmp")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # v2 committer: task files move to the destination at task commit
+        # instead of a serial driver-side merge at job commit — the fixed
+        # commit cost is the main non-scaling term of the partitioned sink
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
+                "2")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
         .appName("bench")
@@ -92,18 +106,16 @@ def main() -> None:
         "BENCH_OUT_BASE", "/dev/shm" if os.path.isdir("/dev/shm") else None)
     out_dir = tempfile.mkdtemp(prefix="bench_job_", dir=out_base)
     try:
-        # best-of-2: the sandbox VM has bursty external interference
+        # best-of-N: the sandbox VM has bursty external interference
         # (vCPU steal); a single timing can be 2-5x off its clean value
-        timed("extract_job_arrow_r1",
-              lambda: J.run_job(spark, corpus, out_dir + "/r1",
-                                engine="arrow", resume=False))
-        timed("extract_job_arrow_r2",
-              lambda: J.run_job(spark, corpus, out_dir + "/r2",
-                                engine="arrow", resume=False))
+        for r in range(REPS):
+            timed(f"extract_job_arrow_r{r + 1}",
+                  lambda r=r: J.run_job(spark, corpus, f"{out_dir}/r{r}",
+                                        engine="arrow", resume=False))
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
-    extract_sec = min(timings["extract_job_arrow_r1"],
-                      timings["extract_job_arrow_r2"])
+    extract_sec = min(timings[f"extract_job_arrow_r{r + 1}"]
+                      for r in range(REPS))
     timings["extract_job_arrow"] = extract_sec
     docs_per_sec = round(n_docs / extract_sec, 1)
 

@@ -54,18 +54,39 @@ _BIT_NAME = {1: "html", 2: "pdf", 4: "text", 8: "media", 16: "doc", 32: "other"}
 _RE_TITLE_NAMED = S.RE_TITLE.replace("(.*?)", "(?P<t>.*?)")
 
 
+def _gated_pass(arr, probe: str, fn, regex_probe: bool = False):
+    """Run an expensive string transform only on elements containing
+    ``probe`` (others pass through). Each replace pass is a full copy of
+    the batch's text; on this contract most blocks contain no entities/
+    comments/head, so probing (a read-only scan) before transforming
+    cuts the DOM path's memory-bandwidth cost substantially — the
+    binding resource when many cores share one socket."""
+    matcher = (pc.match_substring_regex if regex_probe
+               else pc.match_substring)
+    has = pc.fill_null(matcher(arr, pattern=probe), False)
+    out = fn(pc.if_else(has, arr, ""))
+    return pc.if_else(has, out, arr)
+
+
 def _visible(t):
     """Visible text of markup fragments: strip tags, decode the named
     entity subset (semantics.HTML_ENTITIES, &amp; last)."""
     t = pc.replace_substring_regex(t, pattern=S.RE_TAG, replacement="")
-    for ent, ch in S.HTML_ENTITIES:
-        t = pc.replace_substring(t, pattern=ent, replacement=ch)
-    return t
+
+    def decode(x):
+        for ent, ch in S.HTML_ENTITIES:
+            x = pc.replace_substring(x, pattern=ent, replacement=ch)
+        return x
+
+    return _gated_pass(t, "&", decode)
 
 
-def _nws_len(t) -> np.ndarray:
-    """Per-element non-whitespace visible-char count (density unit)."""
-    t = pc.replace_substring_regex(_visible(t), pattern=rf"[{S.WS}]",
+def _nws_len_of_visible(vis) -> np.ndarray:
+    """Non-whitespace char count of an already-computed visible-text
+    array (density unit). Callers compute ``_visible`` once and reuse it
+    for both the display text and the length — the entity chain is 7
+    string passes, the most expensive part of the block pipeline."""
+    t = pc.replace_substring_regex(vis, pattern=rf"[{S.WS}]",
                                    replacement="")
     return pc.utf8_length(t).to_numpy(zero_copy_only=False)
 
@@ -84,8 +105,11 @@ def _html_dom_batch(text: pa.Array, html_m: np.ndarray,
     mask = pa.array(html_m)
     h_in = pc.if_else(mask, pc.fill_null(text, ""), "")
 
-    # title capture (text_parser.py:159-162)
-    ti_struct = pc.extract_regex(h_in, pattern=_RE_TITLE_NAMED)
+    # title capture (text_parser.py:159-162), gated on a <title probe
+    ti_in = pc.if_else(
+        pc.fill_null(pc.match_substring_regex(h_in, pattern="(?i)<title"),
+                     False), h_in, "")
+    ti_struct = pc.extract_regex(ti_in, pattern=_RE_TITLE_NAMED)
     ti = pc.replace_substring_regex(
         _visible(ti_struct.field("t")), pattern=S.RE_WS_RUN, replacement=" ")
     ti = pc.replace_substring_regex(ti, pattern=S.RE_STRIP, replacement="")
@@ -93,24 +117,43 @@ def _html_dom_batch(text: pa.Array, html_m: np.ndarray,
     ti_np[ti_np == ""] = None
 
     # body: decompose script/style + comments + head, then segment
-    s1 = pc.replace_substring_regex(h_in, pattern=S.RE_SCRIPT_STYLE,
-                                    replacement="")
-    s1 = pc.replace_substring_regex(s1, pattern=S.RE_HTML_COMMENT,
-                                    replacement="")
-    s1 = pc.replace_substring_regex(s1, pattern=S.RE_HEAD, replacement="")
+    # (comment/head passes gated on a substring probe — absent in most
+    # real-world fragments and all non-wrapper spans)
+    s1 = _gated_pass(
+        h_in, "(?i)<script|<style",
+        lambda x: pc.replace_substring_regex(
+            x, pattern=S.RE_SCRIPT_STYLE, replacement=""),
+        regex_probe=True)
+    s1 = _gated_pass(
+        s1, "<!--",
+        lambda x: pc.replace_substring_regex(
+            x, pattern=S.RE_HTML_COMMENT, replacement=""))
+    s1 = _gated_pass(
+        s1, "(?i)<head",
+        lambda x: pc.replace_substring_regex(
+            x, pattern=S.RE_HEAD, replacement=""),
+        regex_probe=True)
     s1 = pc.replace_substring_regex(s1, pattern=S.RE_BLOCK_TAG,
                                     replacement=S.BLOCK_SEP)
     blocks = pc.split_pattern(s1, pattern=S.BLOCK_SEP)
     flat = pc.list_flatten(blocks)
 
-    disp = pc.replace_substring_regex(_visible(flat), pattern=S.RE_WS_RUN,
+    vis = _visible(flat)
+    disp = pc.replace_substring_regex(vis, pattern=S.RE_WS_RUN,
                                       replacement=" ")
     disp = pc.replace_substring_regex(disp, pattern=S.RE_STRIP,
                                       replacement="")
     disp_np = np.asarray(disp.to_pandas(), dtype=object)
-    tlen = _nws_len(flat)
-    slen = _nws_len(pc.replace_substring_regex(flat, pattern=S.RE_ANCHOR,
-                                               replacement=""))
+    tlen = _nws_len_of_visible(vis)
+    # anchor-free blocks (the common case) have link_len 0 by definition;
+    # run the anchor-removal pipeline only where an <a> actually appears
+    has_a = pc.match_substring_regex(flat, pattern=rf"(?i)<a[{S.WS}>]")
+    sans_in = pc.if_else(has_a, flat, "")
+    slen0 = _nws_len_of_visible(_visible(
+        pc.replace_substring_regex(sans_in, pattern=S.RE_ANCHOR,
+                                   replacement="")))
+    has_a_np = pc.fill_null(has_a, False).to_numpy(zero_copy_only=False)
+    slen = np.where(has_a_np, slen0, tlen)
     link = tlen - slen
     keep_b = (disp_np != "") & ~((2 * link > tlen)
                                  & (tlen < cfg.html_density_min_chars))

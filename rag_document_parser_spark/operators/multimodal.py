@@ -109,6 +109,134 @@ def extract_media_features(df: DataFrame, batch_size_hint: int = 256) -> DataFra
     return balanced.mapInPandas(run, FEATURE_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# OCR engine tier (E40–E42): priority chain + preprocessing hook
+# ---------------------------------------------------------------------------
+#
+# The reference tries engines in priority order per image and falls back
+# on failure or empty output (easyocr → tesseract → '',
+# /root/reference/parsers/image_parser.py:190-211), with an optional
+# preprocessing pass before recognition (:260-305). This reproduces that
+# STRUCTURE so a real engine drops in without new plumbing: an engine is
+# (name, available(), init(), recognize(payload, conf_threshold)); the
+# chain takes the first non-empty result and records which engine won.
+# Real backends are gated behind import-probes (absent in this
+# container); the deterministic stand-in keeps the chain testable.
+
+OCR_CONFIDENCE_THRESHOLD = 0.3  # /root/reference/utils/config.py:46
+
+
+def _standin_recognize(payload: bytes, conf_threshold: float):
+    """Deterministic OCR stand-in: md5-derived tokens + confidences,
+    same contract as semantics.token_confidence."""
+    h = hashlib.md5(payload or b"").hexdigest()
+    toks = [h[i:i + 4] for i in range(0, 12, 4)]
+    out = []
+    for t in toks:
+        conf = int(hashlib.md5(f"{h}:{t}".encode()).hexdigest()[:8], 16) / 2**32
+        if conf >= conf_threshold:
+            out.append((t, conf))
+    return out
+
+
+def _probe_easyocr():
+    try:
+        import easyocr  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def _probe_tesseract():
+    try:
+        import pytesseract  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def _easyocr_recognize(payload, conf_threshold):  # pragma: no cover - lib absent
+    import easyocr  # real impl: reader.readtext → [(box, text, conf)]
+    reader = _decoder().setdefault("easyocr", easyocr.Reader(["en", "ar"]))
+    return [(t, c) for _, t, c in reader.readtext(payload)
+            if c >= conf_threshold]
+
+
+def _tesseract_recognize(payload, conf_threshold):  # pragma: no cover - lib absent
+    import pytesseract
+    from PIL import Image
+    import io
+    data = pytesseract.image_to_data(
+        Image.open(io.BytesIO(payload)), output_type=pytesseract.Output.DICT)
+    return [(t, int(c) / 100.0)
+            for t, c in zip(data["text"], data["conf"])
+            if t.strip() and int(c) / 100.0 >= conf_threshold]
+
+
+# priority order mirrors the reference's easyocr-first chain
+OCR_ENGINES = [
+    ("easyocr", _probe_easyocr, _easyocr_recognize),
+    ("tesseract", _probe_tesseract, _tesseract_recognize),
+    ("standin", lambda: True, _standin_recognize),
+]
+
+
+def preprocess_payload(payload: bytes) -> bytes:
+    """E43 hook — the reference's grayscale/threshold/denoise pass
+    (image_parser.py:260-305). Identity here (no imaging libs); a real
+    deploy replaces this with the OpenCV pipeline, chain unchanged."""
+    return payload
+
+
+def ocr_media(df: DataFrame,
+              conf_threshold: float = OCR_CONFIDENCE_THRESHOLD) -> DataFrame:
+    """media table → (media_ref, ocr_text, ocr_engine, n_tokens,
+    mean_conf_e4) via the engine-priority chain, Arrow-batched."""
+    schema = T.StructType([
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("ocr_text", T.StringType()),
+        T.StructField("ocr_engine", T.StringType()),
+        T.StructField("n_tokens", T.IntegerType()),
+        T.StructField("mean_conf_e4", T.LongType()),
+    ])
+    chain = [(n, probe, rec) for n, probe, rec in OCR_ENGINES if probe()]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        _decoder()
+        import math
+
+        for pdf in batches:
+            texts, engines, ns, confs = [], [], [], []
+            for payload in pdf["payload"]:
+                b = preprocess_payload(
+                    bytes(payload) if payload is not None else b"")
+                text = engine = None
+                toks = []
+                for name, _, rec in chain:  # E42 fallback loop
+                    try:
+                        toks = rec(b, conf_threshold)
+                    except Exception:
+                        continue  # engine failure → next engine
+                    if toks:
+                        text = " ".join(t for t, _ in toks)
+                        engine = name
+                        break
+                texts.append(text)
+                engines.append(engine)
+                ns.append(len(toks))
+                confs.append(
+                    int(math.floor(sum(c for _, c in toks) / len(toks) * 1e4))
+                    if toks else None)
+            yield pd.DataFrame({
+                "media_ref": pdf["media_ref"], "ocr_text": texts,
+                "ocr_engine": engines, "n_tokens": ns,
+                "mean_conf_e4": pd.array(confs, dtype="Int64"),
+            })
+
+    balanced = df.repartition(F.pmod(F.xxhash64("media_ref"), F.lit(64)))
+    return balanced.mapInPandas(run, schema)
+
+
 def synthetic_media_df(spark, n: int = 64) -> DataFrame:
     """Deterministic fake media table for tests/bench (payload = seeded bytes)."""
     return spark.range(n).select(
