@@ -1285,6 +1285,42 @@ SELECT o_orderstatus, count(*)::BIGINT AS n_orders,
 FROM orders GROUP BY o_orderstatus"""
 
 
+def q_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9-family scan-heavy report on the largest driver table (classic
+    pricing-summary shape): date-filtered groupBy with floor-scaled
+    integer money so double sums stay order-independent. The filter and
+    5-column projection push into the parquet scan."""
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    disc = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                   * 100).cast("long")
+    charge = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                     * (1 + F.col("l_tax")) * 100).cast("long")
+    return (l.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00")
+                    .cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(F.floor(F.col("l_quantity") * 100).cast("long"))
+                 .alias("sum_qty_e2"),
+                 F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long"))
+                 .alias("sum_base_cents"),
+                 F.sum(disc).alias("sum_disc_cents"),
+                 F.sum(charge).alias("sum_charge_cents"),
+                 F.count("*").alias("n_rows")))
+
+
+SQL_LINEITEM_PRICING = """
+SELECT l_returnflag, l_linestatus,
+  sum(floor(l_quantity * 100)::BIGINT)::BIGINT AS sum_qty_e2,
+  sum(floor(l_extendedprice * 100)::BIGINT)::BIGINT AS sum_base_cents,
+  sum(floor(l_extendedprice * (1 - l_discount) * 100)::BIGINT)::BIGINT
+    AS sum_disc_cents,
+  sum(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+            * 100)::BIGINT)::BIGINT AS sum_charge_cents,
+  count(*)::BIGINT AS n_rows
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus"""
+
+
 def q_events_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A13-shaped type stats on the events stream table."""
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -1343,6 +1379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sheet_structure": q_sheet_structure,
         "doc_metadata": q_doc_metadata,
         "orders_report": q_orders_report,
+        "lineitem_pricing": q_lineitem_pricing,
         "events_report": q_events_report,
     }
 
@@ -1379,5 +1416,6 @@ def oracle_sql() -> dict[str, str]:
         "sheet_structure": SQL_SHEET_STRUCTURE,
         "doc_metadata": SQL_DOC_METADATA,
         "orders_report": SQL_ORDERS,
+        "lineitem_pricing": SQL_LINEITEM_PRICING,
         "events_report": SQL_EVENTS,
     }
