@@ -41,7 +41,11 @@ def _e8(t, cfg: ExtractConfig):
     """E8 post-process chain over a whole Arrow string array
     (text_parser.py:339-362), shared by the text/xml/markdown/json routes."""
     if cfg.normalize_unicode:
-        t = pc.utf8_normalize(t, form="NFKC")
+        # NFKC is identity on pure-ASCII strings; normalize only the rest
+        # (the ICU pass is one of the kernel's most bandwidth-expensive)
+        is_ascii = pc.string_is_ascii(t)
+        nrm = pc.utf8_normalize(pc.if_else(is_ascii, "", t), form="NFKC")
+        t = pc.if_else(is_ascii, t, nrm)
     if cfg.remove_empty_lines:
         t = pc.replace_substring_regex(t, pattern=S.RE_EMPTY_LINES_LEAD, replacement="")
         t = pc.replace_substring_regex(t, pattern=S.RE_EMPTY_LINES_MID, replacement="\n")
@@ -144,7 +148,11 @@ def _html_dom_batch(text: pa.Array, html_m: np.ndarray,
     disp = pc.replace_substring_regex(disp, pattern=S.RE_STRIP,
                                       replacement="")
     disp_np = np.asarray(disp.to_pandas(), dtype=object)
-    tlen = _nws_len_of_visible(vis)
+    # non-ws count of vis == len(disp) - its single-space count (collapse
+    # and strip only touch [WS] chars) — a count instead of another
+    # remove-pass copy
+    tlen = (pc.utf8_length(disp).to_numpy(zero_copy_only=False)
+            - pc.count_substring(disp, " ").to_numpy(zero_copy_only=False))
     # anchor-free blocks (the common case) have link_len 0 by definition;
     # run the anchor-removal pipeline only where an <a> actually appears
     has_a = pc.match_substring_regex(flat, pattern=rf"(?i)<a[{S.WS}>]")
