@@ -139,7 +139,9 @@ _BLOCK_STRUCT = ("{'disp': " + _disp_sql("b")
                  + ", 'tlen': " + _nws_sql("b")
                  + ", 'slen': "
                  + _nws_sql(f"regexp_replace(b, {P_ANCHOR}, '', 'g')") + "}")
-_DOM_JOINED = f"""array_to_string(list_transform(list_filter(
+# coalesce: DuckDB's array_to_string([]) is NULL, the contract's
+# "\n".join([]) is ''
+_DOM_JOINED = f"""coalesce(array_to_string(list_transform(list_filter(
   list_transform(
     string_split({_regex_chain("wrapped", (P_SCRIPT, "''"),
                                (P_COMMENT, "''"), (P_HEAD, "''"),
@@ -147,7 +149,7 @@ _DOM_JOINED = f"""array_to_string(list_transform(list_filter(
     b -> {_BLOCK_STRUCT}),
   x -> x.disp <> '' AND NOT ((x.tlen - x.slen) * 2 > x.tlen
                              AND x.tlen < {DEFAULT_CONFIG.html_density_min_chars})),
-  x -> x.disp), chr(10))"""
+  x -> x.disp), chr(10)), '')"""
 
 # The full extraction oracle: replicates corpus synthesis (md5-routed) +
 # the extraction contract (semantics.clean_doc) per route, emitting one row

@@ -80,6 +80,63 @@ def test_engines_agree_on_ascii(spark, docs):
     _assert_equal(a, c)
 
 
+NASTY_HTML = [
+    # <header> must NOT be eaten by the <head> removal
+    "<header>site banner words enough to pass density here</header>"
+    "<p>body text</p>",
+    # case-insensitive head/title; title with inline markup
+    "<HeAd data-x='1'>junk<TITLE><b>Real</b> Title</TITLE></HEAD>"
+    "<P>after head</p>",
+    # comment hiding markup; script containing '<'
+    "<!-- <p>hidden</p> --><script>if(a<b){x()}</script><p>visible</p>",
+    # link-density: short link row dropped, long link row kept (>=40 chars)
+    "<nav><a href='#'>Home</a> <a href='#'>About</a></nav>"
+    "<div><a>this anchor text is well over forty characters long"
+    " indeed</a></div>",
+    # <abbr> starts with '<a' but is not an anchor
+    "<p><abbr>HTML</abbr> stands for hypertext markup language</p>",
+    # entities incl. double-escaped and unknown; nbsp
+    "<p>&amp;lt; stays literal &copy; corp&nbsp;inc &unknown; x</p>",
+    # stray angle brackets and unclosed tags
+    "<div>a < b and c > d <span>unclosed",
+    # br/hr as block boundaries; empty title
+    "<title>  </title>line one<br>line two<hr>line three",
+]
+
+
+def test_dom_adversarial_html_all_engines(spark):
+    """Hand-crafted nasty markup: the DOM contract is a total function;
+    Python, Arrow, and Catalyst must agree byte-for-byte even on
+    malformed input, and the specific traps (header-vs-head, abbr-vs-a,
+    density boundary, comment-hidden markup) must behave as specified."""
+    from rag_document_parser_spark.schema import INPUT_SCHEMA
+
+    cfg = ExtractConfig(normalize_unicode=False, flatten_json=False)
+    docs = [{"doc_id": f"nasty-{i}",
+             "spans": [{"kind": "html", "text": t, "media_ref": None,
+                        "offset": 0}]}
+            for i, t in enumerate(NASTY_HTML)]
+    expected = _expected(docs, cfg)
+    df = spark.createDataFrame(docs, schema=INPUT_SCHEMA)
+    _assert_equal(expected, _actual(extract_arrow(df, cfg)))
+    _assert_equal(expected, _actual(extract_catalyst(df, cfg)))
+
+    txt = {d["doc_id"]: (expected[d["doc_id"]][0][0][1]
+                         if expected[d["doc_id"]][0] else "")
+           for d in docs}
+    assert "site banner words" in txt["nasty-0"]       # header survived
+    assert expected["nasty-1"][2] == "Real Title"      # titled, tags stripped
+    assert "hidden" not in txt["nasty-2"]
+    assert "visible" in txt["nasty-2"]
+    assert "Home" not in txt["nasty-3"]                # short link row dropped
+    assert "forty characters" in txt["nasty-3"]        # long link block kept
+    assert "HTML stands for" in txt["nasty-4"]         # abbr not eaten
+    assert "&lt; stays literal" in txt["nasty-5"]      # &amp;lt; → &lt;
+    assert "© corp" in txt["nasty-5"]
+    assert expected["nasty-7"][2] is None              # blank title → NULL
+    assert txt["nasty-7"] == "line one\nline two\nline three"
+
+
 def test_dom_html_differs_from_regex_fallback(spark, docs):
     """The DOM path (E1) is really DOM semantics, not the regex fallback:
     titles captured, nav link-blocks dropped by density, newline block

@@ -71,6 +71,47 @@ def test_markdown_rules_match_duckdb(s):
     assert got == expected
 
 
+# markup-token strategy: mostly-malformed HTML — the DOM contract is a
+# total function over regex passes, so every implementation must agree
+# even on garbage input
+MARKUP_TOKENS = st.sampled_from([
+    "<div>", "</div>", "<p>", "</p>", "<p ", ">", "<", "<a href='x'>",
+    "<a>", "</a>", "<abbr>", "</abbr>", "<script>", "</script>",
+    "<style>", "</style>", "<!--", "-->", "<head>", "</head>",
+    "<header>", "</header>", "<title>", "</title>", "<br>", "<hr>",
+    "&amp;", "&nbsp;", "&copy;", "&lt;", "&unknown;", " ", "\t", "\n",
+    "home", "x", "longer run of body text that passes density", "ن",
+])
+MARKUPS = st.lists(MARKUP_TOKENS, min_size=0, max_size=25).map("".join)
+
+
+def _dom_sql_exprs():
+    import __spark_entry__ as E
+
+    body = "SELECT " + E._post_process_sql(E._DOM_JOINED).replace(
+        "wrapped", "?")
+    title = ("SELECT nullif("
+             + E._disp_sql(f"regexp_extract(?, {E.P_TITLE}, 1)") + ", '')")
+    return body, title
+
+
+_DOM_BODY_SQL, _DOM_TITLE_SQL = _dom_sql_exprs()
+
+
+@settings(max_examples=150, deadline=None)
+@given(MARKUPS)
+def test_html_dom_matches_duckdb(s):
+    cfg = ExtractConfig(normalize_unicode=False)
+    assert CON.execute(_DOM_BODY_SQL, [s]).fetchone()[0] \
+        == S.html_dom_strip(s, cfg)
+
+
+@settings(max_examples=150, deadline=None)
+@given(MARKUPS)
+def test_html_title_matches_duckdb(s):
+    assert CON.execute(_DOM_TITLE_SQL, [s]).fetchone()[0] == S.html_title(s)
+
+
 @settings(max_examples=100, deadline=None)
 @given(TEXTS)
 def test_post_process_idempotent(s):
