@@ -146,6 +146,25 @@ def ocr_standin(ref: Column, kind: Column,
     return F.when(gate & slug.isNotNull(), F.nullif(joined, F.lit("")))
 
 
+def _rendered_grid(c: Column, cfg: ExtractConfig) -> tuple[Column, Column]:
+    """Shared row/col-capped pipe/dash grid render: returns (n_rows,
+    rendered). The strict (E14 pdf) and lax (E30 slide) variants differ
+    only in their accept predicate over these two values."""
+    rows = F.split(c, "\n")
+    capped = F.transform(
+        F.slice(rows, 1, cfg.max_table_rows + 1),
+        lambda r: F.array_join(
+            F.slice(F.split(r, "\t"), 1, cfg.max_table_columns), " | "),
+    )
+    head = F.element_at(capped, 1)
+    rest = F.array_join(F.slice(capped, 2, cfg.max_table_rows), "\n")
+    dash = F.repeat(F.lit("-"), F.length(head))
+    rendered = F.when(F.size(rows) > 1,
+                      F.concat_ws("\n", head, dash, rest)) \
+                .otherwise(F.concat_ws("\n", head, dash))
+    return F.size(rows), rendered
+
+
 def render_table(c: Column, cfg: ExtractConfig = DEFAULT_CONFIG) -> Column:
     """E14 accept rule + row/col caps + E38 render, pure Catalyst.
 
@@ -155,34 +174,15 @@ def render_table(c: Column, cfg: ExtractConfig = DEFAULT_CONFIG) -> Column:
     ``max_table_rows`` data rows and ``max_table_columns`` columns
     (/root/reference/utils/config.py:110-111), render 'h1 | h2' +
     dash underline + data rows. Returns NULL when the span is dropped."""
-    rows = F.split(c, "\n")
-    capped = F.transform(
-        F.slice(rows, 1, cfg.max_table_rows + 1),
-        lambda r: F.array_join(
-            F.slice(F.split(r, "\t"), 1, cfg.max_table_columns), " | "),
-    )
-    head = F.element_at(capped, 1)
-    rest = F.array_join(F.slice(capped, 2, cfg.max_table_rows), "\n")
-    dash = F.repeat(F.lit("-"), F.length(head))
-    ok = c.isNotNull() & (F.size(rows) >= 2)
-    return F.when(ok, F.concat_ws("\n", head, dash, rest))
+    n_rows, rendered = _rendered_grid(c, cfg)
+    return F.when(c.isNotNull() & (n_rows >= 2), rendered)
 
 
 def render_table_lax(c: Column, cfg: ExtractConfig = DEFAULT_CONFIG) -> Column:
     """E30 slide-table render (LAX accept: headers OR rows,
     powerpoint_parser.py:279) — header-only tables render as header +
     dash underline. NULL only for NULL/empty payloads."""
-    rows = F.split(c, "\n")
-    capped = F.transform(
-        F.slice(rows, 1, cfg.max_table_rows + 1),
-        lambda r: F.array_join(
-            F.slice(F.split(r, "\t"), 1, cfg.max_table_columns), " | "),
-    )
-    head = F.element_at(capped, 1)
-    rest = F.array_join(F.slice(capped, 2, cfg.max_table_rows), "\n")
-    dash = F.repeat(F.lit("-"), F.length(head))
-    rendered = F.when(F.size(rows) > 1, F.concat_ws("\n", head, dash, rest)) \
-                .otherwise(F.concat_ws("\n", head, dash))
+    _, rendered = _rendered_grid(c, cfg)
     return F.when(c.isNotNull() & (c != ""), rendered)
 
 

@@ -154,8 +154,11 @@ def _html_dom_batch(text: pa.Array, html_m: np.ndarray,
     tlen = (pc.utf8_length(disp).to_numpy(zero_copy_only=False)
             - pc.count_substring(disp, " ").to_numpy(zero_copy_only=False))
     # anchor-free blocks (the common case) have link_len 0 by definition;
-    # run the anchor-removal pipeline only where an <a> actually appears
-    has_a = pc.match_substring_regex(flat, pattern=rf"(?i)<a[{S.WS}>]")
+    # run the anchor-removal pipeline only where an <a> could appear —
+    # probe uses the same `<a\b` prefix as RE_ANCHOR so the gated subset
+    # is exactly a superset of what the replace would touch (a ws-class
+    # probe missed `<a/...` forms RE_ANCHOR matches: engine divergence)
+    has_a = pc.match_substring_regex(flat, pattern=r"(?i)<a\b")
     sans_in = pc.if_else(has_a, flat, "")
     slen0 = _nws_len_of_visible(_visible(
         pc.replace_substring_regex(sans_in, pattern=S.RE_ANCHOR,

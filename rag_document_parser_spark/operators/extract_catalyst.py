@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from rag_document_parser_spark.config import DEFAULT_CONFIG, ExtractConfig
+from rag_document_parser_spark.config import CATALYST_CONFIG, ExtractConfig
 from rag_document_parser_spark.functions import text as X
 from rag_document_parser_spark.semantics import KIND_CLASS
 
@@ -71,7 +71,7 @@ def _keep(s: Column) -> Column:
     )
 
 
-def extract_catalyst(df: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG) -> DataFrame:
+def extract_catalyst(df: DataFrame, cfg: ExtractConfig = CATALYST_CONFIG) -> DataFrame:
     """documents(doc_id, spans) -> (doc_id, spans_clean, route, title, success, error, wall_us).
 
     Raises on configs this engine cannot implement (see CATALYST_CONFIG):

@@ -141,14 +141,17 @@ def lsh_signature(vec, n_bits: int = 16):
     only _MAX_DIM components, so a longer vector would get a null-padded
     dot product, every signature would collapse to 0, and all vectors
     would collide in every band (an O(n²) candidate blowup that also
-    silently diverges from the full-dimension oracle). assert_true turns
-    that silent degeneracy into a task error.
+    silently diverges from the full-dimension oracle). The conditional
+    raise is seeded into the accumulator via when/otherwise with
+    DIFFERING branches — an assert_true whose result feeds identical
+    branches gets simplified away by SimplifyConditionals and never
+    evaluates.
     """
-    guard = F.assert_true(
-        F.size(vec) <= F.lit(_MAX_DIM),
-        F.lit(f"lsh_signature supports dims <= {_MAX_DIM}; widen _MAX_DIM "
-              "or use a broadcast plane table"))
-    sig = F.when(guard.isNull(), F.lit(0)).otherwise(F.lit(0)).cast("long")
+    sig = F.when(
+        F.size(vec) <= F.lit(_MAX_DIM), F.lit(0).cast("long")
+    ).otherwise(F.raise_error(F.lit(
+        f"lsh_signature supports dims <= {_MAX_DIM}; widen _MAX_DIM "
+        "or use a broadcast plane table")).cast("long"))
     for b in range(n_bits):
         plane = F.slice(_plane_literal(b), 1, F.size(vec))
         dot = F.aggregate(

@@ -38,7 +38,8 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from rag_document_parser_spark.config import DEFAULT_CONFIG, ExtractConfig
+from rag_document_parser_spark.config import (CATALYST_CONFIG, DEFAULT_CONFIG,
+                                              ExtractConfig)
 from rag_document_parser_spark.operators import extract_arrow, extract_catalyst
 from rag_document_parser_spark.schema import LINEAGE_SCHEMA
 
@@ -167,9 +168,14 @@ def _reassemble_big(out: DataFrame) -> DataFrame:
     )
 
 
-def extract(df: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG,
+def extract(df: DataFrame, cfg: ExtractConfig | None = None,
             engine: str = "arrow", chunk: bool = True) -> DataFrame:
     """The composable single-operator form (SURVEY.md \u00a73.2): no sinks.
+
+    ``cfg=None`` resolves to the engine's own default (DEFAULT_CONFIG
+    for arrow, CATALYST_CONFIG for catalyst \u2014 the catalyst engine raises
+    on configs it cannot implement, so defaulting it to DEFAULT_CONFIG
+    would be a guaranteed error).
 
     Chunking splits the input into disjoint small/big branches *before*
     the kernel, so the kernel runs exactly once per row and the common
@@ -184,6 +190,8 @@ def extract(df: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG,
     processed twice or not at all. Persist/localCheckpoint the input
     first if its plan contains non-deterministic expressions.
     """
+    if cfg is None:
+        cfg = DEFAULT_CONFIG if engine == "arrow" else CATALYST_CONFIG
     kernel = extract_arrow if engine == "arrow" else extract_catalyst
     if not chunk:
         return kernel(df, cfg)
@@ -219,7 +227,7 @@ def run_job(
     spark: SparkSession,
     input_df: DataFrame,
     out_dir: str,
-    cfg: ExtractConfig = DEFAULT_CONFIG,
+    cfg: ExtractConfig | None = None,
     engine: str = "arrow",
     resume: bool = True,
     fail_after_buckets: int | None = None,
@@ -232,6 +240,8 @@ def run_job(
     path can be exercised.
     """
     run_id = run_id or uuid.uuid4().hex[:12]
+    if cfg is None:
+        cfg = DEFAULT_CONFIG if engine == "arrow" else CATALYST_CONFIG
     n_buckets = cfg.n_buckets
     df = input_df.withColumn("bucket", bucket_col(n_buckets))
 

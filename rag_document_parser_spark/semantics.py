@@ -339,31 +339,36 @@ def ocr_standin(media_ref: str, kind: str, cfg: ExtractConfig = DEFAULT_CONFIG) 
     return " ".join(kept) if kept else None
 
 
+def _rendered_grid(text: str, cfg: ExtractConfig) -> tuple[int, str]:
+    """Shared row/col-capped pipe/dash grid render: (n_rows, rendered).
+    Render per _create_text_from_table
+    (/root/reference/parsers/spreadsheet_parser.py:415-431): 'h1 | h2',
+    a dash underline of that line's length, then data rows. Caps:
+    /root/reference/utils/config.py:110-111."""
+    grid = [row.split("\t") for row in text.split("\n")]
+    n_rows = len(grid)
+    grid = grid[: cfg.max_table_rows + 1]
+    grid = [row[: cfg.max_table_columns] for row in grid]
+    headers, rows = grid[0], grid[1:]
+    header_line = " | ".join(headers)
+    lines = [header_line, "-" * len(header_line)]
+    lines.extend(" | ".join(r) for r in rows)
+    return n_rows, "\n".join(lines)
+
+
 def render_table(text: str, cfg: ExtractConfig = DEFAULT_CONFIG) -> Optional[str]:
     """Table span → rendered text, or None to drop the span.
 
     Input serialization: rows separated by '\\n', cells by '\\t'.
-    - require header + at least one data row
-      (/root/reference/parsers/pdf_parser.py:322 ``len(table) > 1``)
-    - row/column caps (/root/reference/utils/config.py:110-111)
-    - render per _create_text_from_table
-      (/root/reference/parsers/spreadsheet_parser.py:415-431):
-      'h1 | h2', a dash underline of that line's length, then data rows.
+    STRICT accept — header + at least one data row
+    (/root/reference/parsers/pdf_parser.py:322 ``len(table) > 1``).
     """
     if not text:
         return None
-    grid = [row.split("\t") for row in text.split("\n")]
-    if len(grid) < 2:
+    n_rows, rendered = _rendered_grid(text, cfg)
+    if n_rows < 2:
         return None
-    grid = grid[: cfg.max_table_rows + 1]
-    grid = [row[: cfg.max_table_columns] for row in grid]
-    headers, rows = grid[0], grid[1:]
-    if not headers or not rows:
-        return None
-    header_line = " | ".join(headers)
-    lines = [header_line, "-" * len(header_line)]
-    lines.extend(" | ".join(r) for r in rows)
-    return "\n".join(lines)
+    return rendered
 
 
 def render_table_lax(text: str, cfg: ExtractConfig = DEFAULT_CONFIG) -> Optional[str]:
@@ -379,14 +384,8 @@ def render_table_lax(text: str, cfg: ExtractConfig = DEFAULT_CONFIG) -> Optional
     """
     if not text:
         return None
-    grid = [row.split("\t") for row in text.split("\n")]
-    grid = grid[: cfg.max_table_rows + 1]
-    grid = [row[: cfg.max_table_columns] for row in grid]
-    headers, rows = grid[0], grid[1:]
-    header_line = " | ".join(headers)
-    lines = [header_line, "-" * len(header_line)]
-    lines.extend(" | ".join(r) for r in rows)
-    return "\n".join(lines)
+    _, rendered = _rendered_grid(text, cfg)
+    return rendered
 
 
 KIND_CLASS = {

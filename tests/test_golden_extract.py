@@ -101,6 +101,9 @@ NASTY_HTML = [
     "<div>a < b and c > d <span>unclosed",
     # br/hr as block boundaries; empty title
     "<title>  </title>line one<br>line two<hr>line three",
+    # anchor with a non-ws char after <a (the \b boundary): still a link
+    "<nav><a/ href='#'>Home</a><a\tid=2>About</a></nav><p>body stays "
+    "with enough characters to pass the density rule</p>",
 ]
 
 

@@ -76,7 +76,7 @@ def test_markdown_rules_match_duckdb(s):
 # even on garbage input
 MARKUP_TOKENS = st.sampled_from([
     "<div>", "</div>", "<p>", "</p>", "<p ", ">", "<", "<a href='x'>",
-    "<a>", "</a>", "<abbr>", "</abbr>", "<script>", "</script>",
+    "<a>", "</a>", "<a/ x>", "<abbr>", "</abbr>", "<script>", "</script>",
     "<style>", "</style>", "<!--", "-->", "<head>", "</head>",
     "<header>", "</header>", "<title>", "</title>", "<br>", "<hr>",
     "&amp;", "&nbsp;", "&copy;", "&lt;", "&unknown;", " ", "\t", "\n",
