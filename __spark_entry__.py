@@ -880,6 +880,23 @@ SELECT 'img://64x64/m'||i::VARCHAR AS media_ref,
 FROM (SELECT unnest(range(64)) AS i)"""
 
 
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: evenly-spaced frame rows per video
+    media item (decode stand-in; Spark-side batch fan-out is real)."""
+    out = M.sample_video_frames(M.synthetic_media_df(spark, 64), n_frames=4)
+    return out.select("media_ref", F.col("frame_idx").cast("long"),
+                      F.col("ts_ms").cast("long"), "frame_sha")
+
+
+SQL_FRAME_SAMPLE = """
+SELECT 'img://64x64/m'||i::VARCHAR AS media_ref,
+  k::BIGINT AS frame_idx,
+  (k * 1000 // 4)::BIGINT AS ts_ms,
+  sha256(repeat('payload-'||i::VARCHAR, 16) || ':' || k::VARCHAR) AS frame_sha
+FROM (SELECT unnest(range(64)) AS i), (SELECT unnest(range(4)) AS k)
+WHERE i % 3 = 2"""
+
+
 def q_ocr_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E40-E42 OCR engine chain (priority fallback, confidence filter)
     over the synthetic media table — the stand-in engine wins in this
@@ -1373,6 +1390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "failed_docs": q_failed_docs,
         "media_features": q_media_features,
+        "frame_sample": q_frame_sample,
         "ocr_media": q_ocr_media,
         "detect_route": q_detect_route,
         "code_stats": q_code_stats,
@@ -1410,6 +1428,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": SQL_EMB_NEAR_DUP,
         "failed_docs": SQL_FAILED,
         "media_features": SQL_MEDIA,
+        "frame_sample": SQL_FRAME_SAMPLE,
         "ocr_media": SQL_OCR_MEDIA,
         "detect_route": SQL_DETECT,
         "code_stats": SQL_CODE_STATS,

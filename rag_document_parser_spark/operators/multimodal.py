@@ -237,6 +237,47 @@ def ocr_media(df: DataFrame,
     return balanced.mapInPandas(run, schema)
 
 
+def sample_video_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame sampling over video media (training-data pipeline tier):
+    one output row per sampled frame, evenly spaced over ``duration_ms``.
+
+    Real decode (an ffmpeg/VideoCapture seek per timestamp) is absent in
+    this container; the frame extractor is a deterministic stand-in over
+    the payload bytes. Everything Spark-side is the real contract: the
+    modality filter prunes before the Python stage, batches arrive via
+    Arrow, the per-frame fan-out happens inside the UDF (no Spark-side
+    explode of undecoded payloads), and the schema matches what a real
+    frame sampler emits (frame_idx, ts_ms, frame digest).
+    """
+    schema = T.StructType([
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("ts_ms", T.IntegerType()),
+        T.StructField("frame_sha", T.StringType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        _decoder()
+        for pdf in batches:
+            refs, idxs, tss, shas = [], [], [], []
+            for ref, payload, dur in zip(pdf["media_ref"], pdf["payload"],
+                                         pdf["duration_ms"]):
+                b = bytes(payload) if payload is not None else b""
+                d = int(dur) if dur is not None else 0
+                for k in range(n_frames):  # per-frame library call, as real
+                    refs.append(ref)
+                    idxs.append(k)
+                    tss.append(k * d // n_frames)
+                    shas.append(hashlib.sha256(
+                        b + b":" + str(k).encode()).hexdigest())
+            yield pd.DataFrame({"media_ref": refs, "frame_idx": idxs,
+                                "ts_ms": tss, "frame_sha": shas})
+
+    videos = df.where(F.col("modality") == "video")
+    balanced = videos.repartition(F.pmod(F.xxhash64("media_ref"), F.lit(64)))
+    return balanced.mapInPandas(run, schema)
+
+
 def synthetic_media_df(spark, n: int = 64) -> DataFrame:
     """Deterministic fake media table for tests/bench (payload = seeded bytes)."""
     return spark.range(n).select(

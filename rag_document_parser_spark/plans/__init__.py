@@ -1,3 +1,8 @@
-from rag_document_parser_spark.plans.job import run_job, chunk_giant_docs, read_lineage
+from rag_document_parser_spark.plans.job import (
+    chunk_giant_docs,
+    extract,
+    read_lineage,
+    run_job,
+)
 
-__all__ = ["run_job", "chunk_giant_docs", "read_lineage"]
+__all__ = ["run_job", "extract", "chunk_giant_docs", "read_lineage"]
