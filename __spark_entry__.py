@@ -251,13 +251,18 @@ WITH base AS (
   SELECT doc_id,
     CASE WHEN ptext <> '' THEN 'doc,media,pdf,text'
          ELSE 'doc,media,pdf' END AS route,
-    (CASE WHEN ptext <> '' THEN 4 ELSE 3 END)::BIGINT AS n_spans,
+    (CASE WHEN ptext <> '' THEN 6 ELSE 5 END)::BIGINT AS n_spans,
     array_to_string(['[HEADER] '||source, ocr, nullif(ptext,''),
       'name | val' || chr(10) || repeat('-', 10) || chr(10)
-        || source || ' | ' || n_chars::VARCHAR], {NL2}) AS content,
+        || source || ' | ' || n_chars::VARCHAR,
+      '=== Slide ' || (h % 9 + 1)::VARCHAR || ' ===',
+      CASE WHEN h % 2 = 1 THEN 'k1 | k2' || chr(10) || repeat('-', 7)
+           ELSE 'k1 | k2' || chr(10) || repeat('-', 7) || chr(10)
+                || source || ' | ' || (h % 9 + 1)::VARCHAR END], {NL2})
+      AS content,
     CAST(NULL AS VARCHAR) AS title
   FROM (
-    SELECT doc_id, source, n_chars, {_post_process_sql("ftext")} AS ptext,
+    SELECT doc_id, source, n_chars, h, {_post_process_sql("ftext")} AS ptext,
       CASE WHEN (CASE WHEN h % 2 = 1 THEN w > 50 AND hh > 30
                       ELSE w > 100 AND hh > 50 END)
         THEN nullif(array_to_string(list_filter(string_split(slug, '-'),

@@ -384,9 +384,15 @@ def spans_df_from_documents(spark: SparkSession, sf_dir: str, mult: int = 1) -> 
     ))
 
     # raw table payload (rows \n-separated, cells \t-separated) — puts the
-    # E14 accept rule + E38 pipe/dash render under the DuckDB oracle gate
+    # E14 accept rule + E38 pipe/dash render under the DuckDB oracle gate.
+    # The slide marker (E28) and a SLIDE-context table (E30 lax accept —
+    # header-only for odd hashes, which the strict pdf rule would drop)
+    # are gated the same way.
     table_text = F.concat(F.lit("name\tval\n"), F.col("source"),
                           F.lit("\t"), F.col("n_chars"))
+    slide_no = (F.pmod(h, 9) + 1).cast("string")
+    stable_text = F.when(F.pmod(h, 2) == 1, F.lit("k1\tk2")).otherwise(
+        F.concat(F.lit("k1\tk2\n"), F.col("source"), F.lit("\t"), slide_no))
     inter_spans = F.array(
         F.struct(F.lit("header").alias("kind"), F.col("source").alias("text"),
                  F.lit(None).cast("string").alias("media_ref"), F.lit(0).cast("int").alias("offset")),
@@ -398,6 +404,10 @@ def spans_df_from_documents(spark: SparkSession, sf_dir: str, mult: int = 1) -> 
             media_ref.alias("media_ref"), F.lit(1).cast("int").alias("offset")),
         F.struct(F.lit("table").alias("kind"), table_text.alias("text"),
                  F.lit(None).cast("string").alias("media_ref"), F.lit(3).cast("int").alias("offset")),
+        F.struct(F.lit("slide").alias("kind"), slide_no.alias("text"),
+                 F.lit(None).cast("string").alias("media_ref"), F.lit(4).cast("int").alias("offset")),
+        F.struct(F.lit("table_slide").alias("kind"), stable_text.alias("text"),
+                 F.lit(None).cast("string").alias("media_ref"), F.lit(5).cast("int").alias("offset")),
     )
 
     route_pick = F.pmod(h, F.lit(10))

@@ -49,6 +49,27 @@ def test_kernel_error_batch_shape():
     assert b.column("title").to_pylist() == [None, None]
 
 
+def test_kernel_empty_batch_and_empty_partitions(spark):
+    """0-row batches and empty partitions flow through the kernel."""
+    import pyarrow as pa
+
+    from rag_document_parser_spark.schema import (ARROW_SPAN_STRUCT,
+                                                  INPUT_SCHEMA)
+
+    empty_spans = pa.ListArray.from_arrays(
+        pa.array([0], type=pa.int32()), pa.array([], type=ARROW_SPAN_STRUCT))
+    eb = pa.RecordBatch.from_arrays(
+        [pa.array([], type=pa.string()), empty_spans.slice(0, 0)],
+        names=["doc_id", "spans"])
+    out = list(make_kernel()(iter([eb])))
+    assert out[0].num_rows == 0
+
+    from rag_document_parser_spark.operators.extract_arrow import extract_arrow
+
+    df = spark.createDataFrame([], schema=INPUT_SCHEMA).repartition(4)
+    assert extract_arrow(df).count() == 0
+
+
 def test_failed_docs_report_on_nonempty_failures(spark):
     """A3/L3 on >0 rows: failed docs surface with their error, ordered,
     capped at the report limit."""
