@@ -814,6 +814,65 @@ SELECT query_id::BIGINT AS query_id, vec_id::BIGINT AS vec_id,
 FROM r WHERE rank <= {_TOPK}"""
 
 
+_NCENT = 16
+_NPROBE = 4
+
+
+def q_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: deterministic coarse quantizer (first 16
+    vectors), nearest-centroid posting lists, nprobe=4, exact re-rank."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < _NQ).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    out = V.ivf_cosine_topk(emb, queries, k=_TOPK,
+                            n_centroids=_NCENT, nprobe=_NPROBE)
+    # rank only (like lsh_cosine_topk): the operator's cosine column is
+    # display-rounded; the rank ordering pins the raw values
+    return out.select(
+        F.col("query_id").cast("long"), F.col("vec_id").cast("long"),
+        F.col("rank").cast("long"))
+
+
+def _sql_ivf() -> str:
+    dot_cv = _DOT.replace("qv", "cv")
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+           FROM embeddings),
+cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {_NCENT}),
+ccos AS (
+  SELECT e.vec_id, e.v, c.cid,
+    {dot_cv} / ({_NRM.format(x='v')} * {_NRM.format(x='cv')}) AS cos
+  FROM e, cents c
+), assigned AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cos DESC, cid ASC) AS rn
+    FROM ccos) WHERE rn = 1
+), probes AS (
+  SELECT vec_id AS query_id, v AS qv, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cos DESC, cid ASC) AS rn
+    FROM ccos WHERE vec_id < {_NQ}) WHERE rn <= {_NPROBE}
+), cand AS (
+  SELECT p.query_id, a.vec_id, a.v, p.qv
+  FROM assigned a JOIN probes p ON a.cid = p.cid
+  WHERE p.query_id <> a.vec_id
+), s AS (
+  SELECT query_id, vec_id,
+    {_DOT} / ({_NRM.format(x='v')} * {_NRM.format(x='qv')}) AS cos
+  FROM cand
+), r AS (
+  SELECT query_id, vec_id,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, vec_id ASC) AS rank FROM s)
+SELECT query_id::BIGINT AS query_id, vec_id::BIGINT AS vec_id,
+       rank::BIGINT AS rank
+FROM r WHERE rank <= {_TOPK}"""
+
+
+SQL_IVF_COSINE = _sql_ivf()
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup dedup tier. The synthetic embeddings have
     no natural near-dups, so vec_id<30 are cloned under id+100000."""
@@ -1392,6 +1451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "cosine_topk": q_cosine_topk,
         "lsh_cosine_topk": q_lsh_cosine_topk,
+        "ivf_cosine_topk": q_ivf_cosine_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "failed_docs": q_failed_docs,
         "media_features": q_media_features,
@@ -1430,6 +1490,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": SQL_SIMHASH_PAIRS,
         "cosine_topk": SQL_COSINE_TOPK,
         "lsh_cosine_topk": SQL_LSH_COSINE,
+        "ivf_cosine_topk": SQL_IVF_COSINE,
         "embedding_near_dup": SQL_EMB_NEAR_DUP,
         "failed_docs": SQL_FAILED,
         "media_features": SQL_MEDIA,

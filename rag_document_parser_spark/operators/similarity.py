@@ -207,6 +207,77 @@ def embedding_near_dup_pairs(corpus: DataFrame, threshold: float = 0.95,
                     F.floor(cos * 1000000).cast("long").alias("cosine_e6")))
 
 
+def ivf_assignment(vec, centroids: list[tuple[int, list[float]]]):
+    """Coarse-quantizer assignment: (centroid_id, cosine) of the nearest
+    centroid, as a struct column. Fold over the centroid literal in id
+    order with a strict > comparison, so ties keep the lowest id — the
+    exact rule the DuckDB oracle replicates with (cos DESC, cid ASC)."""
+    cent_arr = F.array(*[
+        F.struct(F.lit(cid).alias("cid"),
+                 F.lit([float(x) for x in cvec]).alias("cv"))
+        for cid, cvec in centroids])
+    init = F.struct(F.lit(-1).alias("cid"),
+                    F.lit(float("-inf")).alias("cos"))
+    return F.aggregate(
+        cent_arr, init,
+        lambda acc, c: F.when(
+            cosine_similarity_col(vec, c["cv"]) > acc["cos"],
+            F.struct(c["cid"].alias("cid"),
+                     cosine_similarity_col(vec, c["cv"]).alias("cos")),
+        ).otherwise(acc))
+
+
+def ivf_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                    n_centroids: int = 16, nprobe: int = 4,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    qid_col: str = "query_id") -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the classic ANN scale path.
+
+    Structure (what matters at 100 TB):
+    - coarse quantizer: a small centroid set, broadcast as a literal;
+      each corpus vector is assigned to its nearest centroid in ONE
+      zero-shuffle projection (the posting-list partition key);
+    - probe: each query scores the same centroid set and probes its
+      ``nprobe`` nearest lists;
+    - candidates: broadcast-join corpus assignments against the query
+      probes on centroid id — the corpus side never shuffles;
+    - exact cosine re-rank over candidates via the two-stage top-k.
+
+    Centroid choice is DETERMINISTIC — the ``n_centroids`` corpus
+    vectors with the smallest ids (one tiny driver collect). A real
+    deploy trains k-means centroids offline; assignment, posting lists,
+    probing, and re-rank — the parts that carry the scale — are
+    identical, and determinism is what lets the DuckDB oracle pin this
+    operator exactly. Recall < 1 by design (tune nprobe).
+    """
+    cents = [(r[0], list(r[1])) for r in
+             corpus.select(id_col, vec_col)
+             .where(F.col(id_col) < n_centroids)
+             .orderBy(id_col).collect()]
+    assigned = corpus.select(
+        F.col(id_col), F.col(vec_col),
+        ivf_assignment(F.col(vec_col), cents)["cid"].alias("_cid"))
+    probes = queries.select(
+        F.col(qid_col), F.col(vec_col).alias("_qvec"),
+        F.slice(F.array_sort(
+            F.array(*[F.struct(
+                (-cosine_similarity_col(F.col(vec_col),
+                                        F.lit([float(x) for x in cv])))
+                .alias("negcos"),
+                F.lit(cid).alias("cid"))
+                for cid, cv in cents])), 1, nprobe).alias("_probes"))
+    probes = probes.select(
+        qid_col, "_qvec",
+        F.explode(F.transform("_probes", lambda s: s["cid"])).alias("_cid"))
+    cand = assigned.join(F.broadcast(probes), "_cid") \
+                   .where(F.col(qid_col) != F.col(id_col))
+    scored = cand.select(
+        qid_col, id_col,
+        cosine_similarity_col(F.col(vec_col), F.col("_qvec")).alias("cosine"))
+    return topk_per_query(scored, k, qid_col, id_col).select(
+        qid_col, id_col, F.round("cosine", 6).alias("cosine"), "rank")
+
+
 def lsh_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     qid_col: str = "query_id", n_bits: int = 16,
