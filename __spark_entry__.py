@@ -1050,6 +1050,43 @@ SELECT doc_id, ext AS extension, mime AS mime_type,
 FROM cat"""
 
 
+def q_magic_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1 magic-byte sniffing over synthesized binary payloads: each doc
+    gets one of the 8 signature prefixes or a garbage prefix; the engine
+    must recover (mime, category) from the payload bytes alone."""
+    from rag_document_parser_spark.functions.detect import (MAGIC_SIGNATURES,
+                                                            sniff_magic)
+
+    docs = _docs(spark, sf_dir)
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+               16, 10).cast("long")
+    sigs = [s for s, _, _ in MAGIC_SIGNATURES] + ["deadbeef"]
+    hexsig = F.element_at(F.lit(sigs), (F.pmod(h, 9) + 1).cast("int"))
+    payload = F.unhex(F.concat(hexsig, F.lit("001122334455667788")))
+    sniffed = sniff_magic(payload)
+    return docs.select(
+        F.col("doc_id").cast("long"),
+        sniffed["mime"].alias("magic_mime"),
+        sniffed["category"].alias("magic_category"))
+
+
+def _sql_magic_detect() -> str:
+    from rag_document_parser_spark.functions.detect import MAGIC_SIGNATURES
+
+    mime_case = " ".join(f"WHEN {i} THEN {_sq(m)}"
+                         for i, (_, m, _) in enumerate(MAGIC_SIGNATURES))
+    cat_case = " ".join(f"WHEN {i} THEN {_sq(c)}"
+                        for i, (_, _, c) in enumerate(MAGIC_SIGNATURES))
+    return f"""
+SELECT doc_id::BIGINT AS doc_id,
+  CASE ({_md5l('doc_id::VARCHAR')}) % 9 {mime_case} END AS magic_mime,
+  CASE ({_md5l('doc_id::VARCHAR')}) % 9 {cat_case} END AS magic_category
+FROM documents"""
+
+
+SQL_MAGIC_DETECT = _sql_magic_detect()
+
+
 def q_code_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E6 code-title heuristic + L4 truncation
     (/root/reference/parsers/text_parser.py:275-301,
@@ -1458,6 +1495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": q_frame_sample,
         "ocr_media": q_ocr_media,
         "detect_route": q_detect_route,
+        "magic_detect": q_magic_detect,
         "code_stats": q_code_stats,
         "content_structure": q_content_structure,
         "arabic_normalized": q_arabic_normalized,
@@ -1497,6 +1535,7 @@ def oracle_sql() -> dict[str, str]:
         "frame_sample": SQL_FRAME_SAMPLE,
         "ocr_media": SQL_OCR_MEDIA,
         "detect_route": SQL_DETECT,
+        "magic_detect": SQL_MAGIC_DETECT,
         "code_stats": SQL_CODE_STATS,
         "content_structure": SQL_CONTENT_STRUCTURE,
         "arabic_normalized": SQL_ARABIC_NORMALIZED,

@@ -104,6 +104,38 @@ def category_from_extension(ext: Column) -> Column:
     return _map_lookup(F.lower(ext), EXT_CATEGORY)
 
 
+# R1 content sniffing — the python-magic leg of the cascade
+# (/root/reference/utils/file_detector.py:150-165) re-expressed as magic
+# signatures over the first payload bytes: hex-prefix match, pure
+# Catalyst (hex + startswith compile into codegen). Signatures cover the
+# reference's supported families; PK-zip is the container for all OOXML
+# formats and D0CF11E0 for legacy OLE office files, which the cascade
+# then refines by extension (exactly what libmagic + ext does).
+MAGIC_SIGNATURES: list[tuple[str, str, str]] = [
+    ("25504446", "application/pdf", "pdf"),                 # %PDF
+    ("504b0304", "application/zip", "archive"),             # PK\x03\x04
+    ("d0cf11e0a1b11ae1", "application/x-ole-storage", "document"),
+    ("89504e47", "image/png", "image"),
+    ("ffd8ff", "image/jpeg", "image"),
+    ("47494638", "image/gif", "image"),
+    ("7b5c727466", "application/rtf", "document"),          # {\rtf
+    ("1f8b", "application/gzip", "archive"),
+]
+
+
+def sniff_magic(payload: Column) -> Column:
+    """binary payload -> struct(mime, category) from magic bytes;
+    both fields NULL when no signature matches."""
+    hexp = F.lower(F.hex(F.substring(payload, 1, 8)))
+    mime = F.lit(None).cast("string")
+    cat = F.lit(None).cast("string")
+    for sig, m, c in reversed(MAGIC_SIGNATURES):
+        hit = hexp.startswith(sig)
+        mime = F.when(hit, F.lit(m)).otherwise(mime)
+        cat = F.when(hit, F.lit(c)).otherwise(cat)
+    return F.struct(mime.alias("mime"), cat.alias("category"))
+
+
 def detect_columns(df: DataFrame, mime_col: str = "mime_type",
                    ext_col: str = "extension") -> DataFrame:
     """R4 cascade: adds ``category`` + ``confidence`` columns.
