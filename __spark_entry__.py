@@ -50,6 +50,14 @@ def _md5l(expr: str) -> str:
     return "('0x'||substring(md5(" + expr + "),1,15))::BIGINT"
 
 
+def _hcol(c) -> "F.Column":
+    """Spark twin of _md5l over a column — every oracle that synthesizes
+    per-doc selectors MUST build its hash through this one helper so the
+    two sides cannot drift."""
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10) \
+            .cast("long")
+
+
 NL2 = "(chr(10)||chr(10))"
 
 # the exact regex constants the engine uses (semantics.py — RE2-safe)
@@ -834,24 +842,30 @@ def q_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_ivf() -> str:
+    # assignment/probe score = dot(v, c) / ||c|| — the row's own norm is
+    # a positive constant per row, so the ordering equals the cosine
+    # ordering while matching the engine's halved arithmetic bitwise;
+    # degenerate vectors (NULL / zero-norm) are filtered like the engine
     dot_cv = _DOT.replace("qv", "cv")
     return f"""
 WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
-           FROM embeddings),
-cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {_NCENT}),
+           FROM embeddings
+           WHERE embedding IS NOT NULL),
+e2 AS (SELECT * FROM e WHERE {_NRM.format(x='v')} > 0),
+cents AS (SELECT vec_id AS cid, v AS cv FROM e2 WHERE vec_id < {_NCENT}),
 ccos AS (
-  SELECT e.vec_id, e.v, c.cid,
-    {dot_cv} / ({_NRM.format(x='v')} * {_NRM.format(x='cv')}) AS cos
-  FROM e, cents c
+  SELECT e2.vec_id, e2.v, c.cid,
+    {dot_cv} / {_NRM.format(x='cv')} AS score
+  FROM e2, cents c
 ), assigned AS (
   SELECT vec_id, v, cid FROM (
     SELECT *, row_number() OVER (PARTITION BY vec_id
-                                 ORDER BY cos DESC, cid ASC) AS rn
+                                 ORDER BY score DESC, cid ASC) AS rn
     FROM ccos) WHERE rn = 1
 ), probes AS (
   SELECT vec_id AS query_id, v AS qv, cid FROM (
     SELECT *, row_number() OVER (PARTITION BY vec_id
-                                 ORDER BY cos DESC, cid ASC) AS rn
+                                 ORDER BY score DESC, cid ASC) AS rn
     FROM ccos WHERE vec_id < {_NQ}) WHERE rn <= {_NPROBE}
 ), cand AS (
   SELECT p.query_id, a.vec_id, a.v, p.qv
@@ -1002,8 +1016,7 @@ def q_detect_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rag_document_parser_spark.functions import detect as DET
 
     docs = _docs(spark, sf_dir)
-    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
-               16, 10).cast("long")
+    h = _hcol(F.col("doc_id"))
     exts = [".pdf", ".docx", ".txt", ".html", ".xlsx", ".jpg", ".zip", ".xyz"]
     ext = F.element_at(F.lit(exts), (F.pmod(h, 8) + 1).cast("int"))
     mime = (F.when(F.pmod(h, 4) == 1, "application/pdf")
@@ -1058,8 +1071,7 @@ def q_magic_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                             sniff_magic)
 
     docs = _docs(spark, sf_dir)
-    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
-               16, 10).cast("long")
+    h = _hcol(F.col("doc_id"))
     sigs = [s for s, _, _ in MAGIC_SIGNATURES] + ["deadbeef"]
     hexsig = F.element_at(F.lit(sigs), (F.pmod(h, 9) + 1).cast("int"))
     payload = F.unhex(F.concat(hexsig, F.lit("001122334455667788")))
@@ -1170,8 +1182,7 @@ def q_arabic_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E25 opt-in Arabic normalizer: tashkeel/tatweel strip, alef/ya/ha
     unification, over text decorated with diacritic-heavy tokens."""
     docs = _docs(spark, sf_dir)
-    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
-               16, 10).cast("long")
+    h = _hcol(F.col("doc_id"))
     decor = (F.when(F.pmod(h, 3) == 0, F.lit("مُحَمَّدٌ أَهْلاً "))
              .when(F.pmod(h, 3) == 1, F.lit("الإِسْـلامُ مَدْرَسَةٌ "))
              .otherwise(F.lit("")))
@@ -1223,8 +1234,7 @@ def q_sheet_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rag_document_parser_spark.operators.sheets import sheet_structure
 
     docs = _docs(spark, sf_dir)
-    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
-               16, 10).cast("long")
+    h = _hcol(F.col("doc_id"))
     d = (F.when(F.pmod(h, 3) == 0, F.lit(","))
          .when(F.pmod(h, 3) == 1, F.lit(";"))
          .otherwise(F.lit("\t")))
@@ -1318,8 +1328,7 @@ def q_doc_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rag_document_parser_spark.functions import metadata as MD
 
     docs = _docs(spark, sf_dir)
-    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
-               16, 10).cast("long")
+    h = _hcol(F.col("doc_id"))
     mo = F.lpad((F.pmod(h, 12) + 1).cast("string"), 2, "0")
     dy = F.lpad((F.pmod(h, 28) + 1).cast("string"), 2, "0")
     tz = F.when(F.pmod(h, 2) == 0, F.lit("+05'00'")).otherwise(F.lit(""))

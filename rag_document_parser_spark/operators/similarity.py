@@ -53,7 +53,10 @@ def _norm(a):
 
 
 def cosine_similarity_col(a, b):
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    # try_divide: a zero-norm (degenerate) vector yields NULL similarity
+    # instead of an ANSI-mode DIVIDE_BY_ZERO task failure; NULLs sort
+    # last under the descending rank, so degenerates simply never place.
+    return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
 
 
 def topk_per_query(scored: DataFrame, k: int, qid_col: str = "query_id",
@@ -147,8 +150,11 @@ def lsh_signature(vec, n_bits: int = 16):
     branches gets simplified away by SimplifyConditionals and never
     evaluates.
     """
+    # NULL vectors pass through (signature 0, the pre-guard behavior);
+    # only a genuinely oversized vector raises
     sig = F.when(
-        F.size(vec) <= F.lit(_MAX_DIM), F.lit(0).cast("long")
+        vec.isNull() | (F.size(vec) <= F.lit(_MAX_DIM)),
+        F.lit(0).cast("long")
     ).otherwise(F.raise_error(F.lit(
         f"lsh_signature supports dims <= {_MAX_DIM}; widen _MAX_DIM "
         "or use a broadcast plane table")).cast("long"))
@@ -207,24 +213,41 @@ def embedding_near_dup_pairs(corpus: DataFrame, threshold: float = 0.95,
                     F.floor(cos * 1000000).cast("long").alias("cosine_e6")))
 
 
+def _centroid_scores(vec, centroids: list[tuple[int, list[float]]]):
+    """Per-centroid score structs (negscore, cid), one dot product each.
+
+    Score = dot(vec, c) / ||c|| — the vector's own norm is a positive
+    per-row constant, so dropping it preserves the argmax/ordering while
+    halving the arithmetic; ||c|| is precomputed driver-side with the
+    same left-fold + sqrt the oracle uses, so scores are bitwise
+    reproducible. Each dot is evaluated exactly once (array-literal
+    element expressions, not a fold lambda — Catalyst re-evaluates
+    non-attribute subtrees per lambda element)."""
+    import math
+
+    structs = []
+    for cid, cvec in centroids:
+        cv = [float(x) for x in cvec]
+        norm_c = math.sqrt(sum_left_fold([x * x for x in cv]))
+        structs.append(F.struct(
+            (-(_dot(vec, F.lit(cv)) / F.lit(norm_c))).alias("negscore"),
+            F.lit(cid).alias("cid")))
+    return F.array(*structs)
+
+
+def sum_left_fold(xs: list[float]) -> float:
+    """Explicit left-fold sum — bitwise-matches the engines' fold order."""
+    acc = 0.0
+    for x in xs:
+        acc = acc + x
+    return acc
+
+
 def ivf_assignment(vec, centroids: list[tuple[int, list[float]]]):
-    """Coarse-quantizer assignment: (centroid_id, cosine) of the nearest
-    centroid, as a struct column. Fold over the centroid literal in id
-    order with a strict > comparison, so ties keep the lowest id — the
-    exact rule the DuckDB oracle replicates with (cos DESC, cid ASC)."""
-    cent_arr = F.array(*[
-        F.struct(F.lit(cid).alias("cid"),
-                 F.lit([float(x) for x in cvec]).alias("cv"))
-        for cid, cvec in centroids])
-    init = F.struct(F.lit(-1).alias("cid"),
-                    F.lit(float("-inf")).alias("cos"))
-    return F.aggregate(
-        cent_arr, init,
-        lambda acc, c: F.when(
-            cosine_similarity_col(vec, c["cv"]) > acc["cos"],
-            F.struct(c["cid"].alias("cid"),
-                     cosine_similarity_col(vec, c["cv"]).alias("cos")),
-        ).otherwise(acc))
+    """Coarse-quantizer assignment: struct(cid) of the nearest centroid.
+    Sorted by (negscore, cid) so ties keep the lowest id — the exact
+    rule the DuckDB oracle replicates with (score DESC, cid ASC)."""
+    return F.element_at(F.array_sort(_centroid_scores(vec, centroids)), 1)
 
 
 def ivf_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
@@ -249,7 +272,17 @@ def ivf_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     probing, and re-rank — the parts that carry the scale — are
     identical, and determinism is what lets the DuckDB oracle pin this
     operator exactly. Recall < 1 by design (tune nprobe).
+
+    Degenerate vectors (NULL or zero norm — cosine undefined) are
+    excluded from both the index and the query set; the oracle applies
+    the same filter, so NaN ordering semantics never come into play.
     """
+    def _ok(df):
+        return df.where(F.col(vec_col).isNotNull()
+                        & (_norm(F.col(vec_col)) > 0))
+
+    corpus = _ok(corpus)
+    queries = _ok(queries)
     cents = [(r[0], list(r[1])) for r in
              corpus.select(id_col, vec_col)
              .where(F.col(id_col) < n_centroids)
@@ -259,13 +292,8 @@ def ivf_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
         ivf_assignment(F.col(vec_col), cents)["cid"].alias("_cid"))
     probes = queries.select(
         F.col(qid_col), F.col(vec_col).alias("_qvec"),
-        F.slice(F.array_sort(
-            F.array(*[F.struct(
-                (-cosine_similarity_col(F.col(vec_col),
-                                        F.lit([float(x) for x in cv])))
-                .alias("negcos"),
-                F.lit(cid).alias("cid"))
-                for cid, cv in cents])), 1, nprobe).alias("_probes"))
+        F.slice(F.array_sort(_centroid_scores(F.col(vec_col), cents)),
+                1, nprobe).alias("_probes"))
     probes = probes.select(
         qid_col, "_qvec",
         F.explode(F.transform("_probes", lambda s: s["cid"])).alias("_cid"))

@@ -44,6 +44,12 @@ from rag_document_parser_spark.operators import extract_arrow, extract_catalyst
 from rag_document_parser_spark.schema import LINEAGE_SCHEMA
 
 
+def _default_cfg(engine: str) -> ExtractConfig:
+    """Engine-specific default: the catalyst engine rejects configs it
+    cannot implement, so its default must be CATALYST_CONFIG."""
+    return DEFAULT_CONFIG if engine == "arrow" else CATALYST_CONFIG
+
+
 def bucket_col(n_buckets: int):
     return F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_buckets)).cast("int")
 
@@ -191,7 +197,7 @@ def extract(df: DataFrame, cfg: ExtractConfig | None = None,
     first if its plan contains non-deterministic expressions.
     """
     if cfg is None:
-        cfg = DEFAULT_CONFIG if engine == "arrow" else CATALYST_CONFIG
+        cfg = _default_cfg(engine)
     kernel = extract_arrow if engine == "arrow" else extract_catalyst
     if not chunk:
         return kernel(df, cfg)
@@ -241,7 +247,7 @@ def run_job(
     """
     run_id = run_id or uuid.uuid4().hex[:12]
     if cfg is None:
-        cfg = DEFAULT_CONFIG if engine == "arrow" else CATALYST_CONFIG
+        cfg = _default_cfg(engine)
     n_buckets = cfg.n_buckets
     df = input_df.withColumn("bucket", bucket_col(n_buckets))
 
