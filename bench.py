@@ -152,6 +152,8 @@ def main() -> None:
     timed("cosine_topk", lambda: V.cosine_topk(emb, queries8, k=10).count())
     timed("lsh_cosine_topk",
           lambda: V.lsh_cosine_topk(emb, queries8, k=10).count())
+    timed("ivf_cosine_topk",
+          lambda: V.ivf_cosine_topk(emb, queries8, k=10).count())
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

@@ -205,3 +205,30 @@ def test_ivf_topk_recall_and_validity(spark):
         assert [x[0] for x in rs] == list(range(1, len(rs) + 1))
         cosines = [x[1] for x in rs]
         assert cosines == sorted(cosines, reverse=True)
+
+
+def test_similarity_ops_tolerate_degenerate_vectors(spark):
+    """NULL and zero-norm embeddings must not crash any similarity path
+    (ANSI mode turns 0/0 into a task failure without try_divide) and
+    must never place in results."""
+    from rag_document_parser_spark.operators.similarity import (
+        cosine_topk,
+        embedding_near_dup_pairs,
+        ivf_cosine_topk,
+        lsh_cosine_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet") \
+        .select("vec_id", "embedding").limit(60)
+    deg = spark.createDataFrame(
+        [(999901, None), (999902, [0.0] * 64)],
+        "vec_id long, embedding array<float>")
+    mixed = emb.unionByName(deg)
+    queries = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    for fn in (cosine_topk, lsh_cosine_topk, ivf_cosine_topk):
+        rows = fn(mixed, queries, k=3).collect()
+        assert rows, fn.__name__
+        assert all(r.vec_id < 999901 for r in rows), fn.__name__
+    pairs = embedding_near_dup_pairs(mixed).collect()
+    assert all(p.id_a < 999901 and p.id_b < 999901 for p in pairs)
