@@ -1,3 +1,3 @@
-from rag_document_parser_spark.functions import text
+from rag_document_parser_spark.functions import detect, metadata, text
 
-__all__ = ["text"]
+__all__ = ["detect", "metadata", "text"]

@@ -1,4 +1,5 @@
 from rag_document_parser_spark.operators.extract_arrow import extract_arrow
 from rag_document_parser_spark.operators.extract_catalyst import extract_catalyst
+from rag_document_parser_spark.operators.sheets import sheet_structure
 
-__all__ = ["extract_arrow", "extract_catalyst"]
+__all__ = ["extract_arrow", "extract_catalyst", "sheet_structure"]
