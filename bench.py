@@ -31,7 +31,7 @@ ONLY_EXTRACT = os.environ.get("BENCH_ONLY", "") == "1"
 # repetitions of the headline job (best-of-N); scaling runs use 1 at a
 # large enough mult that fixed driver costs (commit, lineage tail) are
 # amortized and a single timing is stable
-REPS = int(os.environ.get("BENCH_REPS", "2"))
+REPS = int(os.environ.get("BENCH_REPS", "3"))
 
 
 def main() -> None:

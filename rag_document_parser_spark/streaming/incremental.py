@@ -189,6 +189,76 @@ def stream_windowed_event_counts(
     )
 
 
+def stream_shard_progress(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    n_shards: int = 16,
+):
+    """Custom stateful operator via ``applyInPandasWithState``: per-shard
+    RUNNING totals across micro-batches (the A14 batch-progress ledger as
+    live streaming state).
+
+    Documents shard by ``pmod(xxhash64(doc_id), n_shards)`` — the same
+    deterministic keying as the batch job's buckets — and each shard
+    keeps (total_docs, total_spans) in the state store. Every micro-batch
+    emits one row per touched shard with the batch delta AND the
+    cumulative totals; state survives restarts through the checkpoint, so
+    a later invocation continues the counts. This is the
+    arbitrary-stateful form the built-in dropDuplicates/window aggs can't
+    express: monotone cross-batch accumulators with custom update logic.
+    """
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = T.StructType([
+        T.StructField("shard", T.IntegerType()),
+        T.StructField("batch_docs", T.LongType()),
+        T.StructField("batch_spans", T.LongType()),
+        T.StructField("total_docs", T.LongType()),
+        T.StructField("total_spans", T.LongType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("total_docs", T.LongType()),
+        T.StructField("total_spans", T.LongType()),
+    ])
+
+    def update(key, pdfs, state):
+        docs = 0
+        spans = 0
+        for pdf in pdfs:
+            docs += len(pdf)
+            spans += int(pdf["n_spans"].sum())
+        if state.exists:
+            (td, ts) = state.get
+        else:
+            td, ts = 0, 0
+        td, ts = td + docs, ts + spans
+        state.update((td, ts))
+        import pandas as pd
+
+        yield pd.DataFrame({"shard": [key[0]], "batch_docs": [docs],
+                            "batch_spans": [spans], "total_docs": [td],
+                            "total_spans": [ts]})
+
+    stream = spark.readStream.schema(INPUT_SCHEMA).parquet(input_dir)
+    staged = stream.select(
+        F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)).cast("int")
+        .alias("shard"),
+        F.coalesce(F.size("spans"), F.lit(0)).cast("long").alias("n_spans"))
+    counted = staged.groupBy("shard").applyInPandasWithState(
+        update, out_schema, state_schema, "append",
+        GroupStateTimeout.NoTimeout)
+    return (
+        counted.writeStream.format("parquet")
+        .option("path", os.path.join(output_dir, "data"))
+        .option("checkpointLocation", os.path.join(output_dir, "_checkpoint"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_extract_with_lineage(
     spark: SparkSession,
     input_dir: str,

@@ -261,3 +261,35 @@ def test_stream_extract_with_lineage(spark, tmp_path):
     assert lineage.where(~F.col("run_id").startswith("stream-")).count() == 0
     data = spark.read.parquet(os.path.join(out_dir, "data"))
     assert data.count() == 40
+
+
+def test_stream_shard_progress_accumulates_state(spark, tmp_path):
+    """applyInPandasWithState: per-shard running totals persist in the
+    state store across separate availableNow invocations."""
+    from rag_document_parser_spark.streaming import stream_shard_progress
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    b1 = fixture_df(spark, seed=61, n_docs=40)
+    _write_slice(b1, in_dir)
+    q = stream_shard_progress(spark, in_dir, out_dir, n_shards=4)
+    q.awaitTermination(120)
+    first = spark.read.parquet(os.path.join(out_dir, "data"))
+    t1 = first.agg(F.sum("batch_docs")).collect()[0][0]
+    assert t1 == 40
+    # batch totals == running totals on the first batch
+    assert first.where(F.col("batch_docs") != F.col("total_docs")).count() == 0
+
+    b2 = fixture_df(spark, seed=62, n_docs=25)
+    _write_slice(b2, in_dir)
+    q = stream_shard_progress(spark, in_dir, out_dir, n_shards=4)
+    q.awaitTermination(120)
+    rows = spark.read.parquet(os.path.join(out_dir, "data")).collect()
+    assert sum(r.batch_docs for r in rows) == 65
+    # cumulative totals grew across invocations: the latest row per shard
+    # carries batch1+batch2 counts
+    latest = {}
+    for r in rows:
+        if r.shard not in latest or r.total_docs > latest[r.shard]:
+            latest[r.shard] = r.total_docs
+    assert sum(latest.values()) == 65
