@@ -104,8 +104,10 @@ def extract_media_features(df: DataFrame, batch_size_hint: int = 256) -> DataFra
                 "decode_error": errs,
             })
 
-    # decode-cost balancing: repartition on ref hash before the UDF pass
-    balanced = df.repartition(F.pmod(F.xxhash64("media_ref"), F.lit(64)))
+    # decode-cost balancing: repartition on the ref hash before the UDF
+    # pass — partition count follows spark.sql.shuffle.partitions (a fixed
+    # modulus would cap parallelism at scale)
+    balanced = df.repartition(F.xxhash64("media_ref"))
     return balanced.mapInPandas(run, FEATURE_SCHEMA)
 
 
@@ -233,7 +235,7 @@ def ocr_media(df: DataFrame,
                 "mean_conf_e4": pd.array(confs, dtype="Int64"),
             })
 
-    balanced = df.repartition(F.pmod(F.xxhash64("media_ref"), F.lit(64)))
+    balanced = df.repartition(F.xxhash64("media_ref"))
     return balanced.mapInPandas(run, schema)
 
 
@@ -274,7 +276,7 @@ def sample_video_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
                                 "ts_ms": tss, "frame_sha": shas})
 
     videos = df.where(F.col("modality") == "video")
-    balanced = videos.repartition(F.pmod(F.xxhash64("media_ref"), F.lit(64)))
+    balanced = videos.repartition(F.xxhash64("media_ref"))
     return balanced.mapInPandas(run, schema)
 
 
