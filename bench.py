@@ -129,6 +129,17 @@ def main() -> None:
         spark.stop()
         return
 
+    # -- pre-bucketed input (Iceberg bucketBy analog): the job skips its
+    # wide-row exchange; the only shuffle moved the cheap pre-synthesis rows
+    pre = spans_df_from_documents(spark, SF_DIR, mult=MULT, bucket_for=256)
+    d = tempfile.mkdtemp(prefix="bench_preb_", dir=out_base)
+    try:
+        timed("extract_job_prebucketed",
+              lambda: J.run_job(spark, pre, d, engine="arrow",
+                                resume=False, pre_bucketed=True))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
     # -- catalyst engine, same corpus, compute-only (forces text materialize)
     timed("extract_catalyst", lambda: extract_catalyst(corpus, CATALYST_CONFIG).agg(
         F.count("*"),

@@ -238,12 +238,23 @@ def run_job(
     resume: bool = True,
     fail_after_buckets: int | None = None,
     run_id: str | None = None,
+    pre_bucketed: bool = False,
 ) -> dict:
     """Run the full extraction job. Returns summary counters.
 
     ``fail_after_buckets`` is a test hook: process only the first K buckets
     (by bucket id) then stop, simulating a mid-job failure so the resume
     path can be exercised.
+
+    ``pre_bucketed=True`` declares that the input is already partitioned
+    by ``pmod(xxhash64(doc_id), cfg.n_buckets)`` — an Iceberg table
+    bucket-partitioned on write, or a corpus built with
+    ``spans_df_from_documents(bucket_for=...)``. The job then skips its
+    own exchange, so the wide span rows never shuffle (bucket membership
+    is still recomputed deterministically for the write/lineage, and
+    resume semantics are unchanged). Declaring it for a mis-partitioned
+    input is safe for correctness — only write locality degrades (more
+    files per bucket directory).
     """
     run_id = run_id or uuid.uuid4().hex[:12]
     if cfg is None:
@@ -270,9 +281,11 @@ def run_job(
         )[:fail_after_buckets]
         df = df.where(F.col("bucket").isin(remaining))
 
-    # the one shuffle: salted exchange on the deterministic bucket
-    par = min(n_buckets, spark.sparkContext.defaultParallelism * 2)
-    df = df.repartition(par, "bucket")
+    # the one shuffle: salted exchange on the deterministic bucket —
+    # skipped entirely when the input is declared bucket-partitioned
+    if not pre_bucketed:
+        par = min(n_buckets, spark.sparkContext.defaultParallelism * 2)
+        df = df.repartition(par, "bucket")
 
     out = extract(df.select("doc_id", "spans"), cfg, engine=engine)
     out = out.withColumn("doc_hash", doc_hash_col()) \
