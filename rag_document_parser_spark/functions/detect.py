@@ -137,26 +137,37 @@ def sniff_magic(payload: Column) -> Column:
 
 
 def detect_columns(df: DataFrame, mime_col: str = "mime_type",
-                   ext_col: str = "extension") -> DataFrame:
+                   ext_col: str = "extension",
+                   payload_col: str | None = None) -> DataFrame:
     """R4 cascade: adds ``category`` + ``confidence`` columns.
 
-    Mirrors /root/reference/utils/file_detector.py:150-200:
-    mime hit → 1.0; extension hit → 0.8; (guessed-mime leg collapses into
-    the mime map here — a guessed MIME that maps is the same lookup, kept
-    at 0.6 when the direct mime was null); txt-ish extension → 0.5;
-    otherwise 'unknown' at 0.0.
+    Mirrors /root/reference/utils/file_detector.py:150-200: content
+    sniff (magic bytes, when a ``payload_col`` is given — the libmagic
+    leg the reference tries FIRST) → 1.0; mime hit → 1.0; extension hit
+    → 0.8; (guessed-mime leg collapses into the mime map here — a
+    guessed MIME that maps is the same lookup, kept at 0.6 when the
+    direct mime was null); txt-ish extension → 0.5; otherwise 'unknown'
+    at 0.0. An archive-category sniff (zip/gzip container) defers to the
+    extension, matching the reference's refine-by-extension behavior for
+    OOXML containers.
     """
     mime, ext = F.col(mime_col), F.lower(F.col(ext_col))
+    if payload_col is not None:
+        sniffed = sniff_magic(F.col(payload_col))["category"]
+        by_magic = F.when(sniffed != "archive", sniffed)
+    else:
+        by_magic = F.lit(None).cast("string")
     by_mime = category_from_mime(mime)
     by_ext = category_from_extension(ext)
     guessed = category_from_mime(_map_lookup(ext, GUESS_MIME))
     category = F.coalesce(
-        by_mime, by_ext, guessed,
+        by_magic, by_mime, by_ext, guessed,
         F.when(ext.isin(*TXTISH_EXTS), "text"),
         F.lit("unknown"),
     )
     confidence = (
-        F.when(by_mime.isNotNull(), F.lit(1.0))
+        F.when(by_magic.isNotNull(), F.lit(1.0))
+        .when(by_mime.isNotNull(), F.lit(1.0))
         .when(by_ext.isNotNull(), F.lit(0.8))
         .when(guessed.isNotNull(), F.lit(0.6))
         .when(ext.isin(*TXTISH_EXTS), F.lit(0.5))

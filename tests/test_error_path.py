@@ -103,3 +103,30 @@ def test_error_rows_counted_invalid(spark):
         "title string, success boolean, error string, wall_us long")
     got = {r.doc_id: r.is_valid for r in validity(out).collect()}
     assert got == {"bad": False, "good": True}
+
+
+def test_magic_sniff_leads_the_cascade(spark):
+    """R1/R4: a payload's magic bytes beat a wrong extension; archive
+    containers (zip = OOXML) defer to the extension; unknown bytes fall
+    through the rest of the cascade."""
+    from rag_document_parser_spark.functions.detect import detect_columns
+
+    rows = [
+        # pdf bytes under a .txt extension -> pdf at confidence 1.0
+        ("a", ".txt", None, bytes.fromhex("255044462d312e37")),
+        # zip container with .docx -> extension refines to document
+        ("b", ".docx", None, bytes.fromhex("504b030414000000")),
+        # garbage bytes + unknown ext -> unknown
+        ("c", ".xyz", None, b"\x00\x01\x02\x03"),
+        # no payload column value -> mime map still wins
+        ("d", ".bin", "application/pdf", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, extension string, mime_type string, "
+        "payload binary")
+    out = {r.doc_id: (r.category, r.confidence)
+           for r in detect_columns(df, payload_col="payload").collect()}
+    assert out["a"] == ("pdf", 1.0)
+    assert out["b"] == ("document", 0.8)
+    assert out["c"] == ("unknown", 0.0)
+    assert out["d"] == ("pdf", 1.0)
