@@ -224,11 +224,16 @@ def generate_fixture_docs(seed: int = 42, n_docs: int = 200,
             elif edge == 3:  # duplicate offsets → stable tie-break by position
                 spans = [{"kind": "text", "text": f"tie {j} {_sentence(rng, 2, 4)}",
                           "media_ref": None, "offset": 5} for j in range(4)]
-            elif edge == 4:  # unparseable media ref + null-text html
+            elif edge == 4:  # unparseable media ref + null-text html/tables
                 spans = [
                     {"kind": "media", "text": None, "media_ref": "not-a-ref", "offset": 0},
                     {"kind": "html", "text": None, "media_ref": None, "offset": 1},
                     {"kind": "text", "text": "survivor", "media_ref": None, "offset": 2},
+                    # null-text table spans: must be DROPPED, not crash the
+                    # Arrow batch (regression: a null survived the blanking
+                    # np.where and ArrowInvalid'd the whole batch)
+                    {"kind": "table", "text": None, "media_ref": None, "offset": 3},
+                    {"kind": "table_slide", "text": None, "media_ref": None, "offset": 4},
                 ]
             elif edge == 5:  # unknown kind passthrough + NULL offsets (sort last)
                 spans = [

@@ -28,7 +28,7 @@ explicitly (df_cap, band count), and never collects to the driver.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 
 def _shr(c, bits):
@@ -131,15 +131,24 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         df_cap: int = 1000) -> DataFrame:
     """All pairs with shingle-set Jaccard >= threshold (id_a < id_b).
 
-    Plan shape — ONE exchange on the shingle key feeds everything:
-    explode per-row-distinct shingles carrying the doc's shingle count
-    alongside (no separate sizes join), compute document frequency with a
-    window over the shingle partition (no separate freq aggregate+join —
-    the window, and both sides of the subsequent self-join, reuse the same
-    shuffle via ReuseExchange), drop stop-shingles with df > ``df_cap``
-    (at web scale boilerplate n-grams contribute O(df²) candidate pairs
-    each), self-join, then count co-occurrences per pair (the second and
-    final shuffle, keyed on the pair) and Jaccard = inter/(|A|+|B|-inter).
+    Plan shape: explode per-row-distinct shingles carrying the doc's
+    shingle count alongside (no separate sizes join); compute the
+    over-cap stop-shingle blacklist with a map-side-combinable
+    ``groupBy(shingle).count()`` and remove it with a BROADCAST anti-join
+    (the blacklist is tiny by Zipf: only shingles with df > ``df_cap``);
+    self-join on the surviving shingles; count co-occurrences per pair
+    and Jaccard = inter/(|A|+|B|-inter).
+
+    Skew note (why NOT a window): ``count(*) over (partition by
+    shingle)`` has no partial aggregation — at web scale every row of a
+    stop-shingle ("the quick brown" ≈ every doc) lands in ONE task's
+    window buffer *before* the df filter can drop it, a straggler
+    holding O(corpus) rows. The hash aggregate partially counts
+    map-side, so the reducer sees at most one row per (task, shingle),
+    and the broadcast anti-join never shuffles the exploded relation on
+    the skewed key at all. Cost accepted in exchange: the shingle
+    explode is evaluated once more for the blacklist aggregate
+    (CPU-bound re-tokenize, no skew surface).
     """
     sh = shingle_df(df, text_col, id_col, n, drop_empty=True)
     # explode_OUTER on purpose: plain explode makes InferFiltersFromGenerate
@@ -150,9 +159,11 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     flat = sh.select("id", F.size("shingles").alias("n_sh"),
                      F.explode_outer("shingles").alias("shingle")) \
              .where(F.col("shingle").isNotNull())
-    w = Window.partitionBy("shingle")
-    flat = flat.withColumn("df", F.count("*").over(w)) \
-               .where(F.col("df") <= df_cap)
+    over_cap = (flat.groupBy("shingle")
+                .agg(F.count("*").alias("df"))
+                .where(F.col("df") > df_cap)
+                .select("shingle"))
+    flat = flat.join(F.broadcast(over_cap), "shingle", "left_anti")
 
     a = flat.select("shingle", F.col("id").alias("id_a"),
                     F.col("n_sh").alias("n_a"))

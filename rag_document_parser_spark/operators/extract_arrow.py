@@ -334,7 +334,13 @@ def _clean_batch(batch: pa.RecordBatch, cfg: ExtractConfig) -> pa.RecordBatch:
     # pay the split cost.
     tbl_m = table_m | tslide_m
     if tbl_m.any():
-        t_in = pa.array(np.where(tbl_m, out_text, ""), type=pa.string())
+        # blank invalid (null-text) rows too, not just non-table rows: a
+        # null survives np.where as None -> null list after split ->
+        # pc.list_element(piped, 0) raises ArrowInvalid and the catch-all
+        # in make_kernel would fail the WHOLE batch, diverging from
+        # clean_doc which just drops the span
+        t_in = pa.array(np.where(tbl_m & valid_text, out_text, ""),
+                        type=pa.string())
         rows = pc.split_pattern(t_in, pattern="\n")
         n_rows = pc.list_value_length(rows).to_numpy(zero_copy_only=False)
         rows_c = pc.list_slice(rows, 0, cfg.max_table_rows + 1)

@@ -287,6 +287,15 @@ def ivf_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
              corpus.select(id_col, vec_col)
              .where(F.col(id_col) < n_centroids)
              .orderBy(id_col).collect()]
+    if not cents:
+        # without this, _centroid_scores builds a zero-element F.array()
+        # and the downstream struct-field access fails at analysis time
+        # with an unrelated-looking error
+        raise ValueError(
+            f"ivf_cosine_topk: no corpus rows with {id_col} < "
+            f"{n_centroids} to serve as centroids — the deterministic "
+            f"coarse quantizer needs a 0-based id domain (ids "
+            f"0..{n_centroids - 1} present and non-degenerate)")
     assigned = corpus.select(
         F.col(id_col), F.col(vec_col),
         ivf_assignment(F.col(vec_col), cents)["cid"].alias("_cid"))

@@ -61,22 +61,26 @@ def stream_extract(
     return writer.start()
 
 
-def stream_extract_dedup(
+def stream_extract_dedup_unbounded(
     spark: SparkSession,
     input_dir: str,
     output_dir: str,
     cfg: ExtractConfig = DEFAULT_CONFIG,
 ):
-    """Incremental extraction with STATEFUL cross-batch deduplication.
+    """Incremental extraction with UNBOUNDED stateful cross-batch dedup.
+
+    .. warning:: state grows with distinct corpus size — one state-store
+       row per distinct content hash, forever. At web scale this variant
+       OOMs the state store by design; it exists for bounded replays and
+       tests. Use ``stream_extract_dedup`` (watermark-bounded, the
+       default) for anything long-running.
 
     ``dropDuplicates`` on the content hash uses the streaming state store:
     a doc whose cleaned content was already emitted in ANY earlier
     micro-batch (even a previous invocation — state lives in the
     checkpoint) is dropped, keyed on the order-sensitive doc_hash. This is
     the streaming form of ``operators.dedup.exact_dedup`` keep-first
-    semantics. No watermark = state grows with distinct corpus size; a
-    production deploy bounds it with ``withWatermark`` on an event-time
-    column once the corpus has one.
+    semantics.
     """
     stream = spark.readStream.schema(INPUT_SCHEMA).parquet(input_dir)
     out = extract(stream, cfg, engine="arrow", chunk=False)
@@ -105,7 +109,8 @@ def stream_extract_dedup_bounded(
 ):
     """Incremental extraction with WATERMARK-BOUNDED stateful dedup.
 
-    The production-shaped variant of ``stream_extract_dedup``: input rows
+    The production-shaped variant (and what the unsuffixed
+    ``stream_extract_dedup`` name points at): input rows
     carry an ``ingest_ts`` event-time column; ``withWatermark`` +
     ``dropDuplicatesWithinWatermark`` keep a content-hash state row only
     until the watermark passes it, so state size is bounded by the dedup
@@ -140,6 +145,11 @@ def stream_extract_dedup_bounded(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# The unsuffixed name is the production-shaped (state-bounded) variant:
+# reaching for the short name must never silently opt into unbounded state.
+stream_extract_dedup = stream_extract_dedup_bounded
 
 
 def stream_windowed_event_counts(

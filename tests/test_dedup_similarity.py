@@ -63,6 +63,20 @@ def test_ngram_jaccard_matches_bruteforce(spark, docs_df):
     assert ("a", "b") in got and got[("a", "b")] == 1.0
 
 
+def test_ngram_jaccard_df_cap_and_plan_shape(spark, docs_df):
+    """The stop-shingle cap must be enforced via a map-side-combinable
+    aggregate + broadcast anti-join — never a window over the raw shingle
+    partition (a straggler holding O(corpus) rows at web scale)."""
+    df = dedup.ngram_jaccard_pairs(docs_df, threshold=0.1, df_cap=1000)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    # df_cap semantics: with a cap of 1, every shared shingle is a stop-
+    # shingle, so no pair can reach any threshold
+    assert dedup.ngram_jaccard_pairs(docs_df, threshold=0.1,
+                                     df_cap=1).count() == 0
+
+
 def test_minhash_lsh_finds_exact_and_near_dups(spark, docs_df):
     pairs = {(r["id_a"], r["id_b"])
              for r in dedup.minhash_lsh_pairs(docs_df, k=32, bands=8).collect()}
@@ -205,6 +219,23 @@ def test_ivf_topk_recall_and_validity(spark):
         assert [x[0] for x in rs] == list(range(1, len(rs) + 1))
         cosines = [x[1] for x in rs]
         assert cosines == sorted(cosines, reverse=True)
+
+
+def test_ivf_topk_empty_centroid_domain_raises_clearly(spark):
+    """A corpus whose ids are not 0-based yields zero centroids; the
+    operator must fail with a descriptive error, not an obscure
+    analysis-time struct-access failure."""
+    import pytest
+
+    from rag_document_parser_spark.operators.similarity import ivf_cosine_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet") \
+        .select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding") \
+        .limit(40)
+    queries = emb.limit(2).select(F.col("vec_id").alias("query_id"),
+                                  "embedding")
+    with pytest.raises(ValueError, match="no corpus rows"):
+        ivf_cosine_topk(emb, queries, k=3, n_centroids=16)
 
 
 def test_similarity_ops_tolerate_degenerate_vectors(spark):

@@ -49,6 +49,30 @@ def test_kernel_error_batch_shape():
     assert b.column("title").to_pylist() == [None, None]
 
 
+def test_null_text_table_span_does_not_poison_batch():
+    """Regression: a null-text table/table_slide span used to raise
+    ArrowInvalid inside the grid render and fail the whole batch via the
+    catch-all; the contract (semantics.clean_doc) drops the span and the
+    doc succeeds."""
+    struct = pa.StructArray.from_arrays(
+        [
+            pa.array(["table", "table_slide", "text"]),
+            pa.array([None, None, "hello"], type=pa.string()),
+            pa.array([None, None, None], type=pa.string()),
+            pa.array([0, 1, 2], type=pa.int32()),
+        ],
+        names=["kind", "text", "media_ref", "offset"],
+    )
+    spans = pa.ListArray.from_arrays(pa.array([0, 2, 3], type=pa.int32()),
+                                     struct)
+    batch = pa.RecordBatch.from_arrays(
+        [pa.array(["tbl-doc", "txt-doc"]), spans], names=["doc_id", "spans"])
+    out = list(make_kernel()(iter([batch])))[0]
+    assert out.column("success").to_pylist() == [True, True]
+    assert out.column("route").to_pylist() == ["empty", "text"]
+    assert out.column("spans_clean").to_pylist()[0] == []
+
+
 def test_kernel_empty_batch_and_empty_partitions(spark):
     """0-row batches and empty partitions flow through the kernel."""
     import pyarrow as pa

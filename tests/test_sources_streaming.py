@@ -15,7 +15,6 @@ from rag_document_parser_spark.sources import (
 )
 from rag_document_parser_spark.streaming import (
     stream_extract,
-    stream_extract_dedup,
     stream_extract_with_lineage,
     stream_windowed_event_counts,
 )
@@ -143,13 +142,17 @@ def test_stream_extract_incremental(spark, tmp_path):
 
 
 def test_stream_extract_dedup_across_batches(spark, tmp_path):
-    """State-store dedup: a content-identical doc arriving in a LATER
-    micro-batch run (under a new doc_id) is dropped."""
+    """State-store dedup (unbounded variant): a content-identical doc
+    arriving in a LATER micro-batch run (under a new doc_id) is dropped."""
+    from rag_document_parser_spark.streaming import (
+        stream_extract_dedup_unbounded,
+    )
+
     in_dir = str(tmp_path / "in")
     out_dir = str(tmp_path / "out")
     docs = fixture_df(spark, seed=21, n_docs=30)
     _write_slice(docs, in_dir)
-    q = stream_extract_dedup(spark, in_dir, out_dir)
+    q = stream_extract_dedup_unbounded(spark, in_dir, out_dir)
     q.awaitTermination(120)
     n1 = spark.read.parquet(os.path.join(out_dir, "data")).count()
 
@@ -157,11 +160,22 @@ def test_stream_extract_dedup_across_batches(spark, tmp_path):
     clones = docs.select(F.concat(F.lit("clone-"), "doc_id").alias("doc_id"),
                          "spans")
     _write_slice(clones, in_dir)
-    q = stream_extract_dedup(spark, in_dir, out_dir)
+    q = stream_extract_dedup_unbounded(spark, in_dir, out_dir)
     q.awaitTermination(120)
     got = spark.read.parquet(os.path.join(out_dir, "data"))
     assert got.count() == n1  # no clone survived the state store
     assert got.where(F.col("doc_id").startswith("clone-")).count() == 0
+
+
+def test_stream_extract_dedup_short_name_is_bounded():
+    """Reaching for the short name must give the watermark-bounded
+    (production-shaped) variant, never unbounded state."""
+    from rag_document_parser_spark.streaming import (
+        stream_extract_dedup as short,
+        stream_extract_dedup_bounded as bounded,
+    )
+
+    assert short is bounded
 
 
 def test_stream_dedup_bounded_state_eviction(spark, tmp_path):
