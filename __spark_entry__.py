@@ -74,9 +74,39 @@ P_BLOCK = _sq(S.RE_BLOCK_TAG)
 P_ANCHOR = _sq(S.RE_ANCHOR)
 P_TITLE = _sq(S.RE_TITLE)
 P_NWSCLS = _sq(f"[{S.WS}]")
+P_CDATA = _sq(S.RE_XML_CDATA)
+
+
+# numeric character references (semantics.RE_CHARREF html5-table subset):
+# split on '&#', first fragment literal, later fragments decode an anchored
+# code or restore their literal opener — the same positional single pass
+# the engines make. chr() covers full Unicode in DuckDB; the 0x80-0x9F
+# remap and FFFD rules mirror semantics.CHARREF_OVERRIDES / charref_char.
+P_CREF = _sq(S.RE_CHARREF_FRAG)
+_CREF_OVERRIDE_CASES = " ".join(
+    f"WHEN n = {k} THEN {_sq(v)}" for k, v in S.CHARREF_OVERRIDES.items())
+_CREF_CHAR_FROM_N = (
+    f"CASE {_CREF_OVERRIDE_CASES} "
+    f"WHEN (n >= 55296 AND n <= 57343) OR n > 1114111 THEN {_sq(chr(0xFFFD))} "
+    "ELSE chr(n::INT) END")
+_CREF_NUM_FROM_CS = ("CASE WHEN cs[1] = 'x' OR cs[1] = 'X' "
+                     "THEN ('0x' || cs[2:])::BIGINT ELSE cs::BIGINT END")
+_CREF_FRAG = (
+    "CASE WHEN i = 1 THEN p "
+    f"WHEN regexp_extract(p, {P_CREF}, 1) = '' THEN '&#' || p "
+    f"ELSE list_transform([regexp_extract(p, {P_CREF}, 1)], cs -> "
+    f"list_transform([{_CREF_NUM_FROM_CS}], n -> {_CREF_CHAR_FROM_N})[1])[1] "
+    f"|| regexp_replace(p, {P_CREF}, '') END")
+
+
+def _charref_sql(expr: str) -> str:
+    return (f"CASE WHEN contains({expr}, '&#') THEN array_to_string("
+            f"list_transform(string_split({expr}, '&#'), (p, i) -> "
+            f"{_CREF_FRAG}), '') ELSE {expr} END")
 
 
 def _html_ent_sql(expr: str) -> str:
+    expr = _charref_sql(expr)  # numeric first: &amp;#65; stays literal
     for ent, ch in S.HTML_ENTITIES:
         expr = f"replace({expr}, {_sq(ent)}, {_sq(ch)})"
     return expr
@@ -97,7 +127,9 @@ def _nws_sql(expr: str) -> str:
 # the HTML boilerplate wrapper from corpus.spans_df_from_documents
 HTML_PRE = ("<html><head><title>t</title><script>var x=1;</script>"
             "<style>.a{}</style></head><body><nav><a href='/'>Home</a></nav><p>")
-HTML_POST = "</p><footer>footer</footer></body></html>"
+HTML_POST = ("</p><footer>footer &#146;s&#x2019; caf&#233; "
+             "&#x1D11E; &#xD800; &amp;#65; &#zz;</footer>"
+             "</body></html>")
 
 SLUG_SQL = "[" + ",".join(_sq(w) for w in SLUG_WORDS) + "]"
 
@@ -121,12 +153,16 @@ def _post_process_sql(expr: str) -> str:
 
 
 XML_PRE = "<?xml version='1.0'?>\n<root>\n<title>t</title>\n<p>"
-XML_POST = "</p>\n<note>a &amp; b</note>\n</root>"
+XML_POST = ("</p>\n<note>a &amp; b</note>\n"
+            "<data><![CDATA[if a>b & ok]]></data>\n"
+            "<num>caf&#233; &#x42;</num>\n</root>")
 MD_PRE = "# Title\n\n**"
-MD_POST = "** and *tail* done\n---\n> quote"
+MD_POST = ("** and *tail* done\nsee [the spec][r1]\n"
+           "[r1]: http://example.com/spec\n---\n> quote")
 
 
 def _entity_chain(expr: str) -> str:
+    expr = _charref_sql(expr)
     for ent, ch in S.XML_ENTITIES:
         expr = f"replace({expr}, {_sq(ent)}, {_sq(ch)})"
     return expr
@@ -216,7 +252,9 @@ WITH base AS (
   FROM (
     SELECT doc_id,
       {_post_process_sql(_entity_chain(
-          f"regexp_replace(({_sq(XML_PRE)} || ftext || {_sq(XML_POST)}), {P_TAG}, '', 'g')"))} AS cleaned
+          "regexp_replace(regexp_replace((" + _sq(XML_PRE) + " || ftext || "
+          + _sq(XML_POST) + "), " + P_CDATA + ", " + _sq(chr(92) + "1")
+          + ", 'g'), " + P_TAG + ", '', 'g')"))} AS cleaned
     FROM folded WHERE pick = 3)
 ), md_out AS (
   SELECT doc_id,

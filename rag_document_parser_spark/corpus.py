@@ -69,7 +69,12 @@ def _html_payload(rng: random.Random) -> str:
     script = f"<script type='text/javascript'>var x={rng.randint(0,99)};</script>"
     style = "<style>.c{color:red}</style>"
     nav = "<nav><a href='/home'>Home</a><a href='/about'>About</a></nav>"
-    footer = "<footer>&copy; corp</footer>"
+    # numeric charrefs incl. NFKC-UNSTABLE decodes (&#160; -> NBSP -> space,
+    # &#153; -> TM via cp1252 window) — golden tests pin the decode+NFKC
+    # interplay per engine config
+    cref = rng.choice(["&#146;s finest", "caf&#233;&#160;bar", "&#x2014; dash",
+                       "mark&#153;", "&amp;#65; literal", "bad &#x; ref"])
+    footer = f"<footer>&copy; corp {cref}</footer>"
     return (
         f"<html><head><title>{title}</title>{script}{style}</head>"
         f"<body>{nav}{''.join(body_parts)}{footer}</body></html>"
@@ -90,8 +95,12 @@ def _xml_payload(rng: random.Random) -> str:
         f"<item id='{i}'>{_sentence(rng)}</item>\n  "
         for i in range(rng.randint(1, 4)))
     ent = rng.choice(["&lt;tag&gt;", "&quot;q&quot;", "&amp;lt;raw", "a &amp; b"])
+    # CDATA payload with a bare '>' and '&' inside (must survive unwrap)
+    cdata = (f"<data><![CDATA[if x>{rng.randint(0, 9)} & ok "
+             f"{_sentence(rng, 1, 3, 0)}]]></data>\n  "
+             if rng.random() < 0.5 else "")
     return (f"<?xml version='1.0'?>\n<root>\n  <title>{title}</title>\n  "
-            f"{items}<note>{ent} {_sentence(rng)}</note>\n</root>")
+            f"{items}{cdata}<note>{ent} {_sentence(rng)}</note>\n</root>")
 
 
 def _md_payload(rng: random.Random) -> str:
@@ -101,6 +110,12 @@ def _md_payload(rng: random.Random) -> str:
         f"Some **{rng.choice(WORDS)}** and *{rng.choice(WORDS)}* "
         f"text with `{rng.choice(WORDS)}` span.",
         f"[{_sentence(rng, 1, 2, 0)}](http://example.com/{rng.randint(0, 99)})",
+        # reference-style link + image + their definition lines (the
+        # definition lines must vanish, the [text][id] keeps its text)
+        f"See [{_sentence(rng, 1, 2, 0)}][ref{rng.randint(0, 9)}] "
+        f"and ![{rng.choice(WORDS)}][imgref].",
+        f"[ref{rng.randint(0, 9)}]: http://example.com/r/{rng.randint(0, 99)}",
+        "[imgref]: assets/pic.png \"pic title\"",
         "",
         "```python",
         f"x = {rng.randint(0, 9)}",
@@ -347,7 +362,13 @@ def spans_df_from_documents(spark: SparkSession, sf_dir: str, mult: int = 1,
             F.lit("<html><head><title>t</title><script>var x=1;</script>"
                   "<style>.a{}</style></head><body><nav><a href='/'>Home</a></nav><p>"),
             F.col("text"),
-            F.lit("</p><footer>footer</footer></body></html>"),
+            # footer carries numeric-charref probes (all decode to
+            # NFKC-stable chars so the arrow oracle's probe-fold list
+            # stays exact): cp1252 window, hex, decimal, supplementary
+            # plane, surrogate->FFFD, &amp;-guard, invalid passthrough
+            F.lit("</p><footer>footer &#146;s&#x2019; caf&#233; "
+                  "&#x1D11E; &#xD800; &amp;#65; &#zz;</footer>"
+                  "</body></html>"),
         ).alias("text"),
         F.lit(None).cast("string").alias("media_ref"),
         F.lit(0).cast("int").alias("offset"),
@@ -374,7 +395,9 @@ def spans_df_from_documents(spark: SparkSession, sf_dir: str, mult: int = 1,
         F.concat(
             F.lit("<?xml version='1.0'?>\n<root>\n<title>t</title>\n<p>"),
             F.col("text"),
-            F.lit("</p>\n<note>a &amp; b</note>\n</root>"),
+            F.lit("</p>\n<note>a &amp; b</note>\n"
+                  "<data><![CDATA[if a>b & ok]]></data>\n"
+                  "<num>caf&#233; &#x42;</num>\n</root>"),
         ).alias("text"),
         F.lit(None).cast("string").alias("media_ref"),
         F.lit(0).cast("int").alias("offset"),
@@ -385,7 +408,8 @@ def spans_df_from_documents(spark: SparkSession, sf_dir: str, mult: int = 1,
         F.concat(
             F.lit("# Title\n\n**"),
             F.col("text"),
-            F.lit("** and *tail* done\n---\n> quote"),
+            F.lit("** and *tail* done\nsee [the spec][r1]\n"
+                  "[r1]: http://example.com/spec\n---\n> quote"),
         ).alias("text"),
         F.lit(None).cast("string").alias("media_ref"),
         F.lit(0).cast("int").alias("offset"),

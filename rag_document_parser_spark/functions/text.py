@@ -42,7 +42,59 @@ def strip(c: Column) -> Column:
     return F.regexp_replace(c, S.RE_STRIP, "")
 
 
+_CHARREF_FRAG_NOGRP = "^(?:[0-9]{1,7}|[xX][0-9a-fA-F]{1,6});"
+
+
+def _charref_char(code: Column) -> Column:
+    """semantics.charref_char as a pure-Catalyst expression over the
+    matched code string ('160' / 'x2019').
+
+    Catalyst has no chr(codepoint) for the full Unicode range, so the
+    character is built from its UTF-16BE bytes: hex the codepoint, pad,
+    unhex, decode — with the surrogate-pair arithmetic for supplementary
+    planes. The html5 0x80-0x9F remap is a literal map lookup."""
+    is_hex = code.rlike("^[xX]")
+    num = F.when(is_hex,
+                 F.conv(F.substring(code, 2, 6), 16, 10).cast("long")) \
+           .otherwise(code.cast("long"))
+    omap = F.create_map(*[F.lit(x) for k, v in S.CHARREF_OVERRIDES.items()
+                          for x in (k, v)])
+    bmp = F.decode(F.unhex(F.lpad(F.hex(num), 4, "0")), "UTF-16BE")
+    v = num - F.lit(0x10000)
+    hi = F.lit(0xD800) + F.shiftright(v, 10)
+    lo = F.lit(0xDC00) + v.bitwiseAND(F.lit(0x3FF))
+    supp = F.decode(
+        F.unhex(F.concat(F.lpad(F.hex(hi), 4, "0"),
+                         F.lpad(F.hex(lo), 4, "0"))), "UTF-16BE")
+    return F.coalesce(
+        F.try_element_at(omap, num.cast("int")),
+        F.when(((num >= 0xD800) & (num <= 0xDFFF)) | (num > 0x10FFFF),
+               F.lit("�")),
+        F.when(num <= 0xFFFF, bmp),
+        supp)
+
+
+def decode_charrefs(c: Column) -> Column:
+    """Numeric character references, html5-table subset
+    (semantics.RE_CHARREF / decode_charrefs), pure Catalyst.
+
+    Split on the two-char "&#" opener; each later fragment either starts
+    with a valid code (decode + keep the rest) or gets its literal "&#"
+    restored — positional, no rescan, exactly re.sub's single pass."""
+    parts = F.split(c, "&#")
+    frag = lambda p: F.when(  # noqa: E731
+        F.regexp_extract(p, S.RE_CHARREF_FRAG, 1) == "",
+        F.concat(F.lit("&#"), p),
+    ).otherwise(
+        F.concat(_charref_char(F.regexp_extract(p, S.RE_CHARREF_FRAG, 1)),
+                 F.regexp_replace(p, _CHARREF_FRAG_NOGRP, "")))
+    dec = F.transform(parts,
+                      lambda p, i: F.when(i == 0, p).otherwise(frag(p)))
+    return F.when(c.contains("&#"), F.array_join(dec, "")).otherwise(c)
+
+
 def _entity_chain(c: Column) -> Column:
+    c = decode_charrefs(c)  # numeric first: &amp;#65; stays literal
     for ent, ch in S.HTML_ENTITIES:
         c = F.replace(c, F.lit(ent), F.lit(ch))
     return c
@@ -88,8 +140,12 @@ def html_dom_strip(c: Column, cfg: ExtractConfig = DEFAULT_CONFIG) -> Column:
 
 
 def xml_strip(c: Column, cfg: ExtractConfig = DEFAULT_CONFIG) -> Column:
-    """E3 xml text extraction + E8 (text_parser.py:182-214, :97)."""
+    """E3 xml text extraction + E8 (text_parser.py:182-214, :97).
+    CDATA unwraps first (java regex spells the group ref ``$1``);
+    numeric character references share the html5-table subset."""
+    c = F.regexp_replace(c, S.RE_XML_CDATA, "$1")
     c = F.regexp_replace(c, S.RE_TAG, "")
+    c = decode_charrefs(c)
     for ent, ch in S.XML_ENTITIES:
         c = F.replace(c, F.lit(ent), F.lit(ch))
     return post_process_text(c, cfg)

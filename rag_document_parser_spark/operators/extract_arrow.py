@@ -37,15 +37,41 @@ _KIND_CLASS_BIT = {
 }
 
 
+def _nfkc(t: pa.Array) -> pa.Array:
+    """True NFKC over a string array.
+
+    NOT ``pc.utf8_normalize``: pyarrow's utf8proc backend decomposes but
+    never RE-composes (its "NFC" output equals its "NFD" — observed on
+    16.1.0), so its "NFKC" leaves é as e+U+0301, diverging from
+    unicodedata/ICU NFKC. Instead: select the non-ASCII rows (NFKC is
+    identity on ASCII), join them with NUL — combining class 0, no
+    decomposition, so normalization never crosses the sentinel — and
+    make ONE C-level ``unicodedata.normalize`` call per batch; per-row
+    fallback only if a payload itself contains NUL."""
+    import unicodedata
+
+    need = pc.and_(pc.is_valid(t),
+                   pc.invert(pc.string_is_ascii(pc.fill_null(t, "")))) \
+        .to_numpy(zero_copy_only=False)
+    idx = np.flatnonzero(need)
+    if not len(idx):
+        return t
+    sub = t.take(pa.array(idx)).to_pylist()
+    if any("\x00" in s for s in sub):
+        normed = [unicodedata.normalize("NFKC", s) for s in sub]
+    else:
+        normed = unicodedata.normalize("NFKC", "\x00".join(sub)) \
+            .split("\x00")
+    out = np.asarray(t.to_pandas(), dtype=object)
+    out[idx] = normed
+    return pa.array(out, type=pa.string())
+
+
 def _e8(t, cfg: ExtractConfig):
     """E8 post-process chain over a whole Arrow string array
     (text_parser.py:339-362), shared by the text/xml/markdown/json routes."""
     if cfg.normalize_unicode:
-        # NFKC is identity on pure-ASCII strings; normalize only the rest
-        # (the ICU pass is one of the kernel's most bandwidth-expensive)
-        is_ascii = pc.string_is_ascii(t)
-        nrm = pc.utf8_normalize(pc.if_else(is_ascii, "", t), form="NFKC")
-        t = pc.if_else(is_ascii, t, nrm)
+        t = _nfkc(t)
     if cfg.remove_empty_lines:
         t = pc.replace_substring_regex(t, pattern=S.RE_EMPTY_LINES_LEAD, replacement="")
         t = pc.replace_substring_regex(t, pattern=S.RE_EMPTY_LINES_MID, replacement="\n")
@@ -72,12 +98,60 @@ def _gated_pass(arr, probe: str, fn, regex_probe: bool = False):
     return pc.if_else(has, out, arr)
 
 
+# anchored fragment pattern with named groups for pc.extract_regex; (?s)
+# because the fragment tail can contain newlines
+_CHARREF_FRAG_NAMED = (r"(?s)^(?P<c>[0-9]{1,7}|[xX][0-9a-fA-F]{1,6});"
+                       r"(?P<rest>.*)$")
+
+
+def _decode_charrefs(arr):
+    """semantics.decode_charrefs over a whole Arrow string array.
+
+    Split on the "&#" opener; fragments after the first either start
+    with a valid code (decode via a per-unique-code Python chr — the
+    only Python here, bounded by DISTINCT references in the batch, same
+    amortization class as the OCR-slug cache) or get their literal "&#"
+    restored; rejoin positionally. Equivalent to re.sub's single pass.
+    """
+    parts = pc.split_pattern(arr, pattern="&#")
+    flat = pc.list_flatten(parts)
+    m = pc.extract_regex(flat, pattern=_CHARREF_FRAG_NAMED)
+    # NB: field() of a null struct slot yields "" not null — gate every
+    # use on the STRUCT validity
+    m_ok = pc.is_valid(m).to_numpy(zero_copy_only=False)
+    code_np = np.asarray(m.field("c").to_pandas(), dtype=object)
+    cache: dict[str, str] = {}
+    ch_np = np.empty(len(code_np), dtype=object)
+    for i, cs in enumerate(code_np):
+        if not m_ok[i]:
+            continue
+        got = cache.get(cs)
+        if got is None:
+            got = cache[cs] = S.charref_char(cs)
+        ch_np[i] = got
+    decoded = pc.binary_join_element_wise(
+        pa.array(ch_np, type=pa.string()),
+        pc.fill_null(m.field("rest"), ""), "")
+    restored = pc.binary_join_element_wise(
+        pa.array(["&#"] * len(flat), type=pa.string()), flat, "")
+    # first fragment of each row is the literal prefix before any "&#"
+    off = parts.offsets.to_numpy(zero_copy_only=False)
+    first = np.zeros(len(flat), dtype=bool)
+    first[off[:-1][off[:-1] < len(flat)]] = True
+    pieces = pc.if_else(pa.array(first), flat,
+                        pc.if_else(pc.is_valid(m), decoded, restored))
+    return pc.binary_join(pa.ListArray.from_arrays(parts.offsets, pieces),
+                          "")
+
+
 def _visible(t):
-    """Visible text of markup fragments: strip tags, decode the named
-    entity subset (semantics.HTML_ENTITIES, &amp; last)."""
+    """Visible text of markup fragments: strip tags, decode numeric
+    character references (html5-table subset) then the named entity
+    subset (semantics.HTML_ENTITIES, &amp; last)."""
     t = pc.replace_substring_regex(t, pattern=S.RE_TAG, replacement="")
 
     def decode(x):
+        x = _gated_pass(x, "&#", _decode_charrefs)
         for ent, ch in S.HTML_ENTITIES:
             x = pc.replace_substring(x, pattern=ent, replacement=ch)
         return x
@@ -277,7 +351,11 @@ def _clean_batch(batch: pa.RecordBatch, cfg: ExtractConfig) -> pa.RecordBatch:
 
     # ---- xml route (E3 + E8; text_parser.py:182-214) ----
     if xml_m.any():
-        t = pc.replace_substring_regex(text, pattern=S.RE_TAG, replacement="")
+        t = pc.if_else(pa.array(xml_m), pc.fill_null(text, ""), "")
+        t = pc.replace_substring_regex(t, pattern=S.RE_XML_CDATA,
+                                       replacement="\\1")
+        t = pc.replace_substring_regex(t, pattern=S.RE_TAG, replacement="")
+        t = _gated_pass(t, "&#", _decode_charrefs)
         for ent, ch in S.XML_ENTITIES:
             t = pc.replace_substring(t, pattern=ent, replacement=ch)
         t_np = np.asarray(_e8(t, cfg).to_pandas(), dtype=object)

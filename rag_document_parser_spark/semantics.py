@@ -61,12 +61,62 @@ RE_ANCHOR = r"(?is)<a\b[^>]*>.*?</a>"
 BLOCK_SEP = "\x01"  # sentinel; cannot appear in decoded text
 
 # html.parser entity decoding, named subset (&amp; last so "&amp;lt;"
-# yields the literal "&lt;", matching DOM text nodes). Numeric character
-# references are outside the documented subset.
+# yields the literal "&lt;", matching DOM text nodes).
 HTML_ENTITIES = [
     ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&apos;", "'"),
     ("&nbsp;", " "), ("&copy;", "©"), ("&amp;", "&"),
 ]
+
+# Numeric character references — html5 semantics as implemented by
+# html.parser / html.unescape (what BeautifulSoup's get_text sees,
+# /root/reference/parsers/text_parser.py:168). Documented subset:
+# ';'-terminated decimal (1-7 digits) and hex (1-6 digits) references;
+# the 0x80-0x9F window remaps through windows-1252 (html5
+# "invalid-charrefs" table: &#146; is RIGHT SINGLE QUOTATION MARK, not a
+# C1 control — ubiquitous in real web text); NUL, surrogates and
+# codepoints past U+10FFFF become U+FFFD; anything not matching the
+# pattern (unterminated, empty, overlong) stays literal. Out of subset:
+# unterminated references (html5 parses "&#65" too) and the
+# invalid-codepoint *removals* html.unescape applies to C0 controls.
+# Decode runs BEFORE the named chain's &amp; step, so "&amp;#65;"
+# yields the literal "&#65;" exactly as a DOM text node would.
+RE_CHARREF = r"&#(?:[0-9]{1,7}|[xX][0-9a-fA-F]{1,6});"
+# the same thing anchored to a fragment that FOLLOWS a "&#" split point —
+# the shape the vectorized engines (split on "&#") and the DuckDB oracle
+# share; group 1 is the code, the rest of the fragment passes through
+RE_CHARREF_FRAG = r"^([0-9]{1,7}|[xX][0-9a-fA-F]{1,6});"
+
+# html5 windows-1252 remap for &#128;..&#159; plus NUL -> U+FFFD; entries
+# where the remap equals chr(n) (0x81 0x8D 0x8F 0x90 0x9D, and 0x0D) are
+# omitted — chr already yields them
+CHARREF_OVERRIDES: dict[int, str] = {
+    0x00: "�",
+    0x80: "€", 0x82: "‚", 0x83: "ƒ", 0x84: "„",
+    0x85: "…", 0x86: "†", 0x87: "‡", 0x88: "ˆ",
+    0x89: "‰", 0x8A: "Š", 0x8B: "‹", 0x8C: "Œ",
+    0x8E: "Ž", 0x91: "‘", 0x92: "’", 0x93: "“",
+    0x94: "”", 0x95: "•", 0x96: "–", 0x97: "—",
+    0x98: "˜", 0x99: "™", 0x9A: "š", 0x9B: "›",
+    0x9C: "œ", 0x9E: "ž", 0x9F: "Ÿ",
+}
+
+
+def charref_char(code: str) -> str:
+    """Decoded character for a matched reference code ('160', 'x2019')."""
+    num = int(code[1:], 16) if code[0] in "xX" else int(code)
+    if num in CHARREF_OVERRIDES:
+        return CHARREF_OVERRIDES[num]
+    if 0xD800 <= num <= 0xDFFF or num > 0x10FFFF:
+        return "�"
+    return chr(num)
+
+
+def decode_charrefs(s: str) -> str:
+    """Replace every terminated numeric character reference (see the
+    RE_CHARREF subset note)."""
+    return re.sub(RE_CHARREF,
+                  lambda m: charref_char(m.group(0)[2:-1]), s)
+
 
 # E8 remove-empty-lines (/root/reference/parsers/text_parser.py:349-353),
 # reformulated without lookaround: drop leading whitespace-only lines, then
@@ -100,11 +150,18 @@ RTF_RULES = [
 # media_ref grammar: img://<width>x<height>/<slug>
 RE_MEDIA_REF = r"^img://(\d+)x(\d+)/([A-Za-z0-9_\-.]+)$"
 
-# E3 xml route: tag strip + the five named XML entities, decoded AFTER tag
-# removal, with &amp; last (so "&amp;lt;" yields the literal "&lt;", exactly
-# as ElementTree text nodes do). Equivalent to the reference's recursive
-# text+tail concatenation (/root/reference/parsers/text_parser.py:182-214)
-# for well-formed markup without CDATA.
+# E3 xml route: CDATA unwrap, then tag strip + the five named XML entities,
+# decoded AFTER tag removal, with &amp; last (so "&amp;lt;" yields the
+# literal "&lt;", exactly as ElementTree text nodes do). Equivalent to the
+# reference's recursive text+tail concatenation
+# (/root/reference/parsers/text_parser.py:182-214) for well-formed markup.
+# CDATA subset: ``<![CDATA[...]]>`` unwraps to its payload BEFORE the tag
+# strip (ElementTree exposes CDATA content as plain text); exact for
+# payloads that don't themselves contain markup-like text or entity
+# spellings — a payload with a literal ``<x>`` or ``&amp;`` goes through
+# the subsequent passes, where ET would keep it verbatim (documented
+# divergence, same class as the regex-subset rules above).
+RE_XML_CDATA = r"(?s)<!\[CDATA\[(.*?)\]\]>"
 XML_ENTITIES = [
     ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&apos;", "'"),
     ("&amp;", "&"),
@@ -119,8 +176,14 @@ XML_ENTITIES = [
 MD_RULES: list[tuple[str, str]] = [
     (r"(?m)^```[^\n]*$", ""),                   # code-fence delimiter lines
     (r"(?m)^#{1,6}[ \t]+", ""),                 # ATX headers
+    # reference-style definition lines "[id]: url ..." are dropped whole
+    # (the markdown lib consumes them while resolving [text][id] links);
+    # must run before the link rules so the leading [id] is not rewritten
+    (r"(?m)^[ \t]{0,3}\[[^\]]+\]:[ \t]+[^\n]*$", ""),
     (r"!\[([^\]]*)\]\(([^)]*)\)", "G1"),        # images → alt text
+    (r"!\[([^\]]*)\]\[[^\]]*\]", "G1"),         # reference images → alt text
     (r"\[([^\]]*)\]\(([^)]*)\)", "G1"),         # links → link text
+    (r"\[([^\]]*)\]\[[^\]]*\]", "G1"),          # reference links → link text
     (r"\*\*([^*]+)\*\*", "G1"),                 # bold
     (r"__([^_]+)__", "G1"),                     # bold
     (r"\*([^*]+)\*", "G1"),                     # italic
@@ -160,6 +223,7 @@ def html_strip(s: str) -> str:
 
 
 def _decode_entities(s: str) -> str:
+    s = decode_charrefs(s)  # numeric first: &amp;#65; stays literal &#65;
     for ent, ch in HTML_ENTITIES:
         s = s.replace(ent, ch)
     return s
@@ -243,8 +307,14 @@ def post_process_text(s: str, cfg: ExtractConfig = DEFAULT_CONFIG) -> str:
 
 def xml_strip(s: str, cfg: ExtractConfig = DEFAULT_CONFIG) -> str:
     """E3 xml text extraction + E8 post-process
-    (/root/reference/parsers/text_parser.py:182-214, then :97 post-process)."""
+    (/root/reference/parsers/text_parser.py:182-214, then :97 post-process).
+    CDATA sections unwrap to their payload first (see RE_XML_CDATA note).
+    Numeric character references decode with the shared html5-table
+    subset (RE_CHARREF) — ET agrees except for the 0x80-0x9F window,
+    which is ill-formed XML anyway (documented divergence)."""
+    s = re.sub(RE_XML_CDATA, r"\1", s)
     s = re.sub(RE_TAG, "", s)
+    s = decode_charrefs(s)
     for ent, ch in XML_ENTITIES:
         s = s.replace(ent, ch)
     return post_process_text(s, cfg)

@@ -81,6 +81,10 @@ MARKUP_TOKENS = st.sampled_from([
     "<header>", "</header>", "<title>", "</title>", "<br>", "<hr>",
     "&amp;", "&nbsp;", "&copy;", "&lt;", "&unknown;", " ", "\t", "\n",
     "home", "x", "longer run of body text that passes density", "ن",
+    # numeric charrefs: valid decimal/hex, cp1252 window, surrogate,
+    # supplementary, truncated/invalid openers
+    "&#65;", "&#160;", "&#146;", "&#x2019;", "&#x1D11E;", "&#xD800;",
+    "&#0;", "&#", "&#;", "&#x;", "&#65", "&amp;#65;",
 ])
 MARKUPS = st.lists(MARKUP_TOKENS, min_size=0, max_size=25).map("".join)
 
@@ -88,10 +92,13 @@ MARKUPS = st.lists(MARKUP_TOKENS, min_size=0, max_size=25).map("".join)
 def _dom_sql_exprs():
     import __spark_entry__ as E
 
-    body = "SELECT " + E._post_process_sql(E._DOM_JOINED).replace(
-        "wrapped", "?")
+    # templates keep the 'wrapped' placeholder; each example inlines its
+    # input as a SQL literal (the charref decode references its input
+    # expression more than once, so a single `?` parameter can't bind it)
+    body = "SELECT " + E._post_process_sql(E._DOM_JOINED)
     title = ("SELECT nullif("
-             + E._disp_sql(f"regexp_extract(?, {E.P_TITLE}, 1)") + ", '')")
+             + E._disp_sql(f"regexp_extract(wrapped, {E.P_TITLE}, 1)")
+             + ", '')")
     return body, title
 
 
@@ -102,14 +109,15 @@ _DOM_BODY_SQL, _DOM_TITLE_SQL = _dom_sql_exprs()
 @given(MARKUPS)
 def test_html_dom_matches_duckdb(s):
     cfg = ExtractConfig(normalize_unicode=False)
-    assert CON.execute(_DOM_BODY_SQL, [s]).fetchone()[0] \
-        == S.html_dom_strip(s, cfg)
+    assert CON.execute(_DOM_BODY_SQL.replace("wrapped", _sq(s))) \
+        .fetchone()[0] == S.html_dom_strip(s, cfg)
 
 
 @settings(max_examples=150, deadline=None)
 @given(MARKUPS)
 def test_html_title_matches_duckdb(s):
-    assert CON.execute(_DOM_TITLE_SQL, [s]).fetchone()[0] == S.html_title(s)
+    assert CON.execute(_DOM_TITLE_SQL.replace("wrapped", _sq(s))) \
+        .fetchone()[0] == S.html_title(s)
 
 
 @settings(max_examples=100, deadline=None)
