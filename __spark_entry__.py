@@ -973,6 +973,65 @@ def q_failed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return failed_docs(out)
 
 
+def _poisoned_out(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Side corpus with deliberately unsupported span kinds (~1 doc in 7)
+    run under ``unknown_kinds="error"`` — the reference's unsupported-
+    file-type error path (main.py:94-138), and what puts the A1/A3
+    failure reports under the gate on a NON-empty failure set."""
+    from rag_document_parser_spark.config import ExtractConfig
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    did = F.concat(F.lit("p-"), F.col("doc_id").cast("string"))
+    h2 = F.conv(F.substring(F.md5(did), 16, 15), 16, 10).cast("long")
+    kind = F.when(F.pmod(h2, 7) == 0, F.lit("mystery_v9")) \
+            .otherwise(F.lit("text"))
+    df = docs.select(did.alias("doc_id"), F.array(F.struct(
+        kind.alias("kind"), F.col("text").alias("text"),
+        F.lit(None).cast("string").alias("media_ref"),
+        F.lit(0).cast("int").alias("offset"))).alias("spans"))
+    return J.extract(df, ExtractConfig(unknown_kinds="error"),
+                     engine="arrow", chunk=False)
+
+
+def q_failed_docs_poisoned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _poisoned_out(spark, sf_dir)
+    return out.where(~F.col("success")).select("doc_id", "route", "error")
+
+
+SQL_FAILED_POISONED = """
+SELECT 'p-'||doc_id::VARCHAR AS doc_id, 'error' AS route,
+       'Unsupported kind: mystery_v9' AS error
+FROM documents
+WHERE ('0x'||substring(md5('p-'||doc_id::VARCHAR),16,15))::BIGINT % 7 = 0
+"""
+
+
+def q_summary_poisoned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 over the poisoned corpus: failed/successful DERIVED from the
+    success column (never hard-coded), rate as a floor-scaled integer."""
+    out = _poisoned_out(spark, sf_dir)
+    return out.agg(
+        F.count("*").alias("total_docs"),
+        F.sum(F.col("success").cast("long")).alias("successful"),
+        F.sum((~F.col("success")).cast("long")).alias("failed"),
+        F.floor(F.sum(F.col("success").cast("double")) / F.count("*")
+                * 1000).cast("long").alias("success_permille"),
+    )
+
+
+SQL_SUMMARY_POISONED = """
+SELECT count(*) AS total_docs,
+       sum(CASE WHEN ok THEN 1 ELSE 0 END)::BIGINT AS successful,
+       sum(CASE WHEN ok THEN 0 ELSE 1 END)::BIGINT AS failed,
+       floor(sum(CASE WHEN ok THEN 1.0 ELSE 0.0 END)::DOUBLE / count(*)
+             * 1000)::BIGINT AS success_permille
+FROM (
+  SELECT ('0x'||substring(md5('p-'||doc_id::VARCHAR),16,15))::BIGINT % 7
+         <> 0 AS ok
+  FROM documents)
+"""
+
+
 SQL_FAILED = """
 SELECT 'x' AS doc_id, 'x' AS error FROM documents WHERE 1 = 0"""
 
@@ -1538,6 +1597,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_cosine_topk": q_ivf_cosine_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "failed_docs": q_failed_docs,
+        "failed_docs_poisoned": q_failed_docs_poisoned,
+        "summary_poisoned": q_summary_poisoned,
         "media_features": q_media_features,
         "frame_sample": q_frame_sample,
         "ocr_media": q_ocr_media,
@@ -1578,6 +1639,8 @@ def oracle_sql() -> dict[str, str]:
         "ivf_cosine_topk": SQL_IVF_COSINE,
         "embedding_near_dup": SQL_EMB_NEAR_DUP,
         "failed_docs": SQL_FAILED,
+        "failed_docs_poisoned": SQL_FAILED_POISONED,
+        "summary_poisoned": SQL_SUMMARY_POISONED,
         "media_features": SQL_MEDIA,
         "frame_sample": SQL_FRAME_SAMPLE,
         "ocr_media": SQL_OCR_MEDIA,

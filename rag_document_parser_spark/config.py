@@ -49,6 +49,16 @@ class ExtractConfig:
     max_table_rows: int = 10_000
     max_table_columns: int = 100
 
+    # -- unknown span kinds --
+    # "passthrough" (default): forward-compatibility — unknown kinds keep
+    # their text untouched. "error": the reference's behavior for a
+    # category no parser claims — the whole document becomes an error
+    # result ("Unsupported file type",
+    # /root/reference/main.py:94-138 error ParseResult path); this is
+    # also what puts the A1/A3 failure reports under the oracle gate on
+    # a non-empty failure set.
+    unknown_kinds: str = "passthrough"
+
     # -- execution --
     n_buckets: int = 256                # salted repartition granularity
     max_spans_per_chunk: int = 4096     # giant-doc intra-row chunking budget

@@ -318,6 +318,21 @@ def _clean_batch(batch: pa.RecordBatch, cfg: ExtractConfig) -> pa.RecordBatch:
     known_m = (html_m | textlike_m | xml_m | md_m | rtf_m | json_m | pdf_m
                | table_m | tslide_m | media_m | hf_m | blk_m)
 
+    # unknown_kinds="error": whole-doc error result for any doc carrying
+    # an unrecognized kind (first such kind in array order names the
+    # error, matching semantics.clean_doc / the reference's unsupported-
+    # category ParseResult)
+    err_doc = np.zeros(n, dtype=bool)
+    err_msg = np.empty(n, dtype=object)
+    err_msg[:] = None
+    if cfg.unknown_kinds == "error":
+        unk_idx = np.flatnonzero(~known_m)
+        if len(unk_idx):
+            u, fi = np.unique(parent[unk_idx], return_index=True)
+            err_doc[u] = True
+            for d, k in zip(u, kind_np[unk_idx][fi]):
+                err_msg[d] = f"Unsupported kind: {k}"
+
     out_text = np.asarray(text.to_pandas(), dtype=object)
     keep = np.ones(m, dtype=bool)
     valid_text = np.asarray(pc.is_valid(text).to_numpy(zero_copy_only=False))
@@ -477,7 +492,10 @@ def _clean_batch(batch: pa.RecordBatch, cfg: ExtractConfig) -> pa.RecordBatch:
         out_text[blk_m] = np.where(nonblank[blk_m], joined.astype(object), None)
         keep[blk_m] = nonblank[blk_m]
 
-    # unknown kinds: passthrough (keep=True, text untouched)
+    # unknown kinds: passthrough (keep=True, text untouched) — unless the
+    # doc was marked an error result above, which drops ALL its spans
+    if err_doc.any():
+        keep &= ~err_doc[parent]
 
     # ---- reading-order sort (L1) + reassembly ----
     off_np = offset.to_numpy(zero_copy_only=False).astype("float64")  # NaN = null
@@ -525,7 +543,10 @@ def _clean_batch(batch: pa.RecordBatch, cfg: ExtractConfig) -> pa.RecordBatch:
     class_bits[~known_m] = _KIND_CLASS_BIT["other"]
     routes = np.zeros(n, dtype=np.int64)
     np.bitwise_or.at(routes, par_k, class_bits[kept_idx])
-    route_arr = pa.array(_ROUTE_LOOKUP[routes], type=pa.string())
+    route_np = _ROUTE_LOOKUP[routes]
+    if err_doc.any():
+        route_np = np.where(err_doc, "error", route_np)
+    route_arr = pa.array(route_np, type=pa.string())
 
     elapsed_us = (time.perf_counter_ns() - t0) // 1000
     wall = np.zeros(n, dtype=np.int64)
@@ -538,8 +559,8 @@ def _clean_batch(batch: pa.RecordBatch, cfg: ExtractConfig) -> pa.RecordBatch:
             spans_clean,
             route_arr,
             pa.array(doc_title, type=pa.string()),
-            pa.array(np.ones(n, dtype=bool)),
-            pa.array([None] * n, type=pa.string()),
+            pa.array(~err_doc),
+            pa.array(err_msg, type=pa.string()),
             pa.array(wall),
         ],
         schema=ARROW_KERNEL_OUTPUT,

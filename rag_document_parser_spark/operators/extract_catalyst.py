@@ -132,13 +132,28 @@ def extract_catalyst(df: DataFrame, cfg: ExtractConfig = CATALYST_CONFIG) -> Dat
     route = F.when(F.size(classes) > 0, F.array_join(classes, ",")).otherwise(
         F.lit("empty"))
 
+    # unknown_kinds="error": the doc becomes an error result, named after
+    # its first unrecognized kind in array order (semantics.clean_doc)
+    if cfg.unknown_kinds == "error":
+        unk = F.filter(F.col("spans"),
+                       lambda s: class_map[s["kind"]].isNull())
+        is_err = F.coalesce(F.size(unk) > 0, F.lit(False))
+        err_msg = F.concat(F.lit("Unsupported kind: "),
+                           F.coalesce(F.element_at(unk, 1)["kind"],
+                                      F.lit("None")))
+    else:
+        is_err = F.lit(False)
+        err_msg = F.lit(None).cast("string")
+
+    empty = F.array().cast(spans_clean_type())
     return df.select(
         F.col("doc_id"),
-        F.coalesce(spans_clean, F.array().cast(spans_clean_type())).alias("spans_clean"),
-        route.alias("route"),
-        doc_title.alias("title"),
-        F.lit(True).alias("success"),
-        F.lit(None).cast("string").alias("error"),
+        F.when(is_err, empty)
+        .otherwise(F.coalesce(spans_clean, empty)).alias("spans_clean"),
+        F.when(is_err, F.lit("error")).otherwise(route).alias("route"),
+        F.when(~is_err, doc_title).alias("title"),
+        (~is_err).alias("success"),
+        F.when(is_err, err_msg).alias("error"),
         F.lit(0).cast("long").alias("wall_us"),
     )
 

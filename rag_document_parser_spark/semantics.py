@@ -562,6 +562,14 @@ def clean_doc(spans: Optional[list[dict[str, Any]]],
     """
     if not spans:
         return [], "empty", None, True, None
+    if cfg.unknown_kinds == "error":
+        for s in spans:
+            if s.get("kind") not in KIND_CLASS:
+                # the reference's unsupported-category error result
+                # (/root/reference/main.py:94-138): the DOC fails,
+                # nothing is extracted
+                return ([], "error", None, False,
+                        f"Unsupported kind: {s.get('kind')}")
     kept: list[tuple[tuple, dict[str, Any], Optional[str]]] = []
     classes: set[str] = set()
     for pos, s in enumerate(spans):

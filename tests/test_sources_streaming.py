@@ -35,13 +35,38 @@ def test_decode_text_payloads_mixed_encodings(spark):
     assert out["utf8"] == ("héllo wörld", "utf-8")
     assert out["empty"] == ("", "utf-8")
     assert out["none"] == (None, None)
-    # utf-16 bytes fail utf-8 validation → fallback chain; utf-16 is tried
-    # first in the chain and decodes (with BOM consumed)
+    # utf-16 bytes fail utf-8 validation → BOM sniff → utf-16 (BOM consumed)
     assert out["utf16"][1] == "utf-16"
     assert out["utf16"][0] == "wide chars"
-    # cp1252 bytes: utf-16 decode "succeeds" bytewise (it rarely raises),
-    # so the contract only guarantees SOME decode — assert non-null text
-    assert out["cp1252"][0] is not None
+    # cp1252 bytes: the byte-histogram sniff (chardet analog, conf > 0.7)
+    # decodes them CORRECTLY — previously the fixed list's utf-16 leg
+    # "succeeded" bytewise and garbled them
+    assert out["cp1252"] == ("caf\xe9 “quoted”", "cp1252")
+
+
+def test_decode_sniffs_bomless_utf16_and_cp1252(spark):
+    """S8 chardet-analog: BOM-less utf-16 both endiannesses and an
+    even-length cp1252 payload (the case the fixed fallback list gets
+    wrong: Python's utf-16 codec rarely raises) decode correctly; low-
+    confidence garbage still falls through the reference's fixed list."""
+    from rag_document_parser_spark.sources.decode import sniff_encoding
+
+    rows = [
+        ("le", "bomless little endian".encode("utf-16-le")),
+        ("be", "bomless big endian".encode("utf-16-be")),
+        ("cp", "smart “quotes” – dash, caf\xe9 – ok".encode("cp1252")),
+        ("junk", bytes([0x81, 0x8D, 0x00, 0xFF, 0x81, 0x90, 0x00, 0x9D])),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, payload binary")
+    out = {r.doc_id: (r.text, r.encoding)
+           for r in decode_text_payloads(df).collect()}
+    assert out["le"] == ("bomless little endian", "utf-16-le")
+    assert out["be"] == ("bomless big endian", "utf-16-be")
+    assert out["cp"] == ("smart “quotes” – dash, caf\xe9 – ok", "cp1252")
+    # garbage: sniff confidence stays under the 0.7 gate
+    enc, conf = sniff_encoding(rows[3][1])
+    assert conf <= 0.7
+    assert out["junk"][1] in ("utf-16", "latin-1")  # fixed-list fallthrough
 
 
 def test_read_csv_capped(spark, tmp_path):
