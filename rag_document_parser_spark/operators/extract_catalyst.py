@@ -117,11 +117,23 @@ def extract_catalyst(df: DataFrame, cfg: ExtractConfig = CATALYST_CONFIG) -> Dat
             s["offset"].alias("offset"),
         ),
     )
-    # doc title = first non-null span title in reading order (E1 metadata)
-    titles = F.filter(F.transform(ordered, lambda s: s["_title"]),
-                      lambda t: t.isNotNull())
-    doc_title = F.element_at(
-        F.concat(titles, F.array(F.lit(None).cast("string"))), 1)
+    # doc title = first non-null span title in reading order (E1 metadata);
+    # title_key = that span's (nl, off, pos) so chunk reassembly can merge
+    # per-chunk titles exactly (null padding keeps element_at ANSI-safe)
+    titled = F.filter(ordered, lambda s: s["_title"].isNotNull())
+    keyed = F.transform(titled, lambda s: F.struct(
+        s["_onull"].cast("int").alias("nl"),
+        s["_off"].cast("int").alias("off"),
+        s["_pos"].cast("int").alias("pos"),
+        s["_title"].alias("t"),
+    ))
+    first_t = F.element_at(
+        F.concat(keyed, F.array(F.lit(None).cast(
+            "struct<nl:int,off:int,pos:int,t:string>"))), 1)
+    doc_title = first_t["t"]
+    title_key = F.when(first_t.isNotNull(), F.struct(
+        first_t["nl"].alias("nl"), first_t["off"].alias("off"),
+        first_t["pos"].alias("pos")))
 
     class_map = F.create_map(
         *[F.lit(x) for kv in KIND_CLASS.items() for x in kv]
@@ -152,6 +164,7 @@ def extract_catalyst(df: DataFrame, cfg: ExtractConfig = CATALYST_CONFIG) -> Dat
         .otherwise(F.coalesce(spans_clean, empty)).alias("spans_clean"),
         F.when(is_err, F.lit("error")).otherwise(route).alias("route"),
         F.when(~is_err, doc_title).alias("title"),
+        F.when(~is_err, title_key).alias("title_key"),
         (~is_err).alias("success"),
         F.when(is_err, err_msg).alias("error"),
         F.lit(0).cast("long").alias("wall_us"),

@@ -95,41 +95,76 @@ def chunk_giant_docs(df: DataFrame, max_spans: int) -> DataFrame:
 # U+0001 as chunk-tag delimiter: cannot collide with printable doc_ids, and
 # the strip regex additionally requires the exact "<SOH><digits>/<digits>$"
 # shape before treating a row as chunked.
-_SEP = ""
+_SEP = "\x01"
+
+# public extract() columns (title_key is kernel-internal, used only by
+# the chunk reassembly below)
+_OUT_COLS = ["doc_id", "spans_clean", "route", "title", "success", "error",
+             "wall_us"]
+
+
+def _chunk_rows(df: DataFrame, max_spans: int) -> DataFrame:
+    """ONE pass over the input producing kernel-ready rows for every doc:
+    normal docs emit their single untagged row; giant docs emit one row
+    per span-slice with chunk bookkeeping smuggled into the doc_id
+    ("<id><SOH><chunk>/<n>") so the kernel stays a pure (doc_id, spans)
+    operator. No filters — routing is a when/otherwise inside the explode
+    input, so the physical plan scans the source exactly once.
+
+    posexplode_OUTER on purpose: plain posexplode lets
+    InferFiltersFromGenerate add size()>0 filters on the generator INPUT
+    expression, re-evaluating the whole slice chain per row as a
+    pre-Generate filter (the lambda re-eval trap).
+    """
+    n_chunks = F.when(F.size("spans") > max_spans,
+                      F.ceil(F.size("spans") / F.lit(max_spans)).cast("int")
+                      ).otherwise(F.lit(1))
+    slices = F.when(
+        n_chunks == 1, F.array(F.col("spans"))
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.slice("spans", i * max_spans + 1, max_spans),
+        )
+    )
+    exploded = df.select(
+        F.col("doc_id"),
+        n_chunks.alias("_nc"),
+        F.posexplode_outer(slices).alias("chunk_id", "spans"),
+    )
+    tagged = F.when(
+        F.col("_nc") == 1, F.col("doc_id")
+    ).otherwise(
+        F.concat(F.col("doc_id"), F.lit(_SEP),
+                 F.concat_ws("/", F.col("chunk_id"), F.col("_nc"))))
+    return exploded.select(tagged.alias("doc_id"), "spans",
+                           (F.col("_nc") > 1).alias("_big"))
 
 
 def _chunk_big(df: DataFrame, max_spans: int) -> DataFrame:
-    """Giant-doc rows -> one row per span-slice, chunk bookkeeping smuggled
-    into the doc_id ("<id><SOH><chunk>/<n>") so the kernel stays a pure
-    (doc_id, spans) -> (doc_id, spans_clean, ...) operator."""
-    n_chunks = F.ceil(F.size("spans") / F.lit(max_spans)).cast("int")
-    exploded = df.select(
-        F.col("doc_id"),
-        n_chunks.alias("n_chunks"),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), n_chunks - 1),
-                lambda i: F.slice("spans", i * max_spans + 1, max_spans),
-            )
-        ).alias("chunk_id", "spans"),
-    )
-    return exploded.select(
-        F.concat(F.col("doc_id"), F.lit(_SEP),
-                 F.concat_ws("/", F.col("chunk_id"), F.col("n_chunks"))
-                 ).alias("doc_id"),
-        "spans",
-    )
+    """Giant-doc rows -> one row per span-slice (tagged doc_ids). Used by
+    the ``stable=True`` path; the default path routes everything through
+    the filter-free ``_chunk_rows`` instead."""
+    return _chunk_rows(df.where(F.size("spans") > max_spans), max_spans) \
+        .select("doc_id", "spans")
 
 
 def _reassemble_big(out: DataFrame) -> DataFrame:
-    """Merge kernel output of chunked rows back to one row per doc.
+    """Merge kernel output of chunked rows back to one row per doc —
+    EXACTLY reproducing the unchunked contract.
 
-    Chunks were sliced in input-array order and each chunk is offset-sorted
-    by the kernel; flattening in chunk order then re-sorting by offset
-    restores whole-doc reading order. Caveat: for *duplicate* offsets that
-    straddle a chunk boundary the original-array-position tie-break is
-    approximated by chunk order (exact when offsets are unique within a
-    doc, which page*10_000+block layout keys guarantee).
+    Span order: each chunk arrives reading-order-sorted, and within a
+    chunk ties on (offset-null, offset) preserve original array order;
+    annotating every span with (chunk_id, within-chunk output index) and
+    sorting the flattened array by (nl, off, chunk_id, idx) therefore
+    reproduces the global (nl, off, original-position) order — chunk
+    slicing is array-order-contiguous, so (chunk_id, idx) sorts exactly
+    like the original position for equal (nl, off).
+
+    Title: each chunk carries the (nl, off, pos) key of the span its
+    title came from (``title_key``); the doc title is the title whose
+    (nl, off, chunk_id, pos) key is minimal — the first titled kept span
+    in whole-doc reading order, matching ``semantics.clean_doc``.
     """
     strip = ("substring(doc_id, 1, length(doc_id) - "
              "length(regexp_extract(doc_id, '" + _SEP + "\\\\d+/\\\\d+$', 0)))")
@@ -137,12 +172,13 @@ def _reassemble_big(out: DataFrame) -> DataFrame:
         F.expr(strip).alias("doc_id"),
         F.regexp_extract("doc_id", _SEP + "(\\d+)/(\\d+)$", 1)
         .cast("int").alias("chunk_id"),
-        "spans_clean", "route", "title", "success", "error", "wall_us",
+        "spans_clean", "route", "title", "title_key", "success", "error",
+        "wall_us",
     )
     grouped = parsed.groupBy("doc_id").agg(
         F.array_sort(
             F.collect_list(F.struct("chunk_id", "spans_clean", "wall_us",
-                                    "title"))
+                                    "title", "title_key"))
         ).alias("chunks"),
         F.flatten(F.collect_list(F.split("route", ","))).alias("route_parts"),
         F.min("success").alias("success"),
@@ -150,23 +186,43 @@ def _reassemble_big(out: DataFrame) -> DataFrame:
     )
     classes = F.array_sort(F.array_distinct(F.col("route_parts")))
     classes_ne = F.filter(classes, lambda c: c != "empty")
-    titles = F.filter(F.col("chunks.title"), lambda t: t.isNotNull())
+    annotated = F.flatten(F.transform(
+        F.col("chunks"),
+        lambda c: F.transform(
+            c["spans_clean"],
+            lambda s, i: F.struct(
+                s["offset"].isNull().cast("int").alias("nl"),
+                F.coalesce(s["offset"], F.lit(0)).alias("off"),
+                c["chunk_id"].alias("cid"),
+                i.alias("idx"),
+                s.alias("s"),
+            ),
+        ),
+    ))
+    keyed_titles = F.filter(
+        F.transform(
+            F.col("chunks"),
+            lambda c: F.when(c["title"].isNotNull(), F.struct(
+                c["title_key"]["nl"].alias("nl"),
+                c["title_key"]["off"].alias("off"),
+                c["chunk_id"].alias("cid"),
+                c["title_key"]["pos"].alias("pos"),
+                c["title"].alias("t"),
+            )),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    first_title = F.element_at(
+        F.concat(F.array_sort(keyed_titles),
+                 F.array(F.lit(None).cast(
+                     "struct<nl:int,off:int,cid:int,pos:int,t:string>"))), 1)
     return grouped.select(
         "doc_id",
-        F.array_sort(
-            F.flatten(F.col("chunks.spans_clean")),
-            lambda a, b: F.when(a["offset"] < b["offset"], F.lit(-1))
-            .when(a["offset"] > b["offset"], F.lit(1))
-            .otherwise(F.lit(0)),
-        ).alias("spans_clean"),
+        F.transform(F.array_sort(annotated),
+                    lambda x: x["s"]).alias("spans_clean"),
         F.when(F.size(classes_ne) > 0, F.array_join(classes_ne, ","))
         .otherwise(F.lit("empty")).alias("route"),
-        # first per-chunk title in chunk order (chunks sliced in input
-        # order; exact when the doc's first titled html span is in the
-        # earliest titled chunk — same approximation class as the
-        # duplicate-offset tie-break above)
-        F.element_at(F.concat(titles, F.array(F.lit(None).cast("string"))),
-                     1).alias("title"),
+        first_title["t"].alias("title"),
         "success",
         "error",
         F.aggregate(F.col("chunks.wall_us"), F.lit(0).cast("long"),
@@ -174,46 +230,82 @@ def _reassemble_big(out: DataFrame) -> DataFrame:
     )
 
 
+def _nondet(c):
+    """Wrap a predicate so PushDownPredicates cannot move it (or any
+    conjunct of it) below the protective exchange. The wrapper must make
+    the WHOLE CaseWhen nondeterministic (``nondet AND p`` would have its
+    deterministic conjunct split off and pushed to the scan, breaking
+    exchange reuse and re-introducing the double scan), and the chosen
+    expression must not be foldable: Spark 4 folds rand() range
+    comparisons (rand >= -1 simplifies to true and the wrapper
+    vanishes — observed), while spark_partition_id() >= 0 survives, is
+    always true, and costs nothing."""
+    return F.when(F.spark_partition_id() >= 0, c).otherwise(F.lit(False))
+
+
 def extract(df: DataFrame, cfg: ExtractConfig | None = None,
-            engine: str = "arrow", chunk: bool = True) -> DataFrame:
-    """The composable single-operator form (SURVEY.md \u00a73.2): no sinks.
+            engine: str = "arrow", chunk: bool = True,
+            stable: bool = False,
+            partition_expr=None, num_partitions: int | None = None,
+            ) -> DataFrame:
+    """The composable single-operator form (SURVEY.md §3.2): no sinks.
 
     ``cfg=None`` resolves to the engine's own default (DEFAULT_CONFIG
-    for arrow, CATALYST_CONFIG for catalyst \u2014 the catalyst engine raises
+    for arrow, CATALYST_CONFIG for catalyst — the catalyst engine raises
     on configs it cannot implement, so defaulting it to DEFAULT_CONFIG
     would be a guaranteed error).
 
-    Chunking splits the input into disjoint small/big branches *before*
-    the kernel, so the kernel runs exactly once per row and the common
-    (small-doc) path carries zero chunk bookkeeping. The input is scanned
-    twice (complementary filters) -- at scale a rescan is far cheaper than
-    re-running the kernel per reassembly branch (the previous design);
-    only the (rare) giant-doc branch pays the explode + groupBy shuffle.
+    Chunking (default path, ``stable=False``): the input is scanned
+    ONCE. A filter-free when/otherwise explode (``_chunk_rows``) emits
+    kernel-ready rows for every doc — giant docs as tagged span-slices —
+    and one protective exchange materializes them
+    (``repartition(num_partitions, partition_expr)``; default hash of
+    the tagged doc_id, which both spreads giant-doc chunks across tasks
+    and can serve as the caller's salt). The small/big routing happens
+    ABOVE that exchange with nondeterministically-wrapped complementary
+    filters, so Catalyst cannot push them past it: both branches read
+    the SAME materialized shuffle (ReuseExchange / AQE stage reuse), the
+    kernel runs exactly once per row, and a non-deterministic input
+    plan is safe without persist — the shuffle files are written once,
+    so every row flows to exactly one branch.
 
-    Contract: with ``chunk=True`` the input plan must be DETERMINISTIC
-    (no rand()/uuid() columns, no source that changes between scans) —
-    the two complementary scans must see the same rows or a doc can be
-    processed twice or not at all. Persist/localCheckpoint the input
-    first if its plan contains non-deterministic expressions.
+    ``stable=True`` (for inputs that are deterministic AND cheap to
+    rescan — a stored/bucketed table, e.g. ``run_job(pre_bucketed=
+    True)`` — or callers that must avoid any added exchange): the
+    classic two complementary scans with no protective exchange; only
+    the rare giant-doc branch pays an exchange. The caller asserts plan
+    determinism — with an unstable plan docs can be lost or duplicated
+    between the two scans.
     """
     if cfg is None:
         cfg = _default_cfg(engine)
     kernel = extract_arrow if engine == "arrow" else extract_catalyst
     if not chunk:
-        return kernel(df, cfg)
+        return kernel(df, cfg).select(*_OUT_COLS)
     max_spans = cfg.max_spans_per_chunk
-    small = df.where(F.size("spans") <= max_spans)
-    big = df.where(F.size("spans") > max_spans)
+
+    if stable:
+        small = df.where(F.size("spans") <= max_spans)
+        big = df.where(F.size("spans") > max_spans)
+        out_small = kernel(small, cfg)
+        # spread the rare giant-doc chunks across tasks (posexplode
+        # leaves them co-located with their source row)
+        chunked = _chunk_big(big, max_spans).repartition(F.col("doc_id"))
+        out_big = _reassemble_big(kernel(chunked, cfg))
+        return out_small.select(*_OUT_COLS) \
+            .unionByName(out_big.select(*_OUT_COLS))
+
+    rows = _chunk_rows(df, max_spans)
+    if num_partitions is None:
+        num_partitions = df.sparkSession.sparkContext.defaultParallelism * 2
+    pexpr = partition_expr if partition_expr is not None else F.col("doc_id")
+    ex = rows.repartition(num_partitions, pexpr)
+    small = ex.where(_nondet(~F.col("_big"))).select("doc_id", "spans")
+    big = ex.where(_nondet(F.col("_big"))).select("doc_id", "spans")
     out_small = kernel(small, cfg)
-    # Repartition the chunk rows on the (tagged, per-chunk-unique) doc_id:
-    # posexplode leaves every chunk in the giant doc's original partition,
-    # which would keep one task serialized on the whole doc — the exchange
-    # spreads chunks across tasks (it only moves the rare big branch).
-    chunked = _chunk_big(big, max_spans).repartition(F.col("doc_id"))
-    out_big = _reassemble_big(kernel(chunked, cfg))
-    cols = ["doc_id", "spans_clean", "route", "title", "success", "error",
-            "wall_us"]
-    return out_small.select(*cols).unionByName(out_big.select(*cols))
+    out_big = _reassemble_big(kernel(big, cfg))
+    return out_small.select(*_OUT_COLS) \
+        .unionByName(out_big.select(*_OUT_COLS))
 
 
 def read_lineage(spark: SparkSession, out_dir: str) -> DataFrame:
@@ -281,13 +373,19 @@ def run_job(
         )[:fail_after_buckets]
         df = df.where(F.col("bucket").isin(remaining))
 
-    # the one shuffle: salted exchange on the deterministic bucket —
-    # skipped entirely when the input is declared bucket-partitioned
-    if not pre_bucketed:
+    # the one shuffle: extract's protective exchange doubles as the salted
+    # bucket exchange (partition_expr recomputes the bucket — identical
+    # for untagged rows, and the chunk tag spreads giant-doc slices).
+    # pre_bucketed inputs skip it entirely (stable=True: the bucketed
+    # input is deterministic, the two-scan chunk path is safe and free).
+    if pre_bucketed:
+        out = extract(df.select("doc_id", "spans"), cfg, engine=engine,
+                      stable=True)
+    else:
         par = min(n_buckets, spark.sparkContext.defaultParallelism * 2)
-        df = df.repartition(par, "bucket")
-
-    out = extract(df.select("doc_id", "spans"), cfg, engine=engine)
+        out = extract(df.select("doc_id", "spans"), cfg, engine=engine,
+                      partition_expr=bucket_col(n_buckets),
+                      num_partitions=par)
     out = out.withColumn("doc_hash", doc_hash_col()) \
              .withColumn("bucket", bucket_col(n_buckets))
 

@@ -119,11 +119,98 @@ def test_chunking_splits_and_reassembles_giant_doc(spark):
 def test_chunked_extract_matches_unchunked_everywhere(spark):
     df = fixture_df(spark, seed=99, n_docs=80)
     cfg = ExtractConfig(max_spans_per_chunk=4)  # force chunking of normal docs
-    a = {r["doc_id"]: [tuple(s) for s in r["spans_clean"]]
+    a = {r["doc_id"]: ([tuple(s) for s in r["spans_clean"]], r["route"],
+                       r["title"], r["success"])
          for r in extract(df, cfg, chunk=True).collect()}
-    b = {r["doc_id"]: [tuple(s) for s in r["spans_clean"]]
+    b = {r["doc_id"]: ([tuple(s) for s in r["spans_clean"]], r["route"],
+                       r["title"], r["success"])
          for r in extract(df, cfg, chunk=False).collect()}
     assert a == b
+
+
+def test_chunked_tie_breaks_and_title_are_exact(spark):
+    """Duplicate offsets straddling chunk boundaries must keep the
+    original-array-position tie-break, and the doc title must be the
+    first titled kept span in READING order even when chunk order
+    disagrees (titled spans' offsets shuffled across chunks)."""
+    html_a = "<html><head><title>zeta last</title></head><body><p>late block body text</p></body></html>"
+    html_b = "<html><head><title>alpha first</title></head><body><p>early block body text</p></body></html>"
+    rows = [
+        # 10 spans all at offset=5: with max_spans_per_chunk=4 they
+        # straddle three chunks; order must stay 0..9 (array position)
+        ("ties", [("text", f"tie {j}", None, 5) for j in range(10)]),
+        # titled html spans: chunk 0 holds the HIGH offset title, chunk 1+
+        # the LOW one — chunk-order title selection would pick 'zeta'
+        ("titles", [("html", html_a, None, 9)]
+         + [("text", f"filler {j}", None, 10 + j) for j in range(4)]
+         + [("html", html_b, None, 1)]),
+        # duplicate-offset titled spans across chunks: position decides
+        ("titles-tied", [("html", html_a, None, 3)]
+         + [("text", f"f{j}", None, 0) for j in range(4)]
+         + [("html", html_b, None, 3)]),
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id string, spans "
+                               "array<struct<kind:string,text:string,"
+                               "media_ref:string,offset:int>>")
+    cfg = ExtractConfig(max_spans_per_chunk=4, normalize_unicode=False,
+                        flatten_json=False)
+    for engine in ("arrow", "catalyst"):
+        got = {r["doc_id"]: r for r in
+               extract(df, cfg, engine=engine, chunk=True).collect()}
+        texts = [s["text"] for s in got["ties"]["spans_clean"]]
+        assert texts == [f"tie {j}" for j in range(10)], engine
+        assert got["titles"]["title"] == "alpha first", engine
+        # offset tie at 3: html_a sits at array position 0 → wins
+        assert got["titles-tied"]["title"] == "zeta last", engine
+        unchunked = {r["doc_id"]: r for r in
+                     extract(df, cfg, engine=engine, chunk=False).collect()}
+        for d in got:
+            assert got[d]["title"] == unchunked[d]["title"], (engine, d)
+            assert [tuple(s) for s in got[d]["spans_clean"]] == \
+                [tuple(s) for s in unchunked[d]["spans_clean"]], (engine, d)
+
+
+def test_chunked_extract_single_scan_plan(spark):
+    """The chunk path must scan its input exactly once: chunk rows are
+    produced filter-free and both branches read ONE materialized
+    protective exchange (ReusedExchange), so a non-deterministic input
+    plan cannot lose or duplicate docs between branches."""
+    df = fixture_df(spark, seed=7, n_docs=40)
+    cfg = ExtractConfig(max_spans_per_chunk=4, normalize_unicode=False,
+                        flatten_json=False)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = extract(df, cfg, engine="catalyst", chunk=True) \
+            ._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert plan.count("Scan ExistingRDD") + plan.count("FileScan") == 1
+    assert "ReusedExchange" in plan
+
+
+def test_chunked_extract_nondeterministic_input_exactly_once(spark):
+    """A genuinely non-deterministic input plan (rand-sized span arrays
+    straddling the chunk threshold) still processes every doc exactly
+    once — the old two-scan design could drop or duplicate docs whose
+    size flipped between scans."""
+    base = spark.range(120)
+    size = (F.floor(F.rand() * 10) + 1).cast("int")  # 1..10, unseeded
+    spans = F.transform(
+        F.sequence(F.lit(0), size - 1),
+        lambda i: F.struct(
+            F.lit("text").alias("kind"),
+            F.concat(F.lit("t"), i.cast("string")).alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            i.cast("int").alias("offset")))
+    df = base.select(F.concat(F.lit("d"), F.col("id").cast("string"))
+                     .alias("doc_id"), spans.alias("spans"))
+    cfg = ExtractConfig(max_spans_per_chunk=4, normalize_unicode=False,
+                        flatten_json=False)
+    out = extract(df, cfg, engine="catalyst", chunk=True).collect()
+    ids = [r["doc_id"] for r in out]
+    assert len(ids) == 120
+    assert len(set(ids)) == 120
+    assert all(r["success"] for r in out)
 
 
 def test_pre_bucketed_job_matches_standard(spark, tmp_path):
