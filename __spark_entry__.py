@@ -62,6 +62,7 @@ NL2 = "(chr(10)||chr(10))"
 
 # the exact regex constants the engine uses (semantics.py — RE2-safe)
 P_SCRIPT = _sq(S.RE_SCRIPT_STYLE)
+P_DECOMP = _sq(S.RE_HTML_DECOMPOSE)
 P_TAG = _sq(S.RE_TAG)
 P_WS = _sq(S.RE_WS_RUN)
 P_STRIP = _sq(S.RE_STRIP)
@@ -187,8 +188,7 @@ _BLOCK_STRUCT = ("{'disp': " + _disp_sql("b")
 # "\n".join([]) is ''
 _DOM_JOINED = f"""coalesce(array_to_string(list_transform(list_filter(
   list_transform(
-    string_split({_regex_chain("wrapped", (P_SCRIPT, "''"),
-                               (P_COMMENT, "''"), (P_HEAD, "''"),
+    string_split({_regex_chain("wrapped", (P_DECOMP, "''"),
                                (P_BLOCK, "chr(1)"))}, chr(1)),
     b -> {_BLOCK_STRUCT}),
   x -> x.disp <> '' AND NOT ((x.tlen - x.slen) * 2 > x.tlen

@@ -122,9 +122,7 @@ def html_dom_strip(c: Column, cfg: ExtractConfig = DEFAULT_CONFIG) -> Column:
     script/style/comment/head removal, block segmentation, per-block
     link-density filter, newline join, E8. All higher-order functions —
     JVM-side, no Python."""
-    s = F.regexp_replace(c, S.RE_SCRIPT_STYLE, "")
-    s = F.regexp_replace(s, S.RE_HTML_COMMENT, "")
-    s = F.regexp_replace(s, S.RE_HEAD, "")
+    s = F.regexp_replace(c, S.RE_HTML_DECOMPOSE, "")
     s = F.regexp_replace(s, S.RE_BLOCK_TAG, S.BLOCK_SEP)
     blocks = F.split(s, S.BLOCK_SEP)
     stats = F.transform(blocks, lambda b: F.struct(

@@ -4,18 +4,29 @@
 (``semantics.clean_doc``) as a ``mapInArrow`` kernel: whole Arrow record
 batches in, whole batches out. Everything inside operates on *flattened*
 span arrays with ``pyarrow.compute`` (C++ vectorized) and numpy index
-arithmetic — never per-row Python (north rule). The only Python-level loop
-is over *unique* media slugs for the deterministic OCR stand-in, mirroring
-the one-call-per-image reality of a real OCR engine
-(/root/reference/parsers/image_parser.py:213-234); a real EasyOCR backend
-would slot in at the same point as a per-executor lazy singleton
-(/root/reference/parsers/image_parser.py:66-75 amortization, SURVEY.md §4).
+arithmetic — never per-row Python (north rule). The only Python-level
+loops are over *unique* media slugs / charref codes (amortized caches,
+mirroring the one-call-per-image reality of a real OCR engine,
+/root/reference/parsers/image_parser.py:213-234) and the NFKC
+normalization of the non-ASCII row subset (one C-level call per batch).
 
-Scale notes (100 TB): the kernel is shape-preserving (1 row in → 1 row out),
-so it pipelines with the upstream salted exchange and the downstream write
-without extra shuffles. Batch size is bounded by
+Memory-bandwidth discipline (the binding resource when many cores share
+one socket — BENCH/BASELINE.md):
+
+- span text stays an ARROW array end-to-end: every route computes on a
+  if_else-blanked copy (non-route rows cost nothing downstream), the
+  routes merge in ONE ``pc.case_when`` pass, and the final reorder is a
+  single ``take`` — text never round-trips through Python objects;
+- decompose (script/style/comment/head) is ONE fused left-to-right
+  regex pass (semantics.RE_HTML_DECOMPOSE), not three;
+- expensive replaces are probe-gated (``_gated_pass``): a read-only
+  match scan decides whether the full-copy transform runs at all.
+
+Scale notes (100 TB): the kernel is shape-preserving (1 row in → 1 row
+out), so it pipelines with the upstream salted exchange and the
+downstream write without extra shuffles. Batch size is bounded by
 ``spark.sql.execution.arrow.maxRecordsPerBatch``; giant documents are
-pre-chunked by ``plans.job.chunk_giant_docs`` so a single doc cannot blow
+pre-chunked by ``plans.job._chunk_rows`` so a single doc cannot blow
 the Arrow batch budget.
 """
 
@@ -29,12 +40,36 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from rag_document_parser_spark.config import DEFAULT_CONFIG, ExtractConfig
-from rag_document_parser_spark.schema import ARROW_KERNEL_OUTPUT, ARROW_SPAN_STRUCT
+from rag_document_parser_spark.schema import (ARROW_KERNEL_OUTPUT,
+                                              ARROW_SPAN_STRUCT,
+                                              ARROW_TITLE_KEY)
 from rag_document_parser_spark import semantics as S
 
 _KIND_CLASS_BIT = {
     "html": 1, "pdf": 2, "text": 4, "media": 8, "doc": 16, "other": 32,
 }
+_BIT_NAME = {1: "html", 2: "pdf", 4: "text", 8: "media", 16: "doc", 32: "other"}
+
+# pc.extract_regex needs a named group; same pattern as semantics.RE_TITLE
+_RE_TITLE_NAMED = S.RE_TITLE.replace("(.*?)", "(?P<t>.*?)")
+
+# combined probe for the fused decompose pass
+_RE_DECOMP_PROBE = r"(?i)<script|<style|<!--|<head"
+# E8 gating probes (read-only scans; rows already collapsed skip the
+# full-copy replace)
+_RE_EMPTY_PROBE = rf"^[{S.WS_NO_NL}]*\n|\n[{S.WS_NO_NL}]*\n"
+_RE_STRIP_PROBE = rf"^[{S.WS}]|[{S.WS}]$"
+
+
+def _scatter(base: pa.Array, idx: np.ndarray, values) -> pa.Array:
+    """``base`` with ``base[idx[i]] = values[i]`` — pure C concat+take,
+    never a full Python-object materialization of ``base``."""
+    repl = values if isinstance(values, pa.Array) else pa.array(
+        values, type=base.type)
+    combined = pa.concat_arrays([base, repl])
+    ti = np.arange(len(base), dtype=np.int64)
+    ti[idx] = len(base) + np.arange(len(repl), dtype=np.int64)
+    return combined.take(pa.array(ti))
 
 
 def _nfkc(t: pa.Array) -> pa.Array:
@@ -47,7 +82,9 @@ def _nfkc(t: pa.Array) -> pa.Array:
     identity on ASCII), join them with NUL — combining class 0, no
     decomposition, so normalization never crosses the sentinel — and
     make ONE C-level ``unicodedata.normalize`` call per batch; per-row
-    fallback only if a payload itself contains NUL."""
+    fallback only if a payload itself contains NUL. The result scatters
+    back with concat+take (no object round-trip of the ASCII majority).
+    """
     import unicodedata
 
     need = pc.and_(pc.is_valid(t),
@@ -62,40 +99,48 @@ def _nfkc(t: pa.Array) -> pa.Array:
     else:
         normed = unicodedata.normalize("NFKC", "\x00".join(sub)) \
             .split("\x00")
-    out = np.asarray(t.to_pandas(), dtype=object)
-    out[idx] = normed
-    return pa.array(out, type=pa.string())
-
-
-def _e8(t, cfg: ExtractConfig):
-    """E8 post-process chain over a whole Arrow string array
-    (text_parser.py:339-362), shared by the text/xml/markdown/json routes."""
-    if cfg.normalize_unicode:
-        t = _nfkc(t)
-    if cfg.remove_empty_lines:
-        t = pc.replace_substring_regex(t, pattern=S.RE_EMPTY_LINES_LEAD, replacement="")
-        t = pc.replace_substring_regex(t, pattern=S.RE_EMPTY_LINES_MID, replacement="\n")
-    if not cfg.preserve_whitespace:
-        t = pc.replace_substring_regex(t, pattern=S.RE_SPACE_RUN, replacement=" ")
-    return pc.replace_substring_regex(t, pattern=S.RE_STRIP, replacement="")
-_BIT_NAME = {1: "html", 2: "pdf", 4: "text", 8: "media", 16: "doc", 32: "other"}
-
-# pc.extract_regex needs a named group; same pattern as semantics.RE_TITLE
-_RE_TITLE_NAMED = S.RE_TITLE.replace("(.*?)", "(?P<t>.*?)")
+    return _scatter(t, idx, normed)
 
 
 def _gated_pass(arr, probe: str, fn, regex_probe: bool = False):
     """Run an expensive string transform only on elements containing
     ``probe`` (others pass through). Each replace pass is a full copy of
-    the batch's text; on this contract most blocks contain no entities/
-    comments/head, so probing (a read-only scan) before transforming
-    cuts the DOM path's memory-bandwidth cost substantially — the
-    binding resource when many cores share one socket."""
+    the batch's text; probing (a read-only scan) before transforming
+    cuts the memory-bandwidth cost whenever most rows don't match."""
     matcher = (pc.match_substring_regex if regex_probe
                else pc.match_substring)
     has = pc.fill_null(matcher(arr, pattern=probe), False)
+    if not pc.any(has).as_py():
+        return arr
     out = fn(pc.if_else(has, arr, ""))
     return pc.if_else(has, out, arr)
+
+
+def _e8(t, cfg: ExtractConfig):
+    """E8 post-process chain over a whole Arrow string array
+    (text_parser.py:339-362), shared by the text/xml/markdown/json
+    routes. Every pass after NFKC is probe-gated — inputs that are
+    already collapsed (the common case for the DOM path, which collapses
+    before joining) skip the full-copy replaces."""
+    if cfg.normalize_unicode:
+        t = _nfkc(t)
+    if cfg.remove_empty_lines:
+        def drop_empty(x):
+            x = pc.replace_substring_regex(
+                x, pattern=S.RE_EMPTY_LINES_LEAD, replacement="")
+            return pc.replace_substring_regex(
+                x, pattern=S.RE_EMPTY_LINES_MID, replacement="\n")
+        t = _gated_pass(t, _RE_EMPTY_PROBE, drop_empty, regex_probe=True)
+    if not cfg.preserve_whitespace:
+        t = _gated_pass(
+            t, "  ",
+            lambda x: pc.replace_substring_regex(
+                x, pattern=S.RE_SPACE_RUN, replacement=" "))
+    return _gated_pass(
+        t, _RE_STRIP_PROBE,
+        lambda x: pc.replace_substring_regex(
+            x, pattern=S.RE_STRIP, replacement=""),
+        regex_probe=True)
 
 
 # anchored fragment pattern with named groups for pc.extract_regex; (?s)
@@ -145,10 +190,13 @@ def _decode_charrefs(arr):
 
 
 def _visible(t):
-    """Visible text of markup fragments: strip tags, decode numeric
-    character references (html5-table subset) then the named entity
-    subset (semantics.HTML_ENTITIES, &amp; last)."""
-    t = pc.replace_substring_regex(t, pattern=S.RE_TAG, replacement="")
+    """Visible text of markup fragments: strip tags (gated on '<'),
+    decode numeric character references (html5-table subset) then the
+    named entity subset (semantics.HTML_ENTITIES, &amp; last)."""
+    t = _gated_pass(
+        t, "<",
+        lambda x: pc.replace_substring_regex(x, pattern=S.RE_TAG,
+                                             replacement=""))
 
     def decode(x):
         x = _gated_pass(x, "&#", _decode_charrefs)
@@ -161,27 +209,25 @@ def _visible(t):
 
 def _nws_len_of_visible(vis) -> np.ndarray:
     """Non-whitespace char count of an already-computed visible-text
-    array (density unit). Callers compute ``_visible`` once and reuse it
-    for both the display text and the length — the entity chain is 7
-    string passes, the most expensive part of the block pipeline."""
+    array (density unit)."""
     t = pc.replace_substring_regex(vis, pattern=rf"[{S.WS}]",
                                    replacement="")
     return pc.utf8_length(t).to_numpy(zero_copy_only=False)
 
 
-def _html_dom_batch(text: pa.Array, html_m: np.ndarray,
-                    cfg: ExtractConfig) -> tuple[np.ndarray, np.ndarray]:
+def _html_dom_batch(text: pa.Array, html_pa: pa.Array,
+                    cfg: ExtractConfig) -> tuple[pa.Array, np.ndarray]:
     """E1 DOM html extraction over a whole Arrow string array.
 
-    Mirrors ``semantics.html_dom_strip`` / ``html_title``: script/style/
-    comment/head removal, block segmentation at block-element boundaries,
-    per-block link-density filtering, newline join, E8. All passes are
-    C++ regex/list kernels over the flattened block array — no per-row
-    Python. Returns (cleaned_text, title) numpy object arrays aligned to
-    the batch; only positions where ``html_m`` holds are meaningful.
+    Mirrors ``semantics.html_dom_strip`` / ``html_title``: fused
+    decompose (script/style/comment/head in one scan), block
+    segmentation at block-element boundaries, per-block link-density
+    filtering, newline join, E8. All passes are C++ regex/list kernels
+    over the flattened block array — no per-row Python. Returns
+    (cleaned_text Arrow array, title numpy object array) aligned to the
+    batch; only positions where ``html_pa`` holds are meaningful.
     """
-    mask = pa.array(html_m)
-    h_in = pc.if_else(mask, pc.fill_null(text, ""), "")
+    h_in = pc.if_else(html_pa, pc.fill_null(text, ""), "")
 
     # title capture (text_parser.py:159-162), gated on a <title probe
     ti_in = pc.if_else(
@@ -189,27 +235,19 @@ def _html_dom_batch(text: pa.Array, html_m: np.ndarray,
                      False), h_in, "")
     ti_struct = pc.extract_regex(ti_in, pattern=_RE_TITLE_NAMED)
     ti = pc.replace_substring_regex(
-        _visible(ti_struct.field("t")), pattern=S.RE_WS_RUN, replacement=" ")
+        _visible(pc.fill_null(ti_struct.field("t"), "")),
+        pattern=S.RE_WS_RUN, replacement=" ")
     ti = pc.replace_substring_regex(ti, pattern=S.RE_STRIP, replacement="")
     ti_np = np.asarray(ti.to_pandas(), dtype=object)
+    ti_valid = pc.is_valid(ti_struct).to_numpy(zero_copy_only=False)
+    ti_np[~ti_valid] = None
     ti_np[ti_np == ""] = None
 
-    # body: decompose script/style + comments + head, then segment
-    # (comment/head passes gated on a substring probe — absent in most
-    # real-world fragments and all non-wrapper spans)
+    # body: ONE fused decompose pass (gated), then segment
     s1 = _gated_pass(
-        h_in, "(?i)<script|<style",
+        h_in, _RE_DECOMP_PROBE,
         lambda x: pc.replace_substring_regex(
-            x, pattern=S.RE_SCRIPT_STYLE, replacement=""),
-        regex_probe=True)
-    s1 = _gated_pass(
-        s1, "<!--",
-        lambda x: pc.replace_substring_regex(
-            x, pattern=S.RE_HTML_COMMENT, replacement=""))
-    s1 = _gated_pass(
-        s1, "(?i)<head",
-        lambda x: pc.replace_substring_regex(
-            x, pattern=S.RE_HEAD, replacement=""),
+            x, pattern=S.RE_HTML_DECOMPOSE, replacement=""),
         regex_probe=True)
     s1 = pc.replace_substring_regex(s1, pattern=S.RE_BLOCK_TAG,
                                     replacement=S.BLOCK_SEP)
@@ -221,7 +259,6 @@ def _html_dom_batch(text: pa.Array, html_m: np.ndarray,
                                       replacement=" ")
     disp = pc.replace_substring_regex(disp, pattern=S.RE_STRIP,
                                       replacement="")
-    disp_np = np.asarray(disp.to_pandas(), dtype=object)
     # non-ws count of vis == len(disp) - its single-space count (collapse
     # and strip only touch [WS] chars) — a count instead of another
     # remove-pass copy
@@ -240,10 +277,11 @@ def _html_dom_batch(text: pa.Array, html_m: np.ndarray,
     has_a_np = pc.fill_null(has_a, False).to_numpy(zero_copy_only=False)
     slen = np.where(has_a_np, slen0, tlen)
     link = tlen - slen
-    keep_b = (disp_np != "") & ~((2 * link > tlen)
-                                 & (tlen < cfg.html_density_min_chars))
+    empty_b = pc.equal(disp, "").to_numpy(zero_copy_only=False)
+    keep_b = ~empty_b & ~((2 * link > tlen)
+                          & (tlen < cfg.html_density_min_chars))
 
-    vals = pa.array(np.where(keep_b, disp_np, ""), type=pa.string())
+    vals = pc.if_else(pa.array(keep_b), disp, "")
     joined = pc.binary_join(pa.ListArray.from_arrays(blocks.offsets, vals),
                             "\n")
     # dropped blocks joined as empty lines; collapsing them restores the
@@ -252,8 +290,7 @@ def _html_dom_batch(text: pa.Array, html_m: np.ndarray,
         joined, pattern=S.RE_EMPTY_LINES_LEAD, replacement="")
     joined = pc.replace_substring_regex(
         joined, pattern=S.RE_EMPTY_LINES_MID, replacement="\n")
-    out = np.asarray(_e8(joined, cfg).to_pandas(), dtype=object)
-    return out, ti_np
+    return _e8(joined, cfg), ti_np
 
 
 def _route_names(mask: int) -> str:
@@ -295,12 +332,11 @@ def _clean_batch(batch: pa.RecordBatch, cfg: ExtractConfig) -> pa.RecordBatch:
     offset = flat.field("offset")
     m = len(flat)
 
-    kind_np = np.asarray(kind.to_pandas(), dtype=object)
-
     def is_kind(*ks: str) -> np.ndarray:
         mask = np.zeros(m, dtype=bool)
         for k in ks:
-            mask |= kind_np == k
+            mask |= pc.fill_null(pc.equal(kind, k), False) \
+                .to_numpy(zero_copy_only=False)
         return mask
 
     html_m = is_kind("html")
@@ -328,24 +364,39 @@ def _clean_batch(batch: pa.RecordBatch, cfg: ExtractConfig) -> pa.RecordBatch:
     if cfg.unknown_kinds == "error":
         unk_idx = np.flatnonzero(~known_m)
         if len(unk_idx):
+            kind_unk = kind.take(pa.array(unk_idx)).to_pylist()
             u, fi = np.unique(parent[unk_idx], return_index=True)
             err_doc[u] = True
-            for d, k in zip(u, kind_np[unk_idx][fi]):
+            for d, k in zip(u, (kind_unk[i] for i in fi)):
                 err_msg[d] = f"Unsupported kind: {k}"
 
-    out_text = np.asarray(text.to_pandas(), dtype=object)
     keep = np.ones(m, dtype=bool)
     valid_text = np.asarray(pc.is_valid(text).to_numpy(zero_copy_only=False))
+
+    def blanked(mask: np.ndarray) -> pa.Array:
+        """text with every non-(mask & valid) row blanked — downstream
+        passes over the blanked copy only pay for the route's bytes."""
+        return pc.if_else(pa.array(mask & valid_text),
+                          pc.fill_null(text, ""), "")
+
+    def nonempty(arr: pa.Array) -> np.ndarray:
+        return pc.not_equal(arr, "").to_numpy(zero_copy_only=False)
+
+    # each route contributes (bool-mask, full-length Arrow array); they
+    # merge in ONE pc.case_when pass at the end
+    conds: list[np.ndarray] = []
+    cases: list[pa.Array] = []
 
     # ---- html route: DOM path (E1, default) or regex fallback (E2) ----
     span_title = np.empty(m, dtype=object)
     span_title[:] = None
     if html_m.any():
         if cfg.html_mode == "dom":
-            t_np, ti_np = _html_dom_batch(text, html_m, cfg)
+            t_arr, ti_np = _html_dom_batch(text, pa.array(html_m), cfg)
             span_title[html_m] = ti_np[html_m]
         else:
-            t = pc.replace_substring_regex(text, pattern=S.RE_SCRIPT_STYLE,
+            t = blanked(html_m)
+            t = pc.replace_substring_regex(t, pattern=S.RE_SCRIPT_STYLE,
                                            replacement="")
             t = pc.replace_substring_regex(t, pattern=S.RE_TAG, replacement="")
             t = pc.replace_substring_regex(t, pattern=S.RE_WS_RUN,
@@ -354,86 +405,92 @@ def _clean_batch(batch: pa.RecordBatch, cfg: ExtractConfig) -> pa.RecordBatch:
                                            replacement="")
             # E8 runs after the strip (text_parser.py:99) — only NFKC can
             # still change anything once whitespace is collapsed
-            t_np = np.asarray(_e8(t, cfg).to_pandas(), dtype=object)
-        out_text[html_m] = t_np[html_m]
-        keep[html_m] = valid_text[html_m] & (t_np[html_m] != "")
+            t_arr = _e8(t, cfg)
+        conds.append(html_m)
+        cases.append(t_arr)
+        keep[html_m] = valid_text[html_m] & nonempty(t_arr)[html_m]
 
     # ---- text/code route (E8 post-process; text_parser.py:339-362) ----
     if textlike_m.any():
-        t_np = np.asarray(_e8(text, cfg).to_pandas(), dtype=object)
-        out_text[textlike_m] = t_np[textlike_m]
-        keep[textlike_m] = valid_text[textlike_m] & (t_np[textlike_m] != "")
+        t_arr = _e8(blanked(textlike_m), cfg)
+        conds.append(textlike_m)
+        cases.append(t_arr)
+        keep[textlike_m] = valid_text[textlike_m] & nonempty(t_arr)[textlike_m]
 
     # ---- xml route (E3 + E8; text_parser.py:182-214) ----
     if xml_m.any():
-        t = pc.if_else(pa.array(xml_m), pc.fill_null(text, ""), "")
-        t = pc.replace_substring_regex(t, pattern=S.RE_XML_CDATA,
-                                       replacement="\\1")
-        t = pc.replace_substring_regex(t, pattern=S.RE_TAG, replacement="")
+        t = blanked(xml_m)
+        t = _gated_pass(
+            t, "<![CDATA[",
+            lambda x: pc.replace_substring_regex(
+                x, pattern=S.RE_XML_CDATA, replacement="\\1"))
+        t = _gated_pass(
+            t, "<",
+            lambda x: pc.replace_substring_regex(x, pattern=S.RE_TAG,
+                                                 replacement=""))
         t = _gated_pass(t, "&#", _decode_charrefs)
         for ent, ch in S.XML_ENTITIES:
             t = pc.replace_substring(t, pattern=ent, replacement=ch)
-        t_np = np.asarray(_e8(t, cfg).to_pandas(), dtype=object)
-        out_text[xml_m] = t_np[xml_m]
-        keep[xml_m] = valid_text[xml_m] & (t_np[xml_m] != "")
+        t_arr = _e8(t, cfg)
+        conds.append(xml_m)
+        cases.append(t_arr)
+        keep[xml_m] = valid_text[xml_m] & nonempty(t_arr)[xml_m]
 
     # ---- markdown route (E4 + E8; text_parser.py:216-248) ----
     if md_m.any():
-        t = text
+        t = blanked(md_m)
         for pat, repl in S.MD_RULES:
             t = pc.replace_substring_regex(
                 t, pattern=pat, replacement=repl.replace("G1", "\\1"))
-        t_np = np.asarray(_e8(t, cfg).to_pandas(), dtype=object)
-        out_text[md_m] = t_np[md_m]
-        keep[md_m] = valid_text[md_m] & (t_np[md_m] != "")
+        t_arr = _e8(t, cfg)
+        conds.append(md_m)
+        cases.append(t_arr)
+        keep[md_m] = valid_text[md_m] & nonempty(t_arr)[md_m]
 
     # ---- rtf route (E27 + E8; document_parser.py:465-506) ----
     if rtf_m.any():
-        t = text
+        t = blanked(rtf_m)
         for pat, repl in S.RTF_RULES:
             t = pc.replace_substring_regex(t, pattern=pat, replacement=repl)
-        t_np = np.asarray(_e8(t, cfg).to_pandas(), dtype=object)
-        out_text[rtf_m] = t_np[rtf_m]
-        keep[rtf_m] = valid_text[rtf_m] & (t_np[rtf_m] != "")
+        t_arr = _e8(t, cfg)
+        conds.append(rtf_m)
+        cases.append(t_arr)
+        keep[rtf_m] = valid_text[rtf_m] & nonempty(t_arr)[rtf_m]
 
     # ---- json route (E5 + E8; text_parser.py:250-273) ----
-    # json.loads is a per-document C-library call (mirroring the reference's
-    # per-file parse), applied only to the masked rows; the E8 chain stays
-    # whole-batch Arrow.
+    # json.loads is a per-document C-library call (mirroring the
+    # reference's per-file parse), applied only to the masked rows; the
+    # E8 chain stays whole-batch Arrow.
     if json_m.any():
-        raw = np.asarray(text.to_pandas(), dtype=object)
-        flats = np.empty(m, dtype=object)
-        for i in np.flatnonzero(json_m):
-            v = raw[i]
-            if v is not None:
-                flat = S.json_flatten(v) if cfg.flatten_json else None
-                flats[i] = v if flat is None else flat
-        t_np = np.asarray(
-            _e8(pa.array(flats, type=pa.string()), cfg).to_pandas(),
-            dtype=object)
-        out_text[json_m] = t_np[json_m]
-        keep[json_m] = valid_text[json_m] & (t_np[json_m] != "")
+        j_idx = np.flatnonzero(json_m & valid_text)
+        raw = text.take(pa.array(j_idx)).to_pylist()
+        vals = []
+        for v in raw:
+            flat_j = S.json_flatten(v) if cfg.flatten_json else None
+            vals.append(v if flat_j is None else flat_j)
+        base = pc.fill_null(pa.nulls(m, pa.string()), "")
+        t = _scatter(base, j_idx, vals) if len(j_idx) else base
+        t_arr = _e8(t, cfg)
+        conds.append(json_m)
+        cases.append(t_arr)
+        keep[json_m] = valid_text[json_m] & nonempty(t_arr)[json_m]
 
     # ---- pdf_block route: verbatim, drop empties (pdf_parser.py:141-160) ----
     if pdf_m.any():
-        keep[pdf_m] = valid_text[pdf_m] & (out_text[pdf_m] != "")
+        keep[pdf_m] = valid_text[pdf_m] & \
+            pc.not_equal(pc.fill_null(text, ""), "") \
+            .to_numpy(zero_copy_only=False)[pdf_m]
 
     # ---- table routes (E14 strict pdf accept / E30 lax slide accept,
     # row/col caps, E38 render) ----
     # list-kernel form: split rows / cells as Arrow ListArrays, cap with
     # list_slice (semantics.render_table caps, reference utils/config.py:
     # 110-111), rejoin with binary_join — all C++-vectorized, no Python
-    # per row. Non-table rows are blanked first so their payloads don't
-    # pay the split cost.
+    # per row. Non-table rows are blanked first (incl. null-text table
+    # rows: a null would become a null list and ArrowInvalid the batch).
     tbl_m = table_m | tslide_m
     if tbl_m.any():
-        # blank invalid (null-text) rows too, not just non-table rows: a
-        # null survives np.where as None -> null list after split ->
-        # pc.list_element(piped, 0) raises ArrowInvalid and the catch-all
-        # in make_kernel would fail the WHOLE batch, diverging from
-        # clean_doc which just drops the span
-        t_in = pa.array(np.where(tbl_m & valid_text, out_text, ""),
-                        type=pa.string())
+        t_in = blanked(tbl_m)
         rows = pc.split_pattern(t_in, pattern="\n")
         n_rows = pc.list_value_length(rows).to_numpy(zero_copy_only=False)
         rows_c = pc.list_slice(rows, 0, cfg.max_table_rows + 1)
@@ -445,57 +502,73 @@ def _clean_batch(batch: pa.RecordBatch, cfg: ExtractConfig) -> pa.RecordBatch:
         rest = pc.binary_join(pc.list_slice(piped, 1, cfg.max_table_rows + 1),
                               "\n")
         dash = pc.replace_substring_regex(head, pattern=".", replacement="-")
-        with_rest = np.asarray(
-            pc.binary_join_element_wise(head, dash, rest, "\n").to_pandas(),
-            dtype=object)
-        head_only = np.asarray(
-            pc.binary_join_element_wise(head, dash, "\n").to_pandas(),
-            dtype=object)
-        r_np = np.where(n_rows >= 2, with_rest, head_only)
-        nonempty = np.zeros(m, dtype=bool)
-        nonempty[tbl_m] = valid_text[tbl_m] & (out_text[tbl_m] != "")
-        ok = (table_m & valid_text & (n_rows >= 2)) | (tslide_m & nonempty)
-        out_text[tbl_m] = np.where(ok, r_np, None)[tbl_m]
+        with_rest = pc.binary_join_element_wise(head, dash, rest, "\n")
+        head_only = pc.binary_join_element_wise(head, dash, "\n")
+        two_plus = n_rows >= 2
+        r_arr = pc.if_else(pa.array(two_plus), with_rest, head_only)
+        ne_in = nonempty(t_in)
+        ok = (table_m & valid_text & two_plus) | (tslide_m & ne_in)
+        conds.append(tbl_m)
+        cases.append(pc.if_else(pa.array(ok), r_arr, pa.nulls(m, pa.string())))
         keep[tbl_m] = ok[tbl_m]
 
     # ---- media route: size gate + OCR stand-in over unique refs ----
     if media_m.any():
-        ref_np = np.asarray(media_ref.to_pandas(), dtype=object)
-        slug_struct = pc.extract_regex(media_ref, pattern=S.RE_MEDIA_REF.replace(
-            "(\\d+)x(\\d+)/([A-Za-z0-9_\\-.]+)",
-            "(?P<w>\\d+)x(?P<h>\\d+)/(?P<slug>[A-Za-z0-9_\\-.]+)"))
-        slug_np = np.asarray(slug_struct.field("slug").to_pandas(), dtype=object)
-        ocr = _ocr_lookup(slug_np[media_m], kind_np[media_m], ref_np[media_m], cfg)
-        out_text[media_m] = ocr
+        md_idx = np.flatnonzero(media_m)
+        take_md = pa.array(md_idx)
+        ref_np = np.asarray(media_ref.take(take_md).to_pandas(), dtype=object)
+        kind_md = np.asarray(kind.take(take_md).to_pandas(), dtype=object)
+        slug_struct = pc.extract_regex(
+            media_ref.take(take_md),
+            pattern=S.RE_MEDIA_REF.replace(
+                "(\\d+)x(\\d+)/([A-Za-z0-9_\\-.]+)",
+                "(?P<w>\\d+)x(?P<h>\\d+)/(?P<slug>[A-Za-z0-9_\\-.]+)"))
+        slug_np = np.asarray(slug_struct.field("slug").to_pandas(),
+                             dtype=object)
+        slug_np[~pc.is_valid(slug_struct).to_numpy(zero_copy_only=False)] = \
+            None
+        ocr = _ocr_lookup(slug_np, kind_md, ref_np, cfg)
+        conds.append(media_m)
+        cases.append(_scatter(pa.nulls(m, pa.string()), md_idx,
+                              pa.array(ocr, type=pa.string())))
         # media spans always kept (they carry media_ref)
 
     # ---- header/footer route (E21 prefixes; document_parser.py:571-593) ----
     if hf_m.any():
-        trimmed = pc.utf8_trim_whitespace(text)
-        nonblank = np.asarray(
-            pc.fill_null(pc.not_equal(trimmed, ""), False).to_numpy(zero_copy_only=False))
-        pref = np.where(kind_np == "header", "[HEADER] ", "[FOOTER] ")
-        joined = np.char.add(pref[hf_m].astype(str),
-                             np.where(valid_text[hf_m], out_text[hf_m], "").astype(str))
-        out_text[hf_m] = np.where(nonblank[hf_m], joined.astype(object), None)
+        t_in = blanked(hf_m)
+        trimmed = pc.utf8_trim_whitespace(t_in)
+        nonblank = pc.not_equal(trimmed, "").to_numpy(zero_copy_only=False)
+        is_h = is_kind("header")
+        pref = pc.if_else(pa.array(is_h), "[HEADER] ", "[FOOTER] ")
+        joined = pc.binary_join_element_wise(pref, t_in, "")
+        conds.append(hf_m)
+        cases.append(joined)
         keep[hf_m] = nonblank[hf_m]
 
     # ---- slide/sheet structural markers (E28/E38 prefixes) ----
     if blk_m.any():
-        trimmed = pc.utf8_trim_whitespace(text)
-        nonblank = np.asarray(
-            pc.fill_null(pc.not_equal(trimmed, ""), False).to_numpy(zero_copy_only=False))
-        pre = np.where(kind_np == "slide", "=== Slide ", "=== Sheet: ")
-        joined = np.char.add(np.char.add(
-            pre[blk_m].astype(str),
-            np.where(valid_text[blk_m], out_text[blk_m], "").astype(str)), " ===")
-        out_text[blk_m] = np.where(nonblank[blk_m], joined.astype(object), None)
+        t_in = blanked(blk_m)
+        trimmed = pc.utf8_trim_whitespace(t_in)
+        nonblank = pc.not_equal(trimmed, "").to_numpy(zero_copy_only=False)
+        is_slide = is_kind("slide")
+        pre = pc.if_else(pa.array(is_slide), "=== Slide ", "=== Sheet: ")
+        joined = pc.binary_join_element_wise(pre, t_in, " ===", "")
+        conds.append(blk_m)
+        cases.append(joined)
         keep[blk_m] = nonblank[blk_m]
 
     # unknown kinds: passthrough (keep=True, text untouched) — unless the
     # doc was marked an error result above, which drops ALL its spans
     if err_doc.any():
         keep &= ~err_doc[parent]
+
+    # ---- merge all routes in ONE pass (default: verbatim passthrough
+    # for pdf_block and unknown kinds) ----
+    if conds:
+        cond_struct = pc.make_struct(*[pa.array(c) for c in conds])
+        out_text_arr = pc.case_when(cond_struct, *cases, text)
+    else:
+        out_text_arr = text
 
     # ---- reading-order sort (L1) + reassembly ----
     off_np = offset.to_numpy(zero_copy_only=False).astype("float64")  # NaN = null
@@ -539,7 +612,7 @@ def _clean_batch(batch: pa.RecordBatch, cfg: ExtractConfig) -> pa.RecordBatch:
     clean_struct = pa.StructArray.from_arrays(
         [
             kind.take(take),
-            pa.array(out_text[take_idx], type=pa.string()),
+            out_text_arr.take(take),
             media_ref.take(take),
             offset.take(take),
         ],
@@ -594,8 +667,6 @@ def _error_batch(batch: pa.RecordBatch, err: str) -> pa.RecordBatch:
         pa.array(np.zeros(n + 1, dtype=np.int32)),
         pa.array([], type=ARROW_SPAN_STRUCT),
     )
-    from rag_document_parser_spark.schema import ARROW_TITLE_KEY
-
     return pa.RecordBatch.from_arrays(
         [
             batch.column("doc_id"),
@@ -623,7 +694,8 @@ def make_kernel(cfg: ExtractConfig = DEFAULT_CONFIG):
 
 
 def extract_arrow(df, cfg: ExtractConfig = DEFAULT_CONFIG):
-    """documents(doc_id, spans) -> (doc_id, spans_clean, route, success, error, wall_us)."""
+    """documents(doc_id, spans) -> (doc_id, spans_clean, route, title,
+    title_key, success, error, wall_us)."""
     from rag_document_parser_spark.schema import KERNEL_OUTPUT_SCHEMA
 
     return df.mapInArrow(make_kernel(cfg), KERNEL_OUTPUT_SCHEMA)

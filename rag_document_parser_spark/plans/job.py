@@ -256,13 +256,14 @@ def extract(df: DataFrame, cfg: ExtractConfig | None = None,
     would be a guaranteed error).
 
     Chunking (default path, ``stable=False``): the input is scanned
-    ONCE. A filter-free when/otherwise explode (``_chunk_rows``) emits
-    kernel-ready rows for every doc — giant docs as tagged span-slices —
-    and one protective exchange materializes them
-    (``repartition(num_partitions, partition_expr)``; default hash of
-    the tagged doc_id, which both spreads giant-doc chunks across tasks
-    and can serve as the caller's salt). The small/big routing happens
-    ABOVE that exchange with nondeterministically-wrapped complementary
+    ONCE into a protective exchange
+    (``repartition(num_partitions, partition_expr)``; the expression
+    sees raw doc_ids, so a caller's bucket/salt column partitions
+    exactly). The small-doc path flows straight to the kernel with zero
+    chunk bookkeeping; the rare giant-doc branch explodes into tagged
+    span-slices post-exchange and pays one more (tiny) exchange to
+    spread its chunks across tasks. The small/big routing happens
+    ABOVE the protective exchange with nondeterministically-wrapped
     filters, so Catalyst cannot push them past it: both branches read
     the SAME materialized shuffle (ReuseExchange / AQE stage reuse), the
     kernel runs exactly once per row, and a non-deterministic input
@@ -295,15 +296,23 @@ def extract(df: DataFrame, cfg: ExtractConfig | None = None,
         return out_small.select(*_OUT_COLS) \
             .unionByName(out_big.select(*_OUT_COLS))
 
-    rows = _chunk_rows(df, max_spans)
+    # exchange the RAW rows (partition_expr sees untagged doc_ids, so a
+    # caller's bucket expression partitions exactly), then route ABOVE
+    # the materialized shuffle: the common small-doc path flows straight
+    # into the kernel with zero chunk bookkeeping — no wrap/explode copy
+    # — while the rare big branch explodes post-exchange and pays one
+    # more (tiny) exchange to spread its chunks across tasks.
     if num_partitions is None:
         num_partitions = df.sparkSession.sparkContext.defaultParallelism * 2
     pexpr = partition_expr if partition_expr is not None else F.col("doc_id")
-    ex = rows.repartition(num_partitions, pexpr)
-    small = ex.where(_nondet(~F.col("_big"))).select("doc_id", "spans")
-    big = ex.where(_nondet(F.col("_big"))).select("doc_id", "spans")
+    ex = df.select("doc_id", "spans").repartition(num_partitions, pexpr)
+    is_big = F.coalesce(F.size("spans") > max_spans, F.lit(False))
+    small = ex.where(_nondet(~is_big))
+    big = ex.where(_nondet(is_big))
     out_small = kernel(small, cfg)
-    out_big = _reassemble_big(kernel(big, cfg))
+    chunked = _chunk_rows(big, max_spans).select("doc_id", "spans") \
+        .repartition(F.col("doc_id"))
+    out_big = _reassemble_big(kernel(chunked, cfg))
     return out_small.select(*_OUT_COLS) \
         .unionByName(out_big.select(*_OUT_COLS))
 
@@ -374,8 +383,9 @@ def run_job(
         df = df.where(F.col("bucket").isin(remaining))
 
     # the one shuffle: extract's protective exchange doubles as the salted
-    # bucket exchange (partition_expr recomputes the bucket — identical
-    # for untagged rows, and the chunk tag spreads giant-doc slices).
+    # bucket exchange (partition_expr = the deterministic bucket, so each
+    # bucket's rows land in exactly one task → one file per bucket dir;
+    # giant-doc chunks spread via extract's internal second exchange).
     # pre_bucketed inputs skip it entirely (stable=True: the bucketed
     # input is deterministic, the two-scan chunk path is safe and free).
     if pre_bucketed:
@@ -402,11 +412,21 @@ def run_job(
     # from `out`: recomputing the lineage aggregate from `out` would run
     # the whole extraction a second time, while reading 3 small columns
     # back from columnar storage is nearly free at any scale. The read-back
-    # is restricted to the buckets THIS run actually processed (a cheap
-    # doc_id-only scan of the resumed input): stale bucket dirs left by a
-    # crashed run, or pre-existing data under out_dir, must not be swept
-    # into lineage and marked committed by a run that never touched them.
-    run_buckets = df.select("bucket").distinct()
+    # is restricted to the buckets THIS run actually processed: stale
+    # bucket dirs left by a crashed run, or pre-existing data under
+    # out_dir, must not be swept into lineage and marked committed by a
+    # run that never touched them. When nothing filtered the input
+    # (resume off, no fail-after hook) the run processed EVERY bucket by
+    # definition, so the set is statically range(n_buckets) — that skips
+    # a whole extra scan+distinct over the input, a fixed driver cost
+    # that otherwise eats into small-corpus scaling. (Contract already
+    # implied by resume=False: the caller declares a fresh full run over
+    # out_dir.)
+    if not resume and fail_after_buckets is None:
+        run_buckets = spark.range(n_buckets).select(
+            F.col("id").cast("int").alias("bucket"))
+    else:
+        run_buckets = df.select("bucket").distinct()
     written = (spark.read.parquet(data_path)
                .select("bucket", "doc_hash", "wall_us")
                .join(F.broadcast(run_buckets), "bucket", "left_semi"))
@@ -421,10 +441,15 @@ def run_job(
     )
     lineage.write.mode("append").parquet(os.path.join(out_dir, "lineage"))
 
-    done = read_lineage(spark, out_dir)
+    # single aggregation job for the summary (was two: a distinct-count
+    # and a sum — each a separate fixed-cost driver round-trip)
+    done = read_lineage(spark, out_dir).agg(
+        F.count_distinct("partition_id").alias("b"),
+        F.sum("doc_count").alias("d"),
+    ).collect()[0]
     return {
         "run_id": run_id,
         "buckets_skipped": skipped,
-        "buckets_total_committed": done.select("partition_id").distinct().count(),
-        "docs_committed": done.agg(F.sum("doc_count")).collect()[0][0],
+        "buckets_total_committed": done["b"],
+        "docs_committed": done["d"],
     }

@@ -51,6 +51,15 @@ RE_STRIP = rf"^[{WS}]+|[{WS}]+$"
 #   NavigableString        -> tag strip + entity decode inside each block
 RE_HTML_COMMENT = r"(?s)<!--.*?-->"
 RE_HEAD = rf"(?is)<head(?:[{WS}][^>]*)?>.*?</head>"
+# decompose fused into ONE left-to-right scan (script/style | comment |
+# head). This is closer to html.parser's tokenization than three
+# sequential passes — a commented-out <script> is comment first, exactly
+# as a DOM parser sees it — and it is one full-copy pass instead of
+# three (the kernel's binding resource is memory bandwidth).
+RE_HTML_DECOMPOSE = (
+    r"(?is:<script[^>]*>.*?</script>|<style[^>]*>.*?</style>)"
+    r"|(?s:<!--.*?-->)"
+    rf"|(?is:<head(?:[{WS}][^>]*)?>.*?</head>)")
 RE_TITLE = rf"(?is)<title(?:[{WS}][^>]*)?>(.*?)</title>"
 _BLOCK_TAGS = ("html|head|body|div|p|h1|h2|h3|h4|h5|h6|ul|ol|li|dl|dt|dd|"
                "table|thead|tbody|tfoot|tr|caption|nav|header|footer|"
@@ -258,8 +267,9 @@ def html_title(s: str) -> Optional[str]:
 def html_dom_strip(s: str, cfg: ExtractConfig = DEFAULT_CONFIG) -> str:
     """E1 DOM html extraction + E8 post-process.
 
-    1. remove script/style subtrees, comments, and the <head> subtree
-       (title is captured separately by ``html_title``);
+    1. remove script/style subtrees, comments, and the <head> subtree in
+       ONE left-to-right scan (RE_HTML_DECOMPOSE — html.parser-order
+       tokenization; title is captured separately by ``html_title``);
     2. segment at block-element boundaries (newline structure of
        BeautifulSoup ``get_text`` for well-formed markup);
     3. per block, compute visible text and its link-density — the share
@@ -269,9 +279,7 @@ def html_dom_strip(s: str, cfg: ExtractConfig = DEFAULT_CONFIG) -> str:
        boilerplate removal (nav bars, footer link rows);
     4. join kept blocks with newlines, then the shared E8 post-process.
     """
-    s = re.sub(RE_SCRIPT_STYLE, "", s)
-    s = re.sub(RE_HTML_COMMENT, "", s)
-    s = re.sub(RE_HEAD, "", s)
+    s = re.sub(RE_HTML_DECOMPOSE, "", s)
     s = re.sub(RE_BLOCK_TAG, BLOCK_SEP, s)
     kept: list[str] = []
     for b in s.split(BLOCK_SEP):
