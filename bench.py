@@ -87,9 +87,11 @@ def main() -> None:
     # a narrow warmup only spawns workers for the partitions it touches,
     # leaving the timed job to pay ~CPUS cold worker starts (pyarrow+numpy
     # import is ~1-2s per worker). Run a full-width mini job instead.
+    # warmup at mult=3: a mult=1 warmup left the first timed rep paying
+    # residual JIT for the larger plan (observed 2x on rep 1 vs rep 3)
     warm_dir = tempfile.mkdtemp(prefix="bench_warm_")
     try:
-        J.run_job(spark, spans_df_from_documents(spark, SF_DIR, mult=1),
+        J.run_job(spark, spans_df_from_documents(spark, SF_DIR, mult=3),
                   warm_dir, engine="arrow", resume=False)
     finally:
         shutil.rmtree(warm_dir, ignore_errors=True)

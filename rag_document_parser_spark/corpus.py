@@ -128,10 +128,23 @@ def _md_payload(rng: random.Random) -> str:
 
 
 def _rtf_payload(rng: random.Random) -> str:
+    # header group: flat or with one level of nested brace groups (the
+    # shape real fonttbls take), both inside the documented subset
+    fonttbl = rng.choice([
+        "{\\fonttbl\\f0 Arial;}",
+        "{\\fonttbl{\\f0 Arial;}{\\f1 Times New Roman;}}",
+        "{\\colortbl;{\\red0\\green0\\blue0;}}",
+    ])
+    # \uN escapes: positive, negative (N+65536), with '?' fallback, with
+    # \'xx fallback, adjacent to a control word (no fallback to consume)
+    uesc = rng.choice([
+        "\\u8217?s", "\\u-1524\\'3f x", "\\u233?gal", "\\u8212\\par after",
+        "",
+    ])
     return (
-        "{\\rtf1\\ansi{\\fonttbl\\f0 Arial;}\\f0\\fs24 "
+        "{\\rtf1\\ansi" + fonttbl + "\\f0\\fs24 "
         + _sentence(rng, 3, 8, 0)
-        + "\\par " + _sentence(rng, 3, 8, 0)
+        + "\\par " + _sentence(rng, 3, 8, 0) + " " + uesc
         + "\\line " + _sentence(rng, 2, 5, 0)
         + ("\\'e9" if rng.random() < 0.5 else "")
         + " fin}"

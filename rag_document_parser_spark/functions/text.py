@@ -45,33 +45,46 @@ def strip(c: Column) -> Column:
 _CHARREF_FRAG_NOGRP = "^(?:[0-9]{1,7}|[xX][0-9a-fA-F]{1,6});"
 
 
-def _charref_char(code: Column) -> Column:
-    """semantics.charref_char as a pure-Catalyst expression over the
-    matched code string ('160' / 'x2019').
+def _bind1(value: Column, fn) -> Column:
+    """Evaluate ``value`` ONCE and pass it to ``fn`` as a bound lambda
+    variable. Catalyst re-evaluates non-attribute subtrees at every
+    reference (the lambda re-eval trap); routing the value through a
+    single-element transform makes it a LambdaVariable, evaluated once
+    per row no matter how many times ``fn`` references it."""
+    return F.element_at(F.transform(F.array(value), fn), 1)
+
+
+def _charref_char_from_n(n: Column) -> Column:
+    """Decoded char for a BOUND codepoint (semantics.charref_char).
 
     Catalyst has no chr(codepoint) for the full Unicode range, so the
     character is built from its UTF-16BE bytes: hex the codepoint, pad,
     unhex, decode — with the surrogate-pair arithmetic for supplementary
     planes. The html5 0x80-0x9F remap is a literal map lookup."""
-    is_hex = code.rlike("^[xX]")
-    num = F.when(is_hex,
-                 F.conv(F.substring(code, 2, 6), 16, 10).cast("long")) \
-           .otherwise(code.cast("long"))
     omap = F.create_map(*[F.lit(x) for k, v in S.CHARREF_OVERRIDES.items()
                           for x in (k, v)])
-    bmp = F.decode(F.unhex(F.lpad(F.hex(num), 4, "0")), "UTF-16BE")
-    v = num - F.lit(0x10000)
+    bmp = F.decode(F.unhex(F.lpad(F.hex(n), 4, "0")), "UTF-16BE")
+    v = n - F.lit(0x10000)
     hi = F.lit(0xD800) + F.shiftright(v, 10)
     lo = F.lit(0xDC00) + v.bitwiseAND(F.lit(0x3FF))
     supp = F.decode(
         F.unhex(F.concat(F.lpad(F.hex(hi), 4, "0"),
                          F.lpad(F.hex(lo), 4, "0"))), "UTF-16BE")
     return F.coalesce(
-        F.try_element_at(omap, num.cast("int")),
-        F.when(((num >= 0xD800) & (num <= 0xDFFF)) | (num > 0x10FFFF),
+        F.try_element_at(omap, n.cast("int")),
+        F.when(((n >= 0xD800) & (n <= 0xDFFF)) | (n > 0x10FFFF),
                F.lit("�")),
-        F.when(num <= 0xFFFF, bmp),
+        F.when(n <= 0xFFFF, bmp),
         supp)
+
+
+def _charref_char(code: Column) -> Column:
+    """semantics.charref_char over a BOUND code string ('160'/'x2019')."""
+    is_hex = code.rlike("^[xX]")
+    num = F.when(is_hex,
+                 F.conv(F.substring(code, 2, 6), 16, 10).cast("long")) \
+           .otherwise(code.cast("long"))
+    return _bind1(num, _charref_char_from_n)
 
 
 def decode_charrefs(c: Column) -> Column:
@@ -80,14 +93,18 @@ def decode_charrefs(c: Column) -> Column:
 
     Split on the two-char "&#" opener; each later fragment either starts
     with a valid code (decode + keep the rest) or gets its literal "&#"
-    restored — positional, no rescan, exactly re.sub's single pass."""
+    restored — positional, no rescan, exactly re.sub's single pass. The
+    extracted code and the derived codepoint are staged as bound lambda
+    variables (``_bind1``) so each regexp_extract runs once per
+    fragment, not once per reference."""
     parts = F.split(c, "&#")
-    frag = lambda p: F.when(  # noqa: E731
-        F.regexp_extract(p, S.RE_CHARREF_FRAG, 1) == "",
-        F.concat(F.lit("&#"), p),
-    ).otherwise(
-        F.concat(_charref_char(F.regexp_extract(p, S.RE_CHARREF_FRAG, 1)),
-                 F.regexp_replace(p, _CHARREF_FRAG_NOGRP, "")))
+    frag = lambda p: _bind1(  # noqa: E731
+        F.regexp_extract(p, S.RE_CHARREF_FRAG, 1),
+        lambda code: F.when(
+            code == "", F.concat(F.lit("&#"), p),
+        ).otherwise(
+            F.concat(_charref_char(code),
+                     F.regexp_replace(p, _CHARREF_FRAG_NOGRP, ""))))
     dec = F.transform(parts,
                       lambda p, i: F.when(i == 0, p).otherwise(frag(p)))
     return F.when(c.contains("&#"), F.array_join(dec, "")).otherwise(c)
@@ -119,17 +136,29 @@ def html_title(c: Column) -> Column:
 
 def html_dom_strip(c: Column, cfg: ExtractConfig = DEFAULT_CONFIG) -> Column:
     """E1 DOM html extraction, pure Catalyst (semantics.html_dom_strip):
-    script/style/comment/head removal, block segmentation, per-block
-    link-density filter, newline join, E8. All higher-order functions —
-    JVM-side, no Python."""
+    fused decompose, block segmentation, per-block link-density filter,
+    newline join, E8. All higher-order functions — JVM-side, no Python.
+
+    Per block, the visible text is computed ONCE (``_bind1`` staging):
+    ``tlen`` (non-ws visible chars) derives from the collapsed display
+    text as ``length(remove-spaces(disp))`` — WS runs collapse to one
+    space each and edge runs strip away, so the identity holds — and
+    the anchor-removal chain for ``slen`` runs only when an ``<a`` can
+    appear (anchor-free blocks have link length 0 by definition)."""
     s = F.regexp_replace(c, S.RE_HTML_DECOMPOSE, "")
     s = F.regexp_replace(s, S.RE_BLOCK_TAG, S.BLOCK_SEP)
     blocks = F.split(s, S.BLOCK_SEP)
-    stats = F.transform(blocks, lambda b: F.struct(
-        strip(F.regexp_replace(_visible(b), S.RE_WS_RUN, " ")).alias("disp"),
-        _nws_len(b).alias("tlen"),
-        _nws_len(F.regexp_replace(b, S.RE_ANCHOR, "")).alias("slen"),
-    ))
+    stats = F.transform(blocks, lambda b: _bind1(
+        strip(F.regexp_replace(_visible(b), S.RE_WS_RUN, " ")),
+        lambda disp: _bind1(
+            F.length(F.replace(disp, F.lit(" "), F.lit(""))),
+            lambda tlen: F.struct(
+                disp.alias("disp"),
+                tlen.alias("tlen"),
+                F.when(b.rlike(r"(?i)<a\b"),
+                       _nws_len(F.regexp_replace(b, S.RE_ANCHOR, "")))
+                .otherwise(tlen).alias("slen"),
+            ))))
     kept = F.filter(stats, lambda x: (x["disp"] != "") & ~(
         ((x["tlen"] - x["slen"]) * 2 > x["tlen"])
         & (x["tlen"] < F.lit(cfg.html_density_min_chars))))
@@ -160,8 +189,41 @@ def markdown_strip(c: Column, cfg: ExtractConfig = DEFAULT_CONFIG) -> Column:
     return post_process_text(c, cfg)
 
 
+def _rtf_u_char(code: Column) -> Column:
+    """semantics.rtf_u_char over a BOUND signed decimal code string —
+    BMP only by construction (N+65536 caps at 65535), so one UTF-16BE
+    decode; lone surrogates become U+FFFD."""
+    n0 = code.cast("long")
+    return _bind1(
+        F.when(n0 < 0, n0 + 65536).otherwise(n0),
+        lambda n: F.when((n >= 0xD800) & (n <= 0xDFFF), F.lit("�"))
+        .otherwise(F.decode(F.unhex(F.lpad(F.hex(n), 4, "0")),
+                            "UTF-16BE")))
+
+
+def decode_rtf_u(c: Column) -> Column:
+    """RTF \\uN unicode escapes (fallback char consumed), pure Catalyst —
+    same split-on-opener positional pass as ``decode_charrefs``. The
+    opener is the two literal chars backslash-u; fragments not starting
+    with a signed code (e.g. other \\u* control words) restore their
+    literal opener."""
+    parts = F.split(c, r"\\u")  # java regex \\u = the literal chars \u
+    frag = lambda p: _bind1(  # noqa: E731
+        F.regexp_extract(p, S.RE_RTF_U_FRAG, 1),
+        lambda code: F.when(
+            code == "", F.concat(F.lit("\\u"), p),
+        ).otherwise(
+            F.concat(_rtf_u_char(code),
+                     F.regexp_replace(p, S.RE_RTF_U_FRAG, ""))))
+    dec = F.transform(parts,
+                      lambda p, i: F.when(i == 0, p).otherwise(frag(p)))
+    return F.when(c.contains("\\u"), F.array_join(dec, "")).otherwise(c)
+
+
 def rtf_strip(c: Column, cfg: ExtractConfig = DEFAULT_CONFIG) -> Column:
-    """E27 rtf → text regex subset + E8 (document_parser.py:465-506)."""
+    """E27 rtf → text regex subset + E8 (document_parser.py:465-506).
+    \\uN escapes decode first."""
+    c = decode_rtf_u(c)
     for pat, repl in S.RTF_RULES:
         c = F.regexp_replace(c, pat, repl)
     return post_process_text(c, cfg)

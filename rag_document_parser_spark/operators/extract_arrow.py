@@ -189,6 +189,43 @@ def _decode_charrefs(arr):
                           "")
 
 
+_RTF_U_FRAG_NAMED = (r"(?s)^(?P<c>-?[0-9]{1,6})"
+                     r" ?(?:\\'[0-9a-fA-F]{2}|[^\\{}])?(?P<rest>.*)$")
+
+
+def _decode_rtf_u(arr):
+    """RTF \\uN unicode escapes over a whole Arrow string array — same
+    split-on-opener positional pass as ``_decode_charrefs`` (opener =
+    the literal two chars backslash-u; the optional fallback char is
+    consumed by the anchored pattern)."""
+    parts = pc.split_pattern(arr, pattern="\\u")
+    flat = pc.list_flatten(parts)
+    m = pc.extract_regex(flat, pattern=_RTF_U_FRAG_NAMED)
+    m_ok = pc.is_valid(m).to_numpy(zero_copy_only=False)
+    code_np = np.asarray(m.field("c").to_pandas(), dtype=object)
+    cache: dict[str, str] = {}
+    ch_np = np.empty(len(code_np), dtype=object)
+    for i, cs in enumerate(code_np):
+        if not m_ok[i]:
+            continue
+        got = cache.get(cs)
+        if got is None:
+            got = cache[cs] = S.rtf_u_char(int(cs))
+        ch_np[i] = got
+    decoded = pc.binary_join_element_wise(
+        pa.array(ch_np, type=pa.string()),
+        pc.fill_null(m.field("rest"), ""), "")
+    restored = pc.binary_join_element_wise(
+        pa.array(["\\u"] * len(flat), type=pa.string()), flat, "")
+    off = parts.offsets.to_numpy(zero_copy_only=False)
+    first = np.zeros(len(flat), dtype=bool)
+    first[off[:-1][off[:-1] < len(flat)]] = True
+    pieces = pc.if_else(pa.array(first), flat,
+                        pc.if_else(pc.is_valid(m), decoded, restored))
+    return pc.binary_join(pa.ListArray.from_arrays(parts.offsets, pieces),
+                          "")
+
+
 def _visible(t):
     """Visible text of markup fragments: strip tags (gated on '<'),
     decode numeric character references (html5-table subset) then the
@@ -450,6 +487,7 @@ def _clean_batch(batch: pa.RecordBatch, cfg: ExtractConfig) -> pa.RecordBatch:
     # ---- rtf route (E27 + E8; document_parser.py:465-506) ----
     if rtf_m.any():
         t = blanked(rtf_m)
+        t = _gated_pass(t, "\\u", _decode_rtf_u)
         for pat, repl in S.RTF_RULES:
             t = pc.replace_substring_regex(t, pattern=pat, replacement=repl)
         t_arr = _e8(t, cfg)

@@ -142,19 +142,38 @@ RE_EMPTY_LINES_MID = rf"\n(?:[{WS_NO_NL}]*\n)+"
 RE_SPACE_RUN = r"  +"
 
 # E27 rtf route — documented regex subset of striprtf's rtf_to_text
-# (/root/reference/parsers/document_parser.py:465-506): paragraph/line
-# controls become newlines, non-nested header groups (fonttbl/colortbl/
-# stylesheet/info) are dropped, hex escapes are dropped, remaining control
-# words (consuming one trailing space) and braces are stripped. Nested
-# header groups and \uN unicode escapes are out of the subset.
+# (/root/reference/parsers/document_parser.py:465-506): \uN unicode
+# escapes decode FIRST (signed 16-bit, negative += 65536, lone
+# surrogates -> U+FFFD; the optional one-character fallback — a \'xx hex
+# escape or a single literal — is consumed, per \uc1 default), then
+# paragraph/line controls become newlines, header groups (fonttbl/
+# colortbl/stylesheet/info, including ONE level of nested braces — a
+# real fonttbl is "{\fonttbl{\f0 Arial;}{\f1 Times;}}") are dropped,
+# hex escapes are dropped, remaining control words (consuming one
+# trailing space) and braces are stripped. Deeper nesting and \ucN
+# values other than 1 are out of the subset.
+RE_RTF_U = r"\\u(-?[0-9]{1,6}) ?(?:\\'[0-9a-fA-F]{2}|[^\\{}])?"
+# the same thing anchored to a fragment AFTER a "\u" split point (the
+# shape the vectorized engines share); group 1 is the signed code
+RE_RTF_U_FRAG = r"^(-?[0-9]{1,6}) ?(?:\\'[0-9a-fA-F]{2}|[^\\{}])?"
 RTF_RULES = [
     (r"\\par\b ?", "\n"),
     (r"\\line\b ?", "\n"),
-    (r"\{\\(?:fonttbl|colortbl|stylesheet|info)[^{}]*\}", ""),
+    (r"\{\\(?:fonttbl|colortbl|stylesheet|info)[^{}]*(?:\{[^{}]*\}[^{}]*)*\}",
+     ""),
     (r"\\'[0-9a-fA-F][0-9a-fA-F]", ""),
     (r"\\[a-z]+(?:-?[0-9]+)? ?", ""),
     (r"[{}]", ""),
 ]
+
+
+def rtf_u_char(n: int) -> str:
+    """Decoded character for an RTF \\uN escape."""
+    if n < 0:
+        n += 65536
+    if 0xD800 <= n <= 0xDFFF:
+        return "\ufffd"
+    return chr(n)
 
 # media_ref grammar: img://<width>x<height>/<slug>
 RE_MEDIA_REF = r"^img://(\d+)x(\d+)/([A-Za-z0-9_\-.]+)$"
@@ -377,7 +396,9 @@ def json_flatten(s: str) -> Optional[str]:
 
 
 def rtf_strip(s: str, cfg: ExtractConfig = DEFAULT_CONFIG) -> str:
-    """E27 rtf → text (regex subset) + E8 post-process."""
+    """E27 rtf → text (regex subset) + E8 post-process. \\uN escapes
+    decode first (see the RTF_RULES subset note)."""
+    s = re.sub(RE_RTF_U, lambda m: rtf_u_char(int(m.group(1))), s)
     for pat, repl in RTF_RULES:
         s = re.sub(pat, repl, s)
     return post_process_text(s, cfg)
