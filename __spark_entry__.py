@@ -402,6 +402,21 @@ SQL_EXTRACT_CATALYST = CTE_CATALYST + _EXTRACT_SELECT
 SQL_EXTRACT_ARROW = CTE_ARROW + _EXTRACT_SELECT
 
 
+def q_single_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 single-file source (/root/reference/main.py:72-147): the
+    one-document form of the batch operator — a doc_id predicate pushed
+    into the corpus scan ahead of extraction."""
+    docs = spans_df_from_documents(spark, sf_dir) \
+        .where(F.col("doc_id").isin("d-7-0", "d-11-0", "d-42-0"))
+    out = J.extract(docs, cfg=CATALYST_CONFIG, engine="catalyst",
+                    chunk=False)
+    return _extract_projection(out)
+
+
+SQL_SINGLE_DOC = CTE_CATALYST + _EXTRACT_SELECT + \
+    " WHERE doc_id IN ('d-7-0', 'd-11-0', 'd-42-0')"
+
+
 def q_route_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2/A8 report shape over extraction output."""
     out = J.extract(spans_df_from_documents(spark, sf_dir),
@@ -1577,6 +1592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_content": q_extract_content,
         "extract_content_arrow": q_extract_content_arrow,
+        "single_doc": q_single_doc,
         "route_stats": q_route_stats,
         "summary_report": q_summary_report,
         "validity": q_validity,
@@ -1619,6 +1635,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "extract_content": SQL_EXTRACT_CATALYST,
         "extract_content_arrow": SQL_EXTRACT_ARROW,
+        "single_doc": SQL_SINGLE_DOC,
         "route_stats": SQL_ROUTE_STATS,
         "summary_report": SQL_SUMMARY,
         "validity": SQL_VALIDITY,
