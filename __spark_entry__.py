@@ -30,6 +30,7 @@ from rag_document_parser_spark.corpus import SLUG_WORDS, spans_df_from_documents
 from rag_document_parser_spark.functions import text as X
 from rag_document_parser_spark.operators import dedup as D
 from rag_document_parser_spark.operators import multimodal as M
+from rag_document_parser_spark.operators import sampling as SAM
 from rag_document_parser_spark.operators import similarity as V
 from rag_document_parser_spark.operators import textstats as T
 from rag_document_parser_spark.plans import job as J
@@ -619,6 +620,41 @@ SELECT doc_id, len({_QTOKS})::BIGINT AS ws_tokens,
    + length(regexp_replace(lower(text), '[a-z0-9؀-ۿ \\t\\n\\r]', '', 'g'))
   )::BIGINT AS bpe_est_tokens
 FROM documents"""
+
+
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Bernoulli sample — eval-set construction operator
+    (no reference analog; scale-path addition per SURVEY §6). Membership
+    is a scan-local md5 predicate, reproducible across engines/runs."""
+    out = SAM.hash_sample(_docs(spark, sf_dir), rate=0.25, salt="evalv1")
+    return out.select("doc_id", "lang", F.col("n_chars").cast("long"))
+
+
+# 0.25 * 16^8 = 0x40000000; lowercase fixed-width hex compares like the
+# underlying u32 in both engines.
+SQL_HASH_SAMPLE = """
+SELECT doc_id, lang, n_chars::BIGINT AS n_chars FROM documents
+WHERE substr(md5(doc_id::VARCHAR || 'evalv1'), 1, 8) < '40000000'"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quota sample: exactly min(k, |stratum|) docs per
+    lang, drawn by md5 order (two-stage rank keeps popular strata from
+    funnelling through one task)."""
+    out = SAM.stratified_sample(_docs(spark, sf_dir), k=7,
+                                strata_col="lang", salt="s1")
+    return out.select("doc_id", "lang",
+                      F.col("sample_rank").cast("long"))
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT doc_id, lang, sample_rank::BIGINT AS sample_rank FROM (
+  SELECT doc_id, lang, row_number() OVER (
+      PARTITION BY lang
+      ORDER BY substr(md5(doc_id::VARCHAR || 's1'), 1, 8), doc_id
+    ) AS sample_rank
+  FROM documents)
+WHERE sample_rank <= 7"""
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1601,6 +1637,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "quality_features": q_quality,
         "token_count": q_token_count,
+        "hash_sample": q_hash_sample,
+        "stratified_sample": q_stratified_sample,
         "fingerprint": q_fingerprint,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1644,6 +1682,8 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": SQL_LANG_ID,
         "quality_features": SQL_QUALITY,
         "token_count": SQL_TOKEN_COUNT,
+        "hash_sample": SQL_HASH_SAMPLE,
+        "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "fingerprint": SQL_FINGERPRINT,
         "dedup_exact": SQL_DEDUP_EXACT,
         "ngram_jaccard": SQL_JACCARD,
