@@ -30,6 +30,7 @@ from rag_document_parser_spark.corpus import SLUG_WORDS, spans_df_from_documents
 from rag_document_parser_spark.functions import text as X
 from rag_document_parser_spark.operators import dedup as D
 from rag_document_parser_spark.operators import multimodal as M
+from rag_document_parser_spark.operators import repetition as REP
 from rag_document_parser_spark.operators import sampling as SAM
 from rag_document_parser_spark.operators import similarity as V
 from rag_document_parser_spark.operators import textstats as T
@@ -655,6 +656,120 @@ SELECT doc_id, lang, sample_rank::BIGINT AS sample_rank FROM (
     ) AS sample_rank
   FROM documents)
 WHERE sample_rank <= 7"""
+
+
+def q_line_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher duplicate-line fractions. The synthetic docs are single-
+    line, so the query derives a deterministic multi-line corpus first:
+    4-word chunks become lines, then the first ``doc_id % 4`` lines are
+    appended again — per-doc dup fractions from 0 to ~0.2, zero-shuffle
+    end to end (array arithmetic inside the scan stage)."""
+    d = _docs(spark, sf_dir)
+    staged = d.select("doc_id", D.words(F.col("text")).alias("_w"))
+    n_l = ((F.size("_w") + F.lit(3)) / F.lit(4)).cast("int")
+    lines = F.when(
+        F.size("_w") > 0,
+        F.transform(F.sequence(F.lit(1), n_l),
+                    lambda i: F.array_join(
+                        F.slice("_w", (i - 1) * 4 + 1, 4), " ")),
+    ).otherwise(F.array().cast("array<string>"))
+    staged = staged.select("doc_id", lines.alias("_l"))
+    all_lines = F.concat(
+        F.col("_l"),
+        F.slice(F.col("_l"), 1, F.pmod(F.col("doc_id"), F.lit(4)).cast("int")))
+    with_lines = staged.select("doc_id", all_lines.alias("lines"))
+    out = REP.line_repetition_features(with_lines, lines_col="lines")
+    return out.select(
+        "doc_id", "n_lines", "n_distinct_lines", "n_line_chars",
+        "n_distinct_line_chars",
+        F.floor(F.col("dup_line_frac") * 1e6).cast("long")
+        .alias("dup_line_frac_e6"),
+        F.floor(F.col("dup_line_char_frac") * 1e6).cast("long")
+        .alias("dup_char_frac_e6"))
+
+
+_LTOKS = TOKS_SQL.format(c="text")
+SQL_LINE_REPETITION = f"""
+WITH w AS (SELECT doc_id, {_LTOKS} AS w FROM documents),
+l AS (SELECT doc_id, CASE WHEN len(w) > 0 THEN
+        list_transform(range(1, ((len(w) + 3) // 4) + 1),
+          i -> array_to_string(list_slice(w, (i-1)*4 + 1, (i-1)*4 + 4), ' '))
+      ELSE []::VARCHAR[] END AS l FROM w),
+al AS (SELECT doc_id, list_concat(l, l[1:(doc_id % 4)]) AS lines FROM l),
+m AS (SELECT doc_id, len(lines) AS n_lines,
+        len(list_distinct(lines)) AS n_distinct_lines,
+        coalesce(list_sum(list_transform(lines, x -> length(x))), 0)
+          AS n_line_chars,
+        coalesce(list_sum(list_transform(list_distinct(lines),
+          x -> length(x))), 0) AS n_distinct_line_chars
+      FROM al)
+SELECT doc_id, n_lines::BIGINT AS n_lines,
+  n_distinct_lines::BIGINT AS n_distinct_lines,
+  n_line_chars::BIGINT AS n_line_chars,
+  n_distinct_line_chars::BIGINT AS n_distinct_line_chars,
+  floor((CASE WHEN n_lines > 0 THEN 1.0 - n_distinct_lines / n_lines
+         ELSE 0.0 END) * 1000000)::BIGINT AS dup_line_frac_e6,
+  floor((CASE WHEN n_line_chars > 0
+         THEN 1.0 - n_distinct_line_chars / n_line_chars
+         ELSE 0.0 END) * 1000000)::BIGINT AS dup_char_frac_e6
+FROM m"""
+
+
+def q_top_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher top-bigram mass per doc (repetition filter input)."""
+    out = REP.top_ngram_stats(_docs(spark, sf_dir), n=2)
+    return out.select(
+        F.col("id").alias("doc_id"), "n_grams", "top_count",
+        F.floor(F.col("top_frac") * 1e6).cast("long").alias("top_frac_e6"))
+
+
+_SH2 = _shingles_sql("text", 2)
+SQL_TOP_NGRAM = f"""
+WITH s AS (SELECT doc_id AS id, {_SH2} AS sh FROM documents),
+s2 AS (SELECT id, sh FROM s WHERE len(sh) > 0),
+flat AS (SELECT id, unnest(sh) AS gram FROM s2),
+pg AS (SELECT id, gram, count(*) AS c FROM flat GROUP BY id, gram),
+agg AS (SELECT id, sum(c)::BIGINT AS n_grams, max(c)::BIGINT AS top_count
+        FROM pg GROUP BY id)
+SELECT id::BIGINT AS doc_id, n_grams, top_count,
+  floor((top_count / n_grams) * 1000000)::BIGINT AS top_frac_e6
+FROM agg"""
+
+
+def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: 3-gram shingle overlap of every doc
+    against a deterministic 10% held-out sample (`hash_sample`,
+    salt='contam'). Eval shingles broadcast; the corpus is never
+    shuffled on the shingle key."""
+    d = _docs(spark, sf_dir)
+    ev = SAM.hash_sample(d, rate=0.1, salt="contam")
+    out = REP.decontaminate(d, ev, n=3, threshold=0.5)
+    return out.select(
+        F.col("id").alias("doc_id"), "n_sh", "n_matched",
+        F.floor(F.col("contam_frac") * 1e6).cast("long").alias("contam_e6"),
+        F.col("contaminated").cast("long").alias("contaminated"))
+
+
+_SH3D = _shingles_sql("text", 3)
+# threshold string must come from the SAME computation the operator uses
+_CONTAM_THR = SAM._threshold(0.1)
+SQL_DECONTAM = f"""
+WITH ev AS (SELECT DISTINCT s AS shingle FROM (
+    SELECT unnest(list_distinct({_SH3D})) AS s FROM documents
+    WHERE substr(md5(doc_id::VARCHAR || 'contam'), 1, 8) < '{_CONTAM_THR}')),
+c AS (SELECT doc_id AS id, list_distinct({_SH3D}) AS sh FROM documents),
+c2 AS (SELECT id, sh, len(sh) AS n_sh FROM c WHERE len(sh) > 0),
+flat AS (SELECT id, unnest(sh) AS shingle FROM c2),
+m AS (SELECT flat.id, count(*) AS n_matched
+      FROM flat JOIN ev USING (shingle) GROUP BY flat.id),
+j AS (SELECT c2.id, c2.n_sh::BIGINT AS n_sh,
+        coalesce(m.n_matched, 0)::BIGINT AS n_matched
+      FROM c2 LEFT JOIN m ON c2.id = m.id)
+SELECT id::BIGINT AS doc_id, n_sh, n_matched,
+  floor((n_matched / n_sh) * 1000000)::BIGINT AS contam_e6,
+  (CASE WHEN n_matched / n_sh >= 0.5 THEN 1 ELSE 0 END)::BIGINT
+    AS contaminated
+FROM j"""
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1639,6 +1754,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "hash_sample": q_hash_sample,
         "stratified_sample": q_stratified_sample,
+        "line_repetition": q_line_repetition,
+        "top_ngram": q_top_ngram,
+        "decontam": q_decontam,
         "fingerprint": q_fingerprint,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1684,6 +1802,9 @@ def oracle_sql() -> dict[str, str]:
         "token_count": SQL_TOKEN_COUNT,
         "hash_sample": SQL_HASH_SAMPLE,
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
+        "line_repetition": SQL_LINE_REPETITION,
+        "top_ngram": SQL_TOP_NGRAM,
+        "decontam": SQL_DECONTAM,
         "fingerprint": SQL_FINGERPRINT,
         "dedup_exact": SQL_DEDUP_EXACT,
         "ngram_jaccard": SQL_JACCARD,

@@ -1,0 +1,144 @@
+"""Repetition quality signals and eval-set decontamination.
+
+Standard training-data pipeline filters (Gopher/C4-style) the reference
+has no analog for (it processes documents individually,
+/root/reference/main.py:72-147); these are corpus-level scale-path
+additions in the spirit of SURVEY §6's LLM-data operators.
+
+Scale shape, per operator:
+
+- ``line_repetition_features`` is **zero-shuffle**: every metric is an
+  array expression over the row's own lines (``array_distinct`` +
+  ``aggregate``), so it runs inside the same whole-stage-codegen span
+  as the parquet scan. A 100 TB corpus costs one read pass.
+- ``top_ngram_stats`` explodes grams and hash-aggregates twice, first
+  on ``(id, gram)`` then on ``id``. Both aggregations are map-side
+  combinable, and after the explode a doc's gram rows stay inside the
+  source-row's partition, so the partial aggregate collapses them to
+  one row per (task, id, gram) before any exchange. Per-doc mode via
+  higher-order array functions instead would be O(grams²) per row —
+  worse for exactly the giant docs that matter.
+- ``decontaminate`` keys off the usual asymmetry: the eval set is tiny
+  (thousands of docs) next to the corpus. Eval shingles are distinct-
+  aggregated and **broadcast**; the corpus side is a left-semi hash
+  join partition-local to the scan, then one map-side-combinable count
+  per doc. The corpus is never shuffled on the (Zipf-skewed) shingle
+  key at all — the same skew-immunity argument as
+  ``dedup.ngram_jaccard_pairs``'s blacklist join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from rag_document_parser_spark.operators.dedup import shingle_df, words
+
+__all__ = [
+    "decontaminate",
+    "line_repetition_features",
+    "top_ngram_stats",
+]
+
+
+def _sum_lengths(lines: Column) -> Column:
+    """Total characters across an array of lines (0 for empty arrays)."""
+    return F.aggregate(lines, F.lit(0).cast("long"),
+                       lambda acc, l: acc + F.length(l))
+
+
+def line_repetition_features(df: DataFrame, text_col: str = "text",
+                             id_col: str = "doc_id",
+                             lines_col: str | None = None) -> DataFrame:
+    """Per-doc duplicate-line fractions (Gopher repetition signals).
+
+    Lines come from ``lines_col`` (``array<string>``) when given, else
+    from splitting ``text_col`` on newlines with empty lines dropped.
+    Output per doc: ``n_lines``, ``n_distinct_lines``, total and
+    distinct character counts, and the two Gopher fractions —
+    ``dup_line_frac`` (by count) and ``dup_line_char_frac`` (by
+    character mass). Fractions are raw doubles; driver oracles project
+    ``floor(x * 1e6)`` per the repo's float-equality rule.
+
+    Zero shuffles: everything is per-row array arithmetic; the lines
+    array is staged as a bound attribute so Catalyst evaluates the
+    split once, not once per referencing expression.
+    """
+    lines = (F.col(lines_col) if lines_col is not None
+             else F.filter(F.split(F.col(text_col), "\n"),
+                           lambda l: l != ""))
+    staged = df.select(F.col(id_col), lines.alias("_lines"))
+    dis = F.array_distinct(F.col("_lines"))
+    proj = staged.select(
+        F.col(id_col),
+        F.size("_lines").cast("long").alias("n_lines"),
+        F.size(dis).cast("long").alias("n_distinct_lines"),
+        _sum_lengths(F.col("_lines")).alias("n_line_chars"),
+        _sum_lengths(dis).alias("n_distinct_line_chars"),
+    )
+    return proj.select(
+        "*",
+        F.when(F.col("n_lines") > 0,
+               1.0 - F.col("n_distinct_lines") / F.col("n_lines"))
+        .otherwise(F.lit(0.0)).alias("dup_line_frac"),
+        F.when(F.col("n_line_chars") > 0,
+               1.0 - F.col("n_distinct_line_chars") / F.col("n_line_chars"))
+        .otherwise(F.lit(0.0)).alias("dup_line_char_frac"),
+    )
+
+
+def top_ngram_stats(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", n: int = 2) -> DataFrame:
+    """Most-frequent-n-gram fraction per doc (Gopher `top n-gram` rule).
+
+    Output: ``(id, n_grams, top_count, top_frac)`` for every doc with at
+    least one n-gram; ``top_frac = top_count / n_grams`` is the mass of
+    the modal gram. The gram string itself is deliberately not returned:
+    equal-count ties would make it engine-dependent, and the filter rule
+    only consumes the fraction.
+    """
+    sh = shingle_df(df, text_col, id_col, n, distinct=False,
+                    drop_empty=True)
+    # explode_outer + notnull for the same InferFiltersFromGenerate
+    # reason as ngram_jaccard_pairs (dedup.py): plain explode re-inlines
+    # the tokenizer chain into pushed-down generator-input filters.
+    flat = (sh.select("id", F.explode_outer("shingles").alias("gram"))
+              .where(F.col("gram").isNotNull()))
+    per_gram = flat.groupBy("id", "gram").agg(F.count("*").alias("c"))
+    return (per_gram.groupBy("id")
+            .agg(F.sum("c").alias("n_grams"),
+                 F.max("c").alias("top_count"))
+            .select("id", "n_grams", "top_count",
+                    (F.col("top_count") / F.col("n_grams"))
+                    .alias("top_frac")))
+
+
+def decontaminate(corpus: DataFrame, eval_df: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  n: int = 3, threshold: float = 0.5) -> DataFrame:
+    """Flag corpus docs whose shingle sets overlap an eval set.
+
+    For every corpus doc with at least one word n-gram shingle, counts
+    how many of its *distinct* shingles appear anywhere in ``eval_df``
+    and emits ``contam_frac = n_matched / n_sh`` plus ``contaminated``
+    (``contam_frac >= threshold``). This is the standard benchmark-
+    decontamination pass run before training (n-gram collision against
+    held-out eval sets).
+
+    The eval side is distinct-aggregated then broadcast; swapping a
+    100 TB corpus through a shuffle on the shingle key never happens.
+    """
+    ev = (shingle_df(eval_df, text_col, id_col, n, drop_empty=True)
+          .select(F.explode("shingles").alias("shingle")).distinct())
+    corp = shingle_df(corpus, text_col, id_col, n, drop_empty=True)
+    sizes = corp.select("id", F.size("shingles").alias("n_sh"))
+    flat = (corp.select("id", F.explode_outer("shingles").alias("shingle"))
+                .where(F.col("shingle").isNotNull()))
+    matched = (flat.join(F.broadcast(ev), "shingle", "left_semi")
+                   .groupBy("id").agg(F.count("*").alias("n_matched")))
+    out = (sizes.join(matched, "id", "left")
+           .select("id", "n_sh",
+                   F.coalesce("n_matched", F.lit(0)).alias("n_matched")))
+    frac = F.col("n_matched") / F.col("n_sh")
+    return out.select("id", "n_sh", "n_matched", frac.alias("contam_frac"),
+                      (frac >= threshold).alias("contaminated"))
