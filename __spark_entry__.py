@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from rag_document_parser_spark import semantics as S
 from rag_document_parser_spark.config import CATALYST_CONFIG, DEFAULT_CONFIG
@@ -1404,6 +1404,55 @@ SELECT doc_id,
 FROM l"""
 
 
+def q_pdf_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E16/E17 image enumeration: one row per media span in extraction
+    output with parsed dimensions, the per-context OCR size gate, and
+    the gated OCR text — the reference's ImageInfo list
+    (/root/reference/parsers/pdf_parser.py:383-440, models
+    ImageInfo: image_index/page_number/width/height/extracted_text)
+    re-expressed as a DataFrame. image_index enumerates media spans
+    within the doc in offset order (window bounded by spans-per-doc)."""
+    from rag_document_parser_spark.semantics import RE_MEDIA_REF
+
+    out = J.extract(spans_df_from_documents(spark, sf_dir),
+                    cfg=CATALYST_CONFIG, engine="catalyst", chunk=False)
+    sp = out.select("doc_id", F.explode("spans_clean").alias("s"))
+    m = sp.where(F.col("s.kind").isin("media", "media_slide"))
+    pat = RE_MEDIA_REF.strip("^$")
+    w = F.regexp_extract(F.col("s.media_ref"), pat, 1).cast("long")
+    h = F.regexp_extract(F.col("s.media_ref"), pat, 2).cast("long")
+    gate = F.when(F.col("s.kind") == "media_slide",
+                  (w > 50) & (h > 30)).otherwise((w > 100) & (h > 50))
+    idx = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.col("s.offset"))) - 1
+    return m.select(
+        "doc_id", idx.cast("long").alias("image_index"),
+        F.col("s.kind").alias("kind"), w.alias("width"), h.alias("height"),
+        gate.cast("long").alias("ocr_gated"),
+        F.col("s.text").alias("ocr_text"))
+
+
+SQL_PDF_IMAGES = CTE_CATALYST + f"""
+, g AS (
+  SELECT doc_id, h, (h % 360 + 41)::INT AS w, (h % 280 + 21)::INT AS hh,
+    sw[(h % 8 + 1)::INT] || '-' || sw[((h+3) % 8 + 1)::INT] AS slug
+  FROM folded, (SELECT {SLUG_SQL} AS sw)
+  WHERE pick >= 8
+)
+SELECT doc_id, 0::BIGINT AS image_index,
+  CASE WHEN h % 2 = 0 THEN 'media' ELSE 'media_slide' END AS kind,
+  w::BIGINT AS width, hh::BIGINT AS height,
+  (CASE WHEN h % 2 = 1 THEN w > 50 AND hh > 30
+        ELSE w > 100 AND hh > 50 END)::BIGINT AS ocr_gated,
+  CASE WHEN (CASE WHEN h % 2 = 1 THEN w > 50 AND hh > 30
+                  ELSE w > 100 AND hh > 50 END)
+    THEN nullif(array_to_string(list_filter(string_split(slug, '-'),
+         t -> ('0x'||substr(md5(slug||':'||t),1,8))::BIGINT / 4294967296.0
+              >= {DEFAULT_CONFIG.ocr_confidence_threshold}), ' '), '')
+  END AS ocr_text
+FROM g"""
+
+
 def q_content_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5/A10 content-structure totals over extraction output: table and
     media span counts plus the count of docs whose media spans produced
@@ -1778,6 +1827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "magic_detect": q_magic_detect,
         "code_stats": q_code_stats,
         "content_structure": q_content_structure,
+        "pdf_images": q_pdf_images,
         "arabic_normalized": q_arabic_normalized,
         "sheet_structure": q_sheet_structure,
         "doc_metadata": q_doc_metadata,
@@ -1826,6 +1876,7 @@ def oracle_sql() -> dict[str, str]:
         "magic_detect": SQL_MAGIC_DETECT,
         "code_stats": SQL_CODE_STATS,
         "content_structure": SQL_CONTENT_STRUCTURE,
+        "pdf_images": SQL_PDF_IMAGES,
         "arabic_normalized": SQL_ARABIC_NORMALIZED,
         "sheet_structure": SQL_SHEET_STRUCTURE,
         "doc_metadata": SQL_DOC_METADATA,

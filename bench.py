@@ -39,6 +39,8 @@ def main() -> None:
 
     from rag_document_parser_spark.corpus import spans_df_from_documents
     from rag_document_parser_spark.operators import dedup as D
+    from rag_document_parser_spark.operators import repetition as R
+    from rag_document_parser_spark.operators import sampling as SAM
     from rag_document_parser_spark.operators import similarity as V
     from rag_document_parser_spark.operators import textstats as T
     from rag_document_parser_spark.config import CATALYST_CONFIG
@@ -160,6 +162,13 @@ def main() -> None:
         T.quality_features(docs)).agg(F.sum("n_words")).collect())
     timed("fingerprint",
           lambda: T.fingerprint(docs).agg(F.count("fingerprint")).collect())
+    timed("top_ngram",
+          lambda: R.top_ngram_stats(docs, n=2)
+          .agg(F.sum("top_count")).collect())
+    timed("decontam",
+          lambda: R.decontaminate(
+              docs, SAM.hash_sample(docs, 0.1, salt="contam"), n=3)
+          .agg(F.sum("n_matched")).collect())
     queries8 = emb.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding")
     timed("cosine_topk", lambda: V.cosine_topk(emb, queries8, k=10).count())
