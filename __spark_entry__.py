@@ -25,7 +25,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from rag_document_parser_spark import semantics as S
-from rag_document_parser_spark.config import CATALYST_CONFIG, DEFAULT_CONFIG
+from rag_document_parser_spark.config import (CATALYST_CONFIG,
+                                              DEFAULT_CONFIG, ExtractConfig)
 from rag_document_parser_spark.corpus import SLUG_WORDS, spans_df_from_documents
 from rag_document_parser_spark.functions import text as X
 from rag_document_parser_spark.operators import dedup as D
@@ -1539,6 +1540,82 @@ FROM d"""
 SQL_ARABIC_NORMALIZED = _sql_arabic_normalized()
 
 
+# header/cell literals carry tashkeel, tatweel, alef variants and
+# teh-marbuta so the E20 normalization is observable in every row
+_AR_HDR = "الإِسْمُ\tالقِيْـمَةُ"
+_AR_CELLS = ["القِرَاءَةُ", "أَهْلاً وَسَهْـلاً", "مَكْتَبَةٌ ى"]
+
+
+def q_arabic_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E20 Arabic table-cell processing (opt-in ``arabic_tables``):
+    table payloads with diacritic-heavy Arabic headers/cells rendered by
+    BOTH accept rules — strict E14 (header-only rows drop → NULL) and
+    lax E30 (header-only renders) — with the normalizer applied per
+    cell, per /root/reference/parsers/document_parser.py:551-556."""
+    docs = _docs(spark, sf_dir)
+    h = _hcol(F.col("doc_id"))
+    cell = (F.when(F.pmod(h, 3) == 0, F.lit(_AR_CELLS[0]))
+            .when(F.pmod(h, 3) == 1, F.lit(_AR_CELLS[1]))
+            .otherwise(F.lit(_AR_CELLS[2])))
+    full = F.concat(F.lit(_AR_HDR + "\n"), cell, F.lit("\t"),
+                    F.col("n_chars").cast("string"))
+    t = F.when(F.pmod(h, 4) == 0, F.lit(_AR_HDR)).otherwise(full)
+    cfg = ExtractConfig(arabic_tables=True)
+    staged = docs.select("doc_id", t.alias("t"))
+    return staged.select(
+        "doc_id",
+        X.render_table(F.col("t"), cfg).alias("pdf_render"),
+        X.render_table_lax(F.col("t"), cfg).alias("slide_render"))
+
+
+def _sql_arabic_tables() -> str:
+    from rag_document_parser_spark.functions.text import (
+        ALEF_VARIANTS, RE_TASHKEEL, TATWEEL)
+
+    norm = "t"
+    norm = f"regexp_replace({norm}, {_sq(RE_TASHKEEL)}, '', 'g')"
+    norm = f"replace({norm}, {_sq(TATWEEL)}, '')"
+    norm = f"regexp_replace({norm}, {_sq(ALEF_VARIANTS)}, 'ا', 'g')"
+    norm = f"replace(replace({norm}, 'ى', 'ي'), 'ة', 'ه')"
+    hdr = _sq(_AR_HDR)  # literal carries the tab separator verbatim
+    cells = [_sq(c) for c in _AR_CELLS]
+    return f"""
+WITH m AS (
+  SELECT doc_id, n_chars, {_md5l('doc_id::VARCHAR')} AS h FROM documents
+), p AS (
+  SELECT doc_id,
+    CASE WHEN h % 4 = 0 THEN {hdr}
+    ELSE {hdr} || chr(10) ||
+      (CASE h % 3 WHEN 0 THEN {cells[0]} WHEN 1 THEN {cells[1]}
+       ELSE {cells[2]} END) || chr(9) || n_chars::VARCHAR
+    END AS t
+  FROM m
+), n AS (SELECT doc_id, {norm} AS t FROM p),
+r AS (
+  SELECT doc_id,
+    list_transform(string_split(t, chr(10)),
+      x -> array_to_string(list_slice(string_split(x, chr(9)), 1, 100),
+                           ' | ')) AS piped
+  FROM n
+), g AS (
+  SELECT doc_id, piped[1] AS head, len(piped) AS n_rows,
+    array_to_string(piped[2:10001], chr(10)) AS rest
+  FROM r
+)
+SELECT doc_id,
+  CASE WHEN n_rows >= 2
+    THEN head || chr(10) || repeat('-', length(head)) || chr(10) || rest
+  END AS pdf_render,
+  CASE WHEN n_rows >= 2
+    THEN head || chr(10) || repeat('-', length(head)) || chr(10) || rest
+    ELSE head || chr(10) || repeat('-', length(head))
+  END AS slide_render
+FROM g"""
+
+
+SQL_ARABIC_TABLES = _sql_arabic_tables()
+
+
 def q_sheet_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A15 spreadsheet structure: delimiter sniff + dims + non-blank cell
     count + header heuristic over synthesized csv-ish payloads (delimiter
@@ -1828,6 +1905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_stats": q_code_stats,
         "content_structure": q_content_structure,
         "pdf_images": q_pdf_images,
+        "arabic_tables": q_arabic_tables,
         "arabic_normalized": q_arabic_normalized,
         "sheet_structure": q_sheet_structure,
         "doc_metadata": q_doc_metadata,
@@ -1877,6 +1955,7 @@ def oracle_sql() -> dict[str, str]:
         "code_stats": SQL_CODE_STATS,
         "content_structure": SQL_CONTENT_STRUCTURE,
         "pdf_images": SQL_PDF_IMAGES,
+        "arabic_tables": SQL_ARABIC_TABLES,
         "arabic_normalized": SQL_ARABIC_NORMALIZED,
         "sheet_structure": SQL_SHEET_STRUCTURE,
         "doc_metadata": SQL_DOC_METADATA,

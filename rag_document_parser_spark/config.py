@@ -48,6 +48,15 @@ class ExtractConfig:
     # -- table handling (pdf_parser.py:315-345; spreadsheet caps config.py:110-111) --
     max_table_rows: int = 10_000
     max_table_columns: int = 100
+    # E20 opt-in: run the Arabic normalizer over table cells before the
+    # render — the processing analog of the reference's per-cell
+    # `_process_arabic_text` (document_parser.py:551-556), opt-in the
+    # same way the reference gates it on HAS_ARABIC_SUPPORT. The
+    # normalizer is character-local (strips/substitutes single chars,
+    # never touches \t or \n), so whole-payload normalization before the
+    # split is exactly per-cell normalization — all three engines use
+    # that equivalence.
+    arabic_tables: bool = False
 
     # -- unknown span kinds --
     # "passthrough" (default): forward-compatibility — unknown kinds keep

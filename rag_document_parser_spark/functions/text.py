@@ -265,7 +265,13 @@ def ocr_standin(ref: Column, kind: Column,
 def _rendered_grid(c: Column, cfg: ExtractConfig) -> tuple[Column, Column]:
     """Shared row/col-capped pipe/dash grid render: returns (n_rows,
     rendered). The strict (E14 pdf) and lax (E30 slide) variants differ
-    only in their accept predicate over these two values."""
+    only in their accept predicate over these two values.
+
+    E20 (``cfg.arabic_tables``): whole-payload Arabic normalization
+    before the split == per-cell normalization (character-local, never
+    touches \\t or \\n) — see semantics._rendered_grid."""
+    if cfg.arabic_tables:
+        c = arabic_normalize(c)
     rows = F.split(c, "\n")
     capped = F.transform(
         F.slice(rows, 1, cfg.max_table_rows + 1),
@@ -306,11 +312,13 @@ def render_table_lax(c: Column, cfg: ExtractConfig = DEFAULT_CONFIG) -> Column:
 # reference's reshape+bidi DISPLAY pipeline
 # (/root/reference/parsers/document_parser.py:410-429), promised as an
 # opt-in by SURVEY §7. Documented subset: strip tashkeel diacritics and
-# tatweel, unify alef variants, alef-maqsura→ya, teh-marbuta→ha. Shared
-# literal char classes so the DuckDB oracle embeds identical patterns.
-RE_TASHKEEL = "[ًٌٍَُِّْٰ]"     # U+064B–U+0652 + U+0670
-ALEF_VARIANTS = "[أإآٱ]"
-TATWEEL = "ـ"                    # U+0640
+# tatweel, unify alef variants, alef-maqsura→ya, teh-marbuta→ha. The
+# char classes live in semantics.py (single source shared with the
+# python contract and the DuckDB oracles); re-exported here because the
+# Catalyst-side callers and entry oracles import them from this module.
+RE_TASHKEEL = S.RE_TASHKEEL
+ALEF_VARIANTS = S.ALEF_VARIANTS
+TATWEEL = S.TATWEEL
 
 
 def arabic_normalize(c: Column) -> Column:

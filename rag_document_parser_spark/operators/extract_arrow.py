@@ -529,6 +529,18 @@ def _clean_batch(batch: pa.RecordBatch, cfg: ExtractConfig) -> pa.RecordBatch:
     tbl_m = table_m | tslide_m
     if tbl_m.any():
         t_in = blanked(tbl_m)
+        if cfg.arabic_tables:
+            # E20: whole-payload normalize == per-cell normalize (the
+            # substitutions are character-local, never \t or \n) — see
+            # semantics._rendered_grid
+            t_in = pc.replace_substring_regex(
+                t_in, pattern=S.RE_TASHKEEL, replacement="")
+            t_in = pc.replace_substring(
+                t_in, pattern=S.TATWEEL, replacement="")
+            t_in = pc.replace_substring_regex(
+                t_in, pattern=S.ALEF_VARIANTS, replacement="ا")
+            t_in = pc.replace_substring(t_in, pattern="ى", replacement="ي")
+            t_in = pc.replace_substring(t_in, pattern="ة", replacement="ه")
         rows = pc.split_pattern(t_in, pattern="\n")
         n_rows = pc.list_value_length(rows).to_numpy(zero_copy_only=False)
         rows_c = pc.list_slice(rows, 0, cfg.max_table_rows + 1)

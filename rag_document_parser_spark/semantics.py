@@ -438,12 +438,37 @@ def ocr_standin(media_ref: str, kind: str, cfg: ExtractConfig = DEFAULT_CONFIG) 
     return " ".join(kept) if kept else None
 
 
+# E25/E20 shared Arabic char classes — the single source all engines and
+# the DuckDB oracles embed (functions/text.py re-exports them). Documented
+# subset: tashkeel diacritics + tatweel strip, alef-variant/alef-maqsura/
+# teh-marbuta unification — the processing-side analog of the reference's
+# reshape+bidi display pipeline (document_parser.py:410-429).
+RE_TASHKEEL = "[ًٌٍَُِّْٰ]"     # U+064B–U+0652 + U+0670
+ALEF_VARIANTS = "[أإآٱ]"
+TATWEEL = "ـ"                    # U+0640
+
+
+def arabic_normalize_text(s: str) -> str:
+    """Pure-python contract twin of functions.text.arabic_normalize."""
+    s = re.sub(RE_TASHKEEL, "", s)
+    s = s.replace(TATWEEL, "")
+    s = re.sub(ALEF_VARIANTS, "ا", s)
+    return s.replace("ى", "ي").replace("ة", "ه")
+
+
 def _rendered_grid(text: str, cfg: ExtractConfig) -> tuple[int, str]:
     """Shared row/col-capped pipe/dash grid render: (n_rows, rendered).
     Render per _create_text_from_table
     (/root/reference/parsers/spreadsheet_parser.py:415-431): 'h1 | h2',
     a dash underline of that line's length, then data rows. Caps:
-    /root/reference/utils/config.py:110-111."""
+    /root/reference/utils/config.py:110-111.
+
+    E20 (``cfg.arabic_tables``): cells pass through the Arabic
+    normalizer first, per document_parser.py:551-556. The normalizer is
+    character-local and never emits/consumes \\t or \\n, so normalizing
+    the whole payload before the split IS per-cell normalization."""
+    if cfg.arabic_tables:
+        text = arabic_normalize_text(text)
     grid = [row.split("\t") for row in text.split("\n")]
     n_rows = len(grid)
     grid = grid[: cfg.max_table_rows + 1]

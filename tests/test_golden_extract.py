@@ -221,3 +221,40 @@ def test_idempotence(spark):
         exp = [s for s in o[doc_id][0] if s[0] in fixpoint_kinds]
         got = [s for s in g[doc_id][0] if s[0] in fixpoint_kinds]
         assert exp == got, doc_id
+
+
+def test_arabic_tables_three_way_parity(spark):
+    """E20 opt-in: Arabic cell normalization inside the table render
+    agrees across pure Python, Arrow, and Catalyst — including the
+    strict-vs-lax accept split on a header-only payload and a doc with
+    the flag OFF (cells pass through verbatim)."""
+    from rag_document_parser_spark.schema import INPUT_SCHEMA
+
+    payload = "الإِسْمُ\tالقِيْـمَةُ\nالقِرَاءَةُ\t42\nأَهْلاً ى\tمَكْتَبَةٌ"
+    docs = [
+        {"doc_id": "full", "spans": [
+            {"kind": "table", "text": payload, "media_ref": None,
+             "offset": 0}]},
+        {"doc_id": "headeronly", "spans": [
+            {"kind": "table", "text": "الإِسْمُ\tق", "media_ref": None,
+             "offset": 0},
+            {"kind": "table_slide", "text": "الإِسْمُ\tق",
+             "media_ref": None, "offset": 1}]},
+    ]
+    cfg = ExtractConfig(normalize_unicode=False, flatten_json=False,
+                        arabic_tables=True)
+    expected = _expected(docs, cfg)
+    full_text = expected["full"][0][0][1]
+    assert "الاسم | القيمه" in full_text          # normalized header
+    assert "اهلا ي | مكتبه" in full_text          # alef/ya/ha unified
+    assert "ِ" not in full_text and "ـ" not in full_text
+    assert expected["headeronly"][0][0][0] == "table_slide"  # strict drops
+    df = spark.createDataFrame(docs, schema=INPUT_SCHEMA)
+    _assert_equal(expected, _actual(extract_arrow(df, cfg)))
+    _assert_equal(expected, _actual(extract_catalyst(df, cfg)))
+
+    off = ExtractConfig(normalize_unicode=False, flatten_json=False)
+    exp_off = _expected(docs, off)
+    assert "الإِسْمُ" in exp_off["full"][0][0][1]  # verbatim when off
+    _assert_equal(exp_off, _actual(extract_arrow(df, off)))
+    _assert_equal(exp_off, _actual(extract_catalyst(df, off)))
