@@ -31,6 +31,7 @@ from rag_document_parser_spark.corpus import SLUG_WORDS, spans_df_from_documents
 from rag_document_parser_spark.functions import text as X
 from rag_document_parser_spark.operators import dedup as D
 from rag_document_parser_spark.operators import multimodal as M
+from rag_document_parser_spark.operators import pii as PII
 from rag_document_parser_spark.operators import repetition as REP
 from rag_document_parser_spark.operators import sampling as SAM
 from rag_document_parser_spark.operators import similarity as V
@@ -806,6 +807,154 @@ SQL_DEDUP_EXACT = f"""
 SELECT md5(text) AS content_hash, count(*)::BIGINT AS n_dupes,
        min(doc_id)::BIGINT AS keeper_id
 FROM {CLONED_SQL} GROUP BY md5(text) HAVING count(*) >= 2"""
+
+
+# boilerplate paragraph pool for the paragraph-dedup query: each shows up
+# in ~1/5 of docs, far over the min_docs=2 bar, so every occurrence must
+# be stripped while the per-doc unique paragraphs survive
+_BP = (
+    "subscribe to our newsletter for weekly updates and offers",
+    "all rights reserved reproduction without permission is prohibited",
+    "accept cookies to continue browsing this site",
+    "click here to download our free mobile app today",
+    "sign in to your account to view personalized content",
+)
+
+
+def _bp_case(sel: "F.Column") -> "F.Column":
+    out = F.lit(_BP[-1])
+    for i in range(len(_BP) - 2, -1, -1):
+        out = F.when(sel == i, F.lit(_BP[i])).otherwise(out)
+    return out
+
+
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus boilerplate paragraph removal (RefinedWeb rule).
+
+    The word-bag docs are single-line, so the query derives a
+    multi-paragraph corpus first: a doc-unique head paragraph, a
+    boilerplate paragraph from a 5-entry pool (md5-selected), a
+    doc-unique tail, and for h%3==0 docs a second pool paragraph. The
+    operator must drop every pool occurrence and keep the unique
+    paragraphs in order."""
+    d = _docs(spark, sf_dir)
+    h = _hcol(F.col("doc_id"))
+    sid = F.col("doc_id").cast("string")
+    t = F.concat(
+        F.lit("u"), sid, F.lit(" "), F.substring("text", 1, 30),
+        F.lit("\n"), _bp_case(F.pmod(h, 5)),
+        F.lit("\nv"), sid,
+        F.when(F.pmod(h, 3) == 0,
+               F.concat(F.lit("\n"), _bp_case(F.pmod(F.pmod(h, 7), 5))))
+        .otherwise(F.lit("")),
+    )
+    staged = d.select("doc_id", t.alias("t"))
+    return D.paragraph_dedup(staged, text_col="t", min_docs=2)
+
+
+def _sql_paragraph_dedup() -> str:
+    def bp_case(sel: str) -> str:
+        whens = " ".join(f"WHEN {i} THEN {_sq(p)}"
+                         for i, p in enumerate(_BP[:-1]))
+        return f"(CASE {sel} {whens} ELSE {_sq(_BP[-1])} END)"
+
+    return f"""
+WITH m AS (
+  SELECT doc_id, text, {_md5l('doc_id::VARCHAR')} AS h FROM documents
+), d AS (
+  SELECT doc_id,
+    'u' || doc_id::VARCHAR || ' ' || substring(text, 1, 30) || chr(10) ||
+    {bp_case('h % 5')} || chr(10) || 'v' || doc_id::VARCHAR ||
+    (CASE WHEN h % 3 = 0
+      THEN chr(10) || {bp_case('(h % 7) % 5')} ELSE '' END) AS t
+  FROM m
+), p AS (
+  SELECT doc_id, string_split(t, chr(10)) AS paras FROM d
+), e AS (
+  SELECT doc_id, unnest(paras) AS para FROM p
+), b AS (
+  SELECT para FROM e WHERE length(para) >= 1
+  GROUP BY para HAVING count(DISTINCT doc_id) >= 2
+), bl AS (SELECT coalesce(list(para), []) AS l FROM b)
+SELECT doc_id, len(paras)::BIGINT AS n_paragraphs,
+  len(list_filter(paras, x -> list_contains(bl.l, x)))::BIGINT AS n_removed,
+  array_to_string(list_filter(paras, x -> NOT list_contains(bl.l, x)),
+                  chr(10)) AS cleaned
+FROM p, bl"""
+
+
+SQL_PARAGRAPH_DEDUP = _sql_paragraph_dedup()
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over synthesized payloads: every doc gets a planted
+    email, +international phone, and dotted-quad IP; h%4==0 docs also
+    carry an SSN-shaped id. All selectors derive from the one md5 hash
+    (mod only — no double division, see oracle design notes)."""
+    d = _docs(spark, sf_dir)
+    h = _hcol(F.col("doc_id"))
+    tld = (F.when(F.pmod(h, 3) == 0, F.lit("com"))
+           .when(F.pmod(h, 3) == 1, F.lit("org")).otherwise(F.lit("net")))
+    t = F.concat(
+        F.substring("text", 1, 40),
+        F.lit(" contact user"), F.pmod(h, 997).cast("string"),
+        F.lit("@example."), tld,
+        F.lit(" or +1-555-"), (F.pmod(h, 900) + 100).cast("string"),
+        F.lit("-"), (F.pmod(h, 9000) + 1000).cast("string"),
+        F.lit(" from "), F.pmod(h, 256).cast("string"),
+        F.lit("."), F.pmod(h, 251).cast("string"),
+        F.lit("."), F.pmod(h, 241).cast("string"),
+        F.lit("."), F.pmod(h, 239).cast("string"),
+        F.when(F.pmod(h, 4) == 0, F.concat(
+            F.lit(" id "), (F.pmod(h, 900) + 100).cast("string"),
+            F.lit("-"), (F.pmod(h, 89) + 10).cast("string"),
+            F.lit("-"), (F.pmod(h, 9000) + 1000).cast("string"),
+        )).otherwise(F.lit("")),
+    )
+    staged = d.select("doc_id", t.alias("t"))
+    return PII.redact_pii(staged, text_col="t")
+
+
+def _sql_pii_redact() -> str:
+    from rag_document_parser_spark.operators.pii import PII_RULES
+
+    synth = f"""
+  SELECT doc_id,
+    substring(text, 1, 40) || ' contact user' || (h % 997)::VARCHAR ||
+    '@example.' ||
+    (CASE h % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END) ||
+    ' or +1-555-' || (h % 900 + 100)::VARCHAR || '-' ||
+    (h % 9000 + 1000)::VARCHAR ||
+    ' from ' || (h % 256)::VARCHAR || '.' || (h % 251)::VARCHAR || '.' ||
+    (h % 241)::VARCHAR || '.' || (h % 239)::VARCHAR ||
+    (CASE WHEN h % 4 = 0 THEN ' id ' || (h % 900 + 100)::VARCHAR || '-' ||
+      (h % 89 + 10)::VARCHAR || '-' || (h % 9000 + 1000)::VARCHAR
+      ELSE '' END) AS t
+  FROM m"""
+    # chained CTEs: each stage counts on the PREVIOUS stage's text then
+    # redacts — mirrors the operator's ordered chain exactly. DuckDB
+    # regexp_replace is single-match by default: the 'g' flag is load-
+    # bearing for parity with Spark's always-global regexp_replace.
+    stages, src, counts = [], "s0", []
+    for i, (name, pat, repl) in enumerate(PII_RULES, start=1):
+        p = _sq(pat)
+        stages.append(
+            f"s{i} AS (SELECT doc_id, {', '.join(counts)}"
+            f"{', ' if counts else ''}"
+            f"len(regexp_extract_all(t, {p}))::BIGINT AS n_{name}, "
+            f"regexp_replace(t, {p}, {_sq(repl)}, 'g') AS t FROM {src})")
+        counts.append(f"n_{name}")
+        src = f"s{i}"
+    names = ", ".join(counts)
+    return f"""
+WITH m AS (
+  SELECT doc_id, text, {_md5l('doc_id::VARCHAR')} AS h FROM documents
+), s0 AS ({synth}
+), {', '.join(stages)}
+SELECT doc_id, {names}, t AS redacted FROM {src}"""
+
+
+SQL_PII_REDACT = _sql_pii_redact()
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1885,6 +2034,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam": q_decontam,
         "fingerprint": q_fingerprint,
         "dedup_exact": q_dedup_exact,
+        "paragraph_dedup": q_paragraph_dedup,
+        "pii_redact": q_pii_redact,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1935,6 +2086,8 @@ def oracle_sql() -> dict[str, str]:
         "decontam": SQL_DECONTAM,
         "fingerprint": SQL_FINGERPRINT,
         "dedup_exact": SQL_DEDUP_EXACT,
+        "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
+        "pii_redact": SQL_PII_REDACT,
         "ngram_jaccard": SQL_JACCARD,
         "minhash_signatures": SQL_MINHASH_SIG,
         "minhash_lsh_pairs": SQL_MINHASH_PAIRS,

@@ -367,3 +367,72 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
     return pairs.withColumn("hamming", hamming) \
                 .where(F.col("hamming") <= max_hamming) \
                 .select("id_a", "id_b", "hamming")
+
+
+# --------------------------------------------------------------------------
+# cross-corpus paragraph dedup (boilerplate strip)
+# --------------------------------------------------------------------------
+
+
+def paragraph_dedup(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", sep: str = "\n",
+                    min_docs: int = 2, min_len: int = 1,
+                    broadcast_blacklist: bool = True) -> DataFrame:
+    """Remove paragraphs that recur across >= ``min_docs`` documents.
+
+    The RefinedWeb/Falcon boilerplate rule: a paragraph appearing
+    verbatim in many documents (nav bars, cookie banners, license
+    blurbs) is template noise, and EVERY occurrence is dropped — there
+    is no "keeper" copy, unlike exact_dedup. Paragraphs shorter than
+    ``min_len`` chars are never counted or removed.
+
+    Returns ``(id_col, n_paragraphs, n_removed, cleaned)`` with
+    ``cleaned`` the surviving paragraphs re-joined by ``sep`` in their
+    original order.
+
+    Plan at 100 TB: split is staged as a bound attribute then
+    posexplode_outer'd (the _outer variant keeps
+    InferFiltersFromGenerate from re-inlining the split into a pushed
+    scan filter — see ngram_jaccard_pairs). The repeat counts are a
+    ``groupBy(md5(paragraph))`` — map-side combinable, so a
+    corpus-dominating banner paragraph partial-aggregates inside each
+    task instead of flooding one reducer (the window-over-raw-rows
+    anti-pattern this repo removed from Jaccard df). The over-threshold
+    blacklist is tiny relative to the corpus and broadcast back
+    (``broadcast_blacklist=False`` drops the hint if a pathological
+    corpus makes it exceed executor memory, degrading to a shuffle
+    join). The main data then shuffles once, on doc id, to reassemble.
+    """
+    paras = df.select(
+        F.col(id_col).alias("id"),
+        F.split(F.col(text_col), sep, -1).alias("paras"),
+    )
+    ex = paras.select(
+        "id", F.posexplode_outer("paras").alias("pos", "para")
+    ).where(F.col("para").isNotNull())
+    blacklist = (
+        ex.where(F.length("para") >= min_len)
+        .groupBy(F.md5("para").alias("ph"))
+        .agg(F.count_distinct("id").alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+        .select("ph")
+    )
+    if broadcast_blacklist:
+        blacklist = F.broadcast(blacklist)
+    flagged = ex.join(
+        blacklist, F.md5(F.col("para")) == F.col("ph"), "left"
+    ).select("id", "pos", "para", F.col("ph").isNotNull().alias("dup"))
+    kept = F.when(~F.col("dup"), F.struct("pos", "para"))
+    return (
+        flagged.groupBy("id")
+        .agg(
+            F.count("*").alias("n_paragraphs"),
+            F.sum(F.col("dup").cast("long")).alias("n_removed"),
+            F.concat_ws(
+                sep,
+                F.transform(F.array_sort(F.collect_list(kept)),
+                            lambda s: s["para"]),
+            ).alias("cleaned"),
+        )
+        .withColumnRenamed("id", id_col)
+    )

@@ -263,3 +263,57 @@ def test_similarity_ops_tolerate_degenerate_vectors(spark):
         assert all(r.vec_id < 999901 for r in rows), fn.__name__
     pairs = embedding_near_dup_pairs(mixed).collect()
     assert all(p.id_a < 999901 and p.id_b < 999901 for p in pairs)
+
+
+def test_paragraph_dedup_removes_all_copies_keeps_order(spark):
+    """RefinedWeb rule: every occurrence of a cross-doc repeated
+    paragraph is dropped (no keeper), unique paragraphs survive in
+    original order, and min_len exempts short paragraphs from both
+    counting and removal."""
+    from rag_document_parser_spark.operators.dedup import paragraph_dedup
+
+    bp = "accept cookies to continue"
+    docs = [
+        (1, f"alpha one\n{bp}\nbeta two"),
+        (2, f"{bp}\ngamma three\n{bp}"),          # twice in one doc
+        (3, "delta four\nepsilon five"),
+        (4, f"zz\n{bp}\nzz"),                     # 'zz' repeats only
+        (5, "zz\nunique tail"),                   # ...across docs 4+5
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in paragraph_dedup(df, min_len=5).collect()}
+    assert out[1].cleaned == "alpha one\nbeta two"
+    assert (out[1].n_paragraphs, out[1].n_removed) == (3, 1)
+    # both in-doc copies of the boilerplate go (count is per-occurrence)
+    assert out[2].cleaned == "gamma three"
+    assert out[2].n_removed == 2
+    assert out[3].cleaned == "delta four\nepsilon five"
+    assert out[3].n_removed == 0
+    # 'zz' (len 2 < min_len 5) is cross-doc repeated but exempt
+    assert out[4].cleaned == "zz\nzz"
+    assert out[4].n_removed == 1
+    assert out[5].cleaned == "zz\nunique tail"
+
+
+def test_redact_pii_ordered_chain(spark):
+    """Counts reflect the ordered chain: emails absorb their digit runs
+    before later stages, SSN-shapes inside +phones never double-match,
+    and clean text passes through untouched."""
+    from rag_document_parser_spark.operators.pii import redact_pii
+
+    docs = [
+        (1, "mail a.user+tag@sub.example.co.uk now"),
+        (2, "call +1-555-123-4567 or id 123-45-6789 at 10.0.0.1"),
+        (3, "no pii here just words"),
+        (4, "x@y.io and x@y.io twice"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in redact_pii(df).collect()}
+    assert out[1].redacted == "mail <EMAIL> now"
+    assert (out[1].n_email, out[1].n_phone) == (1, 0)
+    assert out[2].redacted == "call <PHONE> or id <SSN> at <IP>"
+    assert (out[2].n_ip, out[2].n_ssn, out[2].n_phone) == (1, 1, 1)
+    assert out[3].redacted == docs[2][1]
+    assert (out[3].n_email + out[3].n_ip + out[3].n_ssn
+            + out[3].n_phone) == 0
+    assert out[4].n_email == 2 and out[4].redacted == "<EMAIL> and <EMAIL> twice"
