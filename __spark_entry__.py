@@ -1087,6 +1087,38 @@ FROM sh a JOIN sh b ON a.id < b.id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-group resolution: simhash near-pairs -> connected
+    components via iterative min-label propagation. cluster_id = the
+    minimum member id; keep-one-per-cluster = rows where
+    id == cluster_id."""
+    pairs = D.simhash_near_pairs(_cloned_docs(spark, sf_dir), max_hamming=3)
+    out = D.dedup_clusters(pairs)
+    return out.select(F.col("id").cast("long"),
+                      F.col("cluster_id").cast("long"))
+
+
+# transitive closure by recursive CTE: reach(id, r) = all nodes
+# reachable from id over the undirected pair edges; min(r) per id is
+# exactly the component's minimum member (UNION dedups => terminates)
+SQL_DEDUP_CLUSTERS = _sql_simhash_cte(CLONED_SQL).replace(
+    "WITH ", "WITH RECURSIVE ", 1) + """
+, prs AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM sh a JOIN sh b ON a.id < b.id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+), e AS (
+  SELECT id_a AS a, id_b AS b FROM prs
+  UNION SELECT id_b, id_a FROM prs
+), reach AS (
+  SELECT a AS id, a AS r FROM e
+  UNION
+  SELECT reach.id, e.b FROM reach JOIN e ON e.a = reach.r
+)
+SELECT id::BIGINT AS id, min(r)::BIGINT AS cluster_id
+FROM reach GROUP BY id"""
+
+
 # ---------------------------------------------------------------------------
 # similarity search over embeddings
 # ---------------------------------------------------------------------------
@@ -2035,6 +2067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "dedup_exact": q_dedup_exact,
         "paragraph_dedup": q_paragraph_dedup,
+        "dedup_clusters": q_dedup_clusters,
         "pii_redact": q_pii_redact,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_signatures": q_minhash_signatures,
@@ -2087,6 +2120,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": SQL_FINGERPRINT,
         "dedup_exact": SQL_DEDUP_EXACT,
         "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
+        "dedup_clusters": SQL_DEDUP_CLUSTERS,
         "pii_redact": SQL_PII_REDACT,
         "ngram_jaccard": SQL_JACCARD,
         "minhash_signatures": SQL_MINHASH_SIG,

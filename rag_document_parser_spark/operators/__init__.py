@@ -1,4 +1,7 @@
-from rag_document_parser_spark.operators.dedup import paragraph_dedup
+from rag_document_parser_spark.operators.dedup import (
+    dedup_clusters,
+    paragraph_dedup,
+)
 from rag_document_parser_spark.operators.extract_arrow import extract_arrow
 from rag_document_parser_spark.operators.extract_catalyst import extract_catalyst
 from rag_document_parser_spark.operators.pii import pii_features, redact_pii
@@ -13,7 +16,7 @@ from rag_document_parser_spark.operators.sampling import (
 )
 from rag_document_parser_spark.operators.sheets import sheet_structure
 
-__all__ = ["decontaminate", "extract_arrow", "extract_catalyst",
-           "hash_sample", "line_repetition_features", "paragraph_dedup",
-           "pii_features", "redact_pii", "sheet_structure",
-           "stratified_sample", "top_ngram_stats"]
+__all__ = ["decontaminate", "dedup_clusters", "extract_arrow",
+           "extract_catalyst", "hash_sample", "line_repetition_features",
+           "paragraph_dedup", "pii_features", "redact_pii",
+           "sheet_structure", "stratified_sample", "top_ngram_stats"]

@@ -436,3 +436,63 @@ def paragraph_dedup(df: DataFrame, text_col: str = "text",
         )
         .withColumnRenamed("id", id_col)
     )
+
+
+# --------------------------------------------------------------------------
+# near-dup pairs -> duplicate clusters (connected components)
+# --------------------------------------------------------------------------
+
+
+def dedup_clusters(pairs: DataFrame, id_a: str = "id_a",
+                   id_b: str = "id_b", max_iter: int = 15) -> DataFrame:
+    """Resolve a near-dup pair list into duplicate clusters.
+
+    Every dedup pair operator in this module emits *pairs*; a pipeline
+    that keeps one representative per duplicate GROUP needs the
+    transitive closure: ``(id, cluster_id)`` with ``cluster_id`` the
+    minimum member id of the connected component. Keep rows where
+    ``id == cluster_id`` (or anti-join the rest) to drop duplicates.
+
+    Algorithm: iterative min-label propagation.  Each round every node
+    takes ``min(own label, neighbours' labels)``; iteration stops when
+    a round changes no label (checked via one small aggregate). Rounds
+    needed = graph diameter — for dedup graphs (near-cliques from LSH
+    buckets, short chains) a handful; ``max_iter`` hard-bounds
+    adversarial chains and raises if hit, rather than returning a
+    silently-unconverged labelling.
+
+    At 100 TB: per round, one shuffle keyed on node id (uniform —
+    content-hash-derived ids), map-side-combinable min aggregate, and a
+    ``localCheckpoint`` to truncate the growing lineage so round N's
+    plan does not replay rounds 1..N-1. The pair list is orders of
+    magnitude smaller than the corpus (it only holds docs with a
+    near-dup), so driver-side round control is cheap; the data itself
+    never leaves executors.
+    """
+    a, b = F.col(id_a), F.col(id_b)
+    # undirected: both directions, plus self-edges so isolated-in-one-
+    # direction nodes keep a row through every round
+    edges = (pairs.select(a.alias("src"), b.alias("dst"))
+             .unionByName(pairs.select(b.alias("src"), a.alias("dst"))))
+    labels = (edges.groupBy("src").agg(F.min("dst").alias("mn"))
+              .select(F.col("src").alias("id"),
+                      F.least("src", "mn").alias("lab"))
+              .localCheckpoint())
+    for _ in range(max_iter):
+        # neighbour labels: join edge dst -> label, take min per src
+        neigh = (edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+                 .groupBy(F.col("src").alias("id"))
+                 .agg(F.min("lab").alias("nlab")))
+        nxt = (labels.join(neigh, "id", "left")
+               .select("id", F.least("lab", F.coalesce("nlab", "lab"))
+                       .alias("lab")))
+        nxt = nxt.localCheckpoint()
+        changed = (nxt.withColumnRenamed("lab", "nl")
+                   .join(labels, "id")
+                   .where(F.col("nl") != F.col("lab")).limit(1).count())
+        labels = nxt
+        if changed == 0:
+            return labels.select("id", F.col("lab").alias("cluster_id"))
+    raise RuntimeError(
+        f"dedup_clusters did not converge in {max_iter} rounds — "
+        "raise max_iter (graph diameter exceeds it)")

@@ -317,3 +317,28 @@ def test_redact_pii_ordered_chain(spark):
     assert (out[3].n_email + out[3].n_ip + out[3].n_ssn
             + out[3].n_phone) == 0
     assert out[4].n_email == 2 and out[4].redacted == "<EMAIL> and <EMAIL> twice"
+
+
+def test_dedup_clusters_chain_clique_pair(spark):
+    """Min-label propagation resolves a 4-chain, a triangle, and a
+    disjoint pair to their component minima; an undersized max_iter
+    raises instead of returning an unconverged labelling."""
+    import pytest as _pytest
+
+    from rag_document_parser_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 9), (9, 4), (4, 7),          # chain {1,4,7,9}
+         (20, 21), (21, 22), (20, 22),    # triangle {20,21,22}
+         (31, 30)],                       # pair {30,31}
+        "id_a long, id_b long")
+    got = {r.id: r.cluster_id for r in dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 9: 1, 4: 1, 7: 1,
+                   20: 20, 21: 20, 22: 20, 30: 30, 31: 30}
+    long_chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(9, 0, -1)], "id_a long, id_b long")
+    assert all(v == 1 for v in
+               {r.id: r.cluster_id
+                for r in dedup_clusters(long_chain).collect()}.values())
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup_clusters(long_chain, max_iter=1)
