@@ -886,6 +886,81 @@ FROM p, bl"""
 SQL_PARAGRAPH_DEDUP = _sql_paragraph_dedup()
 
 
+_DOMAINS = ("news.example.com", "blog.example.org", "docs.example.net",
+            "forum.sample.io", "wiki.sample.dev", "shop.demo.co",
+            "data.demo.ai")
+
+
+def _dom_case(sel: "F.Column") -> "F.Column":
+    out = F.lit(_DOMAINS[-1])
+    for i in range(len(_DOMAINS) - 2, -1, -1):
+        out = F.when(sel == i, F.lit(_DOMAINS[i])).otherwise(out)
+    return out
+
+
+def q_url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain citation stats over synthesized web text: every doc
+    cites one pool domain, h%2==0 docs cite a second (possibly the
+    same — n_docs is DISTINCT docs, n_urls raw occurrences), h%5==0
+    docs add a mixed-case host that must fold to lowercase. k exceeds
+    the pool size so no tie-break cutoff ambiguity exists."""
+    from rag_document_parser_spark.operators import urls as U
+
+    d = _docs(spark, sf_dir)
+    h = _hcol(F.col("doc_id"))
+    t = F.concat(
+        F.substring("text", 1, 30),
+        F.lit(" see https://"), _dom_case(F.pmod(h, 7)),
+        F.lit("/p/"), F.pmod(h, 1000).cast("string"),
+        F.when(F.pmod(h, 2) == 0, F.concat(
+            F.lit(" and http://"), _dom_case(F.pmod(F.pmod(h, 11), 7)),
+            F.lit("?q="), F.pmod(h, 50).cast("string"),
+        )).otherwise(F.lit("")),
+        F.when(F.pmod(h, 5) == 0,
+               F.lit(" plus https://CDN.Assets.dev/x.js"))
+        .otherwise(F.lit("")),
+        F.lit(" end"),
+    )
+    staged = d.select("doc_id", t.alias("t"))
+    return U.domain_stats(staged, text_col="t", k=20).select(
+        "domain", F.col("n_docs").cast("long"),
+        F.col("n_urls").cast("long"))
+
+
+def _sql_url_stats() -> str:
+    from rag_document_parser_spark.operators.urls import (
+        DOMAIN_PATTERN, URL_PATTERN)
+
+    def dom_case(sel: str) -> str:
+        whens = " ".join(f"WHEN {i} THEN {_sq(d)}"
+                         for i, d in enumerate(_DOMAINS[:-1]))
+        return f"(CASE {sel} {whens} ELSE {_sq(_DOMAINS[-1])} END)"
+
+    return f"""
+WITH m AS (
+  SELECT doc_id, text, {_md5l('doc_id::VARCHAR')} AS h FROM documents
+), d AS (
+  SELECT doc_id,
+    substring(text, 1, 30) || ' see https://' || {dom_case('h % 7')} ||
+    '/p/' || (h % 1000)::VARCHAR ||
+    (CASE WHEN h % 2 = 0 THEN ' and http://' ||
+      {dom_case('(h % 11) % 7')} || '?q=' || (h % 50)::VARCHAR
+      ELSE '' END) ||
+    (CASE WHEN h % 5 = 0 THEN ' plus https://CDN.Assets.dev/x.js'
+      ELSE '' END) || ' end' AS t
+  FROM m
+), u AS (
+  SELECT doc_id, unnest(regexp_extract_all(t, {_sq(URL_PATTERN)})) AS url
+  FROM d
+)
+SELECT lower(regexp_extract(url, {_sq(DOMAIN_PATTERN)}, 1)) AS domain,
+  count(DISTINCT doc_id)::BIGINT AS n_docs, count(*)::BIGINT AS n_urls
+FROM u GROUP BY 1"""
+
+
+SQL_URL_STATS = _sql_url_stats()
+
+
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub over synthesized payloads: every doc gets a planted
     email, +international phone, and dotted-quad IP; h%4==0 docs also
@@ -2069,6 +2144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": q_paragraph_dedup,
         "dedup_clusters": q_dedup_clusters,
         "pii_redact": q_pii_redact,
+        "url_stats": q_url_stats,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -2122,6 +2198,7 @@ def oracle_sql() -> dict[str, str]:
         "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
         "dedup_clusters": SQL_DEDUP_CLUSTERS,
         "pii_redact": SQL_PII_REDACT,
+        "url_stats": SQL_URL_STATS,
         "ngram_jaccard": SQL_JACCARD,
         "minhash_signatures": SQL_MINHASH_SIG,
         "minhash_lsh_pairs": SQL_MINHASH_PAIRS,

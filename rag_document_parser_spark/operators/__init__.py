@@ -15,8 +15,14 @@ from rag_document_parser_spark.operators.sampling import (
     stratified_sample,
 )
 from rag_document_parser_spark.operators.sheets import sheet_structure
+from rag_document_parser_spark.operators.urls import (
+    block_domains,
+    domain_stats,
+    extract_urls,
+)
 
-__all__ = ["decontaminate", "dedup_clusters", "extract_arrow",
-           "extract_catalyst", "hash_sample", "line_repetition_features",
+__all__ = ["block_domains", "decontaminate", "dedup_clusters",
+           "domain_stats", "extract_arrow", "extract_catalyst",
+           "extract_urls", "hash_sample", "line_repetition_features",
            "paragraph_dedup", "pii_features", "redact_pii",
            "sheet_structure", "stratified_sample", "top_ngram_stats"]

@@ -1,0 +1,87 @@
+"""URL extraction, per-domain statistics, and domain blocklist filtering.
+
+Web-scale training corpora are curated by source: extract the URLs a
+document references, aggregate per registrable domain, and drop
+documents that cite blocklisted domains. All pure Catalyst — the regex
+passes are row-local projections and the only shuffle is the domain
+aggregate (map-side combinable) or the broadcast blocklist anti-join.
+
+The URL pattern is RE2-safe (shared verbatim with the DuckDB oracle):
+scheme + host captured conservatively, path taken greedily from a
+whitelisted char class — no lookaround, no backreferences.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+URL_PATTERN = r"https?://[A-Za-z0-9.\-]+[A-Za-z0-9/._%\-?=&#+:]*"
+DOMAIN_PATTERN = r"https?://([A-Za-z0-9.\-]+)"
+
+
+def extract_urls(c: Column) -> Column:
+    """Array of URL matches in a text column (may be empty, never null
+    for non-null input)."""
+    # idx=0 = whole match (Spark defaults to capture group 1; the
+    # pattern deliberately has no groups — DuckDB defaults to 0)
+    return F.regexp_extract_all(c, F.lit(URL_PATTERN), 0)
+
+
+def url_domain(c: Column) -> Column:
+    """Lower-cased host part of a URL string."""
+    return F.lower(F.regexp_extract(c, DOMAIN_PATTERN, 1))
+
+
+def domain_stats(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", k: int = 100) -> DataFrame:
+    """Top-k domains by citing-document count.
+
+    Returns ``(domain, n_docs, n_urls)`` — distinct documents citing
+    the domain and total URL occurrences — ordered by ``n_docs`` desc
+    with ``domain`` as the deterministic tie-break.
+
+    At 100 TB: extract + explode are scan-local; the aggregate keys on
+    domain (map-side partial, heavy-tailed but partial-agg absorbs the
+    head); the final top-k is a TakeOrdered over the already-aggregated
+    (small) domain relation, never over raw rows.
+    """
+    urls = df.select(
+        F.col(id_col).alias("id"),
+        extract_urls(F.col(text_col)).alias("_u"),
+    )
+    ex = urls.select(
+        "id", F.explode_outer("_u").alias("url")
+    ).where(F.col("url").isNotNull())
+    return (
+        ex.select("id", url_domain(F.col("url")).alias("domain"))
+        .groupBy("domain")
+        .agg(F.count_distinct("id").alias("n_docs"),
+             F.count("*").alias("n_urls"))
+        .orderBy(F.desc("n_docs"), F.asc("domain"))
+        .limit(k)
+    )
+
+
+def block_domains(df: DataFrame, blocklist: DataFrame,
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Drop documents citing any blocklisted domain.
+
+    ``blocklist`` is a one-column (``domain``) DataFrame — small by
+    nature (a curated denylist), so the membership probe is a broadcast
+    join against each doc's distinct cited domains; offending doc ids
+    then anti-join back (one shuffle on the uniform id key). Documents
+    with no URLs are kept.
+    """
+    doms = df.select(
+        F.col(id_col).alias("_bid"),
+        F.explode_outer(
+            F.array_distinct(
+                F.transform(extract_urls(F.col(text_col)), url_domain))
+        ).alias("_dom"),
+    ).where(F.col("_dom").isNotNull())
+    hit_ids = (doms.join(
+        F.broadcast(blocklist.select(F.lower("domain").alias("_dom"))),
+        "_dom").select("_bid").distinct())
+    return df.join(hit_ids, F.col(id_col) == F.col("_bid"),
+                   "left_anti")

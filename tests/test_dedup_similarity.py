@@ -342,3 +342,30 @@ def test_dedup_clusters_chain_clique_pair(spark):
                 for r in dedup_clusters(long_chain).collect()}.values())
     with _pytest.raises(RuntimeError, match="did not converge"):
         dedup_clusters(long_chain, max_iter=1)
+
+
+def test_url_tier_extract_stats_block(spark):
+    """URL extraction handles multiple/zero URLs per doc, domain stats
+    lower-case and dedupe per-doc, and the blocklist anti-join drops
+    exactly the citing docs while URL-free docs survive."""
+    from rag_document_parser_spark.operators.urls import (
+        block_domains, domain_stats, extract_urls)
+
+    docs = [
+        (1, "read https://a.example.com/x and https://a.example.com/y"),
+        (2, "see http://B.Example.COM/z?q=1 now"),
+        (3, "no links at all"),
+        (4, "mixed https://bad.tracker.net/pixel https://a.example.com/"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    n = df.select(F.size(extract_urls(F.col("text"))).alias("n")) \
+        .orderBy("n").collect()
+    assert [r.n for r in n] == [0, 1, 2, 2]
+    stats = {r.domain: (r.n_docs, r.n_urls)
+             for r in domain_stats(df).collect()}
+    assert stats["a.example.com"] == (2, 3)      # doc1 twice + doc4 once
+    assert stats["b.example.com"] == (1, 1)      # lower-cased host
+    assert stats["bad.tracker.net"] == (1, 1)
+    bl = spark.createDataFrame([("Bad.Tracker.NET",)], "domain string")
+    kept = sorted(r.doc_id for r in block_domains(df, bl).collect())
+    assert kept == [1, 2, 3]
