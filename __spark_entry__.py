@@ -2121,6 +2121,247 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_extract_content_arrow(spark, "/root/testdata/sf0.001")
 
 
+# ---------------------------------------------------------------------------
+# end-to-end corpus curation (plans.curate): extract -> quality -> PII ->
+# boilerplate -> exact dedup -> near-dup clusters, one oracle for the chain
+# ---------------------------------------------------------------------------
+
+# exact-dup pool: whole-content override so each pool entry forms one
+# duplicate group; two paragraphs each so the distinct-content-hash rule
+# is exercised (a group's own body paragraphs must NOT become boilerplate)
+_CUR_SHARED = (
+    "the annual report covers revenue growth across all major regions\n\n"
+    "management expects stable margins for the coming fiscal year",
+    "community guidelines require respectful conduct in every discussion "
+    "thread\n\nmoderators review flagged posts within two business days",
+    "the quick start guide walks new users through installation and "
+    "setup\n\nrefer to the troubleshooting section for common errors",
+)
+
+# near-dup base: one ~31-word paragraph; docs differ only in a trailing
+# token, so shingle Jaccard ~0.83 and LSH banding (k=16, bands=4) finds
+# most pairs — and the oracle REPLICATES the banding, so even missed
+# pairs agree exactly
+_CUR_NEAR = (
+    "distributed query engines schedule work across many machines by "
+    "splitting each stage into tasks that read shuffle partitions and "
+    "spill to disk when memory runs short while the optimizer prunes "
+    "columns")
+
+
+def _shared_case(sel: "F.Column") -> "F.Column":
+    out = F.lit(_CUR_SHARED[-1])
+    for i in range(len(_CUR_SHARED) - 2, -1, -1):
+        out = F.when(sel == i, F.lit(_CUR_SHARED[i])).otherwise(out)
+    return out
+
+
+def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full curation chain over a synthesized corpus where every drop
+    reason occurs: cls = h%20 routes each doc to extract-error (0),
+    quality-fail (1), banner-only->empty (2), exact-dup pool (3-4),
+    near-dup family (5-6), or a normal doc (unique head + optional PII
+    paragraph + pool banner). Every selector derives from the one md5
+    hash; all staged text is E8-stable (lowercase/ASCII, single spaces)
+    so the extraction leg is exactly identity and the oracle can chain
+    plain SQL."""
+    from rag_document_parser_spark.plans.curate import curate
+
+    d = _docs(spark, sf_dir)
+    h = _hcol(F.col("doc_id"))
+    did = F.lpad(F.col("doc_id").cast("string"), 8, "0")
+    cls = F.pmod(h, 20)
+    fr = F.trim(F.regexp_replace(F.regexp_replace(
+        F.lower(F.substring("text", 1, 30)), "[^a-z ]", ""), " +", " "))
+    head = F.concat(
+        F.lit("u"), F.pmod(h, 100000).cast("string"),
+        F.lit(" alpha beta gamma delta"),
+        F.when(fr == "", F.lit("")).otherwise(F.concat(F.lit(" "), fr)))
+    tld = (F.when(F.pmod(h, 3) == 0, F.lit("com"))
+           .when(F.pmod(h, 3) == 1, F.lit("org")).otherwise(F.lit("net")))
+    pii_para = F.concat(
+        F.lit("ref"), F.pmod(h, 997).cast("string"),
+        F.lit(" contact team"), F.pmod(h, 97).cast("string"),
+        F.lit("@example."), tld,
+        F.lit(" or call +1-555-"), (F.pmod(h, 900) + 100).cast("string"),
+        F.lit("-"), (F.pmod(h, 9000) + 1000).cast("string"))
+    banner = _bp_case(F.pmod(h, 5))
+    t = (F.when(cls == 1, F.lit("tiny doc"))
+         .when(cls == 2, banner)
+         .when((cls == 3) | (cls == 4), _shared_case(F.pmod(h, 3)))
+         .when((cls == 5) | (cls == 6),
+               F.concat(F.lit(_CUR_NEAR), F.lit(" tail"),
+                        F.pmod(F.pmod(h, 997), 40).cast("string")))
+         .otherwise(F.concat(
+             head,
+             F.when(F.pmod(h, 4) == 0,
+                    F.concat(F.lit("\n\n"), pii_para)).otherwise(F.lit("")),
+             F.lit("\n\n"), banner)))
+    spans = F.when(cls == 0, F.array(F.struct(
+        F.lit("martian").alias("kind"), F.lit("zzz").alias("text"),
+        F.lit(None).cast("string").alias("media_ref"),
+        F.lit(0).cast("int").alias("offset"))),
+    ).otherwise(F.transform(
+        F.split(t, "\n\n"),
+        lambda p, i: F.struct(
+            F.lit("text").alias("kind"), p.alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            i.cast("int").alias("offset"))))
+    staged = d.select(did.alias("doc_id"), spans.alias("spans"))
+    out = curate(staged, ExtractConfig(unknown_kinds="error"),
+                 lsh_k=_K, lsh_bands=_BANDS)
+    return out.select("doc_id", "kept", "reason",
+                      F.col("n_pii").cast("long").alias("n_pii"), "content")
+
+
+def _sql_curate_corpus() -> str:
+    from rag_document_parser_spark.operators.pii import PII_RULES
+
+    def case_pool(sel: str, pool: tuple) -> str:
+        whens = " ".join(f"WHEN {i} THEN {_sq(p)}"
+                         for i, p in enumerate(pool[:-1]))
+        return f"(CASE {sel} {whens} ELSE {_sq(pool[-1])} END)"
+
+    bp = case_pool("h % 5", _BP)
+    shared = case_pool("h % 3", _CUR_SHARED)
+    toks = TOKS_SQL.format(c="t")
+
+    # PII chain (mirrors _sql_pii_redact, but parameterized over live0;
+    # stage CTEs p1..p4 to avoid the minhash CTE names s/s2)
+    stages, src, counts = [], "live0", []
+    for i, (name, pat, repl) in enumerate(PII_RULES, start=1):
+        p = _sq(pat)
+        stages.append(
+            f"p{i} AS (SELECT did, {', '.join(counts)}"
+            f"{', ' if counts else ''}"
+            f"len(regexp_extract_all(t, {p}))::BIGINT AS n_{name}, "
+            f"regexp_replace(t, {p}, {_sq(repl)}, 'g') AS t FROM {src})")
+        counts.append(f"n_{name}")
+        src = f"p{i}"
+    n_pii = " + ".join(counts)
+
+    sig_body = _sql_minhash_sig_cte(
+        "(SELECT did AS doc_id, t AS text FROM surv)").strip()
+    assert sig_body.startswith("WITH ")
+    sig_body = sig_body[len("WITH "):]
+
+    return f"""
+WITH RECURSIVE m AS (
+  SELECT lpad(doc_id::VARCHAR, 8, '0') AS did,
+         {_md5l('doc_id::VARCHAR')} AS h, text
+  FROM documents
+), c AS (
+  SELECT did, h, h % 20 AS cls, (h % 20 = 0) AS is_err,
+    CASE h % 20
+      WHEN 1 THEN 'tiny doc'
+      WHEN 2 THEN {bp}
+      WHEN 3 THEN {shared} WHEN 4 THEN {shared}
+      WHEN 5 THEN {_sq(_CUR_NEAR)} || ' tail' || ((h % 997) % 40)::VARCHAR
+      WHEN 6 THEN {_sq(_CUR_NEAR)} || ' tail' || ((h % 997) % 40)::VARCHAR
+      ELSE 'u' || (h % 100000)::VARCHAR || ' alpha beta gamma delta' ||
+        (CASE WHEN fr = '' THEN '' ELSE ' ' || fr END) ||
+        (CASE WHEN h % 4 = 0 THEN {NL2} ||
+          'ref' || (h % 997)::VARCHAR || ' contact team' ||
+          (h % 97)::VARCHAR || '@example.' ||
+          (CASE h % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END) ||
+          ' or call +1-555-' || (h % 900 + 100)::VARCHAR || '-' ||
+          (h % 9000 + 1000)::VARCHAR
+         ELSE '' END) || {NL2} || {bp}
+    END AS t
+  FROM (SELECT did, h, trim(regexp_replace(regexp_replace(
+          lower(substring(text, 1, 30)), '[^a-z ]', '', 'g'),
+          ' +', ' ', 'g')) AS fr FROM m)
+), q AS (
+  SELECT did, is_err, t, (NOT is_err) AND len({toks}) BETWEEN 5 AND 100000
+    AND (CASE WHEN length(t) > 0 THEN
+          length(regexp_replace(t, '[^A-Za-z؀-ۿ ]', '', 'g')) / length(t)
+         ELSE 0.0 END) >= 0.1 AS qpass
+  FROM c
+), live0 AS (
+  SELECT did, t FROM q WHERE qpass
+), {', '.join(stages)}
+, piid AS (
+  SELECT did, ({n_pii})::BIGINT AS n_pii, t FROM {src}
+), chx AS (
+  SELECT did, n_pii, md5(t) AS chash, t FROM piid
+), uqx AS (
+  SELECT chash, string_split(min(t), {NL2}) AS ps FROM chx GROUP BY chash
+), exx AS (
+  SELECT chash, unnest(ps) AS para FROM uqx
+), blx AS (
+  SELECT para FROM exx WHERE length(para) >= 1
+  GROUP BY para HAVING count(DISTINCT chash) >= 2
+), bllx AS (SELECT coalesce(list(para), []) AS l FROM blx
+), live1 AS (
+  SELECT chx.did, chx.n_pii,
+    coalesce(array_to_string(
+      list_filter(uqx.ps, x -> NOT list_contains(bllx.l, x)), {NL2}),
+      '') AS t
+  FROM chx JOIN uqx USING (chash), bllx
+), body AS (
+  SELECT did, t FROM live1 WHERE length(t) > 0
+), grp AS (
+  SELECT md5(t) AS bh, min(did) AS keeper FROM body
+  GROUP BY md5(t) HAVING count(*) >= 2
+), xdrop AS (
+  SELECT body.did FROM body JOIN grp ON md5(body.t) = grp.bh
+  WHERE body.did <> grp.keeper
+), surv AS (
+  SELECT did, t FROM body WHERE did NOT IN (SELECT did FROM xdrop)
+), {sig_body}
+, banded AS (
+  SELECT id, unnest(list_transform(range({_BANDS}),
+    bi -> bi::VARCHAR || '|' ||
+          array_to_string(list_slice(sigl, bi*{_R}+1, bi*{_R}+{_R}), ','))) AS bk
+  FROM sigs
+), cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b ON a.bk = b.bk AND a.id < b.id
+), prs AS (
+  -- verify LSH candidates at exact 3-shingle Jaccard >= 0.8 (the `s`
+  -- CTE from the minhash block already holds each doc's distinct
+  -- shingle set)
+  SELECT id_a, id_b FROM cand
+  JOIN s sa ON cand.id_a = sa.id JOIN s sb ON cand.id_b = sb.id
+  WHERE len(list_intersect(sa.sh, sb.sh)) >=
+        0.8 * len(list_distinct(list_concat(sa.sh, sb.sh)))
+), e AS (
+  SELECT id_a AS a, id_b AS b FROM prs
+  UNION SELECT id_b, id_a FROM prs
+), reach AS (
+  SELECT a AS id, a AS r FROM e
+  UNION
+  SELECT reach.id, e.b FROM reach JOIN e ON e.a = reach.r
+), clus AS (
+  SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+), ndrop AS (
+  SELECT id AS did FROM clus WHERE id <> cluster_id
+)
+SELECT q.did AS doc_id,
+  (reason IS NULL) AS kept, reason,
+  coalesce(piid.n_pii, 0)::BIGINT AS n_pii,
+  CASE WHEN reason IS NULL THEN live1.t END AS content
+FROM (
+  SELECT q.did,
+    CASE WHEN q.is_err THEN 'extract'
+         WHEN NOT q.qpass THEN 'quality'
+         WHEN length(live1.t) = 0 THEN 'empty'
+         WHEN xdrop.did IS NOT NULL THEN 'exact_dup'
+         WHEN ndrop.did IS NOT NULL THEN 'near_dup'
+    END AS reason
+  FROM q
+  LEFT JOIN live1 ON q.did = live1.did
+  LEFT JOIN xdrop ON q.did = xdrop.did
+  LEFT JOIN ndrop ON q.did = ndrop.did
+) r
+JOIN q ON r.did = q.did
+LEFT JOIN piid ON q.did = piid.did
+LEFT JOIN live1 ON q.did = live1.did"""
+
+
+SQL_CURATE_CORPUS = _sql_curate_corpus()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_content": q_extract_content,
@@ -2143,6 +2384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "paragraph_dedup": q_paragraph_dedup,
         "dedup_clusters": q_dedup_clusters,
+        "curate_corpus": q_curate_corpus,
         "pii_redact": q_pii_redact,
         "url_stats": q_url_stats,
         "ngram_jaccard": q_ngram_jaccard,
@@ -2197,6 +2439,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": SQL_DEDUP_EXACT,
         "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
         "dedup_clusters": SQL_DEDUP_CLUSTERS,
+        "curate_corpus": SQL_CURATE_CORPUS,
         "pii_redact": SQL_PII_REDACT,
         "url_stats": SQL_URL_STATS,
         "ngram_jaccard": SQL_JACCARD,

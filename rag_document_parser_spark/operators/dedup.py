@@ -471,9 +471,13 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a",
     """
     a, b = F.col(id_a), F.col(id_b)
     # undirected: both directions, plus self-edges so isolated-in-one-
-    # direction nodes keep a row through every round
+    # direction nodes keep a row through every round. Materialized ONCE:
+    # every round joins edges, and without the checkpoint each round
+    # would replay the whole upstream pair-derivation plan (LSH banding,
+    # or in plans.curate the entire extract->quality->dedup chain).
     edges = (pairs.select(a.alias("src"), b.alias("dst"))
-             .unionByName(pairs.select(b.alias("src"), a.alias("dst"))))
+             .unionByName(pairs.select(b.alias("src"), a.alias("dst")))
+             .localCheckpoint())
     labels = (edges.groupBy("src").agg(F.min("dst").alias("mn"))
               .select(F.col("src").alias("id"),
                       F.least("src", "mn").alias("lab"))

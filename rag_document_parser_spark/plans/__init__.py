@@ -1,3 +1,4 @@
+from rag_document_parser_spark.plans.curate import curate, curation_report
 from rag_document_parser_spark.plans.job import (
     chunk_giant_docs,
     extract,
@@ -5,4 +6,5 @@ from rag_document_parser_spark.plans.job import (
     run_job,
 )
 
-__all__ = ["run_job", "extract", "chunk_giant_docs", "read_lineage"]
+__all__ = ["run_job", "extract", "chunk_giant_docs", "read_lineage",
+           "curate", "curation_report"]

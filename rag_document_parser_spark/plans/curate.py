@@ -1,0 +1,202 @@
+"""End-to-end corpus curation: the full training-data pipeline as one
+composable plan.
+
+``curate`` chains the tiers this package provides — span extraction,
+quality gating, PII scrub, cross-corpus boilerplate strip, exact and
+near duplicate removal — into the standard web-corpus curation flow
+(the RefinedWeb/Gopher recipe re-expressed over the span model). It is
+deliberately a *plan builder*: no actions, no collects — one DataFrame
+out, with per-doc verdict columns so the caller can either take the
+survivors (``where(kept)``) or audit the drops (``curation_report``).
+
+Stage order and why:
+
+1. extract (arrow kernel) — spans -> cleaned text; failures drop first.
+2. quality gate — word-count bounds + alphabetic ratio (cheap, row-
+   local; prunes before anything that shuffles).
+3. PII scrub — row-local regex chain; must precede dedup so redacted
+   text is what gets hashed (two docs differing only in PII are dups).
+4. boilerplate strip — corpus-level repeated-paragraph removal; must
+   precede exact dedup (shared banners would otherwise mask identical
+   bodies). Paragraph document-frequency is counted over DISTINCT
+   content hashes so duplicate copies can't vote their own body over
+   the threshold; ``boilerplate_min_docs`` should scale with corpus
+   size in production (a corpus-share threshold), 2 is the floor.
+5. exact dedup — md5 group, keep min doc_id.
+6. near dedup — MinHash LSH candidate pairs, verified at exact shingle
+   Jaccard >= ``near_threshold`` -> connected components, keep the
+   cluster minimum.
+
+Every join in the chain keys on doc_id (uniform) or content hashes
+(uniform by construction); the duplicate-survivor joins broadcast the
+small side (only docs IN a duplicate group). At 100 TB the plan's
+shuffles are: the extraction job's own salted exchange, one paragraph
+hash count, one doc-id reassembly, the LSH band exchange, and the
+label-propagation rounds — each keyed uniformly, none over raw spans
+twice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from rag_document_parser_spark.config import ExtractConfig
+from rag_document_parser_spark.operators.dedup import (
+    dedup_clusters,
+    exact_dedup,
+    minhash_lsh_pairs,
+    paragraph_dedup,
+    word_shingles,
+)
+from rag_document_parser_spark.operators.pii import PII_RULES, redact_pii
+from rag_document_parser_spark.operators.textstats import quality_exprs
+from rag_document_parser_spark.plans.job import extract
+
+SEP = "\n\n"
+
+
+def curate(df: DataFrame, cfg: ExtractConfig | None = None,
+           min_words: int = 5, max_words: int = 100_000,
+           min_alpha_ratio: float = 0.1, scrub_pii: bool = True,
+           boilerplate_min_docs: int = 2,
+           near_dup: bool = True, near_threshold: float | None = 0.8,
+           lsh_k: int = 32, lsh_bands: int = 8,
+           materialize: bool = True) -> DataFrame:
+    """Full curation pass over a ``(doc_id, spans)`` corpus.
+
+    Returns one row per input document:
+    ``(doc_id, route, title, content, n_pii, kept, reason)`` where
+    ``content`` is the curated text (null for dropped docs), ``kept``
+    marks survivors and ``reason`` names the FIRST stage that dropped
+    the doc (``extract`` | ``quality`` | ``empty`` | ``exact_dup`` |
+    ``near_dup`` | null for kept).
+
+    ``materialize=True`` (default) localCheckpoints the two fan-out
+    points — the extraction output and the post-boilerplate text. The
+    curated plan references each of them from ~5 branches (quality
+    projection, paragraph blacklist, exact-dup groups, LSH band self-
+    join, final reassembly); without materialization every branch
+    re-executes the extraction kernel, turning one logical pass into
+    ~10 physical ones. On a real cluster substitute
+    ``persist(StorageLevel.DISK_ONLY)`` or a checkpoint dir for the
+    executor-local variant; ``materialize=False`` keeps the pure plan
+    for callers composing their own persistence.
+    """
+    ext = extract(df, cfg)
+    if materialize:
+        ext = ext.localCheckpoint()
+    q = quality_exprs(F.col("content"))
+    doc = ext.select(
+        "doc_id", "route", "title", "success",
+        F.array_join(F.col("spans_clean").getField("text"), SEP)
+        .alias("content"),
+    ).select(
+        "*", q["n_words"].alias("_nw"), q["alpha_ratio"].alias("_ar"),
+    )
+    doc = doc.withColumn(
+        "_quality",
+        F.col("success") & F.col("_nw").between(min_words, max_words)
+        & (F.col("_ar") >= min_alpha_ratio))
+
+    live = doc.where("_quality").select("doc_id", "content")
+    if scrub_pii:
+        red = redact_pii(live, text_col="content")
+        n_pii = sum(F.col(f"n_{name}") for name, _, _ in PII_RULES)
+        live = red.select("doc_id", n_pii.alias("n_pii"),
+                          F.col("redacted").alias("content"))
+    else:
+        live = live.withColumn("n_pii", F.lit(0).cast("long"))
+
+    # Boilerplate document-frequency is counted over DISTINCT content
+    # hashes, not raw docs: a page mirrored 10^4 times must count as ONE
+    # occurrence of its paragraphs, or the copies alone would push every
+    # body paragraph over min_docs and the whole cluster would curate to
+    # empty before exact dedup ever saw it. Side benefit at 100 TB: the
+    # paragraph explode runs over unique contents only, and the cleaned
+    # text fans back out through a uniform md5-keyed join.
+    live_h = live.withColumn("_ch", F.md5("content"))
+    uniq_content = live_h.select("_ch", "content").dropDuplicates(["_ch"])
+    para = paragraph_dedup(uniq_content, text_col="content", id_col="_ch",
+                           min_docs=boilerplate_min_docs, sep=SEP)
+    live = (live_h.drop("content")
+            .join(para.select("_ch", F.col("cleaned").alias("content")),
+                  "_ch")
+            .drop("_ch"))
+    live = live.withColumn("_empty", F.length("content") == 0)
+    if materialize:
+        live = live.localCheckpoint()
+
+    body = live.where(~F.col("_empty"))
+    groups = exact_dedup(body, text_col="content")
+    exact_drop = (body.select(
+        "doc_id", F.md5("content").alias("content_hash"))
+        .join(F.broadcast(groups), "content_hash")
+        .where(F.col("doc_id") != F.col("keeper_id"))
+        .select("doc_id", F.lit(True).alias("_exact_dup")))
+
+    flags = live.join(exact_drop, "doc_id", "left")
+    if near_dup:
+        uniq = (flags.where(~F.col("_empty")
+                            & F.col("_exact_dup").isNull())
+                .select("doc_id", "content"))
+        pairs = minhash_lsh_pairs(uniq, text_col="content",
+                                  k=lsh_k, bands=lsh_bands)
+        if near_threshold is not None:
+            # LSH emits CANDIDATES; without verification, docs sharing a
+            # few template shingles (headers, signatures) band-collide at
+            # true Jaccard ~0.5 and whole unrelated families collapse
+            # into one cluster. Verify each candidate pair's EXACT
+            # 3-shingle Jaccard before clustering — the pair list is
+            # orders of magnitude smaller than the corpus, so the two
+            # id-keyed joins are cheap, and `size(inter) >= thr *
+            # size(union)` avoids a division (ints scale by one double,
+            # bitwise-reproducible in the DuckDB oracle).
+            sh = uniq.select(
+                F.col("doc_id").alias("_id"),
+                F.array_distinct(word_shingles(F.col("content")))
+                .alias("_sh"))
+            pairs = (
+                pairs
+                .join(sh.withColumnsRenamed({"_id": "id_a", "_sh": "sh_a"}),
+                      "id_a")
+                .join(sh.withColumnsRenamed({"_id": "id_b", "_sh": "sh_b"}),
+                      "id_b")
+                .where(F.size(F.array_intersect("sh_a", "sh_b")) >=
+                       F.lit(near_threshold) *
+                       F.size(F.array_union("sh_a", "sh_b")))
+                .select("id_a", "id_b"))
+        clusters = dedup_clusters(pairs)
+        near_drop = (clusters.where(F.col("id") != F.col("cluster_id"))
+                     .select(F.col("id").alias("doc_id"),
+                             F.lit(True).alias("_near_dup")))
+        flags = flags.join(F.broadcast(near_drop), "doc_id", "left")
+    else:
+        flags = flags.withColumn("_near_dup", F.lit(None).cast("boolean"))
+
+    merged = doc.select("doc_id", "route", "title", "success",
+                        "_quality") \
+        .join(flags.select("doc_id", "n_pii", "content", "_empty",
+                           "_exact_dup", "_near_dup"),
+              "doc_id", "left")
+    reason = (F.when(~F.col("success"), F.lit("extract"))
+              .when(~F.col("_quality"), F.lit("quality"))
+              .when(F.col("_empty"), F.lit("empty"))
+              .when(F.col("_exact_dup").isNotNull(), F.lit("exact_dup"))
+              .when(F.col("_near_dup").isNotNull(), F.lit("near_dup")))
+    return merged.select(
+        "doc_id", "route", "title",
+        F.when(reason.isNull(), F.col("content")).alias("content"),
+        F.coalesce("n_pii", F.lit(0)).alias("n_pii"),
+        reason.isNull().alias("kept"), reason.alias("reason"))
+
+
+def curation_report(curated: DataFrame) -> DataFrame:
+    """One-row-per-outcome audit: ``(outcome, n_docs, n_pii)`` where
+    outcome is ``kept`` or the drop reason."""
+    return (curated
+            .select(F.coalesce("reason", F.lit("kept")).alias("outcome"),
+                    "n_pii")
+            .groupBy("outcome")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_pii").alias("n_pii"))
+            .orderBy("outcome"))

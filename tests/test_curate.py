@@ -1,0 +1,145 @@
+"""End-to-end curation plan (`plans.curate`): the full RefinedWeb-style
+chain (extract -> quality -> PII -> boilerplate -> exact dedup -> near
+dedup) over a hand-built corpus where every drop reason occurs.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rag_document_parser_spark.config import ExtractConfig
+from rag_document_parser_spark.plans.curate import curate, curation_report
+from rag_document_parser_spark.schema import INPUT_SCHEMA
+
+BANNER = ("subscribe to our newsletter for weekly updates and exclusive "
+          "member offers today")
+BODY = ("the migratory patterns of arctic terns span both hemispheres "
+        "covering roughly seventy thousand kilometres every single year "
+        "which makes them the longest ranging birds known to science")
+NEAR_A = ("open source database systems have steadily improved their "
+          "query optimisers over the last two decades adding cost based "
+          "planning adaptive execution and vectorised runtimes to close "
+          "the gap with commercial engines in analytical workloads")
+# one trailing word changed vs NEAR_A -> shingle Jaccard ~0.97, well
+# inside the k=32/bands=8 LSH collision regime
+NEAR_B = NEAR_A.replace("analytical workloads", "analytical settings")
+
+
+def _text_doc(doc_id: str, *paras: str, kind: str = "text") -> dict:
+    return {
+        "doc_id": doc_id,
+        "spans": [
+            {"kind": kind, "text": p, "media_ref": None, "offset": i}
+            for i, p in enumerate(paras)
+        ],
+    }
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    docs = [
+        # exact duplicates (identical content hash); their duplicate
+        # body must NOT count as cross-doc boilerplate (df is over
+        # distinct content hashes), but the shared banner — also on
+        # d03/d08 — must be stripped
+        _text_doc("d01", BODY, BANNER),
+        _text_doc("d02", BODY, BANNER),
+        # near-duplicates (one word differs)
+        _text_doc("d03", NEAR_A, BANNER),
+        _text_doc("d04", NEAR_B),
+        # unique keeper with PII
+        _text_doc("d05",
+                  "contact our research desk at data@example.org or call "
+                  "+1 (415) 555-0175 for the full longitudinal dataset "
+                  "documentation and historical archives"),
+        # quality drop: too few words
+        _text_doc("d06", "hi"),
+        # extract drop: unknown kind under unknown_kinds="error"
+        _text_doc("d07", "whatever text this held", kind="martian"),
+        # empty after boilerplate strip: banner-only document
+        _text_doc("d08", BANNER),
+    ]
+    return spark.createDataFrame(docs, schema=INPUT_SCHEMA)
+
+
+@pytest.fixture(scope="module")
+def curated(corpus):
+    cfg = ExtractConfig(unknown_kinds="error")
+    out = curate(corpus, cfg).collect()
+    return {r["doc_id"]: r for r in out}
+
+
+def test_one_row_per_input_doc(curated):
+    assert set(curated) == {f"d{i:02d}" for i in range(1, 9)}
+
+
+def test_drop_reasons(curated):
+    reasons = {d: r["reason"] for d, r in curated.items()}
+    assert reasons["d01"] is None           # keeper of the exact pair
+    assert reasons["d02"] == "exact_dup"
+    assert reasons["d03"] is None           # keeper (min id) of near pair
+    assert reasons["d04"] == "near_dup"
+    assert reasons["d05"] is None
+    assert reasons["d06"] == "quality"
+    assert reasons["d07"] == "extract"
+    assert reasons["d08"] == "empty"
+
+
+def test_kept_flag_and_content(curated):
+    for d, row in curated.items():
+        assert row["kept"] == (row["reason"] is None)
+        if row["kept"]:
+            assert row["content"]
+        else:
+            assert row["content"] is None
+    # boilerplate stripped from survivors, body intact
+    assert BANNER not in curated["d01"]["content"]
+    assert BODY in curated["d01"]["content"]
+
+
+def test_pii_scrubbed_before_hashing(curated):
+    row = curated["d05"]
+    assert row["n_pii"] == 2
+    assert "<EMAIL>" in row["content"]
+    assert "<PHONE>" in row["content"]
+    assert "data@example.org" not in row["content"]
+
+
+def test_near_dup_toggle(corpus):
+    cfg = ExtractConfig(unknown_kinds="error")
+    out = curate(corpus, cfg, near_dup=False).collect()
+    reasons = {r["doc_id"]: r["reason"] for r in out}
+    assert reasons["d04"] is None          # near-dup pass disabled
+    assert reasons["d02"] == "exact_dup"   # exact pass still on
+
+
+def test_curation_report(spark, corpus):
+    cfg = ExtractConfig(unknown_kinds="error")
+    rep = {r["outcome"]: (r["n_docs"], r["n_pii"])
+           for r in curation_report(curate(corpus, cfg)).collect()}
+    assert rep["kept"] == (3, 2)
+    assert rep["exact_dup"][0] == 1
+    assert rep["near_dup"][0] == 1
+    assert rep["quality"][0] == 1
+    assert rep["extract"][0] == 1
+    assert rep["empty"][0] == 1
+
+
+def test_idempotent_on_survivors(spark, corpus):
+    """Curating the survivors again drops nothing new."""
+    cfg = ExtractConfig(unknown_kinds="error")
+    first = curate(corpus, cfg)
+    survivors = first.where("kept").select("doc_id", "content")
+    again = curate(
+        survivors.select(
+            "doc_id",
+            F.transform(
+                F.split("content", "\n\n"),
+                lambda p, i: F.struct(
+                    F.lit("text").alias("kind"), p.alias("text"),
+                    F.lit(None).cast("string").alias("media_ref"),
+                    i.cast("int").alias("offset"))
+            ).alias("spans")),
+        cfg)
+    assert again.where("NOT kept").count() == 0
