@@ -2156,17 +2156,14 @@ def _shared_case(sel: "F.Column") -> "F.Column":
     return out
 
 
-def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full curation chain over a synthesized corpus where every drop
-    reason occurs: cls = h%20 routes each doc to extract-error (0),
-    quality-fail (1), banner-only->empty (2), exact-dup pool (3-4),
-    near-dup family (5-6), or a normal doc (unique head + optional PII
-    paragraph + pool banner). Every selector derives from the one md5
-    hash; all staged text is E8-stable (lowercase/ASCII, single spaces)
-    so the extraction leg is exactly identity and the oracle can chain
-    plain SQL."""
-    from rag_document_parser_spark.plans.curate import curate
-
+def _curate_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesized curation corpus where every drop reason occurs: cls =
+    h%20 routes each doc to extract-error (0), quality-fail (1),
+    banner-only->empty (2), exact-dup pool (3-4), near-dup family (5-6),
+    or a normal doc (unique head + optional PII paragraph + pool
+    banner). Every selector derives from the one md5 hash; all staged
+    text is E8-stable (lowercase/ASCII, single spaces) so the extraction
+    leg is exactly identity and the oracle can chain plain SQL."""
     d = _docs(spark, sf_dir)
     h = _hcol(F.col("doc_id"))
     did = F.lpad(F.col("doc_id").cast("string"), 8, "0")
@@ -2207,11 +2204,31 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("text").alias("kind"), p.alias("text"),
             F.lit(None).cast("string").alias("media_ref"),
             i.cast("int").alias("offset"))))
-    staged = d.select(did.alias("doc_id"), spans.alias("spans"))
-    out = curate(staged, ExtractConfig(unknown_kinds="error"),
-                 lsh_k=_K, lsh_bands=_BANDS)
+    return d.select(did.alias("doc_id"), spans.alias("spans"))
+
+
+def _curated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_document_parser_spark.plans.curate import curate
+
+    return curate(_curate_staged(spark, sf_dir),
+                  ExtractConfig(unknown_kinds="error"),
+                  lsh_k=_K, lsh_bands=_BANDS)
+
+
+def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc verdicts of the full curation chain (see _curate_staged)."""
+    out = _curated(spark, sf_dir)
     return out.select("doc_id", "kept", "reason",
                       F.col("n_pii").cast("long").alias("n_pii"), "content")
+
+
+def q_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row-per-outcome audit over the same chain (A1-shaped)."""
+    from rag_document_parser_spark.plans.curate import curation_report
+
+    rep = curation_report(_curated(spark, sf_dir))
+    return rep.select("outcome", F.col("n_docs").cast("long"),
+                      F.col("n_pii").cast("long"))
 
 
 def _sql_curate_corpus() -> str:
@@ -2361,6 +2378,11 @@ LEFT JOIN live1 ON q.did = live1.did"""
 
 SQL_CURATE_CORPUS = _sql_curate_corpus()
 
+SQL_CURATION_REPORT = (
+    "SELECT coalesce(reason, 'kept') AS outcome, "
+    "count(*)::BIGINT AS n_docs, sum(n_pii)::BIGINT AS n_pii "
+    f"FROM ({SQL_CURATE_CORPUS}) GROUP BY 1")
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -2385,6 +2407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": q_paragraph_dedup,
         "dedup_clusters": q_dedup_clusters,
         "curate_corpus": q_curate_corpus,
+        "curation_report": q_curation_report,
         "pii_redact": q_pii_redact,
         "url_stats": q_url_stats,
         "ngram_jaccard": q_ngram_jaccard,
@@ -2440,6 +2463,7 @@ def oracle_sql() -> dict[str, str]:
         "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
         "dedup_clusters": SQL_DEDUP_CLUSTERS,
         "curate_corpus": SQL_CURATE_CORPUS,
+        "curation_report": SQL_CURATION_REPORT,
         "pii_redact": SQL_PII_REDACT,
         "url_stats": SQL_URL_STATS,
         "ngram_jaccard": SQL_JACCARD,

@@ -169,6 +169,13 @@ def main() -> None:
           lambda: R.decontaminate(
               docs, SAM.hash_sample(docs, 0.1, salt="contam"), n=3)
           .agg(F.sum("n_matched")).collect())
+    # -- full curation chain (extract -> quality -> PII -> boilerplate ->
+    # exact dedup -> verified near-dup clusters) at mult=1
+    from rag_document_parser_spark.plans.curate import curate, curation_report
+    timed("curate",
+          lambda: curation_report(
+              curate(spans_df_from_documents(spark, SF_DIR, mult=1))
+          ).collect())
     queries8 = emb.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding")
     timed("cosine_topk", lambda: V.cosine_topk(emb, queries8, k=10).count())

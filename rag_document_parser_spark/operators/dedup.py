@@ -487,14 +487,16 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a",
         neigh = (edges.join(labels.withColumnRenamed("id", "dst"), "dst")
                  .groupBy(F.col("src").alias("id"))
                  .agg(F.min("lab").alias("nlab")))
+        new_lab = F.least("lab", F.coalesce("nlab", "lab"))
+        # carry the per-row change flag through the checkpoint so the
+        # convergence probe is a filter over materialized rows, not a
+        # second join against the previous round
         nxt = (labels.join(neigh, "id", "left")
-               .select("id", F.least("lab", F.coalesce("nlab", "lab"))
-                       .alias("lab")))
-        nxt = nxt.localCheckpoint()
-        changed = (nxt.withColumnRenamed("lab", "nl")
-                   .join(labels, "id")
-                   .where(F.col("nl") != F.col("lab")).limit(1).count())
-        labels = nxt
+               .select("id", new_lab.alias("lab"),
+                       (new_lab < F.col("lab")).alias("chg"))
+               .localCheckpoint())
+        changed = nxt.where("chg").limit(1).count()
+        labels = nxt.select("id", "lab")
         if changed == 0:
             return labels.select("id", F.col("lab").alias("cluster_id"))
     raise RuntimeError(
