@@ -660,6 +660,62 @@ SELECT doc_id, lang, sample_rank::BIGINT AS sample_rank FROM (
 WHERE sample_rank <= 7"""
 
 
+_PACK_BUDGET = 1000
+_PACK_BUCKETS = 8
+
+
+def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing into token-budget training shards — per-bucket
+    window running sum, never a global sort (training-data operator,
+    no reference analog)."""
+    from rag_document_parser_spark.operators.packing import pack_shards
+
+    out = pack_shards(_docs(spark, sf_dir), _PACK_BUDGET,
+                      n_buckets=_PACK_BUCKETS)
+    return out.select(F.col("doc_id").cast("long"),
+                      F.col("bucket").cast("long"), "shard",
+                      F.col("n_tokens").cast("long"),
+                      F.col("tok_offset").cast("long"))
+
+
+_SQL_PACK_OFFSETS = f"""
+WITH s AS (
+  SELECT doc_id, md5(doc_id::VARCHAR) AS k,
+    {_md5l('doc_id::VARCHAR')} % {_PACK_BUCKETS} AS bucket,
+    len({TOKS_SQL.format(c='text')})::BIGINT AS n_tokens
+  FROM documents
+), o AS (
+  SELECT doc_id, bucket, n_tokens,
+    sum(n_tokens) OVER (PARTITION BY bucket ORDER BY k, doc_id
+                        ROWS UNBOUNDED PRECEDING) - n_tokens AS tok_offset
+  FROM s
+)"""
+
+SQL_PACK_SHARDS = _SQL_PACK_OFFSETS + f"""
+SELECT doc_id::BIGINT AS doc_id, bucket::BIGINT AS bucket,
+  bucket::VARCHAR || ':' || (tok_offset // {_PACK_BUDGET})::VARCHAR AS shard,
+  n_tokens, tok_offset::BIGINT AS tok_offset
+FROM o"""
+
+
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard totals a training loader reads."""
+    from rag_document_parser_spark.operators.packing import (
+        pack_shards, shard_manifest)
+
+    out = shard_manifest(pack_shards(_docs(spark, sf_dir), _PACK_BUDGET,
+                                     n_buckets=_PACK_BUCKETS))
+    return out.select("shard", F.col("n_docs").cast("long"),
+                      F.col("n_tokens").cast("long"))
+
+
+SQL_SHARD_MANIFEST = _SQL_PACK_OFFSETS + f"""
+SELECT bucket::VARCHAR || ':' || (tok_offset // {_PACK_BUDGET})::VARCHAR
+    AS shard,
+  count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS n_tokens
+FROM o GROUP BY 1"""
+
+
 def q_line_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher duplicate-line fractions. The synthetic docs are single-
     line, so the query derives a deterministic multi-line corpus first:
@@ -2399,6 +2455,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "hash_sample": q_hash_sample,
         "stratified_sample": q_stratified_sample,
+        "pack_shards": q_pack_shards,
+        "shard_manifest": q_shard_manifest,
         "line_repetition": q_line_repetition,
         "top_ngram": q_top_ngram,
         "decontam": q_decontam,
@@ -2455,6 +2513,8 @@ def oracle_sql() -> dict[str, str]:
         "token_count": SQL_TOKEN_COUNT,
         "hash_sample": SQL_HASH_SAMPLE,
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
+        "pack_shards": SQL_PACK_SHARDS,
+        "shard_manifest": SQL_SHARD_MANIFEST,
         "line_repetition": SQL_LINE_REPETITION,
         "top_ngram": SQL_TOP_NGRAM,
         "decontam": SQL_DECONTAM,

@@ -1,0 +1,85 @@
+"""Sequence packing: assign documents to fixed token-budget training
+shards, deterministically and without a global sort.
+
+The step after curation in a training-data pipeline: the curated corpus
+must be cut into shards of ~budget tokens each (sequence packing /
+shard manifests). A naive implementation sorts the whole corpus and
+running-sums token counts — one total order, one task, dead at scale.
+
+Design (the same topology as ``similarity.topk_per_query``):
+
+1. every doc gets a deterministic md5 sort key and an md5-derived
+   bucket (``n_buckets`` of them) — uniform by construction;
+2. a window per BUCKET (partitionBy bucket, orderBy key) running-sums
+   token counts: each bucket sorts only its own slice, in parallel;
+3. ``shard = cum_before // budget`` — greedy first-fit in key order, so
+   a shard may overshoot the budget by at most one document (the
+   standard packing rule); shard ids are ``bucket:index`` pairs, stable
+   under any input partitioning.
+
+Everything is integer arithmetic (``div``, never float division) so
+the DuckDB oracle reproduces assignments bitwise. Reproducible across
+engines, runs, and cluster sizes: the keys derive only from doc ids.
+
+No reference analog (the reference parses documents; it does not build
+training shards) — this is a scale-path addition per SURVEY.md's
+training-data operator mandate, same status as the sampling tier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from rag_document_parser_spark.operators.dedup import words
+
+
+def _key(c, salt: str):
+    return F.md5(F.concat(c.cast("string"), F.lit(salt)))
+
+
+def pack_shards(df: DataFrame, token_budget: int,
+                text_col: str = "text", id_col: str = "doc_id",
+                n_buckets: int = 64, salt: str = "") -> DataFrame:
+    """Assign each doc to a training shard of ~``token_budget`` tokens.
+
+    Returns ``(id_col, bucket, shard, n_tokens, tok_offset)`` where
+    ``shard`` is ``'<bucket>:<index>'``, ``n_tokens`` the doc's
+    whitespace-token count and ``tok_offset`` the running token offset
+    of the doc inside its bucket's key order (the doc's start position
+    when the shard's members are concatenated in that order).
+
+    Shards are local to a bucket, so the only wide operation is the
+    per-bucket window sort — ``n_buckets`` independent sorts of
+    ~corpus/n_buckets rows each. At 10^12 docs raise ``n_buckets`` so a
+    bucket fits a task; assignments for a given (id, salt, budget,
+    n_buckets) never change.
+    """
+    if token_budget <= 0:
+        raise ValueError(f"token_budget must be positive: {token_budget}")
+    key = _key(F.col(id_col), salt)
+    bucket = F.conv(F.substring(key, 1, 15), 16, 10).cast("long") % n_buckets
+    toks = F.size(words(F.col(text_col))).cast("long")
+    staged = df.select(
+        F.col(id_col), key.alias("_key"), bucket.alias("bucket"),
+        toks.alias("n_tokens"))
+    w = (Window.partitionBy("bucket").orderBy("_key", id_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum_before = (F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    offs = staged.select(id_col, "bucket", "n_tokens",
+                         cum_before.alias("tok_offset"))
+    # integer `div`, never float division: a double round-trip could
+    # disagree with the DuckDB oracle's `//` on large offsets
+    shard_idx = F.expr(f"tok_offset div {int(token_budget)}")
+    return offs.select(
+        id_col, "bucket",
+        F.concat(F.col("bucket").cast("string"), F.lit(":"),
+                 shard_idx.cast("string")).alias("shard"),
+        "n_tokens", "tok_offset")
+
+
+def shard_manifest(packed: DataFrame) -> DataFrame:
+    """Per-shard totals: ``(shard, n_docs, n_tokens)`` — the manifest a
+    training loader reads. One map-side-combinable aggregate."""
+    return (packed.groupBy("shard")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tokens").alias("n_tokens")))

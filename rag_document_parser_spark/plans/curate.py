@@ -134,7 +134,7 @@ def curate(df: DataFrame, cfg: ExtractConfig | None = None,
         .where(F.col("doc_id") != F.col("keeper_id"))
         .select("doc_id", F.lit(True).alias("_exact_dup")))
 
-    flags = live.join(exact_drop, "doc_id", "left")
+    flags = live.join(F.broadcast(exact_drop), "doc_id", "left")
     if near_dup:
         uniq = (flags.where(~F.col("_empty")
                             & F.col("_exact_dup").isNull())

@@ -1,0 +1,91 @@
+"""Sequence packing (`operators.packing`): deterministic token-budget
+shard assignment without a global sort.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rag_document_parser_spark.operators.packing import (
+    pack_shards,
+    shard_manifest,
+)
+
+BUDGET = 50
+N_BUCKETS = 4
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [(f"d{i:03d}", " ".join(f"w{i}x{j}" for j in range(3 + (i * 7) % 25)))
+            for i in range(120)]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+@pytest.fixture(scope="module")
+def packed(corpus):
+    return pack_shards(corpus, BUDGET, n_buckets=N_BUCKETS).collect()
+
+
+def test_every_doc_assigned_once(packed, corpus):
+    ids = [r["doc_id"] for r in packed]
+    assert len(ids) == len(set(ids)) == corpus.count()
+    assert all(r["shard"] == f"{r['bucket']}:{r['tok_offset'] // BUDGET}"
+               for r in packed)
+
+
+def test_first_fit_contiguous(packed):
+    """Within a bucket, shard index follows the running token offset:
+    docs of one shard are contiguous in key order, and every shard
+    except a bucket's last spans at least the budget."""
+    by_bucket: dict = {}
+    for r in packed:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    for bucket, rows in by_bucket.items():
+        rows.sort(key=lambda r: r["tok_offset"])
+        # offsets are a proper running sum
+        cum = 0
+        for r in rows:
+            assert r["tok_offset"] == cum
+            cum += r["n_tokens"]
+        # shard index non-decreasing, step <= spans of one doc
+        idx = [int(r["shard"].split(":")[1]) for r in rows]
+        assert idx == sorted(idx)
+        # every non-final shard reaches the budget boundary
+        last = idx[-1]
+        for i in set(idx):
+            if i == last:
+                continue
+            tot = sum(r["n_tokens"] for r in rows
+                      if int(r["shard"].split(":")[1]) == i)
+            start = min(r["tok_offset"] for r in rows
+                        if int(r["shard"].split(":")[1]) == i)
+            # the shard's last doc crosses the (i+1)*budget boundary —
+            # first-fit never closes a shard early
+            assert start + tot >= (i + 1) * BUDGET
+
+
+def test_partition_invariance(corpus):
+    a = {(r["doc_id"], r["shard"])
+         for r in pack_shards(corpus, BUDGET, n_buckets=N_BUCKETS).collect()}
+    b = {(r["doc_id"], r["shard"])
+         for r in pack_shards(corpus.repartition(7), BUDGET,
+                              n_buckets=N_BUCKETS).collect()}
+    assert a == b
+
+
+def test_manifest_conserves_tokens(corpus):
+    packed = pack_shards(corpus, BUDGET, n_buckets=N_BUCKETS)
+    man = shard_manifest(packed)
+    total = man.agg(F.sum("n_tokens"), F.sum("n_docs")).collect()[0]
+    from rag_document_parser_spark.operators.dedup import words
+    expect = corpus.agg(
+        F.sum(F.size(words(F.col("text")))).alias("t")).collect()[0]["t"]
+    assert total[0] == expect
+    assert total[1] == corpus.count()
+
+
+def test_budget_validation(corpus):
+    with pytest.raises(ValueError):
+        pack_shards(corpus, 0)
