@@ -664,6 +664,57 @@ _PACK_BUDGET = 1000
 _PACK_BUCKETS = 8
 
 
+_LM_SCALE = 1_000_000
+_LM_MIN_COUNT = 2
+
+
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring: a bigram LM trained on the corpus
+    itself (min_count prunes the hapax tail), every doc scored by the
+    integer mean of fixed-point conditional probabilities — ln() is not
+    bitwise-portable across engines, integer div is."""
+    from rag_document_parser_spark.operators.lm import (
+        score_bigram_lm, train_bigram_lm)
+
+    docs = _docs(spark, sf_dir)
+    lm = train_bigram_lm(docs, scale=_LM_SCALE, min_count=_LM_MIN_COUNT)
+    out = score_bigram_lm(docs, lm)
+    return out.select(F.col("doc_id").cast("long"),
+                      F.col("n_bigrams").cast("long"),
+                      F.col("lm_score").cast("long"))
+
+
+SQL_LM_SCORE = f"""
+WITH tk AS (
+  SELECT doc_id, {TOKS_SQL.format(c='text')} AS t FROM documents
+), bg AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= 2
+         THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+         ELSE []::VARCHAR[] END AS bgs
+  FROM tk
+), e AS (
+  SELECT doc_id, unnest(bgs) AS bigram FROM bg
+), uni AS (
+  SELECT w1, count(*) AS uc FROM (SELECT unnest(t) AS w1 FROM tk) GROUP BY w1
+), bi AS (
+  SELECT bigram, count(*) AS bc FROM e GROUP BY bigram
+  HAVING count(*) >= {_LM_MIN_COUNT}
+), lm AS (
+  SELECT bigram, bc * {_LM_SCALE} // uc AS cond_e
+  FROM bi JOIN uni ON split_part(bigram, ' ', 1) = uni.w1
+), agg AS (
+  SELECT e.doc_id, count(*)::BIGINT AS n_bigrams,
+    sum(coalesce(lm.cond_e, 0)) AS s
+  FROM e LEFT JOIN lm USING (bigram) GROUP BY e.doc_id
+)
+SELECT tk.doc_id::BIGINT AS doc_id,
+  coalesce(agg.n_bigrams, 0)::BIGINT AS n_bigrams,
+  (CASE WHEN coalesce(agg.n_bigrams, 0) > 0 THEN agg.s // agg.n_bigrams
+        ELSE 0 END)::BIGINT AS lm_score
+FROM tk LEFT JOIN agg USING (doc_id)"""
+
+
 def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing into token-budget training shards — per-bucket
     window running sum, never a global sort (training-data operator,
@@ -2457,6 +2508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "pack_shards": q_pack_shards,
         "shard_manifest": q_shard_manifest,
+        "lm_score": q_lm_score,
         "line_repetition": q_line_repetition,
         "top_ngram": q_top_ngram,
         "decontam": q_decontam,
@@ -2515,6 +2567,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "pack_shards": SQL_PACK_SHARDS,
         "shard_manifest": SQL_SHARD_MANIFEST,
+        "lm_score": SQL_LM_SCORE,
         "line_repetition": SQL_LINE_REPETITION,
         "top_ngram": SQL_TOP_NGRAM,
         "decontam": SQL_DECONTAM,

@@ -4,6 +4,10 @@ from rag_document_parser_spark.operators.dedup import (
 )
 from rag_document_parser_spark.operators.extract_arrow import extract_arrow
 from rag_document_parser_spark.operators.extract_catalyst import extract_catalyst
+from rag_document_parser_spark.operators.lm import (
+    score_bigram_lm,
+    train_bigram_lm,
+)
 from rag_document_parser_spark.operators.packing import (
     pack_shards,
     shard_manifest,
@@ -29,5 +33,5 @@ __all__ = ["block_domains", "decontaminate", "dedup_clusters",
            "domain_stats", "extract_arrow", "extract_catalyst",
            "extract_urls", "hash_sample", "line_repetition_features",
            "pack_shards", "paragraph_dedup", "pii_features", "redact_pii",
-           "shard_manifest", "sheet_structure", "stratified_sample",
-           "top_ngram_stats"]
+           "score_bigram_lm", "shard_manifest", "sheet_structure",
+           "stratified_sample", "top_ngram_stats", "train_bigram_lm"]

@@ -1,0 +1,95 @@
+"""Corpus-trained bigram language-model likelihood scoring.
+
+The CCNet/RefinedWeb quality recipe scores each document against a
+language model trained on trusted text and drops the tail (gibberish,
+boilerplate soup, OCR noise score far from in-domain text). This module
+is that filter re-expressed as pure DataFrame algebra:
+
+- ``train``: unigram + bigram counts over a reference corpus — two
+  ``groupBy`` aggregates, map-side combinable, skew-immune (the same
+  shape this repo uses for paragraph and shingle document frequencies;
+  a stop-bigram partial-aggregates inside every task).
+- ``score``: each document's bigram occurrences join the LM table and
+  average the scaled conditional probabilities.
+
+All arithmetic is INTEGER (``div``, never float): the per-bigram score
+is ``count(w1 w2) * scale div count(w1)`` — a fixed-point conditional
+probability — and the doc score is the integer mean over its bigram
+occurrences. log-likelihoods would be the textbook form, but ``ln`` is
+not bitwise-portable across engines (libm vs DuckDB last-bit rounding),
+and a monotone fixed-point mean ranks documents identically for
+threshold purposes while letting the DuckDB oracle reproduce every
+score exactly.
+
+At 100 TB: the LM table is vocabulary-sized (≪ corpus); the doc-bigram
+join shuffles on the bigram key, which is Zipf-skewed — AQE skew-join
+splits the hot keys, and ``min_count`` prunes the hapax tail of the LM
+table before the join. Training on a 1% ``hash_sample`` of the corpus
+(the CCNet pattern) bounds LM size independently of corpus size.
+
+No reference analog — scale-path training-data operator per SURVEY.md,
+same status as the sampling/repetition tiers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from rag_document_parser_spark.operators.dedup import words
+
+
+def _bigrams(toks) -> "F.Column":
+    """Adjacent token pairs joined by one space (occurrence list)."""
+    return F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat(F.element_at(toks, i), F.lit(" "),
+                               F.element_at(toks, i + 1))),
+    ).otherwise(F.expr("cast(array() as array<string>)"))
+
+
+def train_bigram_lm(reference: DataFrame, text_col: str = "text",
+                    scale: int = 1_000_000,
+                    min_count: int = 1) -> DataFrame:
+    """LM table ``(bigram, cond_e)`` from a reference corpus:
+    ``cond_e = count(w1 w2) * scale div count(w1)`` — the fixed-point
+    conditional probability P(w2|w1). ``min_count`` drops bigrams seen
+    fewer times (hapax pruning keeps the table broadcastable)."""
+    toks = words(F.col(text_col))
+    uni = (reference.select(F.explode(toks).alias("w1"))
+           .groupBy("w1").agg(F.count("*").alias("uc")))
+    bi = (reference.select(F.explode(_bigrams(toks)).alias("bigram"))
+          .groupBy("bigram").agg(F.count("*").alias("bc"))
+          .where(F.col("bc") >= min_count))
+    return (bi.withColumn("w1", F.split_part("bigram", F.lit(" "), F.lit(1)))
+            .join(uni, "w1")
+            .select("bigram",
+                    F.expr(f"bc * {int(scale)} div uc").alias("cond_e")))
+
+
+def score_bigram_lm(df: DataFrame, lm: DataFrame,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    broadcast_lm: bool = True) -> DataFrame:
+    """Per-doc LM fit: ``(id_col, n_bigrams, lm_score)`` where
+    ``lm_score`` is the integer mean of ``cond_e`` over the doc's
+    bigram OCCURRENCES (unseen bigrams score 0, the unsmoothed floor);
+    docs with fewer than two tokens score 0 over 0 bigrams.
+
+    ``broadcast_lm=False`` drops the hint when the LM exceeds executor
+    memory (untrimmed web vocabulary) and degrades to a shuffle join on
+    the bigram key — Zipf-skewed, so keep AQE skew-join on there.
+    """
+    ex = df.select(
+        F.col(id_col),
+        F.posexplode_outer(_bigrams(words(F.col(text_col))))
+        .alias("_pos", "bigram"))
+    side = F.broadcast(lm) if broadcast_lm else lm
+    joined = ex.join(side, "bigram", "left")
+    return (joined.groupBy(id_col)
+            .agg(F.count("bigram").alias("n_bigrams"),
+                 F.sum(F.coalesce("cond_e", F.lit(0))).alias("_s"))
+            .select(id_col, "n_bigrams",
+                    F.when(F.col("n_bigrams") > 0,
+                           F.expr("_s div n_bigrams"))
+                    .otherwise(F.lit(0)).cast("long").alias("lm_score")))

@@ -1,0 +1,67 @@
+"""Bigram LM likelihood scoring (`operators.lm`): fixed-point
+conditional probabilities, hand-checked counts, partition invariance.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from rag_document_parser_spark.operators.lm import (
+    score_bigram_lm,
+    train_bigram_lm,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(
+        [("d1", "a b a b"), ("d2", "a b c"), ("d3", "x")],
+        ["doc_id", "text"])
+
+
+def test_lm_table_counts(corpus):
+    lm = {r["bigram"]: r["cond_e"]
+          for r in train_bigram_lm(corpus, scale=1000).collect()}
+    # unigram occurrences: a=3 b=3 c=1 x=1
+    # bigram occurrences: 'a b'=3 'b a'=1 'b c'=1
+    assert lm == {"a b": 3 * 1000 // 3,
+                  "b a": 1 * 1000 // 3,
+                  "b c": 1 * 1000 // 3}
+
+
+def test_scores_integer_mean(corpus):
+    lm = train_bigram_lm(corpus, scale=1000)
+    out = {r["doc_id"]: (r["n_bigrams"], r["lm_score"])
+           for r in score_bigram_lm(corpus, lm).collect()}
+    assert out["d1"] == (3, (1000 + 333 + 1000) // 3)
+    assert out["d2"] == (2, (1000 + 333) // 2)
+    assert out["d3"] == (0, 0)        # <2 tokens: no bigrams, floor score
+
+
+def test_min_count_prunes_hapax(corpus):
+    lm = train_bigram_lm(corpus, scale=1000, min_count=2)
+    assert {r["bigram"] for r in lm.collect()} == {"a b"}
+    out = {r["doc_id"]: r["lm_score"]
+           for r in score_bigram_lm(corpus, lm).collect()}
+    assert out["d1"] == (1000 + 0 + 1000) // 3
+    assert out["d2"] == 1000 // 2
+
+
+def test_partition_invariance(corpus):
+    lm = train_bigram_lm(corpus)
+    a = sorted(map(tuple, score_bigram_lm(corpus, lm).collect()))
+    b = sorted(map(tuple, score_bigram_lm(
+        corpus.repartition(5), lm, broadcast_lm=False).collect()))
+    assert a == b
+
+
+def test_cross_corpus_scoring(spark, corpus):
+    """Score one corpus against an LM trained on another (the CCNet
+    pattern: trusted reference LM, web corpus scored)."""
+    web = spark.createDataFrame(
+        [("w1", "a b a b a b"), ("w2", "q r s")], ["doc_id", "text"])
+    lm = train_bigram_lm(corpus, scale=1000)
+    out = {r["doc_id"]: r["lm_score"]
+           for r in score_bigram_lm(web, lm).collect()}
+    assert out["w1"] > 0        # in-domain: high fit
+    assert out["w2"] == 0       # out-of-domain: every bigram unseen
