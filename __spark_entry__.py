@@ -664,6 +664,100 @@ _PACK_BUDGET = 1000
 _PACK_BUCKETS = 8
 
 
+_CHUNK_MAX = 32
+_CHUNK_OVER = 8
+_CHUNK_STRIDE = _CHUNK_MAX - _CHUNK_OVER
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking — zero-shuffle sliding token windows."""
+    from rag_document_parser_spark.operators.chunking import chunk_documents
+
+    out = chunk_documents(_docs(spark, sf_dir), _CHUNK_MAX, _CHUNK_OVER)
+    return out.select(F.col("doc_id").cast("long"),
+                      F.col("chunk_idx").cast("long"),
+                      F.col("start_tok").cast("long"),
+                      F.col("n_tok").cast("long"), "chunk_text")
+
+
+SQL_DOC_CHUNKS = f"""
+WITH tk AS (
+  SELECT doc_id, {TOKS_SQL.format(c='text')} AS t,
+         len({TOKS_SQL.format(c='text')}) AS n
+  FROM documents
+), st AS (
+  SELECT doc_id, t, n,
+    unnest(list_transform(
+      range(0, greatest(0, (n - {_CHUNK_OVER} - 1) // {_CHUNK_STRIDE}) + 1),
+      i -> {{'ci': i, 'st': i * {_CHUNK_STRIDE}}})) AS u
+  FROM tk WHERE n > 0
+)
+SELECT doc_id::BIGINT AS doc_id, (u.ci)::BIGINT AS chunk_idx,
+  (u.st)::BIGINT AS start_tok,
+  least({_CHUNK_MAX}, n - u.st)::BIGINT AS n_tok,
+  array_to_string(t[u.st + 1 : u.st + least({_CHUNK_MAX}, n - u.st)], ' ')
+    AS chunk_text
+FROM st"""
+
+
+_RW_WINDOW = 8
+
+
+def q_repeated_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus repeated token windows (substring-dedup signal)."""
+    out = REP.repeated_windows(_docs(spark, sf_dir), window=_RW_WINDOW)
+    return out.select("whash", F.col("n_docs").cast("long"),
+                      F.col("n_occurrences").cast("long"))
+
+
+_SQL_RW_BASE = f"""
+WITH tk AS (
+  SELECT doc_id, {TOKS_SQL.format(c='text')} AS t,
+         len({TOKS_SQL.format(c='text')}) AS n
+  FROM documents
+), wh AS (
+  SELECT doc_id,
+    CASE WHEN n >= {_RW_WINDOW}
+         THEN list_transform(range(1, n - {_RW_WINDOW - 2}),
+           i -> md5(array_to_string(t[i : i + {_RW_WINDOW - 1}], ' ')))
+         ELSE []::VARCHAR[] END AS ws
+  FROM tk
+), ex AS (
+  SELECT doc_id, unnest(ws) AS whash FROM wh
+)"""
+
+SQL_REPEATED_WINDOWS = _SQL_RW_BASE + """
+SELECT whash, count(DISTINCT doc_id)::BIGINT AS n_docs,
+       count(*)::BIGINT AS n_occurrences
+FROM ex GROUP BY whash HAVING count(DISTINCT doc_id) >= 2"""
+
+
+def q_repeated_window_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc repeated-window fraction (fixed-point)."""
+    out = REP.repeated_window_fraction(_docs(spark, sf_dir),
+                                       window=_RW_WINDOW)
+    return out.select(F.col("doc_id").cast("long"),
+                      F.col("n_windows").cast("long"),
+                      F.col("n_repeated").cast("long"),
+                      F.col("repeated_e6").cast("long"))
+
+
+SQL_REPEATED_WINDOW_FRAC = _SQL_RW_BASE + """
+, rep AS (
+  SELECT whash FROM ex GROUP BY whash HAVING count(DISTINCT doc_id) >= 2
+), agg AS (
+  SELECT ex.doc_id, count(*) AS nw,
+    sum(CASE WHEN rep.whash IS NOT NULL THEN 1 ELSE 0 END) AS nr
+  FROM ex LEFT JOIN rep USING (whash) GROUP BY ex.doc_id
+)
+SELECT tk.doc_id::BIGINT AS doc_id,
+  coalesce(agg.nw, 0)::BIGINT AS n_windows,
+  coalesce(agg.nr, 0)::BIGINT AS n_repeated,
+  (CASE WHEN coalesce(agg.nw, 0) > 0 THEN agg.nr * 1000000 // agg.nw
+        ELSE 0 END)::BIGINT AS repeated_e6
+FROM tk LEFT JOIN agg USING (doc_id)"""
+
+
 _LM_SCALE = 1_000_000
 _LM_MIN_COUNT = 2
 
@@ -2509,6 +2603,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_shards": q_pack_shards,
         "shard_manifest": q_shard_manifest,
         "lm_score": q_lm_score,
+        "doc_chunks": q_doc_chunks,
+        "repeated_windows": q_repeated_windows,
+        "repeated_window_frac": q_repeated_window_frac,
         "line_repetition": q_line_repetition,
         "top_ngram": q_top_ngram,
         "decontam": q_decontam,
@@ -2568,6 +2665,9 @@ def oracle_sql() -> dict[str, str]:
         "pack_shards": SQL_PACK_SHARDS,
         "shard_manifest": SQL_SHARD_MANIFEST,
         "lm_score": SQL_LM_SCORE,
+        "doc_chunks": SQL_DOC_CHUNKS,
+        "repeated_windows": SQL_REPEATED_WINDOWS,
+        "repeated_window_frac": SQL_REPEATED_WINDOW_FRAC,
         "line_repetition": SQL_LINE_REPETITION,
         "top_ngram": SQL_TOP_NGRAM,
         "decontam": SQL_DECONTAM,

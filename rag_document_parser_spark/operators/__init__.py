@@ -4,6 +4,7 @@ from rag_document_parser_spark.operators.dedup import (
 )
 from rag_document_parser_spark.operators.extract_arrow import extract_arrow
 from rag_document_parser_spark.operators.extract_catalyst import extract_catalyst
+from rag_document_parser_spark.operators.chunking import chunk_documents
 from rag_document_parser_spark.operators.lm import (
     score_bigram_lm,
     train_bigram_lm,
@@ -16,6 +17,8 @@ from rag_document_parser_spark.operators.pii import pii_features, redact_pii
 from rag_document_parser_spark.operators.repetition import (
     decontaminate,
     line_repetition_features,
+    repeated_window_fraction,
+    repeated_windows,
     top_ngram_stats,
 )
 from rag_document_parser_spark.operators.sampling import (
@@ -29,9 +32,11 @@ from rag_document_parser_spark.operators.urls import (
     extract_urls,
 )
 
-__all__ = ["block_domains", "decontaminate", "dedup_clusters",
-           "domain_stats", "extract_arrow", "extract_catalyst",
-           "extract_urls", "hash_sample", "line_repetition_features",
-           "pack_shards", "paragraph_dedup", "pii_features", "redact_pii",
-           "score_bigram_lm", "shard_manifest", "sheet_structure",
-           "stratified_sample", "top_ngram_stats", "train_bigram_lm"]
+__all__ = ["block_domains", "chunk_documents", "decontaminate",
+           "dedup_clusters", "domain_stats", "extract_arrow",
+           "extract_catalyst", "extract_urls", "hash_sample",
+           "line_repetition_features", "pack_shards", "paragraph_dedup",
+           "pii_features", "redact_pii", "repeated_window_fraction",
+           "repeated_windows", "score_bigram_lm", "shard_manifest",
+           "sheet_structure", "stratified_sample", "top_ngram_stats",
+           "train_bigram_lm"]

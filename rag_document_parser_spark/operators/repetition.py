@@ -37,6 +37,8 @@ from rag_document_parser_spark.operators.dedup import shingle_df, words
 __all__ = [
     "decontaminate",
     "line_repetition_features",
+    "repeated_window_fraction",
+    "repeated_windows",
     "top_ngram_stats",
 ]
 
@@ -111,6 +113,72 @@ def top_ngram_stats(df: DataFrame, text_col: str = "text",
             .select("id", "n_grams", "top_count",
                     (F.col("top_count") / F.col("n_grams"))
                     .alias("top_frac")))
+
+
+def _window_hashes(text_col: str, window: int) -> Column:
+    """md5 of every `window`-token sliding window (stride 1), as a
+    per-row array — only the 32-char hash ever leaves the row, never
+    the window text (at 10^12 docs the exploded relation is hashes,
+    not substrings)."""
+    toks = words(F.col(text_col))
+    return F.when(
+        F.size(toks) >= window,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (window - 1)),
+            lambda i: F.md5(F.array_join(F.slice(toks, i, window), " "))),
+    ).otherwise(F.expr("cast(array() as array<string>)"))
+
+
+def repeated_windows(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", window: int = 20,
+                     min_docs: int = 2) -> DataFrame:
+    """Cross-corpus repeated-substring detection (the signal behind
+    substring-level dedup, Lee et al. 2022 "Deduplicating Training Data
+    Makes Language Models Better" — suffix-array duplicates re-expressed
+    as fixed-width token windows).
+
+    Returns ``(whash, n_docs, n_occurrences)`` for every ``window``-token
+    sliding window whose text occurs in >= ``min_docs`` distinct docs.
+    One explode + one map-side-combinable aggregate on the window hash —
+    the same skew-immune groupBy shape as paragraph_dedup's blacklist
+    (a corpus-dominating boilerplate window partial-aggregates inside
+    each task).
+    """
+    flat = df.select(
+        F.col(id_col).alias("id"),
+        F.explode_outer(_window_hashes(text_col, window)).alias("whash"),
+    ).where(F.col("whash").isNotNull())
+    return (flat.groupBy("whash")
+            .agg(F.count_distinct("id").alias("n_docs"),
+                 F.count("*").alias("n_occurrences"))
+            .where(F.col("n_docs") >= min_docs))
+
+
+def repeated_window_fraction(df: DataFrame, text_col: str = "text",
+                             id_col: str = "doc_id", window: int = 20,
+                             min_docs: int = 2) -> DataFrame:
+    """Per-doc fraction of token windows that are cross-corpus repeats:
+    ``(id_col, n_windows, n_repeated, repeated_e6)`` with ``repeated_e6
+    = n_repeated * 10^6 div n_windows`` (0 when the doc is shorter than
+    one window). The repeated-window set is tiny next to the corpus and
+    joins back broadcast — the corpus never shuffles on the window key.
+    """
+    rep = repeated_windows(df, text_col, id_col, window, min_docs) \
+        .select("whash")
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode_outer(_window_hashes(text_col, window))
+        .alias("_pos", "whash"))
+    hit = F.col("whash").isNotNull() & F.col("_hit").isNotNull()
+    return (ex.join(F.broadcast(rep.withColumn("_hit", F.lit(1))),
+                    "whash", "left")
+            .groupBy("id")
+            .agg(F.count("whash").alias("n_windows"),
+                 F.sum(hit.cast("long")).alias("n_repeated"))
+            .select(F.col("id").alias(id_col), "n_windows", "n_repeated",
+                    F.when(F.col("n_windows") > 0,
+                           F.expr("n_repeated * 1000000 div n_windows"))
+                    .otherwise(F.lit(0)).cast("long").alias("repeated_e6")))
 
 
 def decontaminate(corpus: DataFrame, eval_df: DataFrame,
