@@ -1022,11 +1022,19 @@ _BP = (
 )
 
 
-def _bp_case(sel: "F.Column") -> "F.Column":
-    out = F.lit(_BP[-1])
-    for i in range(len(_BP) - 2, -1, -1):
-        out = F.when(sel == i, F.lit(_BP[i])).otherwise(out)
+def _case_pool(sel: "F.Column", pool: tuple) -> "F.Column":
+    """Spark CASE over a literal string pool (one source for every
+    staged-corpus pool selector; SQL twin: _sql_case_pool)."""
+    out = F.lit(pool[-1])
+    for i in range(len(pool) - 2, -1, -1):
+        out = F.when(sel == i, F.lit(pool[i])).otherwise(out)
     return out
+
+
+def _sql_case_pool(sel: str, pool: tuple) -> str:
+    whens = " ".join(f"WHEN {i} THEN {_sq(p)}"
+                     for i, p in enumerate(pool[:-1]))
+    return f"(CASE {sel} {whens} ELSE {_sq(pool[-1])} END)"
 
 
 def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1043,10 +1051,11 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sid = F.col("doc_id").cast("string")
     t = F.concat(
         F.lit("u"), sid, F.lit(" "), F.substring("text", 1, 30),
-        F.lit("\n"), _bp_case(F.pmod(h, 5)),
+        F.lit("\n"), _case_pool(F.pmod(h, 5), _BP),
         F.lit("\nv"), sid,
         F.when(F.pmod(h, 3) == 0,
-               F.concat(F.lit("\n"), _bp_case(F.pmod(F.pmod(h, 7), 5))))
+               F.concat(F.lit("\n"),
+                        _case_pool(F.pmod(F.pmod(h, 7), 5), _BP)))
         .otherwise(F.lit("")),
     )
     staged = d.select("doc_id", t.alias("t"))
@@ -1055,9 +1064,7 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_paragraph_dedup() -> str:
     def bp_case(sel: str) -> str:
-        whens = " ".join(f"WHEN {i} THEN {_sq(p)}"
-                         for i, p in enumerate(_BP[:-1]))
-        return f"(CASE {sel} {whens} ELSE {_sq(_BP[-1])} END)"
+        return _sql_case_pool(sel, _BP)
 
     return f"""
 WITH m AS (
@@ -2350,13 +2357,6 @@ _CUR_NEAR = (
     "columns")
 
 
-def _shared_case(sel: "F.Column") -> "F.Column":
-    out = F.lit(_CUR_SHARED[-1])
-    for i in range(len(_CUR_SHARED) - 2, -1, -1):
-        out = F.when(sel == i, F.lit(_CUR_SHARED[i])).otherwise(out)
-    return out
-
-
 def _curate_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesized curation corpus where every drop reason occurs: cls =
     h%20 routes each doc to extract-error (0), quality-fail (1),
@@ -2383,10 +2383,11 @@ def _curate_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("@example."), tld,
         F.lit(" or call +1-555-"), (F.pmod(h, 900) + 100).cast("string"),
         F.lit("-"), (F.pmod(h, 9000) + 1000).cast("string"))
-    banner = _bp_case(F.pmod(h, 5))
+    banner = _case_pool(F.pmod(h, 5), _BP)
     t = (F.when(cls == 1, F.lit("tiny doc"))
          .when(cls == 2, banner)
-         .when((cls == 3) | (cls == 4), _shared_case(F.pmod(h, 3)))
+         .when((cls == 3) | (cls == 4),
+               _case_pool(F.pmod(h, 3), _CUR_SHARED))
          .when((cls == 5) | (cls == 6),
                F.concat(F.lit(_CUR_NEAR), F.lit(" tail"),
                         F.pmod(F.pmod(h, 997), 40).cast("string")))
@@ -2435,13 +2436,8 @@ def q_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_curate_corpus() -> str:
     from rag_document_parser_spark.operators.pii import PII_RULES
 
-    def case_pool(sel: str, pool: tuple) -> str:
-        whens = " ".join(f"WHEN {i} THEN {_sq(p)}"
-                         for i, p in enumerate(pool[:-1]))
-        return f"(CASE {sel} {whens} ELSE {_sq(pool[-1])} END)"
-
-    bp = case_pool("h % 5", _BP)
-    shared = case_pool("h % 3", _CUR_SHARED)
+    bp = _sql_case_pool("h % 5", _BP)
+    shared = _sql_case_pool("h % 3", _CUR_SHARED)
     toks = TOKS_SQL.format(c="t")
 
     # PII chain (mirrors _sql_pii_redact, but parameterized over live0;

@@ -35,21 +35,28 @@ def chunk_documents(df: DataFrame, max_tokens: int = 512,
         raise ValueError(
             f"need 0 <= overlap < max_tokens: {overlap=} {max_tokens=}")
     stride = max_tokens - overlap
-    toks = words(F.col(text_col))
-    n = F.size(toks)
-    staged = df.select(F.col(id_col), toks.alias("_t"), n.alias("_n"))
+    # two-stage: tokens first, then size over the BOUND attribute —
+    # sizing the raw words() expression in the same projection would
+    # duplicate the tokenizer (one eval per reference)
+    staged = (df.select(F.col(id_col), words(F.col(text_col)).alias("_t"))
+              .select(id_col, "_t", F.size("_t").alias("_n")))
     # last emitted start: the largest multiple of stride with more than
     # `overlap` tokens remaining — ((n - overlap - 1) div stride) * stride,
     # floored at 0; sequence() is inclusive of both ends
     last = (F.greatest(F.lit(0),
                        F.expr(f"((_n - {overlap} - 1) div {stride})"))
             * stride)
-    ex = staged.where(F.col("_n") > 0).select(
+    # posexplode_outer + a post-generator filter on n_tok (which reads
+    # the GENERATED start_tok, so PushDownPredicates cannot re-inline
+    # the staged tokenizer into a scan filter — a `.where(_n > 0)` here
+    # was plan-confirmed to evaluate the tokenizer 3x per row); empty
+    # docs emit one (0, 0) window and drop at n_tok > 0
+    ex = staged.select(
         id_col, "_t", "_n",
-        F.posexplode(F.sequence(F.lit(0), last, F.lit(stride)))
+        F.posexplode_outer(F.sequence(F.lit(0), last, F.lit(stride)))
         .alias("chunk_idx", "start_tok"))
     n_tok = F.least(F.lit(max_tokens), F.col("_n") - F.col("start_tok"))
-    return ex.select(
+    return ex.where(n_tok > 0).select(
         id_col, "chunk_idx", "start_tok", n_tok.alias("n_tok"),
         F.array_join(F.slice("_t", F.col("start_tok") + 1, n_tok), " ")
         .alias("chunk_text"))

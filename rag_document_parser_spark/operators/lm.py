@@ -39,7 +39,13 @@ from rag_document_parser_spark.operators.dedup import words
 
 
 def _bigrams(toks) -> "F.Column":
-    """Adjacent token pairs joined by one space (occurrence list)."""
+    """Adjacent token pairs joined by one space (occurrence list).
+
+    ``toks`` MUST be a bound attribute (a staged column, not the
+    ``words()`` expression tree): the tokenizer inside this per-element
+    lambda would otherwise re-run once per bigram — the O(n·grams)
+    re-evaluation ``dedup.shingle_df`` exists to prevent.
+    """
     return F.when(
         F.size(toks) >= 2,
         F.transform(
@@ -49,6 +55,11 @@ def _bigrams(toks) -> "F.Column":
     ).otherwise(F.expr("cast(array() as array<string>)"))
 
 
+def _staged_tokens(df: DataFrame, text_col: str, *keep: str) -> DataFrame:
+    """Stage the tokenizer ONCE behind a generator-safe projection."""
+    return df.select(*keep, words(F.col(text_col)).alias("_t"))
+
+
 def train_bigram_lm(reference: DataFrame, text_col: str = "text",
                     scale: int = 1_000_000,
                     min_count: int = 1) -> DataFrame:
@@ -56,10 +67,16 @@ def train_bigram_lm(reference: DataFrame, text_col: str = "text",
     ``cond_e = count(w1 w2) * scale div count(w1)`` — the fixed-point
     conditional probability P(w2|w1). ``min_count`` drops bigrams seen
     fewer times (hapax pruning keeps the table broadcastable)."""
-    toks = words(F.col(text_col))
-    uni = (reference.select(F.explode(toks).alias("w1"))
+    staged = _staged_tokens(reference, text_col)
+    # explode_outer + null filter (not plain explode): keeps
+    # InferFiltersFromGenerate from re-inlining the tokenizer into a
+    # pushed-down size() scan filter
+    uni = (staged.select(F.explode_outer("_t").alias("w1"))
+           .where(F.col("w1").isNotNull())
            .groupBy("w1").agg(F.count("*").alias("uc")))
-    bi = (reference.select(F.explode(_bigrams(toks)).alias("bigram"))
+    bi = (staged.select(
+              F.explode_outer(_bigrams(F.col("_t"))).alias("bigram"))
+          .where(F.col("bigram").isNotNull())
           .groupBy("bigram").agg(F.count("*").alias("bc"))
           .where(F.col("bc") >= min_count))
     return (bi.withColumn("w1", F.split_part("bigram", F.lit(" "), F.lit(1)))
@@ -80,10 +97,9 @@ def score_bigram_lm(df: DataFrame, lm: DataFrame,
     memory (untrimmed web vocabulary) and degrades to a shuffle join on
     the bigram key — Zipf-skewed, so keep AQE skew-join on there.
     """
-    ex = df.select(
+    ex = _staged_tokens(df, text_col, id_col).select(
         F.col(id_col),
-        F.posexplode_outer(_bigrams(words(F.col(text_col))))
-        .alias("_pos", "bigram"))
+        F.posexplode_outer(_bigrams(F.col("_t"))).alias("_pos", "bigram"))
     side = F.broadcast(lm) if broadcast_lm else lm
     joined = ex.join(side, "bigram", "left")
     return (joined.groupBy(id_col)

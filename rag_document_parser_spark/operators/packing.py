@@ -43,8 +43,10 @@ def pack_shards(df: DataFrame, token_budget: int,
     """Assign each doc to a training shard of ~``token_budget`` tokens.
 
     Returns ``(id_col, bucket, shard, n_tokens, tok_offset)`` where
-    ``shard`` is ``'<bucket>:<index>'``, ``n_tokens`` the doc's
-    whitespace-token count and ``tok_offset`` the running token offset
+    ``shard`` is ``'<bucket>:<index>'``, ``n_tokens`` the doc's count
+    of ``dedup.words()`` tokens (lowercased alphanumeric runs — the
+    same tokenizer as the dedup/LM tiers, NOT raw whitespace splits)
+    and ``tok_offset`` the running token offset
     of the doc inside its bucket's key order (the doc's start position
     when the shard's members are concatenated in that order).
 

@@ -115,18 +115,24 @@ def top_ngram_stats(df: DataFrame, text_col: str = "text",
                     .alias("top_frac")))
 
 
-def _window_hashes(text_col: str, window: int) -> Column:
-    """md5 of every `window`-token sliding window (stride 1), as a
-    per-row array — only the 32-char hash ever leaves the row, never
-    the window text (at 10^12 docs the exploded relation is hashes,
-    not substrings)."""
-    toks = words(F.col(text_col))
-    return F.when(
-        F.size(toks) >= window,
+def _window_hash_df(df: DataFrame, text_col: str, id_col: str,
+                    window: int) -> DataFrame:
+    """(id, whashes): md5 of every `window`-token sliding window
+    (stride 1) as a per-row array — only the 32-char hash ever leaves
+    the row, never the window text (at 10^12 docs the exploded relation
+    is hashes, not substrings). Tokens are staged as a bound attribute
+    first (two stacked projections, SPARK-36718) so the tokenizer runs
+    once per row, not once per window — the same staging discipline as
+    ``dedup.shingle_df`` and ``line_repetition_features``."""
+    toks = df.select(F.col(id_col).alias("id"),
+                     words(F.col(text_col)).alias("_t"))
+    hashes = F.when(
+        F.size("_t") >= window,
         F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (window - 1)),
-            lambda i: F.md5(F.array_join(F.slice(toks, i, window), " "))),
+            F.sequence(F.lit(1), F.size("_t") - (window - 1)),
+            lambda i: F.md5(F.array_join(F.slice("_t", i, window), " "))),
     ).otherwise(F.expr("cast(array() as array<string>)"))
+    return toks.select("id", hashes.alias("whashes"))
 
 
 def repeated_windows(df: DataFrame, text_col: str = "text",
@@ -144,9 +150,8 @@ def repeated_windows(df: DataFrame, text_col: str = "text",
     (a corpus-dominating boilerplate window partial-aggregates inside
     each task).
     """
-    flat = df.select(
-        F.col(id_col).alias("id"),
-        F.explode_outer(_window_hashes(text_col, window)).alias("whash"),
+    flat = _window_hash_df(df, text_col, id_col, window).select(
+        "id", F.explode_outer("whashes").alias("whash"),
     ).where(F.col("whash").isNotNull())
     return (flat.groupBy("whash")
             .agg(F.count_distinct("id").alias("n_docs"),
@@ -165,10 +170,8 @@ def repeated_window_fraction(df: DataFrame, text_col: str = "text",
     """
     rep = repeated_windows(df, text_col, id_col, window, min_docs) \
         .select("whash")
-    ex = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode_outer(_window_hashes(text_col, window))
-        .alias("_pos", "whash"))
+    ex = _window_hash_df(df, text_col, id_col, window).select(
+        "id", F.posexplode_outer("whashes").alias("_pos", "whash"))
     hit = F.col("whash").isNotNull() & F.col("_hit").isNotNull()
     return (ex.join(F.broadcast(rep.withColumn("_hit", F.lit(1))),
                     "whash", "left")

@@ -4,10 +4,13 @@ composable plan.
 ``curate`` chains the tiers this package provides — span extraction,
 quality gating, PII scrub, cross-corpus boilerplate strip, exact and
 near duplicate removal — into the standard web-corpus curation flow
-(the RefinedWeb/Gopher recipe re-expressed over the span model). It is
-deliberately a *plan builder*: no actions, no collects — one DataFrame
-out, with per-doc verdict columns so the caller can either take the
-survivors (``where(kept)``) or audit the drops (``curation_report``).
+(the RefinedWeb/Gopher recipe re-expressed over the span model). One
+DataFrame out, with per-doc verdict columns so the caller can either
+take the survivors (``where(kept)``) or audit the drops
+(``curation_report``). NB: the default configuration is NOT lazy — it
+materializes its fan-out points and the near-dup leg runs
+driver-paced label-propagation rounds; see ``curate``'s docstring for
+the lazy subset.
 
 Stage order and why:
 
@@ -61,7 +64,8 @@ def curate(df: DataFrame, cfg: ExtractConfig | None = None,
            boilerplate_min_docs: int = 2,
            near_dup: bool = True, near_threshold: float | None = 0.8,
            lsh_k: int = 32, lsh_bands: int = 8,
-           materialize: bool = True) -> DataFrame:
+           materialize: bool = True,
+           broadcast_drops: bool = True) -> DataFrame:
     """Full curation pass over a ``(doc_id, spans)`` corpus.
 
     Returns one row per input document:
@@ -79,8 +83,19 @@ def curate(df: DataFrame, cfg: ExtractConfig | None = None,
     re-executes the extraction kernel, turning one logical pass into
     ~10 physical ones. On a real cluster substitute
     ``persist(StorageLevel.DISK_ONLY)`` or a checkpoint dir for the
-    executor-local variant; ``materialize=False`` keeps the pure plan
-    for callers composing their own persistence.
+    executor-local variant. ``materialize=False`` keeps a pure
+    (action-free) plan ONLY with ``near_dup=False``: the near-dup leg's
+    cluster resolution is inherently iterative (driver-paced rounds
+    with checkpoints), so it executes the upstream chain at call time
+    regardless — callers composing their own persistence should persist
+    BEFORE calling curate, or disable the near-dup leg and run it
+    themselves on the survivors.
+
+    ``broadcast_drops=False`` drops the broadcast hints on the
+    duplicate-survivor joins: they hold one row per dropped duplicate,
+    which is tiny on clean corpora but scales with the corpus on raw
+    web crawls (30-50% duplicates), where a forced broadcast would
+    exhaust executor memory — degrade to shuffle joins there.
     """
     ext = extract(df, cfg)
     if materialize:
@@ -134,7 +149,9 @@ def curate(df: DataFrame, cfg: ExtractConfig | None = None,
         .where(F.col("doc_id") != F.col("keeper_id"))
         .select("doc_id", F.lit(True).alias("_exact_dup")))
 
-    flags = live.join(F.broadcast(exact_drop), "doc_id", "left")
+    if broadcast_drops:
+        exact_drop = F.broadcast(exact_drop)
+    flags = live.join(exact_drop, "doc_id", "left")
     if near_dup:
         uniq = (flags.where(~F.col("_empty")
                             & F.col("_exact_dup").isNull())
@@ -169,7 +186,9 @@ def curate(df: DataFrame, cfg: ExtractConfig | None = None,
         near_drop = (clusters.where(F.col("id") != F.col("cluster_id"))
                      .select(F.col("id").alias("doc_id"),
                              F.lit(True).alias("_near_dup")))
-        flags = flags.join(F.broadcast(near_drop), "doc_id", "left")
+        if broadcast_drops:
+            near_drop = F.broadcast(near_drop)
+        flags = flags.join(near_drop, "doc_id", "left")
     else:
         flags = flags.withColumn("_near_dup", F.lit(None).cast("boolean"))
 
