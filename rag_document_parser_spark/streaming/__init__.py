@@ -1,4 +1,5 @@
 from rag_document_parser_spark.streaming.incremental import (
+    stream_curate,
     stream_extract,
     stream_extract_dedup,
     stream_extract_dedup_bounded,
@@ -8,7 +9,7 @@ from rag_document_parser_spark.streaming.incremental import (
     stream_windowed_event_counts,
 )
 
-__all__ = ["stream_extract", "stream_extract_dedup",
+__all__ = ["stream_curate", "stream_extract", "stream_extract_dedup",
            "stream_extract_dedup_bounded", "stream_extract_dedup_unbounded",
            "stream_extract_with_lineage", "stream_shard_progress",
            "stream_windowed_event_counts"]

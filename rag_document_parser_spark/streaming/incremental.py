@@ -152,6 +152,64 @@ def stream_extract_dedup_bounded(
 stream_extract_dedup = stream_extract_dedup_bounded
 
 
+def stream_curate(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    cfg: ExtractConfig = DEFAULT_CONFIG,
+    watermark: str = "1 hour",
+    min_words: int = 5,
+    max_words: int = 100_000,
+    min_alpha_ratio: float = 0.1,
+):
+    """Incremental curation: the streamable subset of ``plans.curate``.
+
+    watermark-bounded exact dedup (before the kernel — duplicates never
+    pay extraction) → Arrow kernel → quality gate → PII scrub, emitting
+    ``(doc_id, n_pii, content)`` survivors per
+    micro-batch. Quality and PII are row-local (stateless, append-safe);
+    the corpus-level passes (boilerplate strip, cross-batch exact/near
+    dedup beyond the watermark window) are inherently batch — run
+    ``plans.curate`` over the accumulated sink periodically for those.
+    """
+    from pyspark.sql import types as T
+
+    from rag_document_parser_spark.operators.pii import PII_RULES, redact_pii
+    from rag_document_parser_spark.operators.textstats import quality_exprs
+
+    schema = T.StructType(
+        list(INPUT_SCHEMA.fields)
+        + [T.StructField("ingest_ts", T.TimestampType())])
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    deduped = (
+        stream.withColumn("doc_hash", F.xxhash64("spans"))
+        .withWatermark("ingest_ts", watermark)
+        .dropDuplicatesWithinWatermark(["doc_hash"])
+    )
+    out = extract(deduped.select("doc_id", "spans"), cfg,
+                  engine="arrow", chunk=False)
+    doc = out.select(
+        "doc_id", "route", "title", "success",
+        F.array_join(F.col("spans_clean").getField("text"), "\n\n")
+        .alias("content"))
+    q = quality_exprs(F.col("content"))
+    gated = doc.where(
+        F.col("success") & q["n_words"].between(min_words, max_words)
+        & (q["alpha_ratio"] >= min_alpha_ratio))
+    red = redact_pii(gated.select("doc_id", "content"), text_col="content")
+    n_pii = sum(F.col(f"n_{name}") for name, _, _ in PII_RULES)
+    final = red.select("doc_id", n_pii.cast("long").alias("n_pii"),
+                       F.col("redacted").alias("content"))
+    return (
+        final.writeStream.format("parquet")
+        .option("path", os.path.join(output_dir, "data"))
+        .option("checkpointLocation", os.path.join(output_dir, "_checkpoint"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_windowed_event_counts(
     spark: SparkSession,
     input_dir: str,

@@ -332,3 +332,55 @@ def test_stream_shard_progress_accumulates_state(spark, tmp_path):
         if r.shard not in latest or r.total_docs > latest[r.shard]:
             latest[r.shard] = r.total_docs
     assert sum(latest.values()) == 65
+
+
+def test_stream_curate(spark, tmp_path):
+    """Streaming curation: watermarked exact dedup + quality gate + PII
+    scrub per micro-batch; second invocation drains only new files."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from rag_document_parser_spark.schema import INPUT_SCHEMA
+    from rag_document_parser_spark.streaming import stream_curate
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    schema = T.StructType(
+        list(INPUT_SCHEMA.fields)
+        + [T.StructField("ingest_ts", T.TimestampType())])
+
+    def span(text):
+        return [{"kind": "text", "text": text, "media_ref": None,
+                 "offset": 0}]
+
+    t0 = dt.datetime(2026, 1, 1, 9, 0, 0)
+    good = span("please reach me at bob@example.com for the complete "
+                "longitudinal dataset and all archives")
+
+    def run(rows):
+        _write_slice(spark.createDataFrame(rows, schema=schema), in_dir)
+        q = stream_curate(spark, in_dir, out_dir, watermark="1 hour")
+        q.awaitTermination(120)
+        return {r["doc_id"]: r for r in
+                spark.read.parquet(os.path.join(out_dir, "data")).collect()}
+
+    got = run([
+        ("good", good, t0),
+        ("tiny", span("hi"), t0),
+    ])
+    assert set(got) == {"good"}          # tiny quality-gated
+    assert got["good"]["n_pii"] == 1
+    assert "<EMAIL>" in got["good"]["content"]
+    assert "bob@example.com" not in got["good"]["content"]
+
+    # second drain: a within-watermark duplicate is dropped by state,
+    # the fresh doc passes; only the new file is processed
+    got = run([
+        ("dup-of-good", good, t0 + dt.timedelta(minutes=5)),
+        ("later", span("a brand new document with plenty of words "
+                       "to clear the quality gate"),
+         t0 + dt.timedelta(minutes=10)),
+    ])
+    assert set(got) == {"good", "later"}
+    assert got["later"]["n_pii"] == 0
