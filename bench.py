@@ -176,6 +176,17 @@ def main() -> None:
           lambda: curation_report(
               curate(spans_df_from_documents(spark, SF_DIR, mult=1))
           ).collect())
+    from rag_document_parser_spark.operators import chunking as CH
+    from rag_document_parser_spark.operators import lm as LM
+    from rag_document_parser_spark.operators import packing as PK
+    timed("pack_shards",
+          lambda: PK.shard_manifest(PK.pack_shards(docs, 2000)).count())
+    timed("lm_score",
+          lambda: LM.score_bigram_lm(
+              docs, LM.train_bigram_lm(docs, min_count=2))
+          .agg(F.sum("lm_score")).collect())
+    timed("chunking",
+          lambda: CH.chunk_documents(docs, 128, 16).count())
     queries8 = emb.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding")
     timed("cosine_topk", lambda: V.cosine_topk(emb, queries8, k=10).count())
