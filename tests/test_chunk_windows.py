@@ -105,3 +105,18 @@ def test_repeated_partition_invariance(window_corpus):
     b = sorted(map(tuple, repeated_window_fraction(
         window_corpus.repartition(5), window=3).collect()))
     assert a == b
+
+
+def _tokenizer_evals(df):
+    """Occurrences of the words() tokenizer in the optimized plan —
+    must be exactly one per scan branch (SPARK-36718 staging)."""
+    return df._jdf.queryExecution().optimizedPlan().toString() \
+        .count("split(lower(")
+
+
+def test_plans_tokenize_once_per_scan(window_corpus):
+    assert _tokenizer_evals(chunk_documents(window_corpus, 8, 2)) == 1
+    assert _tokenizer_evals(repeated_windows(window_corpus, window=3)) == 1
+    # fraction reads the corpus twice (blacklist + per-doc): 2 scans
+    assert _tokenizer_evals(
+        repeated_window_fraction(window_corpus, window=3)) == 2

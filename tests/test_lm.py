@@ -65,3 +65,13 @@ def test_cross_corpus_scoring(spark, corpus):
            for r in score_bigram_lm(web, lm).collect()}
     assert out["w1"] > 0        # in-domain: high fit
     assert out["w2"] == 0       # out-of-domain: every bigram unseen
+
+
+def test_plans_tokenize_once_per_scan(corpus):
+    def evals(df):
+        return df._jdf.queryExecution().optimizedPlan().toString() \
+            .count("split(lower(")
+
+    lm = train_bigram_lm(corpus)
+    assert evals(lm) == 2                       # unigram + bigram scans
+    assert evals(score_bigram_lm(corpus, lm)) == 3   # + the doc scan
