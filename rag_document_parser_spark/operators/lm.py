@@ -79,8 +79,10 @@ def train_bigram_lm(reference: DataFrame, text_col: str = "text",
           .where(F.col("bigram").isNotNull())
           .groupBy("bigram").agg(F.count("*").alias("bc"))
           .where(F.col("bc") >= min_count))
+    # broadcast the unigram side: it is vocabulary-sized (≪ the bigram
+    # table), and a shuffle join here would key on Zipf-skewed w1
     return (bi.withColumn("w1", F.split_part("bigram", F.lit(" "), F.lit(1)))
-            .join(uni, "w1")
+            .join(F.broadcast(uni), "w1")
             .select("bigram",
                     F.expr(f"bc * {int(scale)} div uc").alias("cond_e")))
 

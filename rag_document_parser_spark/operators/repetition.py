@@ -161,20 +161,25 @@ def repeated_windows(df: DataFrame, text_col: str = "text",
 
 def repeated_window_fraction(df: DataFrame, text_col: str = "text",
                              id_col: str = "doc_id", window: int = 20,
-                             min_docs: int = 2) -> DataFrame:
+                             min_docs: int = 2,
+                             broadcast_repeats: bool = True) -> DataFrame:
     """Per-doc fraction of token windows that are cross-corpus repeats:
     ``(id_col, n_windows, n_repeated, repeated_e6)`` with ``repeated_e6
     = n_repeated * 10^6 div n_windows`` (0 when the doc is shorter than
-    one window). The repeated-window set is tiny next to the corpus and
-    joins back broadcast — the corpus never shuffles on the window key.
+    one window). The repeated-window set is usually tiny next to the
+    corpus and joins back broadcast — the corpus never shuffles on the
+    window key; on boilerplate-saturated crawls where the repeat set
+    itself outgrows executor memory, ``broadcast_repeats=False`` drops
+    the hint and degrades to a shuffle join.
     """
     rep = repeated_windows(df, text_col, id_col, window, min_docs) \
         .select("whash")
+    if broadcast_repeats:
+        rep = F.broadcast(rep)
     ex = _window_hash_df(df, text_col, id_col, window).select(
         "id", F.posexplode_outer("whashes").alias("_pos", "whash"))
     hit = F.col("whash").isNotNull() & F.col("_hit").isNotNull()
-    return (ex.join(F.broadcast(rep.withColumn("_hit", F.lit(1))),
-                    "whash", "left")
+    return (ex.join(rep.withColumn("_hit", F.lit(1)), "whash", "left")
             .groupBy("id")
             .agg(F.count("whash").alias("n_windows"),
                  F.sum(hit.cast("long")).alias("n_repeated"))

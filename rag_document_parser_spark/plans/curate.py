@@ -168,15 +168,21 @@ def curate(df: DataFrame, cfg: ExtractConfig | None = None,
             # id-keyed joins are cheap, and `size(inter) >= thr *
             # size(union)` avoids a division (ints scale by one double,
             # bitwise-reproducible in the DuckDB oracle).
+            # join ORDER matters at scale: the corpus-side shingle frame
+            # is the big side, so (under broadcast_drops) it streams
+            # through two BroadcastHash joins against the small
+            # candidate list — `sh` is never shuffled on doc id; with
+            # broadcast_drops=False both fall back to shuffle joins
             sh = uniq.select(
                 F.col("doc_id").alias("_id"),
                 F.array_distinct(word_shingles(F.col("content")))
                 .alias("_sh"))
+            half = (sh.withColumnsRenamed({"_id": "id_a", "_sh": "sh_a"})
+                    .join(F.broadcast(pairs) if broadcast_drops else pairs,
+                          "id_a"))
             pairs = (
-                pairs
-                .join(sh.withColumnsRenamed({"_id": "id_a", "_sh": "sh_a"}),
-                      "id_a")
-                .join(sh.withColumnsRenamed({"_id": "id_b", "_sh": "sh_b"}),
+                sh.withColumnsRenamed({"_id": "id_b", "_sh": "sh_b"})
+                .join(F.broadcast(half) if broadcast_drops else half,
                       "id_b")
                 .where(F.size(F.array_intersect("sh_a", "sh_b")) >=
                        F.lit(near_threshold) *
