@@ -89,3 +89,35 @@ def test_manifest_conserves_tokens(corpus):
 def test_budget_validation(corpus):
     with pytest.raises(ValueError):
         pack_shards(corpus, 0)
+
+
+def test_matches_python_simulation(spark):
+    """Independent pure-Python oracle: md5 bucket + key sort + running
+    sum reproduces every Spark-side shard assignment bit-for-bit."""
+    import hashlib
+    import re
+
+    docs = [(f"doc{i:03d}",
+             " ".join(f"w{(i * 7 + j) % 50}" for j in range((i * 13) % 40)))
+            for i in range(80)]
+    out = {r["doc_id"]: (r["bucket"], r["shard"], r["n_tokens"],
+                         r["tok_offset"])
+           for r in pack_shards(
+               spark.createDataFrame(docs, ["doc_id", "text"]),
+               BUDGET, n_buckets=N_BUCKETS).collect()}
+
+    def toks(text):
+        return [t for t in re.split(r"[^a-z0-9؀-ۿ]+", text.lower()) if t]
+
+    staged = []
+    for doc_id, text in docs:
+        key = hashlib.md5(doc_id.encode()).hexdigest()
+        bucket = int(key[:15], 16) % N_BUCKETS
+        staged.append((bucket, key, doc_id, len(toks(text))))
+    expect = {}
+    for bucket in range(N_BUCKETS):
+        cum = 0
+        for b, key, doc_id, n in sorted(s for s in staged if s[0] == bucket):
+            expect[doc_id] = (bucket, f"{bucket}:{cum // BUDGET}", n, cum)
+            cum += n
+    assert out == expect
