@@ -50,11 +50,14 @@ def redact_pii(df: DataFrame, text_col: str = "text",
                id_col: str = "doc_id") -> DataFrame:
     """Per-doc PII counts + redacted text.
 
-    Returns ``(id_col, n_email, n_ip, n_ssn, n_phone, redacted)`` where
-    ``redacted`` has every match replaced by its ``<CATEGORY>`` token
-    and each ``n_*`` is the number of tokens that stage emitted.
+    Returns ``(id_col, <passthrough cols>, n_email, n_ip, n_ssn,
+    n_phone, redacted)`` where ``redacted`` has every match replaced by
+    its ``<CATEGORY>`` token and each ``n_*`` is the number of tokens
+    that stage emitted. Columns other than ``text_col`` pass through
+    untouched, so callers can thread metadata without a re-join.
     """
-    out = df.select(F.col(id_col), F.col(text_col).alias("_t"))
+    keep = [c for c in df.columns if c != text_col]
+    out = df.select(*keep, F.col(text_col).alias("_t"))
     for name, pat, repl in PII_RULES:
         # one stacked select per stage: count + replace both read the
         # PREVIOUS stage's bound attribute, so the plan is a straight

@@ -113,11 +113,13 @@ def curate(df: DataFrame, cfg: ExtractConfig | None = None,
         F.col("success") & F.col("_nw").between(min_words, max_words)
         & (F.col("_ar") >= min_alpha_ratio))
 
-    live = doc.where("_quality").select("doc_id", "content")
+    live = doc.where("_quality").select("doc_id", "route", "title",
+                                        "content")
     if scrub_pii:
         red = redact_pii(live, text_col="content")
         n_pii = sum(F.col(f"n_{name}") for name, _, _ in PII_RULES)
-        live = red.select("doc_id", n_pii.alias("n_pii"),
+        live = red.select("doc_id", "route", "title",
+                          n_pii.cast("long").alias("n_pii"),
                           F.col("redacted").alias("content"))
     else:
         live = live.withColumn("n_pii", F.lit(0).cast("long"))
@@ -198,21 +200,27 @@ def curate(df: DataFrame, cfg: ExtractConfig | None = None,
     else:
         flags = flags.withColumn("_near_dup", F.lit(None).cast("boolean"))
 
-    merged = doc.select("doc_id", "route", "title", "success",
-                        "_quality") \
-        .join(flags.select("doc_id", "n_pii", "content", "_empty",
-                           "_exact_dup", "_near_dup"),
-              "doc_id", "left")
-    reason = (F.when(~F.col("success"), F.lit("extract"))
-              .when(~F.col("_quality"), F.lit("quality"))
-              .when(F.col("_empty"), F.lit("empty"))
+    # verdicts assemble by UNION, not by a corpus×corpus re-join of the
+    # extraction output against the survivor chain: route/title thread
+    # through the PII/boilerplate stages (redact_pii passes them
+    # through), so the dropped-at-quality rows are the only ones read
+    # back from `doc` — no doc_id shuffle of the content payload
+    reason = (F.when(F.col("_empty"), F.lit("empty"))
               .when(F.col("_exact_dup").isNotNull(), F.lit("exact_dup"))
               .when(F.col("_near_dup").isNotNull(), F.lit("near_dup")))
-    return merged.select(
+    kept_rows = flags.select(
         "doc_id", "route", "title",
         F.when(reason.isNull(), F.col("content")).alias("content"),
-        F.coalesce("n_pii", F.lit(0)).alias("n_pii"),
+        F.col("n_pii").cast("long").alias("n_pii"),
         reason.isNull().alias("kept"), reason.alias("reason"))
+    dropped = doc.where(~F.col("_quality")).select(
+        "doc_id", "route", "title",
+        F.lit(None).cast("string").alias("content"),
+        F.lit(0).cast("long").alias("n_pii"),
+        F.lit(False).alias("kept"),
+        F.when(~F.col("success"), F.lit("extract"))
+        .otherwise(F.lit("quality")).alias("reason"))
+    return kept_rows.unionByName(dropped)
 
 
 def curation_report(curated: DataFrame) -> DataFrame:
