@@ -49,7 +49,7 @@ from rag_document_parser_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
     paragraph_dedup,
-    word_shingles,
+    shingle_df,
 )
 from rag_document_parser_spark.operators.pii import PII_RULES, redact_pii
 from rag_document_parser_spark.operators.textstats import quality_exprs
@@ -76,7 +76,9 @@ def curate(df: DataFrame, cfg: ExtractConfig | None = None,
     ``near_dup`` | null for kept).
 
     ``materialize=True`` (default) localCheckpoints the two fan-out
-    points — the extraction output and the post-boilerplate text. The
+    points — the quality-scored content projection (post-extraction;
+    the flattened text, not the heavier span arrays) and the
+    post-boilerplate text. The
     curated plan references each of them from ~5 branches (quality
     projection, paragraph blacklist, exact-dup groups, LSH band self-
     join, final reassembly); without materialization every branch
@@ -98,8 +100,6 @@ def curate(df: DataFrame, cfg: ExtractConfig | None = None,
     exhaust executor memory — degrade to shuffle joins there.
     """
     ext = extract(df, cfg)
-    if materialize:
-        ext = ext.localCheckpoint()
     q = quality_exprs(F.col("content"))
     doc = ext.select(
         "doc_id", "route", "title", "success",
@@ -112,6 +112,11 @@ def curate(df: DataFrame, cfg: ExtractConfig | None = None,
         "_quality",
         F.col("success") & F.col("_nw").between(min_words, max_words)
         & (F.col("_ar") >= min_alpha_ratio))
+    if materialize:
+        # checkpoint AFTER the content projection: the flattened text is
+        # ~half the bytes of the spans_clean arrays it derives from, and
+        # no downstream branch needs the arrays
+        doc = doc.localCheckpoint()
 
     live = doc.where("_quality").select("doc_id", "route", "title",
                                         "content")
@@ -174,16 +179,24 @@ def curate(df: DataFrame, cfg: ExtractConfig | None = None,
             # is the big side, so (under broadcast_drops) it streams
             # through two BroadcastHash joins against the small
             # candidate list — `sh` is never shuffled on doc id; with
-            # broadcast_drops=False both fall back to shuffle joins
-            sh = uniq.select(
-                F.col("doc_id").alias("_id"),
-                F.array_distinct(word_shingles(F.col("content")))
-                .alias("_sh"))
-            half = (sh.withColumnsRenamed({"_id": "id_a", "_sh": "sh_a"})
+            # broadcast_drops=False both fall back to shuffle joins.
+            # The small frames are CHECKPOINTED before broadcasting:
+            # building a broadcast executes its plan uncached, so an
+            # unmaterialized `pairs` would replay the whole LSH chain
+            # once per broadcast (measured 5x the leg's cost). The
+            # near-dup leg is action-bearing regardless (cluster
+            # rounds), so this adds no new laziness caveat.
+            pairs = pairs.localCheckpoint()
+            # shingle_df, NOT word_shingles over a raw expression: the
+            # tokenizer must be staged as a bound attribute or Catalyst
+            # re-runs it once per gram (the repo's measured 4.5-6x trap)
+            sh = shingle_df(uniq, "content", "doc_id", n=3)
+            half = (sh.withColumnsRenamed({"id": "id_a",
+                                           "shingles": "sh_a"})
                     .join(F.broadcast(pairs) if broadcast_drops else pairs,
-                          "id_a"))
+                          "id_a")).localCheckpoint()
             pairs = (
-                sh.withColumnsRenamed({"_id": "id_b", "_sh": "sh_b"})
+                sh.withColumnsRenamed({"id": "id_b", "shingles": "sh_b"})
                 .join(F.broadcast(half) if broadcast_drops else half,
                       "id_b")
                 .where(F.size(F.array_intersect("sh_a", "sh_b")) >=
