@@ -143,3 +143,21 @@ def test_idempotent_on_survivors(spark, corpus):
             ).alias("spans")),
         cfg)
     assert again.where("NOT kept").count() == 0
+
+
+def test_curate_empty_corpus(spark):
+    empty = spark.createDataFrame([], schema=INPUT_SCHEMA)
+    out = curate(empty).collect()
+    assert out == []
+
+
+def test_curate_everything_drops(spark):
+    """A corpus where no doc survives any gate still yields one verdict
+    row per doc (no join/union leg loses the dropped docs)."""
+    docs = [_text_doc("t1", "hi"), _text_doc("t2", "no"),
+            _text_doc("t3", "x", kind="martian")]
+    cfg = ExtractConfig(unknown_kinds="error")
+    out = {r["doc_id"]: r["reason"]
+           for r in curate(spark.createDataFrame(docs, INPUT_SCHEMA),
+                           cfg).collect()}
+    assert out == {"t1": "quality", "t2": "quality", "t3": "extract"}
