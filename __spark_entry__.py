@@ -1556,6 +1556,84 @@ FROM r WHERE rank <= {_TOPK}"""
 SQL_IVF_COSINE = _sql_ivf()
 
 
+_KM_K = 4
+_KM_ITERS = 2
+
+
+def q_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical k-means training (Lloyd, driver-paced rounds) — the
+    offline trainer for the IVF coarse quantizer. Every float op is
+    order-pinned (id-sorted fold means, left-fold dots, guarded
+    normalization), so the unrolled DuckDB oracle reproduces the
+    trained centroids bitwise."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = V.train_kmeans(emb, k=_KM_K, iters=_KM_ITERS)
+    import math
+    rows = [(cid, d, int(math.floor(c[d] * 1_000_000)))
+            for cid, c in cents for d in range(len(c))]
+    return spark.createDataFrame(
+        rows, "cid long, dim long, coord_e6 long")
+
+
+def _sql_kmeans() -> str:
+    dot_sc = ("list_reduce(list_transform(range(1, len(v) + 1), "
+              "ii -> v[ii] * s.c[ii]), (a, b) -> a + b)")
+
+    def unit(m: str) -> str:
+        nrm = (f"sqrt(list_reduce(list_transform({m}, x -> x * x), "
+               "(a, b) -> a + b))")
+        return (f"list_transform([{nrm}], nz -> CASE WHEN nz > 0 "
+                f"THEN list_transform({m}, x -> x / nz) "
+                f"ELSE {m} END)[1]")
+
+    mean = ("list_transform(range(1, len(ms[1]) + 1), d -> "
+            "list_reduce(list_transform(ms, m -> m[d]), "
+            "(a, b) -> a + b) / n)")
+
+    iter_ctes = []
+    prev_l, prev_u = "l0", "n0"
+    for i in range(1, _KM_ITERS + 1):
+        iter_ctes.append(f"""
+a{i} AS (
+  SELECT e2.vec_id, e2.v,
+    (list_min(list_transform({prev_l}.cs, s ->
+      {{'negsc': -({dot_sc}), 'cid': s.cid}}))).cid AS cid
+  FROM e2, {prev_l}
+), g{i} AS (
+  SELECT cid, list(v ORDER BY vec_id) AS ms, count(*) AS n
+  FROM a{i} GROUP BY cid
+), m{i} AS (
+  SELECT cid, {mean} AS m FROM g{i}
+), u{i} AS (
+  SELECT p.cid, CASE WHEN m{i}.m IS NULL THEN p.c
+                     ELSE {unit(f'm{i}.m')} END AS c
+  FROM {prev_u} p LEFT JOIN m{i} USING (cid)
+), l{i} AS (
+  SELECT list({{'cid': cid, 'c': c}} ORDER BY cid) AS cs FROM u{i}
+)""")
+        prev_l, prev_u = f"l{i}", f"u{i}"
+
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+           FROM embeddings
+           WHERE embedding IS NOT NULL),
+e2 AS (SELECT * FROM e WHERE {_NRM.format(x='v')} > 0),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
+  FROM (SELECT vec_id, v FROM e2 ORDER BY vec_id LIMIT {_KM_K})
+), n0 AS (SELECT cid, {unit('v')} AS c FROM c0
+), l0 AS (SELECT list({{'cid': cid, 'c': c}} ORDER BY cid) AS cs FROM n0
+), {', '.join(iter_ctes)}
+SELECT cid::BIGINT AS cid, (u.d - 1)::BIGINT AS dim, u.e6 AS coord_e6
+FROM (
+  SELECT cid, unnest(list_transform(range(1, len(c) + 1),
+    dd -> {{'d': dd, 'e6': floor(c[dd] * 1000000)::BIGINT}})) AS u
+  FROM {prev_u})"""
+
+
+SQL_KMEANS_CENTROIDS = _sql_kmeans()
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup dedup tier. The synthetic embeddings have
     no natural near-dups, so vec_id<30 are cloned under id+100000."""
@@ -2621,6 +2699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "lsh_cosine_topk": q_lsh_cosine_topk,
         "ivf_cosine_topk": q_ivf_cosine_topk,
+        "kmeans_centroids": q_kmeans_centroids,
         "embedding_near_dup": q_embedding_near_dup,
         "failed_docs": q_failed_docs,
         "failed_docs_poisoned": q_failed_docs_poisoned,
@@ -2683,6 +2762,7 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": SQL_COSINE_TOPK,
         "lsh_cosine_topk": SQL_LSH_COSINE,
         "ivf_cosine_topk": SQL_IVF_COSINE,
+        "kmeans_centroids": SQL_KMEANS_CENTROIDS,
         "embedding_near_dup": SQL_EMB_NEAR_DUP,
         "failed_docs": SQL_FAILED,
         "failed_docs_poisoned": SQL_FAILED_POISONED,

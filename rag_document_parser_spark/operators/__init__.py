@@ -26,6 +26,10 @@ from rag_document_parser_spark.operators.sampling import (
     stratified_sample,
 )
 from rag_document_parser_spark.operators.sheets import sheet_structure
+from rag_document_parser_spark.operators.similarity import (
+    ivf_cosine_topk,
+    train_kmeans,
+)
 from rag_document_parser_spark.operators.urls import (
     block_domains,
     domain_stats,
@@ -39,4 +43,4 @@ __all__ = ["block_domains", "chunk_documents", "decontaminate",
            "pii_features", "redact_pii", "repeated_window_fraction",
            "repeated_windows", "score_bigram_lm", "shard_manifest",
            "sheet_structure", "stratified_sample", "top_ngram_stats",
-           "train_bigram_lm"]
+           "train_bigram_lm", "train_kmeans", "ivf_cosine_topk"]

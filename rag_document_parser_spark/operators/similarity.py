@@ -250,10 +250,83 @@ def ivf_assignment(vec, centroids: list[tuple[int, list[float]]]):
     return F.element_at(F.array_sort(_centroid_scores(vec, centroids)), 1)
 
 
+def _unit(v: list[float]) -> list[float]:
+    """Driver-side normalization with the engines' exact fold order."""
+    import math
+
+    nrm = math.sqrt(sum_left_fold([float(x) * float(x) for x in v]))
+    return [float(x) / nrm for x in v] if nrm > 0 else [float(x) for x in v]
+
+
+def train_kmeans(corpus: DataFrame, k: int = 8, iters: int = 2,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 ) -> list[tuple[int, list[float]]]:
+    """Spherical k-means (Lloyd) over unit centroids — the offline
+    trainer that feeds ``ivf_cosine_topk(centroids=...)``.
+
+    Driver-paced iterations, the same round topology as
+    ``dedup.dedup_clusters``: per round, ONE zero-shuffle assignment
+    projection (centroids are broadcast literals, score = plain dot
+    against unit centroids — no per-row division, no ANSI
+    divide-by-zero surface) and ONE k-group aggregate; only k mean
+    vectors ever reach the driver.
+
+    Everything is bitwise-reproducible (the DuckDB oracle replays it
+    exactly): init = the k lowest-id non-degenerate vectors; ties in
+    assignment break to the lowest cid; cluster means fold members in
+    id order (``sort_array(collect_list)``); normalization guards the
+    zero vector; an empty cluster keeps its previous centroid.
+
+    At scale the sorted-fold mean is the one concession to
+    reproducibility: it collects each cluster's members into one
+    aggregation buffer, so TRAIN ON A BOUNDED SAMPLE
+    (``sampling.hash_sample`` of ~10^5-10^6 vectors — the standard IVF
+    recipe), never the full corpus; assignment of the full corpus
+    afterwards is the zero-shuffle projection and scales freely.
+    """
+    def _ok(df):
+        return df.where(F.col(vec_col).isNotNull()
+                        & (_norm(F.col(vec_col)) > 0))
+
+    vecs = _ok(corpus).select(
+        F.col(id_col).alias("_i"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"))
+    seeds = vecs.orderBy("_i").limit(k).collect()
+    if not seeds:
+        raise ValueError("train_kmeans: no non-degenerate vectors")
+    cents = [(i, _unit(list(r["_v"]))) for i, r in enumerate(seeds)]
+    dim = len(cents[0][1])
+    for _ in range(iters):
+        structs = [F.struct((-_dot(F.col("_v"), F.lit(c))).alias("negsc"),
+                            F.lit(cid).alias("cid"))
+                   for cid, c in cents]
+        assigned = vecs.select(
+            "_i", "_v",
+            F.element_at(F.array_sort(F.array(*structs)), 1)["cid"]
+            .alias("_c"))
+        grp = (assigned.groupBy("_c")
+               .agg(F.sort_array(F.collect_list(
+                        F.struct(F.col("_i").alias("i"),
+                                 F.col("_v").alias("v")))).alias("ms"),
+                    F.count("*").alias("n")))
+        mean = F.transform(
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda d: F.aggregate(
+                "ms", F.lit(0.0),
+                lambda acc, m: acc + F.element_at(m["v"], d)) / F.col("n"))
+        means = {r["_c"]: list(r["m"])
+                 for r in grp.select("_c", mean.alias("m")).collect()}
+        cents = [(cid, _unit(means[cid]) if cid in means else c)
+                 for cid, c in cents]
+    return cents
+
+
 def ivf_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                     n_centroids: int = 16, nprobe: int = 4,
                     id_col: str = "vec_id", vec_col: str = "embedding",
-                    qid_col: str = "query_id") -> DataFrame:
+                    qid_col: str = "query_id",
+                    centroids: "list[tuple[int, list[float]]] | None" = None,
+                    ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the classic ANN scale path.
 
     Structure (what matters at 100 TB):
@@ -283,10 +356,11 @@ def ivf_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
 
     corpus = _ok(corpus)
     queries = _ok(queries)
-    cents = [(r[0], list(r[1])) for r in
-             corpus.select(id_col, vec_col)
-             .where(F.col(id_col) < n_centroids)
-             .orderBy(id_col).collect()]
+    cents = centroids if centroids is not None else \
+        [(r[0], list(r[1])) for r in
+         corpus.select(id_col, vec_col)
+         .where(F.col(id_col) < n_centroids)
+         .orderBy(id_col).collect()]
     if not cents:
         # without this, _centroid_scores builds a zero-element F.array()
         # and the downstream struct-field access fails at analysis time
