@@ -660,6 +660,75 @@ SELECT doc_id, lang, sample_rank::BIGINT AS sample_rank FROM (
 WHERE sample_rank <= 7"""
 
 
+_MIX_WEIGHTS = {"en": 2.5, "de": 0.0, "fr": 1.0}
+_MIX_DEFAULT = 0.5
+
+
+def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture resampling (Pile/DoReMi-style domain
+    reweighting): per-lang weight w emits floor(w) copies of each doc
+    plus one more iff its md5 key falls under frac(w) — downsampling
+    and upsampling through one scan-local rule, reproducible at any
+    parallelism (no reference analog; SURVEY §6 scale path)."""
+    out = SAM.resample_by_group(_docs(spark, sf_dir), _MIX_WEIGHTS,
+                                "lang", salt="mixv1",
+                                default_weight=_MIX_DEFAULT)
+    return out.select("doc_id", "lang", "copy")
+
+
+def _sql_mixture() -> str:
+    def hx(frac: float) -> str:
+        return format(min(int(frac * 16 ** 8), 16 ** 8 - 1), "08x")
+
+    base = " ".join(f"WHEN '{g}' THEN {int(w)}"
+                    for g, w in _MIX_WEIGHTS.items())
+    thr = " ".join(f"WHEN '{g}' THEN '{hx(w - int(w))}'"
+                   for g, w in _MIX_WEIGHTS.items())
+    return f"""
+WITH w AS (
+  SELECT doc_id, lang,
+    (CASE lang {base} ELSE {int(_MIX_DEFAULT)} END
+     + CASE WHEN substr(md5(doc_id::VARCHAR || 'mixv1'), 1, 8)
+                 < CASE lang {thr}
+                   ELSE '{hx(_MIX_DEFAULT - int(_MIX_DEFAULT))}' END
+            THEN 1 ELSE 0 END)::BIGINT AS n
+  FROM documents)
+SELECT doc_id, lang, unnest(range(1, n + 1))::BIGINT AS copy
+FROM w WHERE n > 0"""
+
+
+SQL_MIXTURE_RESAMPLE = _sql_mixture()
+
+
+_SPLIT_FRACTIONS = {"train": 0.7, "val": 0.2, "test": 0.1}
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split by md5 range: exactly
+    disjoint, exhaustive, stable under repartitioning — the property
+    randomSplit cannot give. Scan-local chained range compare."""
+    out = SAM.hash_split(_docs(spark, sf_dir), _SPLIT_FRACTIONS,
+                         salt="splitv1")
+    return out.select("doc_id", "lang", "split")
+
+
+def _sql_hash_split() -> str:
+    key = "substr(md5(doc_id::VARCHAR || 'splitv1'), 1, 8)"
+    names = list(_SPLIT_FRACTIONS)
+    cum, whens = 0.0, []
+    for name in names[:-1]:
+        cum += _SPLIT_FRACTIONS[name]
+        bound = format(min(int(cum * 16 ** 8), 16 ** 8 - 1), "08x")
+        whens.append(f"WHEN {key} < '{bound}' THEN '{name}'")
+    return f"""
+SELECT doc_id, lang,
+  CASE {' '.join(whens)} ELSE '{names[-1]}' END AS split
+FROM documents"""
+
+
+SQL_HASH_SPLIT = _sql_hash_split()
+
+
 _PACK_BUDGET = 1000
 _PACK_BUCKETS = 8
 
@@ -1671,6 +1740,65 @@ SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b,
 FROM s WHERE cos >= 0.95"""
 
 
+_SD_THRESHOLD = 0.999
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup comparing pairs only
+    WITHIN an embedding cluster — Σ|cluster|² work instead of n². The
+    synthetic embeddings have no exact dups, so vec_id<10 are cloned
+    under id+100000; each clone must fall to its original."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    clones = emb.where(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    out = V.semdedup(emb.unionByName(clones), threshold=_SD_THRESHOLD,
+                     n_centroids=_NCENT)
+    return out.select(F.col("vec_id").cast("long"),
+                      F.col("cid").cast("long"), "kept",
+                      F.col("dup_of").cast("long"))
+
+
+def _sql_semdedup() -> str:
+    # assignment CTEs mirror _sql_ivf (same deterministic quantizer);
+    # pair cosine folds a-side * b-side like the engine's zip_with
+    dot_cv = _DOT.replace("qv", "cv")
+    dot_ab = _DOT.replace("qv[i]", "b.v[i]").replace("v[i]*", "a.v[i]*") \
+        .replace("len(v)", "len(a.v)")
+    return f"""
+WITH e0 AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings
+  WHERE vec_id < 10
+), e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+         FROM e0 WHERE embedding IS NOT NULL),
+e2 AS (SELECT * FROM e WHERE {_NRM.format(x='v')} > 0),
+cents AS (SELECT vec_id AS cid, v AS cv FROM e2 WHERE vec_id < {_NCENT}),
+ccos AS (
+  SELECT e2.vec_id, e2.v, c.cid,
+    {dot_cv} / {_NRM.format(x='cv')} AS score
+  FROM e2, cents c
+), assigned AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY score DESC, cid ASC) AS rn
+    FROM ccos) WHERE rn = 1
+), dups AS (
+  SELECT a.vec_id, min(b.vec_id) AS dup_of
+  FROM assigned a JOIN assigned b
+    ON a.cid = b.cid AND b.vec_id < a.vec_id
+  WHERE {dot_ab} / ({_NRM.format(x='a.v')} * {_NRM.format(x='b.v')})
+        >= {_SD_THRESHOLD}
+  GROUP BY a.vec_id)
+SELECT a.vec_id::BIGINT AS vec_id, a.cid::BIGINT AS cid,
+       (d.dup_of IS NULL) AS kept, d.dup_of::BIGINT AS dup_of
+FROM assigned a LEFT JOIN dups d USING (vec_id)"""
+
+
+SQL_SEMDEDUP = _sql_semdedup()
+
+
 def q_failed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3/L3 failed-docs projection. The contract's rules never raise, so
     on well-formed input this is verified-empty (count and schema still
@@ -2674,6 +2802,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "hash_sample": q_hash_sample,
         "stratified_sample": q_stratified_sample,
+        "mixture_resample": q_mixture_resample,
+        "hash_split": q_hash_split,
         "pack_shards": q_pack_shards,
         "shard_manifest": q_shard_manifest,
         "lm_score": q_lm_score,
@@ -2701,6 +2831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_cosine_topk": q_ivf_cosine_topk,
         "kmeans_centroids": q_kmeans_centroids,
         "embedding_near_dup": q_embedding_near_dup,
+        "semdedup": q_semdedup,
         "failed_docs": q_failed_docs,
         "failed_docs_poisoned": q_failed_docs_poisoned,
         "summary_poisoned": q_summary_poisoned,
@@ -2737,6 +2868,8 @@ def oracle_sql() -> dict[str, str]:
         "token_count": SQL_TOKEN_COUNT,
         "hash_sample": SQL_HASH_SAMPLE,
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
+        "mixture_resample": SQL_MIXTURE_RESAMPLE,
+        "hash_split": SQL_HASH_SPLIT,
         "pack_shards": SQL_PACK_SHARDS,
         "shard_manifest": SQL_SHARD_MANIFEST,
         "lm_score": SQL_LM_SCORE,
@@ -2764,6 +2897,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_cosine_topk": SQL_IVF_COSINE,
         "kmeans_centroids": SQL_KMEANS_CENTROIDS,
         "embedding_near_dup": SQL_EMB_NEAR_DUP,
+        "semdedup": SQL_SEMDEDUP,
         "failed_docs": SQL_FAILED,
         "failed_docs_poisoned": SQL_FAILED_POISONED,
         "summary_poisoned": SQL_SUMMARY_POISONED,

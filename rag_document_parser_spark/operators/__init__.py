@@ -23,11 +23,14 @@ from rag_document_parser_spark.operators.repetition import (
 )
 from rag_document_parser_spark.operators.sampling import (
     hash_sample,
+    hash_split,
+    resample_by_group,
     stratified_sample,
 )
 from rag_document_parser_spark.operators.sheets import sheet_structure
 from rag_document_parser_spark.operators.similarity import (
     ivf_cosine_topk,
+    semdedup,
     train_kmeans,
 )
 from rag_document_parser_spark.operators.urls import (
@@ -38,9 +41,10 @@ from rag_document_parser_spark.operators.urls import (
 
 __all__ = ["block_domains", "chunk_documents", "decontaminate",
            "dedup_clusters", "domain_stats", "extract_arrow",
-           "extract_catalyst", "extract_urls", "hash_sample",
+           "extract_catalyst", "extract_urls", "hash_sample", "hash_split",
            "line_repetition_features", "pack_shards", "paragraph_dedup",
            "pii_features", "redact_pii", "repeated_window_fraction",
-           "repeated_windows", "score_bigram_lm", "shard_manifest",
-           "sheet_structure", "stratified_sample", "top_ngram_stats",
-           "train_bigram_lm", "train_kmeans", "ivf_cosine_topk"]
+           "repeated_windows", "resample_by_group", "score_bigram_lm",
+           "semdedup", "shard_manifest", "sheet_structure",
+           "stratified_sample", "top_ngram_stats", "train_bigram_lm",
+           "train_kmeans", "ivf_cosine_topk"]

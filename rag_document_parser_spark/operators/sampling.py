@@ -31,7 +31,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["hash_sample", "sample_key", "stratified_sample"]
+__all__ = ["hash_sample", "hash_split", "resample_by_group", "sample_key",
+           "stratified_sample"]
 
 # 8 hex digits = 32 bits of the digest: rate resolution 1/2^32, far finer
 # than any sampling decision needs, and short enough that the threshold
@@ -96,3 +97,88 @@ def stratified_sample(df: DataFrame, k: int, strata_col: str,
                                                 F.asc(key_col))
     return (cand.withColumn("sample_rank", F.row_number().over(w2))
             .where(F.col("sample_rank") <= k).drop("_skey"))
+
+
+def hash_split(df: DataFrame, fractions: dict[str, float],
+               key_col: str = "doc_id", salt: str = "") -> DataFrame:
+    """Deterministic disjoint split (train/val/test) by hash range.
+
+    Adds a ``split`` column: each row lands in the split whose
+    cumulative [0, 1) digest range contains its sample key, so the
+    splits are exactly disjoint, exhaustive, and stable under re-runs,
+    repartitioning, and engine changes — the property ``df.randomSplit``
+    cannot give. Fractions must sum to 1 (±1e-9); the last split absorbs
+    the sub-ulp rounding tail. Scan-local (zero shuffles): the label is
+    a chained range compare on the md5 prefix, evaluated inside the
+    scan's codegen span.
+    """
+    if len(fractions) < 1:
+        raise ValueError("fractions must name at least one split")
+    if any(f < 0 for f in fractions.values()):
+        raise ValueError(f"fractions must be >= 0, got {fractions}")
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    names = list(fractions)
+    key = sample_key(F.col(key_col), salt)
+    label, cum = F.lit(names[-1]), 0.0
+    expr = None
+    for name in names[:-1]:
+        cum += fractions[name]
+        branch = key < F.lit(_threshold(min(cum, 1.0)))
+        expr = F.when(branch, F.lit(name)) if expr is None \
+            else expr.when(branch, F.lit(name))
+    label = label if expr is None else expr.otherwise(label)
+    return df.withColumn("split", label)
+
+
+def resample_by_group(df: DataFrame, weights: dict[str, float],
+                      group_col: str, key_col: str = "doc_id",
+                      salt: str = "",
+                      default_weight: float = 1.0) -> DataFrame:
+    """Deterministic mixture resampling (domain/language reweighting).
+
+    The standard training-data mixing step (Pile/DoReMi-style domain
+    weights): a row in group ``g`` with weight ``w`` is emitted
+    ``floor(w)`` times, plus one more iff its sample key falls under
+    ``frac(w)`` — so the group's expected multiplicity is exactly
+    ``w``, downsampling (w < 1) and upsampling (w > 1) through one
+    rule. Groups absent from ``weights`` get ``default_weight``.
+    Output = input columns + ``copy`` (1..n for that row); rows drawn
+    zero times disappear.
+
+    Determinism: multiplicity depends only on (key, salt), never on
+    partitioning or RNG state — rerunning the job or changing the
+    cluster size reproduces the corpus bit-for-bit, which is what makes
+    the mixture auditable. Scale: zero shuffles — the copy count is a
+    chained group compare plus one digest compare, and the fan-out is a
+    ``sequence`` explode inside the scan stage; a 3× upsample of a 100
+    TB slice costs the one read pass plus the write of the copies.
+    """
+    for g, w in weights.items():
+        if w < 0:
+            raise ValueError(f"weight for {g!r} must be >= 0, got {w}")
+    if default_weight < 0:
+        raise ValueError(f"default_weight must be >= 0, got {default_weight}")
+
+    def parts(w: float) -> tuple[int, str]:
+        base = int(w)
+        return base, _threshold(w - base)
+
+    d_base, d_thr = parts(default_weight)
+    base_e, thr_e = None, None
+    for g, w in weights.items():
+        b, t = parts(w)
+        cond = F.col(group_col) == g
+        base_e = F.when(cond, b) if base_e is None else base_e.when(cond, b)
+        thr_e = F.when(cond, t) if thr_e is None else thr_e.when(cond, t)
+    base_c = F.lit(d_base) if base_e is None else base_e.otherwise(d_base)
+    thr_c = F.lit(d_thr) if thr_e is None else thr_e.otherwise(d_thr)
+    copies = (base_c.cast("int")
+              + (sample_key(F.col(key_col), salt) < thr_c).cast("int"))
+    return (df.withColumn("_n", copies.cast("long"))
+            .where(F.col("_n") > 0)
+            .withColumn("copy",
+                        F.explode(F.sequence(F.lit(1).cast("long"),
+                                             F.col("_n"))))
+            .drop("_n"))

@@ -321,6 +321,85 @@ def train_kmeans(corpus: DataFrame, k: int = 8, iters: int = 2,
     return cents
 
 
+def _lowest_id_centroids(corpus: DataFrame, n_centroids: int,
+                         id_col: str, vec_col: str,
+                         caller: str) -> list[tuple[int, list[float]]]:
+    """Deterministic coarse quantizer: the ``n_centroids`` corpus vectors
+    with the smallest ids (one tiny driver collect). A real deploy
+    substitutes ``train_kmeans`` centroids; determinism is what lets the
+    DuckDB oracle pin the operators exactly."""
+    cents = [(r[0], list(r[1])) for r in
+             corpus.select(id_col, vec_col)
+             .where(F.col(id_col) < n_centroids)
+             .orderBy(id_col).collect()]
+    if not cents:
+        # without this, _centroid_scores builds a zero-element F.array()
+        # and the downstream struct-field access fails at analysis time
+        # with an unrelated-looking error
+        raise ValueError(
+            f"{caller}: no corpus rows with {id_col} < "
+            f"{n_centroids} to serve as centroids — the deterministic "
+            f"coarse quantizer needs a 0-based id domain (ids "
+            f"0..{n_centroids - 1} present and non-degenerate)")
+    return cents
+
+
+def semdedup(corpus: DataFrame, threshold: float = 0.95,
+             n_centroids: int = 16, id_col: str = "vec_id",
+             vec_col: str = "embedding",
+             centroids: "list[tuple[int, list[float]]] | None" = None,
+             ) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    clustering embeddings, then comparing pairs ONLY within a cluster.
+
+    Returns one row per non-degenerate input vector:
+    ``(id_col, cid, kept, dup_of)`` — ``kept`` is false iff some
+    lower-id vector in the SAME cluster has cosine >= ``threshold``
+    with it, and ``dup_of`` is the lowest such id (null when kept).
+    Degenerate vectors (NULL / zero norm — cosine undefined) are
+    excluded, like the other cosine operators here.
+
+    Scale shape (what makes this tractable where all-pairs is not):
+
+    - assignment is the zero-shuffle broadcast-literal projection shared
+      with ``ivf_cosine_topk`` (centroids from ``train_kmeans`` on a
+      bounded sample in production, the lowest-id vectors by default
+      for oracle determinism);
+    - the candidate join keys on the cluster id, so the comparison
+      volume is Σ|cluster|² instead of n² — ``n_centroids`` is the
+      knob (SemDeDup uses k ≈ n/10⁴..10⁵ so clusters stay in the
+      thousands; a runaway cluster is a skewed key, visible in the
+      Spark UI, fixed by raising k or re-training);
+    - the drop list (one row per DROPPED vector) is joined back
+      broadcast, the corpus side never reshuffles.
+    """
+    def _ok(df):
+        return df.where(F.col(vec_col).isNotNull()
+                        & (_norm(F.col(vec_col)) > 0))
+
+    corpus = _ok(corpus)
+    cents = centroids if centroids is not None else \
+        _lowest_id_centroids(corpus, n_centroids, id_col, vec_col,
+                             "semdedup")
+    assigned = corpus.select(
+        F.col(id_col), F.col(vec_col),
+        ivf_assignment(F.col(vec_col), cents)["cid"].alias("cid"))
+    a = assigned.select(F.col("cid"), F.col(id_col).alias("_ida"),
+                        F.col(vec_col).alias("_va"))
+    b = assigned.select(F.col("cid"), F.col(id_col).alias("_idb"),
+                        F.col(vec_col).alias("_vb"))
+    cos = cosine_similarity_col(F.col("_va"), F.col("_vb"))
+    dups = (a.join(b, "cid")
+            .where(F.col("_idb") < F.col("_ida"))
+            .where(cos >= threshold)
+            .groupBy(F.col("_ida").alias(id_col))
+            .agg(F.min("_idb").alias("dup_of")))
+    return (assigned.select(id_col, "cid")
+            .join(F.broadcast(dups), id_col, "left")
+            .select(id_col, "cid",
+                    F.col("dup_of").isNull().alias("kept"), "dup_of"))
+
+
 def ivf_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                     n_centroids: int = 16, nprobe: int = 4,
                     id_col: str = "vec_id", vec_col: str = "embedding",
@@ -357,19 +436,8 @@ def ivf_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     corpus = _ok(corpus)
     queries = _ok(queries)
     cents = centroids if centroids is not None else \
-        [(r[0], list(r[1])) for r in
-         corpus.select(id_col, vec_col)
-         .where(F.col(id_col) < n_centroids)
-         .orderBy(id_col).collect()]
-    if not cents:
-        # without this, _centroid_scores builds a zero-element F.array()
-        # and the downstream struct-field access fails at analysis time
-        # with an unrelated-looking error
-        raise ValueError(
-            f"ivf_cosine_topk: no corpus rows with {id_col} < "
-            f"{n_centroids} to serve as centroids — the deterministic "
-            f"coarse quantizer needs a 0-based id domain (ids "
-            f"0..{n_centroids - 1} present and non-degenerate)")
+        _lowest_id_centroids(corpus, n_centroids, id_col, vec_col,
+                             "ivf_cosine_topk")
     assigned = corpus.select(
         F.col(id_col), F.col(vec_col),
         ivf_assignment(F.col(vec_col), cents)["cid"].alias("_cid"))
