@@ -30,6 +30,7 @@ from rag_document_parser_spark.config import (CATALYST_CONFIG,
 from rag_document_parser_spark.corpus import SLUG_WORDS, spans_df_from_documents
 from rag_document_parser_spark.functions import text as X
 from rag_document_parser_spark.operators import dedup as D
+from rag_document_parser_spark.operators import graph as G
 from rag_document_parser_spark.operators import multimodal as M
 from rag_document_parser_spark.operators import pii as PII
 from rag_document_parser_spark.operators import repetition as REP
@@ -727,8 +728,6 @@ FROM documents"""
 
 
 SQL_HASH_SPLIT = _sql_hash_split()
-
-
 _PACK_BUDGET = 1000
 _PACK_BUCKETS = 8
 
@@ -1184,8 +1183,18 @@ def q_url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rag_document_parser_spark.operators import urls as U
 
     d = _docs(spark, sf_dir)
+    staged = d.select("doc_id", "source", _weburl_text().alias("t"))
+    return U.domain_stats(staged, text_col="t", k=20).select(
+        "domain", F.col("n_docs").cast("long"),
+        F.col("n_urls").cast("long"))
+
+
+def _weburl_text():
+    """The url tier's synthesized web text (the raw corpus has no
+    URLs): every doc cites one pool domain, h%2==0 a second, h%5==0 a
+    mixed-case host. Shared by url_stats and pagerank."""
     h = _hcol(F.col("doc_id"))
-    t = F.concat(
+    return F.concat(
         F.substring("text", 1, 30),
         F.lit(" see https://"), _dom_case(F.pmod(h, 7)),
         F.lit("/p/"), F.pmod(h, 1000).cast("string"),
@@ -1198,26 +1207,21 @@ def q_url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("")),
         F.lit(" end"),
     )
-    staged = d.select("doc_id", t.alias("t"))
-    return U.domain_stats(staged, text_col="t", k=20).select(
-        "domain", F.col("n_docs").cast("long"),
-        F.col("n_urls").cast("long"))
 
 
-def _sql_url_stats() -> str:
-    from rag_document_parser_spark.operators.urls import (
-        DOMAIN_PATTERN, URL_PATTERN)
-
+def _sql_weburl_ctes() -> str:
+    """CTEs m (docs + md5 selector) and d (synthesized web text) —
+    the SQL twin of ``_weburl_text``, shared by url_stats/pagerank."""
     def dom_case(sel: str) -> str:
         whens = " ".join(f"WHEN {i} THEN {_sq(d)}"
                          for i, d in enumerate(_DOMAINS[:-1]))
         return f"(CASE {sel} {whens} ELSE {_sq(_DOMAINS[-1])} END)"
 
-    return f"""
-WITH m AS (
-  SELECT doc_id, text, {_md5l('doc_id::VARCHAR')} AS h FROM documents
+    return f"""m AS (
+  SELECT doc_id, source, text, {_md5l('doc_id::VARCHAR')} AS h
+  FROM documents
 ), d AS (
-  SELECT doc_id,
+  SELECT doc_id, source,
     substring(text, 1, 30) || ' see https://' || {dom_case('h % 7')} ||
     '/p/' || (h % 1000)::VARCHAR ||
     (CASE WHEN h % 2 = 0 THEN ' and http://' ||
@@ -1226,7 +1230,15 @@ WITH m AS (
     (CASE WHEN h % 5 = 0 THEN ' plus https://CDN.Assets.dev/x.js'
       ELSE '' END) || ' end' AS t
   FROM m
-), u AS (
+)"""
+
+
+def _sql_url_stats() -> str:
+    from rag_document_parser_spark.operators.urls import (
+        DOMAIN_PATTERN, URL_PATTERN)
+
+    return f"""
+WITH {_sql_weburl_ctes()}, u AS (
   SELECT doc_id, unnest(regexp_extract_all(t, {_sq(URL_PATTERN)})) AS url
   FROM d
 )
@@ -1236,6 +1248,64 @@ FROM u GROUP BY 1"""
 
 
 SQL_URL_STATS = _sql_url_stats()
+
+
+_PR_ITERS = 2
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link graph + integer fixed-point PageRank: citation edges
+    (source → cited domain, weighted) from the raw corpus text, ranked
+    with 2 synchronous iterations. All arithmetic is integer (rank_e12
+    fixed-point), so the inflow aggregate is an order-free, map-side
+    combinable SUM — same bits at any cluster size, replayed exactly
+    by the unrolled oracle."""
+    d = _docs(spark, sf_dir)
+    staged = d.select("doc_id", "source", _weburl_text().alias("t"))
+    edges = G.link_graph(staged, text_col="t").select(
+        F.concat(F.lit("s:"), F.col("src")).alias("src"),
+        F.concat(F.lit("d:"), F.col("dst")).alias("dst"), "weight")
+    return G.pagerank(edges, iters=_PR_ITERS)
+
+
+def _sql_pagerank() -> str:
+    from rag_document_parser_spark.operators.graph import SCALE
+    from rag_document_parser_spark.operators.urls import (
+        DOMAIN_PATTERN, URL_PATTERN)
+
+    ctes = [f"""{_sql_weburl_ctes()},
+ex AS (
+  SELECT source, unnest(regexp_extract_all(t, {_sq(URL_PATTERN)})) AS url
+  FROM d
+), ed0 AS (
+  SELECT 's:' || source AS src,
+         'd:' || lower(regexp_extract(url, {_sq(DOMAIN_PATTERN)}, 1)) AS dst
+  FROM ex WHERE lower(regexp_extract(url, {_sq(DOMAIN_PATTERN)}, 1)) <> ''
+), edges AS (SELECT src, dst, count(*) AS w FROM ed0 GROUP BY src, dst),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT count(*) AS n FROM nodes),
+o AS (SELECT src, sum(w) AS wout FROM edges GROUP BY src),
+r0 AS (SELECT node, ({SCALE} // n) AS rank FROM nodes CROSS JOIN nn)"""]
+    prev = "r0"
+    for i in range(1, _PR_ITERS + 1):
+        ctes.append(f"""
+d{i} AS (SELECT coalesce(sum(rank), 0) AS dm FROM {prev}
+         WHERE node NOT IN (SELECT src FROM o)),
+c{i} AS (SELECT e.dst AS node,
+                sum(((r.rank * 85) // 100 * e.w) // o.wout) AS infl
+         FROM edges e JOIN {prev} r ON e.src = r.node
+         JOIN o ON e.src = o.src GROUP BY e.dst),
+r{i} AS (SELECT nodes.node,
+           (({SCALE} * 15) // 100) // n + ((dm * 85) // 100) // n
+           + coalesce(infl, 0) AS rank
+         FROM nodes CROSS JOIN nn CROSS JOIN d{i}
+         LEFT JOIN c{i} ON nodes.node = c{i}.node)""")
+        prev = f"r{i}"
+    return (f"WITH {', '.join(ctes)}\n"
+            f"SELECT node, rank::BIGINT AS rank_e12 FROM {prev}")
+
+
+SQL_PAGERANK = _sql_pagerank()
 
 
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2804,6 +2874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "mixture_resample": q_mixture_resample,
         "hash_split": q_hash_split,
+        "pagerank": q_pagerank,
         "pack_shards": q_pack_shards,
         "shard_manifest": q_shard_manifest,
         "lm_score": q_lm_score,
@@ -2870,6 +2941,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "mixture_resample": SQL_MIXTURE_RESAMPLE,
         "hash_split": SQL_HASH_SPLIT,
+        "pagerank": SQL_PAGERANK,
         "pack_shards": SQL_PACK_SHARDS,
         "shard_manifest": SQL_SHARD_MANIFEST,
         "lm_score": SQL_LM_SCORE,

@@ -194,6 +194,26 @@ def main() -> None:
           lambda: V.lsh_cosine_topk(emb, queries8, k=10).count())
     timed("ivf_cosine_topk",
           lambda: V.ivf_cosine_topk(emb, queries8, k=10).count())
+    timed("semdedup",
+          lambda: V.semdedup(emb.select("vec_id", "embedding")
+                             .unionByName(
+                                 emb.where(F.col("vec_id") < 30).select(
+                                     (F.col("vec_id") + 100000)
+                                     .alias("vec_id"), "embedding")),
+                             threshold=0.999).where("NOT kept").count())
+    timed("mixture_resample",
+          lambda: SAM.resample_by_group(
+              docs, {"en": 2.5, "de": 0.0, "fr": 1.0}, "lang",
+              salt="mix").count())
+    from rag_document_parser_spark.operators import graph as GR
+    planted = docs.select(
+        "source",
+        F.concat(F.substring("text", 1, 20), F.lit(" https://ex"),
+                 F.pmod("doc_id", 40).cast("string"),
+                 F.lit(".org/a http://mirror.net/b")).alias("text"))
+    timed("pagerank",
+          lambda: GR.pagerank(GR.link_graph(planted), iters=2)
+          .agg(F.sum("rank_e12")).collect())
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

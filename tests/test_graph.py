@@ -1,0 +1,85 @@
+"""Link graph + integer fixed-point PageRank (operators/graph.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rag_document_parser_spark.operators.graph import (
+    SCALE,
+    link_graph,
+    pagerank,
+)
+from tests.conftest import SF_DIR
+
+EDGES = [("a", "b", 1), ("b", "c", 2), ("b", "a", 1),
+         ("c", "a", 1), ("a", "d", 3)]  # d is dangling
+
+
+def _sim(edges, iters, damping=85):
+    """Independent pure-Python replay of the integer arithmetic."""
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    n = len(nodes)
+    wout: dict[str, int] = {}
+    for s, _, w in edges:
+        wout[s] = wout.get(s, 0) + w
+    tel = (SCALE * (100 - damping) // 100) // n
+    r = {v: SCALE // n for v in nodes}
+    for _ in range(iters):
+        dang = sum(r[v] for v in nodes if v not in wout)
+        de = (dang * damping // 100) // n
+        inflow = {v: 0 for v in nodes}
+        for s, d, w in edges:
+            inflow[d] += (r[s] * damping // 100 * w) // wout[s]
+        r = {v: tel + de + inflow[v] for v in nodes}
+    return r
+
+
+@pytest.mark.parametrize("iters", [0, 1, 3])
+def test_pagerank_matches_simulation(spark, iters):
+    df = spark.createDataFrame(EDGES, ["src", "dst", "weight"])
+    got = {r["node"]: r["rank_e12"]
+           for r in pagerank(df, iters=iters).collect()}
+    assert got == _sim(EDGES, iters)
+
+
+def test_pagerank_partition_invariant_and_mass_conserving(spark):
+    df = spark.createDataFrame(EDGES, ["src", "dst", "weight"])
+    a = {r["node"]: r["rank_e12"]
+         for r in pagerank(df.repartition(7), iters=2).collect()}
+    assert a == _sim(EDGES, 2)
+    # floors only shed mass; the heavily-cited nodes (a: from b, c and
+    # the dangling pool; d: a's weight-3 edge) outrank the others
+    assert sum(a.values()) <= SCALE
+    assert min(a["a"], a["d"]) > max(a["b"], a["c"])
+
+
+def test_pagerank_validates(spark):
+    df = spark.createDataFrame(EDGES, ["src", "dst", "weight"])
+    with pytest.raises(ValueError):
+        pagerank(df, iters=-1)
+    with pytest.raises(ValueError):
+        pagerank(df, damping_pct=101)
+    empty = spark.createDataFrame([], "src string, dst string, weight long")
+    with pytest.raises(ValueError, match="empty"):
+        pagerank(empty)
+
+
+def test_link_graph_over_documents(spark):
+    # the raw corpus has no URLs — plant two per doc (one mixed-case,
+    # must fold to lowercase), keyed off doc_id so edges are stable
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "source",
+        F.concat(F.substring("text", 1, 20),
+                 F.lit(" https://Ex"), F.pmod("doc_id", 5).cast("string"),
+                 F.lit(".org/a see http://mirror.net/b")).alias("text"))
+    edges = link_graph(docs)
+    assert edges.columns == ["src", "dst", "weight"]
+    rows = edges.collect()
+    assert rows and all(r["weight"] >= 1 for r in rows)
+    assert all(r["dst"] == r["dst"].lower() and r["dst"] for r in rows)
+    # composes: every edge endpoint gets a rank
+    pr = pagerank(edges, iters=1)
+    n_nodes = (edges.select(F.col("src").alias("n"))
+               .union(edges.select("dst")).distinct().count())
+    assert pr.count() == n_nodes

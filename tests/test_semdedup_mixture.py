@@ -195,6 +195,19 @@ def test_hash_split_disjoint_exhaustive_deterministic(spark):
     assert a == b
 
 
+def test_resample_and_split_plans_are_scan_local(spark):
+    """The scale contract: both ops are one codegen span over the scan —
+    zero exchanges, one file scan (a resample of 100 TB costs one read
+    pass; a regression here means a shuffle crept in)."""
+    docs = _docs(spark)
+    p1 = (resample_by_group(docs, {"en": 2.5}, "lang", salt="x")
+          ._jdf.queryExecution().executedPlan().toString())
+    assert p1.count("Exchange") == 0 and p1.count("FileScan") == 1
+    p2 = (hash_split(docs, {"a": 0.5, "b": 0.5})
+          ._jdf.queryExecution().executedPlan().toString())
+    assert p2.count("Exchange") == 0 and p2.count("FileScan") == 1
+
+
 def test_hash_split_validates_fractions(spark):
     docs = _docs(spark)
     with pytest.raises(ValueError):
