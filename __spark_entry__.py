@@ -31,6 +31,7 @@ from rag_document_parser_spark.corpus import SLUG_WORDS, spans_df_from_documents
 from rag_document_parser_spark.functions import text as X
 from rag_document_parser_spark.operators import dedup as D
 from rag_document_parser_spark.operators import graph as G
+from rag_document_parser_spark.operators import keywords as KW
 from rag_document_parser_spark.operators import multimodal as M
 from rag_document_parser_spark.operators import pii as PII
 from rag_document_parser_spark.operators import repetition as REP
@@ -2857,6 +2858,110 @@ SQL_CURATION_REPORT = (
     f"FROM ({SQL_CURATE_CORPUS}) GROUP BY 1")
 
 
+# ---------------------------------------------------------------------------
+# corpus keyword / distribution tier (operators/keywords.py,
+# textstats.length_quantiles, multimodal.media_dedup)
+# ---------------------------------------------------------------------------
+
+
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF keywords per doc (linear idf, BIGINT-exact score;
+    hot/cold-split df join so stopword posting lists never funnel)."""
+    return KW.tfidf_keywords(_docs(spark, sf_dir), top_k=5, min_df=2)
+
+
+_KWTOKS = TOKS_SQL.format(c="text")
+SQL_TFIDF = f"""
+WITH toks AS (SELECT doc_id, {_KWTOKS} AS t FROM documents),
+flat AS (SELECT doc_id, len(t) AS n_toks, unnest(t) AS term FROM toks),
+tf AS (SELECT doc_id, term, max(n_toks) AS n_toks, count(*) AS tf
+       FROM flat GROUP BY doc_id, term),
+dfq AS (SELECT term, count(*) AS df_t FROM tf GROUP BY term
+        HAVING count(*) >= 2),
+tot AS (SELECT count(*) AS n_docs FROM documents),
+j AS (SELECT f.doc_id, f.term, f.tf, d.df_t,
+        f.tf * t.n_docs * 1000000 // (d.df_t * f.n_toks) AS score_e6
+      FROM tf f JOIN dfq d USING (term) CROSS JOIN tot t),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        ORDER BY score_e6 DESC, term) AS krank FROM j)
+SELECT doc_id, term, tf::BIGINT AS tf, df_t::BIGINT AS df_t,
+       score_e6::BIGINT AS score_e6, krank::BIGINT AS krank
+FROM r WHERE krank <= 5"""
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 corpus unigrams + cumulative token coverage (ppm)."""
+    return KW.vocab_coverage(_docs(spark, sf_dir), top_n=50)
+
+
+SQL_VOCAB_COVERAGE = f"""
+WITH flat AS (SELECT unnest({_KWTOKS}) AS term FROM documents),
+counts AS (SELECT term, count(*) AS cnt FROM flat GROUP BY term),
+tot AS (SELECT sum(cnt) AS total FROM counts),
+top AS (SELECT term, cnt FROM counts ORDER BY cnt DESC, term LIMIT 50)
+SELECT row_number() OVER (ORDER BY cnt DESC, term)::BIGINT AS vrank,
+  term, cnt::BIGINT AS cnt,
+  (sum(cnt) OVER (ORDER BY cnt DESC, term
+     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+   * 1000000 // t.total)::BIGINT AS cum_ppm
+FROM top CROSS JOIN tot t"""
+
+
+def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language exact length quantiles over a compacted
+    (group, len, count) distribution — no corpus-wide sort."""
+    return T.length_quantiles(_docs(spark, sf_dir), group_col="lang")
+
+
+SQL_LENGTH_QUANTILES = """
+WITH lens AS (SELECT lang AS grp, length(text)::BIGINT AS len
+              FROM documents),
+compact AS (SELECT grp, len, count(*) AS cnt FROM lens GROUP BY grp, len),
+cum AS (SELECT grp, len, sum(cnt) OVER (PARTITION BY grp ORDER BY len
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM compact),
+tot AS (SELECT grp, max(cum) AS n_docs, min(len) AS min_len,
+               max(len) AS max_len FROM cum GROUP BY grp)
+SELECT c.grp, max(t.n_docs)::BIGINT AS n_docs,
+  max(t.min_len)::BIGINT AS min_len, max(t.max_len)::BIGINT AS max_len,
+  min(CASE WHEN c.cum >= (25 * t.n_docs + 99) // 100 THEN c.len END)::BIGINT
+    AS p25,
+  min(CASE WHEN c.cum >= (50 * t.n_docs + 99) // 100 THEN c.len END)::BIGINT
+    AS p50,
+  min(CASE WHEN c.cum >= (75 * t.n_docs + 99) // 100 THEN c.len END)::BIGINT
+    AS p75,
+  min(CASE WHEN c.cum >= (90 * t.n_docs + 99) // 100 THEN c.len END)::BIGINT
+    AS p90
+FROM cum c JOIN tot t USING (grp) GROUP BY c.grp"""
+
+
+def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact binary dedup on payload sha256 over a media table with 16
+    planted duplicate payloads under different refs ('c' clones of the
+    'm' originals; 'c' < 'm' so clones win keeper selection)."""
+    base = M.synthetic_media_df(spark, 64)
+    clones = M.synthetic_media_df(spark, 16).withColumn(
+        "media_ref", F.regexp_replace("media_ref", "/m", "/c"))
+    return M.media_dedup(base.unionByName(clones))
+
+
+_MEDIA_GEN = """
+  SELECT 'img://64x64/{p}'||i::VARCHAR AS media_ref,
+    CASE WHEN i % 3 = 0 THEN 'image'
+         WHEN i % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+    sha256(repeat('payload-'||i::VARCHAR, 16)) AS payload_sha
+  FROM (SELECT unnest(range({n})) AS i)"""
+SQL_MEDIA_DEDUP = f"""
+WITH base AS ({_MEDIA_GEN.format(p='m', n=64)}
+  UNION ALL {_MEDIA_GEN.format(p='c', n=16)}),
+groups AS (SELECT payload_sha, min(media_ref) AS keeper_ref,
+                  count(*) AS n_copies
+           FROM base GROUP BY payload_sha)
+SELECT media_ref, modality, payload_sha, keeper_ref,
+  n_copies::BIGINT AS n_copies, media_ref <> keeper_ref AS is_dup
+FROM base JOIN groups USING (payload_sha)"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_content": q_extract_content,
@@ -2870,6 +2975,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "quality_features": q_quality,
         "token_count": q_token_count,
+        "tfidf_keywords": q_tfidf_keywords,
+        "vocab_coverage": q_vocab_coverage,
+        "length_quantiles": q_length_quantiles,
+        "media_dedup": q_media_dedup,
         "hash_sample": q_hash_sample,
         "stratified_sample": q_stratified_sample,
         "mixture_resample": q_mixture_resample,
@@ -2937,6 +3046,10 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": SQL_LANG_ID,
         "quality_features": SQL_QUALITY,
         "token_count": SQL_TOKEN_COUNT,
+        "tfidf_keywords": SQL_TFIDF,
+        "vocab_coverage": SQL_VOCAB_COVERAGE,
+        "length_quantiles": SQL_LENGTH_QUANTILES,
+        "media_dedup": SQL_MEDIA_DEDUP,
         "hash_sample": SQL_HASH_SAMPLE,
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "mixture_resample": SQL_MIXTURE_RESAMPLE,

@@ -5,6 +5,12 @@ from rag_document_parser_spark.operators.dedup import (
 from rag_document_parser_spark.operators.extract_arrow import extract_arrow
 from rag_document_parser_spark.operators.extract_catalyst import extract_catalyst
 from rag_document_parser_spark.operators.graph import link_graph, pagerank
+from rag_document_parser_spark.operators.keywords import (
+    tfidf_keywords,
+    vocab_coverage,
+)
+from rag_document_parser_spark.operators.multimodal import media_dedup
+from rag_document_parser_spark.operators.textstats import length_quantiles
 from rag_document_parser_spark.operators.chunking import chunk_documents
 from rag_document_parser_spark.operators.lm import (
     score_bigram_lm,
@@ -43,8 +49,9 @@ from rag_document_parser_spark.operators.urls import (
 __all__ = ["block_domains", "chunk_documents", "decontaminate",
            "dedup_clusters", "domain_stats", "extract_arrow",
            "extract_catalyst", "extract_urls", "hash_sample", "hash_split",
-           "line_repetition_features", "link_graph", "pack_shards",
-           "pagerank", "paragraph_dedup",
+           "length_quantiles", "line_repetition_features", "link_graph",
+           "media_dedup", "pack_shards", "pagerank", "paragraph_dedup",
+           "tfidf_keywords", "vocab_coverage",
            "pii_features", "redact_pii", "repeated_window_fraction",
            "repeated_windows", "resample_by_group", "score_bigram_lm",
            "semdedup", "shard_manifest", "sheet_structure",

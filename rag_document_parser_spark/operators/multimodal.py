@@ -280,6 +280,37 @@ def sample_video_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
     return balanced.mapInPandas(run, schema)
 
 
+def media_dedup(df: DataFrame, ref_col: str = "media_ref",
+                payload_col: str = "payload") -> DataFrame:
+    """Exact binary dedup over media payloads — the multimodal analog of
+    ``dedup.exact_dedup`` (same keep-min-ref contract), keyed on the
+    sha256 of the raw bytes so identical images/audio/video collapse no
+    matter what ref they arrived under (mirrors, re-uploads, hotlinks).
+
+    Returns one row per input item: ``(media_ref, modality, payload_sha,
+    keeper_ref, n_copies, is_dup)`` — ``keeper_ref`` is the lexically
+    smallest ref sharing the payload, ``is_dup`` marks the non-keepers a
+    curation pass drops.
+
+    Scale shape: sha256 is computed JVM-side in the scan projection (the
+    payload bytes never reach Python), then ONE map-side-combinable
+    groupBy on the digest — uniform by construction — and the per-item
+    verdict joins back on the same uniform key. Group state per key is
+    two scalars (min ref, count); a payload mirrored 10^6 times costs
+    one combiner cell per task, not a materialized posting list.
+    """
+    hashed = df.select(F.col(ref_col).alias("media_ref"), "modality",
+                       F.sha2(F.col(payload_col), 256).alias("payload_sha"))
+    groups = (hashed.groupBy("payload_sha")
+              .agg(F.min("media_ref").alias("keeper_ref"),
+                   F.count("*").alias("n_copies")))
+    return (hashed.join(groups, "payload_sha")
+            .select("media_ref", "modality", "payload_sha", "keeper_ref",
+                    F.col("n_copies").cast("long").alias("n_copies"),
+                    (F.col("media_ref") != F.col("keeper_ref"))
+                    .alias("is_dup")))
+
+
 def synthetic_media_df(spark, n: int = 64) -> DataFrame:
     """Deterministic fake media table for tests/bench (payload = seeded bytes)."""
     return spark.range(n).select(

@@ -186,3 +186,55 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         F.when(F.size("shingles") > 0, fp).alias("fingerprint"),
         F.size("shingles").alias("n_shingles"),
     )
+
+
+def length_quantiles(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", group_col: str | None = "lang",
+                     pcts: tuple[int, ...] = (25, 50, 75, 90)) -> DataFrame:
+    """Exact per-group document-length quantiles via a COMPACTED
+    distribution — the corpus-shape report a pipeline reads before
+    setting length filters and packing budgets.
+
+    Returns one row per group: ``(group, n_docs, min_len, max_len,
+    p<P>...)`` where ``p<P>`` is the type-1 (lower) quantile — the
+    smallest length whose cumulative count reaches ``ceil(P% · n)`` —
+    so every output is an integer actually present in the data,
+    reproducible exactly in the DuckDB oracle (no interpolation, no
+    float arithmetic).
+
+    Scale shape: lengths are first compacted to ``(group, len, cnt)``
+    by a map-side-combinable groupBy — the frame downstream is bounded
+    by #groups × #distinct lengths, not by corpus size. The cumulative
+    window and the quantile picks then run over that compacted frame
+    only; no corpus-wide sort or per-doc window anywhere. (The usual
+    scale alternative, ``percentile_approx``, trades exactness for one
+    pass; this operator keeps exactness AND boundedness by exploiting
+    the small value domain of lengths.)
+
+    ``group_col=None`` computes one corpus-wide row (group = 'all').
+    """
+    from pyspark.sql.window import Window
+
+    g = (F.col(group_col) if group_col is not None
+         else F.lit("all")).alias("grp")
+    lens = df.select(g, F.length(F.col(text_col)).cast("long").alias("len"))
+    compact = lens.groupBy("grp", "len").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("grp").orderBy("len") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = compact.select(
+        "grp", "len", "cnt", F.sum("cnt").over(w).alias("cum"))
+    tot = cum.groupBy("grp").agg(F.max("cum").alias("n_docs"),
+                                 F.min("len").alias("min_len"),
+                                 F.max("len").alias("max_len"))
+    joined = cum.join(tot, "grp")
+    # type-1 quantile: ceil(p*n/100) = (p*n + 99) div 100, all BIGINT
+    picks = [
+        F.min(F.when(
+            F.col("cum") >= F.expr(f"({p} * n_docs + 99) div 100"),
+            F.col("len"))).alias(f"p{p}")
+        for p in pcts
+    ]
+    return (joined.groupBy("grp")
+            .agg(F.max("n_docs").alias("n_docs"),
+                 F.max("min_len").alias("min_len"),
+                 F.max("max_len").alias("max_len"), *picks))
