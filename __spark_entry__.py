@@ -2935,6 +2935,35 @@ SELECT c.grp, max(t.n_docs)::BIGINT AS n_docs,
 FROM cum c JOIN tot t USING (grp) GROUP BY c.grp"""
 
 
+def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 bigram collocations by PMI (log-free monotone ratio,
+    identical double op order in both engines)."""
+    return KW.pmi_bigrams(_docs(spark, sf_dir), min_count=5, top_n=50)
+
+
+SQL_PMI_BIGRAMS = f"""
+WITH toks AS (SELECT doc_id, {_KWTOKS} AS t FROM documents),
+uni AS (SELECT unnest(t) AS term FROM toks),
+ucnt AS (SELECT term, count(*) AS c FROM uni GROUP BY term),
+nu AS (SELECT sum(c) AS n_uni FROM ucnt),
+bgt AS (SELECT unnest(list_transform(range(greatest(len(t) - 1, 0)),
+          i -> t[i + 1] || ' ' || t[i + 2])) AS bg FROM toks),
+bcnt AS (SELECT bg, count(*) AS c_ab FROM bgt GROUP BY bg
+         HAVING count(*) >= 5),
+parts AS (SELECT c_ab, string_split(bg, ' ')[1] AS w1,
+                 string_split(bg, ' ')[2] AS w2 FROM bcnt),
+j AS (SELECT w1, w2, c_ab, a.c AS c_a, b.c AS c_b,
+        floor((c_ab::DOUBLE * 1000000 * n.n_uni)
+              / (a.c::DOUBLE * b.c))::BIGINT AS score_e6
+      FROM parts JOIN ucnt a ON a.term = w1
+                 JOIN ucnt b ON b.term = w2 CROSS JOIN nu n),
+top AS (SELECT * FROM j ORDER BY score_e6 DESC, w1, w2 LIMIT 50)
+SELECT w1, w2, c_ab::BIGINT AS c_ab, c_a::BIGINT AS c_a,
+  c_b::BIGINT AS c_b, score_e6,
+  row_number() OVER (ORDER BY score_e6 DESC, w1, w2)::BIGINT AS prank
+FROM top"""
+
+
 def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact binary dedup on payload sha256 over a media table with 16
     planted duplicate payloads under different refs ('c' clones of the
@@ -2977,6 +3006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "tfidf_keywords": q_tfidf_keywords,
         "vocab_coverage": q_vocab_coverage,
+        "pmi_bigrams": q_pmi_bigrams,
         "length_quantiles": q_length_quantiles,
         "media_dedup": q_media_dedup,
         "hash_sample": q_hash_sample,
@@ -3048,6 +3078,7 @@ def oracle_sql() -> dict[str, str]:
         "token_count": SQL_TOKEN_COUNT,
         "tfidf_keywords": SQL_TFIDF,
         "vocab_coverage": SQL_VOCAB_COVERAGE,
+        "pmi_bigrams": SQL_PMI_BIGRAMS,
         "length_quantiles": SQL_LENGTH_QUANTILES,
         "media_dedup": SQL_MEDIA_DEDUP,
         "hash_sample": SQL_HASH_SAMPLE,

@@ -6,6 +6,7 @@ from rag_document_parser_spark.operators.extract_arrow import extract_arrow
 from rag_document_parser_spark.operators.extract_catalyst import extract_catalyst
 from rag_document_parser_spark.operators.graph import link_graph, pagerank
 from rag_document_parser_spark.operators.keywords import (
+    pmi_bigrams,
     tfidf_keywords,
     vocab_coverage,
 )
@@ -51,7 +52,7 @@ __all__ = ["block_domains", "chunk_documents", "decontaminate",
            "extract_catalyst", "extract_urls", "hash_sample", "hash_split",
            "length_quantiles", "line_repetition_features", "link_graph",
            "media_dedup", "pack_shards", "pagerank", "paragraph_dedup",
-           "tfidf_keywords", "vocab_coverage",
+           "pmi_bigrams", "tfidf_keywords", "vocab_coverage",
            "pii_features", "redact_pii", "repeated_window_fraction",
            "repeated_windows", "resample_by_group", "score_bigram_lm",
            "semdedup", "shard_manifest", "sheet_structure",

@@ -43,7 +43,7 @@ from pyspark.sql.window import Window
 
 from rag_document_parser_spark.operators.dedup import words
 
-__all__ = ["tfidf_keywords", "vocab_coverage"]
+__all__ = ["pmi_bigrams", "tfidf_keywords", "vocab_coverage"]
 
 
 def _tf_df(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -138,3 +138,65 @@ def vocab_coverage(df: DataFrame, text_col: str = "text",
         "total",
     ).select("vrank", "term", "cnt",
              F.expr("_cum div total").cast("long").alias("cum_ppm"))
+
+
+def pmi_bigrams(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id", min_count: int = 5,
+                top_n: int = 50) -> DataFrame:
+    """Top-``top_n`` bigram collocations by PMI — the phrase-mining pass
+    behind tokenizer merge rules and stop-phrase lists.
+
+    Returns ``(w1, w2, c_ab, c_a, c_b, score_e6, prank)`` for the
+    strongest ``top_n`` adjacent word pairs with corpus count
+    ``c_ab >= min_count``, ranked by ``(score_e6 DESC, w1, w2)``.
+
+    Scoring: PMI = log(p(ab) / (p(a)p(b))) ranks identically to the
+    log-free ratio ``c_ab·N_u / (c_a·c_b)`` (N_u, N_b are corpus
+    constants, log is monotone), so the score is that ratio —
+    ``score_e6 = floor(c_ab · 10⁶ · n_uni / (c_a · c_b))`` — computed in
+    DOUBLE with the identical multiply/divide order in Spark and the
+    DuckDB oracle. Every intermediate is an integer exactly
+    representable in a double up to 2^53 (beyond that, last-ulp
+    reordering can only perturb exact near-ties, which the lexical
+    tie-break already owns).
+
+    Scale shape: unigram and bigram counts are map-side-combinable
+    groupBys (bigrams via the staged 2-shingle tokenizer). The unigram
+    join back to bigram TYPES is skew-mild by construction: the left
+    side is already aggregated, so a stopword's join key carries one
+    row per distinct bigram TYPE containing it (vocabulary-bounded),
+    not one per corpus occurrence. The final rank is a TakeOrdered
+    top-N, never a global sort.
+    """
+    from rag_document_parser_spark.operators.dedup import shingle_df
+
+    toks = df.select(words(F.col(text_col)).alias("_t"))
+    uni = (toks.select(F.explode_outer("_t").alias("term"))
+           .where(F.col("term").isNotNull())
+           .groupBy("term").agg(F.count("*").alias("c")))
+    n_uni = uni.agg(F.sum("c").alias("n_uni"))
+    big = (shingle_df(df, text_col, id_col, 2, distinct=False,
+                      drop_empty=True)
+           .select(F.explode_outer("shingles").alias("bg"))
+           .where(F.col("bg").isNotNull())
+           .groupBy("bg").agg(F.count("*").alias("c_ab"))
+           .where(F.col("c_ab") >= min_count))
+    parts = big.select(
+        "c_ab", F.split("bg", " ").alias("_p")).select(
+        "c_ab", F.element_at("_p", 1).alias("w1"),
+        F.element_at("_p", 2).alias("w2"))
+    j = (parts
+         .join(uni.withColumnsRenamed({"term": "w1", "c": "c_a"}), "w1")
+         .join(uni.withColumnsRenamed({"term": "w2", "c": "c_b"}), "w2")
+         .crossJoin(F.broadcast(n_uni)))
+    score = F.floor(
+        (F.col("c_ab").cast("double") * 1000000 * F.col("n_uni"))
+        / (F.col("c_a").cast("double") * F.col("c_b"))).cast("long")
+    scored = j.select("w1", "w2", F.col("c_ab").cast("long").alias("c_ab"),
+                      F.col("c_a").cast("long").alias("c_a"),
+                      F.col("c_b").cast("long").alias("c_b"),
+                      score.alias("score_e6"))
+    top = scored.orderBy(F.col("score_e6").desc(), "w1", "w2").limit(top_n)
+    order = Window.orderBy(F.col("score_e6").desc(), "w1", "w2")
+    return top.withColumn("prank",
+                          F.row_number().over(order).cast("long"))

@@ -116,3 +116,38 @@ def test_media_dedup_planted_duplicates(spark):
     for i in range(5, 12):  # singletons keep themselves
         r = by_ref[f"img://64x64/m{i}"]
         assert r["n_copies"] == 1 and not r["is_dup"]
+
+
+def test_pmi_hand_computed(spark):
+    # "x y" always adjacent; "a b" never: PMI separates them
+    rows = [("d%d" % i, "x y filler%d a" % i) for i in range(6)]
+    rows += [("e%d" % i, "b filler%d" % i) for i in range(6)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {(r["w1"], r["w2"]): r for r in
+           KW.pmi_bigrams(df, min_count=2, top_n=100).collect()}
+    assert ("x", "y") in out
+    r = out[("x", "y")]
+    # c_ab=6, c_a=6, c_b=6, n_uni = 6*4 + 6*2 = 36
+    assert (r["c_ab"], r["c_a"], r["c_b"]) == (6, 6, 6)
+    assert r["score_e6"] == (6 * 1_000_000 * 36) // (6 * 6)
+    assert ("a", "b") not in out  # never adjacent
+    # perfectly-correlated pair outranks every filler collocation
+    assert r["prank"] == min(x["prank"] for x in out.values())
+
+
+def test_pmi_min_count_and_rank_contiguous(spark):
+    out = KW.pmi_bigrams(_docs(spark), min_count=3, top_n=25).collect()
+    assert 0 < len(out) <= 25
+    assert [r["prank"] for r in out] == list(range(1, len(out) + 1))
+    scores = [r["score_e6"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+    assert all(r["c_ab"] >= 3 for r in out)
+
+
+def test_pmi_partition_invariant(spark):
+    docs = _docs(spark)
+    a = [tuple(r) for r in KW.pmi_bigrams(docs, min_count=3,
+                                          top_n=10).collect()]
+    b = [tuple(r) for r in KW.pmi_bigrams(docs.repartition(17), min_count=3,
+                                          top_n=10).collect()]
+    assert a == b and len(a) > 0
