@@ -30,8 +30,11 @@ MULT = int(os.environ.get("BENCH_MULT", "10"))
 ONLY_EXTRACT = os.environ.get("BENCH_ONLY", "") == "1"
 # repetitions of the headline job (best-of-N); scaling runs use 1 at a
 # large enough mult that fixed driver costs (commit, lineage tail) are
-# amortized and a single timing is stable
-REPS = int(os.environ.get("BENCH_REPS", "3"))
+# amortized and a single timing is stable. At the default mult=10 the
+# job is short enough (~5 s) that C2 JIT keeps improving it for several
+# repetitions — measured monotone 8.2→4.1 s across 6 reps — so the
+# default is 5 full-size reps after a full-size warmup.
+REPS = int(os.environ.get("BENCH_REPS", "5"))
 
 
 def main() -> None:
@@ -89,11 +92,16 @@ def main() -> None:
     # a narrow warmup only spawns workers for the partitions it touches,
     # leaving the timed job to pay ~CPUS cold worker starts (pyarrow+numpy
     # import is ~1-2s per worker). Run a full-width mini job instead.
-    # warmup at mult=3: a mult=1 warmup left the first timed rep paying
-    # residual JIT for the larger plan (observed 2x on rep 1 vs rep 3)
+    # warmup at the benched mult (capped at 10): smaller warmups (mult=1,
+    # mult=3) left the first timed reps paying residual C2 JIT for the
+    # larger plan (observed 2x on rep 1 vs rep 3, still monotone through
+    # rep 6). The cap keeps scaling runs (mult 300-800, BENCH_REPS=1)
+    # from paying a full-size extra pass — their timed job is minutes
+    # long, so JIT warms inside the measurement noise there anyway.
     warm_dir = tempfile.mkdtemp(prefix="bench_warm_")
     try:
-        J.run_job(spark, spans_df_from_documents(spark, SF_DIR, mult=3),
+        J.run_job(spark,
+                  spans_df_from_documents(spark, SF_DIR, mult=min(MULT, 10)),
                   warm_dir, engine="arrow", resume=False)
     finally:
         shutil.rmtree(warm_dir, ignore_errors=True)
