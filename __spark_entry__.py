@@ -2964,6 +2964,26 @@ SELECT w1, w2, c_ab::BIGINT AS c_ab, c_a::BIGINT AS c_a,
 FROM top"""
 
 
+def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing doc vectors, sparse form (hashing-trick signed
+    counts, md5 bucket + independent sign digit, dim=16)."""
+    from rag_document_parser_spark.operators.vectorize import (
+        feature_hash_sparse,
+    )
+    return feature_hash_sparse(_docs(spark, sf_dir), dim=16)
+
+
+SQL_FEATURE_HASH = f"""
+WITH flat AS (SELECT doc_id, unnest({_KWTOKS}) AS term FROM documents),
+h AS (SELECT doc_id,
+        ('0x' || substring(md5(term), 1, 15))::BIGINT % 16 AS bucket,
+        CASE WHEN ('0x' || substring(md5(term), 16, 1))::BIGINT % 2 = 0
+             THEN 1 ELSE -1 END AS s
+      FROM flat)
+SELECT doc_id, bucket::BIGINT AS bucket, sum(s)::BIGINT AS weight
+FROM h GROUP BY doc_id, bucket HAVING sum(s) <> 0"""
+
+
 def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact binary dedup on payload sha256 over a media table with 16
     planted duplicate payloads under different refs ('c' clones of the
@@ -3007,6 +3027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_keywords": q_tfidf_keywords,
         "vocab_coverage": q_vocab_coverage,
         "pmi_bigrams": q_pmi_bigrams,
+        "feature_hash": q_feature_hash,
         "length_quantiles": q_length_quantiles,
         "media_dedup": q_media_dedup,
         "hash_sample": q_hash_sample,
@@ -3079,6 +3100,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_keywords": SQL_TFIDF,
         "vocab_coverage": SQL_VOCAB_COVERAGE,
         "pmi_bigrams": SQL_PMI_BIGRAMS,
+        "feature_hash": SQL_FEATURE_HASH,
         "length_quantiles": SQL_LENGTH_QUANTILES,
         "media_dedup": SQL_MEDIA_DEDUP,
         "hash_sample": SQL_HASH_SAMPLE,

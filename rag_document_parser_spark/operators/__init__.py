@@ -41,6 +41,10 @@ from rag_document_parser_spark.operators.similarity import (
     semdedup,
     train_kmeans,
 )
+from rag_document_parser_spark.operators.vectorize import (
+    feature_hash_sparse,
+    feature_hash_vectors,
+)
 from rag_document_parser_spark.operators.urls import (
     block_domains,
     domain_stats,
@@ -49,7 +53,8 @@ from rag_document_parser_spark.operators.urls import (
 
 __all__ = ["block_domains", "chunk_documents", "decontaminate",
            "dedup_clusters", "domain_stats", "extract_arrow",
-           "extract_catalyst", "extract_urls", "hash_sample", "hash_split",
+           "extract_catalyst", "extract_urls", "feature_hash_sparse",
+           "feature_hash_vectors", "hash_sample", "hash_split",
            "length_quantiles", "line_repetition_features", "link_graph",
            "media_dedup", "pack_shards", "pagerank", "paragraph_dedup",
            "pmi_bigrams", "tfidf_keywords", "vocab_coverage",

@@ -151,3 +151,54 @@ def test_pmi_partition_invariant(spark):
     b = [tuple(r) for r in KW.pmi_bigrams(docs.repartition(17), min_count=3,
                                           top_n=10).collect()]
     assert a == b and len(a) > 0
+
+
+def test_feature_hash_dense_matches_sparse(spark):
+    from rag_document_parser_spark.operators.vectorize import (
+        feature_hash_sparse, feature_hash_vectors)
+    docs = _docs(spark).limit(60)
+    dense = {r["doc_id"]: (list(r["vec"]), r["n_tokens"])
+             for r in feature_hash_vectors(docs, dim=16).collect()}
+    sparse = {}
+    for r in feature_hash_sparse(docs, dim=16).collect():
+        sparse.setdefault(r["doc_id"], [0] * 16)[r["bucket"]] = r["weight"]
+    assert set(dense) >= set(sparse)
+    for did, (vec, _) in dense.items():
+        assert vec == sparse.get(did, [0] * 16)
+
+
+def test_feature_hash_empty_doc_and_token_count(spark):
+    from rag_document_parser_spark.operators.vectorize import (
+        feature_hash_vectors)
+    df = spark.createDataFrame(
+        [("d1", "alpha beta alpha"), ("d2", "")], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           feature_hash_vectors(df, dim=8).collect()}
+    assert set(out) == {"d1", "d2"}  # empty doc still emits a row
+    assert out["d2"]["n_tokens"] == 0 and list(out["d2"]["vec"]) == [0] * 8
+    assert out["d1"]["n_tokens"] == 3
+    # signed counts conserve the L1 bound: |sum per bucket| <= tokens
+    assert sum(abs(v) for v in out["d1"]["vec"]) <= 3
+
+
+def test_feature_hash_feeds_similarity_tier(spark):
+    from rag_document_parser_spark.operators.vectorize import (
+        feature_hash_vectors)
+    from rag_document_parser_spark.operators import similarity as V
+    docs = _docs(spark).limit(40).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text")
+    # plant an exact textual duplicate of doc 0 under id 100000
+    dup = docs.where(F.col("doc_id") == 0).select(
+        F.lit(100000).cast("long").alias("doc_id"), "text")
+    emb = (feature_hash_vectors(docs.unionByName(dup), dim=16,
+                                as_float=True)
+           .where(F.col("n_tokens") > 0)
+           .select(F.col("doc_id").alias("vec_id"),
+                   F.col("vec").alias("embedding")))
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    top = V.cosine_topk(emb, q, k=3).collect()
+    assert len(top) == 3
+    best = min(top, key=lambda r: r["rank"])
+    # the duplicate's hashed vector is identical -> cosine 1.0 at rank 1
+    assert best["vec_id"] == 100000 and abs(best["cosine"] - 1.0) < 1e-6
