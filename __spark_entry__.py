@@ -2964,6 +2964,29 @@ SELECT w1, w2, c_ab::BIGINT AS c_ab, c_a::BIGINT AS c_a,
 FROM top"""
 
 
+def q_segment_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio segmentation plumbing: fixed 250ms windows per audio item
+    (decode stand-in; Arrow batch shape + PCM sample math are real)."""
+    out = M.segment_audio(M.synthetic_media_df(spark, 64), window_ms=250)
+    return out.select("media_ref", F.col("seg_idx").cast("long"),
+                      F.col("start_ms").cast("long"),
+                      F.col("end_ms").cast("long"),
+                      F.col("n_samples").cast("long"), "seg_sha")
+
+
+SQL_SEGMENT_AUDIO = """
+SELECT 'img://64x64/m' || i::VARCHAR AS media_ref,
+  k::BIGINT AS seg_idx, (k * 250)::BIGINT AS start_ms,
+  least(k * 250 + 250, 1000)::BIGINT AS end_ms,
+  ((least(k * 250 + 250, 1000) - k * 250) * 16000 // 1000)::BIGINT
+    AS n_samples,
+  sha256(repeat('payload-' || i::VARCHAR, 16) || '@' || k::VARCHAR)
+    AS seg_sha
+FROM (SELECT unnest(range(64)) AS i) a,
+     (SELECT unnest(range(4)) AS k) b
+WHERE i % 3 = 1"""
+
+
 def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-hashing doc vectors, sparse form (hashing-trick signed
     counts, md5 bucket + independent sign digit, dim=16)."""
@@ -3068,6 +3091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "summary_poisoned": q_summary_poisoned,
         "media_features": q_media_features,
         "frame_sample": q_frame_sample,
+        "segment_audio": q_segment_audio,
         "ocr_media": q_ocr_media,
         "detect_route": q_detect_route,
         "magic_detect": q_magic_detect,
@@ -3141,6 +3165,7 @@ def oracle_sql() -> dict[str, str]:
         "summary_poisoned": SQL_SUMMARY_POISONED,
         "media_features": SQL_MEDIA,
         "frame_sample": SQL_FRAME_SAMPLE,
+        "segment_audio": SQL_SEGMENT_AUDIO,
         "ocr_media": SQL_OCR_MEDIA,
         "detect_route": SQL_DETECT,
         "magic_detect": SQL_MAGIC_DETECT,

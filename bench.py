@@ -177,6 +177,17 @@ def main() -> None:
           lambda: R.decontaminate(
               docs, SAM.hash_sample(docs, 0.1, salt="contam"), n=3)
           .agg(F.sum("n_matched")).collect())
+    from rag_document_parser_spark.operators import keywords as KW
+    from rag_document_parser_spark.operators import vectorize as VEC
+    timed("tfidf_keywords",
+          lambda: KW.tfidf_keywords(docs, top_k=5, min_df=2)
+          .agg(F.sum("score_e6")).collect())
+    timed("pmi_bigrams",
+          lambda: KW.pmi_bigrams(docs, min_count=5, top_n=50)
+          .agg(F.sum("score_e6")).collect())
+    timed("feature_hash",
+          lambda: VEC.feature_hash_vectors(docs, dim=64)
+          .agg(F.sum("n_tokens")).collect())
     # -- full curation chain (extract -> quality -> PII -> boilerplate ->
     # exact dedup -> verified near-dup clusters) at mult=1
     from rag_document_parser_spark.plans.curate import curate, curation_report

@@ -10,7 +10,10 @@ from rag_document_parser_spark.operators.keywords import (
     tfidf_keywords,
     vocab_coverage,
 )
-from rag_document_parser_spark.operators.multimodal import media_dedup
+from rag_document_parser_spark.operators.multimodal import (
+    media_dedup,
+    segment_audio,
+)
 from rag_document_parser_spark.operators.textstats import length_quantiles
 from rag_document_parser_spark.operators.chunking import chunk_documents
 from rag_document_parser_spark.operators.lm import (
@@ -60,6 +63,6 @@ __all__ = ["block_domains", "chunk_documents", "decontaminate",
            "pmi_bigrams", "tfidf_keywords", "vocab_coverage",
            "pii_features", "redact_pii", "repeated_window_fraction",
            "repeated_windows", "resample_by_group", "score_bigram_lm",
-           "semdedup", "shard_manifest", "sheet_structure",
+           "segment_audio", "semdedup", "shard_manifest", "sheet_structure",
            "stratified_sample", "top_ngram_stats", "train_bigram_lm",
            "train_kmeans", "ivf_cosine_topk"]

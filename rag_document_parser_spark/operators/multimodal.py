@@ -280,6 +280,60 @@ def sample_video_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
     return balanced.mapInPandas(run, schema)
 
 
+def segment_audio(df: DataFrame, window_ms: int = 250) -> DataFrame:
+    """Audio segmentation plumbing (training-data pipeline tier): one
+    output row per fixed-duration window over each audio item —
+    ``(media_ref, seg_idx, start_ms, end_ms, n_samples, seg_sha)`` —
+    the batch shape a real VAD/ASR front-end consumes.
+
+    Real decode (soundfile/ffmpeg PCM read) is absent in this
+    container; the per-segment digest is a deterministic stand-in over
+    the payload bytes. Everything Spark-side is the real contract: the
+    modality filter prunes BEFORE the Python stage, batches arrive via
+    Arrow, the per-segment fan-out happens inside the UDF (no
+    Spark-side explode of undecoded payloads), ``n_samples`` derives
+    from ``sample_rate`` exactly as a PCM slicer would, and the final
+    partial window is kept (its end is clamped to ``duration_ms``).
+    """
+    schema = T.StructType([
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("seg_idx", T.IntegerType()),
+        T.StructField("start_ms", T.IntegerType()),
+        T.StructField("end_ms", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("seg_sha", T.StringType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        _decoder()
+        for pdf in batches:
+            refs, idxs, starts, ends, samps, shas = [], [], [], [], [], []
+            for ref, payload, dur, sr in zip(
+                    pdf["media_ref"], pdf["payload"], pdf["duration_ms"],
+                    pdf["sample_rate"]):
+                b = bytes(payload) if payload is not None else b""
+                d = int(dur) if dur is not None else 0
+                r = int(sr) if sr is not None else 0
+                n_seg = max((d + window_ms - 1) // window_ms, 0)
+                for k in range(n_seg):  # per-segment library call, as real
+                    lo = k * window_ms
+                    hi = min(lo + window_ms, d)
+                    refs.append(ref)
+                    idxs.append(k)
+                    starts.append(lo)
+                    ends.append(hi)
+                    samps.append((hi - lo) * r // 1000)
+                    shas.append(hashlib.sha256(
+                        b + b"@" + str(k).encode()).hexdigest())
+            yield pd.DataFrame({"media_ref": refs, "seg_idx": idxs,
+                                "start_ms": starts, "end_ms": ends,
+                                "n_samples": samps, "seg_sha": shas})
+
+    audio = df.where(F.col("modality") == "audio")
+    balanced = audio.repartition(F.xxhash64("media_ref"))
+    return balanced.mapInPandas(run, schema)
+
+
 def media_dedup(df: DataFrame, ref_col: str = "media_ref",
                 payload_col: str = "payload") -> DataFrame:
     """Exact binary dedup over media payloads — the multimodal analog of

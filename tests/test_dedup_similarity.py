@@ -369,3 +369,21 @@ def test_url_tier_extract_stats_block(spark):
     bl = spark.createDataFrame([("Bad.Tracker.NET",)], "domain string")
     kept = sorted(r.doc_id for r in block_domains(df, bl).collect())
     assert kept == [1, 2, 3]
+
+
+def test_segment_audio_windows_and_sample_math(spark):
+    from rag_document_parser_spark.operators.multimodal import segment_audio
+    out = segment_audio(synthetic_media_df(spark, n=9),
+                        window_ms=300).collect()
+    # audio items are i % 3 == 1 -> 3 of 9; 1000ms at 300ms windows ->
+    # 4 segments, last one partial (900-1000)
+    refs = {r["media_ref"] for r in out}
+    assert refs == {f"img://64x64/m{i}" for i in (1, 4, 7)}
+    assert len(out) == 12
+    segs = sorted((r["seg_idx"], r["start_ms"], r["end_ms"], r["n_samples"])
+                  for r in out if r["media_ref"] == "img://64x64/m1")
+    assert segs == [(0, 0, 300, 4800), (1, 300, 600, 4800),
+                    (2, 600, 900, 4800), (3, 900, 1000, 1600)]
+    # per-segment digests deterministic and distinct per index
+    shas = {r["seg_sha"] for r in out if r["media_ref"] == "img://64x64/m1"}
+    assert len(shas) == 4
