@@ -2964,6 +2964,70 @@ SELECT w1, w2, c_ab::BIGINT AS c_ab, c_a::BIGINT AS c_a,
 FROM top"""
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 2 BPE merges learned from the corpus word-TYPE table
+    (driver-paced rounds; oracle unrolls them as CTEs a la pagerank)."""
+    from rag_document_parser_spark.operators import bpe as B
+    m = B.train_bpe(_docs(spark, sf_dir), n_merges=2, min_count=2)
+    return B.merges_df(spark, m)
+
+
+_BPE_SYM = ("' ' || array_to_string(string_split({w}, ''), ' ') "
+            "|| ' </w> '")
+_BPE_PAIRS = """SELECT pair, sum(c) AS cnt FROM (
+    SELECT c, unnest(list_transform(range(len(y) - 1),
+                     i -> y[i + 1] || ' ' || y[i + 2])) AS pair
+    FROM (SELECT c, string_split(trim(s), ' ') AS y FROM {src}) z1) z2
+  GROUP BY pair"""
+_BPE_TRAIN_CTES = f"""
+toks AS (SELECT doc_id, {_KWTOKS} AS t FROM documents),
+w AS (SELECT unnest(t) AS word FROM toks),
+wc AS (SELECT word, count(*) AS c FROM w GROUP BY word
+       HAVING count(*) >= 2),
+s0 AS (SELECT c, {_BPE_SYM.format(w='word')} AS s FROM wc),
+p1 AS ({_BPE_PAIRS.format(src='s0')}),
+b1 AS (SELECT pair, cnt FROM p1 ORDER BY cnt DESC, pair LIMIT 1),
+s1 AS (SELECT c, replace(s, ' ' || pair || ' ',
+                         ' ' || replace(pair, ' ', '') || ' ') AS s
+       FROM s0 CROSS JOIN b1),
+p2 AS ({_BPE_PAIRS.format(src='s1')}),
+b2 AS (SELECT pair, cnt FROM p2 ORDER BY cnt DESC, pair LIMIT 1)"""
+SQL_BPE_MERGES = f"""
+WITH {_BPE_TRAIN_CTES}
+SELECT 1::BIGINT AS merge_rank, split_part(pair, ' ', 1) AS lhs,
+  split_part(pair, ' ', 2) AS rhs, cnt::BIGINT AS pair_count FROM b1
+UNION ALL
+SELECT 2::BIGINT, split_part(pair, ' ', 1), split_part(pair, ' ', 2),
+  cnt::BIGINT FROM b2"""
+
+
+def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc subword cost under the first 2 learned merges."""
+    from rag_document_parser_spark.operators import bpe as B
+    docs = _docs(spark, sf_dir)
+    return B.bpe_segment(docs, B.train_bpe(docs, n_merges=2, min_count=2))
+
+
+SQL_BPE_SEGMENT = f"""
+WITH {_BPE_TRAIN_CTES},
+aw AS (SELECT DISTINCT word FROM w),
+a0 AS (SELECT word, {_BPE_SYM.format(w='word')} AS s FROM aw),
+a1 AS (SELECT word, replace(s, ' ' || pair || ' ',
+                            ' ' || replace(pair, ' ', '') || ' ') AS s
+       FROM a0 CROSS JOIN b1),
+a2 AS (SELECT word, replace(s, ' ' || pair || ' ',
+                            ' ' || replace(pair, ' ', '') || ' ') AS s
+       FROM a1 CROSS JOIN b2),
+m AS (SELECT word, len(string_split(trim(s), ' '))::BIGINT AS ns FROM a2),
+f AS (SELECT doc_id, unnest(t) AS word FROM toks),
+agg AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+               sum(ns)::BIGINT AS n_subwords
+        FROM f JOIN m USING (word) GROUP BY doc_id)
+SELECT d.doc_id, coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
+  coalesce(a.n_subwords, 0)::BIGINT AS n_subwords
+FROM documents d LEFT JOIN agg a USING (doc_id)"""
+
+
 def q_segment_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio segmentation plumbing: fixed 250ms windows per audio item
     (decode stand-in; Arrow batch shape + PCM sample math are real)."""
@@ -3051,6 +3115,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": q_vocab_coverage,
         "pmi_bigrams": q_pmi_bigrams,
         "feature_hash": q_feature_hash,
+        "bpe_merges": q_bpe_merges,
+        "bpe_segment": q_bpe_segment,
         "length_quantiles": q_length_quantiles,
         "media_dedup": q_media_dedup,
         "hash_sample": q_hash_sample,
@@ -3125,6 +3191,8 @@ def oracle_sql() -> dict[str, str]:
         "vocab_coverage": SQL_VOCAB_COVERAGE,
         "pmi_bigrams": SQL_PMI_BIGRAMS,
         "feature_hash": SQL_FEATURE_HASH,
+        "bpe_merges": SQL_BPE_MERGES,
+        "bpe_segment": SQL_BPE_SEGMENT,
         "length_quantiles": SQL_LENGTH_QUANTILES,
         "media_dedup": SQL_MEDIA_DEDUP,
         "hash_sample": SQL_HASH_SAMPLE,

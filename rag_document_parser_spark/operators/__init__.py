@@ -15,6 +15,10 @@ from rag_document_parser_spark.operators.multimodal import (
     segment_audio,
 )
 from rag_document_parser_spark.operators.textstats import length_quantiles
+from rag_document_parser_spark.operators.bpe import (
+    bpe_segment,
+    train_bpe,
+)
 from rag_document_parser_spark.operators.chunking import chunk_documents
 from rag_document_parser_spark.operators.lm import (
     score_bigram_lm,
@@ -54,7 +58,8 @@ from rag_document_parser_spark.operators.urls import (
     extract_urls,
 )
 
-__all__ = ["block_domains", "chunk_documents", "decontaminate",
+__all__ = ["block_domains", "bpe_segment", "chunk_documents",
+           "decontaminate", "train_bpe",
            "dedup_clusters", "domain_stats", "extract_arrow",
            "extract_catalyst", "extract_urls", "feature_hash_sparse",
            "feature_hash_vectors", "hash_sample", "hash_split",
