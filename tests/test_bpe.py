@@ -90,3 +90,32 @@ def test_bpe_segment_consistent_with_training(spark):
     # merging can only reduce symbol count: chars+1 >= n_subwords >= tokens
     for r in rows:
         assert r["n_subwords"] >= r["n_tokens"]
+
+
+# --- oracle-side property: the pure-Python simulation and the DuckDB
+# unrolled-CTE twin agree on random tiny corpora (no Spark needed; the
+# Spark engine is pinned against the same simulation above, closing the
+# sim <-> Spark <-> DuckDB triangle) -----------------------------------
+
+import duckdb  # noqa: E402
+import sys  # noqa: E402
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+sys.path.insert(0, ".")
+
+WORDS = st.sampled_from(["a", "b", "ab", "aab", "ba", "x", "aa"])
+DOC = st.lists(WORDS, min_size=0, max_size=8).map(" ".join)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(DOC, min_size=1, max_size=3))
+def test_bpe_oracle_sql_matches_simulation(texts):
+    import __spark_entry__ as E
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)",
+                    list(enumerate(texts)))
+    got = con.execute(E.oracle_sql()["bpe_merges"]).fetchall()
+    want = [tuple(m) for m in _sim_train_full(texts, 2, 2)]
+    assert [tuple(r) for r in got] == want
