@@ -38,6 +38,7 @@ from rag_document_parser_spark.operators import repetition as REP
 from rag_document_parser_spark.operators import sampling as SAM
 from rag_document_parser_spark.operators import similarity as V
 from rag_document_parser_spark.operators import textstats as T
+from rag_document_parser_spark.operators import urls as U
 from rag_document_parser_spark.plans import job as J
 from rag_document_parser_spark.reporting import by_route, summary_report, validity
 
@@ -1181,7 +1182,6 @@ def q_url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     same — n_docs is DISTINCT docs, n_urls raw occurrences), h%5==0
     docs add a mixed-case host that must fold to lowercase. k exceeds
     the pool size so no tie-break cutoff ambiguity exists."""
-    from rag_document_parser_spark.operators import urls as U
 
     d = _docs(spark, sf_dir)
     staged = d.select("doc_id", "source", _weburl_text().alias("t"))
@@ -2964,6 +2964,46 @@ SELECT w1, w2, c_ab::BIGINT AS c_ab, c_a::BIGINT AS c_a,
 FROM top"""
 
 
+def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization over planted messy URLs (mixed-case hosts,
+    default ports, tracking params, fragments, trailing slashes)."""
+    d = _docs(spark, sf_dir)
+    h = _hcol(F.col("doc_id"))
+    t = F.concat(
+        F.substring("text", 1, 20),
+        F.lit(" https://EX"), F.pmod(h, 5).cast("string"),
+        F.lit(".Org:443/P"), F.pmod(h, 9).cast("string"),
+        F.lit("/?utm_source=x&id="), F.pmod(h, 100).cast("string"),
+        F.lit("&gclid=abc#sec"),
+        F.lit(" and http://Foo.example:80/a"), F.pmod(h, 3).cast("string"),
+        F.lit("/b/"))
+    return U.canonicalize_urls(d.select("doc_id", t.alias("t")),
+                               text_col="t")
+
+
+def _sql_url_canonical() -> str:
+    sh = (f"lower(regexp_extract(url, {_sq(U._SCHEME_HOST)}, 1))")
+    rest = f"regexp_replace(url, {_sq(U._SCHEME_HOST)}, '', 'g')"
+    rest = f"regexp_replace({rest}, '^:(80|443)/', '/', 'g')"
+    rest = f"regexp_replace({rest}, '^:(80|443)$', '', 'g')"
+    for pat, repl in U.URL_CANON_RULES:
+        rest = (f"regexp_replace({rest}, {_sq(pat)}, "
+                f"{_sq(repl.replace('G1', chr(92) + '1'))}, 'g')")
+    return f"""
+WITH m AS (SELECT doc_id, text, {_md5l('doc_id::VARCHAR')} AS h
+           FROM documents),
+d AS (SELECT doc_id,
+  substring(text, 1, 20) || ' https://EX' || (h % 5)::VARCHAR ||
+  '.Org:443/P' || (h % 9)::VARCHAR ||
+  '/?utm_source=x&id=' || (h % 100)::VARCHAR || '&gclid=abc#sec' ||
+  ' and http://Foo.example:80/a' || (h % 3)::VARCHAR || '/b/' AS t
+  FROM m),
+u AS (SELECT doc_id,
+        unnest(regexp_extract_all(t, {_sq(U.URL_PATTERN)})) AS url
+      FROM d)
+SELECT doc_id, url, {sh} || {rest} AS canon FROM u"""
+
+
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First 2 BPE merges learned from the corpus word-TYPE table
     (driver-paced rounds; oracle unrolls them as CTEs a la pagerank)."""
@@ -3141,6 +3181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_report": q_curation_report,
         "pii_redact": q_pii_redact,
         "url_stats": q_url_stats,
+        "url_canonical": q_url_canonical,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -3217,6 +3258,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_report": SQL_CURATION_REPORT,
         "pii_redact": SQL_PII_REDACT,
         "url_stats": SQL_URL_STATS,
+        "url_canonical": _sql_url_canonical(),
         "ngram_jaccard": SQL_JACCARD,
         "minhash_signatures": SQL_MINHASH_SIG,
         "minhash_lsh_pairs": SQL_MINHASH_PAIRS,

@@ -54,11 +54,13 @@ from rag_document_parser_spark.operators.vectorize import (
 )
 from rag_document_parser_spark.operators.urls import (
     block_domains,
+    canonicalize_urls,
     domain_stats,
     extract_urls,
 )
 
-__all__ = ["block_domains", "bpe_segment", "chunk_documents",
+__all__ = ["block_domains", "bpe_segment", "canonicalize_urls",
+           "chunk_documents",
            "decontaminate", "train_bpe",
            "dedup_clusters", "domain_stats", "extract_arrow",
            "extract_catalyst", "extract_urls", "feature_hash_sparse",

@@ -85,3 +85,59 @@ def block_domains(df: DataFrame, blocklist: DataFrame,
         "_dom").select("_bid").distinct())
     return df.join(hit_ids, F.col(id_col) == F.col("_bid"),
                    "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization (the dedup key normalization step of web pipelines)
+# ---------------------------------------------------------------------------
+#
+# Engine-neutral rule table applied to the part AFTER scheme://host; 'G1'
+# marks a first-group backreference ('$1' in Spark/Java, '\1' in DuckDB/
+# RE2 — the MD_RULES convention). Order matters: fragment first (so the
+# tracking rule's [^&#]* is scoped), then tracking params (each match
+# consumes its own leading separator and restores it via G1), then the
+# separator-run cleanup the removals leave behind, then dangling
+# separators, then the trailing slash. All patterns RE2-safe (no
+# lookaround, no backreferences in the PATTERN).
+URL_CANON_RULES: list[tuple[str, str]] = [
+    (r"#.*", ""),                                             # fragment
+    (r"([?&])(utm_[a-z0-9_]+|fbclid|gclid|msclkid|mc_eid)=[^&#]*", "G1"),
+    (r"&{2,}", "&"),                                          # '&&' runs
+    (r"\?&", "?"),                                            # '?&' seam
+    (r"[?&]+$", ""),                                          # dangling
+    (r"/$", ""),                                              # trailing /
+]
+_SCHEME_HOST = r"^(https?://[A-Za-z0-9.\-]+)"
+
+
+def canonical_url(c: Column) -> Column:
+    """Canonical form of a URL string: lower-cased scheme+host, default
+    ports (:80, :443) stripped, fragment dropped, common tracking
+    params (utm_*, fbclid, gclid, msclkid, mc_eid) removed with their
+    separators repaired, trailing slash trimmed. A documented subset of
+    full WHATWG canonicalization (no percent-decoding, no query-param
+    re-sorting, no scheme/port cross-check) — identical rule chain in
+    the DuckDB oracle via the shared ``URL_CANON_RULES`` table."""
+    scheme_host = F.lower(F.regexp_extract(c, _SCHEME_HOST, 1))
+    rest = F.regexp_replace(c, _SCHEME_HOST, "")
+    rest = F.regexp_replace(rest, r"^:(80|443)/", "/")
+    rest = F.regexp_replace(rest, r"^:(80|443)$", "")
+    for pat, repl in URL_CANON_RULES:
+        rest = F.regexp_replace(rest, pat, repl.replace("G1", "$1"))
+    return F.concat(scheme_host, rest)
+
+
+def canonicalize_urls(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """One row per URL occurrence: ``(doc_id, url, canon)`` — the
+    canonical key a URL-level dedup or frontier would group on.
+
+    Scan-local: extract (staged array), explode, per-row regex chain;
+    zero shuffles. Grouping on ``canon`` downstream is the usual
+    map-side-combinable aggregate."""
+    staged = df.select(F.col(id_col).alias("doc_id"),
+                       extract_urls(F.col(text_col)).alias("_u"))
+    ex = (staged.select("doc_id", F.explode_outer("_u").alias("url"))
+          .where(F.col("url").isNotNull()))
+    return ex.select("doc_id", "url",
+                     canonical_url(F.col("url")).alias("canon"))

@@ -83,3 +83,27 @@ def test_link_graph_over_documents(spark):
     n_nodes = (edges.select(F.col("src").alias("n"))
                .union(edges.select("dst")).distinct().count())
     assert pr.count() == n_nodes
+
+
+def test_canonical_url_rules(spark):
+    from rag_document_parser_spark.operators.urls import canonicalize_urls
+    cases = [
+        # (planted url, expected canonical)
+        ("https://EX.Org:443/P/?utm_source=x&id=42&gclid=abc#sec",
+         "https://ex.org/P/?id=42"),
+        ("http://Foo.example:80/a/b/", "http://foo.example/a/b"),
+        ("https://a.com/x?utm_a=1&utm_b=2", "https://a.com/x"),
+        ("https://a.com/x?utm_a=1&b=2&utm_c=3&d=4",
+         "https://a.com/x?b=2&d=4"),
+        ("http://a.com:8080/x", "http://a.com:8080/x"),  # non-default port
+        ("https://a.com/", "https://a.com"),
+        ("https://a.com/x#frag", "https://a.com/x"),
+    ]
+    df = spark.createDataFrame(
+        [(str(i), f"see {u} end") for i, (u, _) in enumerate(cases)],
+        ["doc_id", "text"])
+    got = {r["doc_id"]: (r["url"], r["canon"])
+           for r in canonicalize_urls(df).collect()}
+    assert len(got) == len(cases)
+    for i, (u, want) in enumerate(cases):
+        assert got[str(i)] == (u, want), (u, got[str(i)], want)
