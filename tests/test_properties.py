@@ -173,3 +173,45 @@ def test_ocr_gates(w, h, kind):
         assert out is None
     # deterministic: same input → same output
     assert S.ocr_standin(ref, kind) == out
+
+
+# --- URL canonicalization: the rule chain must behave identically under
+# Java regex (Spark), RE2 (DuckDB), and Python re — random messy URLs ---
+
+from rag_document_parser_spark.operators.urls import (  # noqa: E402
+    URL_CANON_RULES,
+    _SCHEME_HOST,
+)
+import re as _re  # noqa: E402
+
+URL_BITS = st.sampled_from([
+    "https://", "http://", "EX.org", "a.b-c.COM", ":443", ":80", ":8080",
+    "/path", "/P/", "/", "?", "&", "#frag", "#", "utm_source=x",
+    "utm_a=", "fbclid=1", "gclid=", "id=42", "a=b", "=", "q",
+])
+
+
+def _py_canon(url: str) -> str:
+    m = _re.match(_SCHEME_HOST, url)
+    sh = m.group(1).lower() if m else ""
+    rest = _re.sub(_SCHEME_HOST, "", url, count=1)
+    rest = _re.sub(r"^:(80|443)/", "/", rest)
+    rest = _re.sub(r"^:(80|443)$", "", rest)
+    for pat, repl in URL_CANON_RULES:
+        rest = _re.sub(pat, repl.replace("G1", "\\1"), rest)
+    return sh + rest
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(URL_BITS, min_size=1, max_size=8).map("".join))
+def test_url_canon_chain_matches_duckdb(u):
+    url = "https://" + u if not u.startswith("http") else u
+    sh = f"lower(regexp_extract(?, {_sq(_SCHEME_HOST)}, 1))"
+    rest = f"regexp_replace(?, {_sq(_SCHEME_HOST)}, '', 'g')"
+    rest = f"regexp_replace({rest}, '^:(80|443)/', '/', 'g')"
+    rest = f"regexp_replace({rest}, '^:(80|443)$', '', 'g')"
+    for pat, repl in URL_CANON_RULES:
+        rest = (f"regexp_replace({rest}, {_sq(pat)}, "
+                f"{_sq(repl.replace('G1', chr(92) + '1'))}, 'g')")
+    got = CON.execute(f"SELECT {sh} || {rest}", [url, url]).fetchone()[0]
+    assert got == _py_canon(url)
