@@ -2964,6 +2964,49 @@ SELECT w1, w2, c_ab::BIGINT AS c_ab, c_a::BIGINT AS c_a,
 FROM top"""
 
 
+def q_classify_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-profile classifier: train fixed-point per-lang token
+    profiles on a 25% hash sample, label every document."""
+    from rag_document_parser_spark.operators.classify import (
+        classify, train_class_profiles)
+    docs = _docs(spark, sf_dir)
+    model = train_class_profiles(
+        SAM.hash_sample(docs, 0.25, salt="cls1"),
+        label_col="lang", min_count=2)
+    return classify(docs, model)
+
+
+SQL_CLASSIFY_LANG = f"""
+WITH samp AS (SELECT lang AS label, text FROM documents
+              WHERE substr(md5(doc_id::VARCHAR || 'cls1'), 1, 8)
+                    < '40000000'),
+st AS (SELECT label, {TOKS_SQL.format(c='text')} AS t FROM samp),
+flat AS (SELECT label, unnest(t) AS term FROM st),
+per AS (SELECT label, term, count(*) AS tc FROM flat
+        GROUP BY label, term HAVING count(*) >= 2),
+mass AS (SELECT label, count(*) AS lc FROM flat GROUP BY label),
+model AS (SELECT p.label, p.term, p.tc * 1000000 // m.lc AS freq_e
+          FROM per p JOIN mass m USING (label)),
+tt AS (SELECT term, sum(freq_e) AS tot FROM model GROUP BY term),
+shares AS (SELECT mo.label, mo.term,
+             mo.freq_e * 1000000 // t.tot AS share_e
+           FROM model mo JOIN tt t USING (term)),
+dt AS (SELECT doc_id, {_KWTOKS} AS t FROM documents),
+ex AS (SELECT doc_id, len(t) AS n, unnest(t) AS term FROM dt),
+hits AS (SELECT e.doc_id, e.n, sh.label, sh.share_e
+         FROM ex e JOIN shares sh USING (term)),
+pl AS (SELECT doc_id, label, max(n) AS n, sum(share_e) AS s
+       FROM hits GROUP BY doc_id, label),
+best AS (SELECT doc_id, label, n, s, row_number() OVER (
+           PARTITION BY doc_id ORDER BY s DESC, label) AS r FROM pl)
+SELECT d.doc_id, b.label AS label_pred,
+  coalesce(b.n, len({_KWTOKS}))::BIGINT AS n_tokens,
+  coalesce(CASE WHEN b.n > 0 THEN b.s // b.n ELSE 0 END, 0)::BIGINT
+    AS score_e6
+FROM documents d LEFT JOIN (SELECT * FROM best WHERE r = 1) b
+  USING (doc_id)"""
+
+
 def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization over planted messy URLs (mixed-case hosts,
     default ports, tracking params, fragments, trailing slashes)."""
@@ -3182,6 +3225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "url_stats": q_url_stats,
         "url_canonical": q_url_canonical,
+        "classify_lang": q_classify_lang,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -3259,6 +3303,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact": SQL_PII_REDACT,
         "url_stats": SQL_URL_STATS,
         "url_canonical": _sql_url_canonical(),
+        "classify_lang": SQL_CLASSIFY_LANG,
         "ngram_jaccard": SQL_JACCARD,
         "minhash_signatures": SQL_MINHASH_SIG,
         "minhash_lsh_pairs": SQL_MINHASH_PAIRS,

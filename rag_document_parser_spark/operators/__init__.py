@@ -20,6 +20,10 @@ from rag_document_parser_spark.operators.bpe import (
     train_bpe,
 )
 from rag_document_parser_spark.operators.chunking import chunk_documents
+from rag_document_parser_spark.operators.classify import (
+    classify,
+    train_class_profiles,
+)
 from rag_document_parser_spark.operators.lm import (
     score_bigram_lm,
     train_bigram_lm,
@@ -60,8 +64,8 @@ from rag_document_parser_spark.operators.urls import (
 )
 
 __all__ = ["block_domains", "bpe_segment", "canonicalize_urls",
-           "chunk_documents",
-           "decontaminate", "train_bpe",
+           "chunk_documents", "classify",
+           "decontaminate", "train_bpe", "train_class_profiles",
            "dedup_clusters", "domain_stats", "extract_arrow",
            "extract_catalyst", "extract_urls", "feature_hash_sparse",
            "feature_hash_vectors", "hash_sample", "hash_split",
