@@ -191,6 +191,16 @@ def main() -> None:
     timed("feature_hash",
           lambda: VEC.feature_hash_vectors(docs, dim=64)
           .agg(F.sum("n_tokens")).collect())
+    from rag_document_parser_spark.operators import bpe as B
+    from rag_document_parser_spark.operators.classify import (
+        classify, train_class_profiles)
+    timed("train_bpe",
+          lambda: B.bpe_segment(docs, B.train_bpe(docs, n_merges=4))
+          .agg(F.sum("n_subwords")).collect())
+    timed("classify",
+          lambda: classify(docs, train_class_profiles(
+              SAM.hash_sample(docs, 0.25, salt="bx"), label_col="lang"))
+          .agg(F.sum("score_e6")).collect())
     # -- full curation chain (extract -> quality -> PII -> boilerplate ->
     # exact dedup -> verified near-dup clusters) at mult=1
     from rag_document_parser_spark.plans.curate import curate, curation_report
