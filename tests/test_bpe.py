@@ -119,3 +119,33 @@ def test_bpe_oracle_sql_matches_simulation(texts):
     got = con.execute(E.oracle_sql()["bpe_merges"]).fetchall()
     want = [tuple(m) for m in _sim_train_full(texts, 2, 2)]
     assert [tuple(r) for r in got] == want
+
+
+WORDTXT = st.lists(st.sampled_from(["a", "b", "ab", "x9", "ÿ", ""]),
+                   min_size=0, max_size=10).map(" ".join)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(WORDTXT, min_size=1, max_size=3))
+def test_feature_hash_oracle_sql_matches_simulation(texts):
+    """Pure-Python simulation of the hashing trick vs the DuckDB twin
+    (the Spark engine is pinned to the oracle by the driver harness)."""
+    import hashlib
+    import re as _re
+
+    import __spark_entry__ as E
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)",
+                    list(enumerate(texts)))
+    got = sorted(map(tuple,
+                     con.execute(E.oracle_sql()["feature_hash"]).fetchall()))
+    want = {}
+    for i, t in enumerate(texts):
+        for tok in _re.findall(r"[a-z0-9؀-ۿ]+", t.lower()):
+            d = hashlib.md5(tok.encode()).hexdigest()
+            b = int(d[:15], 16) % 16
+            s = 1 if int(d[15], 16) % 2 == 0 else -1
+            want[(i, b)] = want.get((i, b), 0) + s
+    want = sorted((i, b, w) for (i, b), w in want.items() if w != 0)
+    assert got == want
