@@ -2880,7 +2880,8 @@ dfq AS (SELECT term, count(*) AS df_t FROM tf GROUP BY term
         HAVING count(*) >= 2),
 tot AS (SELECT count(*) AS n_docs FROM documents),
 j AS (SELECT f.doc_id, f.term, f.tf, d.df_t,
-        f.tf * t.n_docs * 1000000 // (d.df_t * f.n_toks) AS score_e6
+        f.tf::HUGEINT * t.n_docs * 1000000
+          // (d.df_t::HUGEINT * f.n_toks) AS score_e6
       FROM tf f JOIN dfq d USING (term) CROSS JOIN tot t),
 r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
         ORDER BY score_e6 DESC, term) AS krank FROM j)
@@ -2902,7 +2903,7 @@ top AS (SELECT term, cnt FROM counts ORDER BY cnt DESC, term LIMIT 50)
 SELECT row_number() OVER (ORDER BY cnt DESC, term)::BIGINT AS vrank,
   term, cnt::BIGINT AS cnt,
   (sum(cnt) OVER (ORDER BY cnt DESC, term
-     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::HUGEINT
    * 1000000 // t.total)::BIGINT AS cum_ppm
 FROM top CROSS JOIN tot t"""
 
@@ -2985,8 +2986,10 @@ flat AS (SELECT label, unnest(t) AS term FROM st),
 per AS (SELECT label, term, count(*) AS tc FROM flat
         GROUP BY label, term HAVING count(*) >= 2),
 mass AS (SELECT label, count(*) AS lc FROM flat GROUP BY label),
-model AS (SELECT p.label, p.term, p.tc * 1000000 // m.lc AS freq_e
-          FROM per p JOIN mass m USING (label)),
+model AS (SELECT * FROM (
+            SELECT p.label, p.term, p.tc * 1000000 // m.lc AS freq_e
+            FROM per p JOIN mass m USING (label))
+          WHERE freq_e > 0),
 tt AS (SELECT term, sum(freq_e) AS tot FROM model GROUP BY term),
 shares AS (SELECT mo.label, mo.term,
              mo.freq_e * 1000000 // t.tot AS share_e
@@ -3057,6 +3060,14 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BPE_SYM = ("' ' || array_to_string(string_split({w}, ''), ' ') "
             "|| ' </w> '")
+# apply a learned merge as a scalar subquery so an EMPTY merge table is
+# a no-op (coalesce to an unmatchable chr(1) pattern) instead of a CROSS
+# JOIN that wipes the table — keeps the oracle aligned with Spark's
+# bpe_segment on degenerate corpora where < n_merges pairs are learnable
+_BPE_APPLY = (
+    "replace({s}, ' ' || coalesce((SELECT pair FROM {b}), chr(1)) || ' ',"
+    " ' ' || coalesce((SELECT replace(pair, ' ', '') FROM {b}), chr(1))"
+    " || ' ')")
 _BPE_PAIRS = """SELECT pair, sum(c) AS cnt FROM (
     SELECT c, unnest(list_transform(range(len(y) - 1),
                      i -> y[i + 1] || ' ' || y[i + 2])) AS pair
@@ -3070,9 +3081,7 @@ wc AS (SELECT word, count(*) AS c FROM w GROUP BY word
 s0 AS (SELECT c, {_BPE_SYM.format(w='word')} AS s FROM wc),
 p1 AS ({_BPE_PAIRS.format(src='s0')}),
 b1 AS (SELECT pair, cnt FROM p1 ORDER BY cnt DESC, pair LIMIT 1),
-s1 AS (SELECT c, replace(s, ' ' || pair || ' ',
-                         ' ' || replace(pair, ' ', '') || ' ') AS s
-       FROM s0 CROSS JOIN b1),
+s1 AS (SELECT c, {_BPE_APPLY.format(s='s', b='b1')} AS s FROM s0),
 p2 AS ({_BPE_PAIRS.format(src='s1')}),
 b2 AS (SELECT pair, cnt FROM p2 ORDER BY cnt DESC, pair LIMIT 1)"""
 SQL_BPE_MERGES = f"""
@@ -3095,12 +3104,8 @@ SQL_BPE_SEGMENT = f"""
 WITH {_BPE_TRAIN_CTES},
 aw AS (SELECT DISTINCT word FROM w),
 a0 AS (SELECT word, {_BPE_SYM.format(w='word')} AS s FROM aw),
-a1 AS (SELECT word, replace(s, ' ' || pair || ' ',
-                            ' ' || replace(pair, ' ', '') || ' ') AS s
-       FROM a0 CROSS JOIN b1),
-a2 AS (SELECT word, replace(s, ' ' || pair || ' ',
-                            ' ' || replace(pair, ' ', '') || ' ') AS s
-       FROM a1 CROSS JOIN b2),
+a1 AS (SELECT word, {_BPE_APPLY.format(s='s', b='b1')} AS s FROM a0),
+a2 AS (SELECT word, {_BPE_APPLY.format(s='s', b='b2')} AS s FROM a1),
 m AS (SELECT word, len(string_split(trim(s), ' '))::BIGINT AS ns FROM a2),
 f AS (SELECT doc_id, unnest(t) AS word FROM toks),
 agg AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,

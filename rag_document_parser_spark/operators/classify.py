@@ -62,7 +62,14 @@ def train_class_profiles(labeled: DataFrame, label_col: str = "lang",
     # label-mass side is |labels| rows — broadcast, never shuffle on it
     freq = (per.join(F.broadcast(mass), "label")
             .select("label", "term",
-                    F.expr(f"tc * {int(scale)} div lc").alias("freq_e")))
+                    F.expr(f"tc * {int(scale)} div lc").alias("freq_e"))
+            # drop fixed-point-underflowed rows (tc*scale < lc — labels
+            # with token mass > tc*scale): they would vote 0 anyway, and
+            # keeping them lets a term whose EVERY label leg underflows
+            # reach the share division with _tot = 0 (NULL share in
+            # Spark, a hard error in the DuckDB oracle). Survivors
+            # guarantee _tot >= 1.
+            .where(F.col("freq_e") > 0))
     tot = freq.groupBy("term").agg(F.sum("freq_e").alias("_tot"))
     return (freq.join(tot, "term")
             .select("label", "term", "freq_e",

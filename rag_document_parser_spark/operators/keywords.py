@@ -96,7 +96,14 @@ def tfidf_keywords(df: DataFrame, text_col: str = "text",
     hot = F.col("df_t") * hot_denom >= F.col("n_docs")
     joined = tf.join(F.broadcast(docfreq.where(hot)), "term").unionByName(
         tf.join(docfreq.where(~hot), "term"))
-    score = F.expr("tf * n_docs * 1000000 div (df_t * n_toks)")
+    # numerator widened to decimal(38,0) so tf*n_docs*1e6 has headroom
+    # to ~1e38 (BIGINT caps at ~9.2e18 — a stopword at 10^12 docs blows
+    # that). Exact integer division is width-independent: every value
+    # (and oracle hash) is unchanged at any scale that fit before. The
+    # final score <= n_docs*1e6 still fits BIGINT up to 9.2e12 docs.
+    score = F.expr(
+        "cast(tf as decimal(38,0)) * n_docs * 1000000"
+        " div (cast(df_t as decimal(38,0)) * n_toks)")
     scored = joined.select(
         F.col("id").alias(id_col), "term",
         F.col("tf").cast("long").alias("tf"),
@@ -134,7 +141,10 @@ def vocab_coverage(df: DataFrame, text_col: str = "text",
     return top.select(
         F.row_number().over(order).cast("long").alias("vrank"),
         "term", F.col("cnt").cast("long").alias("cnt"),
-        (F.sum("cnt").over(running) * 1000000).alias("_cum"),
+        # decimal(38,0) running sum: headroom past 9.2e12 total tokens
+        # (same exact values below it); cum_ppm <= 1e6 fits BIGINT
+        (F.sum("cnt").over(running).cast("decimal(38,0)") * 1000000)
+        .alias("_cum"),
         "total",
     ).select("vrank", "term", "cnt",
              F.expr("_cum div total").cast("long").alias("cum_ppm"))

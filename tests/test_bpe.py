@@ -121,6 +121,29 @@ def test_bpe_oracle_sql_matches_simulation(texts):
     assert [tuple(r) for r in got] == want
 
 
+def test_bpe_segment_oracle_degenerate_corpus(spark):
+    """All-hapax corpus: min_count=2 training learns ZERO merges, so
+    segmentation must be the identity (chars + </w> per word) in BOTH
+    engines — not the old oracle CROSS-JOIN wipeout that coalesced
+    every doc to (0, 0) while Spark returned real counts."""
+    import __spark_entry__ as E
+    rows = [(0, "abc de"), (1, "xyz"), (2, "")]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    got = sorted(map(tuple,
+                     con.execute(E.oracle_sql()["bpe_segment"]).fetchall()))
+    # abc -> a b c </w> (4 symbols), de -> 3, xyz -> 4, empty doc -> 0
+    assert got == [(0, 2, 7), (1, 1, 4), (2, 0, 0)]
+    df = spark.createDataFrame([(str(i), t) for i, t in rows],
+                               ["doc_id", "text"])
+    merges = B.train_bpe(df, n_merges=2, min_count=2)
+    assert merges == []
+    sgot = sorted((int(r["doc_id"]), r["n_tokens"], r["n_subwords"])
+                  for r in B.bpe_segment(df, merges).collect())
+    assert sgot == got
+
+
 WORDTXT = st.lists(st.sampled_from(["a", "b", "ab", "x9", "ÿ", ""]),
                    min_size=0, max_size=10).map(" ".join)
 

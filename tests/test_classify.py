@@ -67,6 +67,32 @@ def test_classify_accuracy_with_planted_markers(spark):
     assert right / n > 0.95, (right, n)
 
 
+def test_profiles_underflow_pruned(spark):
+    # fixed-point underflow leg: with a small scale, tc*scale div lc hits
+    # 0 for terms rarer than 1/scale of a label's mass. Previously a term
+    # underflowing in EVERY label reached the share division with tot=0
+    # (NULL share_e); such rows must now be pruned instead.
+    rows = [
+        ("u1", "a", "x x " + "filler " * 40),
+        ("u2", "b", "x x " + "stuff " * 40),
+    ]
+    labeled = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    # label mass = 42 tokens, tc('x') = 2, scale=10 -> 2*10 div 42 = 0
+    model = train_class_profiles(labeled, scale=10, min_count=2)
+    got = model.collect()
+    assert all(r["share_e"] is not None for r in got)
+    assert not any(r["term"] == "x" for r in got)
+    # survivors keep the invariant freq_e >= 1
+    assert all(r["freq_e"] >= 1 for r in got)
+    # classify still labels docs off the surviving (filler/stuff) terms
+    probe = spark.createDataFrame(
+        [("p1", "filler filler x"), ("p2", "stuff stuff x")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r["label_pred"]
+           for r in classify(probe, model).collect()}
+    assert out == {"p1": "a", "p2": "b"}
+
+
 def test_classify_partition_invariant(spark):
     docs = _docs(spark).limit(80)
     model = train_class_profiles(docs, label_col="lang", min_count=2)
