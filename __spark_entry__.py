@@ -802,6 +802,46 @@ SELECT whash, count(DISTINCT doc_id)::BIGINT AS n_docs,
 FROM ex GROUP BY whash HAVING count(DISTINCT doc_id) >= 2"""
 
 
+def q_remove_repeated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup: excise every cross-corpus repeated
+    window's tokens from each doc (Lee et al. 2022 §4 — remove the
+    span, keep the doc)."""
+    docs = _docs(spark, sf_dir)
+    rep = REP.repeated_windows(docs, window=_RW_WINDOW)
+    out = REP.remove_repeated_windows(docs, rep, window=_RW_WINDOW)
+    return out.select(F.col("doc_id").cast("long"),
+                      F.col("n_tokens").cast("long"),
+                      F.col("n_removed").cast("long"), "cleaned")
+
+
+SQL_REMOVE_REPEATED = _SQL_RW_BASE + f"""
+, rep AS (
+  SELECT whash FROM ex GROUP BY whash HAVING count(DISTINCT doc_id) >= 2
+), exp AS (
+  SELECT doc_id, unnest(ws) AS whash, generate_subscripts(ws, 1) AS s
+  FROM wh
+), rs AS (
+  SELECT e.doc_id, e.s FROM exp e JOIN rep USING (whash)
+), cov AS (
+  SELECT DISTINCT doc_id, s + r.range AS p
+  FROM rs, range({_RW_WINDOW}) r
+), tokp AS (
+  SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS p FROM tk
+), kept AS (
+  SELECT tp.doc_id, tp.tok, tp.p
+  FROM tokp tp LEFT JOIN cov c ON c.doc_id = tp.doc_id AND c.p = tp.p
+  WHERE c.p IS NULL
+), agg AS (
+  SELECT doc_id, count(*) AS nk,
+         string_agg(tok, ' ' ORDER BY p) AS cleaned
+  FROM kept GROUP BY doc_id
+)
+SELECT tk.doc_id::BIGINT AS doc_id, tk.n::BIGINT AS n_tokens,
+  (tk.n - coalesce(agg.nk, 0))::BIGINT AS n_removed,
+  coalesce(agg.cleaned, '') AS cleaned
+FROM tk LEFT JOIN agg USING (doc_id)"""
+
+
 def q_repeated_window_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc repeated-window fraction (fixed-point)."""
     out = REP.repeated_window_fraction(_docs(spark, sf_dir),
@@ -3187,9 +3227,41 @@ FROM base JOIN groups USING (payload_sha)"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER MATTERS: the driver gates the FIRST ~50 entries per round
+    # (CORRECTNESS_r03 == the dict's first 50). Never-driver-gated
+    # queries lead, then round-2-only ones, then the flagship extract
+    # pair; the long-stable tail (green in r2 AND r3) yields its slots.
     return {
+        # -- new this round / never driver-gated in any round ----------
+        "remove_repeated": q_remove_repeated,
+        "arabic_tables": q_arabic_tables,
+        "failed_docs_poisoned": q_failed_docs_poisoned,
+        "summary_poisoned": q_summary_poisoned,
+        "pdf_images": q_pdf_images,
+        "kmeans_centroids": q_kmeans_centroids,
+        "segment_audio": q_segment_audio,
+        "semdedup": q_semdedup,
+        # -- green in round 2 but absent from the round-3 driver set ---
+        "ivf_cosine_topk": q_ivf_cosine_topk,
+        "embedding_near_dup": q_embedding_near_dup,
+        "failed_docs": q_failed_docs,
+        "media_features": q_media_features,
+        "frame_sample": q_frame_sample,
+        "ocr_media": q_ocr_media,
+        "detect_route": q_detect_route,
+        "magic_detect": q_magic_detect,
+        "code_stats": q_code_stats,
+        "content_structure": q_content_structure,
+        "arabic_normalized": q_arabic_normalized,
+        "sheet_structure": q_sheet_structure,
+        "doc_metadata": q_doc_metadata,
+        "orders_report": q_orders_report,
+        "lineitem_pricing": q_lineitem_pricing,
+        "events_report": q_events_report,
+        # -- flagship extraction pair (keep inside every gate) ----------
         "extract_content": q_extract_content,
         "extract_content_arrow": q_extract_content_arrow,
+        # -- round-3-green tail (most-recently-gated last) --------------
         "single_doc": q_single_doc,
         "route_stats": q_route_stats,
         "summary_report": q_summary_report,
@@ -3238,29 +3310,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "cosine_topk": q_cosine_topk,
         "lsh_cosine_topk": q_lsh_cosine_topk,
-        "ivf_cosine_topk": q_ivf_cosine_topk,
-        "kmeans_centroids": q_kmeans_centroids,
-        "embedding_near_dup": q_embedding_near_dup,
-        "semdedup": q_semdedup,
-        "failed_docs": q_failed_docs,
-        "failed_docs_poisoned": q_failed_docs_poisoned,
-        "summary_poisoned": q_summary_poisoned,
-        "media_features": q_media_features,
-        "frame_sample": q_frame_sample,
-        "segment_audio": q_segment_audio,
-        "ocr_media": q_ocr_media,
-        "detect_route": q_detect_route,
-        "magic_detect": q_magic_detect,
-        "code_stats": q_code_stats,
-        "content_structure": q_content_structure,
-        "pdf_images": q_pdf_images,
-        "arabic_tables": q_arabic_tables,
-        "arabic_normalized": q_arabic_normalized,
-        "sheet_structure": q_sheet_structure,
-        "doc_metadata": q_doc_metadata,
-        "orders_report": q_orders_report,
-        "lineitem_pricing": q_lineitem_pricing,
-        "events_report": q_events_report,
     }
 
 
@@ -3295,6 +3344,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_score": SQL_LM_SCORE,
         "doc_chunks": SQL_DOC_CHUNKS,
         "repeated_windows": SQL_REPEATED_WINDOWS,
+        "remove_repeated": SQL_REMOVE_REPEATED,
         "repeated_window_frac": SQL_REPEATED_WINDOW_FRAC,
         "line_repetition": SQL_LINE_REPETITION,
         "top_ngram": SQL_TOP_NGRAM,

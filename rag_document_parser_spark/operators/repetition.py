@@ -37,6 +37,7 @@ from rag_document_parser_spark.operators.dedup import shingle_df, words
 __all__ = [
     "decontaminate",
     "line_repetition_features",
+    "remove_repeated_windows",
     "repeated_window_fraction",
     "repeated_windows",
     "top_ngram_stats",
@@ -187,6 +188,96 @@ def repeated_window_fraction(df: DataFrame, text_col: str = "text",
                     F.when(F.col("n_windows") > 0,
                            F.expr("n_repeated * 1000000 div n_windows"))
                     .otherwise(F.lit(0)).cast("long").alias("repeated_e6")))
+
+
+def remove_repeated_windows(df: DataFrame, repeats: DataFrame,
+                            text_col: str = "text",
+                            id_col: str = "doc_id", window: int = 20,
+                            broadcast_repeats: bool = True) -> DataFrame:
+    """Cut cross-corpus repeated substrings OUT of documents (Lee et al.
+    2022 §4 — remove the duplicated span, keep the rest of the doc; the
+    whole-doc-drop alternative measurably hurts downstream models).
+
+    ``repeats`` is (a projection of) ``repeated_windows`` output — any
+    DataFrame with a ``whash`` column. A token is removed when it is
+    covered by ANY repeated ``window``-token sliding window; the doc
+    survives as ``(id_col, n_tokens, n_removed, cleaned)`` where
+    ``cleaned`` is the space-joined residual token sequence. Surgery is
+    in TOKEN space (the tokenizer's lowercase word stream), matching the
+    window-hash definition — a documented divergence from Lee et al.'s
+    byte-level suffix arrays, which this fixed-width re-expression
+    trades for distributability (same trade ``repeated_windows`` makes).
+
+    Scale shape: the repeat set broadcasts (tiny next to the corpus;
+    ``broadcast_repeats=False`` degrades to a shuffle join when
+    boilerplate saturation outgrows executor memory), repeated start
+    positions regroup on the UNIFORM doc_id key, and the span surgery
+    itself is per-row fold arithmetic: repeated starts merge into
+    disjoint covered intervals (one ``aggregate`` over the sorted start
+    list), then the kept tokens concatenate the BETWEEN-interval slices
+    — O(tokens + intervals) per doc, never a per-position membership
+    scan (O(tokens × starts) on exactly the boilerplate-heavy docs that
+    matter).
+    """
+    rep = repeats.select("whash")
+    if broadcast_repeats:
+        rep = F.broadcast(rep)
+    toks = df.select(F.col(id_col).alias("id"),
+                     words(F.col(text_col)).alias("_t"))
+    ex = _window_hash_df(df, text_col, id_col, window).select(
+        "id", F.posexplode_outer("whashes").alias("_pos", "whash"))
+    # 1-based token index of each repeated window's first token
+    starts = (ex.where(F.col("whash").isNotNull())
+              .join(rep, "whash", "left_semi")
+              .groupBy("id")
+              .agg(F.sort_array(F.collect_list(F.col("_pos") + 1))
+                   .alias("_starts")))
+    j = toks.join(starts, "id", "left").select(
+        "id", "_t",
+        F.coalesce("_starts", F.expr("cast(array() as array<int>)"))
+        .alias("_starts"))
+    # merge sorted starts into disjoint covered intervals [lo, hi]
+    intervals = F.aggregate(
+        "_starts",
+        F.expr("cast(array() as array<struct<lo:int,hi:int>>)"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (s <= F.element_at(acc, -1).getField("hi") + 1),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.struct(
+                    F.element_at(acc, -1).getField("lo").alias("lo"),
+                    (s + (window - 1)).alias("hi"))))
+        ).otherwise(
+            F.concat(acc, F.array(F.struct(
+                s.alias("lo"), (s + (window - 1)).alias("hi"))))))
+    staged = j.select("id", "_t", F.size("_t").alias("_n"),
+                      intervals.alias("_iv"))
+    # concatenate the gaps between intervals (plus the tail) — the
+    # between-interval slice lengths are >= 0 by the merge invariant
+    kept = F.aggregate(
+        "_iv",
+        F.struct(F.lit(1).alias("pos"),
+                 F.expr("cast(array() as array<string>)").alias("out")),
+        lambda acc, iv: F.struct(
+            (iv.getField("hi") + 1).alias("pos"),
+            F.concat(acc.getField("out"),
+                     F.slice(F.col("_t"), acc.getField("pos"),
+                             iv.getField("lo") - acc.getField("pos")))
+            .alias("out")),
+        lambda acc: F.concat(
+            acc.getField("out"),
+            F.slice(F.col("_t"), acc.getField("pos"),
+                    F.col("_n") - acc.getField("pos") + 1)))
+    return staged.select(
+        F.col("id").alias(id_col),
+        F.col("_n").cast("long").alias("n_tokens"),
+        kept.alias("_kept"),
+    ).select(
+        id_col, "n_tokens",
+        (F.col("n_tokens") - F.size("_kept")).cast("long")
+        .alias("n_removed"),
+        F.array_join("_kept", " ").alias("cleaned"))
 
 
 def decontaminate(corpus: DataFrame, eval_df: DataFrame,

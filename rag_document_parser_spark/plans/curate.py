@@ -25,8 +25,12 @@ Stage order and why:
    content hashes so duplicate copies can't vote their own body over
    the threshold; ``boilerplate_min_docs`` should scale with corpus
    size in production (a corpus-share threshold), 2 is the floor.
-5. exact dedup — md5 group, keep min doc_id.
-6. near dedup — MinHash LSH candidate pairs, verified at exact shingle
+5. (opt-in) repeated-substring removal — cross-corpus repeated token
+   windows cut out of the text, doc kept (Lee et al. 2022 §4); token-
+   space surgery, so it rewrites content as the tokenizer's word
+   stream — off by default.
+6. exact dedup — md5 group, keep min doc_id.
+7. near dedup — MinHash LSH candidate pairs, verified at exact shingle
    Jaccard >= ``near_threshold`` -> connected components, keep the
    cluster minimum.
 
@@ -52,6 +56,10 @@ from rag_document_parser_spark.operators.dedup import (
     shingle_df,
 )
 from rag_document_parser_spark.operators.pii import PII_RULES, redact_pii
+from rag_document_parser_spark.operators.repetition import (
+    remove_repeated_windows,
+    repeated_windows,
+)
 from rag_document_parser_spark.operators.textstats import quality_exprs
 from rag_document_parser_spark.plans.job import extract
 
@@ -62,6 +70,8 @@ def curate(df: DataFrame, cfg: ExtractConfig | None = None,
            min_words: int = 5, max_words: int = 100_000,
            min_alpha_ratio: float = 0.1, scrub_pii: bool = True,
            boilerplate_min_docs: int = 2,
+           remove_repeated: bool = False, repeated_window: int = 20,
+           repeated_min_docs: int = 2,
            near_dup: bool = True, near_threshold: float | None = 0.8,
            lsh_k: int = 32, lsh_bands: int = 8,
            materialize: bool = True,
@@ -144,6 +154,32 @@ def curate(df: DataFrame, cfg: ExtractConfig | None = None,
             .join(para.select("_ch", F.col("cleaned").alias("content")),
                   "_ch")
             .drop("_ch"))
+
+    if remove_repeated:
+        # Opt-in substring-level dedup (Lee et al. 2022 §4): excise
+        # cross-corpus repeated token windows, keep the doc. Same
+        # distinct-content-hash discipline as the paragraph stage —
+        # mirrored copies count once toward repeated_min_docs, the
+        # window explode runs over unique contents only, and the
+        # cleaned text fans back out through a uniform md5-keyed join.
+        # NOTE: surgery is in token space (lowercase word stream), so
+        # downstream content is the tokenizer's rendering — which exact
+        # and near dedup consume unchanged. Off by default for that
+        # reason.
+        live_h2 = live.withColumn("_ch", F.md5("content"))
+        uniq2 = live_h2.select("_ch", "content").dropDuplicates(["_ch"])
+        repw = repeated_windows(uniq2, text_col="content", id_col="_ch",
+                                window=repeated_window,
+                                min_docs=repeated_min_docs)
+        cut = remove_repeated_windows(uniq2, repw, text_col="content",
+                                      id_col="_ch",
+                                      window=repeated_window)
+        live = (live_h2.drop("content")
+                .join(cut.select("_ch",
+                                 F.col("cleaned").alias("content")),
+                      "_ch")
+                .drop("_ch"))
+
     live = live.withColumn("_empty", F.length("content") == 0)
     if materialize:
         live = live.localCheckpoint()

@@ -145,6 +145,35 @@ def test_idempotent_on_survivors(spark, corpus):
     assert again.where("NOT kept").count() == 0
 
 
+def test_curate_remove_repeated_stage(spark):
+    """Opt-in substring removal (Lee et al. 2022 §4) inside the chain:
+    a passage shared verbatim by two otherwise-distinct docs is excised
+    from BOTH, both docs survive, and the unique flanks are intact (in
+    token-space rendering). With the stage off, the passage stays."""
+    shared = ("identical licensing disclaimer reproduced verbatim across "
+              "every partner site in the syndication network")
+    docs = [
+        _text_doc("r1", f"alpha beta gamma delta epsilon {shared} "
+                        "zeta eta theta"),
+        _text_doc("r2", f"one two three four five {shared} six seven"),
+        _text_doc("r3", BODY),
+    ]
+    cfg = ExtractConfig(unknown_kinds="error")
+    corpus = spark.createDataFrame(docs, schema=INPUT_SCHEMA)
+    on = {r["doc_id"]: r for r in
+          curate(corpus, cfg, remove_repeated=True, repeated_window=6,
+                 boilerplate_min_docs=3).collect()}
+    assert all(on[d]["kept"] for d in ("r1", "r2", "r3"))
+    assert "disclaimer" not in on["r1"]["content"]
+    assert "disclaimer" not in on["r2"]["content"]
+    assert "alpha" in on["r1"]["content"] and "theta" in on["r1"]["content"]
+    assert "one" in on["r2"]["content"] and "seven" in on["r2"]["content"]
+    assert "terns" in on["r3"]["content"]       # untouched unique doc
+    off = {r["doc_id"]: r for r in
+           curate(corpus, cfg, boilerplate_min_docs=3).collect()}
+    assert "disclaimer" in off["r1"]["content"]
+
+
 def test_curate_empty_corpus(spark):
     empty = spark.createDataFrame([], schema=INPUT_SCHEMA)
     out = curate(empty).collect()

@@ -83,3 +83,85 @@ def test_decontaminate_threshold_boundary(spark):
     assert r["contaminated"]   # 0.5 >= 0.5
     r2 = REP.decontaminate(corpus, ev, n=3, threshold=0.51).collect()[0]
     assert not r2["contaminated"]
+
+
+# --- remove_repeated_windows (Lee et al. span removal) -----------------
+
+def _sim_remove(texts, window):
+    """Pure-Python twin: identical window hashing + coverage semantics."""
+    import hashlib
+    import re
+    tok = re.compile(r"[a-z0-9؀-ۿ]+")
+    toks = {i: tok.findall(t.lower()) for i, t in texts.items()}
+    occurs = {}
+    for i, ts in toks.items():
+        for s in range(len(ts) - window + 1):
+            h = hashlib.md5(" ".join(ts[s:s + window]).encode()).hexdigest()
+            occurs.setdefault(h, set()).add(i)
+    rep = {h for h, ds in occurs.items() if len(ds) >= 2}
+    out = {}
+    for i, ts in toks.items():
+        cov = set()
+        for s in range(len(ts) - window + 1):
+            h = hashlib.md5(" ".join(ts[s:s + window]).encode()).hexdigest()
+            if h in rep:
+                cov.update(range(s, s + window))
+        kept = [t for p, t in enumerate(ts) if p not in cov]
+        out[i] = (len(ts), len(ts) - len(kept), " ".join(kept))
+    return out
+
+
+def test_remove_repeated_planted_passage(spark):
+    boiler = " ".join(f"b{i}" for i in range(6))   # 6-token boilerplate
+    texts = {
+        1: f"u1 u2 {boiler} t1 t2 t3",
+        2: f"v1 {boiler} w1 w2",
+        3: "all unique tokens here nothing shared",
+        4: boiler,                                  # doc IS the passage
+        5: "tiny",                                  # shorter than window
+        6: "",                                      # empty
+    }
+    df = _df(spark, list(texts.items()))
+    rep = REP.repeated_windows(df, window=4)
+    got = {r["doc_id"]: (r["n_tokens"], r["n_removed"], r["cleaned"])
+           for r in REP.remove_repeated_windows(df, rep, window=4)
+           .collect()}
+    assert got == _sim_remove(texts, 4)
+    # the planted passage is excised, the unique flanks survive
+    assert got[1][2] == "u1 u2 t1 t2 t3"
+    assert got[2][2] == "v1 w1 w2"
+    assert got[3] == (6, 0, texts[3])
+    assert got[4] == (6, 6, "")       # fully-boilerplate doc -> empty
+    assert got[5] == (1, 0, "tiny")
+    assert got[6] == (0, 0, "")
+
+
+def test_remove_repeated_interval_merge(spark):
+    # two repeated windows overlapping mid-doc must merge into ONE
+    # covered interval (no double-count, no lost gap tokens)
+    shared = "s1 s2 s3 s4 s5"                      # 5 tokens, window=4
+    texts = {1: f"x1 {shared} x2", 2: f"y1 y2 {shared}"}
+    df = _df(spark, list(texts.items()))
+    rep = REP.repeated_windows(df, window=4)
+    got = {r["doc_id"]: (r["n_tokens"], r["n_removed"], r["cleaned"])
+           for r in REP.remove_repeated_windows(df, rep, window=4)
+           .collect()}
+    assert got == _sim_remove(texts, 4)
+    assert got[1] == (7, 5, "x1 x2")
+
+
+def test_remove_repeated_partition_invariant(spark):
+    rows = [(i, f"p{i} q{i} common1 common2 common3 common4 r{i}")
+            for i in range(30)]
+    df = _df(spark, rows)
+    rep = REP.repeated_windows(df, window=4)
+    a = sorted(map(tuple,
+                   REP.remove_repeated_windows(df, rep, window=4)
+                   .collect()))
+    b = sorted(map(tuple,
+                   REP.remove_repeated_windows(
+                       df.repartition(11), rep, window=4,
+                       broadcast_repeats=False).collect()))
+    assert a == b and len(a) == 30
+    # every doc lost exactly the 4-token shared run
+    assert all(r[2] == 4 for r in a)
