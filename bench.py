@@ -38,6 +38,11 @@ ONLY_EXTRACT = os.environ.get("BENCH_ONLY", "") == "1"
 # repetitions — measured monotone 8.2→4.1 s across 6 reps — so the
 # default is 5 full-size reps after a full-size warmup.
 REPS = int(os.environ.get("BENCH_REPS", "5"))
+# repetitions of every secondary query (best-of-N). Round-3 single-shot
+# timings made unchanged code look 1.6-2.1x slower purely from VM
+# interference bursts; 3 reps with min + the full rep list keeps noise
+# out of the headline numbers while still exposing the spread.
+QREPS = int(os.environ.get("BENCH_QREPS", "3"))
 
 
 def main() -> None:
@@ -84,11 +89,25 @@ def main() -> None:
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
 
     timings: dict[str, float] = {}
+    rep_detail: dict[str, list[float]] = {}
 
     def timed(name: str, fn):
         t0 = time.perf_counter()
         out = fn()
         timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    def timed_reps(name: str, fn, reps: int = QREPS):
+        """Best-of-N per query: timings[name] = min, rep_detail[name] =
+        every rep (so a noisy VM burst is visible, not just absorbed)."""
+        walls = []
+        out = None
+        for _ in range(max(reps, 1)):
+            t0 = time.perf_counter()
+            out = fn()
+            walls.append(round(time.perf_counter() - t0, 3))
+        timings[name] = min(walls)
+        rep_detail[name] = walls
         return out
 
     # warm the JVM + the FULL python-worker pool (excluded from timings):
@@ -129,14 +148,27 @@ def main() -> None:
                                         engine="arrow", resume=False))
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
-    extract_sec = min(timings[f"extract_job_arrow_r{r + 1}"]
-                      for r in range(REPS))
+    walls = sorted(timings[f"extract_job_arrow_r{r + 1}"]
+                   for r in range(REPS))
+    extract_sec = walls[0]
+    extract_med = walls[len(walls) // 2] if len(walls) % 2 else round(
+        (walls[len(walls) // 2 - 1] + walls[len(walls) // 2]) / 2, 3)
+    # min isolates interference; median + spread expose how much there
+    # was (a 3.7x spread in round 3 made the min-only headline soft)
+    extract_stats = {
+        "min_sec": extract_sec, "median_sec": extract_med,
+        "spread": round(walls[-1] / walls[0], 2), "reps": walls,
+    }
     timings["extract_job_arrow"] = extract_sec
+    rep_detail["extract_job_arrow"] = walls
     docs_per_sec = round(n_docs / extract_sec, 1)
+    docs_per_sec_median = round(n_docs / extract_med, 1)
 
     if ONLY_EXTRACT:
         print(json.dumps({
             "metric": "extract_docs_per_sec", "value": docs_per_sec,
+            "value_median": docs_per_sec_median,
+            "extract_reps": extract_stats,
             "unit": "docs/sec", "queries": timings, "sf": SF_DIR,
             "cores": CPUS, "extract_docs": n_docs,
             "total_sec": round(sum(timings.values()), 3),
@@ -156,84 +188,84 @@ def main() -> None:
         shutil.rmtree(d, ignore_errors=True)
 
     # -- catalyst engine, same corpus, compute-only (forces text materialize)
-    timed("extract_catalyst", lambda: extract_catalyst(corpus, CATALYST_CONFIG).agg(
+    timed_reps("extract_catalyst", lambda: extract_catalyst(corpus, CATALYST_CONFIG).agg(
         F.count("*"),
         F.sum(F.size("spans_clean")),
         F.sum(F.length(F.array_join(F.col("spans_clean").getField("text"), ""))),
     ).collect())
 
     # -- training-data operator families on the raw documents table ---------
-    timed("dedup_minhash_pairs",
+    timed_reps("dedup_minhash_pairs",
           lambda: D.minhash_lsh_pairs(docs, n=3, k=16, bands=4).count())
-    timed("dedup_simhash",
+    timed_reps("dedup_simhash",
           lambda: D.simhash64(docs).agg(F.bit_xor("simhash")).collect())
-    timed("dedup_jaccard",
+    timed_reps("dedup_jaccard",
           lambda: D.ngram_jaccard_pairs(docs, n=3, threshold=0.5).count())
-    timed("textstats", lambda: T.quality_features(docs).unionByName(
+    timed_reps("textstats", lambda: T.quality_features(docs).unionByName(
         T.quality_features(docs)).agg(F.sum("n_words")).collect())
-    timed("fingerprint",
+    timed_reps("fingerprint",
           lambda: T.fingerprint(docs).agg(F.count("fingerprint")).collect())
-    timed("top_ngram",
+    timed_reps("top_ngram",
           lambda: R.top_ngram_stats(docs, n=2)
           .agg(F.sum("top_count")).collect())
-    timed("decontam",
+    timed_reps("decontam",
           lambda: R.decontaminate(
               docs, SAM.hash_sample(docs, 0.1, salt="contam"), n=3)
           .agg(F.sum("n_matched")).collect())
     from rag_document_parser_spark.operators import keywords as KW
     from rag_document_parser_spark.operators import vectorize as VEC
-    timed("tfidf_keywords",
+    timed_reps("tfidf_keywords",
           lambda: KW.tfidf_keywords(docs, top_k=5, min_df=2)
           .agg(F.sum("score_e6")).collect())
-    timed("pmi_bigrams",
+    timed_reps("pmi_bigrams",
           lambda: KW.pmi_bigrams(docs, min_count=5, top_n=50)
           .agg(F.sum("score_e6")).collect())
-    timed("feature_hash",
+    timed_reps("feature_hash",
           lambda: VEC.feature_hash_vectors(docs, dim=64)
           .agg(F.sum("n_tokens")).collect())
     from rag_document_parser_spark.operators import bpe as B
     from rag_document_parser_spark.operators.classify import (
         classify, train_class_profiles)
-    timed("train_bpe",
+    timed_reps("train_bpe",
           lambda: B.bpe_segment(docs, B.train_bpe(docs, n_merges=4))
           .agg(F.sum("n_subwords")).collect())
-    timed("classify",
+    timed_reps("classify",
           lambda: classify(docs, train_class_profiles(
               SAM.hash_sample(docs, 0.25, salt="bx"), label_col="lang"))
           .agg(F.sum("score_e6")).collect())
     # -- full curation chain (extract -> quality -> PII -> boilerplate ->
     # exact dedup -> verified near-dup clusters) at mult=1
     from rag_document_parser_spark.plans.curate import curate, curation_report
-    timed("curate",
+    timed_reps("curate",
           lambda: curation_report(
               curate(spans_df_from_documents(spark, SF_DIR, mult=1))
           ).collect())
     from rag_document_parser_spark.operators import chunking as CH
     from rag_document_parser_spark.operators import lm as LM
     from rag_document_parser_spark.operators import packing as PK
-    timed("pack_shards",
+    timed_reps("pack_shards",
           lambda: PK.shard_manifest(PK.pack_shards(docs, 2000)).count())
-    timed("lm_score",
+    timed_reps("lm_score",
           lambda: LM.score_bigram_lm(
               docs, LM.train_bigram_lm(docs, min_count=2))
           .agg(F.sum("lm_score")).collect())
-    timed("chunking",
+    timed_reps("chunking",
           lambda: CH.chunk_documents(docs, 128, 16).count())
     queries8 = emb.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding")
-    timed("cosine_topk", lambda: V.cosine_topk(emb, queries8, k=10).count())
-    timed("lsh_cosine_topk",
+    timed_reps("cosine_topk", lambda: V.cosine_topk(emb, queries8, k=10).count())
+    timed_reps("lsh_cosine_topk",
           lambda: V.lsh_cosine_topk(emb, queries8, k=10).count())
-    timed("ivf_cosine_topk",
+    timed_reps("ivf_cosine_topk",
           lambda: V.ivf_cosine_topk(emb, queries8, k=10).count())
-    timed("semdedup",
+    timed_reps("semdedup",
           lambda: V.semdedup(emb.select("vec_id", "embedding")
                              .unionByName(
                                  emb.where(F.col("vec_id") < 30).select(
                                      (F.col("vec_id") + 100000)
                                      .alias("vec_id"), "embedding")),
                              threshold=0.999).where("NOT kept").count())
-    timed("mixture_resample",
+    timed_reps("mixture_resample",
           lambda: SAM.resample_by_group(
               docs, {"en": 2.5, "de": 0.0, "fr": 1.0}, "lang",
               salt="mix").count())
@@ -243,7 +275,7 @@ def main() -> None:
         F.concat(F.substring("text", 1, 20), F.lit(" https://ex"),
                  F.pmod("doc_id", 40).cast("string"),
                  F.lit(".org/a http://mirror.net/b")).alias("text"))
-    timed("pagerank",
+    timed_reps("pagerank",
           lambda: GR.pagerank(GR.link_graph(planted), iters=2)
           .agg(F.sum("rank_e12")).collect())
 
@@ -251,8 +283,11 @@ def main() -> None:
     print(json.dumps({
         "metric": "extract_docs_per_sec",
         "value": docs_per_sec,
+        "value_median": docs_per_sec_median,
+        "extract_reps": extract_stats,
         "unit": "docs/sec",
         "queries": timings,
+        "query_reps": rep_detail,
         "sf": SF_DIR,
         "cores": CPUS,
         "extract_docs": n_docs,

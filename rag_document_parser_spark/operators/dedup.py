@@ -128,7 +128,8 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
                         threshold: float = 0.5,
-                        df_cap: int = 1000) -> DataFrame:
+                        df_cap: int = 1000,
+                        stage: bool = True) -> DataFrame:
     """All pairs with shingle-set Jaccard >= threshold (id_a < id_b).
 
     Plan shape: explode per-row-distinct shingles carrying the doc's
@@ -146,9 +147,18 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     holding O(corpus) rows. The hash aggregate partially counts
     map-side, so the reducer sees at most one row per (task, shingle),
     and the broadcast anti-join never shuffles the exploded relation on
-    the skewed key at all. Cost accepted in exchange: the shingle
-    explode is evaluated once more for the blacklist aggregate
-    (CPU-bound re-tokenize, no skew surface).
+    the skewed key at all.
+
+    ``stage=True`` (default) localCheckpoints the exploded relation once
+    (the bpe/pagerank discipline), so the blacklist aggregate and both
+    self-join legs read the materialized (id, n_sh, shingle) rows
+    instead of re-running the tokenizer+explode chain per consumer —
+    three plan references, one tokenization. The trade at 100 TB:
+    executor-local storage of O(corpus tokens) narrow rows vs 3×
+    CPU-bound re-tokenize; on a real cluster with preemptible executors
+    substitute ``persist(StorageLevel.DISK_ONLY)`` (localCheckpoint
+    blocks are lost with the executor). ``stage=False`` keeps the plan
+    pure/action-free and re-tokenizes per consumer.
     """
     sh = shingle_df(df, text_col, id_col, n, drop_empty=True)
     # explode_OUTER on purpose: plain explode makes InferFiltersFromGenerate
@@ -159,6 +169,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     flat = sh.select("id", F.size("shingles").alias("n_sh"),
                      F.explode_outer("shingles").alias("shingle")) \
              .where(F.col("shingle").isNotNull())
+    if stage:
+        flat = flat.localCheckpoint()
     over_cap = (flat.groupBy("shingle")
                 .agg(F.count("*").alias("df"))
                 .where(F.col("df") > df_cap)

@@ -348,6 +348,7 @@ def semdedup(corpus: DataFrame, threshold: float = 0.95,
              n_centroids: int = 16, id_col: str = "vec_id",
              vec_col: str = "embedding",
              centroids: "list[tuple[int, list[float]]] | None" = None,
+             max_pair_budget: "int | None" = 1_000_000_000,
              ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
     clustering embeddings, then comparing pairs ONLY within a cluster.
@@ -368,8 +369,19 @@ def semdedup(corpus: DataFrame, threshold: float = 0.95,
     - the candidate join keys on the cluster id, so the comparison
       volume is Σ|cluster|² instead of n² — ``n_centroids`` is the
       knob (SemDeDup uses k ≈ n/10⁴..10⁵ so clusters stay in the
-      thousands; a runaway cluster is a skewed key, visible in the
-      Spark UI, fixed by raising k or re-training);
+      thousands);
+    - a STRUCTURAL guard, not a Spark-UI postmortem: before the
+      quadratic join launches, one cheap ``groupBy(cid).count()``
+      aggregate totals Σ|cluster|·(|cluster|−1)/2 and raises when it
+      exceeds ``max_pair_budget`` (default 1e9 comparisons), naming
+      the runaway cluster — the same loud-fail discipline as
+      ``lsh_signature``'s oversized-vector guard. A mega-cluster
+      (degenerate centroids, all-near-identical corpus) would
+      otherwise silently re-create the all-pairs blowup this operator
+      exists to avoid. The guard costs one extra corpus scan (the
+      assignment projection is zero-shuffle, and the count agg prunes
+      to the id/vec columns); ``max_pair_budget=None`` skips it and
+      keeps the operator fully lazy;
     - the drop list (one row per DROPPED vector) is joined back
       broadcast, the corpus side never reshuffles.
     """
@@ -384,6 +396,22 @@ def semdedup(corpus: DataFrame, threshold: float = 0.95,
     assigned = corpus.select(
         F.col(id_col), F.col(vec_col),
         ivf_assignment(F.col(vec_col), cents)["cid"].alias("cid"))
+    if max_pair_budget is not None:
+        sizes = (assigned.groupBy("cid")
+                 .agg(F.count(F.lit(1)).alias("n"))
+                 .agg(F.sum(F.col("n") * (F.col("n") - 1) / 2)
+                      .alias("pairs"),
+                      F.max_by(F.struct("n", "cid"), "n").alias("top"))
+                 .collect()[0])
+        if sizes["pairs"] is not None and sizes["pairs"] > max_pair_budget:
+            top = sizes["top"]
+            raise ValueError(
+                f"semdedup: within-cluster comparison volume "
+                f"{int(sizes['pairs'])} pairs exceeds max_pair_budget="
+                f"{max_pair_budget} (largest cluster: cid={top['cid']} "
+                f"with {top['n']} vectors). Raise n_centroids, re-train "
+                f"centroids on a representative sample, or raise/disable "
+                f"the budget explicitly (max_pair_budget=None).")
     a = assigned.select(F.col("cid"), F.col(id_col).alias("_ida"),
                         F.col(vec_col).alias("_va"))
     b = assigned.select(F.col("cid"), F.col(id_col).alias("_idb"),

@@ -105,6 +105,28 @@ def test_semdedup_empty_centroid_domain_raises_clearly(spark):
         semdedup(df, n_centroids=4)
 
 
+def test_semdedup_runaway_cluster_guard(spark):
+    """An adversarial corpus where every vector lands in ONE cluster
+    must raise BEFORE the quadratic join executes (the guard is an
+    eager pre-join aggregate, so the ValueError surfaces from the
+    semdedup() call itself), naming the runaway cluster and the knob."""
+    # 40 near-identical directions -> all 40 assign to centroid 0;
+    # 40*39/2 = 780 pairs > budget of 100
+    rows = [(i, [1.0, 0.001 * i, 0.0]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="max_pair_budget"):
+        semdedup(df, n_centroids=2, max_pair_budget=100)
+    # same corpus under the budget: runs fine (and the default budget
+    # never fires on well-clustered input)
+    assert semdedup(df, n_centroids=2, max_pair_budget=1000).count() == 40
+    ok = _sd_vectors()
+    okdf = spark.createDataFrame(ok, "vec_id long, embedding array<double>")
+    assert semdedup(okdf, n_centroids=3).count() == len(ok)
+    # max_pair_budget=None disables the guard (fully lazy plan)
+    assert semdedup(df, n_centroids=2,
+                    max_pair_budget=None).count() == 40
+
+
 def test_semdedup_on_driver_embeddings(spark):
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     clones = emb.where(F.col("vec_id") < 10).select(
