@@ -165,8 +165,14 @@ XML_POST = ("</p>\n<note>a &amp; b</note>\n"
             "<data><![CDATA[if a>b & ok]]></data>\n"
             "<num>caf&#233; &#x42;</num>\n</root>")
 MD_PRE = "# Title\n\n**"
+# probes: fenced code (content verbatim — emphasis/link/pipe inside the
+# fence must survive untouched) and a pipe table (separator row vanishes,
+# cells land on their own lines). Must stay byte-identical to
+# corpus.spans_df_from_documents' md_span literal.
 MD_POST = ("** and *tail* done\nsee [the spec][r1]\n"
-           "[r1]: http://example.com/spec\n---\n> quote")
+           "[r1]: http://example.com/spec\n"
+           "```py\nkeep *raw* [x](y) | pipe\n```\n"
+           "| h1 | h2 |\n|----|:---:|\n| a | b |\n---\n> quote")
 
 
 def _entity_chain(expr: str) -> str:
@@ -177,10 +183,16 @@ def _entity_chain(expr: str) -> str:
 
 
 def _md_chain(expr: str) -> str:
+    # fence-aware (semantics.md_rules_text): split on fence delimiter
+    # lines, rules only on the 1-based-odd (0-based-even) segments,
+    # fence content verbatim, rejoin with ''
+    inner = "x"
     for pat, repl in S.MD_RULES:
-        expr = (f"regexp_replace({expr}, {_sq(pat)}, "
-                f"{_sq(repl.replace('G1', chr(92) + '1'))}, 'g')")
-    return expr
+        inner = (f"regexp_replace({inner}, {_sq(pat)}, "
+                 f"{_sq(repl.replace('G1', chr(92) + '1'))}, 'g')")
+    return ("array_to_string(list_transform(regexp_split_to_array("
+            f"{expr}, {_sq(S.MD_FENCE_SPLIT)}), "
+            f"(x, i) -> CASE WHEN i % 2 = 1 THEN {inner} ELSE x END), '')")
 
 
 # DOM html extraction oracle (semantics.html_dom_strip), generic: block

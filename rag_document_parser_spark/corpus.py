@@ -118,8 +118,14 @@ def _md_payload(rng: random.Random) -> str:
         "[imgref]: assets/pic.png \"pic title\"",
         "",
         "```python",
-        f"x = {rng.randint(0, 9)}",
+        # fence content must survive VERBATIM: emphasis, links and
+        # pipes inside the fence are literal
+        f"x = {rng.randint(0, 9)}  # *not em* [no](link) a|b",
         "```",
+        # pipe table: separator row vanishes, cells get their own lines
+        "| name | val |",
+        "|------|----:|",
+        f"| {rng.choice(WORDS)} | {rng.randint(0, 99)} |",
         "---",
         f"> {_sentence(rng)}",
         f"![{rng.choice(WORDS)}](img{rng.randint(0, 9)}.png)",
@@ -146,7 +152,11 @@ def _rtf_payload(rng: random.Random) -> str:
         + _sentence(rng, 3, 8, 0)
         + "\\par " + _sentence(rng, 3, 8, 0) + " " + uesc
         + "\\line " + _sentence(rng, 2, 5, 0)
+        # \'hh hex escapes: latin-1 leg (é) and cp1252-window leg
+        # (curly quotes around a word) — both decode, not drop
         + ("\\'e9" if rng.random() < 0.5 else "")
+        + (" \\'93" + rng.choice(WORDS) + "\\'94"
+           if rng.random() < 0.4 else "")
         + " fin}"
     )
 
@@ -416,13 +426,17 @@ def spans_df_from_documents(spark: SparkSession, sf_dir: str, mult: int = 1,
         F.lit(0).cast("int").alias("offset"),
     ))
 
+    # fenced-code + pipe-table probes in the tail — must stay
+    # byte-identical to __spark_entry__.MD_PRE/MD_POST (the SQL twin)
     md_span = F.array(F.struct(
         F.lit("markdown").alias("kind"),
         F.concat(
             F.lit("# Title\n\n**"),
             F.col("text"),
             F.lit("** and *tail* done\nsee [the spec][r1]\n"
-                  "[r1]: http://example.com/spec\n---\n> quote"),
+                  "[r1]: http://example.com/spec\n"
+                  "```py\nkeep *raw* [x](y) | pipe\n```\n"
+                  "| h1 | h2 |\n|----|:---:|\n| a | b |\n---\n> quote"),
         ).alias("text"),
         F.lit(None).cast("string").alias("media_ref"),
         F.lit(0).cast("int").alias("offset"),

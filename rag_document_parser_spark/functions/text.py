@@ -183,9 +183,20 @@ def markdown_strip(c: Column, cfg: ExtractConfig = DEFAULT_CONFIG) -> Column:
 
     Java regex replacements spell group refs ``$1`` (python/RE2: ``\\1``) —
     the shared MD_RULES table carries the engine-neutral marker 'G1'.
+    Fence-aware (semantics.md_rules_text): split on fence delimiter
+    lines, rules only on even-index segments, fence content verbatim,
+    rejoin with '' — all inside one transform over the split array, so
+    the route stays a pure Catalyst projection.
     """
-    for pat, repl in S.MD_RULES:
-        c = F.regexp_replace(c, pat, repl.replace("G1", "$1"))
+    def rules(x: Column) -> Column:
+        for pat, repl in S.MD_RULES:
+            x = F.regexp_replace(x, pat, repl.replace("G1", "$1"))
+        return x
+
+    segs = F.split(c, S.MD_FENCE_SPLIT, -1)
+    c = F.array_join(
+        F.transform(segs, lambda x, i: F.when(i % 2 == 0, rules(x))
+                    .otherwise(x)), "")
     return post_process_text(c, cfg)
 
 
@@ -220,12 +231,42 @@ def decode_rtf_u(c: Column) -> Column:
     return F.when(c.contains("\\u"), F.array_join(dec, "")).otherwise(c)
 
 
+def _rtf_hex_char(code: Column) -> Column:
+    """semantics.rtf_hex_char over a 2-hex-digit code string: the cp1252
+    window remap via a literal map lookup, else a latin-1 single-byte
+    decode (the code IS its own hex spelling — unhex it directly)."""
+    pairs: list[Column] = []
+    for n, ch in S.CHARREF_OVERRIDES.items():
+        if n:
+            pairs += [F.lit(f"{n:02x}"), F.lit(ch)]
+    window = F.element_at(F.create_map(*pairs), F.lower(code))
+    return F.coalesce(window, F.decode(F.unhex(code), "ISO-8859-1"))
+
+
+def decode_rtf_hex(c: Column) -> Column:
+    """RTF \\'hh hex escapes (cp1252 byte map), pure Catalyst — same
+    split-on-opener positional pass as ``decode_rtf_u``; fragments not
+    starting with two hex digits restore their literal opener."""
+    parts = F.split(c, r"\\'")  # java regex \\' = the literal chars \'
+    frag = lambda p: _bind1(  # noqa: E731
+        F.regexp_extract(p, S.RE_RTF_HEX_FRAG, 1),
+        lambda code: F.when(
+            code == "", F.concat(F.lit("\\'"), p),
+        ).otherwise(
+            F.concat(_rtf_hex_char(code),
+                     F.regexp_replace(p, S.RE_RTF_HEX_FRAG, ""))))
+    dec = F.transform(parts,
+                      lambda p, i: F.when(i == 0, p).otherwise(frag(p)))
+    return F.when(c.contains("\\'"), F.array_join(dec, "")).otherwise(c)
+
+
 def rtf_strip(c: Column, cfg: ExtractConfig = DEFAULT_CONFIG) -> Column:
     """E27 rtf → text regex subset + E8 (document_parser.py:465-506).
-    \\uN escapes decode first."""
+    \\uN escapes decode first, \\'hh hex escapes last."""
     c = decode_rtf_u(c)
     for pat, repl in S.RTF_RULES:
         c = F.regexp_replace(c, pat, repl)
+    c = decode_rtf_hex(c)
     return post_process_text(c, cfg)
 
 

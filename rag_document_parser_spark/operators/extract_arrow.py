@@ -226,6 +226,41 @@ def _decode_rtf_u(arr):
                           "")
 
 
+_RTF_HEX_FRAG_NAMED = r"(?s)^(?P<c>[0-9a-fA-F]{2})(?P<rest>.*)$"
+
+
+def _decode_rtf_hex(arr):
+    """RTF \\'hh hex escapes (cp1252 byte map) over a whole Arrow string
+    array — same split-on-opener positional pass as ``_decode_rtf_u``
+    (opener = the literal two chars backslash-quote)."""
+    parts = pc.split_pattern(arr, pattern="\\'")
+    flat = pc.list_flatten(parts)
+    m = pc.extract_regex(flat, pattern=_RTF_HEX_FRAG_NAMED)
+    m_ok = pc.is_valid(m).to_numpy(zero_copy_only=False)
+    code_np = np.asarray(m.field("c").to_pandas(), dtype=object)
+    cache: dict[str, str] = {}
+    ch_np = np.empty(len(code_np), dtype=object)
+    for i, cs in enumerate(code_np):
+        if not m_ok[i]:
+            continue
+        got = cache.get(cs)
+        if got is None:
+            got = cache[cs] = S.rtf_hex_char(int(cs, 16))
+        ch_np[i] = got
+    decoded = pc.binary_join_element_wise(
+        pa.array(ch_np, type=pa.string()),
+        pc.fill_null(m.field("rest"), ""), "")
+    restored = pc.binary_join_element_wise(
+        pa.array(["\\'"] * len(flat), type=pa.string()), flat, "")
+    off = parts.offsets.to_numpy(zero_copy_only=False)
+    first = np.zeros(len(flat), dtype=bool)
+    first[off[:-1][off[:-1] < len(flat)]] = True
+    pieces = pc.if_else(pa.array(first), flat,
+                        pc.if_else(pc.is_valid(m), decoded, restored))
+    return pc.binary_join(pa.ListArray.from_arrays(parts.offsets, pieces),
+                          "")
+
+
 def _visible(t):
     """Visible text of markup fragments: strip tags (gated on '<'),
     decode numeric character references (html5-table subset) then the
@@ -476,9 +511,26 @@ def _clean_batch(batch: pa.RecordBatch, cfg: ExtractConfig) -> pa.RecordBatch:
     # ---- markdown route (E4 + E8; text_parser.py:216-248) ----
     if md_m.any():
         t = blanked(md_m)
+        # fence-aware: rows WITHOUT a fence (the common case) stay in
+        # the whole-batch Arrow regex chain; rows WITH one go through
+        # the batched-Python fence splitter (semantics.md_rules_text) —
+        # the same targeted to_pylist discipline as the charref/NFKC
+        # passes. A no-fence row gives identical output on both paths
+        # (one segment == the plain rule chain).
+        fenced = pc.fill_null(pc.match_substring(t, pattern="```"), False)
+        any_fenced = pc.any(fenced).as_py()
+        plain = pc.if_else(fenced, "", t) if any_fenced else t
         for pat, repl in S.MD_RULES:
-            t = pc.replace_substring_regex(
-                t, pattern=pat, replacement=repl.replace("G1", "\\1"))
+            plain = pc.replace_substring_regex(
+                plain, pattern=pat, replacement=repl.replace("G1", "\\1"))
+        if any_fenced:
+            vals = pc.if_else(fenced, t, "").to_pylist()
+            done = pa.array(
+                [S.md_rules_text(v) if v else v for v in vals],
+                type=pa.string())
+            t = pc.if_else(fenced, done, plain)
+        else:
+            t = plain
         t_arr = _e8(t, cfg)
         conds.append(md_m)
         cases.append(t_arr)
@@ -490,6 +542,7 @@ def _clean_batch(batch: pa.RecordBatch, cfg: ExtractConfig) -> pa.RecordBatch:
         t = _gated_pass(t, "\\u", _decode_rtf_u)
         for pat, repl in S.RTF_RULES:
             t = pc.replace_substring_regex(t, pattern=pat, replacement=repl)
+        t = _gated_pass(t, "\\'", _decode_rtf_hex)
         t_arr = _e8(t, cfg)
         conds.append(rtf_m)
         cases.append(t_arr)

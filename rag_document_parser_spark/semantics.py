@@ -161,10 +161,28 @@ RTF_RULES = [
     (r"\\line\b ?", "\n"),
     (r"\{\\(?:fonttbl|colortbl|stylesheet|info)[^{}]*(?:\{[^{}]*\}[^{}]*)*\}",
      ""),
-    (r"\\'[0-9a-fA-F][0-9a-fA-F]", ""),
     (r"\\[a-z]+(?:-?[0-9]+)? ?", ""),
     (r"[{}]", ""),
 ]
+
+# \'hh hex escapes decode LAST (after RTF_RULES): header groups have
+# already dropped their hex content with the group, and a decoded
+# brace/backslash/control-looking character can never be re-parsed as
+# markup (striprtf's scanner has the same never-rescan property).
+# Decoding is the default-codepage (cp1252) byte map: latin-1 plus the
+# 0x80-0x9F window remap — the SAME table the html5 charref path uses
+# (CHARREF_OVERRIDES minus its NUL entry); the five undefined window
+# points pass through as their C1 controls. \ansicpg codepages other
+# than 1252 are out of the subset.
+RE_RTF_HEX = r"\\'([0-9a-fA-F]{2})"
+RE_RTF_HEX_FRAG = r"^([0-9a-fA-F]{2})"
+
+
+def rtf_hex_char(n: int) -> str:
+    """Decoded character for an RTF \\'hh escape (cp1252 byte map)."""
+    if n and n in CHARREF_OVERRIDES:
+        return CHARREF_OVERRIDES[n]
+    return chr(n)
 
 
 def rtf_u_char(n: int) -> str:
@@ -198,9 +216,22 @@ XML_ENTITIES = [
 # E4 markdown route — the documented regex subset of the reference's
 # markdown→HTML→get_text pipeline (/root/reference/parsers/text_parser.py:
 # 216-248): fences/headers/hr/blockquote markers dropped, links and images
-# keep their text/alt, emphasis and inline-code keep their content. All
-# patterns RE2-safe (no backreferences IN patterns; group refs only in
-# replacements, which each engine spells its own way — see MD_RULES users).
+# keep their text/alt, emphasis and inline-code keep their content, table
+# separator rows vanish and pipes break cells onto their own lines (the
+# shape the tables extension's one-<td>-per-line HTML yields under
+# get_text). All patterns RE2-safe (no backreferences IN patterns; group
+# refs only in replacements, which each engine spells its own way — see
+# MD_RULES users).
+#
+# Fenced code blocks: every engine splits on MD_FENCE_SPLIT and applies
+# MD_RULES only to the segments OUTSIDE fences (even 0-based indices),
+# so fence content is verbatim — emphasis/links/pipes inside a fence
+# stay literal, and an unterminated fence runs to end-of-doc (GFM
+# semantics; the reference's extension list lacks fenced_code, so its
+# backtick handling there is the code-SPAN rule — adopting the fenced
+# semantics is the documented subset choice, same class as the other
+# MD divergences).
+MD_FENCE_SPLIT = r"(?m)^```[^\n]*$"
 MD_RULES: list[tuple[str, str]] = [
     (r"(?m)^```[^\n]*$", ""),                   # code-fence delimiter lines
     (r"(?m)^#{1,6}[ \t]+", ""),                 # ATX headers
@@ -219,6 +250,17 @@ MD_RULES: list[tuple[str, str]] = [
     (r"`([^`]+)`", "G1"),                       # inline code
     (r"(?m)^(?:-{3,}|\*{3,})[ \t]*$", ""),      # horizontal rules
     (r"(?m)^>[ \t]?", ""),                      # blockquote markers
+    # tables extension subset — order matters: separator rows (only
+    # | - : whitespace, with a dash adjacent to a pipe) vanish BEFORE
+    # the pipe rules can dismantle them; then leading/trailing pipes
+    # drop and interior pipes put each cell on its own line. Any pipe
+    # in the doc is treated as a cell delimiter (prose pipes are out
+    # of subset, same class as the emphasis rules firing in prose).
+    (r"(?m)^[ \t]*\|[ \t]*:?-[-: \t|]*$", ""),   # |---|:---:| separator
+    (r"(?m)^[ \t]*:?-+:?[ \t]*\|[-: \t|]*$", ""),  # ---|--- separator
+    (r"(?m)^[ \t]*\|[ \t]*", ""),                # leading pipe
+    (r"(?m)[ \t]*\|[ \t]*$", ""),                # trailing pipe
+    (r"[ \t]*\|[ \t]*", "\n"),                   # interior pipes → cells
 ]
 
 ARABIC_RANGE = "؀-ۿ"  # /root/reference/main.py:417-421
@@ -347,12 +389,26 @@ def xml_strip(s: str, cfg: ExtractConfig = DEFAULT_CONFIG) -> str:
     return post_process_text(s, cfg)
 
 
+def md_rules_text(s: str) -> str:
+    """Apply MD_RULES fence-aware: split on fence delimiter lines, run
+    the rules only on the segments OUTSIDE fences (even 0-based index),
+    keep fence content verbatim, rejoin with '' (the delimiters' own
+    newlines live in the adjacent segments, so the join reproduces the
+    old delimiter-line-dropped layout exactly)."""
+    segs = re.split(MD_FENCE_SPLIT, s)
+    out = []
+    for i, seg in enumerate(segs):
+        if i % 2 == 0:
+            for pat, repl in MD_RULES:
+                seg = re.sub(pat, repl.replace("G1", r"\1"), seg)
+        out.append(seg)
+    return "".join(out)
+
+
 def markdown_strip(s: str, cfg: ExtractConfig = DEFAULT_CONFIG) -> str:
-    """E4 markdown → text (regex subset) + E8 post-process
+    """E4 markdown → text (regex subset, fence-aware) + E8 post-process
     (/root/reference/parsers/text_parser.py:216-248, then :97)."""
-    for pat, repl in MD_RULES:
-        s = re.sub(pat, repl.replace("G1", r"\1"), s)
-    return post_process_text(s, cfg)
+    return post_process_text(md_rules_text(s), cfg)
 
 
 def json_flatten(s: str) -> Optional[str]:
@@ -397,10 +453,12 @@ def json_flatten(s: str) -> Optional[str]:
 
 def rtf_strip(s: str, cfg: ExtractConfig = DEFAULT_CONFIG) -> str:
     """E27 rtf → text (regex subset) + E8 post-process. \\uN escapes
-    decode first (see the RTF_RULES subset note)."""
+    decode first, \\'hh hex escapes last (see the subset notes at
+    RTF_RULES / RE_RTF_HEX)."""
     s = re.sub(RE_RTF_U, lambda m: rtf_u_char(int(m.group(1))), s)
     for pat, repl in RTF_RULES:
         s = re.sub(pat, repl, s)
+    s = re.sub(RE_RTF_HEX, lambda m: rtf_hex_char(int(m.group(1), 16)), s)
     return post_process_text(s, cfg)
 
 

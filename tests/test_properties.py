@@ -28,9 +28,11 @@ def duck_regex_chain(text: str, *steps: tuple[str, str]) -> str:
     return CON.execute(f"SELECT {expr}", [text]).fetchone()[0]
 
 
-# text strategy: heavy on regex-relevant characters
+# text strategy: heavy on regex-relevant characters (incl. pipes and
+# fence openers for the markdown table/fence rules)
 CHARS = st.sampled_from(list(
-    "ab<>/& \t\n\r-*_#`[]()!\"'=:;.{}xyz؀ۿé") + ["script", "style", "&amp;"])
+    "ab<>/& \t\n\r-*_#`[]()!\"'=:;.{}|xyz؀ۿé")
+    + ["script", "style", "&amp;", "```", "```py\n", "\n```\n", "|---|"])
 TEXTS = st.lists(CHARS, min_size=0, max_size=60).map("".join)
 
 
@@ -60,14 +62,45 @@ def test_post_process_matches_duckdb(s):
 def test_markdown_rules_match_duckdb(s):
     cfg = ExtractConfig(normalize_unicode=False)
     expected = S.markdown_strip(s, cfg)
-    expr = "?"
-    for pat, repl in S.MD_RULES:
-        expr = (f"regexp_replace({expr}, {_sq(pat)}, "
-                f"{_sq(repl.replace('G1', chr(92) + '1'))}, 'g')")
+    import __spark_entry__ as E
+
+    expr = E._md_chain("?")  # the fence-aware oracle twin, verbatim
     for pat, repl in [(S.RE_EMPTY_LINES_LEAD, ""), (S.RE_EMPTY_LINES_MID, "\n"),
                       (S.RE_SPACE_RUN, " "), (S.RE_STRIP, "")]:
         expr = f"regexp_replace({expr}, {_sq(pat)}, {_sq(repl)}, 'g')"
     got = CON.execute(f"SELECT {expr}", [s]).fetchone()[0]
+    assert got == expected
+
+
+# \'hh-dense strategy: escapes for every interesting decode class
+# (latin-1, window remap, undefined window points, NUL, ASCII,
+# brace/backslash bytes), interleaved with near-miss fragments
+RTFHEX_TOKENS = st.sampled_from([
+    "\\'e9", "\\'93", "\\'94", "\\'80", "\\'9f", "\\'8d", "\\'90",
+    "\\'00", "\\'41", "\\'7b", "\\'7d", "\\'5c", "\\'", "\\'g1", "\\'9",
+    "a", " ", "\\", "'", "9", "f", "\n",
+])
+RTFHEX = st.lists(RTFHEX_TOKENS, min_size=0, max_size=30).map("".join)
+
+
+@settings(max_examples=150, deadline=None)
+@given(RTFHEX)
+def test_rtf_hex_decode_matches_simulation(s):
+    """The RTF \\'hh decode (cp1252 byte map) agrees with a from-scratch
+    codecs-based simulation on arbitrary text."""
+    import codecs
+    import re
+
+    def sim(m):
+        b = bytes([int(m.group(1), 16)])
+        try:
+            return codecs.decode(b, "cp1252")
+        except UnicodeDecodeError:
+            return chr(b[0])  # the five undefined window points
+
+    expected = re.sub(S.RE_RTF_HEX, sim, s)
+    got = re.sub(S.RE_RTF_HEX,
+                 lambda m: S.rtf_hex_char(int(m.group(1), 16)), s)
     assert got == expected
 
 

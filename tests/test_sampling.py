@@ -60,3 +60,35 @@ def test_stratified_sample_exact_quota_and_two_stage_parity(spark):
            SAM.stratified_sample(docs.repartition(17), k=5,
                                  strata_col="lang", salt="q").collect()}
     assert got == want
+
+
+def test_stratified_sample_skew_plan_shape(spark):
+    """Adversarial skew: one stratum holds 99% of rows. The two-stage
+    rank must never materialize that stratum in one task. Plan shape:
+    (a) the first window's exchange salts the stratum key with the
+    source partition id, so the hot stratum spreads across tasks;
+    (b) a PARTIAL WindowGroupLimit sits BELOW that exchange — every map
+    task prunes to k rows per (stratum, pid) group before anything
+    shuffles, so no task buffer ever holds more than k rows per group
+    regardless of stratum size (the window-buffer straggler a plain
+    count()-over-stratum plan would create)."""
+    import re
+    rows = [(i, "cold" if i % 100 == 0 else "hot") for i in range(2000)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string").repartition(8)
+    out = SAM.stratified_sample(df, k=4, strata_col="lang", salt="sk")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    salted = re.search(r"Exchange hashpartitioning\(lang#\d+, _pid#\d+",
+                       plan)
+    assert salted, plan
+    partial = re.search(
+        r"WindowGroupLimit \[lang#\d+, _pid#\d+\].*?row_number\(\), 4, "
+        r"Partial", plan)
+    assert partial, plan
+    # the map-side prune sits BELOW (after, in top-down plan text) the
+    # salted exchange: pruning happens before the shuffle
+    assert partial.start() > salted.start(), plan
+    # and the quotas are still exact under the skew
+    per = {r["lang"]: r["n"] for r in
+           out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert per == {"hot": 4, "cold": 4}
