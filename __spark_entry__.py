@@ -620,6 +620,132 @@ SELECT doc_id, n_chars::BIGINT AS n_chars, n_words::BIGINT AS n_words,
 FROM f"""
 
 
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-rule battery (Rae et al. 2021 §A1.1.2) — seven
+    0/1 flags + keep, all integer cross-multiplications (no floats)."""
+    return T.gopher_rules(_docs(spark, sf_dir))
+
+
+_GOPHER_SW_HITS = " + ".join(
+    f"(CASE WHEN list_contains(toks, '{s}') THEN 1 ELSE 0 END)"
+    for s in T.GOPHER_REQUIRED_STOPWORDS)
+_GOPHER_BULLETS = "[" + ", ".join(
+    f"'{b}'" for b in T.GOPHER_BULLET_CHARS) + "]"
+SQL_GOPHER_RULES = f"""
+WITH s AS (
+  SELECT doc_id, text AS t, {_QTOKS} AS toks,
+         string_split(text, chr(10)) AS lns
+  FROM documents
+), m AS (
+  SELECT doc_id,
+    len(toks)::BIGINT AS n_words,
+    coalesce(list_sum(list_transform(toks, x -> length(x))), 0)::BIGINT
+      AS sum_wlen,
+    (length(t) - length(replace(t, '#', '')))::BIGINT
+      + ((length(t) - length(regexp_replace(t, '\\.\\.\\.', '', 'g'))) / 3)::BIGINT
+      + (length(t) - length(replace(t, '…', '')))::BIGINT AS n_sym,
+    len(lns)::BIGINT AS n_lines,
+    len(list_filter(lns, x -> list_contains({_GOPHER_BULLETS},
+        substring(regexp_replace(x, '^[ \\t]+', ''), 1, 1))))::BIGINT
+      AS bullet_lines,
+    len(list_filter(lns, x -> regexp_matches(
+        regexp_replace(x, '[ \\t\\r]+$', ''), '(\\.\\.\\.|…)$')))::BIGINT
+      AS ell_lines,
+    len(list_filter(toks, x -> regexp_matches(x, '[a-z{S.ARABIC_RANGE}]')))::BIGINT
+      AS alpha_words,
+    ({_GOPHER_SW_HITS})::BIGINT AS stop_hits
+  FROM s
+), fl AS (
+  SELECT doc_id, n_words,
+    (CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 1 ELSE 0 END)::INT
+      AS word_count_ok,
+    (CASE WHEN n_words > 0 AND sum_wlen >= 3 * n_words
+               AND sum_wlen <= 10 * n_words THEN 1 ELSE 0 END)::INT
+      AS mean_wlen_ok,
+    (CASE WHEN n_words > 0 AND 10 * n_sym < n_words THEN 1 ELSE 0 END)::INT
+      AS symbol_ok,
+    (CASE WHEN 10 * bullet_lines <= 9 * n_lines THEN 1 ELSE 0 END)::INT
+      AS bullet_ok,
+    (CASE WHEN 10 * ell_lines <= 3 * n_lines THEN 1 ELSE 0 END)::INT
+      AS ellipsis_ok,
+    (CASE WHEN n_words > 0 AND 5 * alpha_words >= 4 * n_words
+          THEN 1 ELSE 0 END)::INT AS alpha_ok,
+    (CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END)::INT AS stopword_ok
+  FROM m
+)
+SELECT *, (word_count_ok * mean_wlen_ok * symbol_ok * bullet_ok
+           * ellipsis_ok * alpha_ok * stopword_ok)::INT AS keep
+FROM fl"""
+
+
+def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleaning (Raffel et al. 2020 §2.2) — line drop +
+    rejoin transform with the document gate.
+
+    The synthetic docs are single-line with no sentence punctuation, so
+    (like ``line_repetition``) the query first derives a deterministic
+    line-structured corpus: 5-word lines, every 4th line left without
+    terminal punctuation — so the line gate, the rejoin, and the
+    >=3-sentences document gate all vary per doc."""
+    d = _docs(spark, sf_dir)
+    staged = d.select("doc_id", D.words(F.col("text")).alias("_w"))
+    n_l = F.ceil(F.size("_w") / F.lit(5)).cast("int")
+    lines = F.when(
+        F.size("_w") > 0,
+        F.transform(F.sequence(F.lit(1), n_l),
+                    lambda i: F.concat(
+                        F.array_join(F.slice("_w", (i - 1) * 5 + 1, 5), " "),
+                        F.when(i % 4 == 0, F.lit("")).otherwise(F.lit(".")))),
+    ).otherwise(F.array().cast("array<string>"))
+    lined = staged.select("doc_id", F.array_join(lines, "\n").alias("text"))
+    return T.c4_line_filter(lined)
+
+
+SQL_C4_LINE_FILTER = f"""
+WITH w0 AS (
+  SELECT doc_id, {_QTOKS} AS wt FROM documents
+), lns0 AS (
+  SELECT doc_id, CASE WHEN len(wt) > 0 THEN
+    list_transform(range(1, ceil(len(wt)/5.0)::INT + 1),
+      i -> array_to_string(list_slice(wt, (i-1)*5+1, (i-1)*5+5), ' ')
+           || (CASE WHEN i % 4 = 0 THEN '' ELSE '.' END))
+    ELSE []::VARCHAR[] END AS built
+  FROM w0
+), s AS (
+  SELECT doc_id, coalesce(array_to_string(built, chr(10)), '') AS t,
+         string_split(coalesce(array_to_string(built, chr(10)), ''),
+                      chr(10)) AS lns
+  FROM lns0
+), k AS (
+  SELECT doc_id, t, len(lns)::BIGINT AS n_lines,
+    list_filter(lns, x ->
+      regexp_matches(regexp_replace(x, '[ \\t\\r]+$', ''), '[.!?"]$')
+      AND len(list_filter(
+            string_split_regex(lower(x), '[^a-z0-9{S.ARABIC_RANGE}]+'),
+            w -> w <> '')) >= 5
+      AND NOT regexp_matches(lower(x), 'javascript')) AS kept
+  FROM s
+), c AS (
+  -- array_to_string([]) is NULL in DuckDB but array_join([]) is ''
+  -- in Spark: coalesce pins the empty-survivor case to ''
+  SELECT doc_id, t, n_lines, len(kept)::BIGINT AS kept_lines,
+         coalesce(array_to_string(kept, chr(10)), '') AS clean
+  FROM k
+), m AS (
+  SELECT doc_id, n_lines, kept_lines,
+    (length(clean) - length(translate(clean, '.!?', '')))::BIGINT
+      AS sentences,
+    (sentences >= 3 AND position('{{' IN t) = 0
+     AND position('lorem ipsum' IN lower(t)) = 0) AS ok,
+    clean
+  FROM c
+)
+SELECT doc_id, n_lines, kept_lines, sentences,
+  (CASE WHEN ok THEN 1 ELSE 0 END)::INT AS keep,
+  CASE WHEN ok THEN clean END AS clean_text
+FROM m"""
+
+
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace + BPE-ish token counting (training-data operator)."""
     out = T.token_count(_docs(spark, sf_dir))
@@ -929,6 +1055,74 @@ SELECT tk.doc_id::BIGINT AS doc_id,
   (CASE WHEN coalesce(agg.n_bigrams, 0) > 0 THEN agg.s // agg.n_bigrams
         ELSE 0 END)::BIGINT AS lm_score
 FROM tk LEFT JOIN agg USING (doc_id)"""
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al. 2023): English docs as
+    the target domain, every doc scored against the target LM and the
+    raw-corpus LM in one bigram pass, top-100 by fixed-point importance
+    weight (deterministic doc_id tie-break)."""
+    from rag_document_parser_spark.operators.lm import dsir_select
+
+    docs = _docs(spark, sf_dir)
+    target = docs.where(F.col("lang") == "en")
+    out = dsir_select(docs, target, k=100, scale=_LM_SCALE,
+                      min_count=_LM_MIN_COUNT)
+    return out.select(F.col("doc_id").cast("long"),
+                      F.col("n_bigrams").cast("long"),
+                      F.col("target_score").cast("long"),
+                      F.col("raw_score").cast("long"),
+                      F.col("weight").cast("long"))
+
+
+SQL_DSIR_SELECT = f"""
+WITH tk AS (
+  SELECT doc_id, lang, {TOKS_SQL.format(c='text')} AS t FROM documents
+), bg AS (
+  SELECT doc_id, lang,
+    CASE WHEN len(t) >= 2
+         THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+         ELSE []::VARCHAR[] END AS bgs
+  FROM tk
+), e AS (
+  SELECT doc_id, lang, unnest(bgs) AS bigram FROM bg
+), uni_r AS (
+  SELECT w1, count(*) AS uc FROM (SELECT unnest(t) AS w1 FROM tk) GROUP BY w1
+), bi_r AS (
+  SELECT bigram, count(*) AS bc FROM e GROUP BY bigram
+  HAVING count(*) >= {_LM_MIN_COUNT}
+), lm_r AS (
+  SELECT bigram, bc * {_LM_SCALE} // uc AS cond_r
+  FROM bi_r JOIN uni_r ON split_part(bigram, ' ', 1) = uni_r.w1
+), uni_t AS (
+  SELECT w1, count(*) AS uc
+  FROM (SELECT unnest(t) AS w1 FROM tk WHERE lang = 'en') GROUP BY w1
+), bi_t AS (
+  SELECT bigram, count(*) AS bc FROM e WHERE lang = 'en' GROUP BY bigram
+  HAVING count(*) >= {_LM_MIN_COUNT}
+), lm_t AS (
+  SELECT bigram, bc * {_LM_SCALE} // uc AS cond_t
+  FROM bi_t JOIN uni_t ON split_part(bigram, ' ', 1) = uni_t.w1
+), agg AS (
+  SELECT e.doc_id, count(*)::BIGINT AS n_bigrams,
+    sum(coalesce(lm_t.cond_t, 0)) AS st,
+    sum(coalesce(lm_r.cond_r, 0)) AS sr
+  FROM e LEFT JOIN lm_t USING (bigram) LEFT JOIN lm_r USING (bigram)
+  GROUP BY e.doc_id
+), w AS (
+  SELECT tk.doc_id::BIGINT AS doc_id,
+    coalesce(agg.n_bigrams, 0)::BIGINT AS n_bigrams,
+    (CASE WHEN coalesce(agg.n_bigrams, 0) > 0
+          THEN agg.st // agg.n_bigrams ELSE 0 END)::BIGINT AS target_score,
+    (CASE WHEN coalesce(agg.n_bigrams, 0) > 0
+          THEN agg.sr // agg.n_bigrams ELSE 0 END)::BIGINT AS raw_score
+  FROM tk LEFT JOIN agg USING (doc_id)
+)
+SELECT doc_id, n_bigrams, target_score, raw_score,
+  (target_score - raw_score)::BIGINT AS weight
+FROM w
+ORDER BY weight DESC, doc_id
+LIMIT 100"""
 
 
 def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3245,6 +3439,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # pair; the long-stable tail (green in r2 AND r3) yields its slots.
     return {
         # -- new this round / never driver-gated in any round ----------
+        "gopher_rules": q_gopher_rules,
+        "c4_line_filter": q_c4_line_filter,
+        "dsir_select": q_dsir_select,
         "remove_repeated": q_remove_repeated,
         "arabic_tables": q_arabic_tables,
         "failed_docs_poisoned": q_failed_docs_poisoned,
@@ -3327,6 +3524,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "gopher_rules": SQL_GOPHER_RULES,
+        "c4_line_filter": SQL_C4_LINE_FILTER,
+        "dsir_select": SQL_DSIR_SELECT,
         "extract_content": SQL_EXTRACT_CATALYST,
         "extract_content_arrow": SQL_EXTRACT_ARROW,
         "single_doc": SQL_SINGLE_DOC,

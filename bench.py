@@ -203,6 +203,16 @@ def main() -> None:
           lambda: D.ngram_jaccard_pairs(docs, n=3, threshold=0.5).count())
     timed_reps("textstats", lambda: T.quality_features(docs).unionByName(
         T.quality_features(docs)).agg(F.sum("n_words")).collect())
+    timed_reps("gopher_rules",
+          lambda: T.gopher_rules(docs).agg(F.sum("keep")).collect())
+    timed_reps("c4_line_filter",
+          lambda: T.c4_line_filter(docs)
+          .agg(F.sum("kept_lines"), F.sum("keep")).collect())
+    from rag_document_parser_spark.operators.lm import dsir_select
+    timed_reps("dsir_select",
+          lambda: dsir_select(
+              docs, docs.where(F.col("lang") == "en"), k=100, min_count=2)
+          .agg(F.sum("weight")).collect())
     timed_reps("fingerprint",
           lambda: T.fingerprint(docs).agg(F.count("fingerprint")).collect())
     timed_reps("top_ngram",

@@ -111,3 +111,66 @@ def score_bigram_lm(df: DataFrame, lm: DataFrame,
                     F.when(F.col("n_bigrams") > 0,
                            F.expr("_s div n_bigrams"))
                     .otherwise(F.lit(0)).cast("long").alias("lm_score")))
+
+
+def dsir_weights(df: DataFrame, target: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", scale: int = 1_000_000,
+                 min_count: int = 1,
+                 broadcast_lm: bool = True) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): every document of
+    ``df`` is scored against an LM trained on the TARGET domain and an
+    LM trained on the RAW corpus; ``weight = target_score - raw_score``
+    is the fixed-point analog of the paper's log importance ratio
+    (documented delta: integer mean conditional probabilities instead
+    of log-likelihoods — ``ln`` is not bitwise-portable across engines;
+    the difference is the same monotone ranking signal the paper
+    thresholds on).
+
+    Plan shape at 100 TB: both LM tables are vocabulary-sized
+    broadcasts; the corpus explodes its bigrams ONCE and joins both
+    LMs in the same stage (no second pass over the text, unlike the
+    naive ``score_bigram_lm`` twice); the aggregate is one
+    map-side-combinable groupBy on ``id_col``.
+    """
+    lm_t = (train_bigram_lm(target, text_col, scale, min_count)
+            .withColumnRenamed("cond_e", "cond_t"))
+    lm_r = (train_bigram_lm(df, text_col, scale, min_count)
+            .withColumnRenamed("cond_e", "cond_r"))
+    ex = _staged_tokens(df, text_col, id_col).select(
+        F.col(id_col),
+        F.posexplode_outer(_bigrams(F.col("_t"))).alias("_pos", "bigram"))
+    t_side = F.broadcast(lm_t) if broadcast_lm else lm_t
+    r_side = F.broadcast(lm_r) if broadcast_lm else lm_r
+    joined = ex.join(t_side, "bigram", "left").join(r_side, "bigram", "left")
+    agg = (joined.groupBy(id_col)
+           .agg(F.count("bigram").alias("n_bigrams"),
+                F.sum(F.coalesce("cond_t", F.lit(0))).alias("_st"),
+                F.sum(F.coalesce("cond_r", F.lit(0))).alias("_sr")))
+    nz = F.col("n_bigrams") > 0
+    tgt = (F.when(nz, F.expr("_st div n_bigrams"))
+           .otherwise(F.lit(0)).cast("long"))
+    raw = (F.when(nz, F.expr("_sr div n_bigrams"))
+           .otherwise(F.lit(0)).cast("long"))
+    return agg.select(
+        F.col(id_col), F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        tgt.alias("target_score"), raw.alias("raw_score"),
+        (tgt - raw).alias("weight"))
+
+
+def dsir_select(df: DataFrame, target: DataFrame, k: int,
+                text_col: str = "text", id_col: str = "doc_id",
+                scale: int = 1_000_000, min_count: int = 1,
+                broadcast_lm: bool = True) -> DataFrame:
+    """Top-``k`` documents by DSIR importance weight (ties broken by
+    ``id_col`` so selection is deterministic in every engine).
+
+    Documented delta from the paper: deterministic top-k instead of
+    Gumbel-noise resampling — noise is not engine-portable; compose
+    with the md5-keyed ``sampling`` tier when a stochastic draw is
+    wanted. ``orderBy().limit()`` compiles to TakeOrderedAndProject:
+    every task keeps k rows, the driver merges k, nothing global-sorts.
+    """
+    w = dsir_weights(df, target, text_col, id_col, scale, min_count,
+                     broadcast_lm)
+    return w.orderBy(F.col("weight").desc(), F.col(id_col)).limit(k)

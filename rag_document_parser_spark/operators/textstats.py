@@ -238,3 +238,153 @@ def length_quantiles(df: DataFrame, text_col: str = "text",
             .agg(F.max("n_docs").alias("n_docs"),
                  F.max("min_len").alias("min_len"),
                  F.max("max_len").alias("max_len"), *picks))
+
+
+# Gopher quality-rule set (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", appendix A —
+# the published document-level quality filters). Generalizes the
+# reference's single readable-words gate
+# (/root/reference/parsers/document_parser.py:210-270) into the
+# standard web-corpus rule battery.
+GOPHER_REQUIRED_STOPWORDS = ["the", "be", "to", "of", "and", "that",
+                             "have", "with"]
+GOPHER_BULLET_CHARS = ("•", "‣", "▪", "-", "*")
+
+
+def gopher_rules(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Per-doc Gopher quality flags (Rae et al. 2021 §A1.1.2) + keep gate.
+
+    The seven published rules, each as a 0/1 flag, all in INTEGER
+    cross-multiplication form so the DuckDB oracle reproduces every flag
+    bit-exactly (no float ratio is ever materialized):
+
+    - ``word_count_ok``  50 <= n_words <= 100,000
+    - ``mean_wlen_ok``   mean word length in [3, 10]   (3n <= Σlen <= 10n)
+    - ``symbol_ok``      (hash + ellipsis) / words < 0.1  (10·sym < n)
+    - ``bullet_ok``      <= 90% of lines start with a bullet char
+    - ``ellipsis_ok``    <= 30% of lines end with ... or …
+    - ``alpha_ok``       >= 80% of words contain an alphabetic char
+    - ``stopword_ok``    >= 2 distinct required stopwords present
+
+    ``keep`` is the conjunction. Documented deltas from the paper's
+    prose: "words" are this package's shared tokenizer (lowercased
+    alnum runs — so mean word length counts no punctuation), the bullet
+    set is {•, ‣, ▪, -, *}, and alphabetic means latin or arabic script
+    (the corpus languages).
+
+    Scale shape: one narrow projection per doc — no shuffle, no UDF,
+    whole-stage-codegen throughout; tokens and lines are staged as
+    bound attributes once (SPARK-36718) and every rule reads the staged
+    arrays.
+    """
+    c = F.col(text_col)
+    staged = df.select(
+        F.col(id_col), c.alias("_t"), words(c).alias("_w"),
+        F.split(c, "\n").alias("_ln"))
+    t, w, ln = F.col("_t"), F.col("_w"), F.col("_ln")
+    n_words = F.size(w).cast("long")
+    sum_wlen = F.aggregate(w, F.lit(0).cast("long"),
+                           lambda acc, x: acc + F.length(x))
+    n_hash = (F.length(t) - F.length(F.translate(t, "#", ""))).cast("long")
+    dots_gone = F.regexp_replace(t, r"\.\.\.", "")
+    n_dots = ((F.length(t) - F.length(dots_gone)) / 3).cast("long")
+    n_uell = (F.length(t) - F.length(F.translate(t, "…", ""))).cast("long")
+    n_sym = n_hash + n_dots + n_uell
+    n_lines = F.size(ln).cast("long")
+    bullets = F.array(*[F.lit(b) for b in GOPHER_BULLET_CHARS])
+    bullet_lines = F.size(F.filter(ln, lambda x: F.array_contains(
+        bullets, F.substring(F.regexp_replace(x, r"^[ \t]+", ""), 1, 1)
+    ))).cast("long")
+    ell_lines = F.size(F.filter(ln, lambda x: F.regexp_replace(
+        x, r"[ \t\r]+$", "").rlike(r"(\.\.\.|…)$"))).cast("long")
+    alpha_words = F.size(F.filter(
+        w, lambda x: x.rlike("[a-z؀-ۿ]"))).cast("long")
+    sw = F.array(*[F.lit(s) for s in GOPHER_REQUIRED_STOPWORDS])
+    stop_hits = F.size(F.filter(
+        sw, lambda s: F.array_contains(w, s))).cast("long")
+
+    def flag(cond) -> Column:
+        return F.when(cond, F.lit(1)).otherwise(F.lit(0)).cast("int")
+
+    word_count_ok = flag((n_words >= 50) & (n_words <= 100000))
+    mean_wlen_ok = flag((n_words > 0) & (sum_wlen >= 3 * n_words)
+                        & (sum_wlen <= 10 * n_words))
+    symbol_ok = flag((n_words > 0) & (10 * n_sym < n_words))
+    bullet_ok = flag(10 * bullet_lines <= 9 * n_lines)
+    ellipsis_ok = flag(10 * ell_lines <= 3 * n_lines)
+    alpha_ok = flag((n_words > 0) & (5 * alpha_words >= 4 * n_words))
+    stopword_ok = flag(stop_hits >= 2)
+    out = staged.select(
+        F.col(id_col), n_words.alias("n_words"),
+        word_count_ok.alias("word_count_ok"),
+        mean_wlen_ok.alias("mean_wlen_ok"),
+        symbol_ok.alias("symbol_ok"),
+        bullet_ok.alias("bullet_ok"),
+        ellipsis_ok.alias("ellipsis_ok"),
+        alpha_ok.alias("alpha_ok"),
+        stopword_ok.alias("stopword_ok"),
+    )
+    keep = (F.col("word_count_ok") * F.col("mean_wlen_ok")
+            * F.col("symbol_ok") * F.col("bullet_ok")
+            * F.col("ellipsis_ok") * F.col("alpha_ok")
+            * F.col("stopword_ok")).cast("int")
+    return out.withColumn("keep", keep)
+
+
+def c4_line_filter(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2) — a text
+    TRANSFORM, not just a gate: lines are dropped inside the document
+    and the survivors are rejoined.
+
+    Line rules (a line survives iff all hold):
+    - ends with terminal punctuation after trailing-whitespace strip
+      (the paper's set: period / ! / ? / closing double quote);
+    - has >= 5 word tokens (shared tokenizer);
+    - does not contain the word "javascript" (case-insensitive).
+
+    Document rules (``keep``):
+    - >= 3 sentences remain — sentence proxy: terminal-punct chars in
+      the retained text (documented delta: the paper splits sentences
+      with an NLP tokenizer; a mark count is the deterministic,
+      engine-portable equivalent);
+    - no ``{`` anywhere (code page signal);
+    - no "lorem ipsum" (case-insensitive).
+
+    ``clean_text`` is NULL for dropped docs. The naughty-word list
+    (rule 3 of the paper) is deliberately out of subset. All pure
+    Catalyst: one projection, zero shuffles, codegen end-to-end.
+    """
+    c = F.col(text_col)
+
+    def line_ok(x: Column) -> Column:
+        stripped = F.regexp_replace(x, r"[ \t\r]+$", "")
+        wc = F.size(F.filter(F.split(F.lower(x), "[^a-z0-9؀-ۿ]+"),
+                             lambda w: w != ""))
+        return (stripped.rlike(r'[.!?"]$') & (wc >= 5)
+                & ~F.lower(x).rlike("javascript"))
+
+    # stacked projections: each non-cheap array is a bound attribute
+    # before anything references it twice (SPARK-36718)
+    s1 = df.select(F.col(id_col), c.alias("_t"),
+                   F.split(c, "\n").alias("_ln"))
+    s2 = s1.select(F.col(id_col), F.col("_t"),
+                   F.size("_ln").cast("long").alias("n_lines"),
+                   F.filter("_ln", line_ok).alias("_k"))
+    s3 = s2.select(F.col(id_col), F.col("_t"), F.col("n_lines"),
+                   F.size("_k").cast("long").alias("kept_lines"),
+                   F.array_join("_k", "\n").alias("_clean"))
+    cleaned = F.col("_clean")
+    sentences = (F.length(cleaned)
+                 - F.length(F.translate(cleaned, ".!?", ""))).cast("long")
+    s4 = s3.select(F.col(id_col), F.col("n_lines"), F.col("kept_lines"),
+                   sentences.alias("sentences"), F.col("_t"), cleaned)
+    doc_ok = ((F.col("sentences") >= 3) & (F.instr(F.col("_t"), "{") == 0)
+              & (F.instr(F.lower(F.col("_t")), "lorem ipsum") == 0))
+    return s4.select(
+        F.col(id_col), F.col("n_lines"), F.col("kept_lines"),
+        F.col("sentences"),
+        F.when(doc_ok, F.lit(1)).otherwise(F.lit(0)).cast("int").alias("keep"),
+        F.when(doc_ok, F.col("_clean")).alias("clean_text"),
+    )

@@ -75,3 +75,50 @@ def test_plans_tokenize_once_per_scan(corpus):
     lm = train_bigram_lm(corpus)
     assert evals(lm) == 2                       # unigram + bigram scans
     assert evals(score_bigram_lm(corpus, lm)) == 3   # + the doc scan
+
+
+# ---- DSIR importance resampling (Xie et al. 2023) ----------------------
+
+from rag_document_parser_spark.operators.lm import dsir_select, dsir_weights
+
+
+@pytest.fixture(scope="module")
+def domains(spark):
+    # target domain talks about cats; off-domain talks about stocks
+    docs = spark.createDataFrame(
+        [("c1", "the cat sat on the mat"),
+         ("c2", "the cat ate the fish"),
+         ("s1", "the stock price went up"),
+         ("s2", "the stock market crashed today"),
+         ("mix", "the cat bought the stock")],
+        ["doc_id", "text"])
+    target = spark.createDataFrame(
+        [("t1", "the cat sat on the mat"),
+         ("t2", "a cat and the fish")],
+        ["doc_id", "text"])
+    return docs, target
+
+
+def test_dsir_weights_rank_target_domain_first(domains):
+    docs, target = domains
+    w = {r["doc_id"]: r["weight"]
+         for r in dsir_weights(docs, target).collect()}
+    assert len(w) == 5
+    # every cat doc outranks every stock doc under the cat-domain LM
+    assert min(w["c1"], w["c2"]) > max(w["s1"], w["s2"])
+
+
+def test_dsir_weights_consistency(domains):
+    docs, target = domains
+    rows = dsir_weights(docs, target).collect()
+    for r in rows:
+        assert r["weight"] == r["target_score"] - r["raw_score"]
+        assert r["n_bigrams"] >= 0
+
+
+def test_dsir_select_topk_deterministic(domains):
+    docs, target = domains
+    top2 = [r["doc_id"] for r in dsir_select(docs, target, k=2).collect()]
+    assert set(top2) <= {"c1", "c2"}
+    again = [r["doc_id"] for r in dsir_select(docs, target, k=2).collect()]
+    assert top2 == again

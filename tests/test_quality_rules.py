@@ -1,0 +1,170 @@
+"""Gopher quality-rule battery (Rae et al. 2021 §A1.1.2) — hand cases.
+
+Each rule gets a document engineered to fail exactly that rule while a
+control document passes all seven; parity with the DuckDB twin is
+covered corpus-wide by tests/test_entry_oracle.py (`gopher_rules`).
+"""
+
+import pytest
+
+from rag_document_parser_spark.operators.textstats import gopher_rules
+
+# 60 words, mean word length ~3.4, two+ required stopwords, no symbols.
+GOOD = " ".join(["the cat sat with the dog and that was fine"] * 6)
+
+
+def _rows(spark, docs):
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    out = gopher_rules(df)
+    return {r["doc_id"]: r.asDict() for r in out.collect()}
+
+
+@pytest.fixture(scope="module")
+def flags(spark):
+    docs = [
+        ("good", GOOD),
+        ("short", "the cat sat with the dog"),
+        ("long_words", " ".join(["incomprehensibilities"] * 60) + " the of"),
+        ("symbols", GOOD + " " + "#" * 20),
+        ("bullets", "\n".join("- item " + GOOD for _ in range(10))),
+        ("ellipses", "\n".join([GOOD + " ..."] * 4 + [GOOD] * 6)),
+        ("numeric", " ".join(["1234"] * 60) + " the of"),
+        ("no_stop", " ".join(["lorem ipsum dolor sit amet"] * 12)),
+        ("empty", ""),
+    ]
+    return _rows(spark, docs)
+
+
+def test_good_doc_keeps(flags):
+    g = flags["good"]
+    assert g["keep"] == 1
+    assert all(g[k] == 1 for k in (
+        "word_count_ok", "mean_wlen_ok", "symbol_ok", "bullet_ok",
+        "ellipsis_ok", "alpha_ok", "stopword_ok"))
+    assert g["n_words"] == 60
+
+
+def test_word_count_rule(flags):
+    assert flags["short"]["word_count_ok"] == 0
+    assert flags["short"]["keep"] == 0
+
+
+def test_mean_word_length_rule(flags):
+    lw = flags["long_words"]
+    assert lw["mean_wlen_ok"] == 0          # 21-char words >> 10 cap
+    assert lw["stopword_ok"] == 1           # 'the' + 'of' present
+
+
+def test_symbol_ratio_rule(flags):
+    s = flags["symbols"]
+    # 20 hashes over 60 words = 0.33 > 0.1
+    assert s["symbol_ok"] == 0
+    assert flags["good"]["symbol_ok"] == 1
+
+
+def test_bullet_rule(flags):
+    b = flags["bullets"]
+    assert b["bullet_ok"] == 0              # 100% of lines bulleted
+    assert b["word_count_ok"] == 1
+
+
+def test_ellipsis_rule(flags):
+    e = flags["ellipses"]
+    assert e["ellipsis_ok"] == 0            # 40% of lines > 30% cap
+    assert flags["good"]["ellipsis_ok"] == 1
+
+
+def test_alpha_words_rule(flags):
+    n = flags["numeric"]
+    assert n["alpha_ok"] == 0               # 60/62 words purely digits
+
+
+def test_stopword_rule(flags):
+    ns = flags["no_stop"]
+    assert ns["stopword_ok"] == 0
+    assert ns["alpha_ok"] == 1
+
+
+def test_empty_doc_fails_closed(flags):
+    e = flags["empty"]
+    assert e["keep"] == 0
+    assert e["n_words"] == 0
+    # zero-word rules fail closed; line rules see one empty line
+    assert e["word_count_ok"] == 0 and e["alpha_ok"] == 0
+    assert e["bullet_ok"] == 1 and e["ellipsis_ok"] == 1
+
+
+# ---- C4 line filter (Raffel et al. 2020 §2.2) --------------------------
+
+from rag_document_parser_spark.operators.textstats import c4_line_filter
+
+C4_DOCS = [
+    # 4 good sentences (>=5 words, terminal punct) + 1 bad line
+    ("keep", "the quick brown fox jumps.\n"
+             "a lazy dog sleeps right here!\n"
+             "did the fox jump over him?\n"
+             'he said "yes it really did."\n'
+             "short line."),
+    # every line lacks terminal punctuation -> 0 survivors
+    ("no_punct", "the quick brown fox jumps\na lazy dog sleeps here"),
+    # javascript line dropped, remaining 3 sentences keep the doc
+    ("js", "please enable javascript to view this.\n"
+           "the quick brown fox jumps high.\n"
+           "a lazy dog sleeps right here.\n"
+           "did the fox jump over him?"),
+    # curly brace nukes the whole doc even with good lines
+    ("brace", "the quick brown fox jumps high.\n"
+              "a lazy dog sleeps right here.\n"
+              "did the fox jump over {him}?"),
+    # lorem ipsum marker nukes the doc
+    ("lorem", "Lorem Ipsum dolor sit amet text.\n"
+              "the quick brown fox jumps high.\n"
+              "a lazy dog sleeps right here."),
+    # only two sentences survive -> below the 3-sentence floor
+    ("two", "the quick brown fox jumps high.\n"
+            "a lazy dog sleeps right here."),
+    ("empty", ""),
+]
+
+
+@pytest.fixture(scope="module")
+def c4(spark):
+    df = spark.createDataFrame(C4_DOCS, "doc_id string, text string")
+    return {r["doc_id"]: r.asDict() for r in c4_line_filter(df).collect()}
+
+
+def test_c4_keeps_and_rejoins(c4):
+    k = c4["keep"]
+    assert k["keep"] == 1
+    assert k["n_lines"] == 5 and k["kept_lines"] == 4
+    assert k["clean_text"].count("\n") == 3        # 4 lines rejoined
+    assert "short line." not in k["clean_text"]    # <5 words dropped
+
+
+def test_c4_no_terminal_punct(c4):
+    assert c4["no_punct"]["kept_lines"] == 0
+    assert c4["no_punct"]["keep"] == 0
+    assert c4["no_punct"]["clean_text"] is None
+
+
+def test_c4_javascript_line_dropped(c4):
+    j = c4["js"]
+    assert j["kept_lines"] == 3 and j["keep"] == 1
+    assert "javascript" not in j["clean_text"]
+
+
+def test_c4_brace_and_lorem_gate(c4):
+    assert c4["brace"]["keep"] == 0 and c4["brace"]["clean_text"] is None
+    assert c4["lorem"]["keep"] == 0
+
+
+def test_c4_sentence_floor(c4):
+    t = c4["two"]
+    assert t["kept_lines"] == 2 and t["sentences"] == 2
+    assert t["keep"] == 0
+
+
+def test_c4_empty(c4):
+    e = c4["empty"]
+    assert e["n_lines"] == 1 and e["kept_lines"] == 0
+    assert e["sentences"] == 0 and e["keep"] == 0
