@@ -631,11 +631,15 @@ _GOPHER_SW_HITS = " + ".join(
     for s in T.GOPHER_REQUIRED_STOPWORDS)
 _GOPHER_BULLETS = "[" + ", ".join(
     f"'{b}'" for b in T.GOPHER_BULLET_CHARS) + "]"
-SQL_GOPHER_RULES = f"""
+def _sql_gopher_rules(src: str = "documents") -> str:
+    """Gopher-battery oracle fragment over any ``(doc_id, text)``
+    relation — parameterized so `quality_chain` can aim it at the
+    C4-cleaned text instead of raw ``documents``."""
+    return f"""
 WITH s AS (
   SELECT doc_id, text AS t, {_QTOKS} AS toks,
          string_split(text, chr(10)) AS lns
-  FROM documents
+  FROM {src}
 ), m AS (
   SELECT doc_id,
     len(toks)::BIGINT AS n_words,
@@ -678,6 +682,9 @@ SELECT *, (word_count_ok * mean_wlen_ok * symbol_ok * bullet_ok
 FROM fl"""
 
 
+SQL_GOPHER_RULES = _sql_gopher_rules()
+
+
 def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 line-level cleaning (Raffel et al. 2020 §2.2) — line drop +
     rejoin transform with the document gate.
@@ -687,6 +694,13 @@ def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     line-structured corpus: 5-word lines, every 4th line left without
     terminal punctuation — so the line gate, the rejoin, and the
     >=3-sentences document gate all vary per doc."""
+    return T.c4_line_filter(_lined_docs(spark, sf_dir))
+
+
+def _lined_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic line-structured corpus derived from `documents`:
+    5-word lines, every 4th left without terminal punctuation (shared
+    by `c4_line_filter` and `quality_chain`)."""
     d = _docs(spark, sf_dir)
     staged = d.select("doc_id", D.words(F.col("text")).alias("_w"))
     n_l = F.ceil(F.size("_w") / F.lit(5)).cast("int")
@@ -697,8 +711,7 @@ def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.array_join(F.slice("_w", (i - 1) * 5 + 1, 5), " "),
                         F.when(i % 4 == 0, F.lit("")).otherwise(F.lit(".")))),
     ).otherwise(F.array().cast("array<string>"))
-    lined = staged.select("doc_id", F.array_join(lines, "\n").alias("text"))
-    return T.c4_line_filter(lined)
+    return staged.select("doc_id", F.array_join(lines, "\n").alias("text"))
 
 
 SQL_C4_LINE_FILTER = f"""
@@ -744,6 +757,41 @@ SELECT doc_id, n_lines, kept_lines, sentences,
   (CASE WHEN ok THEN 1 ELSE 0 END)::INT AS keep,
   CASE WHEN ok THEN clean END AS clean_text
 FROM m"""
+
+
+def q_quality_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed RefinedWeb-order quality chain — C4 line cleaning first
+    (a transform), then the Gopher battery evaluated on the CLEANED
+    text — the exact stage order `plans.curate(c4_lines=True,
+    gopher=True)` uses, driver-gated here over the same derived
+    line-structured corpus as `c4_line_filter`. Exercises the
+    zero-shuffle `passthrough` threading: c4 verdict columns ride
+    through the gopher projection, no join anywhere in the plan."""
+    lined = _lined_docs(spark, sf_dir)
+    c4 = T.c4_line_filter(lined)
+    cleaned = c4.select(
+        "doc_id", F.col("keep").alias("c4_keep"), "kept_lines",
+        F.coalesce("clean_text", F.lit("")).alias("text"))
+    g = T.gopher_rules(cleaned, passthrough=("c4_keep", "kept_lines"))
+    return g.select(
+        F.col("doc_id").cast("long"), F.col("c4_keep").cast("int"),
+        F.col("kept_lines").cast("long"), F.col("n_words").cast("long"),
+        F.col("word_count_ok").cast("int"),
+        F.col("keep").cast("int").alias("gopher_keep"),
+        (F.col("c4_keep") * F.col("keep")).cast("int").alias("keep"))
+
+
+SQL_QUALITY_CHAIN = (
+    "WITH c4 AS (" + SQL_C4_LINE_FILTER + "\n), src AS (\n"
+    "  SELECT doc_id, keep AS c4_keep, kept_lines,\n"
+    "         coalesce(clean_text, '') AS text\n"
+    "  FROM c4\n"
+    "), g AS (" + _sql_gopher_rules("src") + "\n)\n"
+    "SELECT g.doc_id::BIGINT AS doc_id, src.c4_keep::INT AS c4_keep,\n"
+    "  src.kept_lines::BIGINT AS kept_lines, g.n_words::BIGINT AS n_words,\n"
+    "  g.word_count_ok::INT AS word_count_ok,\n"
+    "  g.keep::INT AS gopher_keep, (src.c4_keep * g.keep)::INT AS keep\n"
+    "FROM g JOIN src USING (doc_id)")
 
 
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1123,6 +1171,41 @@ SELECT doc_id, n_bigrams, target_score, raw_score,
 FROM w
 ORDER BY weight DESC, doc_id
 LIMIT 100"""
+
+
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2020
+    §4.3): LM-fit score per doc, corpus-percentile value thresholds
+    from the exact compacted score distribution (no percentile_approx,
+    no float), ties land whole in one bucket."""
+    from rag_document_parser_spark.operators.lm import perplexity_buckets
+
+    out = perplexity_buckets(_docs(spark, sf_dir), scale=_LM_SCALE,
+                             min_count=_LM_MIN_COUNT)
+    return out.select(F.col("doc_id").cast("long"),
+                      F.col("n_bigrams").cast("long"),
+                      F.col("lm_score").cast("long"), "bucket")
+
+
+SQL_CCNET_BUCKETS = (
+    "WITH sc AS (" + SQL_LM_SCORE + "\n), d AS (\n"
+    "  SELECT lm_score, count(*) AS c FROM sc GROUP BY lm_score\n"
+    "), cum AS (\n"
+    "  SELECT lm_score, sum(c) OVER (ORDER BY lm_score DESC) AS cum,\n"
+    "         sum(c) OVER () AS n\n"
+    "  FROM d\n"
+    "), thr AS (\n"
+    "  SELECT min(CASE WHEN 100 * cum <= 30 * n THEN lm_score END)"
+    " AS t_head,\n"
+    "         min(CASE WHEN 100 * cum <= 60 * n THEN lm_score END)"
+    " AS t_mid\n"
+    "  FROM cum\n"
+    ")\n"
+    "SELECT sc.doc_id, sc.n_bigrams, sc.lm_score,\n"
+    "  CASE WHEN sc.lm_score >= thr.t_head THEN 'head'\n"
+    "       WHEN sc.lm_score >= thr.t_mid THEN 'middle'\n"
+    "       ELSE 'tail' END AS bucket\n"
+    "FROM sc, thr")
 
 
 def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3440,6 +3523,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- new this round / never driver-gated in any round ----------
         "gopher_rules": q_gopher_rules,
+        "quality_chain": q_quality_chain,
+        "ccnet_buckets": q_ccnet_buckets,
         "c4_line_filter": q_c4_line_filter,
         "dsir_select": q_dsir_select,
         "remove_repeated": q_remove_repeated,
@@ -3525,6 +3610,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "gopher_rules": SQL_GOPHER_RULES,
+        "quality_chain": SQL_QUALITY_CHAIN,
+        "ccnet_buckets": SQL_CCNET_BUCKETS,
         "c4_line_filter": SQL_C4_LINE_FILTER,
         "dsir_select": SQL_DSIR_SELECT,
         "extract_content": SQL_EXTRACT_CATALYST,

@@ -158,6 +158,59 @@ def dsir_weights(df: DataFrame, target: DataFrame, text_col: str = "text",
         (tgt - raw).alias("weight"))
 
 
+def perplexity_buckets(df: DataFrame, lm: DataFrame | None = None,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       head_pct: int = 30, mid_pct: int = 30,
+                       scale: int = 1_000_000, min_count: int = 1,
+                       broadcast_lm: bool = True) -> DataFrame:
+    """CCNet head/middle/tail split (Wenzek et al. 2020 §4.3): score
+    every document against ``lm`` (trained on ``df`` itself when None —
+    pass an LM trained on trusted text for the paper's exact setup) and
+    bucket by corpus-level score percentile — ``head`` is the
+    best-fitting ``head_pct`` percent, ``middle`` the next ``mid_pct``,
+    ``tail`` the rest.
+
+    Thresholds are SCORE VALUES derived from the exact score
+    distribution, not row ranks: ``t_head = min{s : 100·c(s) <=
+    head_pct·n}`` where ``c(s)`` counts docs scoring >= s — so ties
+    land in one bucket and both engines agree bit-exactly (the
+    ``length_quantiles`` discipline; no percentile_approx, no float).
+    Degenerate corpora (every doc one score) have no qualifying
+    threshold: the NULL comparison sends every doc to ``tail``,
+    documented over hidden. Buckets can undershoot their percent by at
+    most one tie-class — the deterministic cost of value thresholds.
+
+    Scale shape: the score distribution compacts to one row per
+    DISTINCT score — bounded by ``scale``, not the corpus — before the
+    single-partition cumulative window runs; the two thresholds then
+    ride a broadcast 1-row cross join back onto the scored docs. No
+    corpus-sized sort, no driver collect.
+    """
+    if lm is None:
+        lm = train_bigram_lm(df, text_col, scale, min_count)
+    scored = score_bigram_lm(df, lm, text_col, id_col, broadcast_lm)
+    from pyspark.sql import Window
+    dist = scored.groupBy("lm_score").agg(F.count("*").alias("_c"))
+    w = Window.orderBy(F.col("lm_score").desc())
+    wall = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    cum = dist.select(
+        "lm_score", F.sum("_c").over(w).alias("_cum"),
+        F.sum("_c").over(wall).alias("_n"))
+    thr = cum.agg(
+        F.min(F.when(100 * F.col("_cum") <= head_pct * F.col("_n"),
+                     F.col("lm_score"))).alias("_t_head"),
+        F.min(F.when(100 * F.col("_cum") <=
+                     (head_pct + mid_pct) * F.col("_n"),
+                     F.col("lm_score"))).alias("_t_mid"))
+    bucket = (F.when(F.col("lm_score") >= F.col("_t_head"), F.lit("head"))
+              .when(F.col("lm_score") >= F.col("_t_mid"), F.lit("middle"))
+              .otherwise(F.lit("tail")))
+    return (scored.crossJoin(F.broadcast(thr))
+            .select(id_col, "n_bigrams", "lm_score",
+                    bucket.alias("bucket")))
+
+
 def dsir_select(df: DataFrame, target: DataFrame, k: int,
                 text_col: str = "text", id_col: str = "doc_id",
                 scale: int = 1_000_000, min_count: int = 1,

@@ -252,7 +252,8 @@ GOPHER_BULLET_CHARS = ("•", "‣", "▪", "-", "*")
 
 
 def gopher_rules(df: DataFrame, text_col: str = "text",
-                 id_col: str = "doc_id") -> DataFrame:
+                 id_col: str = "doc_id",
+                 passthrough: tuple[str, ...] = ()) -> DataFrame:
     """Per-doc Gopher quality flags (Rae et al. 2021 §A1.1.2) + keep gate.
 
     The seven published rules, each as a 0/1 flag, all in INTEGER
@@ -277,10 +278,15 @@ def gopher_rules(df: DataFrame, text_col: str = "text",
     whole-stage-codegen throughout; tokens and lines are staged as
     bound attributes once (SPARK-36718) and every rule reads the staged
     arrays.
+
+    ``passthrough`` names extra input columns carried verbatim to the
+    output (same projection, still zero-shuffle) — how ``plans.curate``
+    threads route/title/verdict state through the gate without a join.
     """
     c = F.col(text_col)
+    thru = [F.col(p) for p in passthrough]
     staged = df.select(
-        F.col(id_col), c.alias("_t"), words(c).alias("_w"),
+        F.col(id_col), *thru, c.alias("_t"), words(c).alias("_w"),
         F.split(c, "\n").alias("_ln"))
     t, w, ln = F.col("_t"), F.col("_w"), F.col("_ln")
     n_words = F.size(w).cast("long")
@@ -316,7 +322,7 @@ def gopher_rules(df: DataFrame, text_col: str = "text",
     alpha_ok = flag((n_words > 0) & (5 * alpha_words >= 4 * n_words))
     stopword_ok = flag(stop_hits >= 2)
     out = staged.select(
-        F.col(id_col), n_words.alias("n_words"),
+        F.col(id_col), *thru, n_words.alias("n_words"),
         word_count_ok.alias("word_count_ok"),
         mean_wlen_ok.alias("mean_wlen_ok"),
         symbol_ok.alias("symbol_ok"),
@@ -333,7 +339,8 @@ def gopher_rules(df: DataFrame, text_col: str = "text",
 
 
 def c4_line_filter(df: DataFrame, text_col: str = "text",
-                   id_col: str = "doc_id") -> DataFrame:
+                   id_col: str = "doc_id",
+                   passthrough: tuple[str, ...] = ()) -> DataFrame:
     """C4-style line-level cleaning (Raffel et al. 2020 §2.2) — a text
     TRANSFORM, not just a gate: lines are dropped inside the document
     and the survivors are rejoined.
@@ -355,8 +362,12 @@ def c4_line_filter(df: DataFrame, text_col: str = "text",
     ``clean_text`` is NULL for dropped docs. The naughty-word list
     (rule 3 of the paper) is deliberately out of subset. All pure
     Catalyst: one projection, zero shuffles, codegen end-to-end.
+
+    ``passthrough`` names extra input columns carried verbatim to the
+    output (see ``gopher_rules``).
     """
     c = F.col(text_col)
+    thru = [F.col(p) for p in passthrough]
 
     def line_ok(x: Column) -> Column:
         stripped = F.regexp_replace(x, r"[ \t\r]+$", "")
@@ -367,23 +378,24 @@ def c4_line_filter(df: DataFrame, text_col: str = "text",
 
     # stacked projections: each non-cheap array is a bound attribute
     # before anything references it twice (SPARK-36718)
-    s1 = df.select(F.col(id_col), c.alias("_t"),
+    s1 = df.select(F.col(id_col), *thru, c.alias("_t"),
                    F.split(c, "\n").alias("_ln"))
-    s2 = s1.select(F.col(id_col), F.col("_t"),
+    s2 = s1.select(F.col(id_col), *thru, F.col("_t"),
                    F.size("_ln").cast("long").alias("n_lines"),
                    F.filter("_ln", line_ok).alias("_k"))
-    s3 = s2.select(F.col(id_col), F.col("_t"), F.col("n_lines"),
+    s3 = s2.select(F.col(id_col), *thru, F.col("_t"), F.col("n_lines"),
                    F.size("_k").cast("long").alias("kept_lines"),
                    F.array_join("_k", "\n").alias("_clean"))
     cleaned = F.col("_clean")
     sentences = (F.length(cleaned)
                  - F.length(F.translate(cleaned, ".!?", ""))).cast("long")
-    s4 = s3.select(F.col(id_col), F.col("n_lines"), F.col("kept_lines"),
+    s4 = s3.select(F.col(id_col), *thru, F.col("n_lines"),
+                   F.col("kept_lines"),
                    sentences.alias("sentences"), F.col("_t"), cleaned)
     doc_ok = ((F.col("sentences") >= 3) & (F.instr(F.col("_t"), "{") == 0)
               & (F.instr(F.lower(F.col("_t")), "lorem ipsum") == 0))
     return s4.select(
-        F.col(id_col), F.col("n_lines"), F.col("kept_lines"),
+        F.col(id_col), *thru, F.col("n_lines"), F.col("kept_lines"),
         F.col("sentences"),
         F.when(doc_ok, F.lit(1)).otherwise(F.lit(0)).cast("int").alias("keep"),
         F.when(doc_ok, F.col("_clean")).alias("clean_text"),

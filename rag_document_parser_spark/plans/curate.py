@@ -16,7 +16,10 @@ Stage order and why:
 
 1. extract (arrow kernel) — spans -> cleaned text; failures drop first.
 2. quality gate — word-count bounds + alphabetic ratio (cheap, row-
-   local; prunes before anything that shuffles).
+   local; prunes before anything that shuffles). Opt-in extensions in
+   RefinedWeb order, both row-local and shuffle-free: C4 line-level
+   cleaning (``c4_lines=True``, a text TRANSFORM — later stages hash
+   the rewritten text) then the Gopher rule battery (``gopher=True``).
 3. PII scrub — row-local regex chain; must precede dedup so redacted
    text is what gets hashed (two docs differing only in PII are dups).
 4. boilerplate strip — corpus-level repeated-paragraph removal; must
@@ -60,7 +63,11 @@ from rag_document_parser_spark.operators.repetition import (
     remove_repeated_windows,
     repeated_windows,
 )
-from rag_document_parser_spark.operators.textstats import quality_exprs
+from rag_document_parser_spark.operators.textstats import (
+    c4_line_filter,
+    gopher_rules,
+    quality_exprs,
+)
 from rag_document_parser_spark.plans.job import extract
 
 SEP = "\n\n"
@@ -68,7 +75,9 @@ SEP = "\n\n"
 
 def curate(df: DataFrame, cfg: ExtractConfig | None = None,
            min_words: int = 5, max_words: int = 100_000,
-           min_alpha_ratio: float = 0.1, scrub_pii: bool = True,
+           min_alpha_ratio: float = 0.1,
+           c4_lines: bool = False, gopher: bool = False,
+           scrub_pii: bool = True,
            boilerplate_min_docs: int = 2,
            remove_repeated: bool = False, repeated_window: int = 20,
            repeated_min_docs: int = 2,
@@ -82,8 +91,21 @@ def curate(df: DataFrame, cfg: ExtractConfig | None = None,
     ``(doc_id, route, title, content, n_pii, kept, reason)`` where
     ``content`` is the curated text (null for dropped docs), ``kept``
     marks survivors and ``reason`` names the FIRST stage that dropped
-    the doc (``extract`` | ``quality`` | ``empty`` | ``exact_dup`` |
-    ``near_dup`` | null for kept).
+    the doc (``extract`` | ``quality`` | ``c4`` | ``gopher`` |
+    ``empty`` | ``exact_dup`` | ``near_dup`` | null for kept).
+
+    ``c4_lines=True`` inserts the C4 line-level clean
+    (``textstats.c4_line_filter``) right after the cheap quality gate:
+    lines are dropped INSIDE each document (the rewritten text is what
+    every later stage — PII, boilerplate, dedup — sees and hashes) and
+    docs failing the C4 document gate drop with reason ``c4``.
+    ``gopher=True`` then applies the full Gopher rule battery
+    (``textstats.gopher_rules``) to the post-C4 text — the RefinedWeb
+    ordering (line-wise correction before document-wise filtering);
+    failures drop with reason ``gopher``. Both stages are row-local
+    projections threaded through ``passthrough`` columns — they add
+    ZERO shuffles and land before the first localCheckpoint, so the
+    checkpoint captures the final gated text.
 
     ``materialize=True`` (default) localCheckpoints the two fan-out
     points — the quality-scored content projection (post-extraction;
@@ -119,9 +141,32 @@ def curate(df: DataFrame, cfg: ExtractConfig | None = None,
         "*", q["n_words"].alias("_nw"), q["alpha_ratio"].alias("_ar"),
     )
     doc = doc.withColumn(
-        "_quality",
-        F.col("success") & F.col("_nw").between(min_words, max_words)
+        "_base_q",
+        F.col("_nw").between(min_words, max_words)
         & (F.col("_ar") >= min_alpha_ratio))
+    thru = ("route", "title", "success", "_nw", "_ar", "_base_q")
+    if c4_lines:
+        c4 = c4_line_filter(doc, text_col="content", id_col="doc_id",
+                            passthrough=thru)
+        doc = c4.select(
+            "doc_id", *thru, (F.col("keep") == 1).alias("_c4_ok"),
+            # dropped docs re-read the ORIGINAL doc row for their
+            # verdict, never this content — '' only keeps the gopher
+            # leg's expressions null-free
+            F.coalesce("clean_text", F.lit("")).alias("content"))
+    else:
+        doc = doc.withColumn("_c4_ok", F.lit(True))
+    if gopher:
+        g = gopher_rules(doc, text_col="content", id_col="doc_id",
+                         passthrough=thru + ("_c4_ok", "content"))
+        doc = g.select("doc_id", *thru, "_c4_ok",
+                       (F.col("keep") == 1).alias("_gopher_ok"), "content")
+    else:
+        doc = doc.withColumn("_gopher_ok", F.lit(True))
+    doc = doc.withColumn(
+        "_quality",
+        F.col("success") & F.col("_base_q") & F.col("_c4_ok")
+        & F.col("_gopher_ok"))
     if materialize:
         # checkpoint AFTER the content projection: the flattened text is
         # ~half the bytes of the spans_clean arrays it derives from, and
@@ -268,7 +313,9 @@ def curate(df: DataFrame, cfg: ExtractConfig | None = None,
         F.lit(0).cast("long").alias("n_pii"),
         F.lit(False).alias("kept"),
         F.when(~F.col("success"), F.lit("extract"))
-        .otherwise(F.lit("quality")).alias("reason"))
+        .when(~F.col("_base_q"), F.lit("quality"))
+        .when(~F.col("_c4_ok"), F.lit("c4"))
+        .otherwise(F.lit("gopher")).alias("reason"))
     return kept_rows.unionByName(dropped)
 
 

@@ -174,6 +174,48 @@ def test_curate_remove_repeated_stage(spark):
     assert "disclaimer" in off["r1"]["content"]
 
 
+GOOD_LINE = "the cat sat with the dog and that was fine."
+
+
+def test_curate_quality_rule_stages(spark):
+    """Opt-in C4 + Gopher stages (RefinedWeb order): C4 rewrites text
+    line-wise BEFORE anything hashes (two docs identical after the C4
+    clean become an exact-dup pair), the Gopher battery gates the
+    post-C4 text, and drop reasons name the first failing stage."""
+    docs = [
+        # 6 ten-word sentence spans -> passes C4 (6 sentences) and
+        # Gopher (60 words, stopwords, mean wlen ~3.3)
+        _text_doc("g1", *[GOOD_LINE] * 6),
+        # same doc + a junk line C4 drops -> cleaned text == g1's
+        _text_doc("g2", *([GOOD_LINE] * 6 + ["click here now"])),
+        # lines pass C4's line rules but only 2 sentences remain -> c4
+        _text_doc("g3", *[GOOD_LINE] * 2),
+        # passes C4 (4 sentences) but 40 words < Gopher's 50 -> gopher
+        _text_doc("g4", *[GOOD_LINE] * 4),
+        # fails the cheap base gate first -> quality, not c4/gopher
+        _text_doc("g5", "hi"),
+    ]
+    cfg = ExtractConfig(unknown_kinds="error")
+    corpus = spark.createDataFrame(docs, schema=INPUT_SCHEMA)
+    out = {r["doc_id"]: r
+           for r in curate(corpus, cfg, c4_lines=True, gopher=True,
+                           near_dup=False).collect()}
+    assert out["g1"]["kept"] and out["g1"]["reason"] is None
+    assert out["g2"]["reason"] == "exact_dup"   # hashed AFTER the C4 cut
+    assert out["g3"]["reason"] == "c4"
+    assert out["g4"]["reason"] == "gopher"
+    assert out["g5"]["reason"] == "quality"
+    assert "click here" not in (out["g1"]["content"] or "")
+    # stages off by default: same corpus, no c4/gopher verdicts
+    # (boilerplate off too — GOOD_LINE repeats across docs, and without
+    # the C4 rejoin each repeat is its own strippable paragraph)
+    off = {r["doc_id"]: r["reason"]
+           for r in curate(corpus, cfg, near_dup=False,
+                           boilerplate_min_docs=99).collect()}
+    assert "c4" not in off.values() and "gopher" not in off.values()
+    assert off["g3"] is None and off["g4"] is None
+
+
 def test_curate_empty_corpus(spark):
     empty = spark.createDataFrame([], schema=INPUT_SCHEMA)
     out = curate(empty).collect()

@@ -122,3 +122,81 @@ def test_dsir_select_topk_deterministic(domains):
     assert set(top2) <= {"c1", "c2"}
     again = [r["doc_id"] for r in dsir_select(docs, target, k=2).collect()]
     assert top2 == again
+
+
+# ---- CCNet perplexity bucketing (Wenzek et al. 2020 §4.3) ---------------
+
+from rag_document_parser_spark.operators.lm import perplexity_buckets
+
+
+def _python_buckets(scored, head_pct=30, mid_pct=30):
+    """Pure-Python twin of the value-threshold rule."""
+    n = len(scored)
+    from collections import Counter
+    dist = Counter(s for _, s in scored)
+    cum, t_head, t_mid = 0, None, None
+    for s in sorted(dist, reverse=True):
+        cum += dist[s]
+        if 100 * cum <= head_pct * n:
+            t_head = s      # keep overwriting: ends at the SMALLEST
+            # qualifying score (the descending prefix property)
+        if 100 * cum <= (head_pct + mid_pct) * n:
+            t_mid = s
+    out = {}
+    for d, s in scored:
+        if t_head is not None and s >= t_head:
+            out[d] = "head"
+        elif t_mid is not None and s >= t_mid:
+            out[d] = "middle"
+        else:
+            out[d] = "tail"
+    return out
+
+
+@pytest.fixture(scope="module")
+def varied(spark):
+    # graded fit: doc i repeats the common phrase i times and pads with
+    # unique noise, so self-LM scores vary monotonically
+    rows = [(f"v{i:02d}",
+             " ".join(["the cat sat on the mat"] * (i + 1))
+             + f" unique{i} filler{i} noise{i}")
+            for i in range(10)]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_perplexity_buckets_invariants(varied):
+    out = perplexity_buckets(varied).collect()
+    assert len(out) == 10
+    by = {}
+    for r in out:
+        by.setdefault(r["bucket"], []).append(r["lm_score"])
+    assert set(by) <= {"head", "middle", "tail"}
+    # percentile budgets are never exceeded (ties only undershoot)
+    assert len(by.get("head", [])) <= 3
+    assert len(by.get("head", [])) + len(by.get("middle", [])) <= 6
+    # score ordering: head >= middle >= tail pointwise across buckets
+    if by.get("head") and by.get("middle"):
+        assert min(by["head"]) >= max(by["middle"])
+    if by.get("middle") and by.get("tail"):
+        assert min(by["middle"]) > max(by["tail"])
+
+
+def test_perplexity_buckets_match_python_twin(varied):
+    from rag_document_parser_spark.operators.lm import (
+        score_bigram_lm, train_bigram_lm)
+    lm = train_bigram_lm(varied)
+    scored = [(r["doc_id"], r["lm_score"])
+              for r in score_bigram_lm(varied, lm).collect()]
+    expect = _python_buckets(scored)
+    got = {r["doc_id"]: r["bucket"]
+           for r in perplexity_buckets(varied).collect()}
+    assert got == expect
+
+
+def test_perplexity_buckets_degenerate_all_tail(spark):
+    # every doc identical -> one score class covering 100% -> no
+    # threshold qualifies -> everything lands in tail (documented)
+    rows = [(f"e{i}", "same words every time") for i in range(5)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = perplexity_buckets(df).collect()
+    assert {r["bucket"] for r in out} == {"tail"}
