@@ -1872,6 +1872,83 @@ FROM reach GROUP BY id"""
 
 
 # ---------------------------------------------------------------------------
+# lexical retrieval (operators/retrieval.py — BM25 over the corpus)
+# ---------------------------------------------------------------------------
+
+_BM25_K = 5
+_BM25_QLEN = 4
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point log-free BM25 top-k over a broadcast-pruned inverted
+    index (operators/retrieval.py). Queries are corpus-derived and
+    deterministic: the first 4 tokens of every doc with
+    ``doc_id % 101 == 7``, re-tokenized by the engine like any ad-hoc
+    query string."""
+    from rag_document_parser_spark.operators import retrieval as RET
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    staged = docs.where(F.col("doc_id") % 101 == 7).select(
+        "doc_id", D.words(F.col("text")).alias("_w"))
+    queries = staged.select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice("_w", 1, _BM25_QLEN), " ").alias("text"))
+    out = RET.bm25_topk(docs, queries, k=_BM25_K)
+    return out.select(F.col("query_id").cast("long"),
+                      F.col("doc_id").cast("long"),
+                      "n_terms", "score_e6", "rank")
+
+
+_BMTOKS = TOKS_SQL.format(c="text")
+SQL_BM25_TOPK = f"""
+WITH qsrc AS (
+  SELECT doc_id AS query_id,
+         array_to_string(list_slice({_BMTOKS}, 1, {_BM25_QLEN}), ' ') AS qt
+  FROM documents WHERE doc_id % 101 = 7
+), qterms AS (
+  SELECT DISTINCT query_id, unnest({TOKS_SQL.format(c='qt')}) AS term
+  FROM qsrc
+), toks AS (
+  SELECT doc_id, {_BMTOKS} AS t FROM documents
+), post AS (
+  SELECT term, doc_id, count(*)::BIGINT AS tf, max(dl) AS dl
+  FROM (SELECT doc_id, len(t)::BIGINT AS dl, unnest(t) AS term FROM toks)
+  GROUP BY term, doc_id
+), matched AS (
+  SELECT p.term, p.doc_id, p.tf, p.dl, q.query_id
+  FROM post p JOIN qterms q USING (term)
+), stats AS (
+  SELECT count(*)::BIGINT AS n_docs,
+         coalesce(sum(len({_BMTOKS})), 0)::BIGINT AS total_toks
+  FROM documents
+), dfreq AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df_t
+  FROM matched GROUP BY term
+), sc AS (
+  SELECT m.query_id, m.doc_id,
+    ((s.n_docs::HUGEINT * 2 - d.df_t * 2 + 1) * 1000
+       // (d.df_t::HUGEINT * 2 + 1))
+    * (m.tf::HUGEINT * 22000000
+       // (m.tf::HUGEINT * 10000 + 3000
+           + (m.dl::HUGEINT * 1000000
+              // greatest(s.total_toks::HUGEINT * 1000
+                          // greatest(s.n_docs, 1), 1)) * 9)) AS ts
+  FROM matched m JOIN dfreq d USING (term) CROSS JOIN stats s
+), agg AS (
+  SELECT query_id, doc_id, count(*)::BIGINT AS n_terms,
+         sum(ts)::BIGINT AS score_e6
+  FROM sc GROUP BY query_id, doc_id
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY score_e6 DESC, doc_id ASC) AS rank
+  FROM agg
+)
+SELECT query_id::BIGINT AS query_id, doc_id::BIGINT AS doc_id,
+       n_terms, score_e6, rank::BIGINT AS rank
+FROM r WHERE rank <= {_BM25_K}"""
+
+
+# ---------------------------------------------------------------------------
 # similarity search over embeddings
 # ---------------------------------------------------------------------------
 
@@ -3522,6 +3599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # pair; the long-stable tail (green in r2 AND r3) yields its slots.
     return {
         # -- new this round / never driver-gated in any round ----------
+        "bm25_topk": q_bm25_topk,
         "gopher_rules": q_gopher_rules,
         "quality_chain": q_quality_chain,
         "ccnet_buckets": q_ccnet_buckets,
@@ -3609,6 +3687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "bm25_topk": SQL_BM25_TOPK,
         "gopher_rules": SQL_GOPHER_RULES,
         "quality_chain": SQL_QUALITY_CHAIN,
         "ccnet_buckets": SQL_CCNET_BUCKETS,

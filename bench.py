@@ -259,8 +259,22 @@ def main() -> None:
           lambda: LM.score_bigram_lm(
               docs, LM.train_bigram_lm(docs, min_count=2))
           .agg(F.sum("lm_score")).collect())
+    timed_reps("ccnet_buckets",
+          lambda: LM.perplexity_buckets(docs, min_count=2)
+          .groupBy("bucket").count().collect())
+    timed_reps("remove_repeated",
+          lambda: R.remove_repeated_windows(
+              docs, R.repeated_windows(docs, window=8), window=8)
+          .agg(F.sum("n_removed")).collect())
     timed_reps("chunking",
           lambda: CH.chunk_documents(docs, 128, 16).count())
+    from rag_document_parser_spark.operators import retrieval as RET
+    from rag_document_parser_spark.operators.dedup import words as _words
+    bm25_q = docs.where(F.col("doc_id") < 8).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(_words(F.col("text")), 1, 4), " ").alias("text"))
+    timed_reps("bm25_topk",
+          lambda: RET.bm25_topk(docs, bm25_q, k=10).count())
     queries8 = emb.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding")
     timed_reps("cosine_topk", lambda: V.cosine_topk(emb, queries8, k=10).count())

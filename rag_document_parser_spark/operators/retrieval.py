@@ -1,0 +1,151 @@
+"""Lexical retrieval over the extracted corpus: inverted index + BM25
+top-k.
+
+The reference is a RAG *ingestion* engine (parse → clean text →
+downstream retrieval); it stops at the cleaned text
+(`/root/reference/main.py:72-147` writes JSON results and leaves
+retrieval to the RAG stack). This module supplies the retrieval leg a
+user of that stack needs at corpus scale: build the postings relation
+once, score ad-hoc query strings against it with BM25, all in pure
+Catalyst (no UDFs anywhere).
+
+Scoring is the Robertson/Okapi BM25 shape with two exactness-driven
+substitutions, both established repo conventions:
+
+- **raw-ratio idf, not log-idf** (the ``keywords.tfidf_keywords``
+  precedent): ``idf_e3 = 1000·(N - df + ½) / (df + ½)`` computed as the
+  exact integer ``(1000·(2N - 2df + 1)) div (2df + 1)``. Per-term it is
+  strictly monotone in df exactly like ``ln`` of the same ratio, so
+  single-term rankings are identical; multi-term sums weight rare terms
+  more heavily than the log form (documented divergence — ``ln`` is not
+  bit-reproducible across Spark's JVM libm and DuckDB's, and this
+  repo's oracle gate hashes every value).
+- **fixed-point integer arithmetic throughout** (floor division at
+  every step, never a float): with k1 = 1.2 and b = 0.75,
+
+      sat = tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+
+  becomes ``sat_e3 = (22_000_000·tf) div (10_000·tf + 3_000 +
+  9·ndl_e3)`` where ``ndl_e3 = (1_000_000·dl) div avgdl_e3`` and
+  ``avgdl_e3 = (1_000·Σdl) div N`` — every quantity an exact BIGINT
+  (intermediates widened to decimal(38,0) for headroom, the
+  ``keywords`` discipline). ``score_e6 = Σ_t idf_e3·sat_e3``.
+
+Numeric bounds (documented, not silent): ``idf_e3 ≤ 2_000·N`` (df = 1),
+``sat_e3 < 2_200``, so a q-term query's score stays under BIGINT's
+9.2e18 while ``N·q_terms < 2.1e12`` — beyond that, widen the final sum
+to decimal(38,0) (values below the bound are unchanged).
+
+Scale shape:
+
+- The corpus-sized postings relation is pruned by a **broadcast
+  semi-style join against the query-term set first** — document
+  frequency, length stats, and scoring all run on the matched subset
+  only. df computed on the pruned postings equals corpus df exactly
+  (pruning keeps *every* posting of a retained term).
+- df/N/avgdl ride 1-row or vocabulary-of-the-query-sized broadcasts;
+  the per-query top-k is ``similarity.topk_per_query``'s two-stage
+  partial rank — no task ever sorts more than its partition's share,
+  even for a stopword query matching the whole corpus.
+- ``inverted_index`` is one map-side-combinable groupBy on
+  (term, doc) — the build is a single shuffle keyed by the uniform
+  (term, doc_id) pair, never by the Zipf-skewed term alone.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from rag_document_parser_spark.operators.dedup import words
+from rag_document_parser_spark.operators.similarity import topk_per_query
+
+__all__ = ["bm25_topk", "inverted_index"]
+
+
+def inverted_index(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Postings relation ``(term, doc_id, tf, dl)``: term frequency of
+    every (term, document) pair plus the document's token length.
+
+    One projection (tokenizer staged as a bound attribute once —
+    SPARK-36718) and one groupBy keyed by the UNIFORM (term, doc) pair:
+    a stopword's postings spread across as many tasks as documents
+    containing it, so the build has no skewed key. Write this out
+    bucketed by term to serve point lookups; feed it to ``bm25_topk``
+    via ``postings=`` to amortize the build across query batches.
+    """
+    toks = df.select(F.col(id_col).alias("doc_id"),
+                     words(F.col(text_col)).alias("_t"))
+    flat = (toks.select("doc_id", F.size("_t").cast("long").alias("dl"),
+                        F.explode_outer("_t").alias("term"))
+            .where(F.col("term").isNotNull()))
+    return (flat.groupBy("term", "doc_id")
+            .agg(F.max("dl").alias("dl"), F.count("*").alias("tf"))
+            .select("term", "doc_id", F.col("tf").cast("long").alias("tf"),
+                    "dl"))
+
+
+def bm25_topk(df: DataFrame, queries: DataFrame, k: int = 10,
+              text_col: str = "text", id_col: str = "doc_id",
+              qid_col: str = "query_id", qtext_col: str = "text",
+              postings: DataFrame | None = None) -> DataFrame:
+    """Top-``k`` documents per query by fixed-point log-free BM25.
+
+    ``queries`` is ``(query_id, text)``; its DISTINCT tokens per query
+    are the match terms (classic BM25's optional query-side saturation
+    k3 is omitted — ad-hoc queries are short). Returns ``(query_id,
+    doc_id, n_terms, score_e6, rank)`` with rank 1..k per query, ties
+    broken by ascending doc_id; ``n_terms`` counts how many of the
+    query's terms the document matched.
+
+    Corpus statistics (N, Σdl) count ALL input documents, matched or
+    not — BM25's priors are corpus-level. Degenerate inputs are
+    structural no-ops: an empty corpus yields no matches (the
+    ``greatest(N, 1)`` guard keeps avgdl's divisor nonzero in both
+    engines rather than tripping DuckDB's ``// 0`` error on a row that
+    Spark would never evaluate).
+    """
+    post = postings if postings is not None else inverted_index(
+        df, text_col, id_col)
+    qtoks = queries.select(F.col(qid_col).alias("query_id"),
+                           words(F.col(qtext_col)).alias("_qt"))
+    qterms = (qtoks.select("query_id", F.explode_outer("_qt").alias("term"))
+              .where(F.col("term").isNotNull()).distinct())
+
+    # prune the corpus-sized postings to query terms BEFORE any stats
+    # join; df over the pruned set == corpus df (all postings of a
+    # retained term survive the prune)
+    matched = post.join(F.broadcast(qterms), "term")
+    stats = df.agg(
+        F.count("*").alias("n_docs"),
+        F.coalesce(F.sum(F.size(words(F.col(text_col)))), F.lit(0))
+        .cast("long").alias("total_toks"))
+    dfreq = (matched.select("term", "doc_id").distinct()
+             .groupBy("term").agg(F.count("*").alias("df_t")))
+
+    big = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    scored = (matched
+              .join(F.broadcast(dfreq), "term")
+              .crossJoin(F.broadcast(stats))
+              .withColumn("avgdl_e3", F.expr(
+                  "cast(total_toks as decimal(38,0)) * 1000"
+                  " div greatest(n_docs, 1)"))
+              .withColumn("ndl_e3", F.expr(
+                  "cast(dl as decimal(38,0)) * 1000000"
+                  " div greatest(avgdl_e3, 1)"))
+              .withColumn("idf_e3", F.expr(
+                  "(cast(n_docs as decimal(38,0)) * 2 - df_t * 2 + 1)"
+                  " * 1000 div (cast(df_t as decimal(38,0)) * 2 + 1)"))
+              .withColumn("sat_e3", F.expr(
+                  "cast(tf as decimal(38,0)) * 22000000"
+                  " div (cast(tf as decimal(38,0)) * 10000 + 3000"
+                  " + ndl_e3 * 9)"))
+              .select("query_id", "doc_id",
+                      (big("idf_e3") * big("sat_e3"))
+                      .cast("long").alias("_ts")))
+    agg = (scored.groupBy("query_id", "doc_id")
+           .agg(F.count("*").cast("long").alias("n_terms"),
+                F.sum("_ts").cast("long").alias("score_e6")))
+    return topk_per_query(agg, k, "query_id", "doc_id", "score_e6").select(
+        "query_id", "doc_id", "n_terms", "score_e6",
+        F.col("rank").cast("long").alias("rank"))
