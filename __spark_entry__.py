@@ -1872,6 +1872,80 @@ FROM reach GROUP BY id"""
 
 
 # ---------------------------------------------------------------------------
+# mojibake repair (operators/mojibake.py — ftfy-subset round-trip fix)
+# ---------------------------------------------------------------------------
+
+
+def _moji(s: str, flavor: str) -> str:
+    """UTF-8-misdecode damage generator (test fixture side)."""
+    return s.encode("utf-8").decode(flavor)
+
+
+# doc_id % 4 selects the damage flavor appended to each document:
+# cp1252-decoded, latin-1-decoded (carries C1 controls), double-encoded,
+# or clean. Escapes below keep the source file printable-ASCII-safe.
+_MOJI_SUFFIXES = (
+    " " + _moji("Café – naïve «résumé»…", "cp1252"),
+    " " + _moji("“Curly” quotes — Áéíñ", "latin-1"),
+    " " + _moji(_moji("déjà vu €99", "cp1252"), "cp1252"),
+    " clean ascii tail",
+)
+
+
+def q_fix_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ftfy-subset mojibake repair (cp1252/latin-1 UTF-8 round-trips,
+    one ordered pass, generated rule table shared with the oracle) over
+    documents with deterministically planted damage."""
+    from rag_document_parser_spark.operators.mojibake import fix_mojibake
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    sfx = F.element_at(F.lit(list(_MOJI_SUFFIXES)),
+                       (F.col("doc_id") % 4 + 1).cast("int"))
+    planted = docs.select("doc_id",
+                          F.concat(F.col("text"), sfx).alias("text"))
+    out = fix_mojibake(planted)
+    return out.select(F.col("doc_id").cast("long"), "fixed",
+                      F.col("changed").cast("int"))
+
+
+def _sql_chr(s: str) -> str:
+    """A string as a chr()-concat SQL expression (control-char safe)."""
+    return "||".join(f"chr({ord(c)})" for c in s)
+
+
+def _sql_fix_mojibake() -> str:
+    from rag_document_parser_spark.operators.mojibake import MOJIBAKE_CHAIN
+
+    # DuckDB's binder caps expression recursion at 128, so the ~170-rule
+    # chain is staged across CTEs in chunks (order preserved — the chunk
+    # boundary is associativity, not reordering)
+    cases = " ".join(
+        f"WHEN {i} THEN {_sql_chr(s)}"
+        for i, s in enumerate(_MOJI_SUFFIXES))
+    ctes = [f"""planted AS (
+  SELECT doc_id, text || (CASE doc_id % 4 {cases} END) AS t
+  FROM documents
+)"""]
+    src, col, step = "planted", "t", 60
+    for n, i in enumerate(range(0, len(MOJIBAKE_CHAIN), step)):
+        chain = col
+        for moji, ch in MOJIBAKE_CHAIN[i:i + step]:
+            chain = f"replace({chain}, {_sql_chr(moji)}, {_sql_chr(ch)})"
+        ctes.append(
+            f"fx{n} AS (SELECT doc_id, t, {chain} AS s{n} FROM {src})")
+        src, col = f"fx{n}", f"s{n}"
+    return f"""
+WITH {', '.join(ctes)}
+SELECT doc_id::BIGINT AS doc_id, {col} AS fixed,
+  (CASE WHEN t IS NULL THEN 0 WHEN {col} <> t THEN 1 ELSE 0 END)::INT
+    AS changed
+FROM {src}"""
+
+
+SQL_FIX_MOJIBAKE = _sql_fix_mojibake()
+
+
+# ---------------------------------------------------------------------------
 # lexical retrieval (operators/retrieval.py — BM25 over the corpus)
 # ---------------------------------------------------------------------------
 
@@ -3600,6 +3674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- new this round / never driver-gated in any round ----------
         "bm25_topk": q_bm25_topk,
+        "fix_mojibake": q_fix_mojibake,
         "gopher_rules": q_gopher_rules,
         "quality_chain": q_quality_chain,
         "ccnet_buckets": q_ccnet_buckets,
@@ -3688,6 +3763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "bm25_topk": SQL_BM25_TOPK,
+        "fix_mojibake": SQL_FIX_MOJIBAKE,
         "gopher_rules": SQL_GOPHER_RULES,
         "quality_chain": SQL_QUALITY_CHAIN,
         "ccnet_buckets": SQL_CCNET_BUCKETS,

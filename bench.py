@@ -275,6 +275,10 @@ def main() -> None:
         F.array_join(F.slice(_words(F.col("text")), 1, 4), " ").alias("text"))
     timed_reps("bm25_topk",
           lambda: RET.bm25_topk(docs, bm25_q, k=10).count())
+    from rag_document_parser_spark.operators.mojibake import fix_mojibake
+    timed_reps("fix_mojibake",
+          lambda: fix_mojibake(docs.select("doc_id", "text"))
+          .agg(F.sum("changed"), F.sum(F.length("fixed"))).collect())
     queries8 = emb.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding")
     timed_reps("cosine_topk", lambda: V.cosine_topk(emb, queries8, k=10).count())

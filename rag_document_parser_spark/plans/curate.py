@@ -15,6 +15,9 @@ the lazy subset.
 Stage order and why:
 
 1. extract (arrow kernel) — spans -> cleaned text; failures drop first.
+   Opt-in ``fix_encoding=True`` repairs cp1252/latin-1 mojibake right
+   here (row-local replace chain, zero shuffles) so the quality ratios
+   and every later hash read the repaired text.
 2. quality gate — word-count bounds + alphabetic ratio (cheap, row-
    local; prunes before anything that shuffles). Opt-in extensions in
    RefinedWeb order, both row-local and shuffle-free: C4 line-level
@@ -75,7 +78,7 @@ SEP = "\n\n"
 
 def curate(df: DataFrame, cfg: ExtractConfig | None = None,
            min_words: int = 5, max_words: int = 100_000,
-           min_alpha_ratio: float = 0.1,
+           min_alpha_ratio: float = 0.1, fix_encoding: bool = False,
            c4_lines: bool = False, gopher: bool = False,
            scrub_pii: bool = True,
            boilerplate_min_docs: int = 2,
@@ -93,6 +96,10 @@ def curate(df: DataFrame, cfg: ExtractConfig | None = None,
     marks survivors and ``reason`` names the FIRST stage that dropped
     the doc (``extract`` | ``quality`` | ``c4`` | ``gopher`` |
     ``empty`` | ``exact_dup`` | ``near_dup`` | null for kept).
+
+    ``fix_encoding=True`` repairs cp1252/latin-1 mojibake in the
+    extracted content before anything measures or hashes it — two docs
+    differing only in encoding damage become exact duplicates.
 
     ``c4_lines=True`` inserts the C4 line-level clean
     (``textstats.c4_line_filter``) right after the cheap quality gate:
@@ -137,7 +144,16 @@ def curate(df: DataFrame, cfg: ExtractConfig | None = None,
         "doc_id", "route", "title", "success",
         F.array_join(F.col("spans_clean").getField("text"), SEP)
         .alias("content"),
-    ).select(
+    )
+    if fix_encoding:
+        from rag_document_parser_spark.operators.mojibake import (
+            fix_mojibake_expr)
+        # separate projection: content is a bound attribute before the
+        # ~190-replace chain references it (SPARK-36718 discipline)
+        doc = doc.select(
+            "doc_id", "route", "title", "success",
+            fix_mojibake_expr(F.col("content")).alias("content"))
+    doc = doc.select(
         "*", q["n_words"].alias("_nw"), q["alpha_ratio"].alias("_ar"),
     )
     doc = doc.withColumn(

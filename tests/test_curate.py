@@ -232,3 +232,21 @@ def test_curate_everything_drops(spark):
            for r in curate(spark.createDataFrame(docs, INPUT_SCHEMA),
                            cfg).collect()}
     assert out == {"t1": "quality", "t2": "quality", "t3": "extract"}
+
+
+def test_curate_fix_encoding_stage(spark):
+    """Opt-in mojibake repair runs before hashing: a doc whose content
+    differs from another's only by cp1252 damage becomes an exact dup
+    once fix_encoding=True (and stays distinct when off)."""
+    clean = "the café results résumé " * 8
+    damaged = clean.encode("utf-8").decode("cp1252")
+    docs = [_text_doc("m1", clean), _text_doc("m2", damaged)]
+    cfg = ExtractConfig(unknown_kinds="error")
+    corpus = spark.createDataFrame(docs, schema=INPUT_SCHEMA)
+    on = {r["doc_id"]: r for r in curate(
+        corpus, cfg, fix_encoding=True, near_dup=False).collect()}
+    assert on["m1"]["kept"] and on["m2"]["reason"] == "exact_dup"
+    assert "é" in on["m1"]["content"]
+    off = {r["doc_id"]: r for r in curate(
+        corpus, cfg, near_dup=False).collect()}
+    assert off["m1"]["kept"] and off["m2"]["kept"]
