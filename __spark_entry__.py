@@ -1493,6 +1493,70 @@ FROM p, bl"""
 SQL_PARAGRAPH_DEDUP = _sql_paragraph_dedup()
 
 
+def q_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-level boilerplate removal (operators/sentences.py —
+    the paragraph rule one granularity down, subset boundary
+    ``[.!?]\\s+``). Synthesized sentence-structured corpus: a
+    doc-unique opener, a pool boilerplate sentence, a doc-unique
+    closer, and for h%3==0 docs a '!'-terminated extra plus a second
+    pool sentence — so the boundary rule, the every-occurrence drop,
+    and in-order space rejoin all vary per doc."""
+    from rag_document_parser_spark.operators import sentences as SEN
+
+    d = _docs(spark, sf_dir)
+    h = _hcol(F.col("doc_id"))
+    sid = F.col("doc_id").cast("string")
+    t = F.concat(
+        F.lit("U"), sid, F.lit(" opening remark. "),
+        _case_pool(F.pmod(h, 5), _BP), F.lit(". V"), sid,
+        F.lit(" closing"),
+        F.when(F.pmod(h, 3) == 0,
+               F.concat(F.lit(" extra! "),
+                        _case_pool(F.pmod(F.pmod(h, 7), 5), _BP),
+                        F.lit("."))).otherwise(F.lit("")),
+    )
+    staged = d.select("doc_id", t.alias("t"))
+    out = SEN.sentence_dedup(staged, text_col="t", min_docs=2)
+    return out.select(F.col("doc_id").cast("long"), "n_sentences",
+                      "n_removed", "cleaned")
+
+
+def _sql_sentence_dedup() -> str:
+    def bp_case(sel: str) -> str:
+        return _sql_case_pool(sel, _BP)
+
+    split = (r"list_filter(string_split(regexp_replace(t,"
+             r" '([.!?])\s+', '\1' || chr(1), 'g'), chr(1)),"
+             r" x -> x <> '')")
+    return f"""
+WITH m AS (
+  SELECT doc_id, {_md5l('doc_id::VARCHAR')} AS h FROM documents
+), d AS (
+  SELECT doc_id,
+    'U' || doc_id::VARCHAR || ' opening remark. ' || {bp_case('h % 5')}
+    || '. V' || doc_id::VARCHAR || ' closing' ||
+    (CASE WHEN h % 3 = 0
+      THEN ' extra! ' || {bp_case('(h % 7) % 5')} || '.' ELSE '' END) AS t
+  FROM m
+), s AS (
+  SELECT doc_id, {split} AS sents FROM d
+), e AS (
+  SELECT doc_id, unnest(sents) AS sent FROM s
+), b AS (
+  SELECT sent FROM e WHERE length(sent) >= 1
+  GROUP BY sent HAVING count(DISTINCT doc_id) >= 2
+), bl AS (SELECT coalesce(list(sent), []) AS l FROM b)
+SELECT doc_id::BIGINT AS doc_id, len(sents)::BIGINT AS n_sentences,
+  len(list_filter(sents, x -> list_contains(bl.l, x)))::BIGINT
+    AS n_removed,
+  array_to_string(list_filter(sents, x -> NOT list_contains(bl.l, x)),
+                  ' ') AS cleaned
+FROM s, bl"""
+
+
+SQL_SENTENCE_DEDUP = _sql_sentence_dedup()
+
+
 _DOMAINS = ("news.example.com", "blog.example.org", "docs.example.net",
             "forum.sample.io", "wiki.sample.dev", "shop.demo.co",
             "data.demo.ai")
@@ -3675,6 +3739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new this round / never driver-gated in any round ----------
         "bm25_topk": q_bm25_topk,
         "fix_mojibake": q_fix_mojibake,
+        "sentence_dedup": q_sentence_dedup,
         "gopher_rules": q_gopher_rules,
         "quality_chain": q_quality_chain,
         "ccnet_buckets": q_ccnet_buckets,
@@ -3764,6 +3829,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "bm25_topk": SQL_BM25_TOPK,
         "fix_mojibake": SQL_FIX_MOJIBAKE,
+        "sentence_dedup": SQL_SENTENCE_DEDUP,
         "gopher_rules": SQL_GOPHER_RULES,
         "quality_chain": SQL_QUALITY_CHAIN,
         "ccnet_buckets": SQL_CCNET_BUCKETS,

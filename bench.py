@@ -279,6 +279,10 @@ def main() -> None:
     timed_reps("fix_mojibake",
           lambda: fix_mojibake(docs.select("doc_id", "text"))
           .agg(F.sum("changed"), F.sum(F.length("fixed"))).collect())
+    from rag_document_parser_spark.operators.sentences import sentence_dedup
+    timed_reps("sentence_dedup",
+          lambda: sentence_dedup(docs)
+          .agg(F.sum("n_removed"), F.sum("n_sentences")).collect())
     queries8 = emb.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding")
     timed_reps("cosine_topk", lambda: V.cosine_topk(emb, queries8, k=10).count())
