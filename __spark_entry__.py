@@ -849,6 +849,30 @@ SELECT doc_id, lang, sample_rank::BIGINT AS sample_rank FROM (
 WHERE sample_rank <= 7"""
 
 
+_WS_K = 40
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional top-k draw (integer exponential race,
+    operators/sampling.py weighted_sample): longer docs win
+    proportionally more often, deterministically — priority is
+    ``md5_60bit(doc_id) div n_chars``, smallest k win."""
+    out = SAM.weighted_sample(_docs(spark, sf_dir), k=_WS_K,
+                              weight_col="n_chars", salt="w1")
+    return out.select("doc_id", "n_chars",
+                      F.col("sample_rank").cast("long"))
+
+
+SQL_WEIGHTED_SAMPLE = f"""
+SELECT doc_id, n_chars, sample_rank::BIGINT AS sample_rank FROM (
+  SELECT doc_id, n_chars, row_number() OVER (
+      ORDER BY ('0x'||substring(md5(doc_id::VARCHAR || 'w1'),1,15))::BIGINT
+               // greatest(n_chars, 1) ASC, doc_id ASC
+    ) AS sample_rank
+  FROM documents)
+WHERE sample_rank <= {_WS_K}"""
+
+
 _MIX_WEIGHTS = {"en": 2.5, "de": 0.0, "fr": 1.0}
 _MIX_DEFAULT = 0.5
 
@@ -1702,6 +1726,76 @@ r{i} AS (SELECT nodes.node,
 SQL_PAGERANK = _sql_pagerank()
 
 
+def q_anchor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text aggregation (operators/graph.py anchor_edges /
+    anchor_stats): per-target profiles of the human-written link text
+    pointing at each domain — synthesized ``<a href>`` markup planted
+    deterministically per doc (one guide link to d{{h%7}}, h%3==0 docs
+    add a home link to d{{h%4}})."""
+    docs = _docs(spark, sf_dir)
+    h = _hcol(F.col("doc_id"))
+    base = F.concat(
+        F.lit('see <a href="http://d'), (h % 7).cast("string"),
+        F.lit('.example.com/p'), F.col("doc_id").cast("string"),
+        F.lit('">guide '), (h % 5).cast("string"), F.lit("</a>"))
+    extra = F.when(
+        h % 3 == 0,
+        F.concat(F.lit(' and <a href="http://d'), (h % 4).cast("string"),
+                 F.lit('.example.com/">home</a>'))).otherwise(F.lit(""))
+    staged = docs.select("source", F.concat(base, extra).alias("text"))
+    out = G.anchor_stats(G.anchor_edges(staged))
+    return out.select("dst", F.col("n_links").cast("long"),
+                      F.col("n_unique_anchors").cast("long"),
+                      "top_anchor", F.col("top_cnt").cast("long"))
+
+
+def _sql_anchor_stats() -> str:
+    from rag_document_parser_spark.operators.graph import ANCHOR_PATTERN
+    from rag_document_parser_spark.operators.urls import DOMAIN_PATTERN
+
+    pat = _sq(ANCHOR_PATTERN)
+    dpat = _sq(DOMAIN_PATTERN)
+    return f"""
+WITH m AS (
+  SELECT doc_id, {_md5l('doc_id::VARCHAR')} AS h FROM documents
+), t AS (
+  SELECT 'see <a href="http://d' || (h % 7)::VARCHAR || '.example.com/p'
+         || doc_id::VARCHAR || '">guide ' || (h % 5)::VARCHAR || '</a>'
+         || CASE WHEN h % 3 = 0
+              THEN ' and <a href="http://d' || (h % 4)::VARCHAR
+                   || '.example.com/">home</a>'
+              ELSE '' END AS text
+  FROM m
+), ex AS (
+  SELECT regexp_extract_all(text, {pat}, 1) AS us,
+         regexp_extract_all(text, {pat}, 2) AS bs
+  FROM t
+), pairs AS (
+  SELECT unnest(us) AS u, unnest(bs) AS b FROM ex
+), e AS (
+  SELECT lower(regexp_extract(u, {dpat}, 1)) AS dst, trim(b) AS anchor
+  FROM pairs
+), f AS (
+  SELECT dst, anchor FROM e WHERE dst <> '' AND anchor <> ''
+), ba AS (
+  SELECT dst, anchor, count(*)::BIGINT AS cnt FROM f GROUP BY 1, 2
+), tot AS (
+  SELECT dst, sum(cnt)::BIGINT AS n_links,
+         count(*)::BIGINT AS n_unique_anchors
+  FROM ba GROUP BY 1
+), top AS (
+  SELECT dst, anchor AS top_anchor, cnt AS top_cnt
+  FROM (SELECT *, row_number() OVER (PARTITION BY dst
+            ORDER BY cnt DESC, anchor ASC) AS r FROM ba)
+  WHERE r = 1
+)
+SELECT t.dst, n_links, n_unique_anchors, top_anchor, top_cnt::BIGINT AS top_cnt
+FROM tot t JOIN top USING (dst)"""
+
+
+SQL_ANCHOR_STATS = _sql_anchor_stats()
+
+
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub over synthesized payloads: every doc gets a planted
     email, +international phone, and dotted-quad IP; h%4==0 docs also
@@ -2127,6 +2221,174 @@ r AS (SELECT query_id, vec_id, cos,
 SELECT query_id::BIGINT AS query_id, vec_id::BIGINT AS vec_id,
        floor(cos * 1000000)::BIGINT AS cosine_e6, rank::BIGINT AS rank
 FROM r WHERE rank <= {_TOPK}"""
+
+
+def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar-quantized brute-force top-k (operators/quantize.py):
+    per-vector max-abs codes, integer dot products, rank key
+    ``idot * corpus_scale`` — the 4×-less-memory-bandwidth re-rank path
+    for 100 TB ANN. Fully integer, so the oracle replays it exactly."""
+    from rag_document_parser_spark.operators import quantize as QZ
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qz = QZ.quantize_embeddings(emb)
+    queries = qz.where(F.col("vec_id") < _NQ).select(
+        F.col("vec_id").alias("query_id"), "scale_e6", "qvec")
+    out = QZ.quantized_topk(
+        qz.where(F.col("vec_id") >= _NQ), queries, k=_TOPK)
+    return out.select(F.col("query_id").cast("long"),
+                      F.col("vec_id").cast("long"),
+                      "idot", "iscore", F.col("rank").cast("long"))
+
+
+_QZL = ("list_transform(x6, v -> (v + m) * 254 // (2 * m) - 127)")
+SQL_QUANTIZED_TOPK = f"""
+WITH x AS (SELECT vec_id,
+             list_transform(embedding,
+                            x -> floor(x::DOUBLE * 1000000)::BIGINT) AS x6
+           FROM embeddings),
+s AS (SELECT vec_id, x6,
+        greatest(list_max(list_transform(x6, v -> abs(v))), 1) AS m
+      FROM x),
+qz AS (SELECT vec_id, m AS scale_e6, {_QZL} AS q FROM s),
+qq AS (SELECT vec_id AS query_id, q AS qv FROM qz WHERE vec_id < {_NQ}),
+sc AS (SELECT query_id, c.vec_id,
+         list_reduce(list_transform(range(1, len(c.q) + 1),
+                                    i -> c.q[i] * qv[i]),
+                     (a, b) -> a + b) AS idot,
+         c.scale_e6
+       FROM qz c, qq WHERE c.vec_id >= {_NQ}),
+r AS (SELECT query_id, vec_id, idot, idot * scale_e6 AS iscore,
+        row_number() OVER (PARTITION BY query_id
+                           ORDER BY idot * scale_e6 DESC, vec_id ASC) AS rank
+      FROM sc)
+SELECT query_id::BIGINT AS query_id, vec_id::BIGINT AS vec_id,
+       idot::BIGINT AS idot, iscore::BIGINT AS iscore,
+       rank::BIGINT AS rank
+FROM r WHERE rank <= {_TOPK}"""
+
+
+def q_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the int8 quantized top-k against the exact float
+    cosine top-k, per query — the quantization-quality gauge
+    (operators/quantize.py topk_recall)."""
+    from rag_document_parser_spark.operators import quantize as QZ
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qz = QZ.quantize_embeddings(emb)
+    queries_q = qz.where(F.col("vec_id") < _NQ).select(
+        F.col("vec_id").alias("query_id"), "scale_e6", "qvec")
+    approx = QZ.quantized_topk(
+        qz.where(F.col("vec_id") >= _NQ), queries_q, k=_TOPK)
+
+    queries_f = emb.where(F.col("vec_id") < _NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("_qvec"))
+    scored = (emb.where(F.col("vec_id") >= _NQ)
+              .select("vec_id", "embedding")
+              .crossJoin(F.broadcast(queries_f))
+              .select("query_id", "vec_id",
+                      V.cosine_similarity_col(
+                          F.col("embedding"), F.col("_qvec")).alias("cos")))
+    exact = V.topk_per_query(scored, _TOPK, "query_id", "vec_id", "cos")
+    out = QZ.topk_recall(approx, exact, _TOPK)
+    return out.select(F.col("query_id").cast("long"), "hits", "recall_e6")
+
+
+SQL_QUANTIZED_RECALL = f"""
+WITH x AS (SELECT vec_id,
+             list_transform(embedding,
+                            x -> floor(x::DOUBLE * 1000000)::BIGINT) AS x6,
+             list_transform(embedding, x -> x::DOUBLE) AS v
+           FROM embeddings),
+s AS (SELECT vec_id, v, x6,
+        greatest(list_max(list_transform(x6, e -> abs(e))), 1) AS m
+      FROM x),
+qz AS (SELECT vec_id, v, m AS scale_e6, {_QZL} AS q FROM s),
+qq AS (SELECT vec_id AS query_id, q AS qv, v AS qfv FROM qz
+       WHERE vec_id < {_NQ}),
+isc AS (SELECT query_id, c.vec_id,
+          list_reduce(list_transform(range(1, len(c.q) + 1),
+                                     i -> c.q[i] * qv[i]),
+                      (a, b) -> a + b) * c.scale_e6 AS iscore
+        FROM qz c, qq WHERE c.vec_id >= {_NQ}),
+ir AS (SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY iscore DESC, vec_id ASC) AS rank
+       FROM isc),
+approx AS (SELECT query_id, vec_id FROM ir WHERE rank <= {_TOPK}),
+fsc AS (SELECT query_id, c.vec_id,
+          list_reduce(list_transform(range(1, len(c.v) + 1),
+                                     i -> c.v[i] * qfv[i]),
+                      (a, b) -> a + b)
+          / ({_NRM.format(x='c.v')} * {_NRM.format(x='qfv')}) AS cos
+        FROM qz c, qq WHERE c.vec_id >= {_NQ}),
+fr AS (SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id ASC) AS rank
+       FROM fsc),
+exact AS (SELECT query_id, vec_id FROM fr WHERE rank <= {_TOPK}),
+h AS (SELECT a.query_id,
+        coalesce(sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 END), 0)::BIGINT
+          AS hits
+      FROM approx a LEFT JOIN exact e
+        ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+      GROUP BY a.query_id)
+SELECT query_id::BIGINT AS query_id, hits,
+       (hits * 1000000 // {_TOPK})::BIGINT AS recall_e6
+FROM h"""
+
+
+_CMS_W = 256
+_CMS_TOP = 30
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters (operators/sketches.py): exact
+    top-N token counts beside their sketch estimates — the fixed-size
+    frequency summary whose grid never grows with the corpus. The
+    count-min bound guarantees ``est_cnt >= exact_cnt``; the gap is the
+    collision mass at width {w}.""".format(w=_CMS_W)
+    from rag_document_parser_spark.operators import sketches as SK
+
+    docs = _docs(spark, sf_dir)
+    tokens = docs.select(
+        F.explode(D.words(F.col("text"))).alias("term"))
+    exact = (tokens.groupBy("term").agg(F.count("*").alias("exact_cnt"))
+             .orderBy(F.col("exact_cnt").desc(), F.col("term").asc())
+             .limit(_CMS_TOP))
+    sketch = SK.cms_build(tokens, width=_CMS_W)
+    est = SK.cms_estimate(sketch, exact.select("term"), width=_CMS_W)
+    return (exact.join(est, "term")
+            .select("term", "exact_cnt", F.col("est_cnt").cast("long")))
+
+
+_CMS_BUCKET = ("('0x'||substring(md5('cms-'||{r}||':'||{t}),1,15))::BIGINT"
+               f" % {_CMS_W}")
+SQL_CMS_HEAVY_HITTERS = f"""
+WITH toks AS (
+  SELECT unnest({TOKS_SQL.format(c='text')}) AS term FROM documents
+), exact AS (
+  SELECT term, count(*)::BIGINT AS exact_cnt FROM toks GROUP BY term
+), top AS (
+  SELECT term, exact_cnt FROM exact
+  ORDER BY exact_cnt DESC, term ASC LIMIT {_CMS_TOP}
+), rows_ AS (SELECT unnest([0, 1, 2, 3]) AS r),
+grid AS (
+  SELECT r.r AS row,
+         {_CMS_BUCKET.format(r='r.r::VARCHAR', t='t.term')} AS bucket,
+         count(*)::BIGINT AS cnt
+  FROM toks t CROSS JOIN rows_ r
+  GROUP BY 1, 2
+), probes AS (
+  SELECT p.term, p.exact_cnt, r.r AS row,
+         {_CMS_BUCKET.format(r='r.r::VARCHAR', t='p.term')} AS bucket
+  FROM top p CROSS JOIN rows_ r
+)
+SELECT p.term, p.exact_cnt,
+       min(coalesce(g.cnt, 0))::BIGINT AS est_cnt
+FROM probes p LEFT JOIN grid g ON p.row = g.row AND p.bucket = g.bucket
+GROUP BY p.term, p.exact_cnt"""
 
 
 _NBITS = 16
@@ -3737,6 +3999,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # pair; the long-stable tail (green in r2 AND r3) yields its slots.
     return {
         # -- new this round / never driver-gated in any round ----------
+        "quantized_topk": q_quantized_topk,
+        "quantized_recall": q_quantized_recall,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
+        "weighted_sample": q_weighted_sample,
+        "anchor_stats": q_anchor_stats,
         "bm25_topk": q_bm25_topk,
         "fix_mojibake": q_fix_mojibake,
         "sentence_dedup": q_sentence_dedup,
@@ -3827,6 +4094,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "quantized_topk": SQL_QUANTIZED_TOPK,
+        "quantized_recall": SQL_QUANTIZED_RECALL,
+        "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,
+        "weighted_sample": SQL_WEIGHTED_SAMPLE,
+        "anchor_stats": SQL_ANCHOR_STATS,
         "bm25_topk": SQL_BM25_TOPK,
         "fix_mojibake": SQL_FIX_MOJIBAKE,
         "sentence_dedup": SQL_SENTENCE_DEDUP,

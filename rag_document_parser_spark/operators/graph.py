@@ -32,11 +32,16 @@ over the same corpus tables.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from rag_document_parser_spark.operators.urls import extract_urls, url_domain
 
-__all__ = ["link_graph", "pagerank"]
+__all__ = ["anchor_edges", "anchor_stats", "link_graph", "pagerank"]
+
+# RE2-safe (no lookaround/backrefs) and identical in Java regex and
+# DuckDB's RE2: href value and anchor body from conservative char
+# classes. Shared verbatim with the oracle.
+ANCHOR_PATTERN = r'<a\s[^>]*href="([^"]*)"[^>]*>([^<]*)</a>'
 
 SCALE = 10 ** 12
 
@@ -122,3 +127,54 @@ def pagerank(edges: DataFrame, iters: int = 2, damping_pct: int = 85,
                           + F.coalesce(F.col("_in"), F.lit(0)))
                          .cast("long").alias("rank")))
     return ranks.select("node", F.col("rank").alias("rank_e12"))
+
+
+def anchor_edges(df: DataFrame, text_col: str = "text",
+                 src_col: str = "source") -> DataFrame:
+    """``(src, dst, anchor)`` triples from ``<a href="...">text</a>``
+    markup — the raw material of an anchor-text corpus (what a crawl
+    pipeline aggregates per TARGET page: the web's human-written
+    description of every URL it links to).
+
+    Scan-local: two parallel group extractions over the same pattern
+    (match order is identical, so zipping them pairs href with its own
+    anchor body), one explode, no shuffle. ``dst`` is the lower-cased
+    host; anchors are trimmed and empties dropped (an image link has no
+    text to contribute).
+    """
+    hrefs = F.regexp_extract_all(F.col(text_col), F.lit(ANCHOR_PATTERN), 1)
+    bodies = F.regexp_extract_all(F.col(text_col), F.lit(ANCHOR_PATTERN), 2)
+    ex = df.select(
+        F.col(src_col).alias("src"),
+        F.explode_outer(F.arrays_zip(hrefs.alias("u"), bodies.alias("a")))
+         .alias("_p"),
+    ).where(F.col("_p").isNotNull())
+    return (ex.select("src",
+                      url_domain(F.col("_p.u")).alias("dst"),
+                      F.trim(F.col("_p.a")).alias("anchor"))
+            .where((F.col("dst") != "") & (F.col("anchor") != "")))
+
+
+def anchor_stats(edges: DataFrame) -> DataFrame:
+    """Per-target anchor profile: ``(dst, n_links, n_unique_anchors,
+    top_anchor, top_cnt)``.
+
+    The first aggregate collapses the corpus onto (dst, anchor) TYPES —
+    map-side combinable, so a mega-popular target (every crawl has one)
+    arrives at the reduce side already partial-summed. The window that
+    picks the top anchor then ranks anchor TYPES within a dst, bounded
+    by the target's distinct-anchor vocabulary, never by its raw link
+    count. Ties break by ascending anchor text, keeping the pick
+    deterministic on any partitioning.
+    """
+    by_anchor = (edges.groupBy("dst", "anchor")
+                 .agg(F.count("*").alias("cnt")))
+    w = Window.partitionBy("dst").orderBy(F.desc("cnt"), F.asc("anchor"))
+    ranked = by_anchor.withColumn("_r", F.row_number().over(w))
+    totals = (by_anchor.groupBy("dst")
+              .agg(F.sum("cnt").alias("n_links"),
+                   F.count("*").alias("n_unique_anchors")))
+    top = (ranked.where(F.col("_r") == 1)
+           .select("dst", F.col("anchor").alias("top_anchor"),
+                   F.col("cnt").alias("top_cnt")))
+    return totals.join(top, "dst")

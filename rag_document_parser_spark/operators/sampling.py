@@ -32,7 +32,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["hash_sample", "hash_split", "resample_by_group", "sample_key",
-           "stratified_sample"]
+           "stratified_sample", "weighted_sample"]
 
 # 8 hex digits = 32 bits of the digest: rate resolution 1/2^32, far finer
 # than any sampling decision needs, and short enough that the threshold
@@ -97,6 +97,45 @@ def stratified_sample(df: DataFrame, k: int, strata_col: str,
                                                 F.asc(key_col))
     return (cand.withColumn("sample_rank", F.row_number().over(w2))
             .where(F.col("sample_rank") <= k).drop("_skey"))
+
+
+def weighted_sample(df: DataFrame, k: int, weight_col: str,
+                    key_col: str = "doc_id", salt: str = "") -> DataFrame:
+    """Deterministic weight-proportional top-k (without replacement).
+
+    The exponential-race trick in the integer domain: each row draws a
+    60-bit md5 value ``u`` and races with priority ``u div weight`` —
+    the expected priority is inversely proportional to the weight, so
+    heavier rows win proportionally more often, yet the draw is a pure
+    function of (key, salt) — stable across runs, partitionings, and
+    engines (the float A-ES form ``u^(1/w)`` would hit libm/pow
+    divergence between Spark and the DuckDB oracle; integer division
+    they perform identically on the non-negative operands used here).
+    Non-positive weights are floored at 1 (a zero-weight row still has
+    a tiny chance, never a division error).
+
+    Two-stage rank (the stratified_sample / topk_per_query bound): the
+    per-source-partition stage keeps any task's sort at its own
+    partition share and caps survivors at ``k`` per partition, so the
+    final global window orders at most ``k × n_partitions`` rows no
+    matter the corpus size. Output carries the input columns plus
+    ``sample_rank`` (1..k by ascending priority).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    u = F.conv(F.substring(
+        F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))),
+        1, 15), 16, 10).cast("long")
+    prio = F.call_function(
+        "div", u, F.greatest(F.col(weight_col).cast("long"), F.lit(1)))
+    staged = (df.withColumn("_prio", prio)
+                .withColumn("_pid", F.spark_partition_id()))
+    w1 = Window.partitionBy("_pid").orderBy(F.asc("_prio"), F.asc(key_col))
+    cand = (staged.withColumn("_pr", F.row_number().over(w1))
+            .where(F.col("_pr") <= k).drop("_pid", "_pr"))
+    w2 = Window.partitionBy().orderBy(F.asc("_prio"), F.asc(key_col))
+    return (cand.withColumn("sample_rank", F.row_number().over(w2))
+            .where(F.col("sample_rank") <= k).drop("_prio"))
 
 
 def hash_split(df: DataFrame, fractions: dict[str, float],

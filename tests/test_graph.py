@@ -7,6 +7,8 @@ from pyspark.sql import functions as F
 
 from rag_document_parser_spark.operators.graph import (
     SCALE,
+    anchor_edges,
+    anchor_stats,
     link_graph,
     pagerank,
 )
@@ -107,3 +109,39 @@ def test_canonical_url_rules(spark):
     assert len(got) == len(cases)
     for i, (u, want) in enumerate(cases):
         assert got[str(i)] == (u, want), (u, got[str(i)], want)
+
+
+ANCHOR_DOCS = [
+    ("s1", 'x <a href="http://a.com/1">Guide</a> y '
+           '<a class="z" href="http://b.com/2">API docs</a>'),
+    ("s2", '<a href="http://A.com/3">Guide</a><a href="http://a.com/4">'
+           'reference</a>'),
+    ("s3", 'no links here'),
+    ("s4", '<a href="http://a.com/5"></a> empty anchor dropped '
+           '<a href="http://c.com/">  padded  </a>'),
+]
+
+
+def test_anchor_edges_pairs_href_with_its_own_text(spark):
+    df = spark.createDataFrame(ANCHOR_DOCS, "source string, text string")
+    got = sorted((r["src"], r["dst"], r["anchor"])
+                 for r in anchor_edges(df).collect())
+    assert got == [
+        ("s1", "a.com", "Guide"),
+        ("s1", "b.com", "API docs"),
+        ("s2", "a.com", "Guide"),
+        ("s2", "a.com", "reference"),
+        ("s4", "c.com", "padded"),
+    ]
+
+
+def test_anchor_stats_top_pick_deterministic(spark):
+    df = spark.createDataFrame(ANCHOR_DOCS, "source string, text string")
+    stats = {r["dst"]: r for r in
+             anchor_stats(anchor_edges(df)).collect()}
+    a = stats["a.com"]
+    assert (a["n_links"], a["n_unique_anchors"]) == (3, 2)
+    # 'Guide' x2 beats 'reference' x1
+    assert (a["top_anchor"], a["top_cnt"]) == ("Guide", 2)
+    b = stats["b.com"]
+    assert (b["n_links"], b["top_anchor"]) == (1, "API docs")

@@ -92,3 +92,46 @@ def test_stratified_sample_skew_plan_shape(spark):
     per = {r["lang"]: r["n"] for r in
            out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
     assert per == {"hot": 4, "cold": 4}
+
+
+def test_weighted_sample_proportional_and_deterministic(spark):
+    import hashlib
+
+    rows = [(i, 1000 if i < 20 else 10) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    out = SAM.weighted_sample(df, k=30, weight_col="w", salt="t")
+    got = [(r["doc_id"], r["sample_rank"]) for r in out.collect()]
+    assert len(got) == 30
+    assert sorted(r for _, r in got) == list(range(1, 31))
+
+    # python twin: priority = md5_60bit(key||salt) // max(w, 1)
+    def prio(i, w):
+        u = int(hashlib.md5(f"{i}t".encode()).hexdigest()[:15], 16)
+        return (u // max(w, 1), i)
+
+    want = sorted(prio(i, w) for i, w in rows)[:30]
+    assert sorted(i for i, _ in got) == sorted(i for _, i in want)
+
+    # the 20 heavy rows are 10% of rows but 95% of the mass: they must
+    # dominate the draw
+    heavy = sum(1 for i, _ in got if i < 20)
+    assert heavy >= 15, heavy
+
+    # re-run under a different partitioning -> identical selection
+    out2 = SAM.weighted_sample(df.repartition(13), k=30,
+                               weight_col="w", salt="t")
+    assert sorted((r["doc_id"], r["sample_rank"])
+                  for r in out2.collect()) == sorted(got)
+
+
+def test_weighted_sample_zero_weight_floored_not_divzero(spark):
+    df = spark.createDataFrame([(1, 0), (2, -5), (3, 100)],
+                               "doc_id long, w long")
+    out = SAM.weighted_sample(df, k=3, weight_col="w")
+    assert out.count() == 3  # no division error, everyone races
+
+
+def test_weighted_sample_validates(spark):
+    df = spark.createDataFrame([(1, 1)], "doc_id long, w long")
+    with pytest.raises(ValueError):
+        SAM.weighted_sample(df, k=0, weight_col="w")
