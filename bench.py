@@ -283,6 +283,35 @@ def main() -> None:
     timed_reps("sentence_dedup",
           lambda: sentence_dedup(docs)
           .agg(F.sum("n_removed"), F.sum("n_sentences")).collect())
+    from rag_document_parser_spark.operators import graph as GR
+    from rag_document_parser_spark.operators import quantize as QZ
+    from rag_document_parser_spark.operators import sketches as SK
+    qz = QZ.quantize_embeddings(emb)
+    qz_q = qz.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "scale_e6", "qvec")
+    timed_reps("quantized_topk",
+          lambda: QZ.quantized_topk(
+              qz.where(F.col("vec_id") >= 8), qz_q, k=10).count())
+    timed_reps("cms_heavy_hitters",
+          lambda: SK.cms_estimate(
+              SK.cms_build(docs.select(
+                  F.explode(_words(F.col("text"))).alias("term"))),
+              docs.select(F.explode(
+                  F.slice(_words(F.col("text")), 1, 1)).alias("term"))
+              .distinct().limit(50)).count())
+    timed_reps("weighted_sample",
+          lambda: SAM.weighted_sample(
+              docs, k=100, weight_col="n_chars", salt="bw").count())
+    anchor_src = docs.select(
+        "source",
+        F.concat(F.lit('x <a href="http://d'),
+                 F.pmod("doc_id", 9).cast("string"),
+                 F.lit('.example.com/p">link '),
+                 F.pmod("doc_id", 5).cast("string"),
+                 F.lit("</a>")).alias("text"))
+    timed_reps("anchor_stats",
+          lambda: GR.anchor_stats(GR.anchor_edges(anchor_src))
+          .agg(F.sum("n_links")).collect())
     queries8 = emb.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding")
     timed_reps("cosine_topk", lambda: V.cosine_topk(emb, queries8, k=10).count())
@@ -301,7 +330,6 @@ def main() -> None:
           lambda: SAM.resample_by_group(
               docs, {"en": 2.5, "de": 0.0, "fr": 1.0}, "lang",
               salt="mix").count())
-    from rag_document_parser_spark.operators import graph as GR
     planted = docs.select(
         "source",
         F.concat(F.substring("text", 1, 20), F.lit(" https://ex"),
