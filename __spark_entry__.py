@@ -1398,6 +1398,55 @@ SELECT id::BIGINT AS doc_id, n_sh, n_matched,
 FROM j"""
 
 
+def q_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination (operators/bloom.py): same eval set
+    as `decontam` but the only cross-cluster state is the fixed-size
+    position set (m=2^16, k=4). n_matched counts MAYBE-hits — an
+    overcount by the FPR, never an undercount; pure integer output."""
+    from rag_document_parser_spark.operators import bloom as BLM
+
+    d = _docs(spark, sf_dir)
+    ev = SAM.hash_sample(d, rate=0.1, salt="contam")
+    out = BLM.bloom_decontaminate(d, ev, n=3)
+    return out.select(F.col("id").alias("doc_id"), "n_sh", "n_matched",
+                      "contam_e6", "contaminated")
+
+
+def _bloom_pos_sql(term: str, m_bits: int = 1 << 16) -> str:
+    return ("[" + ", ".join(
+        f"('0x'||substring(md5('bloom-{i}:'||{term}),1,15))::BIGINT"
+        f" % {m_bits}" for i in range(4)) + "]")
+
+
+SQL_BLOOM_DECONTAM = f"""
+WITH ev AS (SELECT DISTINCT s AS shingle FROM (
+    SELECT unnest(list_distinct({_SH3D})) AS s FROM documents
+    WHERE substr(md5(doc_id::VARCHAR || 'contam'), 1, 8) < '{_CONTAM_THR}')),
+bloom AS (SELECT DISTINCT pos FROM (
+    SELECT unnest({_bloom_pos_sql('shingle')}) AS pos FROM ev)),
+c AS (SELECT doc_id AS id, list_distinct({_SH3D}) AS sh FROM documents),
+c2 AS (SELECT id, sh, len(sh) AS n_sh FROM c WHERE len(sh) > 0),
+flat AS (SELECT id, unnest(sh) AS shingle FROM c2),
+types AS (SELECT DISTINCT shingle FROM flat),
+probes AS (SELECT shingle,
+             unnest(list_distinct({_bloom_pos_sql('shingle')})) AS pos
+           FROM types),
+verdict AS (SELECT p.shingle, count(*) AS nd, count(b.pos) AS ng
+            FROM probes p LEFT JOIN bloom b USING (pos)
+            GROUP BY p.shingle),
+flagged AS (SELECT shingle FROM verdict WHERE ng = nd),
+m AS (SELECT flat.id, count(*) AS n_matched
+      FROM flat JOIN flagged USING (shingle) GROUP BY flat.id),
+j AS (SELECT c2.id, c2.n_sh::BIGINT AS n_sh,
+        coalesce(m.n_matched, 0)::BIGINT AS n_matched
+      FROM c2 LEFT JOIN m ON c2.id = m.id)
+SELECT id::BIGINT AS doc_id, n_sh, n_matched,
+  (n_matched * 1000000 // n_sh)::BIGINT AS contam_e6,
+  (CASE WHEN n_matched * 1000000 // n_sh >= 500000 THEN 1 ELSE 0 END)::BIGINT
+    AS contaminated
+FROM j"""
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style min-K md5 shingle fingerprint."""
     out = T.fingerprint(_docs(spark, sf_dir))
@@ -2389,6 +2438,57 @@ SELECT p.term, p.exact_cnt,
        min(coalesce(g.cnt, 0))::BIGINT AS est_cnt
 FROM probes p LEFT JOIN grid g ON p.row = g.row AND p.bucket = g.bucket
 GROUP BY p.term, p.exact_cnt"""
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-token estimate per language beside the exact
+    count (operators/sketches.py hll_registers/hll_estimate): the
+    fixed-state (64 registers/group) distinct counter whose registers
+    merge by max across shards/days — vs the exact count that shuffles
+    the full token vocabulary."""
+    from rag_document_parser_spark.operators import sketches as SK
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("lang", F.explode(D.words(F.col("text"))).alias("term"))
+    est = SK.hll_estimate(SK.hll_registers(toks, group_cols=("lang",)),
+                          group_cols=("lang",))
+    exact = toks.groupBy("lang").agg(
+        F.count_distinct("term").alias("exact_distinct"))
+    return (est.join(exact, "lang")
+            .select("lang", "est_distinct",
+                    F.col("exact_distinct").cast("long")))
+
+
+_HLL_NUM_SQL = 709_000 * 64 * 64 * (1 << 30)
+SQL_HLL_DISTINCT = f"""
+WITH toks AS (
+  SELECT lang, unnest({TOKS_SQL.format(c='text')}) AS term FROM documents
+), p AS (
+  SELECT lang, {_md5l("'hll:'||term")} AS h FROM toks
+), pr AS (
+  SELECT lang, h % 64 AS bucket,
+         CASE WHEN h // 64 = 0 THEN 55
+              ELSE 55 - length(bin(h // 64)) END AS rho
+  FROM p
+), regs AS (
+  SELECT lang, bucket, max(rho) AS rho FROM pr GROUP BY 1, 2
+), agg AS (
+  SELECT lang,
+         sum(CASE WHEN rho <= 30 THEN 1073741824 >> rho ELSE 0 END)::BIGINT
+           AS sp,
+         count(*)::BIGINT AS np
+  FROM regs GROUP BY 1
+), est AS (
+  SELECT lang,
+         {_HLL_NUM_SQL} // (sp + (64 - np) * 1073741824) // 1000000
+           AS est_distinct
+  FROM agg
+), ex AS (
+  SELECT lang, count(DISTINCT term)::BIGINT AS exact_distinct
+  FROM toks GROUP BY 1
+)
+SELECT e.lang, est_distinct::BIGINT AS est_distinct, exact_distinct
+FROM est e JOIN ex USING (lang)"""
 
 
 _NBITS = 16
@@ -4002,6 +4102,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantized_topk": q_quantized_topk,
         "quantized_recall": q_quantized_recall,
         "cms_heavy_hitters": q_cms_heavy_hitters,
+        "hll_distinct": q_hll_distinct,
+        "bloom_decontam": q_bloom_decontam,
         "weighted_sample": q_weighted_sample,
         "anchor_stats": q_anchor_stats,
         "bm25_topk": q_bm25_topk,
@@ -4097,6 +4199,8 @@ def oracle_sql() -> dict[str, str]:
         "quantized_topk": SQL_QUANTIZED_TOPK,
         "quantized_recall": SQL_QUANTIZED_RECALL,
         "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,
+        "hll_distinct": SQL_HLL_DISTINCT,
+        "bloom_decontam": SQL_BLOOM_DECONTAM,
         "weighted_sample": SQL_WEIGHTED_SAMPLE,
         "anchor_stats": SQL_ANCHOR_STATS,
         "bm25_topk": SQL_BM25_TOPK,

@@ -299,6 +299,16 @@ def main() -> None:
               docs.select(F.explode(
                   F.slice(_words(F.col("text")), 1, 1)).alias("term"))
               .distinct().limit(50)).count())
+    timed_reps("hll_distinct",
+          lambda: SK.hll_estimate(SK.hll_registers(
+              docs.select("lang",
+                          F.explode(_words(F.col("text"))).alias("term")),
+              group_cols=("lang",)), group_cols=("lang",)).collect())
+    from rag_document_parser_spark.operators import bloom as BLM
+    timed_reps("bloom_decontam",
+          lambda: BLM.bloom_decontaminate(
+              docs, SAM.hash_sample(docs, 0.1, salt="contam"), n=3)
+          .agg(F.sum("n_matched")).collect())
     timed_reps("weighted_sample",
           lambda: SAM.weighted_sample(
               docs, k=100, weight_col="n_chars", salt="bw").count())

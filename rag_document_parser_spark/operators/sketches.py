@@ -32,9 +32,23 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["DEPTH", "cms_build", "cms_estimate"]
+__all__ = ["DEPTH", "HLL_B", "cms_build", "cms_estimate",
+           "hll_estimate", "hll_registers"]
 
 DEPTH = 4
+
+# HyperLogLog geometry: m = 2^HLL_B buckets. b=6 (m=64) keeps the
+# integer estimator's numerator ALPHA_E6 * m^2 * 2^CAP inside BIGINT
+# (3.12e18 < 2^63); the price is the standard ±1.04/sqrt(64) ≈ 13%
+# relative error — the right trade for a monitoring-grade gauge whose
+# state is 64 rows per group no matter the corpus size.
+HLL_B = 6
+_HLL_M = 1 << HLL_B           # 64 buckets
+_HLL_W = 60 - HLL_B           # value bits left after the bucket: 54
+_HLL_ALPHA_E6 = 709_000       # alpha_64 = 0.709 (Flajolet et al. 2007)
+_HLL_CAP = 30                 # fixed-point: bucket j contributes
+_HLL_ONE = 1 << _HLL_CAP      # 2^(CAP-rho_j), rho > CAP truncates to 0
+_HLL_NUM = _HLL_ALPHA_E6 * _HLL_M * _HLL_M * _HLL_ONE  # ≈3.12e18, fits
 
 
 def _bucket(term: Column, row: int, width: int) -> Column:
@@ -85,3 +99,87 @@ def cms_estimate(sketch: DataFrame, terms: DataFrame,
     return (joined.groupBy("term")
             .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long")))
                  .alias("est_cnt")))
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog distinct counting (Flajolet, Fusy, Gandouet, Meunier 2007)
+# --------------------------------------------------------------------------
+#
+# Exact distinct counts over 100 TB shuffle the full key domain (every
+# distinct URL / token / doc hash crosses the wire once). The HLL
+# register table is the fixed-size alternative: 2^b rows per group,
+# merged by the same max-aggregate that builds it — union two days'
+# registers and max-combine, and the estimate of the union falls out.
+#
+# Engine portability: the register (rho = leading-zero rank) is
+# computed from the md5-derived 60-bit integer via ``bin()`` — both
+# Spark and DuckDB render a non-negative BIGINT as a minimal binary
+# string, so ``rho = W + 1 - length(bin(w))`` is the same integer on
+# both sides (w = 0, the all-zero suffix, is the documented special
+# case). The estimator itself is the RAW HLL formula in fixed point:
+#
+#   est = ALPHA_E6 * m^2 * 2^CAP  div  S  div  10^6,
+#   S   = sum over present buckets of 2^(CAP - rho)  [0 when rho > CAP]
+#       + 2^CAP per absent bucket (rho = 0).
+#
+# 2^(CAP-rho) is exact for rho <= CAP (a right shift, no truncation);
+# rho > CAP truncates its ~2^-31 contribution to 0 — negligible mass.
+# The small-range linear-counting and 2^32 large-range corrections are
+# deliberately OUT of the integer subset (both need a cross-engine
+# ``ln``); the raw estimator overestimates below ~2.5m distincts, which
+# callers gauge with the exact count beside it (see q_hll_distinct).
+
+
+def _hll_probe(term: Column, salt: str = "") -> Column:
+    """struct(bucket, rho) for one item: one md5, split into a bucket
+    (low b bits via %, exact in both engines on non-negative operands)
+    and a W-bit value whose leading-zero rank is the register."""
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.lit(f"hll{salt}:"), term)), 1, 15), 16, 10
+    ).cast("long")
+    # integer div, NOT floor(h / m): the float path rounds through a
+    # 53-bit double, corrupting the low bits of a 60-bit h
+    w = F.call_function("div", h, F.lit(_HLL_M))
+    rho = F.when(w == 0, F.lit(_HLL_W + 1)).otherwise(
+        F.lit(_HLL_W + 1) - F.length(F.bin(w)))
+    return F.struct((h % F.lit(_HLL_M)).alias("bucket"),
+                    rho.cast("long").alias("rho"))
+
+
+def hll_registers(df: DataFrame, term_col: str = "term",
+                  group_cols: tuple = (), salt: str = "") -> DataFrame:
+    """``(group..., bucket, rho)`` — the HLL register table, one
+    max-aggregate whose key space is |groups| × 2^b. Map-side combine
+    absorbs the corpus: each task reduces its items to its local
+    registers before anything shuffles. Re-aggregating the union of two
+    register tables with the same max is the sketch MERGE."""
+    g = [F.col(c) for c in group_cols]
+    probe = _hll_probe(F.col(term_col), salt).alias("_p")
+    staged = df.select(*g, probe)
+    return (staged.groupBy(*group_cols, F.col("_p.bucket").alias("bucket"))
+            .agg(F.max("_p.rho").alias("rho")))
+
+
+def hll_estimate(registers: DataFrame,
+                 group_cols: tuple = ()) -> DataFrame:
+    """``(group..., est_distinct)`` from a register table.
+
+    One aggregate over <= 2^b rows per group. Absent buckets (never hit
+    by any item) contribute rho = 0, folded in arithmetically as
+    ``(m - n_present) * 2^CAP`` — the register table never needs
+    densifying. Integer op order (div by S, then by 10^6) is part of
+    the contract so the DuckDB twin reproduces the exact value.
+    """
+    contrib = F.when(F.col("rho") <= _HLL_CAP,
+                     F.call_function("shiftright", F.lit(_HLL_ONE),
+                                     F.col("rho").cast("int"))
+                     ).otherwise(F.lit(0)).cast("long")
+    agg = (registers.groupBy(*group_cols)
+           .agg(F.sum(contrib).alias("_s_present"),
+                F.count("*").alias("_n_present")))
+    s = (F.col("_s_present")
+         + (F.lit(_HLL_M) - F.col("_n_present")) * F.lit(_HLL_ONE))
+    est = F.call_function(
+        "div", F.call_function("div", F.lit(_HLL_NUM), s), F.lit(10 ** 6))
+    keep = [F.col(c) for c in group_cols]
+    return agg.select(*keep, est.alias("est_distinct"))

@@ -82,3 +82,81 @@ def test_sketches_merge_by_sum(spark):
     got = {(r["row"], r["bucket"]): r["cnt"] for r in merged.collect()}
     want = {(r["row"], r["bucket"]): r["cnt"] for r in whole.collect()}
     assert got == want
+
+
+# -- HyperLogLog ------------------------------------------------------------
+
+from rag_document_parser_spark.operators.sketches import (  # noqa: E402
+    HLL_B,
+    hll_estimate,
+    hll_registers,
+)
+
+_M = 1 << HLL_B
+_W = 60 - HLL_B
+_CAP = 30
+
+
+def _py_hll_probe(term, salt=""):
+    h = int(hashlib.md5(f"hll{salt}:{term}".encode()).hexdigest()[:15], 16)
+    w = h // _M
+    rho = (_W + 1) if w == 0 else (_W + 1 - w.bit_length())
+    return h % _M, rho
+
+
+def _py_hll_regs(terms, salt=""):
+    regs = {}
+    for t in terms:
+        b, rho = _py_hll_probe(t, salt)
+        regs[b] = max(regs.get(b, 0), rho)
+    return regs
+
+
+def _py_hll_est(regs):
+    s = sum((1 << (_CAP - rho)) if rho <= _CAP else 0
+            for rho in regs.values())
+    s += (_M - len(regs)) * (1 << _CAP)
+    return 709_000 * _M * _M * (1 << _CAP) // s // 10 ** 6
+
+
+def test_hll_registers_match_python_twin(spark):
+    terms = [f"tok-{i}" for i in range(500)]
+    df = spark.createDataFrame([(t,) for t in terms], "term string")
+    got = {r["bucket"]: r["rho"] for r in hll_registers(df).collect()}
+    assert got == _py_hll_regs(terms)
+    assert len(got) <= _M
+
+
+def test_hll_estimate_accuracy_and_twin(spark):
+    # 2000 distincts, each repeated (repeats must not move the registers)
+    terms = [f"item-{i}" for i in range(2000)] * 3
+    df = spark.createDataFrame([(t,) for t in terms], "term string")
+    regs = hll_registers(df)
+    [row] = hll_estimate(regs).collect()
+    assert row["est_distinct"] == _py_hll_est(_py_hll_regs(terms))
+    # m=64 raw HLL: sigma ~13%; this deterministic corpus sits within 2 sigma
+    assert 0.74 * 2000 <= row["est_distinct"] <= 1.26 * 2000, row
+
+
+def test_hll_registers_merge_by_max(spark):
+    terms = [f"u{i}" for i in range(300)]
+    a = spark.createDataFrame([(t,) for t in terms[:200]], "term string")
+    b = spark.createDataFrame([(t,) for t in terms[100:]], "term string")
+    merged = (hll_registers(a).unionByName(hll_registers(b))
+              .groupBy("bucket").agg(F.max("rho").alias("rho")))
+    whole = hll_registers(
+        spark.createDataFrame([(t,) for t in terms], "term string"))
+    got = {r["bucket"]: r["rho"] for r in merged.collect()}
+    want = {r["bucket"]: r["rho"] for r in whole.collect()}
+    assert got == want
+
+
+def test_hll_grouped_registers(spark):
+    rows = [("en", f"w{i}") for i in range(100)] + \
+           [("fr", f"w{i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "lang string, term string")
+    regs = hll_registers(df, group_cols=("lang",))
+    est = {r["lang"]: r["est_distinct"]
+           for r in hll_estimate(regs, group_cols=("lang",)).collect()}
+    assert est["en"] == _py_hll_est(_py_hll_regs([f"w{i}" for i in range(100)]))
+    assert est["fr"] == _py_hll_est(_py_hll_regs([f"w{i}" for i in range(40)]))
