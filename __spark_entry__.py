@@ -3502,6 +3502,62 @@ SELECT event_type, count(*)::BIGINT AS n_events,
 FROM events GROUP BY event_type"""
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (operators/events.py): 30-minute idle
+    gap over the events stream, per-session stats. One entity-keyed
+    exchange; lag + running sum share a single Window node."""
+    from rag_document_parser_spark.operators import events as EV
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return session_stats_cols(EV.session_stats(EV.sessionize(events)))
+
+
+def session_stats_cols(df: DataFrame) -> DataFrame:
+    return df.select("user", F.col("session_idx").cast("long"),
+                     F.col("n_events").cast("long"),
+                     "start_us", "end_us", "duration_s")
+
+
+SQL_SESSIONIZE = """
+WITH e AS (SELECT event_id, user_id AS user, epoch_us(ts) AS ts_us
+           FROM events),
+l AS (SELECT *, lag(ts_us) OVER (
+        PARTITION BY user ORDER BY ts_us, event_id) AS prev FROM e),
+n AS (SELECT *, CASE WHEN prev IS NULL OR ts_us - prev > 1800000000
+                THEN 1 ELSE 0 END AS nw FROM l),
+s AS (SELECT *, sum(nw) OVER (PARTITION BY user ORDER BY ts_us, event_id
+        ROWS UNBOUNDED PRECEDING) AS session_idx FROM n)
+SELECT user, session_idx::BIGINT AS session_idx,
+  count(*)::BIGINT AS n_events,
+  min(ts_us)::BIGINT AS start_us, max(ts_us)::BIGINT AS end_us,
+  ((max(ts_us) - min(ts_us)) // 1000000)::BIGINT AS duration_s
+FROM s GROUP BY user, session_idx"""
+
+
+def q_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/events.py asof_join): every purchase event
+    paired with the user's most recent click at or before it. The Spark
+    plan is UNION-AND-CARRY (one entity-keyed window, no range-join
+    blowup); the oracle is DuckDB's native ASOF JOIN — an independent
+    algorithm agreeing on the same semantics."""
+    from rag_document_parser_spark.operators import events as EV
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = EV.asof_join(events.where(F.col("event_type") == "purchase"),
+                       events.where(F.col("event_type") == "click"))
+    return out.select("event_id", "user", "ts_us",
+                      "asof_id", "asof_ts_us", "gap_us")
+
+
+SQL_ASOF_PURCHASE_CLICK = """
+SELECT l.event_id, l.user_id AS user, epoch_us(l.ts) AS ts_us,
+       r.event_id AS asof_id, epoch_us(r.ts) AS asof_ts_us,
+       epoch_us(l.ts) - epoch_us(r.ts) AS gap_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts"""
+
+
 # ---------------------------------------------------------------------------
 # the driver contract
 # ---------------------------------------------------------------------------
@@ -4104,6 +4160,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "hll_distinct": q_hll_distinct,
         "bloom_decontam": q_bloom_decontam,
+        "sessionize": q_sessionize,
+        "asof_purchase_click": q_asof_purchase_click,
         "weighted_sample": q_weighted_sample,
         "anchor_stats": q_anchor_stats,
         "bm25_topk": q_bm25_topk,
@@ -4201,6 +4259,8 @@ def oracle_sql() -> dict[str, str]:
         "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,
         "hll_distinct": SQL_HLL_DISTINCT,
         "bloom_decontam": SQL_BLOOM_DECONTAM,
+        "sessionize": SQL_SESSIONIZE,
+        "asof_purchase_click": SQL_ASOF_PURCHASE_CLICK,
         "weighted_sample": SQL_WEIGHTED_SAMPLE,
         "anchor_stats": SQL_ANCHOR_STATS,
         "bm25_topk": SQL_BM25_TOPK,

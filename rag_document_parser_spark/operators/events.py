@@ -1,0 +1,128 @@
+"""Event-stream analytics: sessionization and as-of joins.
+
+A crawl/training pipeline's telemetry side (fetch logs, interaction
+events, pipeline-stage metrics) is a timestamped stream keyed by an
+entity. Two operators Spark lacks as built-ins:
+
+- ``sessionize`` — gap-based session assignment (a new session starts
+  when an entity is idle longer than ``gap_s``), the standard
+  log-analytics primitive (e.g. 30-minute web sessions).
+- ``asof_join`` — for every left event, the most recent right event at
+  or before it for the same entity. Implemented as the UNION-AND-CARRY
+  plan: tag both sides, one per-entity ordered window, carry the last
+  non-null right payload forward. One shuffle on the entity key, no
+  range-join row explosion (a naive ``left.ts >= right.ts`` join is
+  O(|L|·|R|) per entity before its filter).
+
+Scale & skew: both operators shuffle once, keyed by the entity. The
+per-entity window is inherently sequential — session continuity and
+as-of carry are order-dependent — so the straggler bound is the max
+events per entity. At web scale that key is retention-bounded for
+humans; a runaway bot key shows up as one long task, and the cure is
+upstream per-entity capping (hash_sample on the entity), not salting
+(salting would sever session continuity mid-stream).
+
+Determinism: timestamps enter integer space as ``unix_micros`` (the
+session runs in UTC; DuckDB's ``epoch_us`` reads the same parquet
+micros), and every window orders by ``(ts_us, event_id)`` so ties are
+stable on any partitioning. The DuckDB oracle for the as-of query uses
+the engine's native ASOF JOIN — an independent algorithm agreeing on
+the same semantics.
+
+The reference has no event surface (documents only,
+/root/reference/main.py:72-147); this is a SURVEY §6 pipeline-telemetry
+tier over the driver testdata's ``events`` table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+__all__ = ["asof_join", "session_stats", "sessionize"]
+
+
+def _ts_us(ts_col: str) -> Column:
+    # cast through TIMESTAMP: the parquet column arrives TIMESTAMP_NTZ
+    # and unix_micros wants an instant; the session TZ is UTC so the
+    # micros equal DuckDB's epoch_us of the same parquet value
+    return F.unix_micros(F.col(ts_col).cast("timestamp"))
+
+
+def sessionize(df: DataFrame, gap_s: int = 1800,
+               user_col: str = "user_id", ts_col: str = "ts",
+               id_col: str = "event_id") -> DataFrame:
+    """``(event_id, user, ts_us, session_idx)`` — gap-based sessions.
+
+    ``session_idx`` numbers an entity's sessions 1..n in time order: a
+    running sum of new-session flags (first event, or idle gap strictly
+    greater than ``gap_s``) over one per-entity window. Both the lag
+    and the running sum ride the SAME window spec, so Catalyst computes
+    them in one Window node after the single entity-keyed exchange.
+    """
+    staged = df.select(F.col(id_col).alias("event_id"),
+                       F.col(user_col).alias("user"),
+                       _ts_us(ts_col).alias("ts_us"))
+    w = Window.partitionBy("user").orderBy("ts_us", "event_id")
+    prev = F.lag("ts_us").over(w)
+    new_session = F.when(
+        prev.isNull() | (F.col("ts_us") - prev > F.lit(gap_s * 1_000_000)),
+        F.lit(1)).otherwise(F.lit(0))
+    run = Window.partitionBy("user").orderBy("ts_us", "event_id") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out = staged.select("event_id", "user", "ts_us",
+                        new_session.alias("_new"))
+    return out.select("event_id", "user", "ts_us",
+                      F.sum("_new").over(run).cast("long")
+                      .alias("session_idx"))
+
+
+def session_stats(sessions: DataFrame) -> DataFrame:
+    """``(user, session_idx, n_events, start_us, end_us, duration_s)``
+    per session — one map-side-combinable aggregate over the
+    ``sessionize`` output (the key (user, session_idx) is unique and
+    uniform, so no skew beyond the entity's own session length)."""
+    return (sessions.groupBy("user", "session_idx")
+            .agg(F.count("*").alias("n_events"),
+                 F.min("ts_us").alias("start_us"),
+                 F.max("ts_us").alias("end_us"))
+            .select("user", "session_idx", "n_events", "start_us", "end_us",
+                    F.call_function(
+                        "div", F.col("end_us") - F.col("start_us"),
+                        F.lit(1_000_000)).alias("duration_s")))
+
+
+def asof_join(left: DataFrame, right: DataFrame,
+              user_col: str = "user_id", ts_col: str = "ts",
+              id_col: str = "event_id") -> DataFrame:
+    """For every left event, the most recent right event at or before
+    it (same entity): ``(event_id, user, ts_us, asof_id, asof_ts_us,
+    gap_us)`` — asof columns null when no prior right event exists.
+
+    UNION-AND-CARRY: right rows sort before left rows at equal
+    timestamps (so "at or before" includes ties), and one
+    ``last(..., ignorenulls)`` window carries the latest right id/ts
+    onto every left row. Cost: one exchange on the entity key over
+    |L| + |R| rows — independent of how many right events precede each
+    left one.
+    """
+    l_ = left.select(F.col(id_col).alias("event_id"),
+                     F.col(user_col).alias("user"),
+                     _ts_us(ts_col).alias("ts_us"),
+                     F.lit(1).alias("_side"))
+    r_ = right.select(F.col(id_col).alias("event_id"),
+                      F.col(user_col).alias("user"),
+                      _ts_us(ts_col).alias("ts_us"),
+                      F.lit(0).alias("_side"))
+    u = l_.unionByName(r_)
+    w = (Window.partitionBy("user")
+         .orderBy("ts_us", "_side", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    r_id = F.when(F.col("_side") == 0, F.col("event_id"))
+    r_ts = F.when(F.col("_side") == 0, F.col("ts_us"))
+    carried = u.select(
+        "event_id", "user", "ts_us", "_side",
+        F.last(r_id, ignorenulls=True).over(w).alias("asof_id"),
+        F.last(r_ts, ignorenulls=True).over(w).alias("asof_ts_us"))
+    return (carried.where(F.col("_side") == 1)
+            .select("event_id", "user", "ts_us", "asof_id", "asof_ts_us",
+                    (F.col("ts_us") - F.col("asof_ts_us")).alias("gap_us")))

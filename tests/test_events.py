@@ -1,0 +1,114 @@
+"""Sessionization + as-of join (operators/events.py): hand-computed
+fixtures for gap semantics (strictly-greater boundary, per-user
+isolation, tie stability), as-of carry including equal-timestamp ties
+and no-prior-event nulls, and a brute-force twin on a denser corpus."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from rag_document_parser_spark.operators.events import (
+    asof_join,
+    session_stats,
+    sessionize,
+)
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _ev(eid, user, sec, typ="x"):
+    return (eid, T0 + dt.timedelta(seconds=sec), user, typ)
+
+SCHEMA = "event_id long, ts timestamp_ntz, user_id long, event_type string"
+
+
+def test_sessionize_gap_boundary_and_isolation(spark):
+    # gap=100s: a gap of exactly 100 stays in-session (strictly greater
+    # starts a new one); users never share sessions
+    rows = [_ev(1, 7, 0), _ev(2, 7, 100), _ev(3, 7, 201),
+            _ev(4, 8, 150)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = {r["event_id"]: (r["user"], r["session_idx"])
+           for r in sessionize(df, gap_s=100).collect()}
+    assert got[1] == (7, 1)
+    assert got[2] == (7, 1)      # gap == 100 -> same session
+    assert got[3] == (7, 2)      # gap 101 > 100 -> new session
+    assert got[4] == (8, 1)
+
+
+def test_session_stats_duration_and_counts(spark):
+    rows = [_ev(1, 7, 0), _ev(2, 7, 50), _ev(3, 7, 95),
+            _ev(4, 7, 1000)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    stats = {(r["user"], r["session_idx"]): r
+             for r in session_stats(sessionize(df, gap_s=100)).collect()}
+    s1 = stats[(7, 1)]
+    assert s1["n_events"] == 3 and s1["duration_s"] == 95
+    s2 = stats[(7, 2)]
+    assert s2["n_events"] == 1 and s2["duration_s"] == 0
+
+
+def test_sessionize_brute_force_twin(spark):
+    # 3 users x 40 events at varying strides; python twin recomputes
+    rows, eid = [], 0
+    for u in range(3):
+        t = 0
+        for i in range(40):
+            t += (i * 7 + u * 13) % 240
+            rows.append(_ev(eid, u, t))
+            eid += 1
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = {r["event_id"]: r["session_idx"]
+           for r in sessionize(df, gap_s=120).collect()}
+    by_user = {}
+    for (e, ts, u, _t) in rows:
+        by_user.setdefault(u, []).append((ts, e))
+    want = {}
+    for u, evs in by_user.items():
+        evs.sort()
+        sidx, prev = 0, None
+        for ts, e in evs:
+            if prev is None or (ts - prev).total_seconds() > 120:
+                sidx += 1
+            want[e] = sidx
+            prev = ts
+    assert got == want
+
+
+def test_asof_join_carry_ties_and_nulls(spark):
+    clicks = spark.createDataFrame(
+        [_ev(10, 7, 50, "click"), _ev(11, 7, 200, "click"),
+         _ev(12, 8, 500, "click")], SCHEMA)
+    errors = spark.createDataFrame(
+        [_ev(20, 7, 40, "error"),    # before any click -> null
+         _ev(21, 7, 200, "error"),   # tie with click 11 -> included
+         _ev(22, 7, 300, "error"),   # after click 11
+         _ev(23, 9, 100, "error")],  # user with no clicks -> null
+        SCHEMA)
+    got = {r["event_id"]: r for r in asof_join(errors, clicks).collect()}
+    assert got[20]["asof_id"] is None and got[20]["gap_us"] is None
+    assert got[21]["asof_id"] == 11 and got[21]["gap_us"] == 0
+    assert got[22]["asof_id"] == 11
+    assert got[22]["gap_us"] == 100 * 1_000_000
+    assert got[23]["asof_id"] is None
+
+
+def test_asof_join_brute_force_twin(spark):
+    import random  # deterministic: seeded
+    rng = random.Random(7)
+    right = [(100 + i, T0 + dt.timedelta(seconds=rng.randrange(3600)),
+              rng.randrange(5), "r") for i in range(60)]
+    left = [(500 + i, T0 + dt.timedelta(seconds=rng.randrange(3600)),
+             rng.randrange(5), "l") for i in range(60)]
+    got = {r["event_id"]: (r["asof_id"], r["gap_us"]) for r in asof_join(
+        spark.createDataFrame(left, SCHEMA),
+        spark.createDataFrame(right, SCHEMA)).collect()}
+    for (eid, ts, u, _t) in left:
+        prior = [(rts, rid) for (rid, rts, ru, _x) in right
+                 if ru == u and rts <= ts]
+        if not prior:
+            assert got[eid] == (None, None), eid
+        else:
+            bts, bid = max(prior)
+            assert got[eid] == (
+                bid, int((ts - bts).total_seconds() * 1_000_000)), eid
