@@ -55,9 +55,10 @@ def sessionize(df: DataFrame, gap_s: int = 1800,
 
     ``session_idx`` numbers an entity's sessions 1..n in time order: a
     running sum of new-session flags (first event, or idle gap strictly
-    greater than ``gap_s``) over one per-entity window. Both the lag
-    and the running sum ride the SAME window spec, so Catalyst computes
-    them in one Window node after the single entity-keyed exchange.
+    greater than ``gap_s``) over one per-entity window. The lag and the
+    running sum share one partitioning and sort order, so the physical
+    plan is two stacked Window ops over a SINGLE exchange + sort
+    (asserted by test_sessionize_plan_shape).
     """
     staged = df.select(F.col(id_col).alias("event_id"),
                        F.col(user_col).alias("user"),

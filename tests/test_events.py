@@ -112,3 +112,31 @@ def test_asof_join_brute_force_twin(spark):
             bts, bid = max(prior)
             assert got[eid] == (
                 bid, int((ts - bts).total_seconds() * 1_000_000)), eid
+
+
+def test_sessionize_plan_shape(spark):
+    # the lag and the running sum share one partitioning + sort order:
+    # the physical plan must pay exactly ONE exchange and ONE sort, no
+    # matter how Catalyst stacks the Window ops on top
+    import re
+    rows = [_ev(i, i % 3, i * 10) for i in range(30)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    plan = (sessionize(df, gap_s=100)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert plan.count("Sort [") == 1, plan
+
+
+def test_asof_join_plan_shape(spark):
+    # union-and-carry: one entity-keyed exchange over |L|+|R| rows and
+    # one Window; NO join node of any kind (the naive range join this
+    # plan replaces would show as Sort/BroadcastNestedLoop join here)
+    import re
+    l = spark.createDataFrame([_ev(i, i % 3, i * 10) for i in range(20)],
+                              SCHEMA)
+    r = spark.createDataFrame([_ev(100 + i, i % 3, i * 7)
+                               for i in range(20)], SCHEMA)
+    plan = asof_join(l, r)._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert len(re.findall(r"\bWindow \[", plan)) == 1, plan
+    assert "Join" not in plan, plan

@@ -160,3 +160,14 @@ def test_hll_grouped_registers(spark):
            for r in hll_estimate(regs, group_cols=("lang",)).collect()}
     assert est["en"] == _py_hll_est(_py_hll_regs([f"w{i}" for i in range(100)]))
     assert est["fr"] == _py_hll_est(_py_hll_regs([f"w{i}" for i in range(40)]))
+
+
+def test_hll_registers_plan_has_mapside_combine(spark):
+    # the corpus must be absorbed map-side: a partial_max aggregate
+    # below the exchange, whose key domain is (groups x 64) — the
+    # exchange moves registers, never tokens
+    df = spark.createDataFrame([(f"t{i}",) for i in range(100)],
+                               "term string")
+    plan = (hll_registers(df)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "partial_max" in plan, plan
