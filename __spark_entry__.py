@@ -1845,6 +1845,71 @@ FROM tot t JOIN top USING (dst)"""
 SQL_ANCHOR_STATS = _sql_anchor_stats()
 
 
+def q_caption_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved-span caption mining (operators/multimodal.py
+    caption_candidates): every media span paired with its nearest
+    preceding non-empty text span, zero shuffles (pure array
+    higher-order functions in the scan). Spans synthesized per doc:
+    text@0 (empty for h%4==0 -> null-caption case), media@10,
+    text@20, and for h%3==0 a second media@30 captioned by text@20."""
+    docs = _docs(spark, sf_dir)
+    h = _hcol(F.col("doc_id"))
+
+    def _span(kind, text, ref, off):
+        return F.struct(F.lit(kind).alias("kind"), text.alias("text"),
+                        ref.alias("media_ref"),
+                        F.lit(off).cast("int").alias("offset"))
+
+    nul = F.lit(None).cast("string")
+    base = F.array(
+        _span("text", F.when(h % 4 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("intro "), F.col("source"))), nul, 0),
+        _span("media", F.lit(""),
+              F.concat(F.lit("img-"), (h % 7).cast("string")), 10),
+        _span("text", F.concat(F.lit("body "),
+                               F.col("n_chars").cast("string")), nul, 20),
+    )
+    extra = _span("media", F.lit(""),
+                  F.concat(F.lit("vid-"), (h % 5).cast("string")), 30)
+    spans = F.when(h % 3 == 0,
+                   F.concat(base, F.array(extra))).otherwise(base)
+    staged = docs.select("doc_id", spans.alias("spans"))
+    return M.caption_candidates(staged).select(
+        "doc_id", "media_ref", "media_offset", "caption", "caption_offset")
+
+
+SQL_CAPTION_CANDIDATES = f"""
+WITH m0 AS (
+  SELECT doc_id, source, n_chars, {_md5l('doc_id::VARCHAR')} AS h
+  FROM documents
+), sp AS (
+  SELECT doc_id, 'text' AS kind,
+         CASE WHEN h % 4 = 0 THEN '' ELSE 'intro ' || source END AS text,
+         CAST(NULL AS VARCHAR) AS media_ref, 0 AS offs FROM m0
+  UNION ALL
+  SELECT doc_id, 'media', '', 'img-' || (h % 7)::VARCHAR, 10 FROM m0
+  UNION ALL
+  SELECT doc_id, 'text', 'body ' || n_chars::VARCHAR, NULL, 20 FROM m0
+  UNION ALL
+  SELECT doc_id, 'media', '', 'vid-' || (h % 5)::VARCHAR, 30 FROM m0
+  WHERE h % 3 = 0
+), m AS (
+  SELECT doc_id, media_ref, offs AS media_offset FROM sp
+  WHERE kind = 'media'
+), t AS (
+  SELECT doc_id, text, offs FROM sp WHERE kind = 'text' AND text <> ''
+), j AS (
+  SELECT m.doc_id, m.media_ref, m.media_offset, t.text, t.offs,
+         row_number() OVER (PARTITION BY m.doc_id, m.media_offset
+                            ORDER BY t.offs DESC) AS rn
+  FROM m LEFT JOIN t
+    ON t.doc_id = m.doc_id AND t.offs < m.media_offset
+)
+SELECT doc_id, media_ref, media_offset::BIGINT AS media_offset,
+       text AS caption, offs::BIGINT AS caption_offset
+FROM j WHERE rn = 1"""
+
+
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub over synthesized payloads: every doc gets a planted
     email, +international phone, and dotted-quad IP; h%4==0 docs also
@@ -4162,6 +4227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_decontam": q_bloom_decontam,
         "sessionize": q_sessionize,
         "asof_purchase_click": q_asof_purchase_click,
+        "caption_candidates": q_caption_candidates,
         "weighted_sample": q_weighted_sample,
         "anchor_stats": q_anchor_stats,
         "bm25_topk": q_bm25_topk,
@@ -4261,6 +4327,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_decontam": SQL_BLOOM_DECONTAM,
         "sessionize": SQL_SESSIONIZE,
         "asof_purchase_click": SQL_ASOF_PURCHASE_CLICK,
+        "caption_candidates": SQL_CAPTION_CANDIDATES,
         "weighted_sample": SQL_WEIGHTED_SAMPLE,
         "anchor_stats": SQL_ANCHOR_STATS,
         "bm25_topk": SQL_BM25_TOPK,

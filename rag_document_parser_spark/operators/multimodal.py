@@ -376,3 +376,57 @@ def synthetic_media_df(spark, n: int = 64) -> DataFrame:
         F.lit(64).alias("width"), F.lit(64).alias("height"),
         F.lit(16000).alias("sample_rate"), F.lit(1000).alias("duration_ms"),
     )
+
+
+def caption_candidates(df: DataFrame, spans_col: str = "spans",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Nearest-preceding-text caption candidate for every media span:
+    ``(doc_id, media_ref, media_offset, caption, caption_offset)`` —
+    caption columns null when no non-empty text span precedes the media.
+
+    This is the interleaved-document alignment primitive (pair each
+    image/audio span with the prose most likely describing it — the
+    highest-offset text span before it, the standard heuristic for
+    caption mining in image-text corpus construction).
+
+    ZERO shuffles: the spans already live as one array per doc, so the
+    scan evaluates two stacked higher-order projections (filter media,
+    fold text spans for the argmax-offset predecessor) and one
+    posexplode — all inside the scan's codegen span. Cost is
+    O(n_media × n_spans) per doc; pathological span counts are bounded
+    upstream by the job's giant-doc chunking (plans/job.py).
+    """
+    s = F.col("_sp")
+    texts = F.filter(
+        F.col(spans_col),
+        lambda t: (t["kind"] == "text") & (t["text"] != "")
+        & t["text"].isNotNull())
+    media = F.filter(F.col(spans_col), lambda m: m["kind"] == "media")
+    staged = df.select(F.col(id_col).alias("doc_id"),
+                       media.alias("_media"), texts.alias("_texts"))
+
+    def best_before(m):
+        prior = F.filter(F.col("_texts"),
+                         lambda t: t["offset"] < m["offset"])
+        zero = F.struct(F.lit(-1).cast("int").alias("offset"),
+                        F.lit(None).cast("string").alias("text"))
+        return F.aggregate(
+            prior, zero,
+            lambda acc, t: F.when(t["offset"] > acc["offset"],
+                                  F.struct(t["offset"].alias("offset"),
+                                           t["text"].alias("text")))
+            .otherwise(acc))
+
+    rows = staged.select(
+        "doc_id",
+        F.explode(F.transform(
+            "_media",
+            lambda m: F.struct(m["media_ref"].alias("media_ref"),
+                               m["offset"].alias("media_offset"),
+                               best_before(m).alias("best")))).alias("_sp"))
+    return rows.select(
+        "doc_id", s["media_ref"].alias("media_ref"),
+        s["media_offset"].cast("long").alias("media_offset"),
+        s["best"]["text"].alias("caption"),
+        F.when(s["best"]["offset"] >= 0, s["best"]["offset"])
+        .cast("long").alias("caption_offset"))
