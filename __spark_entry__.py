@@ -1412,10 +1412,11 @@ def q_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "contam_e6", "contaminated")
 
 
-def _bloom_pos_sql(term: str, m_bits: int = 1 << 16) -> str:
+def _bloom_pos_sql(term: str, m_bits: int = 1 << 15) -> str:
+    # disjoint 15-bit fields of ONE md5-60bit digest (bloom._pos)
+    h = f"('0x'||substring(md5('bloom:'||{term}),1,15))::BIGINT"
     return ("[" + ", ".join(
-        f"('0x'||substring(md5('bloom-{i}:'||{term}),1,15))::BIGINT"
-        f" % {m_bits}" for i in range(4)) + "]")
+        f"(({h}) >> {15 * i}) % {m_bits}" for i in range(4)) + "]")
 
 
 SQL_BLOOM_DECONTAM = f"""

@@ -364,3 +364,64 @@ def stream_extract_with_lineage(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_token_sketch(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    max_files_per_trigger: int = 1,
+):
+    """Running HyperLogLog distinct-token registers over a growing
+    documents directory — the streaming face of the sketch tier.
+
+    Each micro-batch computes its own per-language register table
+    (64 rows/language, operators/sketches.hll_registers) and MAX-merges
+    it into the persisted state at ``output_dir/registers`` — the HLL
+    merge law (test_hll_registers_merge_by_max) is what makes the
+    accumulated state equal the registers of everything ever streamed,
+    regardless of batch boundaries. State is fixed-size by construction
+    (registers, never tokens), so the driver-side rewrite per batch is
+    O(languages × 64) rows — the one case where collecting is the
+    design, not a shortcut. ``availableNow`` + ``maxFilesPerTrigger``
+    drains the backlog in bounded batches and stops.
+    """
+    from pyspark.sql import types as T
+
+    from rag_document_parser_spark.operators.dedup import words
+    from rag_document_parser_spark.operators.sketches import hll_registers
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ])
+    state_path = os.path.join(output_dir, "registers")
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", str(max_files_per_trigger))
+              .parquet(input_dir))
+
+    def merge_batch(batch_df, _batch_id):
+        toks = batch_df.select(
+            "lang", F.explode(words(F.col("text"))).alias("term"))
+        regs = hll_registers(toks, group_cols=("lang",))
+        if os.path.isdir(state_path):
+            prev = spark.read.parquet(state_path)
+            regs = (prev.unionByName(regs)
+                    .groupBy("lang", "bucket").agg(F.max("rho").alias("rho")))
+        # registers are the fixed-size state: materialize driver-side
+        # (<= 64 x languages rows) and rewrite, so the overwrite never
+        # races the read of the same path
+        rows = regs.collect()
+        if rows:
+            spark.createDataFrame(rows, regs.schema).coalesce(1) \
+                .write.mode("overwrite").parquet(state_path)
+
+    return (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", os.path.join(output_dir, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )

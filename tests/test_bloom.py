@@ -18,8 +18,8 @@ M = 256  # tiny space so false positives actually happen in the test
 
 
 def _py_positions(term, m=M, k=BLOOM_K):
-    return {int(hashlib.md5(f"bloom-{i}:{term}".encode()).hexdigest()[:15],
-                16) % m for i in range(k)}
+    h = int(hashlib.md5(f"bloom:{term}".encode()).hexdigest()[:15], 16)
+    return {(h >> (15 * i)) % m for i in range(k)}
 
 
 def _py_bloom(terms, m=M, k=BLOOM_K):
@@ -83,7 +83,7 @@ def test_decontaminate_overcounts_never_undercounts(spark):
     ev = spark.createDataFrame(
         [(9, "alpha beta gamma delta")], "doc_id long, text string")
     out = {r["id"]: r for r in bloom_decontaminate(
-        corpus, ev, n=3, m_bits=1 << 16).collect()}
+        corpus, ev, n=3, m_bits=1 << 15).collect()}
     assert set(out) == {1, 2, 3}
     # doc 1: shingles a-b-g, b-g-d, g-d-e; eval has a-b-g, b-g-d -> >= 2
     assert out[1]["n_matched"] >= 2
@@ -112,3 +112,18 @@ def test_probe_demand_handles_position_self_collisions(spark):
     assert collided, "need at least one self-collision at m=64"
     for t in cands:
         assert out[t] == (_py_positions(t, 64) <= pyset), t
+
+
+def test_decontaminate_never_shuffles_on_shingle(spark):
+    # the corpus side must pass through broadcast semi-joins only: any
+    # Exchange keyed on the shingle column means the vocabulary-wide
+    # shuffle this plan exists to avoid is back
+    corpus = spark.createDataFrame(
+        [(i, f"w{i} w{i+1} w{i+2} w{i+3}") for i in range(50)],
+        "doc_id long, text string")
+    ev = spark.createDataFrame([(99, "w1 w2 w3")],
+                               "doc_id long, text string")
+    plan = (bloom_decontaminate(corpus, ev, n=3)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "hashpartitioning(shingle" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan

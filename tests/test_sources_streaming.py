@@ -384,3 +384,41 @@ def test_stream_curate(spark, tmp_path):
     ])
     assert set(got) == {"good", "later"}
     assert got["later"]["n_pii"] == 0
+
+
+def test_stream_token_sketch_merges_across_batches(spark, tmp_path):
+    """The streamed HLL state must equal the batch registers of the
+    union — regardless of how the corpus was split into micro-batches
+    (the merge law under foreachBatch)."""
+    from rag_document_parser_spark.operators.dedup import words
+    from rag_document_parser_spark.operators.sketches import hll_registers
+    from rag_document_parser_spark.streaming.incremental import (
+        stream_token_sketch)
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    rows_a = [(i, f"alpha beta tok{i} gamma", "en", "s", 20)
+              for i in range(40)]
+    rows_b = [(100 + i, f"un deux mot{i}", "fr", "s", 12)
+              for i in range(25)]
+    schema = ("doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    spark.createDataFrame(rows_a, schema).coalesce(1) \
+        .write.mode("append").parquet(in_dir)
+    spark.createDataFrame(rows_b, schema).coalesce(1) \
+        .write.mode("append").parquet(in_dir)
+
+    q = stream_token_sketch(spark, in_dir, out_dir, max_files_per_trigger=1)
+    q.awaitTermination(120)
+    # at least 2 micro-batches ran (one file each)
+    assert q.lastProgress is not None
+
+    got = {(r["lang"], r["bucket"]): r["rho"]
+           for r in spark.read.parquet(out_dir + "/registers").collect()}
+    whole = spark.createDataFrame(rows_a + rows_b, schema)
+    want = {(r["lang"], r["bucket"]): r["rho"]
+            for r in hll_registers(
+                whole.select("lang",
+                             F.explode(words(F.col("text"))).alias("term")),
+                group_cols=("lang",)).collect()}
+    assert got == want
