@@ -2073,6 +2073,68 @@ SELECT DISTINCT a.id::BIGINT AS id_a, b.id::BIGINT AS id_b
 FROM banded a JOIN banded b ON a.bk = b.bk AND a.id < b.id"""
 
 
+def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH recall gauge (the quantized_recall of the dedup tier): every
+    exact Jaccard>=0.5 pair on the cloned corpus, flagged with whether
+    the banded MinHash candidate generation (k=16, 4 bands) surfaced
+    it. No false-negative-free guarantee exists for LSH — this is the
+    measurement that tells an operator whether the banding parameters
+    hold on THEIR corpus before a 100 TB run trusts them."""
+    docs = _cloned_docs(spark, sf_dir)
+    exact = D.ngram_jaccard_pairs(docs, n=3, threshold=0.5, df_cap=1000)
+    cand = (D.minhash_lsh_pairs(docs, n=3, k=_K, bands=_BANDS)
+            .withColumn("_f", F.lit(1)))
+    return (exact.join(cand, ["id_a", "id_b"], "left")
+            .select(F.col("id_a").cast("long"), F.col("id_b").cast("long"),
+                    F.floor(F.col("inter")
+                            / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+                            * 1000000).cast("long").alias("jaccard_e6"),
+                    F.coalesce(F.col("_f"), F.lit(0)).cast("long")
+                    .alias("found_by_lsh")))
+
+
+def _sql_lsh_recall() -> str:
+    consts = _minhash_consts()
+    mins = ", ".join(
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {D.P}))::VARCHAR"
+        for a, b in consts)
+    return f"""
+WITH u AS (SELECT * FROM {CLONED_SQL}),
+js AS (SELECT doc_id AS id, list_distinct({_SH3}) AS sh FROM u),
+js2 AS (SELECT id, sh, len(sh) AS n_sh FROM js WHERE len(sh) > 0),
+jflat AS (SELECT id, unnest(sh) AS shingle FROM js2),
+jfreq AS (SELECT shingle, count(*) AS c FROM jflat GROUP BY shingle),
+jf2 AS (SELECT jflat.id, jflat.shingle FROM jflat
+        JOIN jfreq ON jflat.shingle = jfreq.shingle WHERE jfreq.c <= 1000),
+jinter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+  FROM jf2 a JOIN jf2 b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id),
+exact AS (
+  SELECT id_a, id_b,
+    floor(inter / (sa.n_sh + sb.n_sh - inter) * 1000000)::BIGINT
+      AS jaccard_e6
+  FROM jinter
+  JOIN js2 sa ON jinter.id_a = sa.id JOIN js2 sb ON jinter.id_b = sb.id
+  WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.5),
+ms2 AS (SELECT id, list_transform(sh, x -> {_md5l('x')} % 2147483647) AS hs
+        FROM js WHERE len(sh) > 0),
+sigs AS (SELECT id, [{mins}] AS sigl FROM ms2),
+banded AS (
+  SELECT id, unnest(list_transform(range({_BANDS}),
+    bi -> bi::VARCHAR || '|' ||
+          array_to_string(list_slice(sigl, bi*{_R}+1, bi*{_R}+{_R}), ','))) AS bk
+  FROM sigs),
+cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         FROM banded a JOIN banded b ON a.bk = b.bk AND a.id < b.id)
+SELECT e.id_a::BIGINT AS id_a, e.id_b::BIGINT AS id_b, e.jaccard_e6,
+  (CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS found_by_lsh
+FROM exact e LEFT JOIN cand c ON e.id_a = c.id_a AND e.id_b = c.id_b"""
+
+
+SQL_LSH_RECALL = _sql_lsh_recall()
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = D.simhash64(_docs(spark, sf_dir))
     return out.select(F.col("id").cast("long"), F.col("simhash").cast("long"))
@@ -4229,6 +4291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "asof_purchase_click": q_asof_purchase_click,
         "caption_candidates": q_caption_candidates,
+        "lsh_recall": q_lsh_recall,
         "weighted_sample": q_weighted_sample,
         "anchor_stats": q_anchor_stats,
         "bm25_topk": q_bm25_topk,
@@ -4329,6 +4392,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": SQL_SESSIONIZE,
         "asof_purchase_click": SQL_ASOF_PURCHASE_CLICK,
         "caption_candidates": SQL_CAPTION_CANDIDATES,
+        "lsh_recall": SQL_LSH_RECALL,
         "weighted_sample": SQL_WEIGHTED_SAMPLE,
         "anchor_stats": SQL_ANCHOR_STATS,
         "bm25_topk": SQL_BM25_TOPK,
