@@ -2516,6 +2516,85 @@ SELECT query_id::BIGINT AS query_id, hits,
 FROM h"""
 
 
+_NCENT = 16
+_NPROBE = 4
+
+
+def q_ivf_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed 100 TB ANN (operators/quantize.py ivf_quantized_topk):
+    IVF coarse probe (deterministic lowest-id centroids, nprobe=4)
+    selecting WHICH vectors are touched, int8 integer dot re-rank
+    cutting what each one COSTS. Fully integer-ranked, so the oracle
+    replays the exact rows."""
+    from rag_document_parser_spark.operators.quantize import (
+        ivf_quantized_topk)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < _NQ).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    out = ivf_quantized_topk(emb, queries, k=_TOPK,
+                             n_centroids=_NCENT, nprobe=_NPROBE)
+    return out.select(F.col("query_id").cast("long"),
+                      F.col("vec_id").cast("long"),
+                      "idot", "iscore", F.col("rank").cast("long"))
+
+
+def _sql_ivf_quantized() -> str:
+    dot_cv = _DOT.replace("qv", "cv")
+    return f"""
+WITH e AS (SELECT vec_id,
+             list_transform(embedding, x -> x::DOUBLE) AS v,
+             list_transform(embedding,
+                            x -> floor(x::DOUBLE * 1000000)::BIGINT) AS x6
+           FROM embeddings WHERE embedding IS NOT NULL),
+e2 AS (SELECT * FROM e WHERE {_NRM.format(x='v')} > 0),
+qs AS (SELECT vec_id, v, x6,
+         greatest(list_max(list_transform(x6, t -> abs(t))), 1) AS m
+       FROM e2),
+qz AS (SELECT vec_id, v, m AS scale_e6, {_QZL} AS q FROM qs),
+cents AS (SELECT vec_id AS cid, v AS cv FROM e2 WHERE vec_id < {_NCENT}),
+ccos AS (
+  SELECT e2.vec_id, c.cid, {dot_cv} / {_NRM.format(x='cv')} AS score
+  FROM e2, cents c
+), assigned AS (
+  SELECT vec_id, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY score DESC, cid ASC) AS rn
+    FROM ccos) WHERE rn = 1
+), probes AS (
+  SELECT vec_id AS query_id, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY score DESC, cid ASC) AS rn
+    FROM ccos WHERE vec_id < {_NQ}) WHERE rn <= {_NPROBE}
+), aq AS (
+  SELECT a.vec_id, a.cid, z.scale_e6, z.q
+  FROM assigned a JOIN qz z USING (vec_id)
+), pq AS (
+  SELECT p.query_id, p.cid, z.q AS qv
+  FROM probes p JOIN qz z ON p.query_id = z.vec_id
+), cand AS (
+  SELECT pq.query_id, aq.vec_id, aq.scale_e6, aq.q, pq.qv
+  FROM aq JOIN pq ON aq.cid = pq.cid WHERE pq.query_id <> aq.vec_id
+), sc AS (
+  SELECT query_id, vec_id,
+    list_reduce(list_transform(range(1, len(q) + 1), i -> q[i] * qv[i]),
+                (a, b) -> a + b) AS idot,
+    scale_e6
+  FROM cand
+), r AS (
+  SELECT query_id, vec_id, idot, idot * scale_e6 AS iscore,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY idot * scale_e6 DESC, vec_id ASC) AS rank
+  FROM sc)
+SELECT query_id::BIGINT AS query_id, vec_id::BIGINT AS vec_id,
+       idot::BIGINT AS idot, iscore::BIGINT AS iscore,
+       rank::BIGINT AS rank
+FROM r WHERE rank <= {_TOPK}"""
+
+
+SQL_IVF_QUANTIZED = _sql_ivf_quantized()
+
+
 _CMS_W = 256
 _CMS_TOP = 30
 
@@ -2665,8 +2744,6 @@ SELECT query_id::BIGINT AS query_id, vec_id::BIGINT AS vec_id,
 FROM r WHERE rank <= {_TOPK}"""
 
 
-_NCENT = 16
-_NPROBE = 4
 
 
 def q_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4292,6 +4369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_purchase_click": q_asof_purchase_click,
         "caption_candidates": q_caption_candidates,
         "lsh_recall": q_lsh_recall,
+        "ivf_quantized_topk": q_ivf_quantized_topk,
         "weighted_sample": q_weighted_sample,
         "anchor_stats": q_anchor_stats,
         "bm25_topk": q_bm25_topk,
@@ -4393,6 +4471,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_purchase_click": SQL_ASOF_PURCHASE_CLICK,
         "caption_candidates": SQL_CAPTION_CANDIDATES,
         "lsh_recall": SQL_LSH_RECALL,
+        "ivf_quantized_topk": SQL_IVF_QUANTIZED,
         "weighted_sample": SQL_WEIGHTED_SAMPLE,
         "anchor_stats": SQL_ANCHOR_STATS,
         "bm25_topk": SQL_BM25_TOPK,

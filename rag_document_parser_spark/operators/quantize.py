@@ -137,3 +137,70 @@ def topk_recall(approx: DataFrame, exact: DataFrame, k: int,
     return hits.select(
         query_id_col, "hits",
         _idiv(F.col("hits") * F.lit(E6), F.lit(k)).alias("recall_e6"))
+
+
+def ivf_quantized_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                       n_centroids: int = 16, nprobe: int = 4,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       qid_col: str = "query_id") -> DataFrame:
+    """IVF coarse probe + int8 integer re-rank — the composed 100 TB
+    ANN architecture: ``(query_id, vec_id, idot, iscore, rank)``.
+
+    The two scale levers stack: the inverted file cuts WHICH vectors a
+    query touches (nprobe/n_centroids of the corpus, never shuffled —
+    posting lists are a zero-shuffle assignment projection and the
+    probe side broadcasts), and the int8 codes cut what each touched
+    vector COSTS (4x less memory bandwidth than float32, integer dot,
+    no libm). The coarse quantizer is similarity.ivf_cosine_topk's
+    deterministic lowest-id centroid set — assignment and probing are
+    IDENTICAL to the float IVF operator (cited there: a real deploy
+    trains k-means offline); only the re-rank kernel changes, to
+    quantized_topk's scaled integer dot. Recall < 1 from BOTH stages by
+    design — gauge with topk_recall against the exact float path, as
+    q_quantized_recall does for the flat scan.
+
+    Degenerate vectors (NULL / zero norm) are excluded from index and
+    queries exactly like the float operator, so the two are candidate-
+    set-identical at equal (n_centroids, nprobe).
+    """
+    from rag_document_parser_spark.operators.similarity import (
+        _centroid_scores,
+        _lowest_id_centroids,
+        _norm,
+        ivf_assignment,
+    )
+
+    def _ok(df):
+        return df.where(F.col(vec_col).isNotNull()
+                        & (_norm(F.col(vec_col)) > 0))
+
+    corpus = _ok(corpus)
+    queries = _ok(queries)
+    cents = _lowest_id_centroids(corpus, n_centroids, id_col, vec_col,
+                                 "ivf_quantized_topk")
+    qz_c = quantize_embeddings(corpus, vec_col, id_col)
+    assigned = (corpus.select(
+        F.col(id_col),
+        ivf_assignment(F.col(vec_col), cents)["cid"].alias("_cid"))
+        .join(qz_c, id_col))
+    qz_q = quantize_embeddings(queries.select(
+        F.col(qid_col).alias("_qid"), F.col(vec_col)), vec_col, "_qid")
+    probes = queries.select(
+        F.col(qid_col),
+        F.slice(F.array_sort(_centroid_scores(F.col(vec_col), cents)),
+                1, nprobe).alias("_probes"))
+    probes = (probes.select(
+        qid_col,
+        F.explode(F.transform("_probes", lambda s: s["cid"])).alias("_cid"))
+        .join(qz_q.select(F.col("_qid").alias(qid_col),
+                          F.col("qvec").alias("_qv")), qid_col))
+    cand = assigned.join(F.broadcast(probes), "_cid") \
+                   .where(F.col(qid_col) != F.col(id_col))
+    scored = cand.select(
+        qid_col, F.col(id_col).alias("vec_id"),
+        _int_dot(F.col("qvec"), F.col("_qv")).alias("idot"),
+        "scale_e6",
+    ).withColumn("iscore", F.col("idot") * F.col("scale_e6"))
+    top = topk_per_query(scored.select(qid_col, "vec_id", "iscore", "idot"),
+                         k, qid_col, "vec_id", "iscore")
+    return top.select(qid_col, "vec_id", "idot", "iscore", "rank")

@@ -125,3 +125,49 @@ def test_topk_recall_counts_zero_hit_queries(spark):
            for r in topk_recall(a, e, 2).collect()}
     assert rec[1] == (0, 0)
     assert rec[2] == (1, 500_000)
+
+
+def test_ivf_quantized_candidates_match_float_ivf(spark):
+    """At equal (n_centroids, nprobe) the composed operator's candidate
+    universe equals the float IVF's; within it, ranking follows the
+    scaled integer dot. On the unit-norm corpus the two operators agree
+    on the top-1 for every query."""
+    from rag_document_parser_spark.operators.quantize import (
+        ivf_quantized_topk)
+    from rag_document_parser_spark.operators.similarity import (
+        ivf_cosine_topk)
+
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in _vecs(40)], SCHEMA)
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    qtop = ivf_quantized_topk(emb.where(F.col("vec_id") >= 3), queries,
+                              k=5, n_centroids=8, nprobe=3)
+    ftop = ivf_cosine_topk(emb.where(F.col("vec_id") >= 3), queries,
+                           k=5, n_centroids=8, nprobe=3)
+    q1 = {r["query_id"]: r["vec_id"] for r in qtop.where("rank = 1").collect()}
+    f1 = {r["query_id"]: r["vec_id"] for r in ftop.where("rank = 1").collect()}
+    assert q1 == f1, (q1, f1)
+    # full candidate sets coincide at k >= candidate count per probe
+    qall = ivf_quantized_topk(emb.where(F.col("vec_id") >= 3), queries,
+                              k=50, n_centroids=8, nprobe=3)
+    fall = ivf_cosine_topk(emb.where(F.col("vec_id") >= 3), queries,
+                           k=50, n_centroids=8, nprobe=3)
+    qs = {(r["query_id"], r["vec_id"]) for r in qall.collect()}
+    fs = {(r["query_id"], r["vec_id"]) for r in fall.collect()}
+    assert qs == fs
+
+
+def test_ivf_quantized_excludes_degenerates(spark):
+    from rag_document_parser_spark.operators.quantize import (
+        ivf_quantized_topk)
+
+    rows = [(i, [1.0 if d == i % 4 else 0.1 for d in range(4)])
+            for i in range(12)] + [(90, [0.0] * 4), (91, None)]
+    emb = spark.createDataFrame(rows, SCHEMA)
+    queries = emb.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    out = ivf_quantized_topk(emb.where(F.col("vec_id") >= 2), queries,
+                             k=20, n_centroids=4, nprobe=2)
+    ids = {r["vec_id"] for r in out.collect()}
+    assert 90 not in ids and 91 not in ids
