@@ -292,6 +292,10 @@ def main() -> None:
     timed_reps("quantized_topk",
           lambda: QZ.quantized_topk(
               qz.where(F.col("vec_id") >= 8), qz_q, k=10).count())
+    emb_q = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    timed_reps("ivf_quantized_topk",
+          lambda: QZ.ivf_quantized_topk(emb, emb_q, k=10).count())
     timed_reps("cms_heavy_hitters",
           lambda: SK.cms_estimate(
               SK.cms_build(docs.select(
