@@ -3691,6 +3691,30 @@ WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus"""
 
 
+def q_bucket_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight bucket-skew diagnostic (reporting.bucket_skew_report):
+    per-md5-bucket doc count + byte mass + skew ratio against a
+    perfectly even spread — what an operator checks before trusting
+    the salted partitioning with 100 TB."""
+    from rag_document_parser_spark.reporting import bucket_skew_report
+
+    return bucket_skew_report(_docs(spark, sf_dir), n_buckets=64).select(
+        F.col("bucket").cast("long"), F.col("n_docs").cast("long"),
+        "weight_total", "skew_e6")
+
+
+SQL_BUCKET_SKEW = f"""
+WITH per AS (
+  SELECT {_md5l('doc_id::VARCHAR')} % 64 AS bucket,
+         count(*)::BIGINT AS n_docs,
+         sum(n_chars)::BIGINT AS weight_total
+  FROM documents GROUP BY 1
+), tot AS (SELECT sum(weight_total)::BIGINT AS t FROM per)
+SELECT bucket::BIGINT AS bucket, n_docs, weight_total,
+       (weight_total * 64 * 1000000 // t)::BIGINT AS skew_e6
+FROM per, tot"""
+
+
 def q_events_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A13-shaped type stats on the events stream table."""
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -4370,6 +4394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "caption_candidates": q_caption_candidates,
         "lsh_recall": q_lsh_recall,
         "ivf_quantized_topk": q_ivf_quantized_topk,
+        "bucket_skew": q_bucket_skew,
         "weighted_sample": q_weighted_sample,
         "anchor_stats": q_anchor_stats,
         "bm25_topk": q_bm25_topk,
@@ -4472,6 +4497,7 @@ def oracle_sql() -> dict[str, str]:
         "caption_candidates": SQL_CAPTION_CANDIDATES,
         "lsh_recall": SQL_LSH_RECALL,
         "ivf_quantized_topk": SQL_IVF_QUANTIZED,
+        "bucket_skew": SQL_BUCKET_SKEW,
         "weighted_sample": SQL_WEIGHTED_SAMPLE,
         "anchor_stats": SQL_ANCHOR_STATS,
         "bm25_topk": SQL_BM25_TOPK,

@@ -103,3 +103,34 @@ def validity(out: DataFrame) -> DataFrame:
     return out.select(
         "doc_id", (F.col("success") & has_content).alias("is_valid")
     )
+
+
+def bucket_skew_report(docs: DataFrame, n_buckets: int = 256,
+                       id_col: str = "doc_id",
+                       weight_col: str = "n_chars") -> DataFrame:
+    """Pre-flight skew diagnostic for the salted-bucket partitioning:
+    ``(bucket, n_docs, weight_total, skew_e6)`` per md5 bucket, where
+    ``skew_e6 = weight_total * n_buckets * 10^6 div corpus_weight`` —
+    1e6 means a perfectly even bucket, 2e6 a bucket carrying twice its
+    share. Run this BEFORE a 100 TB job to verify the bucket key
+    spreads the byte mass (doc counts can be even while one bucket
+    holds all the giant documents — the straggler the chunking path
+    exists for; this report shows both).
+
+    One bounded groupBy (key domain = n_buckets) and one 1-row total
+    broadcast back onto it — never a corpus-sized shuffle or sort.
+    """
+    h = F.conv(F.substring(
+        F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10).cast("long")
+    per = (docs.select((h % F.lit(n_buckets)).alias("bucket"),
+                       F.col(weight_col).cast("long").alias("_w"))
+           .groupBy("bucket")
+           .agg(F.count("*").alias("n_docs"),
+                F.sum("_w").alias("weight_total")))
+    total = per.agg(F.sum("weight_total").alias("_tot"))
+    return (per.crossJoin(F.broadcast(total))
+            .select("bucket", "n_docs", "weight_total",
+                    F.call_function(
+                        "div",
+                        F.col("weight_total") * F.lit(n_buckets)
+                        * F.lit(10 ** 6), F.col("_tot")).alias("skew_e6")))
