@@ -250,3 +250,65 @@ def test_curate_fix_encoding_stage(spark):
     off = {r["doc_id"]: r for r in curate(
         corpus, cfg, near_dup=False).collect()}
     assert off["m1"]["kept"] and off["m2"]["kept"]
+
+
+def test_curate_all_stages_enabled(spark):
+    """Integration: every optional stage on at once (mojibake repair,
+    C4 line clean, Gopher battery, corpus-level repeated-window
+    removal, exact + near dedup). Pins the COMPOSED semantics:
+
+    - the exact pair keeps one full-content survivor (identical docs
+      collapse to one distinct content hash, so the window surgery —
+      which counts occurrences over distinct content — never fires on
+      them) and drops the other as exact_dup;
+    - the near pair's 50-token shared prefix IS a repeated window, so
+      the Lee-et-al surgery excises the redundancy from BOTH docs and
+      near-dedup then correctly finds nothing left to drop — removal
+      subsumes doc-dropping when window <= overlap (the documented
+      stage interaction, tune repeated_window upward to prefer drops);
+    - PII is scrubbed before anything hashes; base gates still name
+      their reasons first.
+    """
+    nouns = ["river", "garden", "market", "harbour", "forest", "valley"]
+    verbs = ["crossed", "watched", "reached", "followed", "measured",
+             "charted"]
+
+    def lines(tag, n=6):
+        return [f"the {tag} {verbs[i]} the {nouns[i]} and that was "
+                f"quite fine." for i in range(n)]
+
+    near_a = lines("heron")
+    near_b = near_a[:-1] + [near_a[-1].replace("quite fine", "very good")]
+    docs = [
+        _text_doc("d01", *lines("cat")),
+        _text_doc("d02", *lines("cat")),     # exact duplicate of d01
+        _text_doc("d03", *near_a),
+        _text_doc("d04", *near_b),           # near-duplicate of d03
+        _text_doc("d05", *(lines("owl", 5)
+                           + ["write to the archive desk and reach "
+                              "data@example.org for the records today."])),
+        _text_doc("d06", "hi"),              # quality: too few words
+        _text_doc("d07", "whatever.", kind="martian"),   # extract error
+    ]
+    corpus = spark.createDataFrame(docs, schema=INPUT_SCHEMA)
+    cfg = ExtractConfig(unknown_kinds="error")
+    rows = curate(corpus, cfg, fix_encoding=True, c4_lines=True,
+                  gopher=True, remove_repeated=True,
+                  near_dup=True).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    assert len(rows) == len(docs) == len(by_id)
+    assert by_id["d07"]["reason"] == "extract"
+    assert by_id["d06"]["reason"] == "quality"
+    # exact pair: one full survivor, one exact_dup
+    assert {by_id["d01"]["reason"], by_id["d02"]["reason"]} \
+        == {None, "exact_dup"}
+    survivor = by_id["d01"] if by_id["d01"]["kept"] else by_id["d02"]
+    assert "crossed the river" in survivor["content"]
+    # near pair: surgery removed the shared prefix from BOTH; the tiny
+    # distinct tails remain and are no longer near-dups
+    assert by_id["d03"]["kept"] and by_id["d04"]["kept"]
+    assert by_id["d03"]["content"] == "quite fine"
+    assert by_id["d04"]["content"] == "very good"
+    # PII scrubbed before hashing; doc survives the full chain
+    assert by_id["d05"]["kept"]
+    assert "data@example.org" not in by_id["d05"]["content"]
