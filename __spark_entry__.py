@@ -685,6 +685,70 @@ FROM fl"""
 SQL_GOPHER_RULES = _sql_gopher_rules()
 
 
+# license footers planted by doc_id % 8 (the _MOJI_SUFFIXES idiom):
+# one per LICENSE_MARKERS label, one copyright-only line, one clean
+_LICENSE_SUFFIXES = (
+    " Licensed under a Creative Commons Attribution 4.0 license.",
+    " This work is in the Public Domain.",
+    " Released under the MIT License.",
+    " Licensed under the Apache License, Version 2.0.",
+    " Distributed under the GNU General Public License v3.",
+    " Copyright 2024 Example Corp. All rights reserved.",
+    " (c) copyright 2023 by the author.",
+    "",
+)
+
+
+def q_license_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Usage-rights routing signals (textstats.license_signals): first-
+    match LICENSE_MARKERS scan + copyright flag + the restricted bit a
+    permissive-only corpus filters on, over documents with
+    deterministically planted license footers."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    sfx = F.element_at(F.lit(list(_LICENSE_SUFFIXES)),
+                       (F.col("doc_id") % 8 + 1).cast("int"))
+    planted = docs.select("doc_id",
+                          F.concat(F.col("text"), sfx).alias("text"))
+    out = T.license_signals(planted)
+    return out.select(F.col("doc_id").cast("long"), "license",
+                      F.col("has_copyright").cast("int"),
+                      F.col("restricted").cast("int"))
+
+
+def _sql_license_signals() -> str:
+    from rag_document_parser_spark.operators.textstats import LICENSE_MARKERS
+
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    sfx_cases = " ".join(f"WHEN {i} THEN '{esc(s)}'"
+                         for i, s in enumerate(_LICENSE_SUFFIXES))
+    lic_whens = " ".join(
+        f"WHEN position('{esc(needle)}' IN lc) > 0 THEN '{name}'"
+        for name, needle in LICENSE_MARKERS)
+    return f"""
+WITH planted AS (
+  SELECT doc_id,
+         lower(text || (CASE doc_id % 8 {sfx_cases} END)) AS lc
+  FROM documents
+), lab AS (
+  SELECT doc_id,
+    CASE {lic_whens} ELSE 'none' END AS license,
+    (CASE WHEN position('copyright' IN lc) > 0
+            OR position(chr(169) IN lc) > 0 THEN 1 ELSE 0 END)::INT
+      AS has_copyright
+  FROM planted
+)
+SELECT doc_id::BIGINT AS doc_id, license, has_copyright,
+  (CASE WHEN (license <> 'none' OR has_copyright = 1)
+          AND license NOT IN ('cc', 'public-domain', 'mit', 'apache')
+        THEN 1 ELSE 0 END)::INT AS restricted
+FROM lab"""
+
+
+SQL_LICENSE_SIGNALS = _sql_license_signals()
+
+
 def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 line-level cleaning (Raffel et al. 2020 §2.2) — line drop +
     rejoin transform with the document gate.
@@ -2206,6 +2270,55 @@ SELECT id::BIGINT AS id, min(r)::BIGINT AS cluster_id
 FROM reach GROUP BY id"""
 
 
+_LEAK_FRACTIONS = {"train": 0.8, "val": 0.2}
+_LEAK_SALT = "leakv1"
+
+
+def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val split (sampling.leakage_safe_split):
+    simhash near-pairs -> connected components -> the whole duplicate
+    CLUSTER keyed by its min-id representative through the md5 range
+    split, so no near-dup pair ever straddles train and val (a plain
+    per-doc split would measure memorization in the val loss)."""
+    pairs = D.simhash_near_pairs(_cloned_docs(spark, sf_dir), max_hamming=3)
+    out = SAM.leakage_safe_split(_cloned_docs(spark, sf_dir), pairs,
+                                 _LEAK_FRACTIONS, salt=_LEAK_SALT)
+    return out.select(F.col("doc_id").cast("long"),
+                      F.col("split_rep").cast("long"), "split")
+
+
+def _sql_leakage_split() -> str:
+    from rag_document_parser_spark.operators.sampling import _threshold
+
+    bound = _threshold(_LEAK_FRACTIONS["train"])
+    return _sql_simhash_cte(CLONED_SQL).replace(
+        "WITH ", "WITH RECURSIVE ", 1) + f"""
+, prs AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM sh a JOIN sh b ON a.id < b.id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+), e AS (
+  SELECT id_a AS a, id_b AS b FROM prs
+  UNION SELECT id_b, id_a FROM prs
+), reach AS (
+  SELECT a AS id, a AS r FROM e
+  UNION
+  SELECT reach.id, e.b FROM reach JOIN e ON e.a = reach.r
+), cl AS (
+  SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+), d AS (
+  SELECT c.doc_id, coalesce(cl.cluster_id, c.doc_id) AS split_rep
+  FROM {CLONED_SQL} c LEFT JOIN cl ON cl.id = c.doc_id
+)
+SELECT doc_id::BIGINT AS doc_id, split_rep::BIGINT AS split_rep,
+  CASE WHEN substr(md5(split_rep::VARCHAR || '{_LEAK_SALT}'), 1, 8)
+            < '{bound}' THEN 'train' ELSE 'val' END AS split
+FROM d"""
+
+
+SQL_LEAKAGE_SPLIT = _sql_leakage_split()
+
+
 # ---------------------------------------------------------------------------
 # mojibake repair (operators/mojibake.py — ftfy-subset round-trip fix)
 # ---------------------------------------------------------------------------
@@ -2398,6 +2511,117 @@ r AS (SELECT query_id, vec_id, cos,
 SELECT query_id::BIGINT AS query_id, vec_id::BIGINT AS vec_id,
        floor(cos * 1000000)::BIGINT AS cosine_e6, rank::BIGINT AS rank
 FROM r WHERE rank <= {_TOPK}"""
+
+
+_HYB_POOL = 20
+_HYB_K = 5
+
+
+def q_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: the BM25 lexical leg and the exact dense
+    cosine leg fused by reciprocal-rank fusion
+    (``retrieval.rrf_fuse``, Cormack et al. 2009, fixed-point
+    ``1e6 div (60 + rank)``). Queries are doc_id < 8 — their first 4
+    tokens feed the lexical leg, their embedding feeds the dense leg —
+    so both legs rank the SAME query ids over the same corpus domain
+    (vec_id aligns with doc_id in the synthetic tables)."""
+    from rag_document_parser_spark.operators import retrieval as RET
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    staged = docs.where(F.col("doc_id") < _NQ).select(
+        "doc_id", D.words(F.col("text")).alias("_w"))
+    qtext = staged.select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice("_w", 1, _BM25_QLEN), " ").alias("text"))
+    lex = RET.bm25_topk(docs, qtext, k=_HYB_POOL)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = emb.where(F.col("vec_id") < _NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("_qvec"))
+    scored = (emb.select(F.col("vec_id").alias("doc_id"), "embedding")
+              .crossJoin(F.broadcast(qv))
+              .select("query_id", "doc_id",
+                      V.cosine_similarity_col(F.col("embedding"),
+                                              F.col("_qvec")).alias("cos")))
+    dense = V.topk_per_query(scored, _HYB_POOL, "query_id", "doc_id", "cos")
+
+    out = RET.rrf_fuse([lex, dense], k=_HYB_K)
+    return out.select(F.col("query_id").cast("long"),
+                      F.col("doc_id").cast("long"),
+                      "n_lists", "rrf_e6", "rank")
+
+
+SQL_HYBRID_TOPK = f"""
+WITH qsrc AS (
+  SELECT doc_id AS query_id,
+         array_to_string(list_slice({_BMTOKS}, 1, {_BM25_QLEN}), ' ') AS qt
+  FROM documents WHERE doc_id < {_NQ}
+), qterms AS (
+  SELECT DISTINCT query_id, unnest({TOKS_SQL.format(c='qt')}) AS term
+  FROM qsrc
+), toks AS (
+  SELECT doc_id, {_BMTOKS} AS t FROM documents
+), post AS (
+  SELECT term, doc_id, count(*)::BIGINT AS tf, max(dl) AS dl
+  FROM (SELECT doc_id, len(t)::BIGINT AS dl, unnest(t) AS term FROM toks)
+  GROUP BY term, doc_id
+), matched AS (
+  SELECT p.term, p.doc_id, p.tf, p.dl, q.query_id
+  FROM post p JOIN qterms q USING (term)
+), stats AS (
+  SELECT count(*)::BIGINT AS n_docs,
+         coalesce(sum(len({_BMTOKS})), 0)::BIGINT AS total_toks
+  FROM documents
+), dfreq AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df_t
+  FROM matched GROUP BY term
+), sc AS (
+  SELECT m.query_id, m.doc_id,
+    ((s.n_docs::HUGEINT * 2 - d.df_t * 2 + 1) * 1000
+       // (d.df_t::HUGEINT * 2 + 1))
+    * (m.tf::HUGEINT * 22000000
+       // (m.tf::HUGEINT * 10000 + 3000
+           + (m.dl::HUGEINT * 1000000
+              // greatest(s.total_toks::HUGEINT * 1000
+                          // greatest(s.n_docs, 1), 1)) * 9)) AS ts
+  FROM matched m JOIN dfreq d USING (term) CROSS JOIN stats s
+), bagg AS (
+  SELECT query_id, doc_id, sum(ts)::BIGINT AS score_e6
+  FROM sc GROUP BY query_id, doc_id
+), bmr AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score_e6 DESC, doc_id ASC) AS rank
+  FROM bagg
+), e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+), q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {_NQ}),
+s2 AS (SELECT query_id, vec_id AS doc_id,
+         {_DOT} / ({_NRM.format(x='v')} * {_NRM.format(x='qv')}) AS cos
+       FROM e, q),
+cor AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, doc_id ASC) AS rank
+  FROM s2
+), u AS (
+  SELECT query_id, doc_id, rank FROM bmr WHERE rank <= {_HYB_POOL}
+  UNION ALL
+  SELECT query_id, doc_id, rank FROM cor WHERE rank <= {_HYB_POOL}
+), fz AS (
+  SELECT query_id, doc_id, count(*)::BIGINT AS n_lists,
+         sum(1000000 // (60 + rank))::BIGINT AS rrf_e6
+  FROM u GROUP BY query_id, doc_id
+), fr AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY rrf_e6 DESC, doc_id ASC) AS rank
+  FROM fz
+)
+SELECT query_id::BIGINT AS query_id, doc_id::BIGINT AS doc_id,
+       n_lists, rrf_e6, rank::BIGINT AS rank
+FROM fr WHERE rank <= {_HYB_K}"""
 
 
 def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4384,6 +4608,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # pair; the long-stable tail (green in r2 AND r3) yields its slots.
     return {
         # -- new this round / never driver-gated in any round ----------
+        "hybrid_topk": q_hybrid_topk,
+        "leakage_split": q_leakage_split,
+        "license_signals": q_license_signals,
         "quantized_topk": q_quantized_topk,
         "quantized_recall": q_quantized_recall,
         "cms_heavy_hitters": q_cms_heavy_hitters,
@@ -4487,6 +4714,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "hybrid_topk": SQL_HYBRID_TOPK,
+        "leakage_split": SQL_LEAKAGE_SPLIT,
+        "license_signals": SQL_LICENSE_SIGNALS,
         "quantized_topk": SQL_QUANTIZED_TOPK,
         "quantized_recall": SQL_QUANTIZED_RECALL,
         "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,

@@ -59,7 +59,7 @@ from pyspark.sql import DataFrame, functions as F
 from rag_document_parser_spark.operators.dedup import words
 from rag_document_parser_spark.operators.similarity import topk_per_query
 
-__all__ = ["bm25_topk", "inverted_index"]
+__all__ = ["bm25_topk", "inverted_index", "rrf_fuse"]
 
 
 def inverted_index(df: DataFrame, text_col: str = "text",
@@ -148,4 +148,48 @@ def bm25_topk(df: DataFrame, queries: DataFrame, k: int = 10,
                 F.sum("_ts").cast("long").alias("score_e6")))
     return topk_per_query(agg, k, "query_id", "doc_id", "score_e6").select(
         "query_id", "doc_id", "n_terms", "score_e6",
+        F.col("rank").cast("long").alias("rank"))
+
+
+def rrf_fuse(ranked: list[DataFrame], k: int = 10, k0: int = 60,
+             qid_col: str = "query_id", id_col: str = "doc_id",
+             rank_col: str = "rank") -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009)
+    of any number of per-query rank lists — the standard way a RAG
+    stack combines this module's lexical BM25 leg with the similarity
+    module's dense cosine/IVF leg into one hybrid top-k.
+
+    Each list contributes ``1/(k0 + rank)`` per (query, doc); docs
+    missing from a list simply contribute nothing (the paper's
+    convention). Scored in fixed point — ``1_000_000 div (k0 + rank)``
+    summed as BIGINT — so the DuckDB oracle replays every value
+    exactly; with the classic k0 = 60 the contribution stays distinct
+    per rank for all ranks a retrieval list realistically carries, and
+    the sum cannot overflow before ~5.6e14 fused lists. Returns
+    ``(query_id, doc_id, n_lists, rrf_e6, rank)``, rank 1..k per query,
+    ties broken by ascending doc_id.
+
+    Scale shape: one union (no shuffle — unions concatenate), one
+    groupBy keyed by the uniform (query, doc) pair with map-side
+    partial aggregation, then ``topk_per_query``'s two-stage partial
+    rank. The fused relation is at most Σ|list| rows — top-k output
+    sized, never corpus sized.
+    """
+    if not ranked:
+        raise ValueError("rrf_fuse needs at least one ranked list")
+    if k0 < 1:
+        raise ValueError(f"k0 must be >= 1, got {k0}")
+    legs = [r.select(F.col(qid_col).alias("query_id"),
+                     F.col(id_col).alias("doc_id"),
+                     F.col(rank_col).cast("long").alias("_r"))
+            for r in ranked]
+    u = legs[0]
+    for leg in legs[1:]:
+        u = u.unionByName(leg)
+    scored = (u.groupBy("query_id", "doc_id")
+              .agg(F.count("*").cast("long").alias("n_lists"),
+                   F.sum(F.expr(f"1000000 div ({int(k0)} + _r)"))
+                   .cast("long").alias("rrf_e6")))
+    return topk_per_query(scored, k, "query_id", "doc_id", "rrf_e6").select(
+        "query_id", "doc_id", "n_lists", "rrf_e6",
         F.col("rank").cast("long").alias("rank"))

@@ -31,7 +31,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["hash_sample", "hash_split", "resample_by_group", "sample_key",
+__all__ = ["hash_sample", "hash_split", "leakage_safe_split",
+           "resample_by_group", "sample_key",
            "stratified_sample", "weighted_sample"]
 
 # 8 hex digits = 32 bits of the digest: rate resolution 1/2^32, far finer
@@ -169,6 +170,42 @@ def hash_split(df: DataFrame, fractions: dict[str, float],
             else expr.when(branch, F.lit(name))
     label = label if expr is None else expr.otherwise(label)
     return df.withColumn("split", label)
+
+
+def leakage_safe_split(df: DataFrame, pairs: DataFrame,
+                       fractions: dict[str, float],
+                       key_col: str = "doc_id", id_a: str = "id_a",
+                       id_b: str = "id_b", salt: str = "") -> DataFrame:
+    """``hash_split`` that never separates near-duplicates.
+
+    A plain per-document split leaks: when two near-identical documents
+    land in train and val, the val loss silently measures memorization.
+    This variant keys the split by the document's duplicate-CLUSTER
+    representative — ``dedup_clusters`` (min-label connected components)
+    over the ``pairs`` relation any dedup operator in this repo emits —
+    so every cluster lands wholly in one split. Documents with no
+    near-dup keep their own key (``coalesce``), making the output a
+    superset-compatible drop-in for ``hash_split``: same ``split``
+    column, same determinism guarantees, plus a ``split_rep`` column
+    naming the key actually hashed.
+
+    Scale shape: the pair list only names docs that HAVE a near-dup —
+    orders of magnitude smaller than the corpus — so the cluster
+    relation rides a broadcast left join; the corpus itself never
+    shuffles. The split label itself stays a scan-local md5 range
+    compare.
+    """
+    from rag_document_parser_spark.operators.dedup import dedup_clusters
+
+    clusters = dedup_clusters(pairs, id_a, id_b)
+    joined = df.join(
+        F.broadcast(clusters.withColumnRenamed("id", key_col)),
+        key_col, "left")
+    staged = (joined
+              .withColumn("split_rep",
+                          F.coalesce(F.col("cluster_id"), F.col(key_col)))
+              .drop("cluster_id"))
+    return hash_split(staged, fractions, key_col="split_rep", salt=salt)
 
 
 def resample_by_group(df: DataFrame, weights: dict[str, float],

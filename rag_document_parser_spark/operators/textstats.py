@@ -400,3 +400,69 @@ def c4_line_filter(df: DataFrame, text_col: str = "text",
         F.when(doc_ok, F.lit(1)).otherwise(F.lit(0)).cast("int").alias("keep"),
         F.when(doc_ok, F.col("_clean")).alias("clean_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# license / usage-rights signals
+# ---------------------------------------------------------------------------
+
+# (label, lowercase needle) — first match wins, ordered most-specific
+# first so "creative commons ... all rights reserved" footers classify
+# as CC. Needles are long multiword phrases on purpose: short tokens
+# ("gpl", "mit") collide with ordinary prose and would mislabel at
+# web scale.
+LICENSE_MARKERS: tuple[tuple[str, str], ...] = (
+    ("cc", "creative commons"),
+    ("cc", "cc by-"),
+    ("public-domain", "public domain"),
+    ("mit", "mit license"),
+    ("apache", "apache license"),
+    ("gpl", "general public license"),
+    ("all-rights-reserved", "all rights reserved"),
+)
+
+
+def license_signals(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Per-doc usage-rights heuristics for training-data curation.
+
+    Web-scale corpus recipes route documents by declared license
+    (keep CC/public-domain, down-weight or drop all-rights-reserved) —
+    e.g. the permissively-licensed-only corpora trained on Creative
+    Commons crawls. This is the routing signal: a first-match scan of
+    ``LICENSE_MARKERS`` over the lowercased text, plus an explicit
+    copyright-line flag (the © symbol or the word "copyright").
+
+    Returns ``(doc_id, license, has_copyright, restricted)``:
+    ``license`` is the marker label or ``'none'``; ``restricted`` = 1
+    iff the doc carries a rights signal and it is not a permissive
+    one (cc / public-domain / mit / apache) — i.e. the rows a
+    permissive-only corpus drops.
+
+    Heuristics by design (a footer quoting a license mislabels) —
+    the operator is a router, not a lawyer; precedence and needle set
+    are pinned above and mirrored verbatim by the oracle. Pure
+    Catalyst: one projection, first-match ``CASE`` chain over a staged
+    lowercase attribute, zero shuffles, no UDF.
+    """
+    lc = F.lower(F.col(text_col))
+    staged = df.select(F.col(id_col), lc.alias("_lc"))
+    label = None
+    for name, needle in LICENSE_MARKERS:
+        cond = F.instr(F.col("_lc"), needle) > 0
+        label = F.when(cond, F.lit(name)) if label is None \
+            else label.when(cond, F.lit(name))
+    label = label.otherwise(F.lit("none"))
+    has_c = ((F.instr(F.col("_lc"), "copyright") > 0)
+             | (F.instr(F.col("_lc"), "©") > 0))
+    permissive = F.col("license").isin("cc", "public-domain", "mit",
+                                       "apache")
+    out = staged.select(F.col(id_col), label.alias("license"),
+                        F.when(has_c, F.lit(1)).otherwise(F.lit(0))
+                        .cast("int").alias("has_copyright"))
+    restricted = (((F.col("license") != "none") | (F.col("has_copyright")
+                                                   == 1))
+                  & ~permissive)
+    return out.withColumn(
+        "restricted",
+        F.when(restricted, F.lit(1)).otherwise(F.lit(0)).cast("int"))

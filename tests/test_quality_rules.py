@@ -168,3 +168,62 @@ def test_c4_empty(c4):
     e = c4["empty"]
     assert e["n_lines"] == 1 and e["kept_lines"] == 0
     assert e["sentences"] == 0 and e["keep"] == 0
+
+
+# ---------------------------------------------------------------------------
+# license / usage-rights signals
+# ---------------------------------------------------------------------------
+
+from rag_document_parser_spark.operators.textstats import license_signals
+
+_LIC_DOCS = [
+    ("cc", "Shared under a Creative Commons Attribution license."),
+    ("pd", "This text is in the public domain and free to use."),
+    ("mit", "Code licensed under the MIT License. See LICENSE file."),
+    ("apache", "Licensed under the Apache License, Version 2.0."),
+    ("gpl", "Terms: GNU General Public License v3 or later."),
+    ("arr", "Copyright 2020 Acme. All rights reserved."),
+    # copyright word only -> no license label but restricted
+    ("conly", "copyright (c) 2019 somebody"),
+    # precedence: CC footer quoting a rights line still labels cc
+    ("both", "Creative Commons BY 4.0. All rights reserved."),
+    ("none", "plain prose with no rights language at all"),
+]
+
+
+@pytest.fixture(scope="module")
+def lic(spark):
+    df = spark.createDataFrame(_LIC_DOCS, "doc_id string, text string")
+    return {r["doc_id"]: r for r in license_signals(df).collect()}
+
+
+def test_license_labels_and_precedence(lic):
+    assert lic["cc"]["license"] == "cc"
+    assert lic["pd"]["license"] == "public-domain"
+    assert lic["mit"]["license"] == "mit"
+    assert lic["apache"]["license"] == "apache"
+    assert lic["gpl"]["license"] == "gpl"
+    assert lic["arr"]["license"] == "all-rights-reserved"
+    assert lic["both"]["license"] == "cc"  # first marker wins
+    assert lic["none"]["license"] == "none"
+
+
+def test_license_restricted_routing_bit(lic):
+    # permissive labels never restricted, rights-only text is
+    assert lic["cc"]["restricted"] == 0
+    assert lic["pd"]["restricted"] == 0
+    assert lic["mit"]["restricted"] == 0
+    assert lic["apache"]["restricted"] == 0
+    assert lic["gpl"]["restricted"] == 1
+    assert lic["arr"]["restricted"] == 1
+    assert lic["conly"]["license"] == "none"
+    assert lic["conly"]["has_copyright"] == 1
+    assert lic["conly"]["restricted"] == 1
+    assert lic["none"]["restricted"] == 0
+    assert lic["both"]["restricted"] == 0  # cc wins the route
+
+
+def test_license_copyright_flag_case_insensitive(lic):
+    assert lic["arr"]["has_copyright"] == 1
+    assert lic["conly"]["has_copyright"] == 1
+    assert lic["none"]["has_copyright"] == 0

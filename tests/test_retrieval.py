@@ -127,3 +127,83 @@ def test_bm25_stopword_query_broadcast_plan(corpus_df, queries_df):
     # the only SortMergeJoin-free requirement: postings never shuffle
     # against the query side
     assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# reciprocal-rank fusion
+# ---------------------------------------------------------------------------
+
+
+def _ranked(spark, rows):
+    return spark.createDataFrame(rows, "query_id string, doc_id string,"
+                                       " rank long")
+
+
+def test_rrf_fuse_exact_fixed_point_scores(spark):
+    from rag_document_parser_spark.operators.retrieval import rrf_fuse
+
+    lex = _ranked(spark, [("q", "a", 1), ("q", "b", 2), ("q", "c", 3)])
+    dense = _ranked(spark, [("q", "b", 1), ("q", "d", 2), ("q", "a", 3)])
+    got = {r["doc_id"]: (r["n_lists"], r["rrf_e6"], r["rank"])
+           for r in rrf_fuse([lex, dense], k=10).collect()}
+    c = lambda r: 1_000_000 // (60 + r)  # noqa: E731
+    want = {"b": (2, c(2) + c(1)), "a": (2, c(1) + c(3)),
+            "d": (1, c(2)), "c": (1, c(3))}
+    order = sorted(want, key=lambda d: (-want[d][1], d))
+    assert got == {d: (want[d][0], want[d][1], order.index(d) + 1)
+                   for d in want}
+
+
+def test_rrf_fuse_doc_in_both_lists_beats_single_list(spark):
+    from rag_document_parser_spark.operators.retrieval import rrf_fuse
+
+    # "x" is rank 2 in BOTH lists; each list's rank-1 doc is unique to
+    # it. 2/(60+2) > 1/(60+1), so the consensus doc must win.
+    lex = _ranked(spark, [("q", "a", 1), ("q", "x", 2)])
+    dense = _ranked(spark, [("q", "b", 1), ("q", "x", 2)])
+    top = rrf_fuse([lex, dense], k=1).collect()
+    assert [(r["doc_id"], r["rank"]) for r in top] == [("x", 1)]
+
+
+def test_rrf_fuse_respects_k_and_tie_break(spark):
+    from rag_document_parser_spark.operators.retrieval import rrf_fuse
+
+    # same rank in one list each -> equal scores; tie breaks by doc_id
+    lex = _ranked(spark, [("q", "zz", 1)])
+    dense = _ranked(spark, [("q", "aa", 1)])
+    got = [(r["doc_id"], r["rank"])
+           for r in rrf_fuse([lex, dense], k=2).orderBy("rank").collect()]
+    assert got == [("aa", 1), ("zz", 2)]
+
+
+def test_rrf_fuse_input_validation(spark):
+    from rag_document_parser_spark.operators.retrieval import rrf_fuse
+
+    with pytest.raises(ValueError):
+        rrf_fuse([])
+    with pytest.raises(ValueError):
+        rrf_fuse([_ranked(spark, [("q", "a", 1)])], k0=0)
+
+
+def test_rrf_fuse_hybrid_legs_end_to_end(spark):
+    """BM25 leg + dense-stand-in leg over the shared corpus fuse into
+    a per-query top-k whose every (query, doc) appears in >= 1 leg."""
+    from rag_document_parser_spark.operators.retrieval import rrf_fuse
+
+    corpus = spark.createDataFrame(CORPUS, "doc_id string, text string")
+    queries = spark.createDataFrame(QUERIES, "query_id string, text string")
+    lex = bm25_topk(corpus, queries, k=3)
+    # dense stand-in: doc length as the score (deterministic, no embeddings
+    # needed) ranked per query
+    from rag_document_parser_spark.operators.similarity import topk_per_query
+    scored = (corpus.withColumn("s", F.length("text"))
+              .crossJoin(queries.select("query_id"))
+              .select("query_id", "doc_id", "s"))
+    dense = topk_per_query(scored, 3, "query_id", "doc_id", "s")
+    fused = rrf_fuse([lex, dense], k=3).collect()
+    legs = {(r["query_id"], r["doc_id"])
+            for r in lex.collect() + dense.collect()}
+    assert fused and all((r["query_id"], r["doc_id"]) in legs
+                         for r in fused)
+    assert all(1 <= r["rank"] <= 3 and r["n_lists"] in (1, 2)
+               for r in fused)

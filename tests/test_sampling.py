@@ -135,3 +135,44 @@ def test_weighted_sample_validates(spark):
     df = spark.createDataFrame([(1, 1)], "doc_id long, w long")
     with pytest.raises(ValueError):
         SAM.weighted_sample(df, k=0, weight_col="w")
+
+
+# ---------------------------------------------------------------------------
+# leakage-safe split
+# ---------------------------------------------------------------------------
+
+
+def _pairs(spark, rows):
+    return spark.createDataFrame(rows, "id_a long, id_b long")
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    docs = _docs(spark).select("doc_id", "text")
+    # chain 0-1-2 plus pair (10, 11): all of a component must co-locate
+    pairs = _pairs(spark, [(0, 1), (1, 2), (10, 11)])
+    out = SAM.leakage_safe_split(docs, pairs, {"train": 0.5, "val": 0.5},
+                                 salt="lk")
+    rows = {r["doc_id"]: (r["split_rep"], r["split"])
+            for r in out.collect()}
+    assert rows[0] == rows[1] == rows[2]
+    assert rows[10] == rows[11]
+    assert rows[0][0] == 0 and rows[10][0] == 10  # min-id representative
+    # non-paired docs keep their own key -> identical to plain hash_split
+    plain = {r["doc_id"]: r["split"]
+             for r in SAM.hash_split(docs, {"train": 0.5, "val": 0.5},
+                                     salt="lk").collect()}
+    for d, (rep, split) in rows.items():
+        if d not in (0, 1, 2, 10, 11):
+            assert rep == d and split == plain[d]
+
+
+def test_leakage_safe_split_no_pair_straddles_splits(spark):
+    docs = _docs(spark).select("doc_id", "text")
+    edges = [(i, i + 1) for i in range(0, 40, 2)]
+    pairs = _pairs(spark, edges)
+    out = SAM.leakage_safe_split(
+        docs, pairs, {"train": 0.7, "val": 0.2, "test": 0.1}, salt="lk2")
+    split_of = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert all(split_of[a] == split_of[b] for a, b in edges)
+    assert set(split_of.values()) <= {"train", "val", "test"}
+    assert len(split_of) == docs.count()  # exhaustive, no dup rows
