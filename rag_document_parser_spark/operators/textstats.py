@@ -422,6 +422,29 @@ LICENSE_MARKERS: tuple[tuple[str, str], ...] = (
 )
 
 
+def license_exprs(lc: Column) -> dict[str, Column]:
+    """The three rights signals as expressions over an ALREADY-LOWERCASED
+    bound attribute (stage ``lower(text)`` as its own projection first —
+    SPARK-36718) — the composition surface ``plans.curate`` uses to fold
+    the gate into its quality projection without a join."""
+    label = None
+    for name, needle in LICENSE_MARKERS:
+        cond = F.instr(lc, needle) > 0
+        label = F.when(cond, F.lit(name)) if label is None \
+            else label.when(cond, F.lit(name))
+    label = label.otherwise(F.lit("none"))
+    has_c = ((F.instr(lc, "copyright") > 0) | (F.instr(lc, "©") > 0))
+    permissive = label.isin("cc", "public-domain", "mit", "apache")
+    restricted = (((label != F.lit("none")) | has_c) & ~permissive)
+    return {
+        "license": label,
+        "has_copyright":
+            F.when(has_c, F.lit(1)).otherwise(F.lit(0)).cast("int"),
+        "restricted":
+            F.when(restricted, F.lit(1)).otherwise(F.lit(0)).cast("int"),
+    }
+
+
 def license_signals(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id") -> DataFrame:
     """Per-doc usage-rights heuristics for training-data curation.
@@ -445,24 +468,9 @@ def license_signals(df: DataFrame, text_col: str = "text",
     Catalyst: one projection, first-match ``CASE`` chain over a staged
     lowercase attribute, zero shuffles, no UDF.
     """
-    lc = F.lower(F.col(text_col))
-    staged = df.select(F.col(id_col), lc.alias("_lc"))
-    label = None
-    for name, needle in LICENSE_MARKERS:
-        cond = F.instr(F.col("_lc"), needle) > 0
-        label = F.when(cond, F.lit(name)) if label is None \
-            else label.when(cond, F.lit(name))
-    label = label.otherwise(F.lit("none"))
-    has_c = ((F.instr(F.col("_lc"), "copyright") > 0)
-             | (F.instr(F.col("_lc"), "©") > 0))
-    permissive = F.col("license").isin("cc", "public-domain", "mit",
-                                       "apache")
-    out = staged.select(F.col(id_col), label.alias("license"),
-                        F.when(has_c, F.lit(1)).otherwise(F.lit(0))
-                        .cast("int").alias("has_copyright"))
-    restricted = (((F.col("license") != "none") | (F.col("has_copyright")
-                                                   == 1))
-                  & ~permissive)
-    return out.withColumn(
-        "restricted",
-        F.when(restricted, F.lit(1)).otherwise(F.lit(0)).cast("int"))
+    staged = df.select(F.col(id_col),
+                       F.lower(F.col(text_col)).alias("_lc"))
+    le = license_exprs(F.col("_lc"))
+    return staged.select(F.col(id_col), le["license"].alias("license"),
+                         le["has_copyright"].alias("has_copyright"),
+                         le["restricted"].alias("restricted"))

@@ -69,6 +69,7 @@ from rag_document_parser_spark.operators.repetition import (
 from rag_document_parser_spark.operators.textstats import (
     c4_line_filter,
     gopher_rules,
+    license_exprs,
     quality_exprs,
 )
 from rag_document_parser_spark.plans.job import extract
@@ -79,6 +80,7 @@ SEP = "\n\n"
 def curate(df: DataFrame, cfg: ExtractConfig | None = None,
            min_words: int = 5, max_words: int = 100_000,
            min_alpha_ratio: float = 0.1, fix_encoding: bool = False,
+           drop_restricted: bool = False,
            c4_lines: bool = False, gopher: bool = False,
            scrub_pii: bool = True,
            boilerplate_min_docs: int = 2,
@@ -94,8 +96,17 @@ def curate(df: DataFrame, cfg: ExtractConfig | None = None,
     ``(doc_id, route, title, content, n_pii, kept, reason)`` where
     ``content`` is the curated text (null for dropped docs), ``kept``
     marks survivors and ``reason`` names the FIRST stage that dropped
-    the doc (``extract`` | ``quality`` | ``c4`` | ``gopher`` |
-    ``empty`` | ``exact_dup`` | ``near_dup`` | null for kept).
+    the doc (``extract`` | ``quality`` | ``license`` | ``c4`` |
+    ``gopher`` | ``empty`` | ``exact_dup`` | ``near_dup`` | null for
+    kept).
+
+    ``drop_restricted=True`` inserts the usage-rights gate
+    (``textstats.license_exprs``) right after the cheap quality gate,
+    reading the ORIGINAL extracted text (before the C4 line rewrite
+    can drop a license footer line): documents carrying a rights
+    signal that is not a permissive license (cc / public-domain /
+    mit / apache) drop with reason ``license`` — the permissive-only
+    corpus recipe. Row-local, zero shuffles.
 
     ``fix_encoding=True`` repairs cp1252/latin-1 mojibake in the
     extracted content before anything measures or hashes it — two docs
@@ -160,7 +171,21 @@ def curate(df: DataFrame, cfg: ExtractConfig | None = None,
         "_base_q",
         F.col("_nw").between(min_words, max_words)
         & (F.col("_ar") >= min_alpha_ratio))
-    thru = ("route", "title", "success", "_nw", "_ar", "_base_q")
+    if drop_restricted:
+        # rights gate reads the ORIGINAL extracted text (before the C4
+        # line rewrite can drop a license footer line); row-local
+        # first-match marker scan over a staged lowercase attribute —
+        # zero shuffles, lands before the checkpoint like every gate
+        staged = doc.withColumn("_lic_lc", F.lower(F.col("content")))
+        doc = (staged
+               .withColumn("_license_ok",
+                           license_exprs(F.col("_lic_lc"))["restricted"]
+                           == 0)
+               .drop("_lic_lc"))
+    else:
+        doc = doc.withColumn("_license_ok", F.lit(True))
+    thru = ("route", "title", "success", "_nw", "_ar", "_base_q",
+            "_license_ok")
     if c4_lines:
         c4 = c4_line_filter(doc, text_col="content", id_col="doc_id",
                             passthrough=thru)
@@ -181,8 +206,8 @@ def curate(df: DataFrame, cfg: ExtractConfig | None = None,
         doc = doc.withColumn("_gopher_ok", F.lit(True))
     doc = doc.withColumn(
         "_quality",
-        F.col("success") & F.col("_base_q") & F.col("_c4_ok")
-        & F.col("_gopher_ok"))
+        F.col("success") & F.col("_base_q") & F.col("_license_ok")
+        & F.col("_c4_ok") & F.col("_gopher_ok"))
     if materialize:
         # checkpoint AFTER the content projection: the flattened text is
         # ~half the bytes of the spans_clean arrays it derives from, and
@@ -330,6 +355,7 @@ def curate(df: DataFrame, cfg: ExtractConfig | None = None,
         F.lit(False).alias("kept"),
         F.when(~F.col("success"), F.lit("extract"))
         .when(~F.col("_base_q"), F.lit("quality"))
+        .when(~F.col("_license_ok"), F.lit("license"))
         .when(~F.col("_c4_ok"), F.lit("c4"))
         .otherwise(F.lit("gopher")).alias("reason"))
     return kept_rows.unionByName(dropped)

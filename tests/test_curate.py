@@ -312,3 +312,31 @@ def test_curate_all_stages_enabled(spark):
     # PII scrubbed before hashing; doc survives the full chain
     assert by_id["d05"]["kept"]
     assert "data@example.org" not in by_id["d05"]["content"]
+
+
+# ---------------------------------------------------------------------------
+# opt-in usage-rights gate (drop_restricted=True)
+# ---------------------------------------------------------------------------
+
+
+def test_drop_restricted_gates_rights_marked_docs(spark):
+    docs = [
+        _text_doc("lic1", BODY, "Copyright 2020 Acme. All rights reserved."),
+        _text_doc("lic2", NEAR_A,
+                  "Shared under a Creative Commons Attribution license."),
+        _text_doc("lic3", BODY.replace("arctic terns", "barn swallows")),
+    ]
+    corpus = spark.createDataFrame(docs, schema=INPUT_SCHEMA)
+    out = {r["doc_id"]: r
+           for r in curate(corpus, drop_restricted=True,
+                           near_dup=False).collect()}
+    assert out["lic1"]["kept"] is False
+    assert out["lic1"]["reason"] == "license"
+    assert out["lic1"]["content"] is None
+    # permissive license is NOT restricted; clean doc untouched
+    assert out["lic2"]["kept"] is True and out["lic2"]["reason"] is None
+    assert out["lic3"]["kept"] is True
+    # default off: the same corpus keeps everything
+    dflt = {r["doc_id"]: r["kept"]
+            for r in curate(corpus, near_dup=False).collect()}
+    assert all(dflt.values())
