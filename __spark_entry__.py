@@ -685,6 +685,33 @@ FROM fl"""
 SQL_GOPHER_RULES = _sql_gopher_rules()
 
 
+def q_source_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality prior (textstats.source_quality_prior): the
+    CCNet/C4 per-domain routing signal — fraction of each source's docs
+    clearing the integer word-count + alpha-share bar, in fixed point."""
+    return T.source_quality_prior(_docs(spark, sf_dir)).select(
+        "source", "n_docs", "n_pass", "pass_rate_e6", "total_words")
+
+
+SQL_SOURCE_PRIOR = f"""
+WITH s AS (
+  SELECT source, len({TOKS_SQL.format(c='text')})::BIGINT AS nw,
+         length(text)::BIGINT AS nc,
+         length(regexp_replace(text, '[^A-Za-z{S.ARABIC_RANGE} ]', '', 'g'))
+           ::BIGINT AS na
+  FROM documents
+), f AS (
+  SELECT source, nw,
+    (CASE WHEN nw >= 5 AND nw <= 100000 AND na * 1000 >= nc * 100
+          THEN 1 ELSE 0 END)::BIGINT AS ok
+  FROM s
+)
+SELECT source, count(*)::BIGINT AS n_docs, sum(ok)::BIGINT AS n_pass,
+       (sum(ok) * 1000000 // count(*))::BIGINT AS pass_rate_e6,
+       sum(nw)::BIGINT AS total_words
+FROM f GROUP BY source"""
+
+
 # license footers planted by doc_id % 8 (the _MOJI_SUFFIXES idiom):
 # one per LICENSE_MARKERS label, one copyright-only line, one clean
 _LICENSE_SUFFIXES = (
@@ -4611,6 +4638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_topk": q_hybrid_topk,
         "leakage_split": q_leakage_split,
         "license_signals": q_license_signals,
+        "source_prior": q_source_prior,
         "quantized_topk": q_quantized_topk,
         "quantized_recall": q_quantized_recall,
         "cms_heavy_hitters": q_cms_heavy_hitters,
@@ -4717,6 +4745,7 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_topk": SQL_HYBRID_TOPK,
         "leakage_split": SQL_LEAKAGE_SPLIT,
         "license_signals": SQL_LICENSE_SIGNALS,
+        "source_prior": SQL_SOURCE_PRIOR,
         "quantized_topk": SQL_QUANTIZED_TOPK,
         "quantized_recall": SQL_QUANTIZED_RECALL,
         "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,

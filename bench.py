@@ -275,6 +275,33 @@ def main() -> None:
         F.array_join(F.slice(_words(F.col("text")), 1, 4), " ").alias("text"))
     timed_reps("bm25_topk",
           lambda: RET.bm25_topk(docs, bm25_q, k=10).count())
+
+    def _hybrid():
+        lex = RET.bm25_topk(docs, bm25_q, k=20)
+        qv = emb.where(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("_qvec"))
+        scored = (emb.select(F.col("vec_id").alias("doc_id"), "embedding")
+                  .crossJoin(F.broadcast(qv))
+                  .select("query_id", "doc_id",
+                          V.cosine_similarity_col(
+                              F.col("embedding"),
+                              F.col("_qvec")).alias("cos")))
+        dense = V.topk_per_query(scored, 20, "query_id", "doc_id", "cos")
+        return RET.rrf_fuse([lex, dense], k=10).count()
+
+    timed_reps("hybrid_topk", _hybrid)
+    timed_reps("leakage_split",
+          lambda: SAM.leakage_safe_split(
+              docs, D.simhash_near_pairs(
+                  docs.select("doc_id", "text"), max_hamming=3),
+              {"train": 0.8, "val": 0.2}, salt="b")
+          .groupBy("split").count().collect())
+    timed_reps("license_signals",
+          lambda: T.license_signals(docs)
+          .groupBy("license", "restricted").count().collect())
+    timed_reps("source_prior",
+          lambda: T.source_quality_prior(docs).collect())
     from rag_document_parser_spark.operators.mojibake import fix_mojibake
     timed_reps("fix_mojibake",
           lambda: fix_mojibake(docs.select("doc_id", "text"))

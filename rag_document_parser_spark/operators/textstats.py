@@ -474,3 +474,55 @@ def license_signals(df: DataFrame, text_col: str = "text",
     return staged.select(F.col(id_col), le["license"].alias("license"),
                          le["has_copyright"].alias("has_copyright"),
                          le["restricted"].alias("restricted"))
+
+
+def source_quality_prior(df: DataFrame, source_col: str = "source",
+                         text_col: str = "text",
+                         min_words: int = 5, max_words: int = 100_000,
+                         alpha_permille: int = 100) -> DataFrame:
+    """Per-source quality prior — the CCNet/C4-style per-DOMAIN routing
+    signal: before spending per-document compute on a crawl, corpus
+    recipes rank whole sources (hosts, dumps, feeds) by the fraction of
+    their documents that clear a cheap quality bar, then sample or drop
+    entire sources by that prior.
+
+    A document passes iff its word count lies in
+    ``[min_words, max_words]`` and its alphabetic character share is at
+    least ``alpha_permille``/1000 — evaluated as the integer
+    cross-multiplication ``1000·alpha_chars >= alpha_permille·n_chars``
+    (the ``gopher_rules`` discipline: no float ratio is ever
+    materialized, so the DuckDB oracle replays every row bit-exactly).
+    Alphabetic means latin or arabic script, the ``quality_exprs``
+    char class.
+
+    Returns ``(source, n_docs, n_pass, pass_rate_e6, total_words)``
+    with ``pass_rate_e6 = 1_000_000·n_pass div n_docs``.
+
+    Scale shape: one narrow scan-local projection (tokens staged as a
+    bound attribute), then one groupBy on source with map-side partial
+    aggregation — a giant domain is one hot key, but every partial sum
+    combines map-side, so the hot key moves one row per upstream
+    partition, not its documents. Join the result back broadcast
+    (sources number in the millions at web scale; the prior table is
+    KB-per-source, not corpus-sized).
+    """
+    c = F.col(text_col)
+    staged = df.select(
+        F.col(source_col).alias("source"),
+        F.size(words(c)).cast("long").alias("_nw"),
+        F.length(c).cast("long").alias("_nc"),
+        F.length(F.regexp_replace(c, "[^A-Za-z؀-ۿ ]", ""))
+        .cast("long").alias("_na"))
+    ok = ((F.col("_nw") >= min_words) & (F.col("_nw") <= max_words)
+          & (F.col("_na") * 1000 >= F.col("_nc") * alpha_permille))
+    agg = (staged
+           .withColumn("_ok", F.when(ok, F.lit(1)).otherwise(F.lit(0))
+                       .cast("long"))
+           .groupBy("source")
+           .agg(F.count("*").cast("long").alias("n_docs"),
+                F.sum("_ok").cast("long").alias("n_pass"),
+                F.sum("_nw").cast("long").alias("total_words")))
+    return agg.select(
+        "source", "n_docs", "n_pass",
+        F.expr("n_pass * 1000000 div n_docs").alias("pass_rate_e6"),
+        "total_words")

@@ -227,3 +227,43 @@ def test_license_copyright_flag_case_insensitive(lic):
     assert lic["arr"]["has_copyright"] == 1
     assert lic["conly"]["has_copyright"] == 1
     assert lic["none"]["has_copyright"] == 0
+
+
+# ---------------------------------------------------------------------------
+# per-source quality prior
+# ---------------------------------------------------------------------------
+
+from rag_document_parser_spark.operators.textstats import source_quality_prior
+
+_PRIOR_DOCS = [
+    # source A: 2 pass, 1 fail (too short)
+    ("a", "good", "the quick brown fox jumps over the lazy sleeping dog"),
+    ("a", "good2", "open source engines improved their optimisers a lot"),
+    ("a", "short", "hi there"),
+    # source B: 1 pass, 1 fail (alpha share below 10% — the alpha class
+    # counts letters AND spaces, so the fail doc must be space-free too)
+    ("b", "good", "a perfectly ordinary sentence with plenty of words here"),
+    ("b", "nums", "1,2,3,4,5,6,7,8,9,10,11,12,13,14,15,16,17,18,19,20"),
+]
+
+
+def test_source_prior_counts_and_fixed_point_rate(spark):
+    df = spark.createDataFrame(
+        [(s, f"{s}/{d}", t) for s, d, t in _PRIOR_DOCS],
+        "source string, doc_id string, text string")
+    got = {r["source"]: r for r in source_quality_prior(df).collect()}
+    assert got["a"]["n_docs"] == 3 and got["a"]["n_pass"] == 2
+    assert got["a"]["pass_rate_e6"] == 2 * 1_000_000 // 3
+    assert got["b"]["n_docs"] == 2 and got["b"]["n_pass"] == 1
+    assert got["b"]["pass_rate_e6"] == 500_000
+    # total_words sums the shared tokenizer's counts (alnum runs)
+    assert got["b"]["total_words"] == 9 + 20
+
+
+def test_source_prior_partition_invariant(spark):
+    df = spark.createDataFrame(
+        [(s, f"{s}/{d}", t) for s, d, t in _PRIOR_DOCS],
+        "source string, doc_id string, text string")
+    a = sorted(map(tuple, source_quality_prior(df).collect()))
+    b = sorted(map(tuple, source_quality_prior(df.repartition(7)).collect()))
+    assert a == b
