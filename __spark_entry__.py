@@ -1143,6 +1143,52 @@ SELECT tk.doc_id::BIGINT AS doc_id, tk.n::BIGINT AS n_tokens,
 FROM tk LEFT JOIN agg USING (doc_id)"""
 
 
+def q_decontam_surgery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-overlap surgery (repetition.decontaminate_surgery):
+    every window of the deterministic 10% held-out sample (same eval
+    set as `decontam`) is excised from every corpus doc — the doc
+    survives with the leaking spans cut out, instead of being dropped.
+    Sampled docs overlap themselves fully, so they clean to empty; the
+    interesting rows are unsampled docs sharing template windows."""
+    d = _docs(spark, sf_dir)
+    ev = SAM.hash_sample(d, rate=0.1, salt="contam")
+    out = REP.decontaminate_surgery(d, ev, window=_RW_WINDOW)
+    return out.select(F.col("doc_id").cast("long"),
+                      F.col("n_tokens").cast("long"),
+                      F.col("n_removed").cast("long"), "cleaned")
+
+
+# threshold string must come from the SAME computation the operator uses
+_CONTAM_THR = SAM._threshold(0.1)
+SQL_DECONTAM_SURGERY = _SQL_RW_BASE + f"""
+, rep AS (
+  SELECT DISTINCT whash FROM ex
+  WHERE substr(md5(doc_id::VARCHAR || 'contam'), 1, 8) < '{_CONTAM_THR}'
+), exp AS (
+  SELECT doc_id, unnest(ws) AS whash, generate_subscripts(ws, 1) AS s
+  FROM wh
+), rs AS (
+  SELECT e.doc_id, e.s FROM exp e JOIN rep USING (whash)
+), cov AS (
+  SELECT DISTINCT doc_id, s + r.range AS p
+  FROM rs, range({_RW_WINDOW}) r
+), tokp AS (
+  SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS p FROM tk
+), kept AS (
+  SELECT tp.doc_id, tp.tok, tp.p
+  FROM tokp tp LEFT JOIN cov c ON c.doc_id = tp.doc_id AND c.p = tp.p
+  WHERE c.p IS NULL
+), agg AS (
+  SELECT doc_id, count(*) AS nk,
+         string_agg(tok, ' ' ORDER BY p) AS cleaned
+  FROM kept GROUP BY doc_id
+)
+SELECT tk.doc_id::BIGINT AS doc_id, tk.n::BIGINT AS n_tokens,
+  (tk.n - coalesce(agg.nk, 0))::BIGINT AS n_removed,
+  coalesce(agg.cleaned, '') AS cleaned
+FROM tk LEFT JOIN agg USING (doc_id)"""
+
+
 def q_repeated_window_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc repeated-window fraction (fixed-point)."""
     out = REP.repeated_window_fraction(_docs(spark, sf_dir),
@@ -1468,8 +1514,6 @@ def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SH3D = _shingles_sql("text", 3)
-# threshold string must come from the SAME computation the operator uses
-_CONTAM_THR = SAM._threshold(0.1)
 SQL_DECONTAM = f"""
 WITH ev AS (SELECT DISTINCT s AS shingle FROM (
     SELECT unnest(list_distinct({_SH3D})) AS s FROM documents
@@ -4639,6 +4683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_split": q_leakage_split,
         "license_signals": q_license_signals,
         "source_prior": q_source_prior,
+        "decontam_surgery": q_decontam_surgery,
         "quantized_topk": q_quantized_topk,
         "quantized_recall": q_quantized_recall,
         "cms_heavy_hitters": q_cms_heavy_hitters,
@@ -4746,6 +4791,7 @@ def oracle_sql() -> dict[str, str]:
         "leakage_split": SQL_LEAKAGE_SPLIT,
         "license_signals": SQL_LICENSE_SIGNALS,
         "source_prior": SQL_SOURCE_PRIOR,
+        "decontam_surgery": SQL_DECONTAM_SURGERY,
         "quantized_topk": SQL_QUANTIZED_TOPK,
         "quantized_recall": SQL_QUANTIZED_RECALL,
         "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,

@@ -36,6 +36,7 @@ from rag_document_parser_spark.operators.dedup import shingle_df, words
 
 __all__ = [
     "decontaminate",
+    "decontaminate_surgery",
     "line_repetition_features",
     "remove_repeated_windows",
     "repeated_window_fraction",
@@ -309,3 +310,30 @@ def decontaminate(corpus: DataFrame, eval_df: DataFrame,
     frac = F.col("n_matched") / F.col("n_sh")
     return out.select("id", "n_sh", "n_matched", frac.alias("contam_frac"),
                       (frac >= threshold).alias("contaminated"))
+
+
+def decontaminate_surgery(corpus: DataFrame, eval_df: DataFrame,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          window: int = 20,
+                          broadcast_repeats: bool = True) -> DataFrame:
+    """Benchmark-overlap SURGERY: excise every eval-set token window
+    from corpus documents instead of dropping whole documents.
+
+    ``decontaminate`` flags and drops; this keeps the document and cuts
+    only the overlapping spans — the remedy corpus recipes apply when a
+    long document quotes a benchmark passage verbatim (dropping the
+    whole doc would throw away the 99% that is clean; shipping it would
+    leak the eval answer). The eval side collapses to its DISTINCT
+    ``window``-token window hashes and rides the same broadcast +
+    interval-merge span surgery as ``remove_repeated_windows`` —
+    O(tokens + intervals) per doc, corpus never shuffled on the window
+    key. Same token-space caveat as the repeated-window surgery:
+    ``cleaned`` is the tokenizer's lowercase word stream.
+
+    Returns ``(id_col, n_tokens, n_removed, cleaned)``.
+    """
+    bench = (_window_hash_df(eval_df, text_col, id_col, window)
+             .select(F.explode_outer("whashes").alias("whash"))
+             .where(F.col("whash").isNotNull()).distinct())
+    return remove_repeated_windows(corpus, bench, text_col, id_col,
+                                   window, broadcast_repeats)

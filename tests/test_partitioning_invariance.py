@@ -117,3 +117,48 @@ def test_caption_candidates_invariant(spark):
         rows.append((f"d{i}", spans))
     df = spark.createDataFrame(rows, schema)
     _check(caption_candidates)(df)
+
+
+def test_rrf_fuse_invariant(spark):
+    from rag_document_parser_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(q, f"d{(q * 7 + r) % 40}", r) for q in range(5)
+         for r in range(1, 21)],
+        "query_id long, doc_id string, rank long")
+    b = spark.createDataFrame(
+        [(q, f"d{(q * 11 + r * 3) % 40}", r) for q in range(5)
+         for r in range(1, 21)],
+        "query_id long, doc_id string, rank long")
+
+    def build(df):
+        return rrf_fuse([df, b], k=5)
+
+    _check(build)(a)
+
+
+def test_leakage_safe_split_invariant(spark):
+    from rag_document_parser_spark.operators.sampling import (
+        leakage_safe_split)
+
+    docs = spark.createDataFrame(
+        [(i, f"text body number {i}") for i in range(200)],
+        "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 60, 2)], "id_a long, id_b long")
+    _check(lambda d: leakage_safe_split(
+        d, pairs, {"train": 0.7, "val": 0.3}, salt="pi"))(docs)
+
+
+def test_source_prior_and_license_invariant(spark):
+    from rag_document_parser_spark.operators.textstats import (
+        license_signals, source_quality_prior)
+
+    docs = spark.createDataFrame(
+        [(f"s{i % 5}", i,
+          f"document {i} mentions rights" + (" all rights reserved"
+                                             if i % 3 == 0 else ""))
+         for i in range(200)],
+        "source string, doc_id long, text string")
+    _check(source_quality_prior)(docs)
+    _check(license_signals)(docs)

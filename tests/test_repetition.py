@@ -165,3 +165,52 @@ def test_remove_repeated_partition_invariant(spark):
     assert a == b and len(a) == 30
     # every doc lost exactly the 4-token shared run
     assert all(r[2] == 4 for r in a)
+
+
+def test_decontaminate_surgery_excises_eval_windows(spark):
+    from rag_document_parser_spark.operators.repetition import (
+        decontaminate_surgery)
+
+    bench_passage = ("the capital of france is paris and the capital of "
+                     "italy is rome exactly")
+    corpus = spark.createDataFrame(
+        [(1, "some original prose here " + bench_passage
+             + " followed by more original analysis text"),
+         (2, "entirely clean document with no benchmark overlap at all "
+             "in any of its words"),
+         (3, bench_passage)],
+        "doc_id long, text string")
+    eval_df = spark.createDataFrame([(100, bench_passage)],
+                                    "doc_id long, text string")
+    out = {r["doc_id"]: r
+           for r in decontaminate_surgery(corpus, eval_df,
+                                          window=8).collect()}
+    # doc 1: the quoted passage (14 tokens -> all covered by its 8-token
+    # windows) is cut; surrounding prose survives
+    assert "capital" not in out[1]["cleaned"]
+    assert out[1]["cleaned"].startswith("some original prose here")
+    assert out[1]["cleaned"].endswith("followed by more original analysis"
+                                      " text")
+    assert out[1]["n_removed"] == 14
+    # doc 2 untouched
+    assert out[2]["n_removed"] == 0
+    assert out[2]["n_tokens"] == len(out[2]["cleaned"].split())
+    # doc 3 IS the benchmark passage: cleans to empty
+    assert out[3]["cleaned"] == "" and out[3]["n_removed"] == 14
+
+
+def test_decontaminate_surgery_partial_window_tail_survives(spark):
+    from rag_document_parser_spark.operators.repetition import (
+        decontaminate_surgery)
+
+    # corpus doc shares only a PREFIX of the eval text shorter than one
+    # window -> no window matches, nothing removed
+    eval_df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma completely different continuation of "
+             "words that keeps going")],
+        "doc_id long, text string")
+    out = decontaminate_surgery(corpus, eval_df, window=8).collect()[0]
+    assert out["n_removed"] == 0
