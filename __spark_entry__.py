@@ -1766,6 +1766,63 @@ FROM s, bl"""
 SQL_SENTENCE_DEDUP = _sql_sentence_dedup()
 
 
+# sentence-ize the corpus deterministically: a period after every 5
+# words (same non-overlapping global replace in Java regex and RE2)
+_SENTIZE_RE = "([a-z0-9]+ [a-z0-9]+ [a-z0-9]+ [a-z0-9]+ [a-z0-9]+) "
+_SC_MAX_TOK = 12
+
+
+def q_sentence_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-boundary RAG chunking (sentences.sentence_chunks):
+    whole sentences packed greedily into <= 12-token chunks over a
+    deterministically sentence-ized corpus — zero-exchange row-local
+    fold, chunks never cut mid-sentence."""
+    from rag_document_parser_spark.operators import sentences as SEN
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.regexp_replace(F.col("text"), _SENTIZE_RE, "$1. ").alias("t"))
+    out = SEN.sentence_chunks(d, max_tokens=_SC_MAX_TOK, text_col="t")
+    return out.select(F.col("doc_id").cast("long"), "chunk_idx",
+                      "n_sents", "n_tok", "chunk_text")
+
+
+def _sql_sentence_chunks() -> str:
+    split = (r"list_filter(string_split(regexp_replace(t,"
+             r" '([.!?])\s+', '\1' || chr(1), 'g'), chr(1)),"
+             r" x -> x <> '')")
+    toks_sent = TOKS_SQL.format(c="sent")
+    return f"""
+WITH RECURSIVE d AS (
+  SELECT doc_id,
+         regexp_replace(text, '{_SENTIZE_RE}', '\\1. ', 'g') AS t
+  FROM documents
+), sp AS (
+  SELECT doc_id, {split} AS sarr FROM d
+), sl AS (
+  SELECT doc_id, generate_subscripts(sarr, 1) AS i, unnest(sarr) AS sent
+  FROM sp
+), sl2 AS (
+  SELECT doc_id, i, sent, len({toks_sent})::BIGINT AS l FROM sl
+), st AS (
+  SELECT doc_id, i, sent, l, l AS cur, 0 AS cid FROM sl2 WHERE i = 1
+  UNION ALL
+  SELECT s.doc_id, s.i, s.sent, s.l,
+    CASE WHEN st.cur + s.l > {_SC_MAX_TOK} THEN s.l
+         ELSE st.cur + s.l END,
+    CASE WHEN st.cur + s.l > {_SC_MAX_TOK} THEN st.cid + 1
+         ELSE st.cid END
+  FROM st JOIN sl2 s ON s.doc_id = st.doc_id AND s.i = st.i + 1
+)
+SELECT doc_id::BIGINT AS doc_id, cid::BIGINT AS chunk_idx,
+       count(*)::BIGINT AS n_sents, sum(l)::BIGINT AS n_tok,
+       string_agg(sent, ' ' ORDER BY i) AS chunk_text
+FROM st GROUP BY doc_id, cid"""
+
+
+SQL_SENTENCE_CHUNKS = _sql_sentence_chunks()
+
+
 _DOMAINS = ("news.example.com", "blog.example.org", "docs.example.net",
             "forum.sample.io", "wiki.sample.dev", "shop.demo.co",
             "data.demo.ai")
@@ -4684,6 +4741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "license_signals": q_license_signals,
         "source_prior": q_source_prior,
         "decontam_surgery": q_decontam_surgery,
+        "sentence_chunks": q_sentence_chunks,
         "quantized_topk": q_quantized_topk,
         "quantized_recall": q_quantized_recall,
         "cms_heavy_hitters": q_cms_heavy_hitters,
@@ -4792,6 +4850,7 @@ def oracle_sql() -> dict[str, str]:
         "license_signals": SQL_LICENSE_SIGNALS,
         "source_prior": SQL_SOURCE_PRIOR,
         "decontam_surgery": SQL_DECONTAM_SURGERY,
+        "sentence_chunks": SQL_SENTENCE_CHUNKS,
         "quantized_topk": SQL_QUANTIZED_TOPK,
         "quantized_recall": SQL_QUANTIZED_RECALL,
         "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,

@@ -302,6 +302,20 @@ def main() -> None:
           .groupBy("license", "restricted").count().collect())
     timed_reps("source_prior",
           lambda: T.source_quality_prior(docs).collect())
+    from rag_document_parser_spark.operators.sentences import (
+        sentence_chunks)
+    timed_reps("sentence_chunks",
+          lambda: sentence_chunks(
+              docs.select("doc_id", F.regexp_replace(
+                  F.col("text"),
+                  "([a-z0-9]+ [a-z0-9]+ [a-z0-9]+ [a-z0-9]+ [a-z0-9]+) ",
+                  "$1. ").alias("text")), max_tokens=64).count())
+    from rag_document_parser_spark.operators.repetition import (
+        decontaminate_surgery)
+    timed_reps("decontam_surgery",
+          lambda: decontaminate_surgery(
+              docs, SAM.hash_sample(docs, 0.1, salt="contam"), window=8)
+          .agg(F.sum("n_removed")).collect())
     from rag_document_parser_spark.operators.mojibake import fix_mojibake
     timed_reps("fix_mojibake",
           lambda: fix_mojibake(docs.select("doc_id", "text"))

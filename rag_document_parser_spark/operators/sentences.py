@@ -28,8 +28,8 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from rag_document_parser_spark.operators.dedup import paragraph_dedup
 
-__all__ = ["SENT_BOUNDARY", "sentence_dedup", "sentences_expr",
-           "split_sentences"]
+__all__ = ["SENT_BOUNDARY", "sentence_chunks", "sentence_dedup",
+           "sentences_expr", "split_sentences"]
 
 # RE2-safe boundary pattern, shared with the oracle. Replacement
 # syntax is engine-specific ($1 Java / \1 RE2) — callers building SQL
@@ -93,3 +93,104 @@ def sentence_dedup(df: DataFrame, text_col: str = "text",
         F.col("n_paragraphs").alias("n_sentences"), "n_removed",
         F.replace(F.col("cleaned"), F.lit(_SENTINEL), F.lit(" "))
         .alias("cleaned"))
+
+
+_CHUNKS_T = "array<struct<text:string,n_sents:bigint,n_tok:bigint>>"
+
+
+def sentence_chunks(df: DataFrame, max_tokens: int = 128,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Sentence-boundary RAG chunking: pack WHOLE sentences greedily
+    into chunks of at most ``max_tokens`` tokens.
+
+    ``chunking.chunk_documents`` slides a fixed token window and will
+    cut mid-sentence; retrieval corpora prefer chunks that end where a
+    sentence ends (the embedding of half a sentence retrieves poorly).
+    Greedy rule, sequential by construction: a sentence joins the
+    current chunk unless the chunk is non-empty and would exceed
+    ``max_tokens`` with it, in which case it starts a new chunk. A
+    single sentence longer than ``max_tokens`` gets its own oversized
+    chunk — sentences are never split (documented; cap pathological
+    inputs upstream with ``chunk_documents`` if needed).
+
+    Output: one row per chunk — ``(id_col, chunk_idx, n_sents, n_tok,
+    chunk_text)``, ``chunk_text`` the chunk's sentences joined by
+    single spaces in document order; docs with no sentences emit no
+    rows. Token counts use the shared ``words`` tokenizer; sentence
+    boundaries are the module's RE2-safe subset rule.
+
+    Scale shape: ZERO exchanges — segmentation, per-sentence token
+    counts, and the greedy fold are all row-local Catalyst expressions
+    (one ``aggregate`` carrying ``(chunks, cur_text, cur_sents,
+    cur_tok)``), feeding one ``posexplode``. Chunking 10^12 docs is
+    exactly as parallel as the scan that reads them. The fold is
+    O(sentences) per doc with O(chunks) state — bounded by the doc
+    itself, the same giant-doc envelope as every row-local operator
+    here.
+    """
+    from rag_document_parser_spark.operators.dedup import words
+
+    if max_tokens < 1:
+        raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
+    staged = (df.select(F.col(id_col),
+                        sentences_expr(F.col(text_col)).alias("_s"))
+              .select(id_col, "_s",
+                      F.transform("_s",
+                                  lambda s: F.size(words(s)).cast("long"))
+                      .alias("_l")))
+
+    a = lambda acc, f: acc.getField(f)  # noqa: E731
+    mk_chunk = lambda t, ns, nt: F.struct(  # noqa: E731
+        t.alias("text"), ns.alias("n_sents"), nt.alias("n_tok"))
+
+    def step(acc, i):
+        s = F.element_at(F.col("_s"), i)
+        tl = F.element_at(F.col("_l"), i)
+        flush = (a(acc, "cur_sents") > 0) \
+            & (a(acc, "cur_tok") + tl > max_tokens)
+        chunks = F.when(
+            flush,
+            F.concat(a(acc, "chunks"),
+                     F.array(mk_chunk(a(acc, "cur_text"),
+                                      a(acc, "cur_sents"),
+                                      a(acc, "cur_tok"))))
+        ).otherwise(a(acc, "chunks"))
+        cur_text = F.when(flush, s).otherwise(
+            F.when(a(acc, "cur_sents") > 0,
+                   F.concat(a(acc, "cur_text"), F.lit(" "), s))
+            .otherwise(s))
+        return F.struct(
+            chunks.alias("chunks"), cur_text.alias("cur_text"),
+            F.when(flush, F.lit(1).cast("long"))
+            .otherwise(a(acc, "cur_sents") + 1).alias("cur_sents"),
+            F.when(flush, tl).otherwise(a(acc, "cur_tok") + tl)
+            .alias("cur_tok"))
+
+    def finish(acc):
+        return F.when(
+            a(acc, "cur_sents") > 0,
+            F.concat(a(acc, "chunks"),
+                     F.array(mk_chunk(a(acc, "cur_text"),
+                                      a(acc, "cur_sents"),
+                                      a(acc, "cur_tok"))))
+        ).otherwise(a(acc, "chunks"))
+
+    init = F.struct(
+        F.expr(f"cast(array() as {_CHUNKS_T})").alias("chunks"),
+        F.lit("").alias("cur_text"),
+        F.lit(0).cast("long").alias("cur_sents"),
+        F.lit(0).cast("long").alias("cur_tok"))
+    # sequence(1, 0) would DESCEND in Spark — guard the empty case
+    idx = F.when(F.size("_s") > 0,
+                 F.sequence(F.lit(1), F.size("_s"))) \
+        .otherwise(F.expr("cast(array() as array<int>)"))
+    folded = staged.select(
+        F.col(id_col), F.aggregate(idx, init, step, finish).alias("_c"))
+    ex = folded.select(
+        id_col, F.posexplode("_c").alias("chunk_idx", "_ch"))
+    return ex.select(
+        id_col, F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("_ch.n_sents").alias("n_sents"),
+        F.col("_ch.n_tok").alias("n_tok"),
+        F.col("_ch.text").alias("chunk_text"))

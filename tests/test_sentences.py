@@ -85,3 +85,65 @@ def test_sentence_dedup_min_len_floor(spark):
            sentence_dedup(df, min_docs=2, min_len=5).collect()}
     # "Hm." recurs but is below the length floor — never removed
     assert out["a"]["n_removed"] == 0 and "Hm." in out["a"]["cleaned"]
+
+
+# ---------------------------------------------------------------------------
+# sentence-boundary chunking
+# ---------------------------------------------------------------------------
+
+
+def test_sentence_chunks_greedy_packing(spark):
+    from rag_document_parser_spark.operators.sentences import sentence_chunks
+
+    # sentences of 3 / 4 / 5 / 2 tokens; max 8 -> chunks [3+4], [5+2]
+    df = spark.createDataFrame(
+        [(1, "one two three. four five six seven. "
+             "a b c d e. tail words")],
+        "doc_id long, text string")
+    got = sorted((r["chunk_idx"], r["n_sents"], r["n_tok"], r["chunk_text"])
+                 for r in sentence_chunks(df, max_tokens=8).collect())
+    assert got == [
+        (0, 2, 7, "one two three. four five six seven."),
+        (1, 2, 7, "a b c d e. tail words"),
+    ]
+
+
+def test_sentence_chunks_never_splits_oversized_sentence(spark):
+    from rag_document_parser_spark.operators.sentences import sentence_chunks
+
+    df = spark.createDataFrame(
+        [(1, "short one. " + " ".join(f"w{i}" for i in range(20))
+             + ". after that")],
+        "doc_id long, text string")
+    got = {r["chunk_idx"]: r for r in
+           sentence_chunks(df, max_tokens=8).collect()}
+    # oversized middle sentence is its own chunk, intact
+    assert got[1]["n_sents"] == 1 and got[1]["n_tok"] == 20
+    assert got[0]["chunk_text"] == "short one."
+    assert got[2]["chunk_text"] == "after that"
+
+
+def test_sentence_chunks_edge_cases(spark):
+    import pytest as _pt
+
+    from rag_document_parser_spark.operators.sentences import sentence_chunks
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "no boundary here at all"), (3, None)],
+        "doc_id long, text string")
+    rows = sentence_chunks(df, max_tokens=8).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    assert 1 not in by_id and 3 not in by_id  # empty/null: no rows
+    assert by_id[2]["n_sents"] == 1 and by_id[2]["n_tok"] == 5
+    with _pt.raises(ValueError):
+        sentence_chunks(df, max_tokens=0)
+
+
+def test_sentence_chunks_zero_exchange_plan(spark):
+    from rag_document_parser_spark.operators.sentences import sentence_chunks
+
+    df = spark.createDataFrame([(1, "a b. c d.")],
+                               "doc_id long, text string")
+    plan = sentence_chunks(df, max_tokens=4)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
