@@ -685,6 +685,53 @@ FROM fl"""
 SQL_GOPHER_RULES = _sql_gopher_rules()
 
 
+# sentence-ize the corpus deterministically: a period after every 5
+# words (same non-overlapping global replace in Java regex and RE2)
+_SENTIZE_RE = "([a-z0-9]+ [a-z0-9]+ [a-z0-9]+ [a-z0-9]+ [a-z0-9]+) "
+
+
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point Flesch-style readability (textstats.readability)
+    over the sentence-ized corpus: vowel-group syllable proxy, integer
+    div at every step, NULL for word-less docs."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.regexp_replace(F.col("text"), _SENTIZE_RE, "$1. ").alias("t"))
+    out = T.readability(d, text_col="t")
+    return out.select(F.col("doc_id").cast("long"), "n_sents", "n_words",
+                      "n_syllables", "flesch_e3")
+
+
+def _sql_readability() -> str:
+    split = (r"list_filter(string_split(regexp_replace(t,"
+             r" '([.!?])\s+', '\1' || chr(1), 'g'), chr(1)),"
+             r" x -> x <> '')")
+    toks = TOKS_SQL.format(c="t")
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         regexp_replace(text, '{_SENTIZE_RE}', '\\1. ', 'g') AS t
+  FROM documents
+), s AS (
+  SELECT doc_id, len({split})::BIGINT AS n_sents, {toks} AS w FROM d
+), m AS (
+  SELECT doc_id, n_sents, len(w)::BIGINT AS n_words,
+    coalesce(list_sum(list_transform(w,
+      x -> greatest(len(string_split_regex(x, '[aeiouy]+')) - 1, 1))),
+      0)::BIGINT AS n_syllables
+  FROM s
+)
+SELECT doc_id::BIGINT AS doc_id, n_sents, n_words, n_syllables,
+  (CASE WHEN n_words > 0 AND n_sents > 0
+        THEN 206835 - n_words * 1015 // n_sents
+                    - n_syllables * 84600 // n_words
+        END)::BIGINT AS flesch_e3
+FROM m"""
+
+
+SQL_READABILITY = _sql_readability()
+
+
 def q_source_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source quality prior (textstats.source_quality_prior): the
     CCNet/C4 per-domain routing signal — fraction of each source's docs
@@ -1766,9 +1813,6 @@ FROM s, bl"""
 SQL_SENTENCE_DEDUP = _sql_sentence_dedup()
 
 
-# sentence-ize the corpus deterministically: a period after every 5
-# words (same non-overlapping global replace in Java regex and RE2)
-_SENTIZE_RE = "([a-z0-9]+ [a-z0-9]+ [a-z0-9]+ [a-z0-9]+ [a-z0-9]+) "
 _SC_MAX_TOK = 12
 
 
@@ -4742,6 +4786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_prior": q_source_prior,
         "decontam_surgery": q_decontam_surgery,
         "sentence_chunks": q_sentence_chunks,
+        "readability": q_readability,
         "quantized_topk": q_quantized_topk,
         "quantized_recall": q_quantized_recall,
         "cms_heavy_hitters": q_cms_heavy_hitters,
@@ -4851,6 +4896,7 @@ def oracle_sql() -> dict[str, str]:
         "source_prior": SQL_SOURCE_PRIOR,
         "decontam_surgery": SQL_DECONTAM_SURGERY,
         "sentence_chunks": SQL_SENTENCE_CHUNKS,
+        "readability": SQL_READABILITY,
         "quantized_topk": SQL_QUANTIZED_TOPK,
         "quantized_recall": SQL_QUANTIZED_RECALL,
         "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,

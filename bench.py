@@ -316,6 +316,9 @@ def main() -> None:
           lambda: decontaminate_surgery(
               docs, SAM.hash_sample(docs, 0.1, salt="contam"), window=8)
           .agg(F.sum("n_removed")).collect())
+    timed_reps("readability",
+          lambda: T.readability(docs)
+          .agg(F.sum("flesch_e3"), F.sum("n_syllables")).collect())
     from rag_document_parser_spark.operators.mojibake import fix_mojibake
     timed_reps("fix_mojibake",
           lambda: fix_mojibake(docs.select("doc_id", "text"))

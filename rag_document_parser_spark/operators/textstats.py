@@ -526,3 +526,49 @@ def source_quality_prior(df: DataFrame, source_col: str = "source",
         "source", "n_docs", "n_pass",
         F.expr("n_pass * 1000000 div n_docs").alias("pass_rate_e6"),
         "total_words")
+
+
+def readability(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Flesch-reading-ease-style readability, entirely in fixed point.
+
+    Classic Flesch: ``206.835 - 1.015·(words/sentences) -
+    84.6·(syllables/words)``. Two engine-portable substitutions, both
+    documented:
+
+    - **syllable proxy**: vowel-group count per word ([aeiouy]+ runs),
+      floored at 1 per word — the standard dictionary-free estimator;
+      non-latin words (e.g. arabic) count 1.
+    - **integer arithmetic**: ``flesch_e3 = 206835
+      - 1015·n_words div n_sents - 84600·n_syll div n_words`` — floor
+      division at each step, so the DuckDB oracle replays every value
+      exactly (the float form differs in the last ulp across libms).
+
+    Sentences are the ``sentences`` module's RE2-safe subset boundary.
+    Returns ``(doc_id, n_sents, n_words, n_syllables, flesch_e3)``;
+    ``flesch_e3`` is NULL when the doc has no words or no sentences.
+    Zero shuffles — per-row array arithmetic inside the scan's codegen
+    span, the ``quality_exprs`` envelope.
+    """
+    from rag_document_parser_spark.operators.sentences import (
+        sentences_expr)
+
+    c = F.col(text_col)
+    staged = df.select(F.col(id_col), words(c).alias("_w"),
+                       F.size(sentences_expr(c)).cast("long")
+                       .alias("n_sents"))
+    syll = F.aggregate(
+        "_w", F.lit(0).cast("long"),
+        lambda acc, w: acc + F.greatest(
+            (F.size(F.split(w, "[aeiouy]+", -1)) - 1).cast("long"),
+            F.lit(1).cast("long")))
+    s2 = staged.select(F.col(id_col), "n_sents",
+                       F.size("_w").cast("long").alias("n_words"),
+                       syll.alias("n_syllables"))
+    flesch = F.when(
+        (F.col("n_words") > 0) & (F.col("n_sents") > 0),
+        F.lit(206835)
+        - F.expr("n_words * 1015 div n_sents")
+        - F.expr("n_syllables * 84600 div n_words"))
+    return s2.select(id_col, "n_sents", "n_words", "n_syllables",
+                     flesch.cast("long").alias("flesch_e3"))

@@ -267,3 +267,35 @@ def test_source_prior_partition_invariant(spark):
     a = sorted(map(tuple, source_quality_prior(df).collect()))
     b = sorted(map(tuple, source_quality_prior(df.repartition(7)).collect()))
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# fixed-point readability
+# ---------------------------------------------------------------------------
+
+
+def test_readability_fixed_point_formula(spark):
+    from rag_document_parser_spark.operators.textstats import readability
+
+    # "the cat sat. a dog ran away." -> 2 sentences, 7 words,
+    # syllables: the=1 cat=1 sat=1 a=1 dog=1 ran=1 away=2 -> 8
+    df = spark.createDataFrame(
+        [(1, "the cat sat. a dog ran away."),
+         (2, ""), (3, "!!! ...")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in readability(df).collect()}
+    r1 = got[1]
+    assert (r1["n_sents"], r1["n_words"], r1["n_syllables"]) == (2, 7, 8)
+    assert r1["flesch_e3"] == 206835 - 7 * 1015 // 2 - 8 * 84600 // 7
+    assert got[2]["flesch_e3"] is None      # no words
+    assert got[3]["flesch_e3"] is None
+
+
+def test_readability_syllable_proxy_floors_at_one(spark):
+    from rag_document_parser_spark.operators.textstats import readability
+
+    # vowel-less and non-latin words count 1 syllable each
+    df = spark.createDataFrame([(1, "xyz qrst нет 123")],
+                               "doc_id long, text string")
+    r = readability(df).collect()[0]
+    assert r["n_syllables"] == r["n_words"]
