@@ -2012,6 +2012,65 @@ r{i} AS (SELECT nodes.node,
 SQL_PAGERANK = _sql_pagerank()
 
 
+_HITS_ITERS = 2
+
+
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (graph.hits) over the same citation
+    graph as `pagerank`: integer fixed-point, max-normalized half-steps
+    (one driver scalar each), order-free sums — the two-role routing
+    signal (hub pages seed the crawl frontier, authority pages get
+    kept/boosted)."""
+    d = _docs(spark, sf_dir)
+    staged = d.select("doc_id", "source", _weburl_text().alias("t"))
+    edges = G.link_graph(staged, text_col="t").select(
+        F.concat(F.lit("s:"), F.col("src")).alias("src"),
+        F.concat(F.lit("d:"), F.col("dst")).alias("dst"), "weight")
+    return G.hits(edges, iters=_HITS_ITERS)
+
+
+def _sql_hits() -> str:
+    from rag_document_parser_spark.operators.graph import SCALE
+    from rag_document_parser_spark.operators.urls import (
+        DOMAIN_PATTERN, URL_PATTERN)
+
+    ctes = [f"""{_sql_weburl_ctes()},
+ex AS (
+  SELECT source, unnest(regexp_extract_all(t, {_sq(URL_PATTERN)})) AS url
+  FROM d
+), ed0 AS (
+  SELECT 's:' || source AS src,
+         'd:' || lower(regexp_extract(url, {_sq(DOMAIN_PATTERN)}, 1)) AS dst
+  FROM ex WHERE lower(regexp_extract(url, {_sq(DOMAIN_PATTERN)}, 1)) <> ''
+), edges AS (SELECT src, dst, count(*) AS w FROM ed0 GROUP BY src, dst),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+h0 AS (SELECT node, {SCALE}::HUGEINT AS hub FROM nodes)"""]
+    prev_h = "h0"
+    for i in range(1, _HITS_ITERS + 1):
+        ctes.append(f"""
+ar{i} AS (SELECT e.dst AS node, sum(h.hub * e.w) AS raw
+          FROM edges e JOIN {prev_h} h ON e.src = h.node GROUP BY e.dst),
+am{i} AS (SELECT greatest(max(raw), 1) AS m FROM ar{i}),
+a{i} AS (SELECT nodes.node,
+           coalesce(raw * {SCALE} // m, 0) AS auth
+         FROM nodes CROSS JOIN am{i} LEFT JOIN ar{i} USING (node)),
+hr{i} AS (SELECT e.src AS node, sum(a.auth * e.w) AS raw
+          FROM edges e JOIN a{i} a ON e.dst = a.node GROUP BY e.src),
+hm{i} AS (SELECT greatest(max(raw), 1) AS m FROM hr{i}),
+h{i} AS (SELECT nodes.node,
+           coalesce(raw * {SCALE} // m, 0) AS hub
+         FROM nodes CROSS JOIN hm{i} LEFT JOIN hr{i} USING (node))""")
+        prev_h = f"h{i}"
+    n = _HITS_ITERS
+    return (f"WITH {', '.join(ctes)}\n"
+            f"SELECT h{n}.node, h{n}.hub::BIGINT AS hub_e12,\n"
+            f"       a{n}.auth::BIGINT AS auth_e12\n"
+            f"FROM h{n} JOIN a{n} USING (node)")
+
+
+SQL_HITS = _sql_hits()
+
+
 def q_anchor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor-text aggregation (operators/graph.py anchor_edges /
     anchor_stats): per-target profiles of the human-written link text
@@ -4787,6 +4846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_surgery": q_decontam_surgery,
         "sentence_chunks": q_sentence_chunks,
         "readability": q_readability,
+        "hits_scores": q_hits,
         "quantized_topk": q_quantized_topk,
         "quantized_recall": q_quantized_recall,
         "cms_heavy_hitters": q_cms_heavy_hitters,
@@ -4897,6 +4957,7 @@ def oracle_sql() -> dict[str, str]:
         "decontam_surgery": SQL_DECONTAM_SURGERY,
         "sentence_chunks": SQL_SENTENCE_CHUNKS,
         "readability": SQL_READABILITY,
+        "hits_scores": SQL_HITS,
         "quantized_topk": SQL_QUANTIZED_TOPK,
         "quantized_recall": SQL_QUANTIZED_RECALL,
         "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,

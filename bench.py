@@ -406,6 +406,9 @@ def main() -> None:
     timed_reps("pagerank",
           lambda: GR.pagerank(GR.link_graph(planted), iters=2)
           .agg(F.sum("rank_e12")).collect())
+    timed_reps("hits",
+          lambda: GR.hits(GR.link_graph(planted), iters=2)
+          .agg(F.sum("hub_e12"), F.sum("auth_e12")).collect())
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

@@ -145,3 +145,66 @@ def test_anchor_stats_top_pick_deterministic(spark):
     assert (a["top_anchor"], a["top_cnt"]) == ("Guide", 2)
     b = stats["b.com"]
     assert (b["n_links"], b["top_anchor"]) == (1, "API docs")
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities
+# ---------------------------------------------------------------------------
+
+
+def test_hits_roles_separate(spark):
+    from rag_document_parser_spark.operators.graph import SCALE, hits
+
+    # h2 links twice to the best authority a1; a1 also links back to h1
+    edges = spark.createDataFrame(
+        [("h1", "a1", 1), ("h1", "a2", 1), ("h2", "a1", 2), ("a1", "h1", 1)],
+        "src string, dst string, weight long")
+    got = {r["node"]: (r["hub_e12"], r["auth_e12"])
+           for r in hits(edges, iters=2).collect()}
+    # max-normalized: exactly one top hub and one top authority at SCALE
+    assert got["h2"][0] == SCALE          # strongest hub (2x to best auth)
+    assert got["a1"][1] == SCALE          # strongest authority
+    assert got["a2"][1] < got["a1"][1]
+    assert got["h2"][1] == 0              # nothing links to h2
+    assert all(0 <= v <= SCALE for pair in got.values() for v in pair)
+
+
+def test_hits_python_twin(spark):
+    from rag_document_parser_spark.operators.graph import SCALE, hits
+
+    edges = [(f"n{i}", f"n{(i * 3 + 1) % 7}", i % 3 + 1) for i in range(12)]
+    edges = [(s, d, w) for s, d, w in edges if s != d]
+    df = spark.createDataFrame(edges, "src string, dst string, weight long")
+
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    hub = {n: SCALE for n in nodes}
+    auth = {}
+    for _ in range(2):
+        raw = {n: 0 for n in nodes}
+        for s, d, w in edges:
+            raw[d] += hub[s] * w
+        m = max(max(raw.values()), 1)
+        auth = {n: raw[n] * SCALE // m for n in nodes}
+        raw = {n: 0 for n in nodes}
+        for s, d, w in edges:
+            raw[s] += auth[d] * w
+        m = max(max(raw.values()), 1)
+        hub = {n: raw[n] * SCALE // m for n in nodes}
+
+    got = {r["node"]: (r["hub_e12"], r["auth_e12"])
+           for r in hits(df, iters=2).collect()}
+    assert got == {n: (hub[n], auth[n]) for n in nodes}
+
+
+def test_hits_validates_input(spark):
+    import pytest as _pt
+
+    from rag_document_parser_spark.operators.graph import hits
+
+    empty = spark.createDataFrame([], "src string, dst string, weight long")
+    with _pt.raises(ValueError):
+        hits(empty)
+    good = spark.createDataFrame([("a", "b", 1)],
+                                 "src string, dst string, weight long")
+    with _pt.raises(ValueError):
+        hits(good, iters=0)
