@@ -2309,6 +2309,62 @@ JOIN s2 sa ON inter.id_a = sa.id JOIN s2 sb ON inter.id_b = sb.id
 WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.5"""
 
 
+# subset corpus for the containment query: doc_id<20 re-appear as the
+# PREFIX HALF of their text under id+2000000 — high containment of the
+# prefix in the full doc, Jaccard only ~0.5 (below its 0.5+ gates)
+SUBSET_SQL = ("(SELECT doc_id, text FROM documents UNION ALL "
+              "SELECT doc_id + 2000000 AS doc_id, "
+              "substr(text, 1, (length(text) // 2)::INT) AS text "
+              "FROM documents WHERE doc_id < 20)")
+
+
+def _subset_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text")
+    halves = docs.where(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.expr("substring(text, 1, cast(length(text) div 2 as int))")
+        .alias("text"))
+    return docs.unionByName(halves)
+
+
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup (dedup.containment_pairs): pairs
+    where one side's shingle set is >=90% inside the other's — the
+    article-vs-article-plus-comments duplicates Jaccard structurally
+    misses (planted prefix-half clones score containment ~1.0 at
+    Jaccard ~0.5)."""
+    out = D.containment_pairs(_subset_docs(spark, sf_dir),
+                              n=3, threshold_e6=900_000, df_cap=1000)
+    return out.select(
+        F.col("id_a").cast("long"), F.col("id_b").cast("long"),
+        "inter", "n_a", "n_b", "cont_a_e6", "cont_b_e6")
+
+
+SQL_CONTAINMENT = f"""
+WITH u AS (SELECT * FROM {SUBSET_SQL}),
+s AS (SELECT doc_id AS id, list_distinct({_SH3}) AS sh FROM u),
+s2 AS (SELECT id, sh, len(sh) AS n_sh FROM s WHERE len(sh) > 0),
+flat AS (SELECT id, unnest(sh) AS shingle FROM s2),
+freq AS (SELECT shingle, count(*) AS c FROM flat GROUP BY shingle),
+f2 AS (SELECT flat.id, flat.shingle FROM flat
+       JOIN freq ON flat.shingle = freq.shingle WHERE freq.c <= 1000),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+  FROM f2 a JOIN f2 b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id),
+j AS (
+  SELECT id_a, id_b, inter::BIGINT AS inter,
+    sa.n_sh::BIGINT AS n_a, sb.n_sh::BIGINT AS n_b,
+    (inter::BIGINT * 1000000 // sa.n_sh)::BIGINT AS cont_a_e6,
+    (inter::BIGINT * 1000000 // sb.n_sh)::BIGINT AS cont_b_e6
+  FROM inter
+  JOIN s2 sa ON inter.id_a = sa.id JOIN s2 sb ON inter.id_b = sb.id)
+SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b, inter, n_a, n_b,
+       cont_a_e6, cont_b_e6
+FROM j WHERE greatest(cont_a_e6, cont_b_e6) >= 900000"""
+
+
 _K = 16          # minhash permutations in the oracle-checked query
 _BANDS = 4       # → r = 4 rows per band
 
@@ -4847,6 +4903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sentence_chunks": q_sentence_chunks,
         "readability": q_readability,
         "hits_scores": q_hits,
+        "containment_pairs": q_containment_pairs,
         "quantized_topk": q_quantized_topk,
         "quantized_recall": q_quantized_recall,
         "cms_heavy_hitters": q_cms_heavy_hitters,
@@ -4958,6 +5015,7 @@ def oracle_sql() -> dict[str, str]:
         "sentence_chunks": SQL_SENTENCE_CHUNKS,
         "readability": SQL_READABILITY,
         "hits_scores": SQL_HITS,
+        "containment_pairs": SQL_CONTAINMENT,
         "quantized_topk": SQL_QUANTIZED_TOPK,
         "quantized_recall": SQL_QUANTIZED_RECALL,
         "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,

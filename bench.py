@@ -409,6 +409,14 @@ def main() -> None:
     timed_reps("hits",
           lambda: GR.hits(GR.link_graph(planted), iters=2)
           .agg(F.sum("hub_e12"), F.sum("auth_e12")).collect())
+    halves = docs.where(F.col("doc_id") < 500).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.expr("substring(text, 1, cast(length(text) div 2 as int))")
+        .alias("text"))
+    timed_reps("containment_pairs",
+          lambda: D.containment_pairs(
+              docs.select("doc_id", "text").unionByName(halves),
+              threshold_e6=900_000).count())
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

@@ -196,6 +196,66 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     )
 
 
+def containment_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", n: int = 3,
+                      threshold_e6: int = 900_000,
+                      df_cap: int = 1000,
+                      stage: bool = True) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT pairs — the subset/superset dups
+    Jaccard structurally misses.
+
+    Web corpora are full of one-sided near-dups: article vs
+    article-plus-comments, post vs post-quoted-in-digest, page vs
+    page-with-nav-wrapper. For a small doc A inside a 10× larger B,
+    Jaccard = |A∩B|/|A∪B| ≈ 0.1 (invisible at any sane threshold)
+    while containment(A) = |A∩B|/|A| = 1.0. This operator emits pairs
+    where EITHER side's distinct-shingle set is >= ``threshold_e6``
+    (fixed-point, per million) contained in the other's:
+    ``(id_a, id_b, inter, n_a, n_b, cont_a_e6, cont_b_e6)`` with
+    ``cont_x_e6 = 10^6 · inter div n_x`` — exact integer division, the
+    oracle replays every value.
+
+    Plan shape is ``ngram_jaccard_pairs``'s verbatim (per-row-distinct
+    shingle explode carrying sizes, map-side df count + broadcast
+    over-cap anti-join, shingle self-join, one pair-keyed count): only
+    the final score expression differs, so the skew/staging analysis
+    there applies unchanged — including the ``stage=True``
+    localCheckpoint trade.
+    """
+    sh = shingle_df(df, text_col, id_col, n, drop_empty=True)
+    flat = sh.select("id", F.size("shingles").alias("n_sh"),
+                     F.explode_outer("shingles").alias("shingle")) \
+             .where(F.col("shingle").isNotNull())
+    if stage:
+        flat = flat.localCheckpoint()
+    over_cap = (flat.groupBy("shingle")
+                .agg(F.count("*").alias("df"))
+                .where(F.col("df") > df_cap)
+                .select("shingle"))
+    flat = flat.join(F.broadcast(over_cap), "shingle", "left_anti")
+
+    a = flat.select("shingle", F.col("id").alias("id_a"),
+                    F.col("n_sh").alias("n_a"))
+    b = flat.select("shingle", F.col("id").alias("id_b"),
+                    F.col("n_sh").alias("n_b"))
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("inter"),
+             F.min("n_a").cast("long").alias("n_a"),
+             F.min("n_b").cast("long").alias("n_b"))
+    )
+    cont_a = F.expr("inter * 1000000 div n_a")
+    cont_b = F.expr("inter * 1000000 div n_b")
+    return (inter
+            .select("id_a", "id_b", "inter", "n_a", "n_b",
+                    cont_a.cast("long").alias("cont_a_e6"),
+                    cont_b.cast("long").alias("cont_b_e6"))
+            .where(F.greatest("cont_a_e6", "cont_b_e6")
+                   >= int(threshold_e6)))
+
+
 # --------------------------------------------------------------------------
 # MinHash + LSH
 # --------------------------------------------------------------------------

@@ -387,3 +387,45 @@ def test_segment_audio_windows_and_sample_math(spark):
     # per-segment digests deterministic and distinct per index
     shas = {r["seg_sha"] for r in out if r["media_ref"] == "img://64x64/m1"}
     assert len(shas) == 4
+
+
+# ---------------------------------------------------------------------------
+# asymmetric containment pairs
+# ---------------------------------------------------------------------------
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    from rag_document_parser_spark.operators.dedup import (
+        containment_pairs, ngram_jaccard_pairs)
+
+    body = " ".join(f"w{i} x{i} y{i}" for i in range(30))   # 90 words
+    quote = " ".join(f"w{i} x{i} y{i}" for i in range(5))   # first 15
+    df = spark.createDataFrame(
+        [(1, body), (2, quote), (3, "totally unrelated content words "
+                                    "about nothing shared with others")],
+        "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): r
+           for r in containment_pairs(df, threshold_e6=900_000).collect()}
+    assert (1, 2) in got
+    r = got[(1, 2)]
+    # quote's shingles all inside body: containment(B side = quote) = 1.0
+    assert max(r["cont_a_e6"], r["cont_b_e6"]) == 1_000_000
+    assert (1, 3) not in got and (2, 3) not in got
+    # the same pair is invisible to Jaccard at 0.5
+    jac = ngram_jaccard_pairs(df, threshold=0.5).collect()
+    assert not any(p["id_a"] == 1 and p["id_b"] == 2 for p in jac)
+
+
+def test_containment_fixed_point_values(spark):
+    from rag_document_parser_spark.operators.dedup import containment_pairs
+
+    # A has 4 distinct 3-shingles (6 words), B = A's first 4 words
+    # (2 shingles, both in A): cont_b = 1e6, cont_a = 2*1e6 div 4
+    df = spark.createDataFrame(
+        [(1, "a1 a2 a3 a4 a5 a6"), (2, "a1 a2 a3 a4")],
+        "doc_id long, text string")
+    r = containment_pairs(df, threshold_e6=900_000).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert (row["inter"], row["n_a"], row["n_b"]) == (2, 4, 2)
+    assert row["cont_a_e6"] == 500_000 and row["cont_b_e6"] == 1_000_000
