@@ -2309,6 +2309,63 @@ JOIN s2 sa ON inter.id_a = sa.id JOIN s2 sb ON inter.id_b = sb.id
 WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.5"""
 
 
+def q_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass corpus datasheet (reporting.corpus_datasheet): the
+    release-notes summary — docs/sources/langs/tokens/chars, exact-dup
+    mass, integer quality pass rate — in long (metric, value) format,
+    over the corpus with doc_id<20 cloned so the dup metrics are
+    non-trivial."""
+    from rag_document_parser_spark.reporting import corpus_datasheet
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "source", "lang")
+    clones = docs.where(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text", "source",
+        "lang")
+    out = corpus_datasheet(docs.unionByName(clones))
+    return out.select("metric", "value")
+
+
+def _sql_corpus_datasheet() -> str:
+    toks = TOKS_SQL.format(c="text")
+    return f"""
+WITH u AS (
+  SELECT doc_id, text, source, lang FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text, source, lang FROM documents
+  WHERE doc_id < 20
+), s AS (
+  SELECT source, lang, md5(text) AS h, length(text)::BIGINT AS nc,
+         len({toks})::BIGINT AS nw,
+         length(regexp_replace(text, '[^A-Za-z{S.ARABIC_RANGE} ]', '', 'g'))
+           ::BIGINT AS na
+  FROM u
+), a AS (
+  SELECT count(*)::BIGINT AS n_docs,
+         count(DISTINCT source)::BIGINT AS n_sources,
+         count(DISTINCT lang)::BIGINT AS n_langs,
+         sum(nw)::BIGINT AS total_tokens,
+         sum(nc)::BIGINT AS total_chars,
+         count(DISTINCT h)::BIGINT AS distinct_texts,
+         sum(CASE WHEN nw >= 5 AND nw <= 100000
+                   AND na * 1000 >= nc * 100 THEN 1 ELSE 0 END)::BIGINT
+           AS quality_pass
+  FROM s
+), w AS (
+  SELECT *, (n_docs - distinct_texts)::BIGINT AS exact_dup_docs,
+    (quality_pass * 1000000 // greatest(n_docs, 1))::BIGINT
+      AS quality_pass_e6,
+    (total_tokens * 1000 // greatest(n_docs, 1))::BIGINT AS mean_tokens_e3
+  FROM a
+)
+SELECT metric, value FROM w
+UNPIVOT (value FOR metric IN (n_docs, n_sources, n_langs, total_tokens,
+  total_chars, distinct_texts, exact_dup_docs, quality_pass,
+  quality_pass_e6, mean_tokens_e3))"""
+
+
+SQL_CORPUS_DATASHEET = _sql_corpus_datasheet()
+
+
 # subset corpus for the containment query: doc_id<20 re-appear as the
 # PREFIX HALF of their text under id+2000000 — high containment of the
 # prefix in the full doc, Jaccard only ~0.5 (below its 0.5+ gates)
@@ -4904,6 +4961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability": q_readability,
         "hits_scores": q_hits,
         "containment_pairs": q_containment_pairs,
+        "corpus_datasheet": q_corpus_datasheet,
         "quantized_topk": q_quantized_topk,
         "quantized_recall": q_quantized_recall,
         "cms_heavy_hitters": q_cms_heavy_hitters,
@@ -5016,6 +5074,7 @@ def oracle_sql() -> dict[str, str]:
         "readability": SQL_READABILITY,
         "hits_scores": SQL_HITS,
         "containment_pairs": SQL_CONTAINMENT,
+        "corpus_datasheet": SQL_CORPUS_DATASHEET,
         "quantized_topk": SQL_QUANTIZED_TOPK,
         "quantized_recall": SQL_QUANTIZED_RECALL,
         "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,

@@ -134,3 +134,64 @@ def bucket_skew_report(docs: DataFrame, n_buckets: int = 256,
                         "div",
                         F.col("weight_total") * F.lit(n_buckets)
                         * F.lit(10 ** 6), F.col("_tot")).alias("skew_e6")))
+
+
+def corpus_datasheet(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", source_col: str = "source",
+                     lang_col: str = "lang",
+                     min_words: int = 5, max_words: int = 100_000,
+                     alpha_permille: int = 100) -> DataFrame:
+    """One-pass corpus datasheet: the "datasheets for datasets" summary
+    a training-data release ships — long format ``(metric, value)``
+    rows, every value an exact integer:
+
+    - ``n_docs``, ``n_sources``, ``n_langs``
+    - ``total_tokens``, ``total_chars``
+    - ``distinct_texts`` (exact md5 distinct) and ``exact_dup_docs``
+    - ``quality_pass`` (the ``source_quality_prior`` integer bar) and
+      ``quality_pass_e6`` (fixed-point corpus pass rate)
+    - ``mean_tokens_e3`` (``1000·total div n``)
+
+    Long format deliberately: metrics append without a schema change,
+    and the driver's multiset compare hashes every number.
+
+    Scale: one projection + one global aggregate; count-distincts are
+    exact (they shuffle once on uniform md5/source/lang keys). At
+    10^12 docs swap the md5 count-distinct for ``sketches.hll_counts``
+    and report the estimate — this exact form is the oracle-checkable
+    reference implementation.
+    """
+    from rag_document_parser_spark.operators.dedup import words
+
+    c = F.col(text_col)
+    staged = docs.select(
+        F.col(source_col).alias("_src"), F.col(lang_col).alias("_lang"),
+        F.md5(c).alias("_h"), F.length(c).cast("long").alias("_nc"),
+        F.size(words(c)).cast("long").alias("_nw"),
+        F.length(F.regexp_replace(c, "[^A-Za-z؀-ۿ ]", ""))
+        .cast("long").alias("_na"))
+    ok = ((F.col("_nw") >= min_words) & (F.col("_nw") <= max_words)
+          & (F.col("_na") * 1000 >= F.col("_nc") * alpha_permille))
+    agg = staged.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.count_distinct("_src").cast("long").alias("n_sources"),
+        F.count_distinct("_lang").cast("long").alias("n_langs"),
+        F.sum("_nw").cast("long").alias("total_tokens"),
+        F.sum("_nc").cast("long").alias("total_chars"),
+        F.count_distinct("_h").cast("long").alias("distinct_texts"),
+        F.sum(F.when(ok, 1).otherwise(0)).cast("long")
+        .alias("quality_pass"))
+    wide = agg.select(
+        "*",
+        (F.col("n_docs") - F.col("distinct_texts")).alias("exact_dup_docs"),
+        F.expr("quality_pass * 1000000 div greatest(n_docs, 1)")
+        .alias("quality_pass_e6"),
+        F.expr("total_tokens * 1000 div greatest(n_docs, 1)")
+        .alias("mean_tokens_e3"))
+    metrics = ["n_docs", "n_sources", "n_langs", "total_tokens",
+               "total_chars", "distinct_texts", "exact_dup_docs",
+               "quality_pass", "quality_pass_e6", "mean_tokens_e3"]
+    stack = ", ".join(f"'{m}', {m}" for m in metrics)
+    return wide.select(F.expr(
+        f"stack({len(metrics)}, {stack}) AS (metric, value)")).select(
+        "metric", F.col("value").cast("long").alias("value"))

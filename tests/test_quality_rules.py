@@ -299,3 +299,29 @@ def test_readability_syllable_proxy_floors_at_one(spark):
                                "doc_id long, text string")
     r = readability(df).collect()[0]
     assert r["n_syllables"] == r["n_words"]
+
+
+# ---------------------------------------------------------------------------
+# corpus datasheet
+# ---------------------------------------------------------------------------
+
+
+def test_corpus_datasheet_metrics(spark):
+    from rag_document_parser_spark.reporting import corpus_datasheet
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog", "a", "en"),
+         (2, "the quick brown fox jumps over the lazy dog", "a", "en"),
+         (3, "entirely different prose with several proper words", "b",
+          "en"),
+         (4, "kurze worte hier stehen fuenf", "b", "de"),
+         (5, "x", "c", "en")],
+        "doc_id long, text string, source string, lang string")
+    got = {r["metric"]: r["value"] for r in corpus_datasheet(df).collect()}
+    assert got["n_docs"] == 5
+    assert got["n_sources"] == 3 and got["n_langs"] == 2
+    assert got["distinct_texts"] == 4 and got["exact_dup_docs"] == 1
+    assert got["quality_pass"] == 4          # doc 5 fails min_words
+    assert got["quality_pass_e6"] == 4 * 1_000_000 // 5
+    assert got["total_tokens"] == 9 + 9 + 7 + 5 + 1
+    assert got["mean_tokens_e3"] == got["total_tokens"] * 1000 // 5
