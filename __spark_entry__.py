@@ -2614,6 +2614,75 @@ SELECT id::BIGINT AS id, min(r)::BIGINT AS cluster_id
 FROM reach GROUP BY id"""
 
 
+# keep-best corpus: doc_id<20 appear three ways — original, identical
+# clone (+1e6), and DOUBLED-text clone (+2e6). Doubling the text doubles
+# every token's vote sum without changing any sign, so the simhash is
+# bit-identical (hamming 0, guaranteed cluster member) while the length
+# score doubles: the +2e6 member wins on SCORE, and the original-vs-
+# identical-clone leg exercises the largest-id TIEBREAK.
+KEEPBEST_SQL = ("(SELECT doc_id, text FROM documents UNION ALL "
+                "SELECT doc_id + 1000000 AS doc_id, text FROM documents "
+                "WHERE doc_id < 20 UNION ALL "
+                "SELECT doc_id + 2000000 AS doc_id, "
+                "text || ' ' || text AS text FROM documents "
+                "WHERE doc_id < 20)")
+
+
+def _keepbest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    base = docs.where(F.col("doc_id") < 20)
+    c1 = base.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    c2 = base.select((F.col("doc_id") + 2000000).alias("doc_id"),
+                     F.concat("text", F.lit(" "), "text").alias("text"))
+    return docs.unionByName(c1).unionByName(c2)
+
+
+def q_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-member duplicate resolution (dedup.keep_best_per_cluster):
+    simhash near-pairs -> connected components -> keep the member
+    maximizing (length(text), id) per cluster, i.e. most content,
+    newest-crawl tiebreak — instead of dedup_clusters' arbitrary
+    min-id representative."""
+    corpus = _keepbest_docs(spark, sf_dir)
+    pairs = D.simhash_near_pairs(corpus, max_hamming=3)
+    out = D.keep_best_per_cluster(corpus, pairs,
+                                  F.length("text").cast("long"))
+    return out.select(F.col("id").cast("long"),
+                      F.col("cluster_id").cast("long"),
+                      F.col("best_id").cast("long"), "kept")
+
+
+# winner via an encoded arg_max key: ids in this planted corpus are
+# < 1e7, so s*1e7 + id orders exactly like the struct (s, id) the Spark
+# operator maximizes (engine-neutral without struct-comparison support)
+SQL_KEEP_BEST = _sql_simhash_cte(KEEPBEST_SQL).replace(
+    "WITH ", "WITH RECURSIVE ", 1) + f"""
+, prs AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM sh a JOIN sh b ON a.id < b.id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+), e AS (
+  SELECT id_a AS a, id_b AS b FROM prs
+  UNION SELECT id_b, id_a FROM prs
+), reach AS (
+  SELECT a AS id, a AS r FROM e
+  UNION
+  SELECT reach.id, e.b FROM reach JOIN e ON e.a = reach.r
+), cl AS (
+  SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+), sc AS (
+  SELECT doc_id AS id, length(text)::BIGINT AS s FROM {KEEPBEST_SQL}
+), mem AS (
+  SELECT cl.id, cl.cluster_id, sc.s FROM cl JOIN sc USING (id)
+), best AS (
+  SELECT cluster_id, arg_max(id, s * 10000000 + id) AS best_id
+  FROM mem GROUP BY cluster_id
+)
+SELECT mem.id::BIGINT AS id, mem.cluster_id::BIGINT AS cluster_id,
+       best.best_id::BIGINT AS best_id, mem.id = best.best_id AS kept
+FROM mem JOIN best USING (cluster_id)"""
+
+
 _LEAK_FRACTIONS = {"train": 0.8, "val": 0.2}
 _LEAK_SALT = "leakv1"
 
@@ -4962,6 +5031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_scores": q_hits,
         "containment_pairs": q_containment_pairs,
         "corpus_datasheet": q_corpus_datasheet,
+        "keep_best": q_keep_best,
         "quantized_topk": q_quantized_topk,
         "quantized_recall": q_quantized_recall,
         "cms_heavy_hitters": q_cms_heavy_hitters,
@@ -5075,6 +5145,7 @@ def oracle_sql() -> dict[str, str]:
         "hits_scores": SQL_HITS,
         "containment_pairs": SQL_CONTAINMENT,
         "corpus_datasheet": SQL_CORPUS_DATASHEET,
+        "keep_best": SQL_KEEP_BEST,
         "quantized_topk": SQL_QUANTIZED_TOPK,
         "quantized_recall": SQL_QUANTIZED_RECALL,
         "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,

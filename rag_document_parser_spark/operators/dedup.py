@@ -574,3 +574,41 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a",
     raise RuntimeError(
         f"dedup_clusters did not converge in {max_iter} rounds — "
         "raise max_iter (graph diameter exceeds it)")
+
+
+def keep_best_per_cluster(docs: DataFrame, pairs: DataFrame,
+                          score: Column, id_col: str = "doc_id",
+                          max_iter: int = 15) -> DataFrame:
+    """Duplicate-cluster resolution keeping the BEST member, not the
+    arbitrary minimum id.
+
+    ``dedup_clusters`` answers *which docs belong together*; a
+    production pipeline then keeps ONE member per group — and the
+    member worth keeping is the highest-quality one (most tokens, best
+    quality score, newest crawl), not whichever content hash happened
+    to sort lowest. Output: one row per clustered doc ``(id,
+    cluster_id, best_id, kept)``. Docs in no pair never appear —
+    anti-join the ``NOT kept`` ids against the corpus to apply.
+
+    Deterministic: the winner maximizes ``(score, id)`` — exact score
+    ties resolve to the LARGEST id, so among byte-identical crawl
+    snapshots the newest wins.
+
+    At 100 TB: the pair list (hence the cluster table) holds only docs
+    that HAVE a near-dup — orders of magnitude smaller than the
+    corpus. One uniform-key join brings the score onto cluster rows,
+    one map-side-combinable ``max_by`` aggregate picks each winner (no
+    window function: a window over ``cluster_id`` would sort a
+    mega-cluster inside one task, while ``max_by`` partial-aggregates
+    it across tasks), and one small join labels the members.
+    """
+    clusters = dedup_clusters(pairs, max_iter=max_iter)
+    scored = docs.select(F.col(id_col).alias("id"), score.alias("_s"))
+    member = clusters.join(scored, "id")
+    best = (member.groupBy("cluster_id")
+            .agg(F.max_by("id", F.struct(F.col("_s").alias("s"),
+                                         F.col("id").alias("i")))
+                 .alias("best_id")))
+    return (member.join(best, "cluster_id")
+            .select("id", "cluster_id", "best_id",
+                    (F.col("id") == F.col("best_id")).alias("kept")))

@@ -429,3 +429,23 @@ def test_containment_fixed_point_values(spark):
     row = r[0]
     assert (row["inter"], row["n_a"], row["n_b"]) == (2, 4, 2)
     assert row["cont_a_e6"] == 500_000 and row["cont_b_e6"] == 1_000_000
+
+
+def test_keep_best_per_cluster_score_and_tiebreak(spark):
+    """Winner maximizes (score, id): component {1,4,7,9} with scores
+    (5,5,9,2) keeps 7 on score; {20,21} with equal scores keeps 21 on
+    the largest-id tiebreak; unpaired doc 99 never appears."""
+    from rag_document_parser_spark.operators.dedup import (
+        keep_best_per_cluster)
+
+    pairs = spark.createDataFrame(
+        [(1, 9), (9, 4), (4, 7), (20, 21)], "id_a long, id_b long")
+    docs = spark.createDataFrame(
+        [(1, 5), (4, 5), (7, 9), (9, 2), (20, 3), (21, 3), (99, 100)],
+        "doc_id long, q long")
+    out = keep_best_per_cluster(docs, pairs, F.col("q")).collect()
+    got = {r.id: (r.cluster_id, r.best_id, r.kept) for r in out}
+    assert got == {1: (1, 7, False), 4: (1, 7, False), 7: (1, 7, True),
+                   9: (1, 7, False), 20: (20, 21, False),
+                   21: (20, 21, True)}
+    assert 99 not in got
