@@ -2683,6 +2683,61 @@ SELECT mem.id::BIGINT AS id, mem.cluster_id::BIGINT AS cluster_id,
 FROM mem JOIN best USING (cluster_id)"""
 
 
+# edit-verify corpus: ASCII-FOLDED text (each non-ASCII char -> '?') so
+# DuckDB's byte-based levenshtein agrees with Spark's character-based
+# one (bytes == chars on pure ASCII; the operator itself is
+# unicode-correct — see the pure-Python property test). doc_id<20
+# appear as an identical clone (+1e6, dist 0) and a first-char-
+# substituted clone (+2e6, dist 1 when the first char wasn't 'X').
+_EDIT_FOLD_SQL = "regexp_replace(text, '[^\\x20-\\x7e]', '?', 'g')"
+EDITCLONE_SQL = (
+    f"(SELECT doc_id, {_EDIT_FOLD_SQL} AS text FROM documents UNION ALL "
+    f"SELECT doc_id + 1000000 AS doc_id, {_EDIT_FOLD_SQL} AS text "
+    "FROM documents WHERE doc_id < 20 UNION ALL "
+    f"SELECT doc_id + 2000000 AS doc_id, "
+    f"'X' || substr({_EDIT_FOLD_SQL}, 2) AS text "
+    "FROM documents WHERE doc_id < 20)")
+
+
+def q_edit_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verification (dedup.edit_verify_pairs): simhash
+    candidates -> exact normalized Levenshtein over 500-char prefixes,
+    keeping pairs with sim_e6 >= 500000. Catches in-place-edit dups
+    (typo-level rewrites) that set-overlap metrics can't grade."""
+    folded = F.regexp_replace("text", r"[^\x20-\x7e]", "?")
+    docs = _docs(spark, sf_dir).select("doc_id", folded.alias("text"))
+    base = docs.where(F.col("doc_id") < 20)
+    c1 = base.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    c2 = base.select((F.col("doc_id") + 2000000).alias("doc_id"),
+                     F.concat(F.lit("X"), F.expr("substring(text, 2)"))
+                     .alias("text"))
+    corpus = docs.unionByName(c1).unionByName(c2)
+    pairs = D.simhash_near_pairs(corpus, max_hamming=3).select(
+        "id_a", "id_b")
+    out = D.edit_verify_pairs(corpus, pairs, prefix=500,
+                              min_sim_e6=500_000)
+    return out.select(F.col("id_a").cast("long"),
+                      F.col("id_b").cast("long"),
+                      "edit_dist", "sim_e6")
+
+
+SQL_EDIT_VERIFY = _sql_simhash_cte(EDITCLONE_SQL) + f"""
+, prs AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM sh a JOIN sh b ON a.id < b.id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+), tt AS (
+  SELECT doc_id AS id, substr(text, 1, 500) AS t FROM {EDITCLONE_SQL}
+), scored AS (
+  SELECT prs.id_a::BIGINT AS id_a, prs.id_b::BIGINT AS id_b,
+         levenshtein(ta.t, tb.t)::BIGINT AS edit_dist,
+         (1000000 - levenshtein(ta.t, tb.t) * 1000000
+            // greatest(length(ta.t), length(tb.t), 1))::BIGINT AS sim_e6
+  FROM prs JOIN tt ta ON prs.id_a = ta.id JOIN tt tb ON prs.id_b = tb.id
+)
+SELECT * FROM scored WHERE sim_e6 >= 500000"""
+
+
 _LEAK_FRACTIONS = {"train": 0.8, "val": 0.2}
 _LEAK_SALT = "leakv1"
 
@@ -5021,6 +5076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # pair; the long-stable tail (green in r2 AND r3) yields its slots.
     return {
         # -- new this round / never driver-gated in any round ----------
+        "edit_verify": q_edit_verify,
         "hybrid_topk": q_hybrid_topk,
         "leakage_split": q_leakage_split,
         "license_signals": q_license_signals,
@@ -5135,6 +5191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "edit_verify": SQL_EDIT_VERIFY,
         "hybrid_topk": SQL_HYBRID_TOPK,
         "leakage_split": SQL_LEAKAGE_SPLIT,
         "license_signals": SQL_LICENSE_SIGNALS,

@@ -449,3 +449,73 @@ def test_keep_best_per_cluster_score_and_tiebreak(spark):
                    9: (1, 7, False), 20: (20, 21, False),
                    21: (20, 21, True)}
     assert 99 not in got
+
+
+# ---------------------------------------------------------------------------
+# exact edit-distance verification of candidate pairs
+# ---------------------------------------------------------------------------
+
+
+def _lev(a: str, b: str) -> int:
+    """Textbook character-based Levenshtein (the twin for unicode)."""
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_edit_verify_fixed_point_and_filter(spark):
+    from rag_document_parser_spark.operators.dedup import edit_verify_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "the quick brown fix"),
+         (3, "zzz entirely different"), (4, "the quick brown fox")],
+        "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "id_a long, id_b long")
+    got = {(r.id_a, r.id_b): r
+           for r in edit_verify_pairs(docs, pairs).collect()}
+    # identical pair: dist 0, sim 1e6
+    assert got[(1, 4)].edit_dist == 0 and got[(1, 4)].sim_e6 == 1_000_000
+    # one substitution over 19 chars: 1e6 - 1e6*1 div 19
+    assert got[(1, 2)].edit_dist == 1
+    assert got[(1, 2)].sim_e6 == 1_000_000 - 1_000_000 // 19
+    # min_sim_e6 drops the unrelated pair but keeps the near-dups
+    kept = {(r.id_a, r.id_b)
+            for r in edit_verify_pairs(docs, pairs,
+                                       min_sim_e6=500_000).collect()}
+    assert kept == {(1, 2), (1, 4)}
+
+
+def test_edit_verify_unicode_char_based(spark):
+    """Spark's levenshtein counts CHARACTERS, not bytes: 'café'→'cafe'
+    is one substitution even though é is 2 bytes in utf-8. The pure-
+    Python twin pins the char-based contract the oracle's ASCII fold
+    can't exercise."""
+    from rag_document_parser_spark.operators.dedup import edit_verify_pairs
+
+    a, b = "café au lait — naïve", "cafe au lait -- naive"
+    docs = spark.createDataFrame([(1, a), (2, b)],
+                                 "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    row = edit_verify_pairs(docs, pairs).collect()[0]
+    want = _lev(a, b)
+    assert row.edit_dist == want
+    assert row.sim_e6 == 1_000_000 - want * 1_000_000 // max(len(a), len(b))
+
+
+def test_edit_verify_prefix_cap_bounds_work(spark):
+    """prefix caps the compared text: beyond it, arbitrarily long docs
+    cost the same. Distance/normalization are over the capped prefixes."""
+    from rag_document_parser_spark.operators.dedup import edit_verify_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefgh" * 100), (2, "abcdefgh" * 100 + "XYZ" * 200)],
+        "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    row = edit_verify_pairs(docs, pairs, prefix=50).collect()[0]
+    assert row.edit_dist == 0 and row.sim_e6 == 1_000_000
