@@ -2738,6 +2738,87 @@ SQL_EDIT_VERIFY = _sql_simhash_cte(EDITCLONE_SQL) + f"""
 SELECT * FROM scored WHERE sim_e6 >= 500000"""
 
 
+# snapshot-dedup new batch: 40 exact re-publications, 20 docs with a
+# prepended token (near-dup by band collision where signatures survive
+# the edit — both engines compute the identical deterministic answer),
+# 20 genuinely fresh docs
+NEWBATCH_SQL = (
+    "(SELECT doc_id + 1000000 AS doc_id, text FROM documents "
+    "WHERE doc_id < 40 UNION ALL "
+    "SELECT doc_id + 2000000 AS doc_id, 'prepended token ' || text "
+    "FROM documents WHERE doc_id >= 40 AND doc_id < 60 UNION ALL "
+    "SELECT doc_id + 3000000 AS doc_id, 'fresh ' || doc_id::VARCHAR || "
+    "' novel alpha beta gamma delta epsilon' AS text "
+    "FROM documents WHERE doc_id < 20)")
+
+
+def q_snapshot_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot dedup (dedup.build_dedup_index +
+    dedup_against_index): snapshot N+1 annotated against the prior
+    corpus' persisted (kind, key) index — exact md5 hits and MinHash
+    band collisions — without re-deduplicating the union."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    idx = D.build_dedup_index(docs, k=_K, bands=_BANDS)
+    exact = docs.where(F.col("doc_id") < 40).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    near = docs.where((F.col("doc_id") >= 40) & (F.col("doc_id") < 60)) \
+        .select((F.col("doc_id") + 2000000).alias("doc_id"),
+                F.concat(F.lit("prepended token "), F.col("text"))
+                .alias("text"))
+    fresh = docs.where(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.concat(F.lit("fresh "), F.col("doc_id").cast("string"),
+                 F.lit(" novel alpha beta gamma delta epsilon"))
+        .alias("text"))
+    new = exact.unionByName(near).unionByName(fresh)
+    out = D.dedup_against_index(new, idx, k=_K, bands=_BANDS)
+    return out.select(F.col("id").cast("long"),
+                      "exact_dup", "near_dup", "kept")
+
+
+def _sql_snapshot_dedup() -> str:
+    consts = _minhash_consts()
+    mins = ", ".join(
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {D.P}))::VARCHAR"
+        for a, b in consts)
+
+    def keys(src: str, nm: str) -> str:
+        return f"""
+{nm}_s AS (SELECT doc_id AS id, text, list_distinct({_SH3}) AS sh
+           FROM {src}),
+{nm}_hs AS (SELECT id, list_transform(sh, x -> {_md5l('x')} % 2147483647)
+              AS hs FROM {nm}_s WHERE len(sh) > 0),
+{nm}_sig AS (SELECT id, [{mins}] AS sigl FROM {nm}_hs),
+{nm}_keys AS (
+  SELECT id, 'exact' AS kind, md5(text) AS key FROM {nm}_s
+  UNION ALL
+  SELECT id, 'band' AS kind,
+         unnest(list_transform(range({_BANDS}),
+           bi -> bi::VARCHAR || '|' ||
+                 array_to_string(list_slice(sigl, bi*{_R}+1, bi*{_R}+{_R}),
+                                 ','))) AS key
+  FROM {nm}_sig)"""
+
+    return f"""
+WITH {keys('documents', 'ix')},
+{keys(NEWBATCH_SQL, 'nw')},
+idx AS (SELECT DISTINCT kind, key FROM ix_keys),
+marked AS (
+  SELECT n.id, n.kind, idx.key IS NOT NULL AS hit
+  FROM nw_keys n LEFT JOIN idx
+    ON n.kind = idx.kind AND n.key = idx.key)
+SELECT id::BIGINT AS id,
+       max(CASE WHEN kind = 'exact' AND hit THEN 1 ELSE 0 END) = 1
+         AS exact_dup,
+       max(CASE WHEN kind = 'band' AND hit THEN 1 ELSE 0 END) = 1
+         AS near_dup,
+       max(CASE WHEN hit THEN 1 ELSE 0 END) = 0 AS kept
+FROM marked GROUP BY id"""
+
+
+SQL_SNAPSHOT_DEDUP = _sql_snapshot_dedup()
+
+
 _LEAK_FRACTIONS = {"train": 0.8, "val": 0.2}
 _LEAK_SALT = "leakv1"
 
@@ -5077,6 +5158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- new this round / never driver-gated in any round ----------
         "edit_verify": q_edit_verify,
+        "snapshot_dedup": q_snapshot_dedup,
         "hybrid_topk": q_hybrid_topk,
         "leakage_split": q_leakage_split,
         "license_signals": q_license_signals,
@@ -5192,6 +5274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "edit_verify": SQL_EDIT_VERIFY,
+        "snapshot_dedup": SQL_SNAPSHOT_DEDUP,
         "hybrid_topk": SQL_HYBRID_TOPK,
         "leakage_split": SQL_LEAKAGE_SPLIT,
         "license_signals": SQL_LICENSE_SIGNALS,

@@ -658,3 +658,76 @@ def edit_verify_pairs(docs: DataFrame, pairs: DataFrame,
                " div greatest(length(_ta), length(_tb), 1)")
         .cast("long").alias("sim_e6"))
     return scored.where(F.col("sim_e6") >= min_sim_e6)
+
+
+def build_dedup_index(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", n: int = 3,
+                      k: int = 32, bands: int = 8) -> DataFrame:
+    """Long-format dedup index for cross-snapshot deduplication.
+
+    One row per (doc, key): kind ``'exact'`` carries ``md5(text)``;
+    kind ``'band'`` carries each of the doc's MinHash LSH band keys
+    (``"{band}|{r comma-joined sig values}"``, same banding as
+    ``minhash_lsh_pairs``). Persist this table once per accepted
+    corpus; each new crawl/snapshot joins against it instead of
+    re-deduplicating the union from scratch — the operation a rolling
+    100 TB ingest actually runs (CommonCrawl-style snapshot N+1 vs
+    the cumulative index).
+
+    At 10^12 docs the index is (1 + bands) rows/doc of short strings —
+    store it partitioned (bucketed) by ``key`` so the snapshot join is
+    sort-merge without a fresh index-side shuffle. Key generation is
+    scan-local: signatures are zero-shuffle (see minhash_signatures),
+    the exact leg is one md5 projection.
+    """
+    r = k // bands
+    exact = df.select(F.col(id_col).alias("id"),
+                      F.lit("exact").alias("kind"),
+                      F.md5(F.col(text_col)).alias("key"))
+    band_keys = minhash_signatures(df, text_col, id_col, n, k).select(
+        "id", F.lit("band").alias("kind"),
+        F.explode(F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda bi: F.concat_ws(
+                "|", bi.cast("string"),
+                F.array_join(F.transform(F.slice("signature", bi * r + 1, r),
+                                         lambda x: x.cast("string")),
+                             ",")))).alias("key"))
+    return exact.unionByName(band_keys)
+
+
+def dedup_against_index(new_df: DataFrame, index: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        n: int = 3, k: int = 32,
+                        bands: int = 8) -> DataFrame:
+    """Annotate a new snapshot against a prior corpus' dedup index.
+
+    Returns one row per new doc: ``(id, exact_dup, near_dup, kept)``
+    where ``exact_dup`` = its md5 already in the index, ``near_dup`` =
+    any LSH band key collides with the index, ``kept`` = neither.
+    ``new_df``'s keys are generated with the SAME (n, k, bands) the
+    index was built with — mixing parameters silently finds nothing.
+
+    Scale shape: the index side is first reduced to DISTINCT
+    ``(kind, key)`` — a map-side-combinable aggregate — so a band key
+    shared by millions of accepted docs becomes ONE join row: no skew
+    regardless of boilerplate mass. The join key (md5 / band sig) is
+    uniform by construction; the per-id wrap-up groupBy is keyed on
+    the new batch's ids. Nothing ever pairs doc-vs-doc — the quadratic
+    candidate step of within-corpus LSH is gone entirely, which is the
+    point of indexing.
+    """
+    keys = build_dedup_index(new_df, text_col, id_col, n, k, bands)
+    idx = (index.select("kind", "key").distinct()
+           .withColumn("_hit", F.lit(1)))
+    marked = keys.join(idx, ["kind", "key"], "left")
+    hit = F.col("_hit").isNotNull()
+    agg = marked.groupBy("id").agg(
+        F.max(F.when((F.col("kind") == "exact") & hit, 1)
+              .otherwise(0)).alias("_e"),
+        F.max(F.when((F.col("kind") == "band") & hit, 1)
+              .otherwise(0)).alias("_b"))
+    return agg.select(
+        "id", (F.col("_e") == 1).alias("exact_dup"),
+        (F.col("_b") == 1).alias("near_dup"),
+        ((F.col("_e") == 0) & (F.col("_b") == 0)).alias("kept"))

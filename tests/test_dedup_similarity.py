@@ -519,3 +519,59 @@ def test_edit_verify_prefix_cap_bounds_work(spark):
     pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
     row = edit_verify_pairs(docs, pairs, prefix=50).collect()[0]
     assert row.edit_dist == 0 and row.sim_e6 == 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# cross-snapshot dedup against a persisted index
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_against_index_exact_near_fresh(spark):
+    """Index = snapshot 1; snapshot 2 has an exact re-publication, a
+    rotation (same 3-shingle SET -> identical MinHash signature ->
+    near-dup, different md5 -> not exact), and a fresh doc."""
+    from rag_document_parser_spark.operators.dedup import (
+        build_dedup_index, dedup_against_index)
+
+    # "a b c d" cycled: any window of 7 words has shingle set
+    # {abc, bcd, cda, dab} regardless of rotation
+    t1 = "wa wb wc wd wa wb wc"
+    rot = "wb wc wd wa wb wc wd"
+    corpus = spark.createDataFrame(
+        [(1, t1), (2, "completely different old content here")],
+        "doc_id long, text string")
+    idx = build_dedup_index(corpus, k=16, bands=4)
+    new = spark.createDataFrame(
+        [(10, t1),                                  # exact re-publication
+         (11, rot),                                 # near-dup only
+         (12, "genuinely novel words qq rr ss tt")],  # fresh
+        "doc_id long, text string")
+    got = {r.id: (r.exact_dup, r.near_dup, r.kept)
+           for r in dedup_against_index(new, idx, k=16, bands=4).collect()}
+    assert got[10] == (True, True, False)
+    assert got[11] == (False, True, False)
+    assert got[12] == (False, False, True)
+    assert len(got) == 3
+
+
+def test_dedup_index_shapes_and_empty_text(spark):
+    """Every doc gets exactly one exact key; band keys only when the
+    doc has shingles (1 + bands rows otherwise). Empty text still
+    indexes its exact hash."""
+    from rag_document_parser_spark.operators.dedup import build_dedup_index
+
+    df = spark.createDataFrame(
+        [(1, "one two three four five"), (2, "")],
+        "doc_id long, text string")
+    rows = build_dedup_index(df, k=16, bands=4).collect()
+    by = {}
+    for r in rows:
+        by.setdefault((r.id, r.kind), []).append(r.key)
+    assert len(by[(1, "exact")]) == 1 and len(by[(1, "band")]) == 4
+    assert len(by[(2, "exact")]) == 1 and (2, "band") not in by
+    # short-doc in a fresh batch vs that index: exact dup of itself
+    from rag_document_parser_spark.operators.dedup import dedup_against_index
+    new = spark.createDataFrame([(9, "")], "doc_id long, text string")
+    r = dedup_against_index(new, build_dedup_index(df, k=16, bands=4),
+                            k=16, bands=4).collect()[0]
+    assert (r.exact_dup, r.near_dup, r.kept) == (True, False, False)
