@@ -2683,6 +2683,50 @@ SELECT mem.id::BIGINT AS id, mem.cluster_id::BIGINT AS cluster_id,
 FROM mem JOIN best USING (cluster_id)"""
 
 
+def q_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup (dedup.soft_dedup_weights): simhash near-pairs ->
+    connected components -> weight_e6 = 1e6 div cluster size, 1e6 for
+    singletons — duplicates down-weighted, never dropped."""
+    corpus = _cloned_docs(spark, sf_dir)
+    pairs = D.simhash_near_pairs(corpus, max_hamming=3)
+    out = D.soft_dedup_weights(corpus, pairs)
+    return out.select(F.col("id").cast("long"),
+                      F.col("cluster_id").cast("long"),
+                      "csize", "weight_e6")
+
+
+SQL_SOFT_DEDUP = _sql_simhash_cte(CLONED_SQL).replace(
+    "WITH ", "WITH RECURSIVE ", 1) + f"""
+, prs AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM sh a JOIN sh b ON a.id < b.id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+), e AS (
+  SELECT id_a AS a, id_b AS b FROM prs
+  UNION SELECT id_b, id_a FROM prs
+), reach AS (
+  SELECT a AS id, a AS r FROM e
+  UNION
+  SELECT reach.id, e.b FROM reach JOIN e ON e.a = reach.r
+), cl AS (
+  SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+), szs AS (
+  SELECT cluster_id, count(*) AS csize FROM cl GROUP BY cluster_id
+), member AS (
+  SELECT cl.id, cl.cluster_id, szs.csize,
+         1000000 // szs.csize AS weight_e6
+  FROM cl JOIN szs USING (cluster_id)
+)
+SELECT id::BIGINT AS id, cluster_id::BIGINT AS cluster_id,
+       csize::BIGINT AS csize, weight_e6::BIGINT AS weight_e6
+FROM member
+UNION ALL
+SELECT u.doc_id::BIGINT AS id, u.doc_id::BIGINT AS cluster_id,
+       1::BIGINT AS csize, 1000000::BIGINT AS weight_e6
+FROM {CLONED_SQL} u
+WHERE u.doc_id NOT IN (SELECT id FROM cl)"""
+
+
 # edit-verify corpus: ASCII-FOLDED text (each non-ASCII char -> '?') so
 # DuckDB's byte-based levenshtein agrees with Spark's character-based
 # one (bytes == chars on pure ASCII; the operator itself is
@@ -5159,6 +5203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new this round / never driver-gated in any round ----------
         "edit_verify": q_edit_verify,
         "snapshot_dedup": q_snapshot_dedup,
+        "soft_dedup": q_soft_dedup,
         "hybrid_topk": q_hybrid_topk,
         "leakage_split": q_leakage_split,
         "license_signals": q_license_signals,
@@ -5275,6 +5320,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "edit_verify": SQL_EDIT_VERIFY,
         "snapshot_dedup": SQL_SNAPSHOT_DEDUP,
+        "soft_dedup": SQL_SOFT_DEDUP,
         "hybrid_topk": SQL_HYBRID_TOPK,
         "leakage_split": SQL_LEAKAGE_SPLIT,
         "license_signals": SQL_LICENSE_SIGNALS,

@@ -201,6 +201,14 @@ def main() -> None:
           lambda: D.simhash64(docs).agg(F.bit_xor("simhash")).collect())
     timed_reps("dedup_jaccard",
           lambda: D.ngram_jaccard_pairs(docs, n=3, threshold=0.5).count())
+    # cross-snapshot: index the corpus once, dedup the corpus-as-new-batch
+    # against it (worst case: every doc an exact dup + full band collisions)
+    timed_reps("snapshot_dedup",
+          lambda: D.dedup_against_index(
+              docs, D.build_dedup_index(docs, n=3, k=16, bands=4),
+              n=3, k=16, bands=4).agg(F.sum(F.col("kept").cast("long")),
+                                      F.sum(F.col("near_dup").cast("long")))
+          .collect())
     timed_reps("textstats", lambda: T.quality_features(docs).unionByName(
         T.quality_features(docs)).agg(F.sum("n_words")).collect())
     timed_reps("gopher_rules",

@@ -731,3 +731,37 @@ def dedup_against_index(new_df: DataFrame, index: DataFrame,
         "id", (F.col("_e") == 1).alias("exact_dup"),
         (F.col("_b") == 1).alias("near_dup"),
         ((F.col("_e") == 0) & (F.col("_b") == 0)).alias("kept"))
+
+
+def soft_dedup_weights(docs: DataFrame, pairs: DataFrame,
+                       id_col: str = "doc_id") -> DataFrame:
+    """Soft deduplication: down-weight duplicates instead of dropping.
+
+    Hard dedup (keep one member per cluster) throws away the signal
+    that a document was independently published k times — and a
+    threshold-crossing false positive silently deletes real content.
+    The soft alternative keeps every doc but assigns a training weight
+    of ``1/|cluster|`` so each duplicated *content* contributes one
+    document's worth of gradient mass total. Output one row per doc:
+    ``(id, cluster_id, csize, weight_e6)`` with fixed-point
+    ``weight_e6 = 1e6 div csize`` (1e6 for singletons, whose
+    cluster_id is their own id). Feed ``weight_e6`` to a weighted
+    sampler (see sampling.weighted_sample) or loss-weighting.
+
+    Scale shape: ``dedup_clusters`` bounds the label-propagation work
+    by the PAIR table (≪ corpus); cluster sizes are one
+    map-side-combinable groupBy on cluster_id; the singleton leg is a
+    left-anti join on the uniform doc-id key. No step touches text.
+    """
+    cl = dedup_clusters(pairs)
+    sizes = cl.groupBy("cluster_id").agg(F.count("*").alias("csize"))
+    member = (cl.join(sizes, "cluster_id")
+              .select("id", "cluster_id", "csize",
+                      F.expr("1000000 div csize").cast("long")
+                      .alias("weight_e6")))
+    singles = (docs.select(F.col(id_col).alias("id"))
+               .join(cl.select("id"), "id", "left_anti")
+               .select("id", F.col("id").alias("cluster_id"),
+                       F.lit(1).cast("long").alias("csize"),
+                       F.lit(1000000).cast("long").alias("weight_e6")))
+    return member.unionByName(singles)

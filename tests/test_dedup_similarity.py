@@ -575,3 +575,22 @@ def test_dedup_index_shapes_and_empty_text(spark):
     r = dedup_against_index(new, build_dedup_index(df, k=16, bands=4),
                             k=16, bands=4).collect()[0]
     assert (r.exact_dup, r.near_dup, r.kept) == (True, False, False)
+
+
+def test_soft_dedup_weights_mass_conservation(spark):
+    """Cluster {1,2,3} members each weigh 1e6 div 3; pair {10,11} each
+    1e6 div 2; singleton 99 weighs 1e6 with itself as cluster_id. Each
+    cluster's total weight is ~1e6 (one document's worth of mass)."""
+    from rag_document_parser_spark.operators.dedup import soft_dedup_weights
+
+    docs = spark.createDataFrame([(i,) for i in (1, 2, 3, 10, 11, 99)],
+                                 "doc_id long")
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)],
+                                  "id_a long, id_b long")
+    got = {r.id: (r.cluster_id, r.csize, r.weight_e6)
+           for r in soft_dedup_weights(docs, pairs).collect()}
+    assert got[1] == (1, 3, 333333) and got[2] == (1, 3, 333333) \
+        and got[3] == (1, 3, 333333)
+    assert got[10] == (10, 2, 500000) and got[11] == (10, 2, 500000)
+    assert got[99] == (99, 1, 1000000)
+    assert len(got) == 6
