@@ -2782,6 +2782,55 @@ SQL_EDIT_VERIFY = _sql_simhash_cte(EDITCLONE_SQL) + f"""
 SELECT * FROM scored WHERE sim_e6 >= 500000"""
 
 
+def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive triple mining (retrieval.mine_contrastive_pairs):
+    per anchor one positive (shingle Jaccard >= 0.5 — the exact clones
+    planted by _cloned_docs) and one HARD negative (shares >= 1 rare
+    shingle yet Jaccard < 0.2), both picked by an encoded
+    max(jac_e6*1e8 + (1e8-1-other)) argmax — no window, map-side
+    combinable. Emits (anchor, pos_id, neg_id, pos_jac_e6,
+    neg_jac_e6) for anchors having both legs."""
+    from rag_document_parser_spark.operators.retrieval import (
+        mine_contrastive_pairs)
+
+    return mine_contrastive_pairs(_cloned_docs(spark, sf_dir))
+
+
+SQL_CONTRASTIVE = f"""
+WITH u AS (SELECT * FROM {CLONED_SQL}),
+s AS (SELECT doc_id AS id, list_distinct({_SH3}) AS sh FROM u),
+s2 AS (SELECT id, sh, len(sh) AS n_sh FROM s WHERE len(sh) > 0),
+flat AS (SELECT id, unnest(sh) AS shingle FROM s2),
+freq AS (SELECT shingle, count(*) AS c FROM flat GROUP BY shingle),
+f2 AS (SELECT flat.id, flat.shingle FROM flat
+       JOIN freq ON flat.shingle = freq.shingle WHERE freq.c <= 1000),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+  FROM f2 a JOIN f2 b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id),
+pairs AS (
+  SELECT id_a, id_b,
+    (inter * 1000000 // (sa.n_sh + sb.n_sh - inter))::BIGINT AS jac_e6
+  FROM inter
+  JOIN s2 sa ON inter.id_a = sa.id JOIN s2 sb ON inter.id_b = sb.id),
+sym AS (
+  SELECT id_a AS anchor, id_b AS other, jac_e6 FROM pairs
+  UNION ALL
+  SELECT id_b AS anchor, id_a AS other, jac_e6 FROM pairs),
+pos AS (
+  SELECT anchor, max(jac_e6 * 100000000 + (99999999 - other)) AS k
+  FROM sym WHERE jac_e6 >= 500000 GROUP BY anchor),
+neg AS (
+  SELECT anchor, max(jac_e6 * 100000000 + (99999999 - other)) AS k
+  FROM sym WHERE jac_e6 < 200000 GROUP BY anchor)
+SELECT pos.anchor::BIGINT AS anchor,
+  (99999999 - pos.k % 100000000)::BIGINT AS pos_id,
+  (99999999 - neg.k % 100000000)::BIGINT AS neg_id,
+  (pos.k // 100000000)::BIGINT AS pos_jac_e6,
+  (neg.k // 100000000)::BIGINT AS neg_jac_e6
+FROM pos JOIN neg ON pos.anchor = neg.anchor"""
+
+
 # snapshot-dedup new batch: 40 exact re-publications, 20 docs with a
 # prepended token (near-dup by band collision where signatures survive
 # the edit — both engines compute the identical deterministic answer),
@@ -5201,6 +5250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # pair; the long-stable tail (green in r2 AND r3) yields its slots.
     return {
         # -- new this round / never driver-gated in any round ----------
+        "contrastive_pairs": q_contrastive_pairs,
         "edit_verify": q_edit_verify,
         "snapshot_dedup": q_snapshot_dedup,
         "soft_dedup": q_soft_dedup,
@@ -5318,6 +5368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "contrastive_pairs": SQL_CONTRASTIVE,
         "edit_verify": SQL_EDIT_VERIFY,
         "snapshot_dedup": SQL_SNAPSHOT_DEDUP,
         "soft_dedup": SQL_SOFT_DEDUP,

@@ -193,3 +193,67 @@ def rrf_fuse(ranked: list[DataFrame], k: int = 10, k0: int = 60,
     return topk_per_query(scored, k, "query_id", "doc_id", "rrf_e6").select(
         "query_id", "doc_id", "n_lists", "rrf_e6",
         F.col("rank").cast("long").alias("rank"))
+
+
+def mine_contrastive_pairs(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", n: int = 3,
+                           pos_lo_e6: int = 500_000,
+                           neg_hi_e6: int = 200_000,
+                           df_cap: int = 1000) -> DataFrame:
+    """Mine (anchor, positive, hard-negative) training triples.
+
+    Embedding/reranker training wants, per anchor document, a positive
+    (same content, different surface — a near-dup) and a HARD negative
+    (superficially overlapping yet different content — the pairs a
+    lexical model confuses). Both come from the same shingle-sharing
+    candidate table: pairs with fixed-point Jaccard ``>= pos_lo_e6``
+    are positives; pairs sharing at least one (rare) shingle but with
+    Jaccard ``< neg_hi_e6`` are hard negatives — they beat random
+    negatives exactly because they DO overlap. Per anchor keep the
+    best positive (max Jaccard, min-id tiebreak) and the hardest
+    negative (max Jaccard below the ceiling, min-id tiebreak); emit
+    only anchors having both: ``(anchor, pos_id, neg_id, pos_jac_e6,
+    neg_jac_e6)``.
+
+    Selection uses an ENCODED argmax — ``jac_e6 * 1e8 + (1e8 − 1 −
+    other)`` maximized then decoded — a plain map-side-combinable MAX,
+    no window, identical integer op order in any engine. Precondition:
+    ids in ``[0, 1e8 − 1]`` (the tiebreak term must stay < 1e8, else
+    it would carry into the Jaccard digits; the −1 keeps id 0 legal).
+
+    At 100 TB: cost is bounded by the candidate table of
+    ``ngram_jaccard_pairs`` (df_cap caps per-shingle fan-out, the
+    stop-shingle blacklist is broadcast); everything after is two
+    aggregates on the uniform anchor key and one join. Lowering
+    ``df_cap`` trades negative-candidate recall for cost.
+    """
+    from rag_document_parser_spark.operators.dedup import (
+        ngram_jaccard_pairs)
+
+    pairs = ngram_jaccard_pairs(df, text_col, id_col, n,
+                                threshold=0.0, df_cap=df_cap)
+    scored = pairs.select(
+        "id_a", "id_b",
+        F.expr("inter * 1000000 div (n_a + n_b - inter)")
+        .cast("long").alias("jac_e6"))
+    both = scored.select(F.col("id_a").alias("anchor"),
+                         F.col("id_b").alias("other"), "jac_e6") \
+        .unionByName(scored.select(F.col("id_b").alias("anchor"),
+                                   F.col("id_a").alias("other"), "jac_e6"))
+    enc = (F.col("jac_e6") * F.lit(100_000_000)
+           + (F.lit(99_999_999) - F.col("other")))
+
+    def pick(sub: DataFrame, pfx: str) -> DataFrame:
+        top = sub.groupBy("anchor").agg(F.max(enc).alias("_k"))
+        return top.select(
+            "anchor",
+            (F.lit(99_999_999) - F.col("_k") % 100_000_000)
+            .cast("long").alias(f"{pfx}_id"),
+            F.expr("_k div 100000000").cast("long")
+            .alias(f"{pfx}_jac_e6"))
+
+    pos = pick(both.where(F.col("jac_e6") >= pos_lo_e6), "pos")
+    neg = pick(both.where(F.col("jac_e6") < neg_hi_e6), "neg")
+    return (pos.join(neg, "anchor")
+            .select("anchor", "pos_id", "neg_id",
+                    "pos_jac_e6", "neg_jac_e6"))

@@ -207,3 +207,65 @@ def test_rrf_fuse_hybrid_legs_end_to_end(spark):
                          for r in fused)
     assert all(1 <= r["rank"] <= 3 and r["n_lists"] in (1, 2)
                for r in fused)
+
+
+# ---------------------------------------------------------------------------
+# contrastive triple mining
+# ---------------------------------------------------------------------------
+
+
+def test_contrastive_triples_planted_family(spark):
+    """Anchor A: positive P (4 shingles each, 3 shared -> jac 600000)
+    and hard negative N (1 shared of 7 -> jac 142857). P and N share
+    no shingle, so only A has both legs and only A emits a triple."""
+    from rag_document_parser_spark.operators.retrieval import (
+        mine_contrastive_pairs)
+
+    docs = spark.createDataFrame(
+        [(1, "core words one two three four"),
+         (2, "core words one two three five"),
+         (3, "diff other junk two three four"),
+         (4, "totally unrelated island of text")],
+        "doc_id long, text string")
+    rows = mine_contrastive_pairs(docs).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.anchor, r.pos_id, r.neg_id) == (1, 2, 3)
+    assert r.pos_jac_e6 == 600_000            # 3*1e6 div 5
+    assert r.neg_jac_e6 == 1_000_000 // 7     # 1*1e6 div 7
+
+
+def test_contrastive_tiebreaks_min_id(spark):
+    """Two equally-good positives (identical clones) -> the SMALLER id
+    wins via the encoded key's (1e8 - other) term."""
+    from rag_document_parser_spark.operators.retrieval import (
+        mine_contrastive_pairs)
+
+    t = "core words one two three four"
+    docs = spark.createDataFrame(
+        [(1, t), (5, t), (9, t),
+         (3, "diff other junk two three four")],
+        "doc_id long, text string")
+    got = {r.anchor: r for r in mine_contrastive_pairs(docs).collect()}
+    # anchor 1: positives {5, 9} both jac 1e6 -> picks 5; negative 3
+    assert got[1].pos_id == 5 and got[1].neg_id == 3
+    assert got[5].pos_id == 1      # min-id among {1, 9}
+    assert got[9].pos_id == 1
+
+
+def test_contrastive_id_zero_decodes_exactly(spark):
+    """id 0 as the winning positive: the tiebreak term is 1e8-1-0,
+    which must NOT carry into the Jaccard digits of the encoded key
+    (regression: the original 1e8-other encoding aliased id 0 into
+    jac_e6+1 with pos_id=1e8)."""
+    from rag_document_parser_spark.operators.retrieval import (
+        mine_contrastive_pairs)
+
+    t = "core words one two three four"
+    docs = spark.createDataFrame(
+        [(0, t), (1, t),
+         (3, "diff other junk two three four")],
+        "doc_id long, text string")
+    got = {r.anchor: r for r in mine_contrastive_pairs(docs).collect()}
+    assert got[1].pos_id == 0 and got[1].pos_jac_e6 == 1_000_000
+    assert got[0].pos_id == 1 and got[0].neg_id == 3
