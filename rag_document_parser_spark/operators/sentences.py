@@ -95,9 +95,6 @@ def sentence_dedup(df: DataFrame, text_col: str = "text",
         .alias("cleaned"))
 
 
-_CHUNKS_T = "array<struct<text:string,n_sents:bigint,n_tok:bigint>>"
-
-
 def sentence_chunks(df: DataFrame, max_tokens: int = 128,
                     text_col: str = "text",
                     id_col: str = "doc_id") -> DataFrame:
@@ -120,14 +117,17 @@ def sentence_chunks(df: DataFrame, max_tokens: int = 128,
     rows. Token counts use the shared ``words`` tokenizer; sentence
     boundaries are the module's RE2-safe subset rule.
 
-    Scale shape: ZERO exchanges — segmentation, per-sentence token
-    counts, and the greedy fold are all row-local Catalyst expressions
-    (one ``aggregate`` carrying ``(chunks, cur_text, cur_sents,
-    cur_tok)``), feeding one ``posexplode``. Chunking 10^12 docs is
-    exactly as parallel as the scan that reads them. The fold is
-    O(sentences) per doc with O(chunks) state — bounded by the doc
-    itself, the same giant-doc envelope as every row-local operator
-    here.
+    Scale shape: ZERO exchanges — segmentation, token counts, the
+    greedy fold, and chunk assembly are all row-local Catalyst
+    expressions feeding one ``posexplode``. Chunking 10^12 docs is
+    exactly as parallel as the scan that reads them. The sequential
+    fold carries ONLY ``(chunk-start indices, cur_sents, cur_tok)`` —
+    small ints; chunk text/counts are assembled AFTER the fold from
+    the boundary indices with ``slice`` + ``array_join``. Higher-order
+    functions are interpreted (never codegen'd) and deep-copy their
+    accumulator every step, so a fold accumulating the chunk structs
+    and growing text costs O(doc²) copies — measured 8-10x slower than
+    this index-only fold on the bench corpus.
     """
     from rag_document_parser_spark.operators.dedup import words
 
@@ -138,59 +138,61 @@ def sentence_chunks(df: DataFrame, max_tokens: int = 128,
               .select(id_col, "_s",
                       F.transform("_s",
                                   lambda s: F.size(words(s)).cast("long"))
-                      .alias("_l")))
+                      .alias("_l"))
+              .where(F.size("_s") > 0))
 
     a = lambda acc, f: acc.getField(f)  # noqa: E731
-    mk_chunk = lambda t, ns, nt: F.struct(  # noqa: E731
-        t.alias("text"), ns.alias("n_sents"), nt.alias("n_tok"))
 
     def step(acc, i):
-        s = F.element_at(F.col("_s"), i)
         tl = F.element_at(F.col("_l"), i)
-        flush = (a(acc, "cur_sents") > 0) \
-            & (a(acc, "cur_tok") + tl > max_tokens)
-        chunks = F.when(
-            flush,
-            F.concat(a(acc, "chunks"),
-                     F.array(mk_chunk(a(acc, "cur_text"),
-                                      a(acc, "cur_sents"),
-                                      a(acc, "cur_tok"))))
-        ).otherwise(a(acc, "chunks"))
-        cur_text = F.when(flush, s).otherwise(
-            F.when(a(acc, "cur_sents") > 0,
-                   F.concat(a(acc, "cur_text"), F.lit(" "), s))
-            .otherwise(s))
+        flush = (a(acc, "ns") > 0) & (a(acc, "tok") + tl > max_tokens)
         return F.struct(
-            chunks.alias("chunks"), cur_text.alias("cur_text"),
+            F.when(flush, F.concat(a(acc, "starts"), F.array(i)))
+            .otherwise(a(acc, "starts")).alias("starts"),
             F.when(flush, F.lit(1).cast("long"))
-            .otherwise(a(acc, "cur_sents") + 1).alias("cur_sents"),
-            F.when(flush, tl).otherwise(a(acc, "cur_tok") + tl)
-            .alias("cur_tok"))
-
-    def finish(acc):
-        return F.when(
-            a(acc, "cur_sents") > 0,
-            F.concat(a(acc, "chunks"),
-                     F.array(mk_chunk(a(acc, "cur_text"),
-                                      a(acc, "cur_sents"),
-                                      a(acc, "cur_tok"))))
-        ).otherwise(a(acc, "chunks"))
+            .otherwise(a(acc, "ns") + 1).alias("ns"),
+            F.when(flush, tl).otherwise(a(acc, "tok") + tl).alias("tok"))
 
     init = F.struct(
-        F.expr(f"cast(array() as {_CHUNKS_T})").alias("chunks"),
-        F.lit("").alias("cur_text"),
-        F.lit(0).cast("long").alias("cur_sents"),
-        F.lit(0).cast("long").alias("cur_tok"))
-    # sequence(1, 0) would DESCEND in Spark — guard the empty case
+        F.array(F.lit(1)).alias("starts"),
+        F.lit(0).cast("long").alias("ns"),
+        F.lit(0).cast("long").alias("tok"))
+    # sequence(1, 0) would DESCEND in Spark, indexing past the array —
+    # guard even though empty-_s rows are filtered above: local-relation
+    # constant folding can evaluate this projection on pre-filter rows
     idx = F.when(F.size("_s") > 0,
                  F.sequence(F.lit(1), F.size("_s"))) \
         .otherwise(F.expr("cast(array() as array<int>)"))
     folded = staged.select(
-        F.col(id_col), F.aggregate(idx, init, step, finish).alias("_c"))
-    ex = folded.select(
-        id_col, F.posexplode("_c").alias("chunk_idx", "_ch"))
+        id_col, "_s", "_l",
+        F.aggregate(idx, init, step,
+                    lambda acc: a(acc, "starts")).alias("_b"))
+    # chunk i spans sentences _b[i] .. (_b[i+1]-1 | size(_s))
+    spans = folded.select(
+        id_col, "_s", "_l",
+        F.arrays_zip(
+            F.col("_b").alias("b"),
+            F.transform(
+                F.sequence(F.lit(1), F.size("_b")),
+                lambda j: F.when(j < F.size("_b"),
+                                 F.element_at("_b", j + 1) - 1)
+                .otherwise(F.size("_s"))).alias("e")).alias("_z"))
+    # posexplode_OUTER on purpose (the extract_arrow discipline): plain
+    # posexplode makes InferFiltersFromGenerate add size(_z)>0/notnull
+    # filters on the generator INPUT, and predicate pushdown re-inlines
+    # the whole staging+fold chain into them (measured ~30x). outer
+    # infers nothing; the notnull below sits on the generated attribute
+    # and cannot be pushed past its own Generate.
+    ex = spans.select(
+        id_col, "_s", "_l",
+        F.posexplode_outer("_z").alias("chunk_idx", "z")) \
+        .where(F.col("z").isNotNull())
+    ln = F.col("z.e") - F.col("z.b") + 1
     return ex.select(
-        id_col, F.col("chunk_idx").cast("long").alias("chunk_idx"),
-        F.col("_ch.n_sents").alias("n_sents"),
-        F.col("_ch.n_tok").alias("n_tok"),
-        F.col("_ch.text").alias("chunk_text"))
+        F.col(id_col), F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        ln.cast("long").alias("n_sents"),
+        F.aggregate(F.slice("_l", F.col("z.b"), ln),
+                    F.lit(0).cast("long"), lambda acc, x: acc + x)
+        .alias("n_tok"),
+        F.array_join(F.slice("_s", F.col("z.b"), ln), " ")
+        .alias("chunk_text"))
