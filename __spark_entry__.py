@@ -1450,6 +1450,46 @@ SELECT doc_id::BIGINT AS doc_id, bucket::BIGINT AS bucket,
 FROM o"""
 
 
+_STREAM_LEN = 128
+
+
+def q_pack_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style token-stream packing manifest (packing.
+    pack_token_stream): docs concatenated per bucket in md5 key order,
+    cut at exact 128-token boundaries; one row per (sequence, doc)
+    intersection with integer start/length columns. seq_len=128 vs
+    ~50-token docs makes straddling sequences the common case."""
+    from rag_document_parser_spark.operators.packing import (
+        pack_token_stream)
+
+    out = pack_token_stream(_docs(spark, sf_dir), _STREAM_LEN,
+                            n_buckets=_PACK_BUCKETS)
+    return out.select(F.col("doc_id").cast("long"),
+                      F.col("bucket").cast("long"), "seq", "seq_idx",
+                      "tok_start_in_seq", "tok_start_in_doc", "n_tok")
+
+
+SQL_PACK_STREAM = _SQL_PACK_OFFSETS + f"""
+, x AS (
+  SELECT doc_id, bucket, n_tokens, tok_offset,
+    unnest(generate_series(
+        (tok_offset // {_STREAM_LEN})::BIGINT,
+        ((tok_offset + n_tokens - 1) // {_STREAM_LEN})::BIGINT))
+      AS seq_idx
+  FROM o WHERE n_tokens > 0
+)
+SELECT doc_id::BIGINT AS doc_id, bucket::BIGINT AS bucket,
+  bucket::VARCHAR || ':' || seq_idx::VARCHAR AS seq,
+  seq_idx::BIGINT AS seq_idx,
+  (greatest(tok_offset, seq_idx * {_STREAM_LEN})
+     - seq_idx * {_STREAM_LEN})::BIGINT AS tok_start_in_seq,
+  (greatest(tok_offset, seq_idx * {_STREAM_LEN}) - tok_offset)::BIGINT
+    AS tok_start_in_doc,
+  (least(tok_offset + n_tokens, (seq_idx + 1) * {_STREAM_LEN})
+     - greatest(tok_offset, seq_idx * {_STREAM_LEN}))::BIGINT AS n_tok
+FROM x"""
+
+
 def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-shard totals a training loader reads."""
     from rag_document_parser_spark.operators.packing import (
@@ -5251,6 +5291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- new this round / never driver-gated in any round ----------
         "contrastive_pairs": q_contrastive_pairs,
+        "pack_stream": q_pack_stream,
         "edit_verify": q_edit_verify,
         "snapshot_dedup": q_snapshot_dedup,
         "soft_dedup": q_soft_dedup,
@@ -5369,6 +5410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "contrastive_pairs": SQL_CONTRASTIVE,
+        "pack_stream": SQL_PACK_STREAM,
         "edit_verify": SQL_EDIT_VERIFY,
         "snapshot_dedup": SQL_SNAPSHOT_DEDUP,
         "soft_dedup": SQL_SOFT_DEDUP,

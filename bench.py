@@ -99,7 +99,14 @@ def main() -> None:
 
     def timed_reps(name: str, fn, reps: int = QREPS):
         """Best-of-N per query: timings[name] = min, rep_detail[name] =
-        every rep (so a noisy VM burst is visible, not just absorbed)."""
+        every rep (so a noisy VM burst is visible, not just absorbed).
+        A gc.collect() between queries releases py4j DataFrame refs so
+        the ContextCleaner can drop localCheckpoint blocks — otherwise
+        every checkpointing query (clusters, bpe, semdedup, ivf) leaves
+        blocks pinned in the shared 16g heap and later queries pay the
+        eviction pressure."""
+        import gc
+
         walls = []
         out = None
         for _ in range(max(reps, 1)):
@@ -108,6 +115,7 @@ def main() -> None:
             walls.append(round(time.perf_counter() - t0, 3))
         timings[name] = min(walls)
         rep_detail[name] = walls
+        gc.collect()
         return out
 
     # warm the JVM + the FULL python-worker pool (excluded from timings):
@@ -425,6 +433,27 @@ def main() -> None:
           lambda: D.containment_pairs(
               docs.select("doc_id", "text").unionByName(halves),
               threshold_e6=900_000).count())
+    timed_reps("pack_stream",
+          lambda: PK.pack_token_stream(docs, 128).count())
+    timed_reps("contrastive_pairs",
+          lambda: RET.mine_contrastive_pairs(
+              docs.select("doc_id", "text")).count())
+    clone_pairs = D.simhash_near_pairs(
+        docs.select("doc_id", "text").unionByName(
+            docs.where(F.col("doc_id") < 200).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text")),
+        max_hamming=3)
+    timed_reps("edit_verify",
+          lambda: D.edit_verify_pairs(
+              docs.select("doc_id", "text").unionByName(
+                  docs.where(F.col("doc_id") < 200).select(
+                      (F.col("doc_id") + 1000000).alias("doc_id"),
+                      "text")),
+              clone_pairs.select("id_a", "id_b")).count())
+    from rag_document_parser_spark.reporting import corpus_datasheet
+    timed_reps("corpus_datasheet",
+          lambda: corpus_datasheet(
+              docs.select("doc_id", "text", "source", "lang")).count())
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

@@ -79,6 +79,72 @@ def pack_shards(df: DataFrame, token_budget: int,
         "n_tokens", "tok_offset")
 
 
+def pack_token_stream(df: DataFrame, seq_len: int,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      n_buckets: int = 64, salt: str = "") -> DataFrame:
+    """Concatenate docs into a token stream and cut fixed-length
+    sequences — the GPT-style packing manifest.
+
+    ``pack_shards`` assigns whole documents to budgeted shards; LM
+    pretraining instead concatenates documents back-to-back and cuts
+    the stream at EXACT ``seq_len`` boundaries, letting documents
+    straddle sequences. The loader then needs, per (sequence,
+    document) intersection, where the document sits — that manifest is
+    what this emits, and it is also exactly the information an
+    attention mask that stops cross-document attention needs.
+
+    Stream order is the same per-bucket md5 key order as
+    ``pack_shards``: each bucket is an independent stream, so the only
+    wide operation is the per-bucket window sort, and the layout for a
+    given (id, salt, seq_len, n_buckets) never changes. A document at
+    stream interval ``[off, off+n)`` intersects sequences
+    ``off div L .. (off+n-1) div L``; one bounded explode (at most
+    ``n div L + 1`` rows per doc) materializes the intersections, and
+    every boundary column is integer arithmetic the DuckDB oracle
+    reproduces bitwise.
+
+    Returns ``(id_col, bucket, seq, seq_idx, tok_start_in_seq,
+    tok_start_in_doc, n_tok)`` with ``seq = '<bucket>:<seq_idx>'``;
+    ``tok_start_in_seq`` is the doc fragment's position inside the
+    sequence, ``tok_start_in_doc`` how many of the doc's tokens
+    precede the fragment. Zero-token docs occupy no stream positions
+    and emit no rows (documented). Each bucket's final sequence is
+    partial — training pads or drops it; the manifest states its true
+    ``n_tok``.
+    """
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive: {seq_len}")
+    key = _key(F.col(id_col), salt)
+    bucket = F.conv(F.substring(key, 1, 15), 16, 10).cast("long") % n_buckets
+    toks = F.size(words(F.col(text_col))).cast("long")
+    staged = df.select(
+        F.col(id_col), key.alias("_key"), bucket.alias("bucket"),
+        toks.alias("n_tokens"))
+    w = (Window.partitionBy("bucket").orderBy("_key", id_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    offs = staged.select(
+        id_col, "bucket", "n_tokens",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("off")) \
+        .where(F.col("n_tokens") > 0)
+    L = int(seq_len)
+    spans = offs.select(
+        id_col, "bucket", "n_tokens", "off",
+        F.explode(F.sequence(
+            F.expr(f"off div {L}"),
+            F.expr(f"(off + n_tokens - 1) div {L}"))).alias("seq_idx"))
+    lo = F.greatest(F.col("off"), F.col("seq_idx") * L)
+    hi = F.least(F.col("off") + F.col("n_tokens"),
+                 (F.col("seq_idx") + 1) * L)
+    return spans.select(
+        id_col, "bucket",
+        F.concat(F.col("bucket").cast("string"), F.lit(":"),
+                 F.col("seq_idx").cast("string")).alias("seq"),
+        F.col("seq_idx").cast("long").alias("seq_idx"),
+        (lo - F.col("seq_idx") * L).cast("long").alias("tok_start_in_seq"),
+        (lo - F.col("off")).cast("long").alias("tok_start_in_doc"),
+        (hi - lo).cast("long").alias("n_tok"))
+
+
 def shard_manifest(packed: DataFrame) -> DataFrame:
     """Per-shard totals: ``(shard, n_docs, n_tokens)`` — the manifest a
     training loader reads. One map-side-combinable aggregate."""

@@ -121,3 +121,91 @@ def test_matches_python_simulation(spark):
             expect[doc_id] = (bucket, f"{bucket}:{cum // BUDGET}", n, cum)
             cum += n
     assert out == expect
+
+
+# ---------------------------------------------------------------------------
+# token-stream packing (GPT-style fixed-length sequences)
+# ---------------------------------------------------------------------------
+
+SEQ_LEN = 16
+
+
+@pytest.fixture(scope="module")
+def streamed(corpus):
+    from rag_document_parser_spark.operators.packing import (
+        pack_token_stream)
+
+    return pack_token_stream(corpus, SEQ_LEN, n_buckets=N_BUCKETS).collect()
+
+
+def test_stream_conserves_every_token(streamed, corpus):
+    """Per doc: fragments cover the doc exactly — contiguous
+    tok_start_in_doc ranges summing to the doc's token count."""
+    from collections import defaultdict
+
+    toks = {r["doc_id"]: len(r["text"].split())
+            for r in corpus.collect()}
+    by_doc = defaultdict(list)
+    for r in streamed:
+        by_doc[r["doc_id"]].append(r)
+    assert set(by_doc) == set(toks)   # every doc has >=1 token here
+    for did, frags in by_doc.items():
+        frags.sort(key=lambda r: r["seq_idx"])
+        pos = 0
+        for f in frags:
+            assert f["tok_start_in_doc"] == pos
+            assert f["n_tok"] >= 1
+            pos += f["n_tok"]
+        assert pos == toks[did]
+
+
+def test_stream_sequences_exactly_full(streamed):
+    """Per bucket: every sequence except the last carries exactly
+    SEQ_LEN tokens, fragments tile [0, SEQ_LEN) without gaps."""
+    from collections import defaultdict
+
+    by_seq = defaultdict(list)
+    last_seq = {}
+    for r in streamed:
+        by_seq[r["seq"]].append(r)
+        last_seq[r["bucket"]] = max(last_seq.get(r["bucket"], -1),
+                                    r["seq_idx"])
+    for seq, frags in by_seq.items():
+        bucket = frags[0]["bucket"]
+        frags.sort(key=lambda r: r["tok_start_in_seq"])
+        pos = 0
+        for f in frags:
+            assert f["tok_start_in_seq"] == pos
+            pos += f["n_tok"]
+        if frags[0]["seq_idx"] < last_seq[bucket]:
+            assert pos == SEQ_LEN
+        else:
+            assert 1 <= pos <= SEQ_LEN
+
+
+def test_stream_straddles_are_split_rows(streamed):
+    """With 3..27-token docs and SEQ_LEN=16, some docs must straddle a
+    boundary and appear as >=2 rows."""
+    from collections import Counter
+
+    c = Counter(r["doc_id"] for r in streamed)
+    assert any(n >= 2 for n in c.values())
+
+
+def test_stream_zero_token_docs_emit_nothing(spark):
+    from rag_document_parser_spark.operators.packing import (
+        pack_token_stream)
+
+    df = spark.createDataFrame(
+        [("a", "one two three"), ("b", "???"), ("c", "")],
+        ["doc_id", "text"])
+    rows = pack_token_stream(df, 4, n_buckets=2).collect()
+    assert {r["doc_id"] for r in rows} == {"a"}
+
+
+def test_stream_seq_len_validation(corpus):
+    from rag_document_parser_spark.operators.packing import (
+        pack_token_stream)
+
+    with pytest.raises(ValueError):
+        pack_token_stream(corpus, 0)
