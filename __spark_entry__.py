@@ -1490,6 +1490,75 @@ SELECT doc_id::BIGINT AS doc_id, bucket::BIGINT AS bucket,
 FROM x"""
 
 
+def q_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release-gating drift report (reporting.snapshot_drift): per
+    source, docs/tokens/quality deltas between the corpus and a
+    deterministic successor snapshot (10% of docs dropped, 30 docs
+    re-published doubled under a brand-new 'grown' source)."""
+    from rag_document_parser_spark.reporting import snapshot_drift
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "source")
+    new = docs.where(F.col("doc_id") % 10 != 0).unionByName(
+        docs.where(F.col("doc_id") < 30).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat("text", F.lit(" "), "text").alias("text"),
+            F.lit("grown").alias("source")))
+    return snapshot_drift(docs, new)
+
+
+def _sql_snapshot_drift() -> str:
+    toks = TOKS_SQL.format(c="text")
+    side = f"""
+  SELECT source, count(*)::BIGINT AS n_docs,
+    sum(nw)::BIGINT AS total_tokens,
+    sum(ok)::BIGINT AS quality_pass,
+    (sum(ok) * 1000000 // greatest(count(*), 1))::BIGINT
+      AS quality_pass_e6
+  FROM (
+    SELECT source, len({toks})::BIGINT AS nw,
+      CASE WHEN len({toks}) >= 5 AND len({toks}) <= 100000
+        AND length(regexp_replace(text, '[^A-Za-z{S.ARABIC_RANGE} ]',
+                                  '', 'g')) * 1000
+            >= length(text) * 100
+      THEN 1 ELSE 0 END AS ok
+    FROM {{src}}) GROUP BY source"""
+    return f"""
+WITH nd AS (
+  SELECT doc_id, text, source FROM documents WHERE doc_id % 10 != 0
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' ' || text, 'grown'
+  FROM documents WHERE doc_id < 30
+), os AS ({side.format(src='documents')}),
+ns AS ({side.format(src='nd')}),
+j AS (
+  SELECT coalesce(os.source, ns.source) AS source,
+    coalesce(os.n_docs, 0) AS o_n_docs,
+    coalesce(os.total_tokens, 0) AS o_total_tokens,
+    coalesce(os.quality_pass, 0) AS o_quality_pass,
+    coalesce(os.quality_pass_e6, 0) AS o_quality_pass_e6,
+    coalesce(ns.n_docs, 0) AS n_n_docs,
+    coalesce(ns.total_tokens, 0) AS n_total_tokens,
+    coalesce(ns.quality_pass, 0) AS n_quality_pass,
+    coalesce(ns.quality_pass_e6, 0) AS n_quality_pass_e6
+  FROM os FULL OUTER JOIN ns ON os.source = ns.source)
+SELECT source, metric, old_value::BIGINT AS old_value,
+  new_value::BIGINT AS new_value,
+  (new_value - old_value)::BIGINT AS delta
+FROM (
+  SELECT source, 'n_docs' AS metric, o_n_docs AS old_value,
+         n_n_docs AS new_value FROM j
+  UNION ALL
+  SELECT source, 'total_tokens', o_total_tokens, n_total_tokens FROM j
+  UNION ALL
+  SELECT source, 'quality_pass', o_quality_pass, n_quality_pass FROM j
+  UNION ALL
+  SELECT source, 'quality_pass_e6', o_quality_pass_e6,
+         n_quality_pass_e6 FROM j)"""
+
+
+SQL_SNAPSHOT_DRIFT = _sql_snapshot_drift()
+
+
 def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-shard totals a training loader reads."""
     from rag_document_parser_spark.operators.packing import (
@@ -5197,8 +5266,7 @@ def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return B.bpe_segment(docs, B.train_bpe(docs, n_merges=2, min_count=2))
 
 
-SQL_BPE_SEGMENT = f"""
-WITH {_BPE_TRAIN_CTES},
+_BPE_SEG_CTES = f"""{_BPE_TRAIN_CTES},
 aw AS (SELECT DISTINCT word FROM w),
 a0 AS (SELECT word, {_BPE_SYM.format(w='word')} AS s FROM aw),
 a1 AS (SELECT word, {_BPE_APPLY.format(s='s', b='b1')} AS s FROM a0),
@@ -5207,10 +5275,44 @@ m AS (SELECT word, len(string_split(trim(s), ' '))::BIGINT AS ns FROM a2),
 f AS (SELECT doc_id, unnest(t) AS word FROM toks),
 agg AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
                sum(ns)::BIGINT AS n_subwords
-        FROM f JOIN m USING (word) GROUP BY doc_id)
+        FROM f JOIN m USING (word) GROUP BY doc_id)"""
+
+SQL_BPE_SEGMENT = f"""
+WITH {_BPE_SEG_CTES}
 SELECT d.doc_id, coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
   coalesce(a.n_subwords, 0)::BIGINT AS n_subwords
 FROM documents d LEFT JOIN agg a USING (doc_id)"""
+
+
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility (textstats.tokenizer_fertility)
+    under the first 2 learned BPE merges: subwords per word
+    (fertility_e3) and chars per subword — the tokenizer-selection
+    numbers a multilingual pipeline reads before committing a vocab."""
+    from rag_document_parser_spark.operators import bpe as B
+    from rag_document_parser_spark.operators.textstats import (
+        tokenizer_fertility)
+
+    docs = _docs(spark, sf_dir)
+    seg = B.bpe_segment(docs, B.train_bpe(docs, n_merges=2, min_count=2))
+    return tokenizer_fertility(docs, seg)
+
+
+SQL_TOKENIZER_FERTILITY = f"""
+WITH {_BPE_SEG_CTES},
+seg AS (
+  SELECT d.lang, length(d.text)::BIGINT AS nc,
+         coalesce(a.n_tokens, 0)::BIGINT AS nw,
+         coalesce(a.n_subwords, 0)::BIGINT AS nsw
+  FROM documents d LEFT JOIN agg a USING (doc_id))
+SELECT lang, count(*)::BIGINT AS n_docs,
+  sum(nc)::BIGINT AS total_chars,
+  sum(nw)::BIGINT AS total_words,
+  sum(nsw)::BIGINT AS total_subwords,
+  (sum(nsw) * 1000 // greatest(sum(nw), 1))::BIGINT AS fertility_e3,
+  (sum(nc) * 1000 // greatest(sum(nsw), 1))::BIGINT
+    AS chars_per_subword_e3
+FROM seg GROUP BY lang"""
 
 
 def q_segment_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5292,6 +5394,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new this round / never driver-gated in any round ----------
         "contrastive_pairs": q_contrastive_pairs,
         "pack_stream": q_pack_stream,
+        "tokenizer_fertility": q_tokenizer_fertility,
+        "snapshot_drift": q_snapshot_drift,
         "edit_verify": q_edit_verify,
         "snapshot_dedup": q_snapshot_dedup,
         "soft_dedup": q_soft_dedup,
@@ -5411,6 +5515,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "contrastive_pairs": SQL_CONTRASTIVE,
         "pack_stream": SQL_PACK_STREAM,
+        "tokenizer_fertility": SQL_TOKENIZER_FERTILITY,
+        "snapshot_drift": SQL_SNAPSHOT_DRIFT,
         "edit_verify": SQL_EDIT_VERIFY,
         "snapshot_dedup": SQL_SNAPSHOT_DEDUP,
         "soft_dedup": SQL_SOFT_DEDUP,

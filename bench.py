@@ -450,10 +450,23 @@ def main() -> None:
                       (F.col("doc_id") + 1000000).alias("doc_id"),
                       "text")),
               clone_pairs.select("id_a", "id_b")).count())
-    from rag_document_parser_spark.reporting import corpus_datasheet
+    from rag_document_parser_spark.reporting import (corpus_datasheet,
+                                                     snapshot_drift)
     timed_reps("corpus_datasheet",
           lambda: corpus_datasheet(
               docs.select("doc_id", "text", "source", "lang")).count())
+    timed_reps("snapshot_drift",
+          lambda: snapshot_drift(
+              docs.select("doc_id", "text", "source"),
+              docs.where(F.col("doc_id") % 10 != 0)
+              .select("doc_id", "text", "source")).count())
+    from rag_document_parser_spark.operators.textstats import (
+        tokenizer_fertility)
+    from rag_document_parser_spark.operators import bpe as BP
+    merges2 = BP.train_bpe(docs, n_merges=2, min_count=2)
+    timed_reps("tokenizer_fertility",
+          lambda: tokenizer_fertility(
+              docs, BP.bpe_segment(docs, merges2)).count())
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

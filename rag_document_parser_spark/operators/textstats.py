@@ -572,3 +572,45 @@ def readability(df: DataFrame, text_col: str = "text",
         - F.expr("n_syllables * 84600 div n_words"))
     return s2.select(id_col, "n_sents", "n_words", "n_syllables",
                      flesch.cast("long").alias("flesch_e3"))
+
+
+def tokenizer_fertility(docs: DataFrame, segmented: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        lang_col: str = "lang") -> DataFrame:
+    """Per-language tokenizer fertility over a ``bpe_segment`` output.
+
+    Tokenizer selection for a multilingual corpus reads two numbers
+    per language: FERTILITY (subwords emitted per whitespace word — a
+    tokenizer that explodes one language's words into many pieces
+    taxes that language's effective context window) and COMPRESSION
+    (chars per subword — how much text a token carries). Both are
+    fixed-point integers so the DuckDB oracle replays them bitwise:
+    ``fertility_e3 = 1000·Σsubwords div Σwords``,
+    ``chars_per_subword_e3 = 1000·Σchars div Σsubwords``.
+
+    ``segmented`` is any frame with ``(id_col, n_tokens, n_subwords)``
+    — ``bpe.bpe_segment`` output, or a real tokenizer's counts written
+    by an offline pass. Returns one row per language: ``(lang, n_docs,
+    total_chars, total_words, total_subwords, fertility_e3,
+    chars_per_subword_e3)``.
+
+    Scale shape: one join on the uniform doc id, one
+    map-side-combinable groupBy on the handful of language keys.
+    Cited context: fertility as tokenizer-quality metric per Rust et
+    al. 2021 (How Good is Your Tokenizer?); no reference analog (the
+    reference parses documents, it does not size token budgets).
+    """
+    base = docs.select(F.col(id_col), F.col(lang_col).alias("lang"),
+                       F.length(F.col(text_col)).cast("long").alias("_nc"))
+    j = base.join(segmented, id_col)
+    agg = j.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("_nc").cast("long").alias("total_chars"),
+        F.sum("n_tokens").cast("long").alias("total_words"),
+        F.sum("n_subwords").cast("long").alias("total_subwords"))
+    return agg.select(
+        "lang", "n_docs", "total_chars", "total_words", "total_subwords",
+        F.expr("total_subwords * 1000 div greatest(total_words, 1)")
+        .alias("fertility_e3"),
+        F.expr("total_chars * 1000 div greatest(total_subwords, 1)")
+        .alias("chars_per_subword_e3"))

@@ -195,3 +195,62 @@ def corpus_datasheet(docs: DataFrame, text_col: str = "text",
     return wide.select(F.expr(
         f"stack({len(metrics)}, {stack}) AS (metric, value)")).select(
         "metric", F.col("value").cast("long").alias("value"))
+
+
+def snapshot_drift(old: DataFrame, new: DataFrame,
+                   text_col: str = "text", source_col: str = "source",
+                   min_words: int = 5, max_words: int = 100_000,
+                   alpha_permille: int = 100) -> DataFrame:
+    """Release-gating drift report between two corpus snapshots.
+
+    Before promoting snapshot N+1, a pipeline checks what moved per
+    source: document count, token mass, and quality pass rate. Each
+    side is reduced to one row per source (docs, tokens,
+    ``source_quality_prior``-bar passes), the two are full-outer
+    joined on source (a source present on one side only reports zeros
+    on the other), and the output is long-format
+    ``(source, metric, old_value, new_value, delta)`` with
+    ``delta = new - old`` — every value an exact integer. Metrics:
+    ``n_docs``, ``total_tokens``, ``quality_pass``,
+    ``quality_pass_e6``.
+
+    Scale shape: two map-side-combinable aggregates on the source key,
+    then a join between two already-tiny per-source relations; the
+    corpora themselves never shuffle against each other.
+    """
+    from rag_document_parser_spark.operators.dedup import words
+
+    def side(df, pfx):
+        c = F.col(text_col)
+        staged = df.select(
+            F.col(source_col).alias("source"),
+            F.length(c).cast("long").alias("_nc"),
+            F.size(words(c)).cast("long").alias("_nw"),
+            F.length(F.regexp_replace(c, "[^A-Za-z؀-ۿ ]", ""))
+            .cast("long").alias("_na"))
+        ok = ((F.col("_nw") >= min_words) & (F.col("_nw") <= max_words)
+              & (F.col("_na") * 1000 >= F.col("_nc") * alpha_permille))
+        agg = staged.groupBy("source").agg(
+            F.count("*").cast("long").alias(f"{pfx}_n_docs"),
+            F.sum("_nw").cast("long").alias(f"{pfx}_total_tokens"),
+            F.sum(F.when(ok, 1).otherwise(0)).cast("long")
+            .alias(f"{pfx}_quality_pass"))
+        return agg.withColumn(
+            f"{pfx}_quality_pass_e6",
+            F.expr(f"{pfx}_quality_pass * 1000000 "
+                   f"div greatest({pfx}_n_docs, 1)"))
+
+    j = side(old, "o").join(side(new, "n"), "source", "full_outer")
+    metrics = ["n_docs", "total_tokens", "quality_pass",
+               "quality_pass_e6"]
+    stack = ", ".join(
+        f"'{m}', coalesce(o_{m}, 0), coalesce(n_{m}, 0)" for m in metrics)
+    long = j.select("source", F.expr(
+        f"stack({len(metrics)}, {stack}) "
+        "AS (metric, old_value, new_value)"))
+    return long.select(
+        "source", "metric",
+        F.col("old_value").cast("long").alias("old_value"),
+        F.col("new_value").cast("long").alias("new_value"),
+        (F.col("new_value") - F.col("old_value")).cast("long")
+        .alias("delta"))

@@ -325,3 +325,58 @@ def test_corpus_datasheet_metrics(spark):
     assert got["quality_pass_e6"] == 4 * 1_000_000 // 5
     assert got["total_tokens"] == 9 + 9 + 7 + 5 + 1
     assert got["mean_tokens_e3"] == got["total_tokens"] * 1000 // 5
+
+
+# ---------------------------------------------------------------------------
+# tokenizer fertility + snapshot drift
+# ---------------------------------------------------------------------------
+
+
+def test_tokenizer_fertility_planted(spark):
+    """Two langs; a fake segmentation doubles lang-b's subword count:
+    fertility_e3 = 1000 for a, 2000 for b, chars counted per lang."""
+    from rag_document_parser_spark.operators.textstats import (
+        tokenizer_fertility)
+
+    docs = spark.createDataFrame(
+        [(1, "one two three", "a"), (2, "four five", "a"),
+         (3, "six seven eight nine", "b")],
+        "doc_id long, text string, lang string")
+    seg = spark.createDataFrame(
+        [(1, 3, 3), (2, 2, 2), (3, 4, 8)],
+        "doc_id long, n_tokens long, n_subwords long")
+    got = {r["lang"]: r for r in tokenizer_fertility(docs, seg).collect()}
+    assert got["a"]["fertility_e3"] == 1000
+    assert got["b"]["fertility_e3"] == 2000
+    assert got["a"]["total_chars"] == len("one two three") + len("four five")
+    assert got["a"]["n_docs"] == 2 and got["b"]["n_docs"] == 1
+    # chars per subword: lang a has 22 chars over 5 subwords
+    assert got["a"]["chars_per_subword_e3"] == 22 * 1000 // 5
+
+
+def test_snapshot_drift_planted(spark):
+    """Old: 2 docs in src1, 1 in src2. New: src2 gone, src3 appears,
+    src1 loses a doc — deltas report the move, absent sides are 0."""
+    from rag_document_parser_spark.reporting import snapshot_drift
+
+    old = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon", "src1"),
+         (2, "one two three four five six", "src1"),
+         (3, "zeta eta theta iota kappa", "src2")],
+        "doc_id long, text string, source string")
+    new = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon", "src1"),
+         (9, "mu nu xi omicron pi rho", "src3")],
+        "doc_id long, text string, source string")
+    rows = snapshot_drift(old, new).collect()
+    by = {(r["source"], r["metric"]): r for r in rows}
+    assert by[("src1", "n_docs")]["delta"] == -1
+    assert by[("src2", "n_docs")]["old_value"] == 1
+    assert by[("src2", "n_docs")]["new_value"] == 0
+    assert by[("src3", "n_docs")]["old_value"] == 0
+    assert by[("src3", "n_docs")]["new_value"] == 1
+    # all four metrics present for every source seen on either side
+    assert len(rows) == 3 * 4
+    # quality bar: every planted doc has >=5 words and all-alpha text
+    assert by[("src1", "quality_pass")]["old_value"] == 2
+    assert by[("src1", "quality_pass_e6")]["new_value"] == 1_000_000
