@@ -162,3 +162,40 @@ def test_source_prior_and_license_invariant(spark):
         "source string, doc_id long, text string")
     _check(source_quality_prior)(docs)
     _check(license_signals)(docs)
+
+
+def test_pack_token_stream_invariant(spark):
+    from rag_document_parser_spark.operators.packing import (
+        pack_token_stream)
+
+    df = spark.createDataFrame(
+        [(i, " ".join(f"w{i}x{j}" for j in range(3 + (i * 7) % 25)))
+         for i in range(200)],
+        "doc_id long, text string")
+    _check(lambda d: pack_token_stream(d, 16, n_buckets=4))(df)
+
+
+def test_contrastive_pairs_invariant(spark):
+    from rag_document_parser_spark.operators.retrieval import (
+        mine_contrastive_pairs)
+
+    # three families: exact clones (positives, jac 1e6), one shared
+    # shingle of 7 across families (hard negatives, jac 142857)
+    t = ["core words one two three four",
+         "core words one two three five",
+         "diff other junk two three four"]
+    df = spark.createDataFrame(
+        [(i, t[i % 3]) for i in range(120)],
+        "doc_id long, text string")
+    _check(lambda d: mine_contrastive_pairs(d))(df)
+
+
+def test_snapshot_drift_invariant(spark):
+    from rag_document_parser_spark.reporting import snapshot_drift
+
+    old = spark.createDataFrame(
+        [(i, " ".join(f"alpha{j}" for j in range(5 + i % 5)),
+          f"s{i % 3}") for i in range(150)],
+        "doc_id long, text string, source string")
+    new = old.where(F.col("doc_id") % 2 == 0)
+    _check(lambda d: snapshot_drift(d, new))(old)
