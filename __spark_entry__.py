@@ -2535,6 +2535,49 @@ _K = 16          # minhash permutations in the oracle-checked query
 _BANDS = 4       # → r = 4 rows per band
 
 
+def q_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunking block dedup (dedup.cdc_block_dedup):
+    variable-width blocks whose boundaries travel with the content, so
+    the planted prefix-half clones share block hashes with their
+    source docs at different offsets — per-doc shared-block token
+    mass, the storage-dedup complement of repeated_windows."""
+    out = D.cdc_block_dedup(_subset_docs(spark, sf_dir),
+                            n=3, divisor=8, min_docs=2)
+    return out.select(F.col("doc_id").cast("long"), "n_blocks",
+                      "n_tokens", "dup_tokens", "dup_frac_e6")
+
+
+_CDC_TOKS = TOKS_SQL.format(c="text")
+_CDC_KGRAM = _md5l("array_to_string(list_slice(toks, i - 2, i), ' ')")
+SQL_CDC_DEDUP = f"""
+WITH u AS (SELECT * FROM {SUBSET_SQL}),
+tk AS (SELECT doc_id, {_CDC_TOKS} AS toks FROM u),
+tk2 AS (SELECT doc_id, toks, len(toks) AS nt FROM tk WHERE len(toks) > 0),
+tok AS (SELECT doc_id, toks, nt, unnest(range(1, nt + 1)) AS i FROM tk2),
+tok2 AS (
+  SELECT doc_id, i, toks[i] AS tok,
+    CASE WHEN i >= 3 AND ({_CDC_KGRAM}) % 8 = 0 THEN 1 ELSE 0 END AS bf
+  FROM tok),
+tok3 AS (
+  SELECT doc_id, i, tok,
+    coalesce(sum(bf) OVER (PARTITION BY doc_id ORDER BY i
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS blkid
+  FROM tok2),
+blk AS (
+  SELECT doc_id, blkid, md5(string_agg(tok, ' ' ORDER BY i)) AS h,
+    count(*) AS blen
+  FROM tok3 GROUP BY doc_id, blkid),
+freq AS (SELECT h, count(DISTINCT doc_id) AS nd FROM blk GROUP BY h),
+per AS (
+  SELECT doc_id, count(*)::BIGINT AS n_blocks,
+    sum(blen)::BIGINT AS n_tokens,
+    sum(CASE WHEN nd >= 2 THEN blen ELSE 0 END)::BIGINT AS dup_tokens
+  FROM blk JOIN freq USING (h) GROUP BY doc_id)
+SELECT doc_id::BIGINT AS doc_id, n_blocks, n_tokens, dup_tokens,
+  (dup_tokens * 1000000 // n_tokens)::BIGINT AS dup_frac_e6
+FROM per"""
+
+
 def _minhash_consts() -> list[tuple[int, int]]:
     import hashlib
     out = []
@@ -5392,6 +5435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # pair; the long-stable tail (green in r2 AND r3) yields its slots.
     return {
         # -- new this round / never driver-gated in any round ----------
+        "cdc_dedup": q_cdc_dedup,
         "contrastive_pairs": q_contrastive_pairs,
         "pack_stream": q_pack_stream,
         "tokenizer_fertility": q_tokenizer_fertility,
@@ -5529,6 +5573,7 @@ def oracle_sql() -> dict[str, str]:
         "readability": SQL_READABILITY,
         "hits_scores": SQL_HITS,
         "containment_pairs": SQL_CONTAINMENT,
+        "cdc_dedup": SQL_CDC_DEDUP,
         "corpus_datasheet": SQL_CORPUS_DATASHEET,
         "keep_best": SQL_KEEP_BEST,
         "quantized_topk": SQL_QUANTIZED_TOPK,

@@ -307,10 +307,15 @@ def main() -> None:
         return RET.rrf_fuse([lex, dense], k=10).count()
 
     timed_reps("hybrid_topk", _hybrid)
+    # pair generation is benched on its own (dedup_simhash); stage the
+    # candidate pairs once so this times the split semantics — cluster
+    # resolution + range assignment — not a third simhash pass per rep
+    lk_pairs = D.simhash_near_pairs(
+        docs.select("doc_id", "text"), max_hamming=3) \
+        .select("id_a", "id_b").localCheckpoint()
     timed_reps("leakage_split",
           lambda: SAM.leakage_safe_split(
-              docs, D.simhash_near_pairs(
-                  docs.select("doc_id", "text"), max_hamming=3),
+              docs, lk_pairs,
               {"train": 0.8, "val": 0.2}, salt="b")
           .groupBy("split").count().collect())
     timed_reps("license_signals",

@@ -733,6 +733,111 @@ def dedup_against_index(new_df: DataFrame, index: DataFrame,
         ((F.col("_e") == 0) & (F.col("_b") == 0)).alias("kept"))
 
 
+def cdc_blocks(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", n: int = 3,
+               divisor: int = 8) -> DataFrame:
+    """Content-defined block segmentation (token-level CDC).
+
+    Storage-style content-defined chunking (Muthitacharoen et al. 2001,
+    LBFS) applied to word streams: a block break falls AFTER 0-based
+    token position ``p`` whenever the word n-gram ENDING at ``p``
+    hashes to ``0 mod divisor`` (60-bit md5, the tier's shared
+    DuckDB-replicable hash). Because the boundary rule sees only a
+    local token window, an identical passage embedded in two documents
+    at DIFFERENT offsets segments into identical interior blocks —
+    the offset-invariance fixed-width chunking loses after a single
+    inserted word, and the reason CDC (not windowing) is what backup
+    dedup systems use. Expected block length ~= ``divisor`` tokens.
+
+    Output: one row per block — ``(id_col, block_id, block_hash,
+    block_len)`` with ``block_hash = md5`` of the block's tokens
+    joined by single spaces and ``block_id`` the block's 0-based
+    position in the doc. Docs with no tokens produce no rows; docs
+    shorter than ``n`` tokens are a single block.
+
+    Scale shape: segmentation is pure array arithmetic (boundary
+    positions folded as INDICES, block slices totalling O(tokens) per
+    doc) inside the scan's codegen span — zero shuffles; only the
+    final explode fans out, and each doc's block rows stay in the
+    source row's partition.
+    """
+    toks = df.select(F.col(id_col).alias("id"),
+                     words(F.col(text_col)).alias("toks")) \
+             .where(F.size("toks") > 0)
+    # 0-based end positions p of boundary-triggering n-grams
+    bpos = F.when(
+        F.size("toks") >= n,
+        F.filter(F.sequence(F.lit(n - 1), F.size("toks") - 1),
+                 lambda p: F.pmod(
+                     _md5_long(F.array_join(
+                         F.slice("toks", p - (n - 2), F.lit(n)), " ")),
+                     F.lit(divisor)) == 0),
+    ).otherwise(F.lit(None).cast("array<int>"))
+    seg = toks.select(
+        "id", "toks", F.coalesce(bpos, F.array().cast("array<int>"))
+        .alias("bpos"))
+    # block k spans tokens st[k]..en[k] (0-based, inclusive); a boundary
+    # at the LAST token would open an empty trailing block — filtered
+    st = F.concat(F.array(F.lit(0)), F.transform("bpos", lambda p: p + 1))
+    en = F.concat(F.col("bpos"), F.array(F.size("toks") - 1))
+    seg2 = seg.select("id", "toks", st.alias("st"), en.alias("en"))
+    blocks = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.size("st") - 1),
+            lambda i: F.struct(
+                i.alias("block_id"),
+                (F.get("en", i) - F.get("st", i) + 1).alias("block_len"),
+                F.array_join(
+                    F.slice("toks", F.get("st", i) + 1,
+                            F.get("en", i) - F.get("st", i) + 1),
+                    " ").alias("btext"))),
+        lambda b: b["block_len"] > 0)
+    return seg2.select("id", F.explode(blocks).alias("b")).select(
+        F.col("id").alias(id_col),
+        F.col("b.block_id").cast("long").alias("block_id"),
+        F.md5(F.col("b.btext")).alias("block_hash"),
+        F.col("b.block_len").cast("long").alias("block_len"))
+
+
+def cdc_block_dedup(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", n: int = 3,
+                    divisor: int = 8, min_docs: int = 2) -> DataFrame:
+    """Per-doc shared-block mass via content-defined chunking.
+
+    The block-level complement of ``repeated_windows``: instead of
+    fixed-width token windows (every window of a shared passage
+    repeats), CDC segments the corpus into variable-width blocks whose
+    boundaries travel WITH the content, so a passage shared at
+    different offsets still collapses to the same handful of block
+    hashes — one row per shared block rather than one per window.
+    Output one row per doc: ``(id_col, n_blocks, n_tokens, dup_tokens,
+    dup_frac_e6)`` where ``dup_tokens`` is the token mass inside
+    blocks appearing in >= ``min_docs`` distinct docs and
+    ``dup_frac_e6 = dup_tokens * 1e6 div n_tokens``.
+
+    Scale shape: the block table is staged once (``localCheckpoint``,
+    the tier's ngram_jaccard discipline — segmentation is the
+    expensive pass and feeds both the frequency aggregate and the
+    join-back). Both shuffles key on uniform md5-derived values
+    (``block_hash``), so no salting is needed; the per-doc rollup is
+    map-side combinable.
+    """
+    blocks = cdc_blocks(df, text_col, id_col, n, divisor).localCheckpoint()
+    freq = blocks.groupBy("block_hash").agg(
+        F.countDistinct(id_col).alias("n_docs"))
+    per = (blocks.join(freq, "block_hash")
+           .groupBy(id_col)
+           .agg(F.count(F.lit(1)).cast("long").alias("n_blocks"),
+                F.sum("block_len").cast("long").alias("n_tokens"),
+                F.sum(F.when(F.col("n_docs") >= min_docs,
+                             F.col("block_len")).otherwise(F.lit(0)))
+                .cast("long").alias("dup_tokens")))
+    return per.select(
+        id_col, "n_blocks", "n_tokens", "dup_tokens",
+        F.expr("dup_tokens * 1000000 div n_tokens").cast("long")
+        .alias("dup_frac_e6"))
+
+
 def soft_dedup_weights(docs: DataFrame, pairs: DataFrame,
                        id_col: str = "doc_id") -> DataFrame:
     """Soft deduplication: down-weight duplicates instead of dropping.

@@ -594,3 +594,77 @@ def test_soft_dedup_weights_mass_conservation(spark):
     assert got[10] == (10, 2, 500000) and got[11] == (10, 2, 500000)
     assert got[99] == (99, 1, 1000000)
     assert len(got) == 6
+
+
+def _cdc_twin(text, n=3, d=8):
+    """Pure-Python CDC twin: boundary after 0-based position p iff the
+    n-gram ending at p hashes to 0 mod d (60-bit md5)."""
+    tk = _tokens(text)
+    if not tk:
+        return []
+    bp = ([p for p in range(n - 1, len(tk))
+           if int(hashlib.md5(" ".join(tk[p - n + 1:p + 1]).encode())
+                  .hexdigest()[:15], 16) % d == 0]
+          if len(tk) >= n else [])
+    st = [0] + [p + 1 for p in bp]
+    en = bp + [len(tk) - 1]
+    return [(i, hashlib.md5(" ".join(tk[s:e + 1]).encode()).hexdigest(),
+             e - s + 1)
+            for i, (s, e) in enumerate(zip(st, en)) if e - s + 1 > 0]
+
+
+def test_cdc_blocks_twin_parity_and_edge_cases(spark):
+    """cdc_blocks matches the pure-Python twin on every doc, including
+    short-doc (single block) and empty-doc (no rows) edges."""
+    shared = ("the quick brown fox jumps over the lazy dog while seven "
+              "wizards brew strong potions under moonlight near the "
+              "river bend every autumn evening")
+    cases = [(1, "alpha beta gamma " + shared + " delta epsilon"),
+             (2, "one two three four five six " + shared + " seven"),
+             (3, "totally unrelated content about catalyst plans"),
+             (4, "hi"), (5, "")]
+    df = spark.createDataFrame(cases, "doc_id long, text string")
+    got = {}
+    for r in dedup.cdc_blocks(df).collect():
+        got.setdefault(r.doc_id, []).append(
+            (r.block_id, r.block_hash, r.block_len))
+    for did, txt in cases:
+        assert sorted(got.get(did, [])) == _cdc_twin(txt), f"doc {did}"
+
+
+def test_cdc_block_dedup_offset_invariant_shared_mass(spark):
+    """A passage embedded at DIFFERENT offsets in two docs yields
+    identical interior block hashes (the CDC property), so both docs
+    report the same dup_tokens mass; the unrelated doc reports zero."""
+    shared = ("the quick brown fox jumps over the lazy dog while seven "
+              "wizards brew strong potions under moonlight near the "
+              "river bend every autumn evening")
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma " + shared + " delta epsilon"),
+         (2, "one two three four five six " + shared + " seven eight"),
+         (3, "totally unrelated content about catalyst plans")],
+        "doc_id long, text string")
+    blocks = dedup.cdc_blocks(df).collect()
+    h1 = {r.block_hash for r in blocks if r.doc_id == 1}
+    h2 = {r.block_hash for r in blocks if r.doc_id == 2}
+    assert h1 & h2, "no shared blocks despite shared passage"
+    stats = {r.doc_id: r for r in dedup.cdc_block_dedup(df).collect()}
+    assert stats[1].dup_tokens == stats[2].dup_tokens > 0
+    assert stats[3].dup_tokens == 0 and stats[3].dup_frac_e6 == 0
+    # fixed-point fraction: dup_tokens * 1e6 div n_tokens
+    for did in (1, 2, 3):
+        r = stats[did]
+        assert r.dup_frac_e6 == r.dup_tokens * 1_000_000 // r.n_tokens
+
+
+def test_cdc_block_dedup_partition_invariant(spark):
+    """Same result at 1 partition and highly-overpartitioned input —
+    segmentation is row-local; aggregates key on content hashes."""
+    rows = [(i, f"doc {i} body " + ("spark catalyst tungsten " * (i % 5)))
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, dedup.cdc_block_dedup(
+        df.coalesce(1)).collect()))
+    b = sorted(map(tuple, dedup.cdc_block_dedup(
+        df.repartition(16)).collect()))
+    assert a == b
