@@ -217,6 +217,9 @@ def main() -> None:
               n=3, k=16, bands=4).agg(F.sum(F.col("kept").cast("long")),
                                       F.sum(F.col("near_dup").cast("long")))
           .collect())
+    timed_reps("cdc_dedup",
+          lambda: D.cdc_block_dedup(docs, n=3, divisor=8)
+          .agg(F.sum("dup_tokens"), F.sum("n_tokens")).collect())
     timed_reps("textstats", lambda: T.quality_features(docs).unionByName(
         T.quality_features(docs)).agg(F.sum("n_words")).collect())
     timed_reps("gopher_rules",
