@@ -870,3 +870,39 @@ def soft_dedup_weights(docs: DataFrame, pairs: DataFrame,
                        F.lit(1).cast("long").alias("csize"),
                        F.lit(1000000).cast("long").alias("weight_e6")))
     return member.unionByName(singles)
+
+
+def plan_lsh_bands(threshold: float, k: int) -> dict:
+    """Pick the banding for ``minhash_lsh_pairs`` from a target Jaccard.
+
+    Banded LSH's candidate probability follows the S-curve
+    ``P(s) = 1 - (1 - s^r)^b`` with ``k = b*r`` signature slots; its
+    inflection sits near ``s* = (1/b)^(1/r)`` (Leskovec/Rajaraman/
+    Ullman, Mining of Massive Datasets §3.4.3). Operators routinely
+    hand-pick (b, r) and get a wall of false candidates (s* too low —
+    the verify join explodes) or silent misses (s* too high). This
+    planner enumerates the divisor pairs of ``k`` and returns the one
+    whose s* lands closest to ``threshold``, plus the curve's value AT
+    the threshold (the recall a just-at-threshold pair gets) so the
+    caller can judge whether k itself is too small.
+
+    Driver-side arithmetic over ~divisors-of-k candidates — nothing
+    distributed; the output feeds ``minhash_lsh_pairs(k=, bands=)``.
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1): {threshold}")
+    if k < 2:
+        raise ValueError(f"k must be >= 2: {k}")
+    best = None
+    for b in range(1, k + 1):
+        if k % b:
+            continue
+        r = k // b
+        s_star = (1.0 / b) ** (1.0 / r)
+        p_at_t = 1.0 - (1.0 - threshold ** r) ** b
+        cand = {"bands": b, "rows_per_band": r, "s_star": s_star,
+                "p_candidate_at_threshold": p_at_t}
+        if best is None or abs(s_star - threshold) < abs(
+                best["s_star"] - threshold):
+            best = cand
+    return best

@@ -151,3 +151,53 @@ def shard_manifest(packed: DataFrame) -> DataFrame:
     return (packed.groupBy("shard")
             .agg(F.count("*").alias("n_docs"),
                  F.sum("n_tokens").alias("n_tokens")))
+
+
+def write_training_shards(df: DataFrame, out_dir: str, token_budget: int,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          n_buckets: int = 64, salt: str = "") -> dict:
+    """Materialize ``pack_shards`` as a loader-ready on-disk dataset.
+
+    Layout under ``out_dir``:
+
+    - ``data/bucket=<b>/...parquet`` — one partition directory per
+      bucket, rows ``(id_col, shard, n_tokens, tok_offset, text_col)``
+      sorted inside each file by ``(shard, tok_offset)`` so a loader
+      streams a shard's documents in concatenation order with a plain
+      sequential read (no shuffle, no sort at load time);
+    - ``manifest/`` — ``(shard, n_docs, n_tokens)`` totals, the index a
+      loader consults to schedule shards across workers.
+
+    Scale shape: the only operations beyond ``pack_shards``'s
+    per-bucket window are one join back to the text keyed on the
+    uniform doc id (assignments project the text away; re-deriving
+    them WITH the text would double-scan the corpus instead) and one
+    ``repartition(bucket)`` so each task writes exactly one bucket
+    directory. Raise ``n_buckets`` with corpus size — same rule as
+    ``pack_shards`` — and the write stays one wave of uniform tasks.
+
+    Returns summary totals read back from the manifest (small):
+    ``{"n_docs", "n_shards", "total_tokens"}``.
+    """
+    import os
+
+    packed = pack_shards(df, token_budget, text_col, id_col,
+                         n_buckets, salt)
+    rows = (packed.join(df.select(id_col, text_col), id_col)
+            .repartition(F.col("bucket"))
+            .sortWithinPartitions("bucket", "shard", "tok_offset"))
+    (rows.write.mode("overwrite").partitionBy("bucket")
+         .parquet(os.path.join(out_dir, "data")))
+    spark = df.sparkSession
+    # manifest from the WRITTEN data, not the plan: totals certify the
+    # files a loader will actually read
+    written = spark.read.parquet(os.path.join(out_dir, "data"))
+    man = shard_manifest(written)
+    man.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "manifest"))
+    tot = (spark.read.parquet(os.path.join(out_dir, "manifest"))
+           .agg(F.sum("n_docs").alias("d"),
+                F.count("*").alias("s"),
+                F.sum("n_tokens").alias("t")).collect()[0])
+    return {"n_docs": tot["d"], "n_shards": tot["s"],
+            "total_tokens": tot["t"]}

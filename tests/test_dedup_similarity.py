@@ -668,3 +668,27 @@ def test_cdc_block_dedup_partition_invariant(spark):
     b = sorted(map(tuple, dedup.cdc_block_dedup(
         df.repartition(16)).collect()))
     assert a == b
+
+
+def test_plan_lsh_bands_scurve_and_validation():
+    """The planner picks the divisor pair whose S-curve inflection is
+    closest to the target, with hand-checked values."""
+    # k=16: (b,r) in {(1,16),(2,8),(4,4),(8,2),(16,1)}:
+    # s* = (1/b)^(1/r) = 1.0, 0.917, 0.707, 0.354, 0.0625
+    p = dedup.plan_lsh_bands(0.7, 16)
+    assert (p["bands"], p["rows_per_band"]) == (4, 4)
+    assert abs(p["s_star"] - 0.25 ** 0.25) < 1e-12
+    # P(0.7) = 1 - (1 - 0.7^4)^4
+    assert abs(p["p_candidate_at_threshold"]
+               - (1 - (1 - 0.7 ** 4) ** 4)) < 1e-12
+    # low threshold wants many bands
+    lo = dedup.plan_lsh_bands(0.35, 16)
+    assert (lo["bands"], lo["rows_per_band"]) == (8, 2)
+    # high threshold wants long rows
+    hi = dedup.plan_lsh_bands(0.9, 16)
+    assert (hi["bands"], hi["rows_per_band"]) == (2, 8)
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        dedup.plan_lsh_bands(0.0, 16)
+    with _pt.raises(ValueError):
+        dedup.plan_lsh_bands(0.5, 1)

@@ -209,3 +209,46 @@ def test_stream_seq_len_validation(corpus):
 
     with pytest.raises(ValueError):
         pack_token_stream(corpus, 0)
+
+
+def test_write_training_shards_roundtrip(spark, corpus, tmp_path):
+    """The sink writes every doc exactly once, per-bucket directories,
+    rows readable in shard/offset order, and a manifest whose totals
+    match both the written data and the in-memory assignments."""
+    import os
+
+    from rag_document_parser_spark.operators.packing import (
+        write_training_shards)
+
+    out = str(tmp_path / "shards")
+    summary = write_training_shards(corpus, out, BUDGET,
+                                    n_buckets=N_BUCKETS)
+    assert summary["n_docs"] == 120
+
+    data = spark.read.parquet(os.path.join(out, "data"))
+    # one row per doc, text preserved
+    assert data.count() == 120
+    src = {r.doc_id: r.text for r in corpus.collect()}
+    for r in data.collect():
+        assert src[r.doc_id] == r.text
+    # bucket partition dirs exist
+    assert any(d.startswith("bucket=")
+               for d in os.listdir(os.path.join(out, "data")))
+    # matches the pure-transform assignments bit for bit
+    mem = {(r.doc_id, r.shard, r.n_tokens, r.tok_offset)
+           for r in pack_shards(corpus, BUDGET, n_buckets=N_BUCKETS)
+           .collect()}
+    disk = {(r.doc_id, r.shard, r.n_tokens, r.tok_offset)
+            for r in data.collect()}
+    assert mem == disk
+    # manifest totals = data totals; shard count matches summary
+    man = spark.read.parquet(os.path.join(out, "manifest"))
+    t = man.agg(F.sum("n_tokens"), F.count("*"), F.sum("n_docs")).collect()[0]
+    assert t[0] == summary["total_tokens"]
+    assert t[1] == summary["n_shards"]
+    assert t[2] == 120
+    # within one shard, offsets strictly increase in read order per file
+    one = data.where(F.col("shard") == data.select("shard").first()[0]) \
+              .select("tok_offset").collect()
+    offs = [r.tok_offset for r in one]
+    assert offs == sorted(offs)
