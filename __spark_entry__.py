@@ -3999,6 +3999,124 @@ FROM assigned a LEFT JOIN dups d USING (vec_id)"""
 SQL_SEMDEDUP = _sql_semdedup()
 
 
+_MIX_ALPHA = "0.5"
+_EPOCH_BUDGET = 10_000_000   # tokens (chars stand in as the unit here)
+_EPOCH_CAP_E6 = 4_000_000    # 4 epochs (Muennighoff 2023)
+
+
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened sampling shares per language
+    (operators/mixture.py temperature_weights, alpha=1/2): one
+    map-side-combinable aggregate to |langs| rows, exact-integer
+    isqrt fixed point — shares sum to ~1e6, tails provably lifted
+    toward uniform vs raw_share_e6."""
+    from rag_document_parser_spark.operators import mixture as MX
+
+    return MX.temperature_weights(_docs(spark, sf_dir), "lang",
+                                  size_col="n_chars", alpha=_MIX_ALPHA)
+
+
+def _sql_isqrt(x: str) -> str:
+    from rag_document_parser_spark.operators.mixture import sql_isqrt
+    return sql_isqrt(x)
+
+
+def _sql_temp_weights() -> str:
+    w = _sql_isqrt("mass * 100000000")
+    return f"""
+WITH per AS (
+  SELECT lang AS "group", COUNT(*)::BIGINT AS n_docs,
+         SUM(n_chars)::BIGINT AS mass
+  FROM documents GROUP BY lang
+), ww AS (SELECT *, {w} AS w FROM per),
+tot AS (SELECT SUM(mass)::BIGINT AS _tm, SUM(w)::BIGINT AS _tw FROM ww)
+SELECT "group", n_docs, mass,
+       (mass * 1000000 // _tm)::BIGINT AS raw_share_e6,
+       (w * 1000000 // _tw)::BIGINT AS tempered_share_e6
+FROM ww, tot"""
+
+
+SQL_TEMPERATURE_MIXTURE = _sql_temp_weights()
+
+
+def q_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget epoch planner (operators/mixture.py epoch_plan):
+    tempered shares -> per-language target tokens, repetition factors,
+    and the 4-epoch cap — all arithmetic on the |langs|-row mixture
+    table, so the corpus is scanned exactly once (by the weights
+    aggregate)."""
+    from rag_document_parser_spark.operators import mixture as MX
+
+    w = MX.temperature_weights(_docs(spark, sf_dir), "lang",
+                               size_col="n_chars", alpha=_MIX_ALPHA)
+    return MX.epoch_plan(w, budget_tokens=_EPOCH_BUDGET,
+                         max_epochs_e6=_EPOCH_CAP_E6)
+
+
+def _sql_epoch_plan() -> str:
+    return f"""
+WITH base AS ({_sql_temp_weights()}),
+t AS (SELECT "group", mass, tempered_share_e6,
+             ({_EPOCH_BUDGET} * tempered_share_e6 // 1000000)::BIGINT
+               AS target_tokens
+      FROM base),
+e AS (SELECT *, (target_tokens * 1000000 // mass)::BIGINT AS _ep FROM t)
+SELECT "group", mass, tempered_share_e6, target_tokens,
+       LEAST(_ep, {_EPOCH_CAP_E6})::BIGINT AS epochs_e6,
+       (_ep > {_EPOCH_CAP_E6}) AS capped,
+       (CASE WHEN _ep > {_EPOCH_CAP_E6}
+             THEN mass * {_EPOCH_CAP_E6} // 1000000
+             ELSE target_tokens END)::BIGINT AS granted_tokens
+FROM e"""
+
+
+SQL_EPOCH_PLAN = _sql_epoch_plan()
+
+
+_QSKETCH_QS = [10_000, 250_000, 500_000, 750_000, 990_000]
+
+
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-binned quantile sketch over doc sizes (operators/sketches.py
+    qsketch_build/qsketch_quantiles): bounded-state histogram (<=1040
+    cells) built by one map-side-combinable groupBy, quantile ranks
+    resolved on the grid only — the scale path where
+    textstats.length_quantiles' exact bounded-domain table does not
+    apply. est_lo is the bucket lower bound: an under-estimate by at
+    most a factor 1 + 2**-4."""
+    from rag_document_parser_spark.operators import sketches as SK
+
+    cells = SK.qsketch_build(_docs(spark, sf_dir), "n_chars")
+    out = SK.qsketch_quantiles(cells, _QSKETCH_QS)
+    return out.select("q_e6", F.col("rank").cast("long"),
+                      F.col("est_lo").cast("long"))
+
+
+def _sql_quantile_sketch() -> str:
+    qvals = ",".join(f"({q})" for q in _QSKETCH_QS)
+    return f"""
+WITH vals AS (SELECT n_chars::BIGINT AS x FROM documents
+              WHERE n_chars IS NOT NULL AND n_chars >= 0),
+b AS (SELECT CASE WHEN x < 16 THEN x
+             ELSE (length(bin(x))-1)*16 + (x >> (length(bin(x))-1-4)) - 16
+             END AS bucket FROM vals),
+cells AS (SELECT bucket, COUNT(*)::BIGINT AS cnt FROM b GROUP BY bucket),
+cum AS (SELECT bucket, cnt, SUM(cnt) OVER (ORDER BY bucket) AS cum,
+               SUM(cnt) OVER () AS _n FROM cells),
+qs(q_e6) AS (VALUES {qvals}),
+r AS (SELECT cum.bucket, cum.cum, qs.q_e6,
+             GREATEST(1, (_n * q_e6 + 999999) // 1000000) AS rank
+      FROM cum CROSS JOIN qs)
+SELECT q_e6::BIGINT AS q_e6, MAX(rank)::BIGINT AS rank,
+       MIN(CASE WHEN bucket < 16 THEN bucket
+                ELSE (bucket % 16 + 16) << ((bucket // 16) - 4)
+           END)::BIGINT AS est_lo
+FROM r WHERE cum >= rank GROUP BY q_e6"""
+
+
+SQL_QUANTILE_SKETCH = _sql_quantile_sketch()
+
+
 def q_failed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3/L3 failed-docs projection. The contract's rules never raise, so
     on well-formed input this is verified-empty (count and schema still
@@ -5483,6 +5601,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_centroids": q_kmeans_centroids,
         "segment_audio": q_segment_audio,
         "semdedup": q_semdedup,
+        "temperature_mixture": q_temperature_mixture,
+        "epoch_plan": q_epoch_plan,
+        "quantile_sketch": q_quantile_sketch,
         # -- green in round 2 but absent from the round-3 driver set ---
         "ivf_cosine_topk": q_ivf_cosine_topk,
         "embedding_near_dup": q_embedding_near_dup,
@@ -5652,6 +5773,9 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_centroids": SQL_KMEANS_CENTROIDS,
         "embedding_near_dup": SQL_EMB_NEAR_DUP,
         "semdedup": SQL_SEMDEDUP,
+        "temperature_mixture": SQL_TEMPERATURE_MIXTURE,
+        "epoch_plan": SQL_EPOCH_PLAN,
+        "quantile_sketch": SQL_QUANTILE_SKETCH,
         "failed_docs": SQL_FAILED,
         "failed_docs_poisoned": SQL_FAILED_POISONED,
         "summary_poisoned": SQL_SUMMARY_POISONED,

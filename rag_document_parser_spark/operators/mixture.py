@@ -1,0 +1,152 @@
+"""Mixture design: temperature sampling weights + token-budget epochs.
+
+A multilingual / multi-source training run does not sample groups in
+proportion to their raw size — the web is mostly English, and raw
+proportions starve every tail language. The standard fix (Conneau &
+Lample 2019 §3.1; mT5, Xue et al. 2021 §3) tempers the distribution:
+``q_g ∝ p_g^alpha`` with ``alpha < 1`` flattening toward uniform.
+Given the tempered shares and a global token budget, the second step
+(Muennighoff et al. 2023, data-constrained scaling) turns shares into
+per-group repetition factors ("epochs") and caps groups whose target
+exceeds what repetition usefully buys.
+
+Both operators aggregate the corpus to |groups| rows in ONE map-side-
+combinable ``groupBy`` — the shuffle moves per-task partial sums, never
+rows — and everything after is arithmetic on a table small enough to
+broadcast or collect. At 100 TB the cost is exactly one scan.
+
+Engine-portable arithmetic: ``alpha`` is restricted to {1, 1/2, 1/4},
+computed via an EXACT integer square root (floor ± correction around
+the double ``sqrt``, which is within 1 of truth for any BIGINT input
+because IEEE sqrt is correctly rounded and the int→double conversion
+error is < 2^-52 relative). No floats ever reach a result column, so
+the DuckDB oracle reproduces every value bit-for-bit.
+
+The reference has no mixture surface (it parses whatever directory it
+is pointed at, /root/reference/main.py:223-251); this is a SURVEY §6
+training-data tier over the same ``documents`` table as sampling.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = ["epoch_plan", "isqrt", "temperature_weights"]
+
+E6 = 1_000_000
+# Pre-scale for the fixed-point roots: isqrt(n * E8) == sqrt(n) * 1e4,
+# i.e. four decimal digits of sub-integer precision. Bound: n * E8 must
+# fit BIGINT, so n <= 9.2e10 per group — far past any per-group doc or
+# token count that would be tempered rather than sharded first.
+_E8 = 100_000_000
+
+
+def isqrt(x: Column) -> Column:
+    """Exact ``floor(sqrt(x))`` for non-negative BIGINT ``x``.
+
+    ``floor(sqrt(double(x)))`` is within ±1 of the true integer root
+    (see module docstring), so one downward and one upward correction
+    make it exact. The square comparisons are phrased as divisions —
+    ``d*d <= x  <=>  d <= x div d`` for ``d >= 1`` — because near the
+    top of BIGINT the square itself would overflow (ANSI mode errors).
+    The DuckDB twin is the same three-step expression verbatim.
+    """
+    s0 = F.floor(F.sqrt(x.cast("double"))).cast("long")
+    # s0*s0 > x  <=>  s0 > x div s0   (s0 >= 1; s0 == 0 only at x == 0,
+    # where greatest(s0, 1) makes the guard a harmless 0 > 0)
+    down = s0 - F.when(
+        s0 > F.call_function("div", x, F.greatest(s0, F.lit(1))),
+        F.lit(1)).otherwise(F.lit(0))
+    d = down + 1
+    return down + F.when(d <= F.call_function("div", x, d),
+                         F.lit(1)).otherwise(F.lit(0))
+
+
+def sql_isqrt(x: str) -> str:
+    """DuckDB expression mirroring :func:`isqrt` step for step."""
+    s0 = f"CAST(FLOOR(SQRT(CAST(({x}) AS DOUBLE))) AS BIGINT)"
+    down = (f"({s0} - CASE WHEN {s0} > ({x}) // GREATEST({s0}, 1) "
+            f"THEN 1 ELSE 0 END)")
+    return (f"({down} + CASE WHEN ({down}+1) <= ({x}) // ({down}+1) "
+            f"THEN 1 ELSE 0 END)")
+
+
+def _tempered(mass: Column, alpha: str) -> Column:
+    """Fixed-point ``mass^alpha`` for alpha in {'1', '0.5', '0.25'}.
+
+    Normalization cancels any constant scale, so each branch picks the
+    scale that maximizes retained precision: identity for alpha=1,
+    sqrt(m)*1e4 for 1/2, and m^0.25*1e6 for 1/4 (the inner root's 1e4
+    scale is re-inflated by _E8 before the outer root).
+    """
+    if alpha == "1":
+        return mass
+    if alpha == "0.5":
+        return isqrt(mass * F.lit(_E8))
+    if alpha == "0.25":
+        return isqrt(isqrt(mass * F.lit(_E8)) * F.lit(_E8))
+    raise ValueError(f"alpha must be one of '1', '0.5', '0.25': {alpha!r}")
+
+
+def temperature_weights(df: DataFrame, group_col: str = "lang",
+                        size_col: str | None = None,
+                        alpha: str = "0.5") -> DataFrame:
+    """Per-group tempered sampling shares.
+
+    Returns ``(group, n_docs, mass, raw_share_e6, tempered_share_e6)``
+    where ``mass`` is ``sum(size_col)`` (or the doc count when
+    ``size_col`` is None), ``raw_share_e6 = mass*1e6 div total`` and
+    ``tempered_share_e6 = mass^alpha * 1e6 div sum(mass^alpha)`` —
+    alpha < 1 provably moves every share toward 1/|groups|.
+
+    One corpus scan into a |groups|-row aggregate; the total-mass side
+    is a single row joined by broadcast cross join, so no second pass
+    over data ever happens.
+    """
+    mass = (F.count("*") if size_col is None
+            else F.sum(F.col(size_col)).cast("long"))
+    per = (df.groupBy(F.col(group_col).alias("group"))
+             .agg(F.count("*").alias("n_docs"), mass.alias("mass"))
+             .withColumn("w", _tempered(F.col("mass"), alpha)))
+    tot = per.agg(F.sum("mass").alias("_tm"), F.sum("w").alias("_tw"))
+    return (per.crossJoin(F.broadcast(tot))
+            .select("group", "n_docs", "mass",
+                    F.expr(f"mass * {E6} div _tm").alias("raw_share_e6"),
+                    F.expr(f"w * {E6} div _tw").alias("tempered_share_e6")))
+
+
+def epoch_plan(weights: DataFrame, budget_tokens: int,
+               max_epochs_e6: int = 4 * E6) -> DataFrame:
+    """Token-budget allocation: shares → per-group repetition factors.
+
+    Input is :func:`temperature_weights` output where ``mass`` counts
+    TOKENS (pass ``size_col``). For each group:
+
+    - ``target_tokens = budget * tempered_share_e6 div 1e6`` — what the
+      mixture asks for;
+    - ``epochs_e6 = target * 1e6 div mass`` — how many passes over the
+      group's unique tokens that demands (1e6 == one epoch);
+    - ``capped`` when epochs exceed ``max_epochs_e6`` (default 4
+      epochs, the point past which repetition stops buying loss per
+      Muennighoff et al. 2023 fig. 3), in which case
+      ``granted_tokens = mass * max_epochs_e6 div 1e6`` — the shortfall
+      is visible as ``target_tokens - granted_tokens``.
+
+    All driver-free arithmetic on a |groups|-row table. Numeric bound:
+    ``budget_tokens * share`` and ``target * 1e6`` both stay in BIGINT
+    for budgets up to 9.2e12 tokens; raise in fixed point past that.
+    """
+    if budget_tokens * E6 >= 2 ** 63:
+        raise ValueError("budget_tokens past BIGINT fixed-point headroom "
+                         "(>= 9.2e12); plan in larger token units")
+    tgt = F.expr(f"{int(budget_tokens)} * tempered_share_e6 div {E6}")
+    out = weights.withColumn("target_tokens", tgt).withColumn(
+        "epochs_e6", F.expr(f"target_tokens * {E6} div mass"))
+    return out.select(
+        "group", "mass", "tempered_share_e6", "target_tokens",
+        F.least(F.col("epochs_e6"), F.lit(int(max_epochs_e6))).alias(
+            "epochs_e6"),
+        (F.col("epochs_e6") > max_epochs_e6).alias("capped"),
+        F.when(F.col("epochs_e6") > max_epochs_e6,
+               F.expr(f"mass * {int(max_epochs_e6)} div {E6}"))
+         .otherwise(F.col("target_tokens")).alias("granted_tokens"))
