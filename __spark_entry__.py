@@ -4117,6 +4117,78 @@ FROM r WHERE cum >= rank GROUP BY q_e6"""
 SQL_QUANTILE_SKETCH = _sql_quantile_sketch()
 
 
+_MAT_SALT = "ep1"
+
+
+def q_materialize_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the epoch plan into the actual resampled corpus
+    (operators/mixture.py materialize_plan): each doc repeats
+    epochs_e6 div 1e6 times plus a deterministic md5-fractional extra,
+    so realized per-language token mass converges on granted_tokens.
+    Broadcast plan join + scan-local sequence explode — zero shuffles
+    beyond the |langs|-row plan aggregate."""
+    from rag_document_parser_spark.operators import mixture as MX
+
+    docs = _docs(spark, sf_dir)
+    plan = MX.epoch_plan(
+        MX.temperature_weights(docs, "lang", size_col="n_chars",
+                               alpha=_MIX_ALPHA),
+        budget_tokens=_EPOCH_BUDGET, max_epochs_e6=_EPOCH_CAP_E6)
+    out = MX.materialize_plan(docs, plan, group_col="lang",
+                              salt=_MAT_SALT)
+    return out.select("doc_id", "lang", F.col("copy").cast("long"))
+
+
+def _sql_materialize_mixture() -> str:
+    return f"""
+WITH plan AS ({_sql_epoch_plan()}),
+j AS (SELECT d.doc_id, d.lang, p.epochs_e6,
+             ('0x' || substring(md5(d.doc_id::VARCHAR || '{_MAT_SALT}'),
+                                1, 15))::BIGINT % 1000000 AS u
+      FROM documents d JOIN plan p ON d.lang = p."group"),
+n AS (SELECT doc_id, lang,
+             (epochs_e6 // 1000000
+              + CASE WHEN u < epochs_e6 % 1000000 THEN 1 ELSE 0 END) AS n
+      FROM j)
+SELECT doc_id, lang, CAST(unnest(generate_series(1, n)) AS BIGINT) AS copy
+FROM n WHERE n > 0"""
+
+
+SQL_MATERIALIZE_MIXTURE = _sql_materialize_mixture()
+
+
+_GS_SHARDS = 8
+_GS_SALT = "gs"
+
+
+def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic two-level training-order shuffle
+    (operators/sampling.py global_shuffle): hash-assigned shard (scan-
+    local, uniform) + independent-hash within-shard rank — the only
+    sort any task runs is over |corpus|/n_shards rows, and the order
+    is a pure function of (doc_id, salt) at any cluster size."""
+    from rag_document_parser_spark.operators import sampling as SAM
+
+    out = SAM.global_shuffle(_docs(spark, sf_dir), n_shards=_GS_SHARDS,
+                             salt=_GS_SALT)
+    return out.select("doc_id", F.col("shard").cast("long"),
+                      F.col("pos").cast("long"))
+
+
+SQL_GLOBAL_SHUFFLE = f"""
+WITH h AS (
+  SELECT doc_id,
+         ('0x' || substring(md5(doc_id::VARCHAR || '{_GS_SALT}'),
+                            1, 15))::BIGINT % {_GS_SHARDS} AS shard,
+         ('0x' || substring(md5(doc_id::VARCHAR || '{_GS_SALT}'),
+                            16, 15))::BIGINT AS u2
+  FROM documents)
+SELECT doc_id, shard::BIGINT AS shard,
+       row_number() OVER (PARTITION BY shard
+                          ORDER BY u2, doc_id)::BIGINT AS pos
+FROM h"""
+
+
 def q_failed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3/L3 failed-docs projection. The contract's rules never raise, so
     on well-formed input this is verified-empty (count and schema still
@@ -5604,6 +5676,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mixture": q_temperature_mixture,
         "epoch_plan": q_epoch_plan,
         "quantile_sketch": q_quantile_sketch,
+        "materialize_mixture": q_materialize_mixture,
+        "global_shuffle": q_global_shuffle,
         # -- green in round 2 but absent from the round-3 driver set ---
         "ivf_cosine_topk": q_ivf_cosine_topk,
         "embedding_near_dup": q_embedding_near_dup,
@@ -5776,6 +5850,8 @@ def oracle_sql() -> dict[str, str]:
         "temperature_mixture": SQL_TEMPERATURE_MIXTURE,
         "epoch_plan": SQL_EPOCH_PLAN,
         "quantile_sketch": SQL_QUANTILE_SKETCH,
+        "materialize_mixture": SQL_MATERIALIZE_MIXTURE,
+        "global_shuffle": SQL_GLOBAL_SHUFFLE,
         "failed_docs": SQL_FAILED,
         "failed_docs_poisoned": SQL_FAILED_POISONED,
         "summary_poisoned": SQL_SUMMARY_POISONED,

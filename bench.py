@@ -475,6 +475,28 @@ def main() -> None:
     timed_reps("tokenizer_fertility",
           lambda: tokenizer_fertility(
               docs, BP.bpe_segment(docs, merges2)).count())
+    from rag_document_parser_spark.operators import mixture as MX
+    timed_reps("mixture_plan",
+          lambda: MX.epoch_plan(
+              MX.temperature_weights(docs, "lang", size_col="n_chars",
+                                     alpha="0.5"),
+              budget_tokens=10_000_000)
+          .agg(F.sum("granted_tokens"), F.sum("epochs_e6")).collect())
+    timed_reps("quantile_sketch",
+          lambda: SK.qsketch_quantiles(
+              SK.qsketch_build(docs, "n_chars"),
+              [10_000, 500_000, 990_000])
+          .agg(F.sum("est_lo")).collect())
+    timed_reps("materialize_mixture",
+          lambda: MX.materialize_plan(
+              docs, MX.epoch_plan(
+                  MX.temperature_weights(docs, "lang", size_col="n_chars",
+                                         alpha="0.5"),
+                  budget_tokens=10_000_000),
+              group_col="lang").count())
+    timed_reps("global_shuffle",
+          lambda: SAM.global_shuffle(docs, n_shards=64)
+          .agg(F.sum("pos"), F.max("shard")).collect())
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

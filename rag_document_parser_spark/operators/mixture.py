@@ -31,7 +31,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["epoch_plan", "isqrt", "temperature_weights"]
+__all__ = ["epoch_plan", "isqrt", "materialize_plan",
+           "temperature_weights"]
 
 E6 = 1_000_000
 # Pre-scale for the fixed-point roots: isqrt(n * E8) == sqrt(n) * 1e4,
@@ -150,3 +151,40 @@ def epoch_plan(weights: DataFrame, budget_tokens: int,
         F.when(F.col("epochs_e6") > max_epochs_e6,
                F.expr(f"mass * {int(max_epochs_e6)} div {E6}"))
          .otherwise(F.col("target_tokens")).alias("granted_tokens"))
+
+
+def materialize_plan(df: DataFrame, plan: DataFrame,
+                     group_col: str = "lang", key_col: str = "doc_id",
+                     salt: str = "") -> DataFrame:
+    """Emit the resampled corpus an :func:`epoch_plan` describes.
+
+    Each row of group ``g`` (with granted ``epochs_e6``) appears
+    ``epochs_e6 div 1e6`` times, plus one more iff its deterministic
+    md5 draw ``u`` (60 digest bits reduced mod 1e6) falls under the
+    fractional part — so the group's realized token count converges on
+    ``granted_tokens`` while every copy decision is a pure function of
+    ``(key, salt)``: re-runs, repartitions, and engine swaps reproduce
+    the corpus bit-for-bit (same discipline as
+    ``sampling.resample_by_group``, which takes literal float weights;
+    this takes the |groups|-row PLAN DataFrame, closing the loop
+    weights → budget → corpus). Output = input columns + ``copy``
+    (1..n); groups absent from the plan drop (inner join — the plan IS
+    the corpus definition).
+
+    Scale: the plan broadcasts (|groups| rows), the fan-out is a
+    ``sequence`` explode inside the scan stage, and nothing shuffles —
+    repeating a 100 TB slice 2.4× costs one read pass plus the write.
+    """
+    p = plan.select(F.col("group").alias(group_col), "epochs_e6")
+    u = (F.conv(F.substring(
+            F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))),
+            1, 15), 16, 10).cast("long") % F.lit(E6))
+    n = (F.expr(f"epochs_e6 div {E6}")
+         + (u < F.col("epochs_e6") % E6).cast("long"))
+    return (df.join(F.broadcast(p), group_col)
+            .withColumn("_n", n)
+            .where(F.col("_n") > 0)
+            .withColumn("copy",
+                        F.explode(F.sequence(F.lit(1).cast("long"),
+                                             F.col("_n"))))
+            .drop("_n", "epochs_e6"))

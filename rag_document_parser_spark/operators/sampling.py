@@ -31,8 +31,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["hash_sample", "hash_split", "leakage_safe_split",
-           "resample_by_group", "sample_key",
+__all__ = ["global_shuffle", "hash_sample", "hash_split",
+           "leakage_safe_split", "resample_by_group", "sample_key",
            "stratified_sample", "weighted_sample"]
 
 # 8 hex digits = 32 bits of the digest: rate resolution 1/2^32, far finer
@@ -258,3 +258,47 @@ def resample_by_group(df: DataFrame, weights: dict[str, float],
                         F.explode(F.sequence(F.lit(1).cast("long"),
                                              F.col("_n"))))
             .drop("_n"))
+
+
+def global_shuffle(df: DataFrame, n_shards: int, key_col: str = "doc_id",
+                   salt: str = "",
+                   curriculum_col: str | None = None) -> DataFrame:
+    """Deterministic training-order shuffle: ``(shard, pos)`` per row.
+
+    Pre-training wants examples in a well-mixed order, but a true
+    global sort of 100 TB by a random key is the single most expensive
+    shuffle a pipeline can run. The standard two-level factorization:
+    a scan-local hash assigns each row to one of ``n_shards`` shards
+    (uniform by construction — no skew regardless of the data), and a
+    SECOND independent hash orders rows *within* each shard, so the
+    only sort any task performs is over ~|corpus|/n_shards rows. The
+    training loader then reads shards in any order (or round-robin
+    interleaves them), which is statistically equivalent to a full
+    shuffle at shard granularity. Both hashes are pure functions of
+    ``(key, salt)`` — re-runs and cluster-size changes reproduce the
+    exact order, which is what makes a training run repeatable.
+
+    With ``curriculum_col``, within-shard order becomes (curriculum
+    DESC, hash) — shard-local curriculum: every loader stream starts
+    at its highest-scored examples while the global interleave stays
+    mixed (an anti-correlation trick from curriculum-learning practice:
+    global score order would put all easy data in one wall-clock
+    phase; per-shard order preserves the schedule per stream without
+    a global sort).
+
+    Output = input columns + ``shard`` (0..n_shards-1) and ``pos``
+    (1..|shard| by the shuffled order).
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    digest = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    # two independent 60-bit draws from disjoint digest halves
+    u1 = F.conv(F.substring(digest, 1, 15), 16, 10).cast("long")
+    u2 = F.conv(F.substring(digest, 16, 15), 16, 10).cast("long")
+    order = ([F.desc(curriculum_col)] if curriculum_col else []) \
+        + [F.asc("_ord"), F.asc(key_col)]
+    w = Window.partitionBy("shard").orderBy(*order)
+    return (df.withColumn("shard", u1 % n_shards)
+            .withColumn("_ord", u2)
+            .withColumn("pos", F.row_number().over(w).cast("long"))
+            .drop("_ord"))

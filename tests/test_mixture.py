@@ -128,3 +128,35 @@ def test_mixture_and_qsketch_partitioning_invariant(spark):
         a = multiset(build(df.repartition(1)))
         b = multiset(build(df.repartition(13)))
         assert a == b and a
+
+
+def test_materialize_plan_copies_and_invariance(spark):
+    rows = ([("tail", 50)] * 4) + ([("head", 50)] * 400)
+    df = spark.createDataFrame(
+        [(i, g, n) for i, (g, n) in enumerate(rows)],
+        "doc_id long, grp string, n int")
+    w = MX.temperature_weights(df, "grp", size_col="n", alpha="0.5")
+    plan = MX.epoch_plan(w, budget_tokens=15_000, max_epochs_e6=4_000_000)
+    pr = {r["group"]: r for r in plan.collect()}
+    out = MX.materialize_plan(df, plan, group_col="grp", salt="m")
+    got = out.groupBy("grp").agg(
+        F.count("*").alias("n_copies"), F.sum("n").alias("toks")).collect()
+    by = {r["grp"]: r for r in got}
+    for g in ("tail", "head"):
+        # every doc contributes floor(epochs) or floor(epochs)+1 copies,
+        # so the group total brackets granted_tokens within one doc-mass
+        n_docs = {"tail": 4, "head": 400}[g]
+        lo = (pr[g]["epochs_e6"] // 1_000_000) * n_docs
+        hi = lo + n_docs
+        assert lo <= by[g]["n_copies"] <= hi
+        assert abs(by[g]["toks"] - pr[g]["granted_tokens"]) <= 50 * n_docs
+    # partition invariance: identical (doc_id, copy) multiset
+    a = sorted((r["doc_id"], r["copy"]) for r in out.collect())
+    b = sorted((r["doc_id"], r["copy"]) for r in
+               MX.materialize_plan(df.repartition(13), plan,
+                                   group_col="grp", salt="m").collect())
+    assert a == b
+    # groups absent from the plan drop entirely
+    only_head = MX.materialize_plan(
+        df, plan.where(F.col("group") == "head"), group_col="grp", salt="m")
+    assert only_head.where(F.col("grp") == "tail").count() == 0

@@ -176,3 +176,37 @@ def test_leakage_safe_split_no_pair_straddles_splits(spark):
     assert all(split_of[a] == split_of[b] for a, b in edges)
     assert set(split_of.values()) <= {"train", "val", "test"}
     assert len(split_of) == docs.count()  # exhaustive, no dup rows
+
+
+def test_global_shuffle_deterministic_and_partition_invariant(spark):
+    docs = _docs(spark).select("doc_id")
+    a = {(r["doc_id"]): (r["shard"], r["pos"]) for r in
+         SAM.global_shuffle(docs, n_shards=8, salt="g").collect()}
+    b = {(r["doc_id"]): (r["shard"], r["pos"]) for r in
+         SAM.global_shuffle(docs.repartition(13), n_shards=8,
+                            salt="g").collect()}
+    assert a == b and len(a) == docs.count()
+    # every shard's positions are exactly 1..|shard| (a total order)
+    by_shard: dict[int, list[int]] = {}
+    for s, p in a.values():
+        by_shard.setdefault(s, []).append(p)
+    assert set(by_shard) <= set(range(8))
+    for ps in by_shard.values():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+    # hash sharding is uniform: no shard dominates
+    sizes = sorted(len(v) for v in by_shard.values())
+    assert sizes[-1] < 3 * max(sizes[0], 1)
+
+
+def test_global_shuffle_curriculum_orders_within_shard(spark):
+    docs = _docs(spark).select("doc_id", "n_chars")
+    out = SAM.global_shuffle(docs, n_shards=4, salt="c",
+                             curriculum_col="n_chars").collect()
+    by_shard: dict[int, list[tuple[int, int]]] = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append((r["pos"], r["n_chars"]))
+    for rows in by_shard.values():
+        chars = [c for _, c in sorted(rows)]
+        assert chars == sorted(chars, reverse=True)
+    with pytest.raises(ValueError):
+        SAM.global_shuffle(docs, n_shards=0)
