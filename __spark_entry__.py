@@ -2315,6 +2315,100 @@ SELECT doc_id, media_ref, media_offset::BIGINT AS media_offset,
 FROM j WHERE rn = 1"""
 
 
+_IL_MAX_TOK = 5
+_IL_MEDIA_COST = 3
+
+
+def q_interleave_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted interleaved multimodal sequences
+    (operators/multimodal.py interleave_sequences): each doc's ordered
+    text+media spans packed greedily into <=5-token sequences, media
+    spans costing the fixed 3-token placeholder budget, spans never
+    split. Spans synthesized per doc DELIBERATELY out of offset order
+    (body@20 first) to exercise the operator's offset sort: text@0
+    (empty for h%4==0 — the zero-cost-span case), media@10, text@20,
+    media@30 for h%3==0, text@40 (3 tokens, always flushes)."""
+    docs = _docs(spark, sf_dir)
+    h = _hcol(F.col("doc_id"))
+
+    def _span(kind, text, ref, off):
+        return F.struct(F.lit(kind).alias("kind"), text.alias("text"),
+                        ref.alias("media_ref"),
+                        F.lit(off).cast("int").alias("offset"))
+
+    nul = F.lit(None).cast("string")
+    base = F.array(
+        _span("text", F.concat(F.lit("body "),
+                               F.col("n_chars").cast("string")), nul, 20),
+        _span("text", F.when(h % 4 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("intro "), F.col("source"))), nul, 0),
+        _span("media", F.lit(""),
+              F.concat(F.lit("img-"), (h % 7).cast("string")), 10),
+        _span("text", F.concat(F.lit("tail section "),
+                               (h % 13).cast("string")), nul, 40),
+    )
+    extra = _span("media", F.lit(""),
+                  F.concat(F.lit("vid-"), (h % 5).cast("string")), 30)
+    spans = F.when(h % 3 == 0,
+                   F.concat(base, F.array(extra))).otherwise(base)
+    staged = docs.select("doc_id", spans.alias("spans"))
+    return M.interleave_sequences(staged, max_tokens=_IL_MAX_TOK,
+                                  media_cost=_IL_MEDIA_COST)
+
+
+def _sql_interleave_sequences() -> str:
+    toks = TOKS_SQL.format(c="text")
+    return f"""
+WITH RECURSIVE m0 AS (
+  SELECT doc_id, source, n_chars, {_md5l('doc_id::VARCHAR')} AS h
+  FROM documents
+), sp AS (
+  SELECT doc_id, 'text' AS kind,
+         CASE WHEN h % 4 = 0 THEN '' ELSE 'intro ' || source END AS text,
+         CAST(NULL AS VARCHAR) AS media_ref, 0 AS offs FROM m0
+  UNION ALL
+  SELECT doc_id, 'media', '', 'img-' || (h % 7)::VARCHAR, 10 FROM m0
+  UNION ALL
+  SELECT doc_id, 'text', 'body ' || n_chars::VARCHAR, NULL, 20 FROM m0
+  UNION ALL
+  SELECT doc_id, 'media', '', 'vid-' || (h % 5)::VARCHAR, 30 FROM m0
+  WHERE h % 3 = 0
+  UNION ALL
+  SELECT doc_id, 'text', 'tail section ' || (h % 13)::VARCHAR, NULL, 40
+  FROM m0
+), sl AS (
+  SELECT doc_id, kind, text, media_ref, offs,
+         CASE WHEN kind = 'media' THEN {_IL_MEDIA_COST}
+              ELSE len({toks}) END::BIGINT AS l,
+         row_number() OVER (PARTITION BY doc_id ORDER BY offs) AS i
+  FROM sp
+), st AS (
+  SELECT doc_id, i, kind, text, media_ref, l, l AS cur, 0 AS cid
+  FROM sl WHERE i = 1
+  UNION ALL
+  SELECT s.doc_id, s.i, s.kind, s.text, s.media_ref, s.l,
+    CASE WHEN st.cur + s.l > {_IL_MAX_TOK} THEN s.l
+         ELSE st.cur + s.l END,
+    CASE WHEN st.cur + s.l > {_IL_MAX_TOK} THEN st.cid + 1
+         ELSE st.cid END
+  FROM st JOIN sl s ON s.doc_id = st.doc_id AND s.i = st.i + 1
+)
+SELECT doc_id::BIGINT AS doc_id, cid::BIGINT AS seq_idx,
+       count(*)::BIGINT AS n_spans,
+       count(*) FILTER (WHERE kind = 'text')::BIGINT AS n_text,
+       count(*) FILTER (WHERE kind = 'media')::BIGINT AS n_media,
+       sum(l)::BIGINT AS n_tok,
+       COALESCE(string_agg(text, ' ' ORDER BY i)
+                FILTER (WHERE kind = 'text' AND text <> ''), '')
+         AS text_joined,
+       COALESCE(string_agg(media_ref, ',' ORDER BY i)
+                FILTER (WHERE kind = 'media'), '') AS media_refs
+FROM st GROUP BY doc_id, cid"""
+
+
+SQL_INTERLEAVE_SEQUENCES = _sql_interleave_sequences()
+
+
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub over synthesized payloads: every doc gets a planted
     email, +international phone, and dotted-quad IP; h%4==0 docs also
@@ -5678,6 +5772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_sketch": q_quantile_sketch,
         "materialize_mixture": q_materialize_mixture,
         "global_shuffle": q_global_shuffle,
+        "interleave_sequences": q_interleave_sequences,
         # -- green in round 2 but absent from the round-3 driver set ---
         "ivf_cosine_topk": q_ivf_cosine_topk,
         "embedding_near_dup": q_embedding_near_dup,
@@ -5852,6 +5947,7 @@ def oracle_sql() -> dict[str, str]:
         "quantile_sketch": SQL_QUANTILE_SKETCH,
         "materialize_mixture": SQL_MATERIALIZE_MIXTURE,
         "global_shuffle": SQL_GLOBAL_SHUFFLE,
+        "interleave_sequences": SQL_INTERLEAVE_SEQUENCES,
         "failed_docs": SQL_FAILED,
         "failed_docs_poisoned": SQL_FAILED_POISONED,
         "summary_poisoned": SQL_SUMMARY_POISONED,

@@ -497,6 +497,27 @@ def main() -> None:
     timed_reps("global_shuffle",
           lambda: SAM.global_shuffle(docs, n_shards=64)
           .agg(F.sum("pos"), F.max("shard")).collect())
+    from rag_document_parser_spark.operators.multimodal import (
+        interleave_sequences)
+    il = docs.select(
+        "doc_id",
+        F.array(
+            F.struct(F.lit("text").alias("kind"),
+                     F.substring("text", 1, 200).alias("text"),
+                     F.lit(None).cast("string").alias("media_ref"),
+                     F.lit(0).alias("offset")),
+            F.struct(F.lit("media").alias("kind"), F.lit("").alias("text"),
+                     F.concat(F.lit("img-"), F.pmod("doc_id", 9)
+                              .cast("string")).alias("media_ref"),
+                     F.lit(10).alias("offset")),
+            F.struct(F.lit("text").alias("kind"),
+                     F.substring("text", 200, 400).alias("text"),
+                     F.lit(None).cast("string").alias("media_ref"),
+                     F.lit(20).alias("offset")),
+        ).alias("spans"))
+    timed_reps("interleave_sequences",
+          lambda: interleave_sequences(il, max_tokens=64, media_cost=16)
+          .agg(F.sum("n_tok"), F.count("*")).collect())
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

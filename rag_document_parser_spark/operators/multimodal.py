@@ -430,3 +430,107 @@ def caption_candidates(df: DataFrame, spans_col: str = "spans",
         s["best"]["text"].alias("caption"),
         F.when(s["best"]["offset"] >= 0, s["best"]["offset"])
         .cast("long").alias("caption_offset"))
+
+
+def interleave_sequences(df: DataFrame, max_tokens: int = 128,
+                         media_cost: int = 64, spans_col: str = "spans",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Token-budgeted interleaved multimodal training sequences.
+
+    The Flamingo/MM1-style pretraining record: a document's ordered
+    text+media spans packed greedily into sequences of at most
+    ``max_tokens``, where a text span costs its token count (the shared
+    ``words`` tokenizer) and a media span costs the fixed
+    ``media_cost`` placeholder budget its encoder tokens will occupy.
+    Spans are never split across sequences — a span joins the current
+    sequence unless the sequence is non-empty and would exceed the
+    budget with it, in which case it starts a new one; a single
+    oversized span gets its own oversized sequence (documented, same
+    rule as ``sentences.sentence_chunks``).
+
+    Output: one row per sequence — ``(doc_id, seq_idx, n_spans,
+    n_text, n_media, n_tok, text_joined, media_refs)``; ``text_joined``
+    is the non-empty text spans joined by single spaces in offset
+    order, ``media_refs`` the media refs comma-joined in offset order.
+    Docs with no spans emit no rows.
+
+    Scale shape: ZERO exchanges — the offset sort, cost transform,
+    greedy fold, and sequence assembly are row-local array expressions
+    feeding one posexplode (the index-only fold discipline from
+    sentence_chunks: the accumulator carries only sequence-start
+    indices + two counters, never growing structs).
+    """
+    from rag_document_parser_spark.operators.dedup import words
+
+    if max_tokens < 1:
+        raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
+    if media_cost < 0:
+        raise ValueError(f"media_cost must be >= 0, got {media_cost}")
+    ordered = F.array_sort(
+        F.col(spans_col),
+        lambda l, r: F.when(l["offset"] < r["offset"], -1)
+        .when(l["offset"] > r["offset"], 1).otherwise(0))
+    cost = lambda s: F.when(  # noqa: E731
+        s["kind"] == "media", F.lit(media_cost).cast("long")) \
+        .otherwise(F.size(words(s["text"])).cast("long"))
+    staged = (df.select(F.col(id_col).alias("doc_id"),
+                        ordered.alias("_s"))
+              .select("doc_id", "_s",
+                      F.transform("_s", cost).alias("_l"))
+              .where(F.size("_s") > 0))
+
+    a = lambda acc, f: acc.getField(f)  # noqa: E731
+
+    def step(acc, i):
+        tl = F.element_at(F.col("_l"), i)
+        flush = (a(acc, "ns") > 0) & (a(acc, "tok") + tl > max_tokens)
+        return F.struct(
+            F.when(flush, F.concat(a(acc, "starts"), F.array(i)))
+            .otherwise(a(acc, "starts")).alias("starts"),
+            F.when(flush, F.lit(1).cast("long"))
+            .otherwise(a(acc, "ns") + 1).alias("ns"),
+            F.when(flush, tl).otherwise(a(acc, "tok") + tl).alias("tok"))
+
+    init = F.struct(F.array(F.lit(1)).alias("starts"),
+                    F.lit(0).cast("long").alias("ns"),
+                    F.lit(0).cast("long").alias("tok"))
+    idx = F.when(F.size("_s") > 0, F.sequence(F.lit(1), F.size("_s"))) \
+        .otherwise(F.expr("cast(array() as array<int>)"))
+    folded = staged.select(
+        "doc_id", "_s", "_l",
+        F.aggregate(idx, init, step, lambda acc: a(acc, "starts"))
+        .alias("_b"))
+    spans_z = folded.select(
+        "doc_id", "_s", "_l",
+        F.arrays_zip(
+            F.col("_b").alias("b"),
+            F.transform(
+                F.sequence(F.lit(1), F.size("_b")),
+                lambda j: F.when(j < F.size("_b"),
+                                 F.element_at("_b", j + 1) - 1)
+                .otherwise(F.size("_s"))).alias("e")).alias("_z"))
+    # posexplode_outer: see sentence_chunks — plain posexplode lets
+    # InferFiltersFromGenerate re-inline the fold chain into pushed
+    # filters on the generator input
+    ex = spans_z.select(
+        "doc_id", "_s", "_l",
+        F.posexplode_outer("_z").alias("seq_idx", "z")) \
+        .where(F.col("z").isNotNull())
+    ln = F.col("z.e") - F.col("z.b") + 1
+    sl = F.slice("_s", F.col("z.b"), ln)
+    texts = F.filter(sl, lambda s: (s["kind"] == "text")
+                     & s["text"].isNotNull() & (s["text"] != ""))
+    media = F.filter(sl, lambda s: s["kind"] == "media")
+    n_text = F.size(F.filter(sl, lambda s: s["kind"] == "text"))
+    return ex.select(
+        "doc_id", F.col("seq_idx").cast("long").alias("seq_idx"),
+        ln.cast("long").alias("n_spans"),
+        n_text.cast("long").alias("n_text"),
+        (ln - n_text).cast("long").alias("n_media"),
+        F.aggregate(F.slice("_l", F.col("z.b"), ln),
+                    F.lit(0).cast("long"), lambda acc, x: acc + x)
+        .alias("n_tok"),
+        F.array_join(F.transform(texts, lambda s: s["text"]), " ")
+        .alias("text_joined"),
+        F.array_join(F.transform(media, lambda s: s["media_ref"]), ",")
+        .alias("media_refs"))
