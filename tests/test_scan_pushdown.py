@@ -45,3 +45,19 @@ def test_operator_input_scans_prune(spark):
     assert m, plan
     cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
     assert "text" in cols and "source" not in cols, cols
+
+
+def test_qsketch_and_mixture_scans_prune_text(spark):
+    # both stats passes must never read the wide text column
+    from rag_document_parser_spark.operators.mixture import (
+        temperature_weights)
+    from rag_document_parser_spark.operators.sketches import qsketch_build
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    for df in (qsketch_build(docs, "n_chars"),
+               temperature_weights(docs, "lang", size_col="n_chars")):
+        lines, plan = _scan_lines(df)
+        for m in re.finditer(r"ReadSchema: struct<([^>]*)>",
+                             " ".join(lines)):
+            cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+            assert "text" not in cols, plan
