@@ -4283,6 +4283,108 @@ SELECT doc_id, shard::BIGINT AS shard,
 FROM h"""
 
 
+def q_chat_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT chat-record offsets (operators/posttrain.py chat_offsets):
+    per-turn character intervals + assistant loss-mask flags inside the
+    role-tagged assembled record. Turns synthesized per doc: system
+    prompt, user slice, assistant slice, and for h%2==0 a second
+    user/assistant exchange — variable turn counts and text lengths
+    exercise the cumulative-offset window."""
+    from rag_document_parser_spark.operators import posttrain as PT
+
+    d = _docs(spark, sf_dir)
+    h = _hcol(F.col("doc_id"))
+
+    def turn(idx, role, text):
+        return F.struct(F.lit(idx).cast("long").alias("turn_idx"),
+                        F.lit(role).alias("role"), text.alias("text"))
+
+    base = F.array(
+        turn(0, "system", F.lit("be helpful")),
+        turn(1, "user",
+             F.expr("substring(text, 1, 5 + cast(__h % 20 as int))")),
+        turn(2, "assistant",
+             F.expr("substring(text, 10, 5 + cast(__h % 15 as int))")),
+    )
+    extra = F.array(
+        turn(3, "user", F.concat(F.lit("ok "), (h % 9).cast("string"))),
+        turn(4, "assistant", F.concat(F.lit("done "),
+                                      (h % 7).cast("string"))),
+    )
+    turns = (d.withColumn("__h", h)
+             .select(F.col("doc_id").alias("conv_id"),
+                     F.explode(F.when(h % 2 == 0, F.concat(base, extra))
+                               .otherwise(base)).alias("t"))
+             .select("conv_id", F.col("t.turn_idx").alias("turn_idx"),
+                     F.col("t.role").alias("role"),
+                     F.col("t.text").alias("text")))
+    return PT.chat_offsets(turns)
+
+
+SQL_CHAT_OFFSETS = f"""
+WITH m0 AS (
+  SELECT doc_id, text, {_md5l('doc_id::VARCHAR')} AS h FROM documents
+), t AS (
+  SELECT doc_id AS conv_id, 0 AS turn_idx, 'system' AS role,
+         'be helpful' AS text, h FROM m0
+  UNION ALL
+  SELECT doc_id, 1, 'user', substring(text, 1, 5 + (h % 20)::INT), h
+  FROM m0
+  UNION ALL
+  SELECT doc_id, 2, 'assistant',
+         substring(text, 10, 5 + (h % 15)::INT), h FROM m0
+  UNION ALL
+  SELECT doc_id, 3, 'user', 'ok ' || (h % 9)::VARCHAR, h FROM m0
+  WHERE h % 2 = 0
+  UNION ALL
+  SELECT doc_id, 4, 'assistant', 'done ' || (h % 7)::VARCHAR, h FROM m0
+  WHERE h % 2 = 0
+), o AS (
+  SELECT conv_id, turn_idx, role,
+         (length(role) + 4 + length(text))::BIGINT AS plen
+  FROM t)
+SELECT conv_id, turn_idx::BIGINT AS turn_idx, role,
+       COALESCE(SUM(plen) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                0)::BIGINT AS start_char,
+       (COALESCE(SUM(plen) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) + plen)::BIGINT AS end_char,
+       (role = 'assistant') AS trainable
+FROM o"""
+
+
+def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reward-model / DPO pair mining (operators/posttrain.py
+    preference_pairs): per-source (chosen, rejected) by integer score
+    (n_chars here), ties to the smallest doc_id, all-tied groups
+    dropped — aggregate argmax/argmin, never a per-group window."""
+    from rag_document_parser_spark.operators import posttrain as PT
+
+    return PT.preference_pairs(_docs(spark, sf_dir), score_col="n_chars",
+                               group_col="source")
+
+
+SQL_PREFERENCE_PAIRS = """
+WITH ext AS (
+  SELECT source AS grp, MAX(n_chars)::BIGINT AS cs,
+         MIN(n_chars)::BIGINT AS rs
+  FROM documents GROUP BY source
+  HAVING MAX(n_chars) > MIN(n_chars)
+), c AS (
+  SELECT d.source AS grp, MIN(d.doc_id) AS chosen_id
+  FROM documents d JOIN ext ON d.source = ext.grp AND d.n_chars = ext.cs
+  GROUP BY d.source
+), r AS (
+  SELECT d.source AS grp, MIN(d.doc_id) AS rejected_id
+  FROM documents d JOIN ext ON d.source = ext.grp AND d.n_chars = ext.rs
+  GROUP BY d.source
+)
+SELECT grp AS source, chosen_id, rejected_id,
+       (cs - rs)::BIGINT AS margin
+FROM ext JOIN c USING (grp) JOIN r USING (grp)"""
+
+
 def q_failed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3/L3 failed-docs projection. The contract's rules never raise, so
     on well-formed input this is verified-empty (count and schema still
@@ -5773,6 +5875,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "materialize_mixture": q_materialize_mixture,
         "global_shuffle": q_global_shuffle,
         "interleave_sequences": q_interleave_sequences,
+        "chat_offsets": q_chat_offsets,
+        "preference_pairs": q_preference_pairs,
         # -- green in round 2 but absent from the round-3 driver set ---
         "ivf_cosine_topk": q_ivf_cosine_topk,
         "embedding_near_dup": q_embedding_near_dup,
@@ -5948,6 +6052,8 @@ def oracle_sql() -> dict[str, str]:
         "materialize_mixture": SQL_MATERIALIZE_MIXTURE,
         "global_shuffle": SQL_GLOBAL_SHUFFLE,
         "interleave_sequences": SQL_INTERLEAVE_SEQUENCES,
+        "chat_offsets": SQL_CHAT_OFFSETS,
+        "preference_pairs": SQL_PREFERENCE_PAIRS,
         "failed_docs": SQL_FAILED,
         "failed_docs_poisoned": SQL_FAILED_POISONED,
         "summary_poisoned": SQL_SUMMARY_POISONED,

@@ -518,6 +518,24 @@ def main() -> None:
     timed_reps("interleave_sequences",
           lambda: interleave_sequences(il, max_tokens=64, media_cost=16)
           .agg(F.sum("n_tok"), F.count("*")).collect())
+    from rag_document_parser_spark.operators import posttrain as PT
+    chat = docs.select(
+        F.col("doc_id").alias("conv_id"),
+        F.explode(F.array(
+            F.struct(F.lit(0).cast("long").alias("turn_idx"),
+                     F.lit("user").alias("role"),
+                     F.substring("text", 1, 120).alias("text")),
+            F.struct(F.lit(1).cast("long").alias("turn_idx"),
+                     F.lit("assistant").alias("role"),
+                     F.substring("text", 120, 240).alias("text")),
+        )).alias("t")).select("conv_id", "t.*")
+    timed_reps("chat_offsets",
+          lambda: PT.chat_offsets(chat)
+          .agg(F.sum("end_char"), F.sum(F.col("trainable").cast("long")))
+          .collect())
+    timed_reps("preference_pairs",
+          lambda: PT.preference_pairs(docs, score_col="n_chars",
+                                      group_col="source").count())
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

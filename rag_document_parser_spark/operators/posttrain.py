@@ -1,0 +1,102 @@
+"""Post-training data assembly: SFT chat records + preference pairs.
+
+The curation tiers upstream produce clean pre-training text; fine-tuning
+runs need two more shapes this module provides:
+
+- ``chat_offsets``: supervised fine-tuning records are role-tagged
+  conversations where the loss is masked to the assistant turns
+  (InstructGPT, Ouyang et al. 2022 §3.5 — train on completions, not
+  prompts). The loader needs, per turn, its CHARACTER interval inside
+  the assembled record plus a trainable flag; emitting offsets instead
+  of pre-sliced strings keeps the record assembly a loader concern and
+  the Spark output narrow.
+- ``preference_pairs``: reward-model / DPO training consumes
+  (chosen, rejected) pairs. Mining them from a scored corpus is a
+  per-group argmax/argmin — phrased here as two map-side-combinable
+  aggregates plus equi-joins back on the group key, NEVER a per-group
+  window (a ``row_number() OVER (PARTITION BY group)`` funnels a
+  popular group's every row through one task; the aggregate form
+  partial-combines inside each scan task regardless of skew).
+
+Engine-exact arithmetic throughout: character offsets are cumulative
+BIGINT sums over ``length()`` (identical in Spark and DuckDB for the
+BMP-safe synthetic corpora the oracles run on), scores are caller-
+provided integers, ties break on the smallest id. The reference has no
+post-training surface (it stops at parsed text, /root/reference/main.py);
+this is a SURVEY §6 training-data tier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+__all__ = ["chat_offsets", "preference_pairs"]
+
+
+def chat_offsets(turns: DataFrame, conv_col: str = "conv_id",
+                 idx_col: str = "turn_idx", role_col: str = "role",
+                 text_col: str = "text",
+                 trainable_role: str = "assistant") -> DataFrame:
+    """Per-turn character intervals inside the assembled chat record.
+
+    The record for a conversation is the concatenation, in ``idx_col``
+    order, of ``<|role|>`` + text for each turn. Output = one row per
+    turn: ``(conv_id, turn_idx, role, start_char, end_char,
+    trainable)`` where ``[start_char, end_char)`` is the turn's span
+    (tag included) in that record and ``trainable`` marks
+    ``trainable_role`` turns — the loss-mask intervals.
+
+    Scale shape: ONE exchange on the uniform ``conv_col`` key feeding a
+    per-conversation window whose frame is bounded by conversation
+    length (tens of turns, never corpus-sized); the cumulative sum is
+    the only state.
+    """
+    part_len = (F.length(F.col(role_col)) + F.lit(4)
+                + F.length(F.col(text_col))).cast("long")
+    w = (Window.partitionBy(conv_col).orderBy(idx_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    start = F.coalesce(F.sum(part_len).over(w), F.lit(0).cast("long"))
+    return turns.select(
+        F.col(conv_col), F.col(idx_col), F.col(role_col),
+        start.alias("start_char"),
+        (start + part_len).alias("end_char"),
+        (F.col(role_col) == trainable_role).alias("trainable"))
+
+
+def preference_pairs(df: DataFrame, score_col: str,
+                     group_col: str = "source",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Per-group (chosen, rejected) preference pair with margin.
+
+    For every group with at least two distinct scores: ``chosen`` is
+    the highest-scored member, ``rejected`` the lowest, ties broken by
+    the smallest ``id_col``; ``margin = max_score - min_score``. Groups
+    whose members all tie (margin 0) emit nothing — a pair with no
+    preference signal is noise to a reward model.
+
+    ``score_col`` must be integer (the package's fixed-point scores);
+    float scores would make the equality joins engine-fragile.
+
+    Scale shape: one aggregate to |groups| rows (map-side combinable),
+    then two joins back keyed on (group, score) to recover the argmax /
+    argmin ids as MIN-aggregates — no per-group window, so a group
+    holding 99 % of the corpus still partial-aggregates inside each
+    scan task instead of sorting on one.
+    """
+    g, s, i = F.col(group_col), F.col(score_col).cast("long"), F.col(id_col)
+    base = df.select(g.alias("grp"), s.alias("score"), i.alias("id"))
+    ext = (base.groupBy("grp")
+           .agg(F.max("score").alias("chosen_score"),
+                F.min("score").alias("rejected_score"))
+           .where(F.col("chosen_score") > F.col("rejected_score")))
+    chosen = (base.join(ext.select("grp", "chosen_score"), "grp")
+              .where(F.col("score") == F.col("chosen_score"))
+              .groupBy("grp").agg(F.min("id").alias("chosen_id")))
+    rejected = (base.join(ext.select("grp", "rejected_score"), "grp")
+                .where(F.col("score") == F.col("rejected_score"))
+                .groupBy("grp").agg(F.min("id").alias("rejected_id")))
+    return (ext.join(chosen, "grp").join(rejected, "grp")
+            .select(F.col("grp").alias(group_col), "chosen_id",
+                    "rejected_id",
+                    (F.col("chosen_score") - F.col("rejected_score"))
+                    .alias("margin")))

@@ -1,0 +1,71 @@
+"""Post-training tier: SFT chat offsets + preference-pair mining."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rag_document_parser_spark.operators import posttrain as PT
+
+
+def _turns(spark):
+    rows = []
+    for c in range(8):
+        n = 2 + (c % 3)
+        for i in range(n):
+            role = ("system", "user", "assistant", "user")[i % 4]
+            rows.append((c, i, role, "w " * (1 + (c + i) % 4)))
+    return spark.createDataFrame(
+        rows, "conv_id long, turn_idx long, role string, text string")
+
+
+def test_chat_offsets_contiguous_and_masked(spark):
+    turns = _turns(spark)
+    out = sorted(PT.chat_offsets(turns).collect(),
+                 key=lambda r: (r["conv_id"], r["turn_idx"]))
+    by_conv = {}
+    for r in out:
+        by_conv.setdefault(r["conv_id"], []).append(r)
+    src = {(r["conv_id"], r["turn_idx"]): r for r in turns.collect()}
+    for conv, rows in by_conv.items():
+        assert rows[0]["start_char"] == 0
+        for prev, cur in zip(rows, rows[1:]):
+            # intervals tile the record: no gaps, no overlaps
+            assert cur["start_char"] == prev["end_char"]
+        for r in rows:
+            t = src[(conv, r["turn_idx"])]
+            expected = len(t["role"]) + 4 + len(t["text"])
+            assert r["end_char"] - r["start_char"] == expected
+            assert r["trainable"] == (t["role"] == "assistant")
+    # partition invariance
+    a = sorted(map(tuple, PT.chat_offsets(turns).collect()))
+    b = sorted(map(tuple, PT.chat_offsets(
+        turns.repartition(13)).collect()))
+    assert a == b and a
+
+
+def test_preference_pairs_semantics_and_no_window(spark):
+    rows = [
+        # group a: clear best (id 3, score 9) and worst; ties on worst
+        # score 1 break to the smallest id (10 over 11)
+        ("a", 3, 9), ("a", 10, 1), ("a", 11, 1), ("a", 5, 4),
+        # group b: chosen tie at score 7 -> smallest id 2
+        ("b", 2, 7), ("b", 4, 7), ("b", 9, 3),
+        # group c: all tied -> emits nothing
+        ("c", 1, 5), ("c", 2, 5),
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id long, sc long")
+    got = {r["source"]: r for r in
+           PT.preference_pairs(df, score_col="sc").collect()}
+    assert set(got) == {"a", "b"}
+    assert (got["a"]["chosen_id"], got["a"]["rejected_id"],
+            got["a"]["margin"]) == (3, 10, 8)
+    assert (got["b"]["chosen_id"], got["b"]["rejected_id"],
+            got["b"]["margin"]) == (2, 9, 4)
+    # skew contract: the plan has no per-group Window (aggregate argmax)
+    plan = (PT.preference_pairs(df, score_col="sc")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Window" not in plan, plan
+    a = sorted(map(tuple, PT.preference_pairs(df, score_col="sc").collect()))
+    b = sorted(map(tuple, PT.preference_pairs(
+        df.repartition(7), score_col="sc").collect()))
+    assert a == b
