@@ -547,8 +547,8 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("arabic_chars").cast("long"), F.col("latin_chars").cast("long"))
 
 
-def _hits_sql(lang: str) -> str:
-    toks = TOKS_SQL.format(c="text")
+def _hits_sql(lang: str, c: str = "text") -> str:
+    toks = TOKS_SQL.format(c=c)
     arr = "[" + ",".join(_sq(w) for w in T.STOPWORDS[lang]) + "]"
     return f"len(list_filter({toks}, t -> list_contains({arr}, t)))"
 
@@ -570,6 +570,111 @@ SELECT doc_id,
        WHEN l > 0 THEN 'latin-und' ELSE 'und' END AS lang_id,
   a AS arabic_chars, l AS latin_chars
 FROM h"""
+
+
+def _multipara_text() -> "F.Column":
+    """Multi-paragraph synthesis shared by the paragraph-language pair:
+    an English-ish corpus slice, a planted German paragraph, a French
+    paragraph for h%2==0, and a whitespace-only paragraph for h%5==0
+    (must be dropped)."""
+    h = _hcol(F.col("doc_id"))
+    return F.concat(
+        F.substring("text", 1, 60),
+        F.lit("\n\nder die und das ist nicht ein"),
+        F.when(h % 2 == 0,
+               F.lit("\n\nle la les et est pour que")).otherwise(F.lit("")),
+        F.when(h % 5 == 0, F.lit("\n\n \t ")).otherwise(F.lit("")))
+
+
+def q_paragraph_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-paragraph language ID (operators/textstats.py
+    paragraph_language — the CCNet granularity): blank-line split,
+    whitespace-only paragraphs dropped, same evidence rules as lang_id,
+    zero shuffles."""
+    staged = _docs(spark, sf_dir).select(
+        "doc_id", _multipara_text().alias("text"))
+    out = T.paragraph_language(staged)
+    return out.select("doc_id", "para_idx", "n_chars_para", "lang_id",
+                      F.col("arabic_chars").cast("long"),
+                      F.col("latin_chars").cast("long"))
+
+
+def _sql_multipara() -> str:
+    nn = "chr(10) || chr(10)"
+    return f"""
+SELECT doc_id,
+       substring(text, 1, 60)
+       || {nn} || 'der die und das ist nicht ein'
+       || CASE WHEN h % 2 = 0
+               THEN {nn} || 'le la les et est pour que' ELSE '' END
+       || CASE WHEN h % 5 = 0
+               THEN {nn} || ' ' || chr(9) || ' ' ELSE '' END AS t
+FROM (SELECT doc_id, text, {_md5l('doc_id::VARCHAR')} AS h
+      FROM documents)"""
+
+
+def _sql_paragraph_rows() -> str:
+    ara = ("(length(p) - length(regexp_replace(p,"
+           f" '[{S.ARABIC_RANGE}]', '', 'g')))::BIGINT")
+    lat = "(length(p) - length(regexp_replace(p, '[A-Za-z]', '', 'g')))::BIGINT"
+    return f"""
+d AS ({_sql_multipara()}),
+sp AS (
+  SELECT doc_id, generate_subscripts(arr, 1) - 1 AS para_idx,
+         unnest(arr) AS p
+  FROM (SELECT doc_id, string_split_regex(t, '\n{{2,}}') AS arr FROM d)
+), pp AS (
+  SELECT doc_id, para_idx::BIGINT AS para_idx, p,
+         length(p)::BIGINT AS n_chars_para
+  FROM sp WHERE length(regexp_replace(p, '\s', '', 'g')) > 0
+), ev AS (
+  SELECT doc_id, para_idx, n_chars_para, {ara} AS a, {lat} AS l,
+    {_hits_sql('en', 'p')} AS en, {_hits_sql('de', 'p')} AS de,
+    {_hits_sql('fr', 'p')} AS fr, {_hits_sql('es', 'p')} AS es
+  FROM pp
+), pl AS (
+  SELECT doc_id, para_idx, n_chars_para,
+    CASE WHEN a > 2 * l THEN 'ar'
+         WHEN greatest(en,de,fr,es) > 0 AND l > 0 THEN
+           CASE WHEN en = greatest(en,de,fr,es) THEN 'en'
+                WHEN de = greatest(en,de,fr,es) THEN 'de'
+                WHEN fr = greatest(en,de,fr,es) THEN 'fr'
+                ELSE 'es' END
+         WHEN l > 0 THEN 'latin-und' ELSE 'und' END AS lang_id,
+    a AS arabic_chars, l AS latin_chars
+  FROM ev)"""
+
+
+SQL_PARAGRAPH_LANG = f"""
+WITH {_sql_paragraph_rows()}
+SELECT doc_id, para_idx, n_chars_para, lang_id, arabic_chars, latin_chars
+FROM pl"""
+
+
+def q_lang_mixedness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-level language mixedness (operators/textstats.py
+    language_mixedness): dominant paragraph language + its fraction —
+    the keep/split/drop routing signal for mixed-language pages. The
+    window runs over at most |languages| rows per doc."""
+    staged = _docs(spark, sf_dir).select(
+        "doc_id", _multipara_text().alias("text"))
+    return T.language_mixedness(T.paragraph_language(staged))
+
+
+SQL_LANG_MIXEDNESS = f"""
+WITH {_sql_paragraph_rows()},
+per AS (
+  SELECT doc_id, lang_id, count(*)::BIGINT AS cnt
+  FROM pl GROUP BY doc_id, lang_id
+), ranked AS (
+  SELECT doc_id, lang_id, cnt,
+         sum(cnt) OVER (PARTITION BY doc_id) AS n_paras,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY cnt DESC, lang_id ASC) AS rn
+  FROM per)
+SELECT doc_id, n_paras::BIGINT AS n_paras, lang_id AS dominant_lang,
+       (cnt * 1000000 // n_paras)::BIGINT AS dominant_frac_e6
+FROM ranked WHERE rn = 1"""
 
 
 def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5877,6 +5982,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interleave_sequences": q_interleave_sequences,
         "chat_offsets": q_chat_offsets,
         "preference_pairs": q_preference_pairs,
+        "paragraph_lang": q_paragraph_lang,
+        "lang_mixedness": q_lang_mixedness,
         # -- green in round 2 but absent from the round-3 driver set ---
         "ivf_cosine_topk": q_ivf_cosine_topk,
         "embedding_near_dup": q_embedding_near_dup,
@@ -6054,6 +6161,8 @@ def oracle_sql() -> dict[str, str]:
         "interleave_sequences": SQL_INTERLEAVE_SEQUENCES,
         "chat_offsets": SQL_CHAT_OFFSETS,
         "preference_pairs": SQL_PREFERENCE_PAIRS,
+        "paragraph_lang": SQL_PARAGRAPH_LANG,
+        "lang_mixedness": SQL_LANG_MIXEDNESS,
         "failed_docs": SQL_FAILED,
         "failed_docs_poisoned": SQL_FAILED_POISONED,
         "summary_poisoned": SQL_SUMMARY_POISONED,

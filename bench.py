@@ -536,6 +536,15 @@ def main() -> None:
     timed_reps("preference_pairs",
           lambda: PT.preference_pairs(docs, score_col="n_chars",
                                       group_col="source").count())
+    mp = docs.select(
+        "doc_id",
+        F.concat(F.substring("text", 1, 150),
+                 F.lit("\n\nder die und das ist nicht ein"),
+                 F.lit("\n\n"), F.substring("text", 150, 150))
+        .alias("text"))
+    timed_reps("paragraph_lang",
+          lambda: T.language_mixedness(T.paragraph_language(mp))
+          .agg(F.sum("dominant_frac_e6"), F.count("*")).collect())
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

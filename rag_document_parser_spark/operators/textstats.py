@@ -20,7 +20,7 @@ All pure Catalyst (JVM, codegen) — no UDFs anywhere:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from rag_document_parser_spark.functions.text import (
     arabic_char_count,
@@ -42,26 +42,25 @@ def _stopword_hits(c: Column, lang: str) -> Column:
     return F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
 
 
-def language_id(df: DataFrame, text_col: str = "text",
-                id_col: str = "doc_id") -> DataFrame:
-    """Heuristic language ID: arabic script wins by char count; otherwise
-    the latin language with the most stopword hits; 'und' (undetermined)
-    when no evidence.
-
-    Staged: tokens and per-language hit counts are materialized as bound
-    attributes before the CASE chain references them repeatedly — the
-    tie-break logic mentions each count ~3x, which would otherwise
-    re-tokenize per mention."""
+def _lang_project(df: DataFrame, text_col: str,
+                  keep: list[str]) -> DataFrame:
+    """Shared evidence projection behind doc- and paragraph-level
+    language ID: appends ``(lang_id, arabic_chars, latin_chars)`` to the
+    ``keep`` columns. Staged: tokens and per-language hit counts are
+    materialized as bound attributes before the CASE chain references
+    them repeatedly — the tie-break logic mentions each count ~3x,
+    which would otherwise re-tokenize per mention."""
     c = F.col(text_col)
+    keep_cols = [F.col(k) for k in keep]
     toks = df.select(
-        F.col(id_col), words(c).alias("w"),
+        *keep_cols, words(c).alias("w"),
         arabic_char_count(c).alias("a"), latin_char_count(c).alias("l"))
     hit_cols = {}
     for lang in STOPWORDS:
         sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
         hit_cols[lang] = F.size(
             F.filter("w", lambda t: F.array_contains(sw, t))).alias(f"h_{lang}")
-    hits = toks.select(F.col(id_col), "a", "l", *hit_cols.values())
+    hits = toks.select(*keep_cols, "a", "l", *hit_cols.values())
     best_latin = F.greatest(*[F.col(f"h_{la}") for la in STOPWORDS])
     lang_pick = F.lit("und")
     for lang in reversed(list(STOPWORDS)):  # earlier langs win ties
@@ -69,7 +68,7 @@ def language_id(df: DataFrame, text_col: str = "text",
                            F.lit(lang)).otherwise(lang_pick)
     a, l = F.col("a"), F.col("l")
     return hits.select(
-        F.col(id_col),
+        *keep_cols,
         F.when(a > 2 * l, F.lit("ar"))
         .when((best_latin > 0) & (l > 0), lang_pick)
         .when(l > 0, F.lit("latin-und"))
@@ -78,6 +77,63 @@ def language_id(df: DataFrame, text_col: str = "text",
         a.alias("arabic_chars"),
         l.alias("latin_chars"),
     )
+
+
+def language_id(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Heuristic language ID: arabic script wins by char count; otherwise
+    the latin language with the most stopword hits; 'und' (undetermined)
+    when no evidence."""
+    return _lang_project(df, text_col, [id_col])
+
+
+def paragraph_language(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Per-PARAGRAPH language ID (the CCNet pipeline's granularity,
+    Wenzek et al. 2020 §3 — web pages routinely mix languages, and a
+    doc-level label either drops or mislabels the minority paragraphs).
+
+    Paragraphs split on blank-line runs; empty/whitespace-only
+    paragraphs emit nothing. One row per paragraph: ``(doc_id,
+    para_idx, n_chars_para, lang_id, arabic_chars, latin_chars)`` with
+    the same evidence rules as :func:`language_id`. Zero shuffles —
+    split + posexplode + the evidence projection all run in the scan
+    stage.
+    """
+    paras = (df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n{2,}"))
+        .alias("para_idx", "_p"))
+        .where(F.length(F.regexp_replace(F.col("_p"), "\\s", "")) > 0)
+        .withColumn("n_chars_para", F.length("_p").cast("long"))
+        .withColumn("para_idx", F.col("para_idx").cast("long")))
+    return _lang_project(paras, "_p",
+                         [id_col, "para_idx", "n_chars_para"])
+
+
+def language_mixedness(paras: DataFrame,
+                       id_col: str = "doc_id") -> DataFrame:
+    """Doc-level mixedness summary over :func:`paragraph_language`
+    output: ``(doc_id, n_paras, dominant_lang, dominant_frac_e6)`` —
+    the routing signal for keep-whole / split-by-language / drop
+    decisions on mixed-language pages.
+
+    Dominant = most paragraphs, ties to the lexically smallest lang.
+    Scale: one map-side-combinable (doc, lang) aggregate, then a
+    per-doc window over at most |languages| rows — bounded by the
+    label set, never by corpus or doc size.
+    """
+    per = (paras.groupBy(F.col(id_col), F.col("lang_id"))
+           .agg(F.count("*").alias("cnt")))
+    w = Window.partitionBy(id_col).orderBy(F.desc("cnt"), F.asc("lang_id"))
+    tot = Window.partitionBy(id_col)
+    return (per.withColumn("n_paras", F.sum("cnt").over(tot))
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select(F.col(id_col), F.col("n_paras").cast("long"),
+                    F.col("lang_id").alias("dominant_lang"),
+                    F.expr("cnt * 1000000 div n_paras")
+                    .alias("dominant_frac_e6")))
 
 
 def quality_exprs(c: Column) -> dict[str, Column]:

@@ -69,3 +69,29 @@ def test_preference_pairs_semantics_and_no_window(spark):
     b = sorted(map(tuple, PT.preference_pairs(
         df.repartition(7), score_col="sc").collect()))
     assert a == b
+
+
+def test_paragraph_language_and_mixedness(spark):
+    from rag_document_parser_spark.operators.textstats import (
+        language_mixedness, paragraph_language)
+
+    df = spark.createDataFrame([
+        (1, "the cat is in the hat\n\nder hund ist nicht da\n\n \t "),
+        (2, "le chat est dans la maison"),
+        (3, "\n\n\n\n"),  # only empty paragraphs -> no rows
+    ], "doc_id long, text string")
+    out = paragraph_language(df)
+    rows = {(r["doc_id"], r["para_idx"]): r["lang_id"]
+            for r in out.collect()}
+    # whitespace-only trailing paragraph of doc 1 dropped
+    assert rows == {(1, 0): "en", (1, 1): "de", (2, 0): "fr"}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    mix = {r["doc_id"]: r for r in language_mixedness(out).collect()}
+    assert mix[1]["n_paras"] == 2
+    # 1-1 tie between de and en breaks to the lexically smallest lang
+    assert mix[1]["dominant_lang"] == "de"
+    assert mix[1]["dominant_frac_e6"] == 500_000
+    assert mix[2]["dominant_lang"] == "fr"
+    assert mix[2]["dominant_frac_e6"] == 1_000_000
+    assert 3 not in mix
