@@ -5200,6 +5200,52 @@ WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus"""
 
 
+_Q3_CUT = "1998-06-01 00:00:00"
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape — the canonical 3-way join: segment-filtered
+    customer (small side, broadcast) ⋈ date-filtered orders ⋈
+    shipped-after lineitem, revenue in floor-scaled cents, top-10 by
+    (revenue DESC, orderkey ASC — a deterministic total order). Both
+    filters and the slim projections push into the parquet scans; the
+    one big shuffle keys on the uniform orderkey."""
+    cut = F.lit(_Q3_CUT).cast("timestamp")
+    c = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+         .where(F.col("c_mktsegment") == "BUILDING").select("c_custkey"))
+    o = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+         .where(F.col("o_orderdate") < cut)
+         .select("o_orderkey", "o_custkey", "o_orderdate"))
+    l = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+         .where(F.col("l_shipdate") > cut)
+         .select("l_orderkey",
+                 F.floor(F.col("l_extendedprice")
+                         * (1 - F.col("l_discount")) * 100)
+                 .cast("long").alias("rev_cents")))
+    j = (l.join(o, l["l_orderkey"] == o["o_orderkey"])
+         .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey")))
+    return (j.groupBy("l_orderkey", "o_orderdate")
+            .agg(F.sum("rev_cents").alias("revenue_cents"))
+            .orderBy(F.desc("revenue_cents"), F.asc("l_orderkey"))
+            .limit(10)
+            .select("l_orderkey",
+                    F.date_format("o_orderdate", "yyyy-MM-dd")
+                    .alias("order_date"), "revenue_cents"))
+
+
+SQL_SHIPPING_PRIORITY = f"""
+SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       sum(floor(l_extendedprice * (1 - l_discount) * 100)::BIGINT)::BIGINT
+         AS revenue_cents
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '{_Q3_CUT}'
+  AND l_shipdate > TIMESTAMP '{_Q3_CUT}'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue_cents DESC, l_orderkey ASC LIMIT 10"""
+
+
 def q_bucket_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-flight bucket-skew diagnostic (reporting.bucket_skew_report):
     per-md5-bucket doc count + byte mass + skew ratio against a
@@ -5984,6 +6030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "preference_pairs": q_preference_pairs,
         "paragraph_lang": q_paragraph_lang,
         "lang_mixedness": q_lang_mixedness,
+        "shipping_priority": q_shipping_priority,
         # -- green in round 2 but absent from the round-3 driver set ---
         "ivf_cosine_topk": q_ivf_cosine_topk,
         "embedding_near_dup": q_embedding_near_dup,
@@ -6163,6 +6210,7 @@ def oracle_sql() -> dict[str, str]:
         "preference_pairs": SQL_PREFERENCE_PAIRS,
         "paragraph_lang": SQL_PARAGRAPH_LANG,
         "lang_mixedness": SQL_LANG_MIXEDNESS,
+        "shipping_priority": SQL_SHIPPING_PRIORITY,
         "failed_docs": SQL_FAILED,
         "failed_docs_poisoned": SQL_FAILED_POISONED,
         "summary_poisoned": SQL_SUMMARY_POISONED,

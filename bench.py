@@ -545,6 +545,9 @@ def main() -> None:
     timed_reps("paragraph_lang",
           lambda: T.language_mixedness(T.paragraph_language(mp))
           .agg(F.sum("dominant_frac_e6"), F.count("*")).collect())
+    import __spark_entry__ as _E
+    timed_reps("shipping_priority",
+          lambda: _E.q_shipping_priority(spark, SF_DIR).collect())
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
