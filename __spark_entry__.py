@@ -3617,6 +3617,99 @@ SELECT query_id::BIGINT AS query_id, doc_id::BIGINT AS doc_id,
 FROM fr WHERE rank <= {_HYB_K}"""
 
 
+_PCA_ITERS = 3
+
+
+def q_pca_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point power-iteration PCA (operators/pca.py): 3 steps from
+    the uniform unit init over the centered int-quantized embeddings —
+    per-dim mean (e4) + unit principal direction (e6), every
+    intermediate an exact BIGINT (sign-split divisions, msb downshift
+    before squaring, exact isqrt normalization)."""
+    from rag_document_parser_spark.operators import pca as P
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return P.power_iteration_pc1(emb, iters=_PCA_ITERS)
+
+
+def q_pca_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector projection onto the trained component
+    (operators/pca.py project_pc1): centered dot product in e6 fixed
+    point — the 1-D embedding compression / whitening signal."""
+    from rag_document_parser_spark.operators import pca as P
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    comp = P.power_iteration_pc1(emb, iters=_PCA_ITERS)
+    return P.project_pc1(emb, comp)
+
+
+def _sql_sdiv(a: str, b: str) -> str:
+    """Sign-split truncating division (positive divisor) — mirrors
+    operators/pca.py _sdiv; the only signed form // and div agree on."""
+    return (f"(CASE WHEN ({a}) < 0 THEN -1 WHEN ({a}) > 0 THEN 1 ELSE 0 END"
+            f" * (abs({a}) // ({b})))")
+
+
+def _sql_pca_ctes() -> str:
+    from rag_document_parser_spark.operators.mixture import sql_isqrt
+    from rag_document_parser_spark.operators.pca import v0_e6
+
+    # dim is fixed by the testdata embeddings (64); Spark derives it at
+    # runtime from size(embedding) — same constant by construction
+    v0 = v0_e6(64)
+    parts = [f"""
+ex0 AS (
+  SELECT vec_id AS id, generate_subscripts(embedding, 1) - 1 AS dim,
+         unnest(embedding) AS x
+  FROM embeddings
+), ex AS (
+  SELECT id, dim, floor(CAST(x AS DOUBLE) * 10000)::BIGINT AS x4 FROM ex0
+), means AS (
+  SELECT dim, {_sql_sdiv('SUM(x4)', 'COUNT(*)')}::BIGINT AS mean_e4
+  FROM ex GROUP BY dim
+), centered AS (
+  SELECT id, e.dim, (x4 - mean_e4)::BIGINT AS c
+  FROM ex e JOIN means m ON e.dim = m.dim
+), v0 AS (SELECT dim, {v0}::BIGINT AS v_e6 FROM means)"""]
+    prev = "v0"
+    for t in range(1, _PCA_ITERS + 1):
+        shift = "greatest(length(bin(mw)) - 28, 0)"
+        parts.append(f""", sc{t} AS (
+  SELECT c.id, {_sql_sdiv('SUM(c.c * v.v_e6)', '1000000')}::BIGINT AS sc
+  FROM centered c JOIN {prev} v ON c.dim = v.dim GROUP BY c.id
+), w{t} AS (
+  SELECT c.dim, SUM(c.c * s.sc)::BIGINT AS w
+  FROM centered c JOIN sc{t} s ON c.id = s.id GROUP BY c.dim
+), m{t} AS (SELECT greatest(max(abs(w)), 1)::BIGINT AS mw FROM w{t}
+), w2_{t} AS (
+  SELECT dim,
+         {_sql_sdiv('w', f'(1::BIGINT << {shift})')}::BIGINT AS w2
+  FROM w{t}, m{t}
+), n{t} AS (
+  SELECT greatest({sql_isqrt('SUM(w2 * w2)')}, 1)::BIGINT AS nrm
+  FROM w2_{t}
+), v{t} AS (
+  SELECT dim, {_sql_sdiv('w2 * 1000000', 'nrm')}::BIGINT AS v_e6
+  FROM w2_{t}, n{t})""")
+        prev = f"v{t}"
+    return "".join(parts), prev
+
+
+_PCA_CTES, _PCA_VFINAL = _sql_pca_ctes()
+
+SQL_PCA_COMPONENT = f"""
+WITH {_PCA_CTES}
+SELECT m.dim::BIGINT AS dim, m.mean_e4, v.v_e6
+FROM means m JOIN {_PCA_VFINAL} v ON m.dim = v.dim"""
+
+SQL_PCA_SCORES = f"""
+WITH {_PCA_CTES}
+SELECT c.id AS vec_id,
+       {_sql_sdiv('SUM(c.c * v.v_e6)', '10000')}::BIGINT AS pc1_e6
+FROM centered c JOIN {_PCA_VFINAL} v ON c.dim = v.dim
+GROUP BY c.id"""
+
+
 def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar-quantized brute-force top-k (operators/quantize.py):
     per-vector max-abs codes, integer dot products, rank key
@@ -6031,6 +6124,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_lang": q_paragraph_lang,
         "lang_mixedness": q_lang_mixedness,
         "shipping_priority": q_shipping_priority,
+        "pca_component": q_pca_component,
+        "pca_scores": q_pca_scores,
         # -- green in round 2 but absent from the round-3 driver set ---
         "ivf_cosine_topk": q_ivf_cosine_topk,
         "embedding_near_dup": q_embedding_near_dup,
@@ -6211,6 +6306,8 @@ def oracle_sql() -> dict[str, str]:
         "paragraph_lang": SQL_PARAGRAPH_LANG,
         "lang_mixedness": SQL_LANG_MIXEDNESS,
         "shipping_priority": SQL_SHIPPING_PRIORITY,
+        "pca_component": SQL_PCA_COMPONENT,
+        "pca_scores": SQL_PCA_SCORES,
         "failed_docs": SQL_FAILED,
         "failed_docs_poisoned": SQL_FAILED_POISONED,
         "summary_poisoned": SQL_SUMMARY_POISONED,

@@ -548,6 +548,10 @@ def main() -> None:
     import __spark_entry__ as _E
     timed_reps("shipping_priority",
           lambda: _E.q_shipping_priority(spark, SF_DIR).collect())
+    from rag_document_parser_spark.operators import pca as PCA
+    timed_reps("pca_project",
+          lambda: PCA.project_pc1(emb, PCA.power_iteration_pc1(
+              emb, iters=3)).agg(F.sum("pc1_e6")).collect())
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

@@ -1,0 +1,149 @@
+"""Fixed-point power-iteration PCA over embedding columns.
+
+Embedding compression / whitening wants the data's principal direction;
+at corpus scale PCA is trained on a (hash-)sample and applied
+everywhere. The operator here is the textbook power iteration — v ←
+normalize(Cᵀ(Cv)) over the CENTERED data C — re-expressed so every
+intermediate is a BIGINT both engines reproduce bit-for-bit:
+
+- coordinates quantize globally to 1e-4 fixed point (embeddings are
+  unit-scale; |x_e4| ≤ ~2·10⁴ after centering);
+- the per-vector score Σ c·v downshifts by 1e6 after the multiply, so
+  a 64-dim row term never exceeds ~10¹²;
+- the per-dim accumulation w downshifts by a power of two derived from
+  bit_length(max|w|) before squaring (the qsketch msb trick), keeping
+  Σw'² inside BIGINT at any dimension ≤ 64;
+- normalization divides by the EXACT integer sqrt (mixture.isqrt);
+- every signed division is sign-split (sign(x)·(|x| div d)) because
+  Spark's ``div`` truncates toward zero while DuckDB's ``//`` floors —
+  they agree only on non-negative operands (the package-wide oracle
+  discipline, see sampling.weighted_sample).
+
+The contract is the ALGORITHM (``iters`` steps from the uniform unit
+init), not mathematical convergence — deterministic, partition- and
+engine-invariant, which is what makes it oracle-checkable. 3–5 steps
+separate the principal direction on anything with a dominant eigenvalue
+gap; callers needing certified convergence can raise ``iters``.
+
+Scale shape: one posexplode of the training set, one 64-row mean table
+(broadcast back), then per iteration exactly two aggregates — per-id
+scores (uniform key) and per-dim sums (64 keys, map-side combinable) —
+plus two 1-row reductions that stay in the plan (broadcast cross
+joins, never collected). The centered relation is localCheckpointed
+once and reused across iterations (the bpe/pagerank discipline); the
+64-row v table is checkpointed per round so the plan stays linear in
+``iters``. Numeric bound: the w accumulation overflows past ~3·10⁸
+training rows — train on ``sampling.hash_sample`` below that (PCA
+needs nowhere near it), apply to any corpus size.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from rag_document_parser_spark.operators.mixture import isqrt
+
+__all__ = ["power_iteration_pc1", "project_pc1"]
+
+E4 = 10_000
+E6 = 1_000_000
+_W_BITS = 28
+
+
+def _sgn(x: Column) -> Column:
+    return (F.when(x < 0, F.lit(-1)).when(x > 0, F.lit(1))
+            .otherwise(F.lit(0)).cast("long"))
+
+
+def _sdiv(a: Column, b: Column) -> Column:
+    """Truncating signed division with POSITIVE divisor ``b`` — the
+    only signed-division form Spark div and DuckDB // agree on."""
+    return _sgn(a) * F.call_function("div", F.abs(a), b)
+
+
+def v0_e6(d: int) -> int:
+    """Uniform unit init per dim: floor(sqrt(1e12 / d)) ≈ 1e6/√d."""
+    return math.isqrt(10 ** 12 // d)
+
+
+def power_iteration_pc1(df: DataFrame, vec_col: str = "embedding",
+                        id_col: str = "vec_id",
+                        iters: int = 3) -> DataFrame:
+    """First principal direction of the (centered) embedding matrix.
+
+    Returns the 1-row-per-dimension table ``(dim, mean_e4, v_e6)``:
+    the per-coordinate mean (1e-4 fixed point) and the unit component
+    (1e-6 fixed point, Σv² ≈ 1e12). Feed it to :func:`project_pc1`.
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    ex = (df.select(F.col(id_col).alias("id"),
+                    F.posexplode(F.col(vec_col)).alias("dim", "x"))
+          .select("id", "dim",
+                  F.floor(F.col("x").cast("double") * E4).cast("long")
+                  .alias("x4")))
+    means = (ex.groupBy("dim")
+             .agg(F.count("*").alias("n"), F.sum("x4").alias("s"))
+             .select("dim", _sdiv(F.col("s"), F.col("n")).alias("mean_e4")))
+    centered = (ex.join(F.broadcast(means), "dim")
+                .select("id", "dim",
+                        (F.col("x4") - F.col("mean_e4")).alias("c"))
+                .localCheckpoint())
+    d = df.select(F.size(F.col(vec_col))).first()[0]
+    spark = df.sparkSession
+    v = spark.createDataFrame(
+        [(i, v0_e6(d)) for i in range(d)], "dim int, v_e6 long")
+    for _ in range(iters):
+        sc = (centered.join(F.broadcast(v), "dim")
+              .groupBy("id")
+              .agg(F.sum(F.col("c") * F.col("v_e6")).alias("raw"))
+              .select("id", _sdiv(F.col("raw"),
+                                  F.lit(E6).cast("long")).alias("sc")))
+        w = (centered.join(sc, "id")
+             .groupBy("dim").agg(F.sum(F.col("c") * F.col("sc"))
+                                 .alias("w")))
+        mx = w.agg(F.max(F.abs(F.col("w"))).alias("mw"))
+        # downshift divisor 2^max(0, bitlen(mw) - 28): keeps Σw'²
+        # inside BIGINT; length(bin(x)) is the shared msb primitive
+        shift = F.greatest(
+            F.length(F.bin(F.greatest(F.col("mw"), F.lit(1))))
+            - F.lit(_W_BITS), F.lit(0)).cast("int")
+        p = F.call_function("shiftleft", F.lit(1).cast("long"), shift)
+        w2 = (w.crossJoin(F.broadcast(mx))
+              .select("dim", _sdiv(F.col("w"), p).alias("w2")))
+        nrm = w2.agg(
+            F.greatest(isqrt(F.sum(F.col("w2") * F.col("w2"))),
+                       F.lit(1).cast("long")).alias("nrm"))
+        v = (w2.crossJoin(F.broadcast(nrm))
+             .select("dim",
+                     _sdiv(F.col("w2") * F.lit(E6).cast("long"),
+                           F.col("nrm")).alias("v_e6"))
+             .localCheckpoint())
+    return (means.join(v, "dim")
+            .select(F.col("dim").cast("long"), "mean_e4", "v_e6"))
+
+
+def project_pc1(df: DataFrame, component: DataFrame,
+                vec_col: str = "embedding",
+                id_col: str = "vec_id") -> DataFrame:
+    """Per-vector score along a trained component: ``(id, pc1_e6)``
+    where ``pc1_e6 = Σ(x_e4 - mean_e4)·v_e6 div 1e4`` — the centered
+    projection in 1e-6 fixed point. The component broadcasts (|dims|
+    rows); the projection itself is one explode + one per-id aggregate
+    on the uniform id key, so applying a sampled-trained component to
+    the full corpus costs one pass."""
+    ex = (df.select(F.col(id_col).alias("id"),
+                    F.posexplode(F.col(vec_col)).alias("dim", "x"))
+          .select("id", "dim",
+                  F.floor(F.col("x").cast("double") * E4).cast("long")
+                  .alias("x4")))
+    j = ex.join(F.broadcast(component.select(
+        F.col("dim").cast("int").alias("dim"), "mean_e4", "v_e6")), "dim")
+    raw = (j.groupBy("id")
+           .agg(F.sum((F.col("x4") - F.col("mean_e4")) * F.col("v_e6"))
+                .alias("raw")))
+    return raw.select(F.col("id").alias(id_col),
+                      _sdiv(F.col("raw"), F.lit(E4).cast("long"))
+                      .alias("pc1_e6"))

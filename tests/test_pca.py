@@ -1,0 +1,90 @@
+"""Fixed-point power-iteration PCA: exact pure-Python twin, dominant-
+direction recovery, partition invariance."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from rag_document_parser_spark.operators import pca as P
+
+
+def _vecs():
+    # dominant direction u = normalize([3,1,0,0,-2,0,1,1]) + structured
+    # second direction; all values derived from small ints (exact floats)
+    u = [3, 1, 0, 0, -2, 0, 1, 1]
+    w = [0, -1, 2, 0, 1, 1, 0, -1]
+    rows = []
+    for i in range(60):
+        a = (i % 11) - 5          # spread along u: -5..5
+        b = ((i * 7) % 3) - 1     # small spread along w: -1..1
+        rows.append((i, [a * ui * 0.11 + b * wi * 0.013 + 0.05
+                         for ui, wi in zip(u, w)]))
+    return rows
+
+
+def _sdiv(a, b):
+    return (1 if a > 0 else -1 if a < 0 else 0) * (abs(a) // b)
+
+
+def _py_pc1(rows, iters=3):
+    d = len(rows[0][1])
+    x4 = [[math.floor(x * 10_000) for x in v] for _, v in rows]
+    n = len(x4)
+    mean = [_sdiv(sum(r[j] for r in x4), n) for j in range(d)]
+    c = [[r[j] - mean[j] for j in range(d)] for r in x4]
+    v = [P.v0_e6(d)] * d
+    for _ in range(iters):
+        sc = [_sdiv(sum(ci * vi for ci, vi in zip(row, v)), 1_000_000)
+              for row in c]
+        w = [sum(c[r][j] * sc[r] for r in range(n)) for j in range(d)]
+        mw = max(max(abs(x) for x in w), 1)
+        shift = max(mw.bit_length() - 28, 0)
+        w2 = [_sdiv(x, 1 << shift) for x in w]
+        nrm = max(math.isqrt(sum(x * x for x in w2)), 1)
+        v = [_sdiv(x * 1_000_000, nrm) for x in w2]
+    return mean, v
+
+
+def test_pc1_matches_python_twin_exactly_and_recovers_direction(spark):
+    rows = _vecs()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["dim"]: (r["mean_e4"], r["v_e6"]) for r in
+           P.power_iteration_pc1(df, iters=3).collect()}
+    # float32 storage: quantize from the float32-rounded values, exactly
+    # as the engine reads them
+    import struct
+    f32 = [(i, [struct.unpack("f", struct.pack("f", x))[0] for x in v])
+           for i, v in rows]
+    mean, v = _py_pc1(f32, iters=3)
+    assert got == {j: (mean[j], v[j]) for j in range(len(v))}
+    # the recovered direction aligns with the planted dominant axis
+    u = [3, 1, 0, 0, -2, 0, 1, 1]
+    nu = math.sqrt(sum(x * x for x in u))
+    vv = [got[j][1] / 1e6 for j in range(8)]
+    nv = math.sqrt(sum(x * x for x in vv))
+    cos = abs(sum(a * b for a, b in zip(u, vv)) / (nu * nv))
+    assert cos > 0.99, (cos, vv)
+    with pytest.raises(ValueError):
+        P.power_iteration_pc1(df, iters=0)
+
+
+def test_pc1_partition_invariant_and_projection_orders(spark):
+    rows = _vecs()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = sorted(map(tuple, P.power_iteration_pc1(df, iters=2).collect()))
+    b = sorted(map(tuple, P.power_iteration_pc1(
+        df.repartition(13), iters=2).collect()))
+    assert a == b
+    comp = P.power_iteration_pc1(df, iters=3)
+    sc = {r["vec_id"]: r["pc1_e6"] for r in
+          P.project_pc1(df, comp).collect()}
+    assert len(sc) == len(rows)
+    # projections along the dominant axis follow the planted coefficient
+    # a = (i % 11) - 5 up to sign: correlate rank order
+    import statistics
+    coef = [(i % 11) - 5 for i in range(60)]
+    proj = [sc[i] for i in range(60)]
+    r = statistics.correlation(coef, proj)
+    assert abs(r) > 0.99, r
