@@ -3643,6 +3643,39 @@ def q_pca_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.project_pc1(emb, comp)
 
 
+_RP_DIM = 8
+_RP_SALT = "jl1"
+
+
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sign projection (operators/pca.py
+    random_projection): 64-dim embeddings to 8 dims via the md5-parity
+    ±1 matrix — data-independent, training-free, regenerable from
+    (dim, j, salt) alone. Long-form output (vec_id, j, y_e4)."""
+    from rag_document_parser_spark.operators import pca as P
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return P.random_projection(emb, out_dim=_RP_DIM, salt=_RP_SALT)
+
+
+SQL_RANDOM_PROJECTION = f"""
+WITH ex AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+         floor(CAST(unnest(embedding) AS DOUBLE) * 10000)::BIGINT AS x4
+  FROM embeddings
+), cells AS (
+  SELECT vec_id, dim, x4, unnest(generate_series(0, {_RP_DIM - 1})) AS j
+  FROM ex
+), signed AS (
+  SELECT vec_id, j,
+         x4 * (CASE WHEN ('0x' || substring(md5(
+                   dim::VARCHAR || '-' || j::VARCHAR || '-{_RP_SALT}'),
+                   1, 1))::BIGINT % 2 = 0 THEN 1 ELSE -1 END) AS t
+  FROM cells)
+SELECT vec_id, j::BIGINT AS j, SUM(t)::BIGINT AS y_e4
+FROM signed GROUP BY vec_id, j"""
+
+
 def _sql_sdiv(a: str, b: str) -> str:
     """Sign-split truncating division (positive divisor) — mirrors
     operators/pca.py _sdiv; the only signed form // and div agree on."""
@@ -6126,6 +6159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipping_priority": q_shipping_priority,
         "pca_component": q_pca_component,
         "pca_scores": q_pca_scores,
+        "random_projection": q_random_projection,
         # -- green in round 2 but absent from the round-3 driver set ---
         "ivf_cosine_topk": q_ivf_cosine_topk,
         "embedding_near_dup": q_embedding_near_dup,
@@ -6308,6 +6342,7 @@ def oracle_sql() -> dict[str, str]:
         "shipping_priority": SQL_SHIPPING_PRIORITY,
         "pca_component": SQL_PCA_COMPONENT,
         "pca_scores": SQL_PCA_SCORES,
+        "random_projection": SQL_RANDOM_PROJECTION,
         "failed_docs": SQL_FAILED,
         "failed_docs_poisoned": SQL_FAILED_POISONED,
         "summary_poisoned": SQL_SUMMARY_POISONED,

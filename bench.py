@@ -552,6 +552,9 @@ def main() -> None:
     timed_reps("pca_project",
           lambda: PCA.project_pc1(emb, PCA.power_iteration_pc1(
               emb, iters=3)).agg(F.sum("pc1_e6")).collect())
+    timed_reps("random_projection",
+          lambda: PCA.random_projection(emb, out_dim=8)
+          .agg(F.sum("y_e4")).collect())
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

@@ -45,7 +45,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from rag_document_parser_spark.operators.mixture import isqrt
 
-__all__ = ["power_iteration_pc1", "project_pc1"]
+__all__ = ["power_iteration_pc1", "project_pc1", "random_projection"]
 
 E4 = 10_000
 E6 = 1_000_000
@@ -147,3 +147,47 @@ def project_pc1(df: DataFrame, component: DataFrame,
     return raw.select(F.col("id").alias(id_col),
                       _sdiv(F.col("raw"), F.lit(E4).cast("long"))
                       .alias("pc1_e6"))
+
+
+def random_projection(df: DataFrame, out_dim: int,
+                      vec_col: str = "embedding",
+                      id_col: str = "vec_id",
+                      salt: str = "") -> DataFrame:
+    """Johnson–Lindenstrauss sign projection: ``(id, out_dim) → y_e4``.
+
+    The data-independent complement to :func:`power_iteration_pc1`:
+    ``y_j = Σ_i x_i · s_ij`` with ``s_ij ∈ {−1, +1}`` (Achlioptas 2003
+    — the database-friendly JL variant; sign matrices preserve pairwise
+    distances within (1±ε) at out_dim = O(log n / ε²) WITHOUT looking
+    at the data, so no training pass, no drift between corpus
+    snapshots, and any engine can regenerate the matrix from the
+    (dim, out_dim, salt) triple alone). Signs derive from the md5
+    parity of ``i-j-salt`` — the package's engine-portable hash.
+
+    Output is LONG form, one row per (id, out dimension):
+    ``(id_col, j, y_e4)`` — exploded rather than an array column so
+    the oracle's multiset compare sees scalar cells.
+
+    Scale shape: zero shuffles beyond the final per-(id, j) map-side
+    aggregate on the uniform id key — the explode-join-aggregate runs
+    inside the scan stage; the sign "matrix" is an expression, never a
+    materialized relation.
+    """
+    if out_dim < 1:
+        raise ValueError(f"out_dim must be >= 1, got {out_dim}")
+    ex = (df.select(F.col(id_col).alias("id"),
+                    F.posexplode(F.col(vec_col)).alias("dim", "x"))
+          .select("id", "dim",
+                  F.floor(F.col("x").cast("double") * E4).cast("long")
+                  .alias("x4")))
+    j = F.explode(F.sequence(F.lit(0), F.lit(int(out_dim) - 1))).alias("j")
+    cells = ex.select("id", "dim", "x4", j)
+    # sign = +1 iff the first hex digit of md5("<dim>-<j>-<salt>") is even
+    digit = F.conv(F.substring(F.md5(F.concat_ws(
+        "-", F.col("dim").cast("string"), F.col("j").cast("string"),
+        F.lit(salt))), 1, 1), 16, 10).cast("long")
+    sign = F.when(digit % 2 == 0, F.lit(1)).otherwise(F.lit(-1)).cast("long")
+    return (cells.select("id", "j", (F.col("x4") * sign).alias("t"))
+            .groupBy("id", "j").agg(F.sum("t").alias("y_e4"))
+            .select(F.col("id").alias(id_col), F.col("j").cast("long"),
+                    F.col("y_e4")))

@@ -88,3 +88,36 @@ def test_pc1_partition_invariant_and_projection_orders(spark):
     proj = [sc[i] for i in range(60)]
     r = statistics.correlation(coef, proj)
     assert abs(r) > 0.99, r
+
+
+def test_random_projection_distance_preservation_and_invariance(spark):
+    rows = _vecs()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = P.random_projection(df, out_dim=16, salt="t")
+    y = {}
+    for r in out.collect():
+        y.setdefault(r["vec_id"], {})[r["j"]] = r["y_e4"]
+    assert all(len(v) == 16 for v in y.values()) and len(y) == 60
+    # JL property (loose): relative pairwise distances correlate between
+    # the original and projected spaces (scaled by sqrt(out_dim))
+    import math
+    import statistics
+    orig = {i: v for i, v in rows}
+    d_o, d_p = [], []
+    ids = list(range(0, 60, 7))
+    for a in ids:
+        for b in ids:
+            if a >= b:
+                continue
+            d_o.append(math.dist(orig[a], orig[b]))
+            d_p.append(math.sqrt(sum(
+                (y[a][j] - y[b][j]) ** 2 for j in range(16))))
+    assert statistics.correlation(d_o, d_p) > 0.7
+    # deterministic + partition invariant
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, P.random_projection(
+        df.repartition(13), out_dim=16, salt="t").collect()))
+    assert a == b
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        P.random_projection(df, out_dim=0)
