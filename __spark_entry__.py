@@ -3683,52 +3683,57 @@ def _sql_sdiv(a: str, b: str) -> str:
             f" * (abs({a}) // ({b})))")
 
 
-def _sql_pca_ctes() -> str:
+def _sql_pca_iter_block(prefix: str, source: str) -> str:
+    """One component's power iterations: CTE block reading centered
+    relation ``source``, producing final v table ``{prefix}v{ITERS}``."""
     from rag_document_parser_spark.operators.mixture import sql_isqrt
     from rag_document_parser_spark.operators.pca import v0_e6
 
-    # dim is fixed by the testdata embeddings (64); Spark derives it at
-    # runtime from size(embedding) — same constant by construction
     v0 = v0_e6(64)
-    parts = [f"""
-ex0 AS (
+    parts = [f""", {prefix}v0 AS (
+  SELECT dim, {v0}::BIGINT AS v_e6 FROM means)"""]
+    prev = f"{prefix}v0"
+    for t in range(1, _PCA_ITERS + 1):
+        shift = "greatest(length(bin(mw)) - 28, 0)"
+        parts.append(f""", {prefix}sc{t} AS (
+  SELECT c.id, {_sql_sdiv('SUM(c.c * v.v_e6)', '1000000')}::BIGINT AS sc
+  FROM {source} c JOIN {prev} v ON c.dim = v.dim GROUP BY c.id
+), {prefix}w{t} AS (
+  SELECT c.dim, SUM(c.c * s.sc)::BIGINT AS w
+  FROM {source} c JOIN {prefix}sc{t} s ON c.id = s.id GROUP BY c.dim
+), {prefix}m{t} AS (
+  SELECT greatest(max(abs(w)), 1)::BIGINT AS mw FROM {prefix}w{t}
+), {prefix}w2_{t} AS (
+  SELECT dim,
+         {_sql_sdiv('w', f'(1::BIGINT << {shift})')}::BIGINT AS w2
+  FROM {prefix}w{t}, {prefix}m{t}
+), {prefix}n{t} AS (
+  SELECT greatest({sql_isqrt('SUM(w2 * w2)')}, 1)::BIGINT AS nrm
+  FROM {prefix}w2_{t}
+), {prefix}v{t} AS (
+  SELECT dim, {_sql_sdiv('w2 * 1000000', 'nrm')}::BIGINT AS v_e6
+  FROM {prefix}w2_{t}, {prefix}n{t})""")
+        prev = f"{prefix}v{t}"
+    return "".join(parts), prev
+
+
+_PCA_BASE = f"""
+ex0 AS MATERIALIZED (
   SELECT vec_id AS id, generate_subscripts(embedding, 1) - 1 AS dim,
          unnest(embedding) AS x
   FROM embeddings
-), ex AS (
+), ex AS MATERIALIZED (
   SELECT id, dim, floor(CAST(x AS DOUBLE) * 10000)::BIGINT AS x4 FROM ex0
 ), means AS (
   SELECT dim, {_sql_sdiv('SUM(x4)', 'COUNT(*)')}::BIGINT AS mean_e4
   FROM ex GROUP BY dim
-), centered AS (
+), centered AS MATERIALIZED (
   SELECT id, e.dim, (x4 - mean_e4)::BIGINT AS c
   FROM ex e JOIN means m ON e.dim = m.dim
-), v0 AS (SELECT dim, {v0}::BIGINT AS v_e6 FROM means)"""]
-    prev = "v0"
-    for t in range(1, _PCA_ITERS + 1):
-        shift = "greatest(length(bin(mw)) - 28, 0)"
-        parts.append(f""", sc{t} AS (
-  SELECT c.id, {_sql_sdiv('SUM(c.c * v.v_e6)', '1000000')}::BIGINT AS sc
-  FROM centered c JOIN {prev} v ON c.dim = v.dim GROUP BY c.id
-), w{t} AS (
-  SELECT c.dim, SUM(c.c * s.sc)::BIGINT AS w
-  FROM centered c JOIN sc{t} s ON c.id = s.id GROUP BY c.dim
-), m{t} AS (SELECT greatest(max(abs(w)), 1)::BIGINT AS mw FROM w{t}
-), w2_{t} AS (
-  SELECT dim,
-         {_sql_sdiv('w', f'(1::BIGINT << {shift})')}::BIGINT AS w2
-  FROM w{t}, m{t}
-), n{t} AS (
-  SELECT greatest({sql_isqrt('SUM(w2 * w2)')}, 1)::BIGINT AS nrm
-  FROM w2_{t}
-), v{t} AS (
-  SELECT dim, {_sql_sdiv('w2 * 1000000', 'nrm')}::BIGINT AS v_e6
-  FROM w2_{t}, n{t})""")
-        prev = f"v{t}"
-    return "".join(parts), prev
+)"""
 
-
-_PCA_CTES, _PCA_VFINAL = _sql_pca_ctes()
+_PCA_IT1, _PCA_VFINAL = _sql_pca_iter_block("", "centered")
+_PCA_CTES = _PCA_BASE + _PCA_IT1
 
 SQL_PCA_COMPONENT = f"""
 WITH {_PCA_CTES}
@@ -3741,6 +3746,39 @@ SELECT c.id AS vec_id,
        {_sql_sdiv('SUM(c.c * v.v_e6)', '10000')}::BIGINT AS pc1_e6
 FROM centered c JOIN {_PCA_VFINAL} v ON c.dim = v.dim
 GROUP BY c.id"""
+
+
+def q_pca_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 principal directions via Hotelling deflation
+    (operators/pca.py pca_components): after component 1, the centered
+    data deflates in the same fixed point (c -= (sum c*v) * v div 1e12)
+    and component 2 is the principal direction of the residual."""
+    from rag_document_parser_spark.operators import pca as P
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return P.pca_components(emb, k=2, iters=_PCA_ITERS)
+
+
+def _sql_pca_components() -> str:
+    defl = _sql_sdiv("r.raw * v.v_e6", "1000000000000")
+    block2, vfinal2 = _sql_pca_iter_block("b", "centered2")
+    return f"""
+WITH {_PCA_CTES}, raw1 AS (
+  SELECT c.id, SUM(c.c * v.v_e6)::BIGINT AS raw
+  FROM centered c JOIN {_PCA_VFINAL} v ON c.dim = v.dim GROUP BY c.id
+), centered2 AS MATERIALIZED (
+  SELECT c.id, c.dim, (c.c - {defl})::BIGINT AS c
+  FROM centered c JOIN raw1 r ON c.id = r.id
+  JOIN {_PCA_VFINAL} v ON c.dim = v.dim
+){block2}
+SELECT 1::BIGINT AS component, m.dim::BIGINT AS dim, m.mean_e4, v.v_e6
+FROM means m JOIN {_PCA_VFINAL} v ON m.dim = v.dim
+UNION ALL
+SELECT 2::BIGINT, m.dim::BIGINT, m.mean_e4, v.v_e6
+FROM means m JOIN {vfinal2} v ON m.dim = v.dim"""
+
+
+SQL_PCA_COMPONENTS = _sql_pca_components()
 
 
 def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6160,6 +6198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_component": q_pca_component,
         "pca_scores": q_pca_scores,
         "random_projection": q_random_projection,
+        "pca_components": q_pca_components,
         # -- green in round 2 but absent from the round-3 driver set ---
         "ivf_cosine_topk": q_ivf_cosine_topk,
         "embedding_near_dup": q_embedding_near_dup,
@@ -6343,6 +6382,7 @@ def oracle_sql() -> dict[str, str]:
         "pca_component": SQL_PCA_COMPONENT,
         "pca_scores": SQL_PCA_SCORES,
         "random_projection": SQL_RANDOM_PROJECTION,
+        "pca_components": SQL_PCA_COMPONENTS,
         "failed_docs": SQL_FAILED,
         "failed_docs_poisoned": SQL_FAILED_POISONED,
         "summary_poisoned": SQL_SUMMARY_POISONED,

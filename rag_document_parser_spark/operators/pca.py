@@ -45,7 +45,8 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from rag_document_parser_spark.operators.mixture import isqrt
 
-__all__ = ["power_iteration_pc1", "project_pc1", "random_projection"]
+__all__ = ["pca_components", "power_iteration_pc1", "project_pc1",
+           "random_projection"]
 
 E4 = 10_000
 E6 = 1_000_000
@@ -68,31 +69,10 @@ def v0_e6(d: int) -> int:
     return math.isqrt(10 ** 12 // d)
 
 
-def power_iteration_pc1(df: DataFrame, vec_col: str = "embedding",
-                        id_col: str = "vec_id",
-                        iters: int = 3) -> DataFrame:
-    """First principal direction of the (centered) embedding matrix.
-
-    Returns the 1-row-per-dimension table ``(dim, mean_e4, v_e6)``:
-    the per-coordinate mean (1e-4 fixed point) and the unit component
-    (1e-6 fixed point, Σv² ≈ 1e12). Feed it to :func:`project_pc1`.
-    """
-    if iters < 1:
-        raise ValueError(f"iters must be >= 1, got {iters}")
-    ex = (df.select(F.col(id_col).alias("id"),
-                    F.posexplode(F.col(vec_col)).alias("dim", "x"))
-          .select("id", "dim",
-                  F.floor(F.col("x").cast("double") * E4).cast("long")
-                  .alias("x4")))
-    means = (ex.groupBy("dim")
-             .agg(F.count("*").alias("n"), F.sum("x4").alias("s"))
-             .select("dim", _sdiv(F.col("s"), F.col("n")).alias("mean_e4")))
-    centered = (ex.join(F.broadcast(means), "dim")
-                .select("id", "dim",
-                        (F.col("x4") - F.col("mean_e4")).alias("c"))
-                .localCheckpoint())
-    d = df.select(F.size(F.col(vec_col))).first()[0]
-    spark = df.sparkSession
+def _power_iterate(centered: DataFrame, d: int, iters: int) -> DataFrame:
+    """``iters`` power steps from the uniform unit init over a
+    ``(id, dim, c)`` centered relation; returns ``(dim, v_e6)``."""
+    spark = centered.sparkSession
     v = spark.createDataFrame(
         [(i, v0_e6(d)) for i in range(d)], "dim int, v_e6 long")
     for _ in range(iters):
@@ -121,8 +101,85 @@ def power_iteration_pc1(df: DataFrame, vec_col: str = "embedding",
                      _sdiv(F.col("w2") * F.lit(E6).cast("long"),
                            F.col("nrm")).alias("v_e6"))
              .localCheckpoint())
+    return v
+
+
+def _centered(df: DataFrame, vec_col: str, id_col: str):
+    ex = (df.select(F.col(id_col).alias("id"),
+                    F.posexplode(F.col(vec_col)).alias("dim", "x"))
+          .select("id", "dim",
+                  F.floor(F.col("x").cast("double") * E4).cast("long")
+                  .alias("x4")))
+    means = (ex.groupBy("dim")
+             .agg(F.count("*").alias("n"), F.sum("x4").alias("s"))
+             .select("dim", _sdiv(F.col("s"), F.col("n")).alias("mean_e4")))
+    centered = (ex.join(F.broadcast(means), "dim")
+                .select("id", "dim",
+                        (F.col("x4") - F.col("mean_e4")).alias("c"))
+                .localCheckpoint())
+    return centered, means
+
+
+def power_iteration_pc1(df: DataFrame, vec_col: str = "embedding",
+                        id_col: str = "vec_id",
+                        iters: int = 3) -> DataFrame:
+    """First principal direction of the (centered) embedding matrix.
+
+    Returns the 1-row-per-dimension table ``(dim, mean_e4, v_e6)``:
+    the per-coordinate mean (1e-4 fixed point) and the unit component
+    (1e-6 fixed point, Σv² ≈ 1e12). Feed it to :func:`project_pc1`.
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    centered, means = _centered(df, vec_col, id_col)
+    d = df.select(F.size(F.col(vec_col))).first()[0]
+    v = _power_iterate(centered, d, iters)
     return (means.join(v, "dim")
             .select(F.col("dim").cast("long"), "mean_e4", "v_e6"))
+
+
+def pca_components(df: DataFrame, k: int = 2, vec_col: str = "embedding",
+                   id_col: str = "vec_id", iters: int = 3) -> DataFrame:
+    """Top-``k`` principal directions via deflation.
+
+    After each component ``v`` the data deflates exactly as power
+    iteration saw it: ``c ← c − (Σc·v) · v div 1e12`` (the e4·e6 raw
+    score times the e6 component, rescaled back to e4 — Hotelling
+    deflation in the same fixed point, so component 2 is the principal
+    direction of the residual). Output: ``(component, dim, mean_e4,
+    v_e6)`` with ``component`` 1-based. Numeric bound: the deflation
+    product |raw·v| ≤ ~1.3·10¹⁸ stays in BIGINT for dims ≤ 64.
+
+    Same scale shape as :func:`power_iteration_pc1` per component; the
+    deflated relation re-checkpoints so the plan stays linear in
+    ``k × iters``.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    centered, means = _centered(df, vec_col, id_col)
+    d = df.select(F.size(F.col(vec_col))).first()[0]
+    out = None
+    for comp in range(1, k + 1):
+        v = _power_iterate(centered, d, iters)
+        piece = (means.join(v, "dim")
+                 .select(F.lit(comp).cast("long").alias("component"),
+                         F.col("dim").cast("long"), "mean_e4", "v_e6"))
+        out = piece if out is None else out.unionByName(piece)
+        if comp < k:
+            raw = (centered.join(F.broadcast(v), "dim")
+                   .groupBy("id")
+                   .agg(F.sum(F.col("c") * F.col("v_e6")).alias("raw")))
+            centered = (centered.join(raw, "id")
+                        .join(F.broadcast(v), "dim")
+                        .select("id", "dim",
+                                (F.col("c") - _sdiv(
+                                    F.col("raw") * F.col("v_e6"),
+                                    F.lit(10 ** 12).cast("long")))
+                                .alias("c"))
+                        .localCheckpoint())
+    return out
 
 
 def project_pc1(df: DataFrame, component: DataFrame,

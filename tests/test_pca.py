@@ -121,3 +121,53 @@ def test_random_projection_distance_preservation_and_invariance(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         P.random_projection(df, out_dim=0)
+
+
+def test_pca_components_deflation_exact_and_orthogonal(spark):
+    rows = _vecs()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {}
+    for r in P.pca_components(df, k=2, iters=3).collect():
+        got.setdefault(r["component"], {})[r["dim"]] = (r["mean_e4"],
+                                                        r["v_e6"])
+    assert set(got) == {1, 2} and all(len(v) == 8 for v in got.values())
+    # python twin: component 1 identical to pc1; component 2 = pc1 of
+    # the fixed-point-deflated residual
+    import struct
+    f32 = [(i, [struct.unpack("f", struct.pack("f", x))[0] for x in v])
+           for i, v in rows]
+    mean, v1 = _py_pc1(f32, iters=3)
+    assert got[1] == {j: (mean[j], v1[j]) for j in range(8)}
+    d = 8
+    x4 = [[__import__("math").floor(x * 10_000) for x in v]
+          for _, v in f32]
+    c = [[r[j] - mean[j] for j in range(d)] for r in x4]
+    c2 = []
+    for row in c:
+        raw = sum(ci * vi for ci, vi in zip(row, v1))
+        c2.append([ci - _sdiv(raw * vi, 10 ** 12)
+                   for ci, vi in zip(row, v1)])
+    # rerun the iteration twin over the deflated matrix
+    import math
+    v = [P.v0_e6(d)] * d
+    for _ in range(3):
+        sc = [_sdiv(sum(ci * vi for ci, vi in zip(row, v)), 1_000_000)
+              for row in c2]
+        w = [sum(c2[r][j] * sc[r] for r in range(len(c2)))
+             for j in range(d)]
+        mw = max(max(abs(x) for x in w), 1)
+        shift = max(mw.bit_length() - 28, 0)
+        w2 = [_sdiv(x, 1 << shift) for x in w]
+        nrm = max(math.isqrt(sum(x * x for x in w2)), 1)
+        v = [_sdiv(x * 1_000_000, nrm) for x in w2]
+    assert {j: got[2][j][1] for j in range(8)} == dict(enumerate(v))
+    # components are near-orthogonal unit vectors
+    a = [got[1][j][1] / 1e6 for j in range(8)]
+    b = [got[2][j][1] / 1e6 for j in range(8)]
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(x * x for x in b))
+    assert 0.98 < na < 1.02 and 0.98 < nb < 1.02
+    cos = abs(sum(x * y for x, y in zip(a, b)) / (na * nb))
+    assert cos < 0.05, (cos, a, b)
+    with pytest.raises(ValueError):
+        P.pca_components(df, k=0)
