@@ -3781,6 +3781,42 @@ FROM means m JOIN {vfinal2} v ON m.dim = v.dim"""
 SQL_PCA_COMPONENTS = _sql_pca_components()
 
 
+def q_pca_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-dim compressed representation (operators/pca.py
+    project_components): every vector's score along each of the top-2
+    deflation-trained directions, long form (vec_id, component,
+    score_e6) — one corpus pass regardless of k."""
+    from rag_document_parser_spark.operators import pca as P
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    comps = P.pca_components(emb, k=2, iters=_PCA_ITERS)
+    return P.project_components(emb, comps)
+
+
+def _sql_pca_embedding() -> str:
+    defl = _sql_sdiv("r.raw * v.v_e6", "1000000000000")
+    block2, vfinal2 = _sql_pca_iter_block("b", "centered2")
+    proj = _sql_sdiv("SUM(c.c * v.v_e6)", "10000")
+    return f"""
+WITH {_PCA_CTES}, raw1 AS (
+  SELECT c.id, SUM(c.c * v.v_e6)::BIGINT AS raw
+  FROM centered c JOIN {_PCA_VFINAL} v ON c.dim = v.dim GROUP BY c.id
+), centered2 AS MATERIALIZED (
+  SELECT c.id, c.dim, (c.c - {defl})::BIGINT AS c
+  FROM centered c JOIN raw1 r ON c.id = r.id
+  JOIN {_PCA_VFINAL} v ON c.dim = v.dim
+){block2}
+SELECT c.id AS vec_id, 1::BIGINT AS component,
+       {proj}::BIGINT AS score_e6
+FROM centered c JOIN {_PCA_VFINAL} v ON c.dim = v.dim GROUP BY c.id
+UNION ALL
+SELECT c.id, 2::BIGINT, {proj}::BIGINT
+FROM centered c JOIN {vfinal2} v ON c.dim = v.dim GROUP BY c.id"""
+
+
+SQL_PCA_EMBEDDING = _sql_pca_embedding()
+
+
 def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar-quantized brute-force top-k (operators/quantize.py):
     per-vector max-abs codes, integer dot products, rank key
@@ -6199,6 +6235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_scores": q_pca_scores,
         "random_projection": q_random_projection,
         "pca_components": q_pca_components,
+        "pca_embedding": q_pca_embedding,
         # -- green in round 2 but absent from the round-3 driver set ---
         "ivf_cosine_topk": q_ivf_cosine_topk,
         "embedding_near_dup": q_embedding_near_dup,
@@ -6383,6 +6420,7 @@ def oracle_sql() -> dict[str, str]:
         "pca_scores": SQL_PCA_SCORES,
         "random_projection": SQL_RANDOM_PROJECTION,
         "pca_components": SQL_PCA_COMPONENTS,
+        "pca_embedding": SQL_PCA_EMBEDDING,
         "failed_docs": SQL_FAILED,
         "failed_docs_poisoned": SQL_FAILED_POISONED,
         "summary_poisoned": SQL_SUMMARY_POISONED,

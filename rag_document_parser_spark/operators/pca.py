@@ -45,8 +45,8 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from rag_document_parser_spark.operators.mixture import isqrt
 
-__all__ = ["pca_components", "power_iteration_pc1", "project_pc1",
-           "random_projection"]
+__all__ = ["pca_components", "power_iteration_pc1", "project_components",
+           "project_pc1", "random_projection"]
 
 E4 = 10_000
 E6 = 1_000_000
@@ -248,3 +248,35 @@ def random_projection(df: DataFrame, out_dim: int,
             .groupBy("id", "j").agg(F.sum("t").alias("y_e4"))
             .select(F.col("id").alias(id_col), F.col("j").cast("long"),
                     F.col("y_e4")))
+
+
+def project_components(df: DataFrame, components: DataFrame,
+                       vec_col: str = "embedding",
+                       id_col: str = "vec_id") -> DataFrame:
+    """Per-vector scores along EVERY trained component — the k-dim
+    compressed representation, long form: ``(id, component, score_e6)``
+    with ``score_e6 = Σ(x_e4 − mean_e4)·v_e6 div 1e4`` per component.
+
+    ``components`` is :func:`pca_components` output. NOTE the scores
+    are projections of the ORIGINAL centered data onto each direction
+    (the standard PCA embedding), not the residual chain the trainer
+    deflated through — for near-orthogonal components the two agree up
+    to the deflation error. The component table broadcasts (k·|dims|
+    rows); the projection is one explode + one (id, component)
+    aggregate on the uniform id key — one corpus pass regardless of k.
+    """
+    ex = (df.select(F.col(id_col).alias("id"),
+                    F.posexplode(F.col(vec_col)).alias("dim", "x"))
+          .select("id", "dim",
+                  F.floor(F.col("x").cast("double") * E4).cast("long")
+                  .alias("x4")))
+    comp = components.select(F.col("component"),
+                             F.col("dim").cast("int").alias("dim"),
+                             "mean_e4", "v_e6")
+    j = ex.join(F.broadcast(comp), "dim")
+    raw = (j.groupBy("id", "component")
+           .agg(F.sum((F.col("x4") - F.col("mean_e4")) * F.col("v_e6"))
+                .alias("raw")))
+    return raw.select(F.col("id").alias(id_col), F.col("component"),
+                      _sdiv(F.col("raw"), F.lit(E4).cast("long"))
+                      .alias("score_e6"))

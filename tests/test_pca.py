@@ -171,3 +171,26 @@ def test_pca_components_deflation_exact_and_orthogonal(spark):
     assert cos < 0.05, (cos, a, b)
     with pytest.raises(ValueError):
         P.pca_components(df, k=0)
+
+
+def test_project_components_matches_per_component_projection(spark):
+    rows = _vecs()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    comps = P.pca_components(df, k=2, iters=3)
+    long = {(r["vec_id"], r["component"]): r["score_e6"]
+            for r in P.project_components(df, comps).collect()}
+    assert len(long) == 120
+    # component 1 scores equal the single-component projection exactly
+    c1 = comps.where("component = 1").select("dim", "mean_e4", "v_e6")
+    pc1 = {r["vec_id"]: r["pc1_e6"] for r in
+           P.project_pc1(df, c1).collect()}
+    assert all(long[(i, 1)] == pc1[i] for i in pc1)
+    # the 2-dim representation separates the planted axes: scores along
+    # component 1 track coefficient a, component 2 tracks b
+    import statistics
+    a = [(i % 11) - 5 for i in range(60)]
+    b = [((i * 7) % 3) - 1 for i in range(60)]
+    s1 = [long[(i, 1)] for i in range(60)]
+    s2 = [long[(i, 2)] for i in range(60)]
+    assert abs(statistics.correlation(a, s1)) > 0.99
+    assert abs(statistics.correlation(b, s2)) > 0.9
