@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = ["epoch_plan", "isqrt", "materialize_plan",
-           "temperature_weights"]
+           "temperature_weights", "weights_from_mass"]
 
 E6 = 1_000_000
 # Pre-scale for the fixed-point roots: isqrt(n * E8) == sqrt(n) * 1e4,
@@ -106,11 +106,20 @@ def temperature_weights(df: DataFrame, group_col: str = "lang",
     """
     mass = (F.count("*") if size_col is None
             else F.sum(F.col(size_col)).cast("long"))
-    per = (df.groupBy(F.col(group_col).alias("group"))
-             .agg(F.count("*").alias("n_docs"), mass.alias("mass"))
-             .withColumn("w", _tempered(F.col("mass"), alpha)))
-    tot = per.agg(F.sum("mass").alias("_tm"), F.sum("w").alias("_tw"))
-    return (per.crossJoin(F.broadcast(tot))
+    per = df.groupBy(F.col(group_col).alias("group")).agg(
+        F.count("*").alias("n_docs"), mass.alias("mass"))
+    return weights_from_mass(per, alpha=alpha)
+
+
+def weights_from_mass(per: DataFrame, alpha: str = "0.5") -> DataFrame:
+    """Shares from a pre-aggregated ``(group, n_docs, mass)`` table —
+    the second half of :func:`temperature_weights`, exposed so an
+    incrementally-maintained mass state (streaming.incremental.
+    stream_group_mass merges per-batch aggregates by plain sum) yields
+    the exact same shares as a batch pass over everything ever seen."""
+    staged = per.withColumn("w", _tempered(F.col("mass"), alpha))
+    tot = staged.agg(F.sum("mass").alias("_tm"), F.sum("w").alias("_tw"))
+    return (staged.crossJoin(F.broadcast(tot))
             .select("group", "n_docs", "mass",
                     F.expr(f"mass * {E6} div _tm").alias("raw_share_e6"),
                     F.expr(f"w * {E6} div _tw").alias("tempered_share_e6")))

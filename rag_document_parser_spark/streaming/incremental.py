@@ -542,3 +542,63 @@ def stream_sessionize(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_group_mass(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    group_col: str = "lang",
+    size_col: str = "n_chars",
+    max_files_per_trigger: int = 1,
+):
+    """Running per-group corpus mass over a growing documents directory
+    — the streaming face of the mixture tier.
+
+    Each micro-batch aggregates to its own ``(group, n_docs, mass)``
+    table and SUM-merges it into the persisted state at
+    ``output_dir/mass`` (counts and masses are plain sums, so the
+    merged state equals a batch aggregate over everything ever
+    streamed, regardless of batch boundaries — the same merge-law
+    argument as ``stream_token_sketch``'s MAX-merge). Feeding the state
+    to ``operators.mixture.weights_from_mass`` then yields EXACTLY the
+    tempered shares a batch ``temperature_weights`` would compute over
+    the full corpus — the test pins that equality. State is
+    |groups| rows; the driver-side rewrite per batch is the one case
+    where collecting is the design, not a shortcut.
+    """
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ])
+    state_path = os.path.join(output_dir, "mass")
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", str(max_files_per_trigger))
+              .parquet(input_dir))
+
+    def merge_batch(batch_df, _batch_id):
+        per = (batch_df.groupBy(F.col(group_col).alias("group"))
+               .agg(F.count("*").alias("n_docs"),
+                    F.sum(F.col(size_col)).cast("long").alias("mass")))
+        if os.path.isdir(state_path):
+            prev = spark.read.parquet(state_path)
+            per = (prev.unionByName(per)
+                   .groupBy("group")
+                   .agg(F.sum("n_docs").alias("n_docs"),
+                        F.sum("mass").alias("mass")))
+        rows = per.collect()
+        if rows:
+            spark.createDataFrame(rows, per.schema).coalesce(1) \
+                .write.mode("overwrite").parquet(state_path)
+
+    return (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", os.path.join(output_dir, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )

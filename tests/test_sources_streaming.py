@@ -490,3 +490,42 @@ def test_stream_sessionize_gap_and_timeout(spark, tmp_path):
     assert (2, t0_us + 6 * 3600 * us, t0_us + 6 * 3600 * us, 1,
             "timeout") in got
     assert not [g for g in got if g[0] == 3]  # still open
+
+
+def test_stream_group_mass_matches_batch_weights(spark, tmp_path):
+    """The streamed (group, n_docs, mass) state sum-merged across
+    micro-batches must equal the batch aggregate of the union, and
+    weights_from_mass over the state must equal temperature_weights
+    over the full corpus — the mixture tier's streaming face."""
+    from rag_document_parser_spark.operators import mixture as MX
+    from rag_document_parser_spark.streaming.incremental import (
+        stream_group_mass)
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    rows_a = [(i, "t", "en", "s", 10 + i % 7) for i in range(40)]
+    rows_b = [(100 + i, "t", "fr", "s", 5 + i % 3) for i in range(25)]
+    schema = ("doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    spark.createDataFrame(rows_a, schema).coalesce(1) \
+        .write.mode("append").parquet(in_dir)
+    spark.createDataFrame(rows_b, schema).coalesce(1) \
+        .write.mode("append").parquet(in_dir)
+
+    q = stream_group_mass(spark, in_dir, out_dir, max_files_per_trigger=1)
+    q.awaitTermination(120)
+
+    state = spark.read.parquet(out_dir + "/mass")
+    whole = spark.createDataFrame(rows_a + rows_b, schema)
+    want_mass = {(r["group"]): (r["n_docs"], r["mass"]) for r in
+                 whole.groupBy(F.col("lang").alias("group"))
+                 .agg(F.count("*").alias("n_docs"),
+                      F.sum("n_chars").alias("mass")).collect()}
+    got_mass = {r["group"]: (r["n_docs"], r["mass"])
+                for r in state.collect()}
+    assert got_mass == want_mass
+    want = sorted(map(tuple, MX.temperature_weights(
+        whole, "lang", size_col="n_chars", alpha="0.5").collect()))
+    got = sorted(map(tuple, MX.weights_from_mass(
+        state, alpha="0.5").collect()))
+    assert got == want
