@@ -3817,6 +3817,61 @@ FROM centered c JOIN {vfinal2} v ON c.dim = v.dim GROUP BY c.id"""
 SQL_PCA_EMBEDDING = _sql_pca_embedding()
 
 
+def q_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-to-document embedding pooling (operators/vectorize.py
+    mean_pool): vec_id div 4 stands in for the chunk->doc mapping; one
+    map-side-combinable (doc, dim) aggregate, exact fixed-point mean."""
+    from rag_document_parser_spark.operators import vectorize as VEC
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pooled = VEC.mean_pool(
+        emb.select(F.expr("vec_id div 4").alias("doc"), "embedding"),
+        group_col="doc")
+    return pooled
+
+
+SQL_MEAN_POOL = f"""
+WITH ex AS (
+  SELECT vec_id // 4 AS doc, generate_subscripts(embedding, 1) - 1 AS dim,
+         floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)::BIGINT AS x6
+  FROM embeddings)
+SELECT doc, dim::BIGINT AS dim,
+       {_sql_sdiv('SUM(x6)', 'COUNT(*)')}::BIGINT AS mean_e6,
+       COUNT(*)::BIGINT AS n_vecs
+FROM ex GROUP BY doc, dim"""
+
+
+_TN_M = 16
+
+
+def q_truncate_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation (operators/vectorize.py
+    truncate_normalize): first 16 of 64 dims, re-unit-normalized via
+    the exact integer sqrt — the serving-time memory/recall dial."""
+    from rag_document_parser_spark.operators import vectorize as VEC
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return VEC.truncate_normalize(emb, m=_TN_M)
+
+
+def _sql_truncate_normalize() -> str:
+    from rag_document_parser_spark.operators.mixture import sql_isqrt
+    return f"""
+WITH ex AS (
+  SELECT vec_id, generate_subscripts(arr, 1) - 1 AS dim,
+         floor(CAST(unnest(arr) AS DOUBLE) * 10000)::BIGINT AS x4
+  FROM (SELECT vec_id, embedding[1:{_TN_M}] AS arr FROM embeddings)
+), n AS (
+  SELECT vec_id, greatest({sql_isqrt('SUM(x4 * x4)')}, 1)::BIGINT AS nrm
+  FROM ex GROUP BY vec_id)
+SELECT ex.vec_id, dim::BIGINT AS dim,
+       {_sql_sdiv('x4 * 1000000', 'nrm')}::BIGINT AS val_e6
+FROM ex JOIN n ON ex.vec_id = n.vec_id"""
+
+
+SQL_TRUNCATE_NORMALIZE = _sql_truncate_normalize()
+
+
 def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar-quantized brute-force top-k (operators/quantize.py):
     per-vector max-abs codes, integer dot products, rank key
@@ -6236,6 +6291,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_projection": q_random_projection,
         "pca_components": q_pca_components,
         "pca_embedding": q_pca_embedding,
+        "mean_pool": q_mean_pool,
+        "truncate_normalize": q_truncate_normalize,
         # -- green in round 2 but absent from the round-3 driver set ---
         "ivf_cosine_topk": q_ivf_cosine_topk,
         "embedding_near_dup": q_embedding_near_dup,
@@ -6421,6 +6478,8 @@ def oracle_sql() -> dict[str, str]:
         "random_projection": SQL_RANDOM_PROJECTION,
         "pca_components": SQL_PCA_COMPONENTS,
         "pca_embedding": SQL_PCA_EMBEDDING,
+        "mean_pool": SQL_MEAN_POOL,
+        "truncate_normalize": SQL_TRUNCATE_NORMALIZE,
         "failed_docs": SQL_FAILED,
         "failed_docs_poisoned": SQL_FAILED_POISONED,
         "summary_poisoned": SQL_SUMMARY_POISONED,

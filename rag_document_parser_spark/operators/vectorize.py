@@ -30,7 +30,8 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from rag_document_parser_spark.operators.dedup import words
 
-__all__ = ["feature_hash_sparse", "feature_hash_vectors"]
+__all__ = ["feature_hash_sparse", "feature_hash_vectors", "mean_pool",
+           "truncate_normalize"]
 
 
 def _bucket(term: Column, dim: int) -> Column:
@@ -104,3 +105,68 @@ def feature_hash_vectors(df: DataFrame, text_col: str = "text",
         vec = vec.cast("array<float>")
     return agg.select(F.col("id").alias(id_col), vec.alias("vec"),
                       "n_tokens")
+
+
+def mean_pool(df: DataFrame, group_col: str, vec_col: str = "embedding",
+              id_col: str = "vec_id") -> DataFrame:
+    """Chunk→document embedding pooling: per-group per-dimension mean.
+
+    Retrieval corpora embed CHUNKS; ranking, dedup, and clustering often
+    want one vector per DOCUMENT — the standard construction is the
+    mean of the document's chunk embeddings. Output is long form
+    ``(group_col, dim, mean_e6, n_vecs)``: coordinates floor-quantized
+    to 1e-6 fixed point before the mean (sign-split truncating division
+    by the group count — the pca.py engine-parity discipline), so the
+    result is an exact integer any engine reproduces.
+
+    Scale shape: one posexplode + ONE map-side-combinable groupBy on
+    (group, dim) — group keys are uniform doc ids, combiner state is a
+    (sum, count) pair per in-flight (group, dim); no vector ever
+    collects to the driver.
+    """
+    from rag_document_parser_spark.operators.pca import _sdiv
+
+    ex = (df.select(F.col(group_col).alias("grp"),
+                    F.posexplode(F.col(vec_col)).alias("dim", "x"))
+          .select("grp", "dim",
+                  F.floor(F.col("x").cast("double") * 1_000_000)
+                  .cast("long").alias("x6")))
+    agg = (ex.groupBy("grp", "dim")
+           .agg(F.sum("x6").alias("s"), F.count("*").alias("n")))
+    return agg.select(F.col("grp").alias(group_col),
+                      F.col("dim").cast("long"),
+                      _sdiv(F.col("s"), F.col("n")).alias("mean_e6"),
+                      F.col("n").cast("long").alias("n_vecs"))
+
+
+def truncate_normalize(df: DataFrame, m: int, vec_col: str = "embedding",
+                       id_col: str = "vec_id") -> DataFrame:
+    """Matryoshka-style truncation: keep the first ``m`` dimensions and
+    re-normalize to unit length (Kusupati et al. 2022 — MRL-trained
+    embeddings keep their semantics under prefix truncation, the
+    standard serving-time memory/recall dial).
+
+    Long-form output ``(id_col, dim, val_e6)`` with
+    ``val_e6 = x_e4 · 1e6 div isqrt(Σ_prefix x_e4²)`` — unit-norm in
+    1e-6 fixed point via the exact integer sqrt; all-zero prefixes
+    divide by a floor of 1 instead of erroring. Zero shuffles beyond
+    one (id, dim)-preserving aggregate on the uniform id key.
+    """
+    from rag_document_parser_spark.operators.mixture import isqrt
+    from rag_document_parser_spark.operators.pca import _sdiv
+
+    if m < 1:
+        raise ValueError(f"m must be >= 1, got {m}")
+    ex = (df.select(F.col(id_col).alias("id"),
+                    F.posexplode(F.slice(F.col(vec_col), 1, m))
+                    .alias("dim", "x"))
+          .select("id", "dim",
+                  F.floor(F.col("x").cast("double") * 10_000)
+                  .cast("long").alias("x4")))
+    nrm = (ex.groupBy("id")
+           .agg(F.greatest(isqrt(F.sum(F.col("x4") * F.col("x4"))),
+                           F.lit(1).cast("long")).alias("nrm")))
+    return (ex.join(nrm, "id")
+            .select(F.col("id").alias(id_col), F.col("dim").cast("long"),
+                    _sdiv(F.col("x4") * F.lit(1_000_000).cast("long"),
+                          F.col("nrm")).alias("val_e6")))

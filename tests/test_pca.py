@@ -194,3 +194,33 @@ def test_project_components_matches_per_component_projection(spark):
     s2 = [long[(i, 2)] for i in range(60)]
     assert abs(statistics.correlation(a, s1)) > 0.99
     assert abs(statistics.correlation(b, s2)) > 0.9
+
+
+def test_mean_pool_and_truncate_normalize(spark):
+    import math
+
+    from rag_document_parser_spark.operators import vectorize as VEC
+
+    rows = [(i, [0.5, -0.25, 0.0, 1.0]) for i in range(4)] + \
+           [(10, [1.0, 1.0, 1.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pooled = {(r["grp"], r["dim"]): (r["mean_e6"], r["n_vecs"])
+              for r in VEC.mean_pool(
+                  df.selectExpr("vec_id div 4 as grp", "embedding"),
+                  group_col="grp").collect()}
+    # group 0 = four identical vectors: mean == the vector, n_vecs == 4
+    assert pooled[(0, 0)] == (500_000, 4)
+    assert pooled[(0, 1)] == (-250_000, 4)
+    assert pooled[(2, 3)] == (1_000_000, 1)
+    tn = {(r["vec_id"], r["dim"]): r["val_e6"]
+          for r in VEC.truncate_normalize(df, m=2).collect()}
+    # prefix [0.5, -0.25]: norm = sqrt(5000^2 + 2500^2)
+    nrm = math.isqrt(5000 ** 2 + 2500 ** 2)
+    assert tn[(0, 0)] == (5000 * 1_000_000) // nrm
+    assert tn[(0, 1)] == -((2500 * 1_000_000) // nrm)
+    # unit norm within quantization: sum of squares ~ 1e12
+    ss = sum(tn[(0, j)] ** 2 for j in (0, 1))
+    assert abs(ss - 10 ** 12) < 10 ** 9
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        VEC.truncate_normalize(df, m=0)
