@@ -4018,6 +4018,99 @@ FROM r WHERE rank <= {_TOPK}"""
 SQL_PQ_TOPK = _sql_pq_topk()
 
 
+# a doc whose text embeds the record magic: the split-scan fragments
+# it and the Content-Length audit must flag the host fragment
+_WARC_POISON_ID = 10_000_000
+_WARC_POISON = ("evil \r\n\r\nWARC/1.0\r\nWARC-Type: conversion\r\n"
+                "Content-Length: 3\r\n\r\nabc")
+
+
+def q_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC/WET archive ingestion (sources/warc.py): documents →
+    WET-style conversion records md5-bucketed into archive blobs →
+    split-scan back into one row per record, pure Catalyst. The oracle
+    replays synth AND parse end-to-end; one poisoned doc embeds the
+    record magic so the Content-Length audit (len_ok) must flag the
+    mis-split fragments instead of silently corrupting."""
+    from rag_document_parser_spark.sources import warc as W
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text")
+            .unionAll(spark.createDataFrame(
+                [(_WARC_POISON_ID, _WARC_POISON)],
+                "doc_id long, text string")))
+    recs = W.parse_warc_records(W.synth_warc_corpus(docs))
+    return recs.select("file_id", "rec_idx", "warc_type", "target_uri",
+                       "record_id", "content_length", "len_ok",
+                       "http_status", "body")
+
+
+def _sql_warc_records() -> str:
+    poison = _WARC_POISON.replace("'", "''").replace("\r", "' || chr(13) || '").replace("\n", "' || chr(10) || '")
+    crlf = "chr(13) || chr(10)"
+    sep = f"({crlf} || {crlf})"
+    hdr = "regexp_extract(h, '{n}: ([^' || chr(13) || chr(10) || ']*)', 1)"
+    return f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT {_WARC_POISON_ID}, '{poison}'),
+rec AS (
+  SELECT substring(md5(doc_id::VARCHAR), 1, 2) AS file_id, doc_id,
+    'WARC/1.0' || {crlf} ||
+    'WARC-Type: conversion' || {crlf} ||
+    'WARC-Target-URI: https://example.org/doc/' || doc_id::VARCHAR
+      || {crlf} ||
+    'WARC-Record-ID: <urn:uuid:' || md5(doc_id::VARCHAR) || '>'
+      || {crlf} ||
+    'Content-Length: ' || length(text)::VARCHAR || {sep} ||
+    text || {sep} AS r
+  FROM base),
+files AS (
+  SELECT file_id, string_agg(r, '' ORDER BY doc_id) AS blob
+  FROM rec GROUP BY file_id),
+sp AS (
+  SELECT file_id, generate_subscripts(parts, 1) AS j,
+         unnest(parts) AS chunk
+  FROM (SELECT file_id,
+          string_split(blob, 'WARC/1.0' || {crlf}) AS parts
+        FROM files)),
+ex AS (SELECT file_id, (j - 2)::BIGINT AS rec_idx, chunk,
+         strpos(chunk, {sep}) AS pos
+       FROM sp WHERE j >= 2),
+pre AS (
+  SELECT file_id, rec_idx,
+    CASE WHEN pos > 0 THEN substring(chunk, 1, pos - 1)
+         ELSE chunk END AS h,
+    CASE WHEN pos > 0 THEN substring(chunk, pos + 4) ELSE '' END AS rb
+  FROM ex),
+st AS (
+  SELECT file_id, rec_idx, h,
+    CASE WHEN length(rb) >= 4
+              AND substring(rb, length(rb) - 3, 4) = {sep}
+         THEN substring(rb, 1, length(rb) - 4) ELSE rb END AS block
+  FROM pre)
+SELECT file_id, rec_idx,
+  {hdr.format(n='WARC-Type')} AS warc_type,
+  {hdr.format(n='WARC-Target-URI')} AS target_uri,
+  {hdr.format(n='WARC-Record-ID')} AS record_id,
+  TRY_CAST({hdr.format(n='Content-Length')} AS BIGINT)
+    AS content_length,
+  (TRY_CAST({hdr.format(n='Content-Length')} AS BIGINT)
+   = length(block)) AS len_ok,
+  CASE WHEN {hdr.format(n='WARC-Type')} = 'response'
+       THEN TRY_CAST(regexp_extract(block,
+              '^HTTP/1\\.[01] (\\d{{3}})', 1) AS BIGINT)
+       ELSE NULL END AS http_status,
+  CASE WHEN {hdr.format(n='WARC-Type')} = 'response'
+            AND strpos(block, {sep}) > 0
+       THEN substring(block, strpos(block, {sep}) + 4)
+       ELSE block END AS body
+FROM st"""
+
+
+SQL_WARC_RECORDS = _sql_warc_records()
+
+
 def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar-quantized brute-force top-k (operators/quantize.py):
     per-vector max-abs codes, integer dot products, rank key
@@ -6441,6 +6534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "truncate_normalize": q_truncate_normalize,
         "pq_codebooks": q_pq_codebooks,
         "pq_topk": q_pq_topk,
+        "warc_records": q_warc_records,
         # -- green in round 2 but absent from the round-3 driver set ---
         "ivf_cosine_topk": q_ivf_cosine_topk,
         "embedding_near_dup": q_embedding_near_dup,
@@ -6630,6 +6724,7 @@ def oracle_sql() -> dict[str, str]:
         "truncate_normalize": SQL_TRUNCATE_NORMALIZE,
         "pq_codebooks": SQL_PQ_CODEBOOKS,
         "pq_topk": SQL_PQ_TOPK,
+        "warc_records": SQL_WARC_RECORDS,
         "failed_docs": SQL_FAILED,
         "failed_docs_poisoned": SQL_FAILED_POISONED,
         "summary_poisoned": SQL_SUMMARY_POISONED,
