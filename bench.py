@@ -555,6 +555,27 @@ def main() -> None:
     timed_reps("random_projection",
           lambda: PCA.random_projection(emb, out_dim=8)
           .agg(F.sum("y_e4")).collect())
+    from rag_document_parser_spark.operators import pq as PQ
+
+    def _pq_full():
+        books = PQ.train_pq(emb, m_sub=4, ksub=8, iters=2, dim=64)
+        return PQ.pq_adc_topk(emb.where(F.col("vec_id") >= 8),
+                              emb.where(F.col("vec_id") < 8).select(
+                                  F.col("vec_id").alias("query_id"),
+                                  "embedding"),
+                              books, k=10, dim=64).count()
+    timed_reps("pq_topk", _pq_full)
+    from rag_document_parser_spark.sources import warc as W
+    timed_reps("warc_roundtrip",
+          lambda: W.parse_warc_records(
+              W.synth_warc_corpus(docs.select("doc_id", "text")))
+          .agg(F.sum("content_length"),
+               F.sum(F.col("len_ok").cast("long"))).collect())
+    from rag_document_parser_spark.operators import vectorize as VEC
+    timed_reps("mean_pool",
+          lambda: VEC.mean_pool(
+              emb.selectExpr("vec_id div 4 as grp", "embedding"),
+              group_col="grp").agg(F.sum("mean_e6")).collect())
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
