@@ -6459,6 +6459,107 @@ SELECT media_ref, modality, payload_sha, keeper_ref,
 FROM base JOIN groups USING (payload_sha)"""
 
 
+def _pixel_grids(spark: SparkSession):
+    """Deterministic 72-cell grayscale grids standing in for decoded 9x8
+    thumbnails (the decode step is container-stubbed; see
+    operators/multimodal.py module docstring). Values are k/128 with k =
+    (id*73 + j*37) % 101 — /128 is a power of two so the double is exact
+    and the DuckDB twin reproduces floor(x*1e6) bit-for-bit. Clones
+    1000..1005 are byte-identical re-hosts of grids 0..5 (hamming 0);
+    clones 1006..1011 bump ONE pixel of grids 6..11 by +0.25 (a re-encode
+    artifact: most ahash bits survive, the mean shift flips a few)."""
+    # selectExpr (SQL scoping) rather than python lambdas capturing an
+    # outer column: the capture + unionByName combination trips the
+    # analyzer (`key not found: id#N`). D-suffixed literals keep the
+    # arithmetic in DOUBLE (a bare 128.0 would be DECIMAL in Spark SQL).
+    base = spark.range(48).selectExpr(
+        "id",
+        "transform(sequence(0, 71),"
+        " j -> ((id*73 + j*37) % 101) / 128.0D) AS pixels")
+    clones = spark.range(12).selectExpr(
+        "id + 1000 AS id",
+        "transform(sequence(0, 71), j -> CASE"
+        " WHEN id >= 6 AND j = (id*5) % 72"
+        " THEN ((id*73 + j*37) % 101) / 128.0D + 0.25D"
+        " ELSE ((id*73 + j*37) % 101) / 128.0D END) AS pixels")
+    return base, clones
+
+
+def q_perceptual_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both 64-bit perceptual hashes (aHash mean-threshold, dHash
+    horizontal-gradient) per synthetic image grid — the LAION-style
+    near-dup signature pass (operators/multimodal.py ahash64/dhash64)."""
+    base, _ = _pixel_grids(spark)
+    a = M.ahash64(base, pixels_col="pixels", id_col="id") \
+        .withColumnRenamed("phash", "ahash")
+    d = M.dhash64(base, pixels_col="pixels", id_col="id") \
+        .withColumnRenamed("phash", "dhash")
+    return (a.join(d, "id")
+            .select(F.col("id").cast("long"), "ahash", "dhash"))
+
+
+def q_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup pairs: aHash + pigeonhole hamming banding over
+    base grids plus planted exact/perturbed clones. Oracle does the exact
+    O(n^2) hamming check — banding must surface the identical pair set
+    (completeness for hamming <= 3)."""
+    base, clones = _pixel_grids(spark)
+    sig = M.ahash64(base.unionByName(clones), pixels_col="pixels",
+                    id_col="id")
+    out = M.phash_near_pairs(sig, max_hamming=3)
+    return out.select(F.col("id_a").cast("long"),
+                      F.col("id_b").cast("long"),
+                      F.col("hamming").cast("long"))
+
+
+_PIX_BASE = """
+  SELECT i AS id,
+    list_transform(range(72), j -> ((i*73 + j*37) % 101) / 128.0) AS px
+  FROM (SELECT unnest(range(48)) AS i)"""
+_PIX_CLONES = """
+  SELECT 1000 + i AS id,
+    list_transform(range(72), j -> CASE
+        WHEN i >= 6 AND j = (i*5) % 72
+        THEN ((i*73 + j*37) % 101) / 128.0 + 0.25
+        ELSE ((i*73 + j*37) % 101) / 128.0 END) AS px
+  FROM (SELECT unnest(range(12)) AS i)"""
+
+# fixed-point mirror of ahash64/dhash64: pixels -> floor(x*1e6) once,
+# mean test cross-multiplied (pe[i]*n > sum), bit 63 via the two's
+# complement literal (1<<63 overflows BIGINT in DuckDB)
+_SQL_PHASH_CTE = """
+pe AS (SELECT id, list_transform(px, x -> floor(x * 1000000)::BIGINT) AS pe
+       FROM g),
+st AS (SELECT id, pe, list_sum(pe)::BIGINT AS s, len(pe)::BIGINT AS n
+       FROM pe WHERE len(pe) > 0),
+ah AS (SELECT id, list_reduce(list_transform(range(64), i ->
+        CASE WHEN pe[i+1] * n > s THEN
+          CASE WHEN i = 63 THEN (-9223372036854775807 - 1)
+               ELSE 1::BIGINT << i::INT END
+        ELSE 0::BIGINT END), (a, b) -> a | b) AS ahash FROM st),
+dh AS (SELECT id, list_reduce(list_transform(range(64), i ->
+        CASE WHEN pe[(i//8)*9 + (i%8) + 2] > pe[(i//8)*9 + (i%8) + 1] THEN
+          CASE WHEN i = 63 THEN (-9223372036854775807 - 1)
+               ELSE 1::BIGINT << i::INT END
+        ELSE 0::BIGINT END), (a, b) -> a | b) AS dhash
+       FROM st WHERE n >= 72)
+"""
+
+SQL_PERCEPTUAL_HASH = f"""
+WITH g AS ({_PIX_BASE}),
+{_SQL_PHASH_CTE}
+SELECT ah.id::BIGINT AS id, ah.ahash, dh.dhash
+FROM ah JOIN dh USING (id)"""
+
+SQL_PHASH_PAIRS = f"""
+WITH g AS ({_PIX_BASE} UNION ALL {_PIX_CLONES}),
+{_SQL_PHASH_CTE}
+SELECT a.id::BIGINT AS id_a, b.id::BIGINT AS id_b,
+       bit_count(xor(a.ahash, b.ahash))::BIGINT AS hamming
+FROM ah a JOIN ah b ON a.id < b.id
+WHERE bit_count(xor(a.ahash, b.ahash)) <= 3"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver gates the FIRST ~50 entries per round
     # (CORRECTNESS_r03 == the dict's first 50). Never-driver-gated
@@ -6466,6 +6567,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # pair; the long-stable tail (green in r2 AND r3) yields its slots.
     return {
         # -- new this round / never driver-gated in any round ----------
+        "perceptual_hash": q_perceptual_hash,
+        "phash_pairs": q_phash_pairs,
         "cdc_dedup": q_cdc_dedup,
         "contrastive_pairs": q_contrastive_pairs,
         "pack_stream": q_pack_stream,
@@ -6609,6 +6712,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "perceptual_hash": SQL_PERCEPTUAL_HASH,
+        "phash_pairs": SQL_PHASH_PAIRS,
         "contrastive_pairs": SQL_CONTRASTIVE,
         "pack_stream": SQL_PACK_STREAM,
         "tokenizer_fertility": SQL_TOKENIZER_FERTILITY,

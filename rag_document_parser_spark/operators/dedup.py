@@ -412,23 +412,40 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
     within distance k must agree exactly on >=1 band, so candidates come
     from equi-joins on band values — never a cross-join.
     """
+    sh = simhash64(df, text_col, id_col)
+    return hamming_near_pairs(sh, id_col="id", sig_col="simhash",
+                              max_hamming=max_hamming)
+
+
+def hamming_near_pairs(sig: DataFrame, id_col: str = "id",
+                       sig_col: str = "sig",
+                       max_hamming: int = 3) -> DataFrame:
+    """Generic pigeonhole banding over ANY 64-bit signature column:
+    ``(id_a, id_b, hamming)`` for every pair with ``hamming(sig) <=
+    max_hamming``. The kernel behind ``simhash_near_pairs`` (text) and
+    ``multimodal.phash_near_pairs`` (perceptual image hashes) — split
+    64 bits into (max_hamming+1) bands; any pair within distance k
+    agrees exactly on >= 1 band (pigeonhole), so candidates come from
+    equi-joins on band values, never a cross-join. Band keys are
+    uniform for hash-like signatures; the verify step is one JVM
+    ``bit_count(xor)``.
+    """
     nb = max_hamming + 1
     width = 64 // nb
-    sh = simhash64(df, text_col, id_col)
-    banded = sh.select(
-        "id", "simhash",
+    banded = sig.select(
+        F.col(id_col).alias("id"), F.col(sig_col).alias("_sig"),
         F.posexplode_outer(  # outer: see ngram_jaccard_pairs note
             F.transform(
                 F.sequence(F.lit(0), F.lit(nb - 1)),
-                lambda bi: _shr(F.col("simhash"), bi * width)
+                lambda bi: _shr(F.col(sig_col), bi * width)
                 .bitwiseAND(F.lit((1 << width) - 1)),
             )
         ).alias("band", "band_val"),
     ).where(F.col("band_val").isNotNull())
     a = banded.select("band", "band_val", F.col("id").alias("id_a"),
-                      F.col("simhash").alias("sh_a"))
+                      F.col("_sig").alias("sh_a"))
     b = banded.select("band", "band_val", F.col("id").alias("id_b"),
-                      F.col("simhash").alias("sh_b"))
+                      F.col("_sig").alias("sh_b"))
     pairs = (
         a.join(b, ["band", "band_val"])
         .where(F.col("id_a") < F.col("id_b"))
@@ -643,6 +660,17 @@ def edit_verify_pairs(docs: DataFrame, pairs: DataFrame,
     (``F.levenshtein``) inside the join's codegen span — no Python.
     Note the JVM distance is CHARACTER-based (unicode-correct);
     byte-based twins (e.g. DuckDB's) agree only on ASCII.
+
+    When ``min_sim_e6 > 0`` the DP is banded: a pair can only pass the
+    filter if ``dist <= thr`` where ``thr = ((1e6 - min_sim_e6 + 1) *
+    max_len - 1) div 1e6`` (exact integer inversion of the sim_e6
+    floor-division), so the JVM's thresholded ``levenshtein(a, b, thr)``
+    — O(thr·min_len) instead of O(len_a·len_b), returning -1 past the
+    cap — computes the same kept rows at a fraction of the cell count,
+    and a free ``|len_a - len_b| <= thr`` prefilter (dist is bounded
+    below by the length difference) drops hopeless pairs before the DP
+    runs at all. At min_sim 0 the unbanded full distance is kept, since
+    every pair survives and its exact distance is the deliverable.
     """
     t = docs.select(F.col(id_col).alias("_eid"),
                     F.substring(F.col(text_col), 1, prefix).alias("_et"))
@@ -651,10 +679,26 @@ def edit_verify_pairs(docs: DataFrame, pairs: DataFrame,
                         F.col("_et").alias("_ta")), "id_a")
          .join(t.select(F.col("_eid").alias("id_b"),
                         F.col("_et").alias("_tb")), "id_b"))
-    scored = j.select(
-        "id_a", "id_b",
-        F.levenshtein("_ta", "_tb").cast("long").alias("edit_dist"),
-        F.expr("1000000 - levenshtein(_ta, _tb) * 1000000"
+    if min_sim_e6 > 0:
+        # sim_e6 >= min ⟺ 1e6·d div L <= 1e6-min ⟺ d <= ((1e6-min+1)·L-1) div 1e6
+        staged = j.select(
+            "id_a", "id_b", "_ta", "_tb",
+            F.expr(f"((1000000 - {int(min_sim_e6)} + 1)"
+                   " * greatest(length(_ta), length(_tb), 1) - 1)"
+                   " div 1000000").alias("_thr"))
+        staged = staged.where(
+            F.expr("abs(length(_ta) - length(_tb)) <= _thr"))
+        dist = staged.select(
+            "id_a", "id_b", "_ta", "_tb",
+            F.expr("levenshtein(_ta, _tb, cast(_thr as int))")
+            .cast("long").alias("edit_dist")).where(F.col("edit_dist") >= 0)
+    else:
+        dist = j.select("id_a", "id_b", "_ta", "_tb",
+                        F.levenshtein("_ta", "_tb").cast("long")
+                        .alias("edit_dist"))
+    scored = dist.select(
+        "id_a", "id_b", "edit_dist",
+        F.expr("1000000 - edit_dist * 1000000"
                " div greatest(length(_ta), length(_tb), 1)")
         .cast("long").alias("sim_e6"))
     return scored.where(F.col("sim_e6") >= min_sim_e6)

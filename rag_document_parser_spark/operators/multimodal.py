@@ -365,6 +365,104 @@ def media_dedup(df: DataFrame, ref_col: str = "media_ref",
                     .alias("is_dup")))
 
 
+def ahash64(df: DataFrame, pixels_col: str = "pixels",
+            id_col: str = "media_ref") -> DataFrame:
+    """64-bit average hash (aHash) over a decoded pixel grid:
+    ``(id, phash)`` where bit *i* is set iff ``pixels[i] > mean(pixels)``
+    — the classic perceptual near-dup hash (an image re-encoded, mildly
+    recompressed, or watermarked keeps almost all bits, while exact
+    SHA dedup sees a brand-new file). The decode→grayscale→resize step
+    that produces the grid is the container-stubbed part (see module
+    docstring; a real pipeline emits the 8×8 thumbnail from
+    PIL/libvips inside ``extract_media_features``); the hash itself is
+    pure Catalyst over ``array<float/double>``.
+
+    Arithmetic is fixed-point so the DuckDB oracle replicates it bit
+    for bit: pixels enter integer space as ``floor(x * 1e6)`` once,
+    and the mean comparison is cross-multiplied (``pe[i] * n >
+    sum(pe)``) so no division ever happens. Only the first 64 grid
+    cells define bits (a 64-cell 8×8 grid uses all of them). Zero
+    shuffles — one projection per row.
+    """
+    from .dedup import _shl
+
+    pe = F.transform(
+        F.col(pixels_col),
+        lambda x: F.floor(x.cast("double") * F.lit(1e6)).cast("long"))
+    staged = df.select(F.col(id_col).alias("id"), pe.alias("_pe"))
+    staged = staged.select(
+        "id", "_pe",
+        F.aggregate("_pe", F.lit(0).cast("long"),
+                    lambda a, v: a + v).alias("_s"),
+        F.size("_pe").cast("long").alias("_n"))
+    bits = F.aggregate(
+        F.zip_with(
+            F.slice("_pe", 1, 64),
+            F.sequence(F.lit(0), F.least(F.size("_pe"), F.lit(64)) - 1),
+            lambda p, i: F.when(p * F.col("_n") > F.col("_s"),
+                                _shl(F.lit(1).cast("long"), i))
+            .otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"), lambda acc, x: acc.bitwiseOR(x))
+    return staged.where(F.col("_n") > 0).select("id", bits.alias("phash"))
+
+
+def dhash64(df: DataFrame, pixels_col: str = "pixels",
+            id_col: str = "media_ref", width: int = 9) -> DataFrame:
+    """64-bit difference hash (dHash) over a row-major ``width``-wide
+    grid: bit ``r*(width-1)+c`` is set iff the right neighbor is
+    brighter (``grid[r][c+1] > grid[r][c]``). The standard layout is a
+    9-wide × 8-tall grid (72 cells → 64 horizontal comparisons).
+    Gradient-based, so it is insensitive to global brightness shifts
+    that flip aHash bits wholesale. Same fixed-point entry
+    (``floor(x*1e6)``) and zero-shuffle shape as :func:`ahash64`;
+    rows whose grid is shorter than ``width*ceil(64/(width-1))`` cells
+    are dropped (not hashable).
+    """
+    from .dedup import _shl
+
+    cols = width - 1
+    height = (64 + cols - 1) // cols
+    need = width * height
+    pe = F.transform(
+        F.col(pixels_col),
+        lambda x: F.floor(x.cast("double") * F.lit(1e6)).cast("long"))
+    staged = df.select(F.col(id_col).alias("id"), pe.alias("_pe")) \
+        .where(F.size("_pe") >= need)
+    bits = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            # bit i compares grid[r][c] vs grid[r][c+1] at r=i//cols, c=i%cols
+            lambda i: F.when(
+                F.element_at("_pe", (F.floor(i / cols) * width
+                                     + F.pmod(i, F.lit(cols)) + 2).cast("int"))
+                > F.element_at("_pe", (F.floor(i / cols) * width
+                                       + F.pmod(i, F.lit(cols)) + 1).cast("int")),
+                _shl(F.lit(1).cast("long"), i),
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"), lambda acc, x: acc.bitwiseOR(x))
+    return staged.select("id", bits.alias("phash"))
+
+
+def phash_near_pairs(sig: DataFrame, max_hamming: int = 3,
+                     id_col: str = "id",
+                     sig_col: str = "phash") -> DataFrame:
+    """Perceptual near-duplicate pairs: ``(id_a, id_b, hamming)`` with
+    ``hamming(phash) <= max_hamming`` over :func:`ahash64` /
+    :func:`dhash64` signatures. Delegates to the generic pigeonhole
+    banding kernel (``dedup.hamming_near_pairs``) — 64 bits split into
+    ``max_hamming+1`` bands, candidates from band equi-joins, never a
+    cross-join — the same complete-for-hamming≤k blocking the text
+    SimHash tier uses. This is the LAION-style image dedup pass: exact
+    ``media_dedup`` catches byte mirrors, this catches re-encodes.
+    """
+    from .dedup import hamming_near_pairs
+
+    return hamming_near_pairs(sig, id_col=id_col, sig_col=sig_col,
+                              max_hamming=max_hamming)
+
+
 def synthetic_media_df(spark, n: int = 64) -> DataFrame:
     """Deterministic fake media table for tests/bench (payload = seeded bytes)."""
     return spark.range(n).select(

@@ -692,3 +692,44 @@ def test_plan_lsh_bands_scurve_and_validation():
         dedup.plan_lsh_bands(0.0, 16)
     with _pt.raises(ValueError):
         dedup.plan_lsh_bands(0.5, 1)
+
+
+def test_edit_verify_banded_matches_unbanded(spark):
+    """min_sim_e6 > 0 switches to the thresholded JVM levenshtein +
+    length prefilter; the kept rows and their values must be identical
+    to filtering the full unbanded distances."""
+    from rag_document_parser_spark.operators.dedup import edit_verify_pairs
+
+    base = "the quick brown fox jumps over the lazy dog " * 3
+    rows = [(i, base[: 40 + (i * 7) % 60] + ("x" * (i % 9))) for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(i, j) for i in range(30) for j in range(i + 1, 30) if (i + j) % 3],
+        "id_a long, id_b long")
+    for m in (300_000, 700_000, 900_000, 999_999):
+        full = {(r.id_a, r.id_b): (r.edit_dist, r.sim_e6)
+                for r in edit_verify_pairs(docs, pairs).collect()
+                if r.sim_e6 >= m}
+        banded = {(r.id_a, r.id_b): (r.edit_dist, r.sim_e6)
+                  for r in edit_verify_pairs(docs, pairs,
+                                             min_sim_e6=m).collect()}
+        assert banded == full, m
+
+
+def test_hamming_near_pairs_generic_kernel(spark):
+    """The generic banding kernel is complete for hamming <= k over any
+    64-bit signature column (incl. sign-bit values) — brute force twin."""
+    from rag_document_parser_spark.operators.dedup import hamming_near_pairs
+
+    sigs = [0, 1, 3, 7, 15, (1 << 63) - 1, -1, -2, 1 << 40,
+            (1 << 40) | 5, -9223372036854775808, -9223372036854775807]
+    df = spark.createDataFrame(list(enumerate(sigs)), "id long, sig long")
+    got = {(r.id_a, r.id_b, r.hamming)
+           for r in hamming_near_pairs(df, max_hamming=3).collect()}
+    want = set()
+    for i in range(len(sigs)):
+        for j in range(i + 1, len(sigs)):
+            h = bin((sigs[i] ^ sigs[j]) & ((1 << 64) - 1)).count("1")
+            if h <= 3:
+                want.add((i, j, h))
+    assert got == want and want

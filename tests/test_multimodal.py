@@ -109,3 +109,89 @@ def test_interleave_sequences_zero_shuffle_and_invariance(spark):
     b = sorted(map(key, interleave_sequences(
         df.repartition(13), max_tokens=6, media_cost=2).collect()))
     assert a == b and a
+
+
+def _py_ahash(pixels):
+    import math
+    pe = [math.floor(x * 1_000_000) for x in pixels]
+    s, n = sum(pe), len(pe)
+    h = 0
+    for i, p in enumerate(pe[:64]):
+        if p * n > s:
+            h |= 1 << i
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def _py_dhash(pixels, width=9):
+    import math
+    pe = [math.floor(x * 1_000_000) for x in pixels]
+    cols = width - 1
+    h = 0
+    for i in range(64):
+        r, c = i // cols, i % cols
+        if pe[r * width + c + 1] > pe[r * width + c]:
+            h |= 1 << i
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def _grid_df(spark, grids):
+    return spark.createDataFrame(
+        [(f"img://{i}", [float(v) for v in g]) for i, g in enumerate(grids)],
+        "media_ref string, pixels array<double>")
+
+
+def test_ahash_dhash_match_python_twin(spark):
+    from rag_document_parser_spark.operators.multimodal import (
+        ahash64, dhash64)
+
+    grids = [[((i * 73 + j * 37) % 101) / 128.0 for j in range(72)]
+             for i in range(12)]
+    df = _grid_df(spark, grids)
+    a = {r.id: r.phash for r in ahash64(df).collect()}
+    d = {r.id: r.phash for r in dhash64(df).collect()}
+    for i, g in enumerate(grids):
+        assert a[f"img://{i}"] == _py_ahash(g), i
+        assert d[f"img://{i}"] == _py_dhash(g), i
+
+
+def test_dhash_brightness_invariant_ahash_not(spark):
+    """dHash compares neighbors, so a global brightness shift leaves it
+    unchanged; aHash thresholds on the mean, so it also survives a
+    uniform shift (both sides move together) — but a single hot pixel
+    flips aHash bits while dHash only changes at that pixel's edges."""
+    from rag_document_parser_spark.operators.multimodal import (
+        ahash64, dhash64)
+
+    g = [((j * 37) % 101) / 128.0 for j in range(72)]
+    shifted = [v + 0.125 for v in g]
+    df = _grid_df(spark, [g, shifted])
+    for fn in (ahash64, dhash64):
+        hs = {r.id: r.phash for r in fn(df).collect()}
+        assert hs["img://0"] == hs["img://1"], fn.__name__
+
+
+def test_ahash_short_and_empty_grids(spark):
+    from rag_document_parser_spark.operators.multimodal import (
+        ahash64, dhash64)
+
+    df = _grid_df(spark, [[], [0.5] * 10, [0.1] * 72])
+    a = {r.id for r in ahash64(df).collect()}
+    assert a == {"img://1", "img://2"}  # empty grid dropped
+    d = {r.id for r in dhash64(df).collect()}
+    assert d == {"img://2"}  # < 72 cells not dhash-able
+
+
+def test_phash_near_pairs_planted_clones(spark):
+    from rag_document_parser_spark.operators.multimodal import (
+        ahash64, phash_near_pairs)
+
+    base = [[((i * 73 + j * 37) % 101) / 128.0 for j in range(72)]
+            for i in range(8)]
+    clones = [list(g) for g in base[:3]]  # exact re-encodes of 0..2
+    df = _grid_df(spark, base + clones)
+    sig = ahash64(df)
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in phash_near_pairs(sig, max_hamming=3).collect()}
+    for i in range(3):
+        key = tuple(sorted((f"img://{i}", f"img://{8 + i}")))
+        assert pairs[key] == 0, key
