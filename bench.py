@@ -411,6 +411,11 @@ def main() -> None:
           lambda: V.lsh_cosine_topk(emb, queries8, k=10).count())
     timed_reps("ivf_cosine_topk",
           lambda: V.ivf_cosine_topk(emb, queries8, k=10).count())
+    from rag_document_parser_spark.operators import bitext as BX
+    timed_reps("bitext_mine",
+          lambda: BX.margin_bitext_pairs(
+              emb.where(F.col("vec_id") % 2 == 0),
+              emb.where(F.col("vec_id") % 2 == 1), k=4).count())
     timed_reps("semdedup",
           lambda: V.semdedup(emb.select("vec_id", "embedding")
                              .unionByName(
