@@ -3568,6 +3568,115 @@ SELECT x_id::BIGINT AS x_id, y_id::BIGINT AS y_id,
 FROM uniq"""
 
 
+def q_wordpiece_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 2 WordPiece merges (Schuster & Nakajima 2012 likelihood
+    criterion: argmax of ``cnt * 1e9 div (count(l) * count(r))``) from
+    the corpus word-TYPE table; the oracle unrolls the driver-paced
+    rounds as CTEs a la ``bpe_merges``."""
+    from rag_document_parser_spark.operators import wordpiece as WP
+    m = WP.train_wordpiece(_docs(spark, sf_dir), n_merges=2, min_count=2)
+    return WP.merges_df(spark, m)
+
+
+_WP_SYM = "' ' || array_to_string(string_split({w}, ''), ' ') || ' '"
+_WP_PAIRS = """SELECT pair, sum(c) AS cnt FROM (
+    SELECT c, unnest(list_transform(range(len(y) - 1),
+                     i -> y[i + 1] || ' ' || y[i + 2])) AS pair
+    FROM (SELECT c, string_split(trim(s), ' ') AS y FROM {src}) z1) z2
+  GROUP BY pair"""
+_WP_SYMCNT = """SELECT sym, sum(c) AS scnt FROM (
+    SELECT c, unnest(string_split(trim(s), ' ')) AS sym FROM {src}) z
+  GROUP BY sym"""
+_WP_BEST = """SELECT pair, cnt,
+    (cnt * 1000000000 // (lc.scnt * rc.scnt))::BIGINT AS score_e9
+  FROM {p} JOIN {c} lc ON lc.sym = split_part(pair, ' ', 1)
+           JOIN {c} rc ON rc.sym = split_part(pair, ' ', 2)
+  ORDER BY score_e9 DESC, pair LIMIT 1"""
+_WP_APPLY = (
+    "replace({s}, ' ' || coalesce((SELECT pair FROM {b}), chr(1)) || ' ',"
+    " ' ' || coalesce((SELECT replace(pair, ' ', '') FROM {b}), chr(1))"
+    " || ' ')")
+_WP_TRAIN_CTES = f"""
+toks AS (SELECT doc_id, {TOKS_SQL.format(c='text')} AS t FROM documents),
+w AS (SELECT unnest(t) AS word FROM toks),
+wc AS (SELECT word, count(*) AS c FROM w GROUP BY word
+       HAVING count(*) >= 2),
+s0 AS (SELECT c, {_WP_SYM.format(w='word')} AS s FROM wc),
+p1 AS ({_WP_PAIRS.format(src='s0')}),
+c1 AS ({_WP_SYMCNT.format(src='s0')}),
+b1 AS ({_WP_BEST.format(p='p1', c='c1')}),
+s1 AS (SELECT c, {_WP_APPLY.format(s='s', b='b1')} AS s FROM s0),
+p2 AS ({_WP_PAIRS.format(src='s1')}),
+c2 AS ({_WP_SYMCNT.format(src='s1')}),
+b2 AS ({_WP_BEST.format(p='p2', c='c2')})"""
+SQL_WORDPIECE_MERGES = f"""
+WITH {_WP_TRAIN_CTES}
+SELECT 1::BIGINT AS merge_rank, split_part(pair, ' ', 1) AS lhs,
+  split_part(pair, ' ', 2) AS rhs, cnt::BIGINT AS pair_count,
+  score_e9::BIGINT AS score_e9 FROM b1
+UNION ALL
+SELECT 2::BIGINT, split_part(pair, ' ', 1), split_part(pair, ' ', 2),
+  cnt::BIGINT, score_e9::BIGINT FROM b2"""
+
+
+_WP_MAXLEN = 8
+
+
+def q_wordpiece_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy longest-match WordPiece segmentation under the first 2
+    learned merges: per-doc piece counts + whole-word UNKs (BERT
+    inference semantics over the position-free documented subset). The
+    oracle replays the cursor walk with a recursive CTE over the
+    longest match per (word, pos)."""
+    from rag_document_parser_spark.operators import wordpiece as WP
+    docs = _docs(spark, sf_dir)
+    m = WP.train_wordpiece(docs, n_merges=2, min_count=2)
+    vocab = WP.wordpiece_vocab(docs, m)
+    return WP.greedy_segment(docs, vocab, max_piece_len=_WP_MAXLEN)
+
+
+SQL_WORDPIECE_SEGMENT = f"""
+WITH RECURSIVE {_WP_TRAIN_CTES},
+vocab AS (
+  SELECT DISTINCT ch AS piece FROM (
+    SELECT unnest(string_split(word, '')) AS ch FROM wc) z
+  WHERE ch <> ''
+  UNION SELECT replace(pair, ' ', '') FROM b1
+  UNION SELECT replace(pair, ' ', '') FROM b2),
+aw AS (SELECT DISTINCT word FROM w),
+wlen AS (SELECT word, len(word) AS wlen FROM aw),
+cp AS (SELECT word, wlen, unnest(range(1, wlen + 1)) AS pos FROM wlen),
+cand AS (SELECT word, pos,
+           unnest(range(1, least({_WP_MAXLEN}, wlen - pos + 1) + 1))
+             AS plen
+         FROM cp),
+hits AS (SELECT word, pos, plen
+         FROM (SELECT word, pos, plen,
+                      substring(word, pos, plen) AS piece FROM cand) h
+         JOIN vocab USING (piece)),
+mt AS (SELECT word, pos, max(plen) AS plen FROM hits
+       GROUP BY word, pos),
+walk AS (
+  SELECT word, wlen, 1 AS cur, 0 AS n FROM wlen
+  UNION ALL
+  SELECT k.word, k.wlen, k.cur + m.plen, k.n + 1
+  FROM walk k JOIN mt m ON m.word = k.word AND m.pos = k.cur),
+endst AS (SELECT word, max(cur) AS mcur FROM walk GROUP BY word),
+pw AS (SELECT k.word,
+         CASE WHEN k.cur = k.wlen + 1 THEN k.n ELSE 1 END AS pieces,
+         (k.cur <> k.wlen + 1) AS unk
+       FROM walk k JOIN endst e ON e.word = k.word AND k.cur = e.mcur),
+f AS (SELECT doc_id, unnest(t) AS word FROM toks),
+agg AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+               sum(pieces)::BIGINT AS n_pieces,
+               sum(unk::INT)::BIGINT AS n_unk
+        FROM f JOIN pw USING (word) GROUP BY doc_id)
+SELECT d.doc_id, coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
+  coalesce(a.n_pieces, 0)::BIGINT AS n_pieces,
+  coalesce(a.n_unk, 0)::BIGINT AS n_unk
+FROM documents d LEFT JOIN agg a USING (doc_id)"""
+
+
 _HYB_POOL = 20
 _HYB_K = 5
 
@@ -6701,6 +6810,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": q_pq_topk,
         "warc_records": q_warc_records,
         "bitext_mine": q_bitext_mine,
+        "wordpiece_merges": q_wordpiece_merges,
+        "wordpiece_segment": q_wordpiece_segment,
         # -- green in round 2 but absent from the round-3 driver set ---
         "ivf_cosine_topk": q_ivf_cosine_topk,
         "embedding_near_dup": q_embedding_near_dup,
@@ -6894,6 +7005,8 @@ def oracle_sql() -> dict[str, str]:
         "pq_topk": SQL_PQ_TOPK,
         "warc_records": SQL_WARC_RECORDS,
         "bitext_mine": SQL_BITEXT_MINE,
+        "wordpiece_merges": SQL_WORDPIECE_MERGES,
+        "wordpiece_segment": SQL_WORDPIECE_SEGMENT,
         "failed_docs": SQL_FAILED,
         "failed_docs_poisoned": SQL_FAILED_POISONED,
         "summary_poisoned": SQL_SUMMARY_POISONED,

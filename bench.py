@@ -258,6 +258,14 @@ def main() -> None:
     timed_reps("train_bpe",
           lambda: B.bpe_segment(docs, B.train_bpe(docs, n_merges=4))
           .agg(F.sum("n_subwords")).collect())
+    from rag_document_parser_spark.operators import wordpiece as WP
+
+    def _wp():
+        m = WP.train_wordpiece(docs, n_merges=4)
+        return (WP.greedy_segment(docs, WP.wordpiece_vocab(docs, m))
+                .agg(F.sum("n_pieces")).collect())
+
+    timed_reps("wordpiece", _wp)
     timed_reps("classify",
           lambda: classify(docs, train_class_profiles(
               SAM.hash_sample(docs, 0.25, salt="bx"), label_col="lang"))
