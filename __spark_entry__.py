@@ -3677,6 +3677,68 @@ SELECT d.doc_id, coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
 FROM documents d LEFT JOIN agg a USING (doc_id)"""
 
 
+_WIN_K, _WIN_W = 5, 4
+
+
+def q_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al. 2003 / MOSS): the
+    rightmost-min selection over every window of ``w`` k-gram hashes
+    — positional fingerprints with the ``w + k - 1``-token match
+    guarantee (``operators/winnow.py``)."""
+    from rag_document_parser_spark.operators import winnow as WN
+    return WN.winnow_fingerprints(_docs(spark, sf_dir),
+                                  k=_WIN_K, w=_WIN_W)
+
+
+_WIN_SEL_CTES = f"""
+toks AS (SELECT doc_id, {TOKS_SQL.format(c='text')} AS t FROM documents),
+g AS (SELECT doc_id,
+        CASE WHEN len(t) >= {_WIN_K}
+          THEN list_transform(range(len(t) - {_WIN_K - 1}),
+                 i -> array_to_string(t[i + 1 : i + {_WIN_K}], ' '))
+          ELSE [] END AS grams
+      FROM toks),
+h AS (SELECT doc_id,
+        list_transform(grams, s -> {_md5l("'win:' || s")}) AS hs
+      FROM g),
+idx AS (SELECT doc_id, hs, len(hs) AS n,
+               least({_WIN_W}, len(hs)) AS l
+        FROM h WHERE len(hs) > 0),
+win AS (SELECT doc_id, hs, l, unnest(range(1, n - l + 2)) AS i
+        FROM idx),
+el AS (SELECT doc_id, i, j, hs[j] AS hv FROM (
+         SELECT doc_id, i, hs, unnest(range(i, i + l)) AS j FROM win) z),
+mnw AS (SELECT doc_id, i, min(hv) AS mh FROM el GROUP BY doc_id, i),
+sel AS (SELECT e.doc_id, m.mh AS whash, max(e.j) AS pos
+        FROM el e JOIN mnw m
+          ON m.doc_id = e.doc_id AND m.i = e.i AND e.hv = m.mh
+        GROUP BY e.doc_id, e.i, m.mh)"""
+SQL_WINNOW_FP = f"""
+WITH {_WIN_SEL_CTES}
+SELECT DISTINCT doc_id, pos::BIGINT AS pos, whash::BIGINT AS whash
+FROM sel"""
+
+
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS match report: doc pairs sharing >= 2 winnowed fingerprint
+    hashes, stop-fingerprints (df > 1000) blacklisted broadcast before
+    the self-join (the ngram_jaccard discipline)."""
+    from rag_document_parser_spark.operators import winnow as WN
+    return WN.winnow_pairs(_docs(spark, sf_dir), k=_WIN_K, w=_WIN_W,
+                           min_shared=2)
+
+
+SQL_WINNOW_PAIRS = f"""
+WITH {_WIN_SEL_CTES},
+fp AS (SELECT DISTINCT doc_id, whash FROM sel),
+oc AS (SELECT whash FROM fp GROUP BY whash HAVING count(*) > 1000),
+f2 AS (SELECT * FROM fp WHERE whash NOT IN (SELECT whash FROM oc))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_shared
+FROM f2 a JOIN f2 b ON a.whash = b.whash AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= 2"""
+
+
 _HYB_POOL = 20
 _HYB_K = 5
 
@@ -6812,6 +6874,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bitext_mine": q_bitext_mine,
         "wordpiece_merges": q_wordpiece_merges,
         "wordpiece_segment": q_wordpiece_segment,
+        "winnow_fp": q_winnow_fp,
+        "winnow_pairs": q_winnow_pairs,
         # -- green in round 2 but absent from the round-3 driver set ---
         "ivf_cosine_topk": q_ivf_cosine_topk,
         "embedding_near_dup": q_embedding_near_dup,
@@ -7007,6 +7071,8 @@ def oracle_sql() -> dict[str, str]:
         "bitext_mine": SQL_BITEXT_MINE,
         "wordpiece_merges": SQL_WORDPIECE_MERGES,
         "wordpiece_segment": SQL_WORDPIECE_SEGMENT,
+        "winnow_fp": SQL_WINNOW_FP,
+        "winnow_pairs": SQL_WINNOW_PAIRS,
         "failed_docs": SQL_FAILED,
         "failed_docs_poisoned": SQL_FAILED_POISONED,
         "summary_poisoned": SQL_SUMMARY_POISONED,

@@ -266,6 +266,9 @@ def main() -> None:
                 .agg(F.sum("n_pieces")).collect())
 
     timed_reps("wordpiece", _wp)
+    from rag_document_parser_spark.operators import winnow as WN
+    timed_reps("winnow_pairs",
+          lambda: WN.winnow_pairs(docs, k=5, w=4, min_shared=2).count())
     timed_reps("classify",
           lambda: classify(docs, train_class_profiles(
               SAM.hash_sample(docs, 0.25, salt="bx"), label_col="lang"))
