@@ -3739,6 +3739,55 @@ GROUP BY a.doc_id, b.doc_id
 HAVING count(*) >= 2"""
 
 
+_TOX_TERMS = ["toxcat0", "toxcat1", "toxcat2"]
+
+
+def q_toxicity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style bad-word gate (textstats.term_blocklist) over
+    deterministically planted blocklist tokens: md5-routed docs get
+    one or two occurrences of a planted term, the rest none — the
+    any-hit drop signal plus hit-mass columns a tolerance filter would
+    use. Terms are synthetic placeholders; real deployments key the
+    list to a vetted per-language blocklist."""
+    from rag_document_parser_spark.operators.textstats import (
+        term_blocklist)
+    d = _docs(spark, sf_dir)
+    h = _hcol(F.col("doc_id"))
+    suffix = (F.when(F.pmod(h, 7) == 0,
+                     F.concat(F.lit(" toxcat"),
+                              F.pmod(h, 3).cast("string"),
+                              F.lit(" filler toxcat"),
+                              F.pmod(h, 3).cast("string")))
+              .when(F.pmod(h, 7) == 1,
+                    F.concat(F.lit(" toxcat"),
+                             F.pmod(h, 3).cast("string")))
+              .otherwise(F.lit("")))
+    planted = d.select("doc_id", F.concat("text", suffix).alias("t"))
+    return term_blocklist(planted, _TOX_TERMS, text_col="t")
+
+
+SQL_TOXICITY_GATE = f"""
+WITH m AS (SELECT doc_id, text, {_md5l('doc_id::VARCHAR')} AS h
+           FROM documents),
+d AS (SELECT doc_id, text || CASE
+        WHEN h % 7 = 0 THEN ' toxcat' || (h % 3)::VARCHAR
+                         || ' filler toxcat' || (h % 3)::VARCHAR
+        WHEN h % 7 = 1 THEN ' toxcat' || (h % 3)::VARCHAR
+        ELSE '' END AS t
+      FROM m),
+tk AS (SELECT doc_id, {TOKS_SQL.format(c='t')} AS t FROM d),
+hx AS (SELECT doc_id, t,
+         list_filter(t, x -> x IN ('toxcat0', 'toxcat1', 'toxcat2'))
+           AS hits
+       FROM tk)
+SELECT doc_id, len(t)::BIGINT AS n_tokens, len(hits)::BIGINT AS n_hits,
+  len(list_distinct(hits))::BIGINT AS n_distinct_hits,
+  (CASE WHEN len(t) > 0 THEN len(hits) * 1000000 // len(t)
+        ELSE 0 END)::BIGINT AS hit_frac_e6,
+  len(hits) > 0 AS blocked
+FROM hx"""
+
+
 _HYB_POOL = 20
 _HYB_K = 5
 
@@ -6876,6 +6925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wordpiece_segment": q_wordpiece_segment,
         "winnow_fp": q_winnow_fp,
         "winnow_pairs": q_winnow_pairs,
+        "toxicity_gate": q_toxicity_gate,
         # -- green in round 2 but absent from the round-3 driver set ---
         "ivf_cosine_topk": q_ivf_cosine_topk,
         "embedding_near_dup": q_embedding_near_dup,
@@ -7073,6 +7123,7 @@ def oracle_sql() -> dict[str, str]:
         "wordpiece_segment": SQL_WORDPIECE_SEGMENT,
         "winnow_fp": SQL_WINNOW_FP,
         "winnow_pairs": SQL_WINNOW_PAIRS,
+        "toxicity_gate": SQL_TOXICITY_GATE,
         "failed_docs": SQL_FAILED,
         "failed_docs_poisoned": SQL_FAILED_POISONED,
         "summary_poisoned": SQL_SUMMARY_POISONED,

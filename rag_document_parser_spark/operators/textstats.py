@@ -532,6 +532,50 @@ def license_signals(df: DataFrame, text_col: str = "text",
                          le["restricted"].alias("restricted"))
 
 
+def term_blocklist(df: DataFrame, terms: list[str],
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Token-level blocklist gate — the C4 recipe's "bad words" drop
+    (Raffel et al. 2020 §2.2 removes any page containing a term from a
+    published profanity blocklist; RefinedWeb and Gopher run the same
+    shape with NSFW/toxicity word lists).
+
+    ``terms`` is the caller's blocklist (the operator ships no list of
+    its own — real deployments key this to a vetted, versioned list
+    per language). Returns ``(id_col, n_tokens, n_hits,
+    n_distinct_hits, hit_frac_e6, blocked)`` with ``blocked = n_hits
+    > 0`` (the C4 any-hit rule; callers wanting a tolerance filter on
+    ``hit_frac_e6`` instead).
+
+    Pure Catalyst, zero shuffles: tokens staged once (SPARK-36718),
+    membership is an array-literal scan per token — right for the
+    few-hundred-term lists this stage uses; a list big enough to blow
+    the expression tree belongs in a broadcast join against the
+    exploded token stream instead (the ``urls.filter_blocked_domains``
+    shape). Matching is exact-token over the shared lowercase
+    tokenizer — substring false positives (the Scunthorpe problem) are
+    structurally impossible, at the cost of missing spaced-out
+    obfuscations.
+    """
+    lits = F.array(*[F.lit(t.lower()) for t in terms])
+    toks = df.select(F.col(id_col),
+                     words(F.col(text_col)).alias("_t"),
+                     lits.alias("_bl"))
+    hits = F.filter("_t", lambda x: F.array_contains("_bl", x))
+    staged = toks.select(F.col(id_col), F.size("_t").alias("n_tokens"),
+                         hits.alias("_h"))
+    return staged.select(
+        F.col(id_col),
+        F.col("n_tokens").cast("long"),
+        F.size("_h").cast("long").alias("n_hits"),
+        F.size(F.array_distinct("_h")).cast("long")
+        .alias("n_distinct_hits"),
+        F.when(F.col("n_tokens") > 0,
+               F.expr("size(_h) * 1000000 div n_tokens"))
+        .otherwise(F.lit(0)).cast("long").alias("hit_frac_e6"),
+        (F.size("_h") > 0).alias("blocked"))
+
+
 def source_quality_prior(df: DataFrame, source_col: str = "source",
                          text_col: str = "text",
                          min_words: int = 5, max_words: int = 100_000,

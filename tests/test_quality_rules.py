@@ -380,3 +380,27 @@ def test_snapshot_drift_planted(spark):
     # quality bar: every planted doc has >=5 words and all-alpha text
     assert by[("src1", "quality_pass")]["old_value"] == 2
     assert by[("src1", "quality_pass_e6")]["new_value"] == 1_000_000
+
+
+def test_term_blocklist_gate(spark):
+    """C4 any-hit gate: exact-token matching (no Scunthorpe substring
+    hits), repeated terms counted per occurrence, distinct counted
+    once, empty docs pass with zeros."""
+    from rag_document_parser_spark.operators.textstats import (
+        term_blocklist)
+
+    docs = [("a", "clean words only here"),
+            ("b", "some badx stuff badx again bady"),   # 2+1 hits
+            ("c", "embedded badxsuffix is not a hit"),  # substring: no
+            ("d", "BADX uppercase still hits"),         # tokenizer lowers
+            ("e", "")]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    got = {r["doc_id"]: r for r in
+           term_blocklist(df, ["badx", "bady"]).collect()}
+    assert not got["a"]["blocked"]
+    assert (got["b"]["n_hits"], got["b"]["n_distinct_hits"]) == (3, 2)
+    assert got["b"]["hit_frac_e6"] == 3 * 1_000_000 // 6
+    assert not got["c"]["blocked"]
+    assert got["d"]["blocked"] and got["d"]["n_hits"] == 1
+    assert (got["e"]["n_tokens"], got["e"]["n_hits"],
+            got["e"]["blocked"]) == (0, 0, False)
