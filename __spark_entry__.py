@@ -3788,6 +3788,56 @@ SELECT doc_id, len(t)::BIGINT AS n_tokens, len(hits)::BIGINT AS n_hits,
 FROM hx"""
 
 
+_PJ_T = 500_000
+
+
+def q_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact prefix-filtered similarity join (Chaudhuri et al. 2006 /
+    PPJoin family, ``operators/prefixjoin.py``): the same Jaccard >=
+    0.5 answer set as ``ngram_jaccard``, generated from md5-ordered
+    shingle PREFIXES only — zero false negatives by the prefix
+    guarantee, integer fixed-point threshold arithmetic replayed by
+    the oracle."""
+    from rag_document_parser_spark.operators.prefixjoin import (
+        prefix_filter_pairs)
+    out = prefix_filter_pairs(_cloned_docs(spark, sf_dir),
+                              n=3, threshold_e6=_PJ_T)
+    return out.select(F.col("id_a").cast("long"),
+                      F.col("id_b").cast("long"),
+                      "inter", "n_a", "n_b", "jaccard_e6")
+
+
+SQL_PREFIX_JOIN = f"""
+WITH d AS {CLONED_SQL},
+s AS (SELECT doc_id, list_distinct({_shingles_sql('text', 3)}) AS sh
+      FROM d),
+s2 AS (SELECT doc_id, len(sh) AS n_sh, sh FROM s WHERE len(sh) > 0),
+fl AS (SELECT doc_id, n_sh, unnest(sh) AS shingle FROM s2),
+r AS (SELECT doc_id, n_sh, shingle, row_number() OVER (
+        PARTITION BY doc_id
+        ORDER BY {_md5l('shingle')}) AS rn
+      FROM fl),
+pre AS (SELECT doc_id, n_sh, shingle FROM r
+        WHERE rn <= n_sh - ({_PJ_T} * n_sh + 999999) // 1000000 + 1),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                a.n_sh AS n_a, b.n_sh AS n_b
+         FROM pre a JOIN pre b ON a.shingle = b.shingle
+                               AND a.doc_id < b.doc_id
+         WHERE {_PJ_T} * greatest(a.n_sh, b.n_sh)
+               <= 1000000 * least(a.n_sh, b.n_sh)),
+iv AS (SELECT c.id_a, c.id_b, count(*) AS inter,
+              min(c.n_a) AS n_a, min(c.n_b) AS n_b
+       FROM cand c
+       JOIN fl fa ON fa.doc_id = c.id_a
+       JOIN fl fb ON fb.doc_id = c.id_b AND fb.shingle = fa.shingle
+       GROUP BY c.id_a, c.id_b)
+SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b,
+  inter::BIGINT AS inter, n_a::BIGINT AS n_a, n_b::BIGINT AS n_b,
+  (inter * 1000000 // (n_a + n_b - inter))::BIGINT AS jaccard_e6
+FROM iv
+WHERE inter * 1000000 >= {_PJ_T} * (n_a + n_b - inter)"""
+
+
 _HYB_POOL = 20
 _HYB_K = 5
 
@@ -6926,6 +6976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fp": q_winnow_fp,
         "winnow_pairs": q_winnow_pairs,
         "toxicity_gate": q_toxicity_gate,
+        "prefix_join": q_prefix_join,
         # -- green in round 2 but absent from the round-3 driver set ---
         "ivf_cosine_topk": q_ivf_cosine_topk,
         "embedding_near_dup": q_embedding_near_dup,
@@ -7124,6 +7175,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fp": SQL_WINNOW_FP,
         "winnow_pairs": SQL_WINNOW_PAIRS,
         "toxicity_gate": SQL_TOXICITY_GATE,
+        "prefix_join": SQL_PREFIX_JOIN,
         "failed_docs": SQL_FAILED,
         "failed_docs_poisoned": SQL_FAILED_POISONED,
         "summary_poisoned": SQL_SUMMARY_POISONED,

@@ -269,6 +269,10 @@ def main() -> None:
     from rag_document_parser_spark.operators import winnow as WN
     timed_reps("winnow_pairs",
           lambda: WN.winnow_pairs(docs, k=5, w=4, min_shared=2).count())
+    from rag_document_parser_spark.operators.prefixjoin import (
+        prefix_filter_pairs)
+    timed_reps("prefix_join",
+          lambda: prefix_filter_pairs(docs, threshold_e6=800000).count())
     timed_reps("classify",
           lambda: classify(docs, train_class_profiles(
               SAM.hash_sample(docs, 0.25, salt="bx"), label_col="lang"))
