@@ -404,3 +404,15 @@ def test_term_blocklist_gate(spark):
     assert got["d"]["blocked"] and got["d"]["n_hits"] == 1
     assert (got["e"]["n_tokens"], got["e"]["n_hits"],
             got["e"]["blocked"]) == (0, 0, False)
+
+
+def test_term_blocklist_zero_exchange(spark):
+    """The gate is one projection chain — no Exchange in the plan."""
+    from rag_document_parser_spark.operators.textstats import (
+        term_blocklist)
+
+    df = spark.createDataFrame([("a", "x y z")],
+                               "doc_id string, text string")
+    plan = (term_blocklist(df, ["badx"])
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan, plan

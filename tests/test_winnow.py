@@ -127,3 +127,11 @@ def test_partition_invariance(corpus):
     s7 = sorted(map(tuple, WN.winnow_fingerprints(
         corpus.repartition(7), k=K, w=W).collect()))
     assert s1 == s7
+
+
+def test_fingerprints_zero_exchange(corpus):
+    """Selection is scan-local: no Exchange anywhere in the physical
+    plan — docs are never shuffled to be fingerprinted."""
+    plan = (WN.winnow_fingerprints(corpus, k=K, w=W)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan, plan

@@ -152,3 +152,16 @@ def test_partition_invariance(corpus):
     s7 = sorted(map(tuple, W.greedy_segment(
         corpus.repartition(7), vocab).collect()))
     assert s1 == s7
+
+
+def test_segment_corpus_side_joins_broadcast(corpus):
+    """The corpus token stream (the Generate/explode branch) joins the
+    per-word-TYPE cost table BROADCAST — the corpus never shuffles on
+    the word key. The word-TYPE branch may SortMergeJoin on the
+    uniform word key (vocabulary tables outgrow broadcast at scale);
+    only the corpus-sized side must stay exchange-free."""
+    plan = (W.greedy_segment(corpus, ["t", "h", "e", "a"])
+            ._jdf.queryExecution().executedPlan().toString())
+    m = re.search(r"BroadcastHashJoin \[word#\d+\].*?Generate explode",
+                  plan, re.DOTALL)
+    assert m, plan
