@@ -864,6 +864,137 @@ SELECT source, count(*)::BIGINT AS n_docs, sum(ok)::BIGINT AS n_pass,
 FROM f GROUP BY source"""
 
 
+# card probes planted by doc_id % 6 (the _MOJI_SUFFIXES idiom): two
+# Luhn-valid forms (bare + dash-separated), one failed-checksum decoy,
+# one 20-digit run (too long — must yield NO candidate), a doublet
+# (Amex 15 + Visa 13, both valid), and one clean suffix
+_CARD_SUFFIXES = (
+    " pay 4111111111111111 ok",
+    " card 4111-1111-1111-1111 ref",
+    " num 4111 1111 1111 1112 bad",
+    " serial 12345678901234567890 long",
+    " amex 378282246310005 visa 4222222222222",
+    "",
+)
+
+
+def q_card_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn-validated card scrub (pii.detect_cards): candidates are
+    word-bounded 13-19 digit runs; only checksum-valid ones redact.
+    Probes planted per doc_id % 6 cover valid/invalid/too-long forms."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    sfx = F.element_at(F.lit(list(_CARD_SUFFIXES)),
+                       (F.col("doc_id") % 6 + 1).cast("int"))
+    planted = docs.select("doc_id",
+                          F.concat(F.col("text"), sfx).alias("text"))
+    out = PII.detect_cards(planted)
+    return out.select(F.col("doc_id").cast("long"),
+                      "n_card_candidates", "n_card_valid", "redacted")
+
+
+def _sql_card_pii() -> str:
+    cases = " ".join(
+        f"WHEN {i} THEN {_sq(s)}" for i, s in enumerate(_CARD_SUFFIXES))
+    return rf"""
+WITH planted AS (
+  SELECT doc_id, text || (CASE doc_id % 6 {cases} END) AS text
+  FROM documents
+), cand AS (
+  SELECT doc_id,
+    unnest(regexp_extract_all(text, '\b[0-9](?:[ \-]?[0-9]){{12,18}}\b'))
+      AS c
+  FROM planted
+), scored AS (
+  SELECT doc_id, c, replace(replace(c, ' ', ''), '-', '') AS d FROM cand
+), flags AS (
+  SELECT doc_id, c,
+    (length(d) BETWEEN 13 AND 19 AND
+     list_sum([CASE WHEN (length(d) - i) % 2 = 1
+        THEN CASE WHEN cast(substring(d, i, 1) AS INT) * 2 > 9
+                  THEN cast(substring(d, i, 1) AS INT) * 2 - 9
+                  ELSE cast(substring(d, i, 1) AS INT) * 2 END
+        ELSE cast(substring(d, i, 1) AS INT) END
+        for i in range(1, length(d) + 1)]) % 10 = 0) AS ok
+  FROM scored
+), agg AS (
+  SELECT doc_id, count(*)::BIGINT AS nc, count_if(ok)::BIGINT AS nv,
+         list_sort(list(c) FILTER (WHERE ok)) AS valids
+  FROM flags GROUP BY doc_id
+)
+SELECT p.doc_id::BIGINT AS doc_id,
+  coalesce(a.nc, 0)::BIGINT AS n_card_candidates,
+  coalesce(a.nv, 0)::BIGINT AS n_card_valid,
+  list_reduce(list_prepend(p.text, coalesce(a.valids, [])),
+              (acc, x) -> replace(acc, x, '<CARD>')) AS redacted
+FROM planted p LEFT JOIN agg a USING (doc_id)"""
+
+
+SQL_CARD_PII = _sql_card_pii()
+
+
+def q_source_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-driven source blocklist (textstats.source_reputation):
+    sources with srcnum % 4 == 0 get 4/5 of their docs overwritten
+    with one shared boilerplate body (dup-rate block), srcnum % 4 == 1
+    get two of every three docs degraded below the word-count bar
+    (quality block); the other half stay clean. min_docs=2 so the support gate
+    engages at every test scale."""
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    srcnum = F.expr("cast(substring(source, 4) AS INT)")
+    planted = docs.select(
+        "source",
+        F.when((srcnum % 4 == 0) & (F.col("doc_id") % 5 != 0),
+               F.lit(_BOILER_BODY))
+        .when((srcnum % 4 == 1) & (F.col("doc_id") % 3 != 0),
+              F.lit("#@ 12"))
+        .otherwise(F.col("text")).alias("text"))
+    return T.source_reputation(planted, min_docs=2)
+
+
+_BOILER_BODY = ("duplicate boilerplate page body shared across every "
+                "page of this source")
+
+
+def _sql_source_reputation() -> str:
+    return f"""
+WITH planted AS (
+  SELECT source,
+    CASE WHEN cast(substring(source, 4) AS INT) % 4 = 0
+              AND doc_id % 5 != 0 THEN {_sq(_BOILER_BODY)}
+         WHEN cast(substring(source, 4) AS INT) % 4 = 1
+              AND doc_id % 3 != 0 THEN '#@ 12'
+         ELSE text END AS text
+  FROM documents
+), s AS (
+  SELECT source, len({TOKS_SQL.format(c='text')})::BIGINT AS nw,
+         length(text)::BIGINT AS nc,
+         length(regexp_replace(text, '[^A-Za-z{S.ARABIC_RANGE} ]', '', 'g'))
+           ::BIGINT AS na,
+         md5(text) AS h
+  FROM planted
+), f AS (
+  SELECT source, nw, h,
+    (CASE WHEN nw >= 5 AND nw <= 100000 AND na * 1000 >= nc * 100
+          THEN 1 ELSE 0 END)::BIGINT AS ok
+  FROM s
+), agg AS (
+  SELECT source, count(*)::BIGINT AS n_docs, sum(ok)::BIGINT AS n_pass,
+         count(DISTINCT h)::BIGINT AS n_uniq
+  FROM f GROUP BY source
+)
+SELECT source, n_docs, n_pass,
+  (n_pass * 1000000 // n_docs)::BIGINT AS pass_rate_e6,
+  n_uniq,
+  ((n_docs - n_uniq) * 1000000 // n_docs)::BIGINT AS dup_rate_e6,
+  (CASE WHEN n_docs >= 2 AND (n_pass * 1000000 // n_docs < 500000
+        OR (n_docs - n_uniq) * 1000000 // n_docs > 500000)
+        THEN 1 ELSE 0 END)::INT AS blocked
+FROM agg"""
+
+
+SQL_SOURCE_REPUTATION = _sql_source_reputation()
+
+
 # license footers planted by doc_id % 8 (the _MOJI_SUFFIXES idiom):
 # one per LICENSE_MARKERS label, one copyright-only line, one clean
 _LICENSE_SUFFIXES = (
@@ -6899,6 +7030,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # pair; the long-stable tail (green in r2 AND r3) yields its slots.
     return {
         # -- new this round / never driver-gated in any round ----------
+        "card_pii": q_card_pii,
+        "source_reputation": q_source_reputation,
         "perceptual_hash": q_perceptual_hash,
         "phash_pairs": q_phash_pairs,
         "cdc_dedup": q_cdc_dedup,
@@ -7051,6 +7184,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "card_pii": SQL_CARD_PII,
+        "source_reputation": SQL_SOURCE_REPUTATION,
         "perceptual_hash": SQL_PERCEPTUAL_HASH,
         "phash_pairs": SQL_PHASH_PAIRS,
         "contrastive_pairs": SQL_CONTRASTIVE,

@@ -76,3 +76,69 @@ def pii_features(df: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id") -> DataFrame:
     """Counts-only variant (drops the redacted payload column)."""
     return redact_pii(df, text_col, id_col).drop("redacted")
+
+
+# Payment-card candidates: 13-19 digits with optional single space/dash
+# separators between digits, word-bounded on both sides. The boundary
+# anchors make a 20+-digit run yield NO candidate (every greedy retry
+# leaves a digit adjacent to the match edge), so long ids/serials are
+# never mistaken for cards — the same leftmost-first semantics under
+# Java regex (Spark) and RE2 (DuckDB).
+CARD_PATTERN = r"\b[0-9](?:[ \-]?[0-9]){12,18}\b"
+
+# Luhn checksum over the separator-stripped digit string {d}: 1-based
+# position i from the left doubles (with the >9 fold) exactly when
+# (len - i) is odd — i.e. every second digit moving left from the
+# check digit. Pure integer arithmetic, identical under Spark and the
+# DuckDB oracle's list-comprehension twin.
+_LUHN_SQL = (
+    "length({d}) BETWEEN 13 AND 19 AND aggregate("
+    "sequence(1, length({d})), 0, (acc, i) -> acc + "
+    "(CASE WHEN (length({d}) - i) % 2 = 1 THEN "
+    "if(cast(substring({d}, i, 1) AS INT) * 2 > 9, "
+    "cast(substring({d}, i, 1) AS INT) * 2 - 9, "
+    "cast(substring({d}, i, 1) AS INT) * 2) "
+    "ELSE cast(substring({d}, i, 1) AS INT) END)) % 10 = 0"
+)
+
+
+def detect_cards(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Luhn-validated payment-card detection + redaction.
+
+    Digit-run pattern matching alone false-positives on order numbers,
+    timestamps, and serials; real PII scrubbers (and PCI-DSS scanners)
+    validate the Luhn check digit before redacting. Returns
+    ``(id_col, <passthrough>, n_card_candidates, n_card_valid,
+    redacted)`` where candidates are word-bounded 13-19 digit runs
+    (optional single space/dash separators), valid ones pass the Luhn
+    mod-10 checksum, and ``redacted`` replaces each VALID candidate
+    (as matched, separators and all) with ``<CARD>`` — invalid
+    candidates stay untouched, because a failed checksum means the run
+    is not a card and blanking it would destroy real content.
+
+    At 100 TB: a row-local projection like :func:`redact_pii` — the
+    extract / filter / fold chain is nested higher-order functions
+    inside whole-stage codegen, zero Python, zero shuffles. Candidates
+    per document are O(1) in practice, so the per-row fold is bounded.
+    """
+    keep = [c for c in df.columns if c != text_col]
+    luhn = _LUHN_SQL.format(d="regexp_replace(c, '[ -]', '')")
+    return (
+        df.select(*keep, F.col(text_col).alias("_t"))
+        .select("*", F.expr(
+            f"regexp_extract_all(_t, r'{CARD_PATTERN}', 0)"
+        ).alias("_cands"))
+        # sort before the replace fold so redaction order (and thus the
+        # output bytes) never depends on match order
+        .select("*", F.expr(
+            f"array_sort(filter(_cands, c -> {luhn}))").alias("_valid"))
+        .select(
+            *keep,
+            F.size("_cands").cast("long").alias("n_card_candidates"),
+            F.size("_valid").cast("long").alias("n_card_valid"),
+            F.expr("aggregate(_valid, _t, "
+                   "(acc, x) -> replace(acc, x, '<CARD>'))")
+            .alias("redacted"),
+        )
+    )

@@ -628,6 +628,72 @@ def source_quality_prior(df: DataFrame, source_col: str = "source",
         "total_words")
 
 
+def source_reputation(df: DataFrame, source_col: str = "source",
+                      text_col: str = "text",
+                      min_words: int = 5, max_words: int = 100_000,
+                      alpha_permille: int = 100,
+                      min_docs: int = 10,
+                      min_pass_rate_e6: int = 500_000,
+                      max_dup_rate_e6: int = 500_000) -> DataFrame:
+    """Data-driven source blocklist derivation — the RefinedWeb /
+    CCNet closing of the loop over :func:`source_quality_prior`: a
+    source is *blocked* when, with at least ``min_docs`` of support,
+    its cheap-quality pass rate falls below ``min_pass_rate_e6`` OR
+    its exact-duplicate share exceeds ``max_dup_rate_e6`` (mirror
+    farms and template sites show up as domains whose pages are
+    mostly copies of each other before any per-document filter fires).
+
+    Returns ``(source, n_docs, n_pass, pass_rate_e6, n_uniq,
+    dup_rate_e6, blocked)`` with ``dup_rate_e6 =
+    1_000_000·(n_docs - n_uniq) div n_docs`` and ``n_uniq`` the count
+    of distinct md5(text) payloads. All fixed point — the support
+    gate uses integer comparison only, so the DuckDB twin replays it
+    bit-exactly.
+
+    Scale shape: the prior is one groupBy(source) with map-side
+    partials (see :func:`source_quality_prior`); the distinct count is
+    the exact two-stage form — groupBy(source, md5) then
+    groupBy(source) — both keyed on uniform hashes, never a
+    count_distinct over a hot source in one task. The result is
+    KB-per-source; join it back broadcast.
+    """
+    prior = source_quality_prior(df, source_col, text_col,
+                                 min_words, max_words, alpha_permille)
+    uniq = (df.select(F.col(source_col).alias("source"),
+                      F.md5(F.col(text_col)).alias("_h"))
+            .groupBy("source", "_h").agg(F.count("*").alias("_n"))
+            .groupBy("source")
+            .agg(F.count("*").cast("long").alias("n_uniq")))
+    rep = (prior.join(uniq, "source")
+           .withColumn("dup_rate_e6",
+                       F.expr("(n_docs - n_uniq) * 1000000 div n_docs")))
+    blocked = ((F.col("n_docs") >= min_docs)
+               & ((F.col("pass_rate_e6") < min_pass_rate_e6)
+                  | (F.col("dup_rate_e6") > max_dup_rate_e6)))
+    return rep.select(
+        "source", "n_docs", "n_pass", "pass_rate_e6", "n_uniq",
+        "dup_rate_e6",
+        F.when(blocked, F.lit(1)).otherwise(F.lit(0)).cast("int")
+        .alias("blocked"))
+
+
+def gate_by_source_reputation(df: DataFrame,
+                              source_col: str = "source",
+                              text_col: str = "text",
+                              **rep_kwargs) -> DataFrame:
+    """Drop every document whose source the reputation table blocks.
+
+    The blocklist side is the per-source reputation relation —
+    KB-per-source at any corpus size — so the gate is a broadcast
+    LEFT ANTI join: the corpus never shuffles, only the tiny blocked
+    set moves.
+    """
+    rep = source_reputation(df, source_col, text_col, **rep_kwargs)
+    block = rep.where(F.col("blocked") == 1).select(
+        F.col("source").alias(source_col))
+    return df.join(F.broadcast(block), source_col, "left_anti")
+
+
 def readability(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Flesch-reading-ease-style readability, entirely in fixed point.
