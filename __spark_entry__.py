@@ -3753,6 +3753,130 @@ SELECT 2::BIGINT, split_part(pair, ' ', 1), split_part(pair, ' ', 2),
 _WP_MAXLEN = 8
 
 
+def q_unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM seed vocabulary (Kudo 2018 SentencePiece
+    initialization): every single character of the trainable word-TYPE
+    table plus the 64 most frequent multi-char substrings (length
+    <= 4), each costed by the piecewise-linear integer base-2 log both
+    engines compute bit-identically (operators/unigram.py docstring)."""
+    from rag_document_parser_spark.operators import unigram as U
+    return U.unigram_vocab(_docs(spark, sf_dir), vocab_size=64,
+                           max_piece_len=4, min_count=2,
+                           ascii_only=True)
+
+
+_UG_LOG2 = ("((length(bin({n})) - 1) * 1000000 + "
+            "(({n} * 1000000) // (1::BIGINT << (length(bin({n})) - 1)))"
+            " - 1000000)")
+_UG_MAXLEN = 4
+_UG_INF = 1_000_000_000_000_000
+_UG_VOCAB_CTES = f"""
+toks AS (SELECT doc_id, {TOKS_SQL.format(c='text')} AS t
+         FROM documents),
+w AS (SELECT unnest(t) AS word FROM toks),
+awf AS (SELECT word FROM w
+        WHERE regexp_matches(word, '^[a-z0-9]+$')),
+wc AS (SELECT word, count(*) AS c FROM awf GROUP BY word
+       HAVING count(*) >= 2),
+wl AS (SELECT word, c, len(word) AS wlen FROM wc),
+cp AS (SELECT word, c, wlen, unnest(range(1, wlen + 1)) AS pos
+       FROM wl),
+cd AS (SELECT c, word, pos,
+         unnest(range(1, least({_UG_MAXLEN}, wlen - pos + 1) + 1))
+           AS plen
+       FROM cp),
+pf AS (SELECT substring(word, pos, plen) AS piece, plen,
+              sum(c)::BIGINT AS freq
+       FROM cd GROUP BY piece, plen),
+sel AS (SELECT piece, freq FROM pf WHERE plen = 1
+        UNION ALL
+        SELECT piece, freq FROM (
+          SELECT piece, freq FROM pf WHERE plen >= 2
+          ORDER BY freq DESC, piece ASC LIMIT 64) z),
+tot AS (SELECT sum(freq)::BIGINT AS t FROM sel)"""
+SQL_UNIGRAM_VOCAB = f"""
+WITH {_UG_VOCAB_CTES}
+SELECT piece, freq::BIGINT AS freq,
+  ({_UG_LOG2.format(n='t')} - {_UG_LOG2.format(n='freq')})::BIGINT
+    AS cost_e6
+FROM sel, tot"""
+
+
+def q_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc exact-Viterbi segmentation totals under the seed
+    unigram vocabulary (minimum total piece cost, ties toward the
+    longer piece). The oracle replays the DP with a recursive CTE
+    carrying the (cost, backpointer) array per word TYPE and a second
+    recursion counting backtrack steps for n_pieces."""
+    from rag_document_parser_spark.operators import unigram as U
+    docs = _docs(spark, sf_dir)
+    v = U.unigram_vocab(docs, vocab_size=64, max_piece_len=4,
+                        min_count=2, ascii_only=True)
+    return U.viterbi_segment(docs, v, max_piece_len=4,
+                             ascii_only=True)
+
+
+SQL_UNIGRAM_SEGMENT = f"""
+WITH RECURSIVE {_UG_VOCAB_CTES},
+vsel AS (SELECT piece,
+           ({_UG_LOG2.format(n='t')}
+            - {_UG_LOG2.format(n='freq')})::BIGINT AS cost_e6
+         FROM sel, tot),
+uc AS (SELECT (2 * {_UG_LOG2.format(n='t')})::BIGINT AS ucost
+       FROM tot),
+f AS (SELECT doc_id, unnest(t) AS word FROM toks),
+fa AS (SELECT doc_id, word FROM f
+       WHERE regexp_matches(word, '^[a-z0-9]+$')),
+tw AS (SELECT DISTINCT word FROM fa),
+twl AS (SELECT word, len(word) AS wlen FROM tw),
+spj AS (SELECT word, wlen, unnest(range(1, wlen + 1)) AS j
+        FROM twl),
+sp AS (SELECT word, j,
+         unnest(range(greatest(1, j - {_UG_MAXLEN} + 1), j + 1)) AS i
+       FROM spj),
+spc AS (SELECT s.word, s.j, s.i,
+          coalesce(v.cost_e6,
+                   CASE WHEN s.j = s.i THEN u.ucost
+                        ELSE {_UG_INF}::BIGINT END) AS cost
+        FROM (SELECT word, j, i,
+                     substring(word, i, (j - i + 1)::INT) AS piece
+              FROM sp) s
+        LEFT JOIN vsel v USING (piece) CROSS JOIN uc u),
+cl AS (SELECT word, j,
+         list(struct_pack(i := i, cost := cost) ORDER BY i) AS cands
+       FROM spc GROUP BY word, j),
+walk AS (
+  SELECT word, wlen, 0::BIGINT AS j,
+         [struct_pack(c := 0::BIGINT, b := 0::BIGINT)] AS dp
+  FROM twl
+  UNION ALL
+  SELECT k.word, k.wlen, k.j + 1,
+    list_append(k.dp, list_reduce(
+      list_transform(s.cands,
+        x -> struct_pack(c := k.dp[x.i].c + x.cost,
+                         b := (x.i - 1)::BIGINT)),
+      (m, x) -> CASE WHEN x.c < m.c THEN x ELSE m END))
+  FROM walk k JOIN cl s ON s.word = k.word AND s.j = k.j + 1
+  WHERE k.j < k.wlen),
+fin AS (SELECT word, wlen, dp FROM walk WHERE j = wlen),
+bt AS (
+  SELECT word, wlen AS pos, 0::BIGINT AS n, dp,
+         dp[wlen + 1].c AS cost
+  FROM fin
+  UNION ALL
+  SELECT word, dp[pos + 1].b, n + 1, dp, cost
+  FROM bt WHERE pos > 0),
+pw AS (SELECT word, n AS n_pieces, cost FROM bt WHERE pos = 0),
+agg AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+               sum(p.n_pieces)::BIGINT AS n_pieces,
+               sum(p.cost)::BIGINT AS cost_e6
+        FROM fa JOIN pw p USING (word) GROUP BY doc_id)
+SELECT d.doc_id, coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
+  coalesce(a.n_pieces, 0)::BIGINT AS n_pieces,
+  coalesce(a.cost_e6, 0)::BIGINT AS cost_e6
+FROM documents d LEFT JOIN agg a USING (doc_id)"""
+
+
 def q_wordpiece_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy longest-match WordPiece segmentation under the first 2
     learned merges: per-doc piece counts + whole-word UNKs (BERT
@@ -7030,6 +7154,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # pair; the long-stable tail (green in r2 AND r3) yields its slots.
     return {
         # -- new this round / never driver-gated in any round ----------
+        "unigram_vocab": q_unigram_vocab,
+        "unigram_segment": q_unigram_segment,
         "card_pii": q_card_pii,
         "source_reputation": q_source_reputation,
         "perceptual_hash": q_perceptual_hash,
@@ -7184,6 +7310,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "unigram_vocab": SQL_UNIGRAM_VOCAB,
+        "unigram_segment": SQL_UNIGRAM_SEGMENT,
         "card_pii": SQL_CARD_PII,
         "source_reputation": SQL_SOURCE_REPUTATION,
         "perceptual_hash": SQL_PERCEPTUAL_HASH,
