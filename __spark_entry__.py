@@ -3877,6 +3877,81 @@ SELECT d.doc_id, coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
 FROM documents d LEFT JOIN agg a USING (doc_id)"""
 
 
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS fit of the Zipf rank-frequency head (top 256 terms) in
+    integer fixed point: the e3 piecewise-linear base-2 log and an
+    exact two-stage long division keep both engines bit-identical
+    (operators/corpstats.py docstring carries the headroom proof)."""
+    from rag_document_parser_spark.operators import corpstats as CS
+    return CS.zipf_fit(_docs(spark, sf_dir), top_n=256)
+
+
+_ZF_LOG2 = ("((length(bin({n})) - 1) * 1000 + "
+            "(({n} * 1000) // (1::BIGINT << (length(bin({n})) - 1)))"
+            " - 1000)")
+_ZF_TOPN = 256
+_ZF_DEN = "nullif(n * sxx - sx * sx, 0)"
+_ZF_NUM = "(sx * sy - n * sxy)"
+SQL_ZIPF_FIT = f"""
+WITH toks AS (SELECT {TOKS_SQL.format(c='text')} AS t FROM documents),
+tf AS (SELECT term, count(*)::BIGINT AS freq
+       FROM (SELECT unnest(t) AS term FROM toks) z GROUP BY term),
+dist AS (SELECT freq, count(*)::BIGINT AS nt FROM tf GROUP BY freq),
+spans AS (SELECT freq, nt,
+   sum(nt) OVER (ORDER BY freq DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+     ::BIGINT AS rend,
+   sum(nt) OVER ()::BIGINT AS tot FROM dist),
+pts AS (SELECT unnest(range(rstart, least(rend, {_ZF_TOPN}) + 1))
+          AS rank, freq, tot
+        FROM (SELECT freq, nt, rend, tot, rend - nt + 1 AS rstart
+              FROM spans) s
+        WHERE rstart <= {_ZF_TOPN}),
+xy AS (SELECT tot, {_ZF_LOG2.format(n='rank')}::BIGINT AS x,
+              {_ZF_LOG2.format(n='freq')}::BIGINT AS y FROM pts),
+s AS (SELECT count(*)::BIGINT AS n, max(tot)::BIGINT AS n_types,
+             sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+             sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx
+      FROM xy)
+SELECT n AS n_head, n_types,
+  ({_ZF_NUM} * 1000 // {_ZF_DEN} * 1000
+   + ({_ZF_NUM} * 1000
+      - {_ZF_NUM} * 1000 // {_ZF_DEN} * (n * sxx - sx * sx)) * 1000
+     // {_ZF_DEN})::BIGINT AS neg_slope_e6,
+  ((sy + {_ZF_NUM} * 1000 // {_ZF_DEN} * sx // 1000) // n)::BIGINT
+    AS intercept_e3
+FROM s"""
+
+
+def q_heaps_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth points over 8 md5-ordered corpus
+    prefixes: cumulative docs / token mass / distinct vocabulary, a
+    term counted at its first (minimum-bucket) appearance."""
+    from rag_document_parser_spark.operators import corpstats as CS
+    return CS.heaps_points(_docs(spark, sf_dir), n_buckets=8,
+                           salt="hp")
+
+
+SQL_HEAPS_POINTS = f"""
+WITH toks AS (SELECT
+    ('0x' || substring(md5(doc_id::VARCHAR || 'hp'), 1, 15))::BIGINT
+      % 8 + 1 AS b,
+    {TOKS_SQL.format(c='text')} AS t FROM documents),
+per_doc AS (SELECT b, count(*)::BIGINT AS docs,
+                   sum(len(t))::BIGINT AS tokens
+            FROM toks GROUP BY b),
+fs AS (SELECT b, count(*)::BIGINT AS types FROM (
+         SELECT term, min(b) AS b FROM (
+           SELECT b, unnest(t) AS term FROM toks) e GROUP BY term) m
+       GROUP BY b),
+frame AS (SELECT unnest(range(1, 9)) AS b)
+SELECT b::BIGINT AS prefix_buckets,
+  sum(coalesce(d.docs, 0)) OVER (ORDER BY b)::BIGINT AS n_docs,
+  sum(coalesce(d.tokens, 0)) OVER (ORDER BY b)::BIGINT AS n_tokens,
+  sum(coalesce(f.types, 0)) OVER (ORDER BY b)::BIGINT AS n_types
+FROM frame LEFT JOIN per_doc d USING (b) LEFT JOIN fs f USING (b)"""
+
+
 def q_wordpiece_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy longest-match WordPiece segmentation under the first 2
     learned merges: per-doc piece counts + whole-word UNKs (BERT
@@ -7156,6 +7231,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new this round / never driver-gated in any round ----------
         "unigram_vocab": q_unigram_vocab,
         "unigram_segment": q_unigram_segment,
+        "zipf_fit": q_zipf_fit,
+        "heaps_points": q_heaps_points,
         "card_pii": q_card_pii,
         "source_reputation": q_source_reputation,
         "perceptual_hash": q_perceptual_hash,
@@ -7312,6 +7389,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "unigram_vocab": SQL_UNIGRAM_VOCAB,
         "unigram_segment": SQL_UNIGRAM_SEGMENT,
+        "zipf_fit": SQL_ZIPF_FIT,
+        "heaps_points": SQL_HEAPS_POINTS,
         "card_pii": SQL_CARD_PII,
         "source_reputation": SQL_SOURCE_REPUTATION,
         "perceptual_hash": SQL_PERCEPTUAL_HASH,

@@ -266,6 +266,18 @@ def main() -> None:
                 .agg(F.sum("n_pieces")).collect())
 
     timed_reps("wordpiece", _wp)
+    from rag_document_parser_spark.operators import unigram as UG
+
+    def _ug():
+        v = UG.unigram_vocab(docs, vocab_size=64, max_piece_len=4,
+                             ascii_only=True)
+        return (UG.viterbi_segment(docs, v, ascii_only=True)
+                .agg(F.sum("n_pieces")).collect())
+
+    timed_reps("unigram", _ug)
+    from rag_document_parser_spark.operators import corpstats as CS
+    timed_reps("zipf_fit",
+          lambda: CS.zipf_fit(docs, top_n=1024).collect())
     from rag_document_parser_spark.operators import winnow as WN
     timed_reps("winnow_pairs",
           lambda: WN.winnow_pairs(docs, k=5, w=4, min_shared=2).count())

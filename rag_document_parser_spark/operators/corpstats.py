@@ -1,0 +1,174 @@
+"""Corpus scaling-law statistics: Zipf rank-frequency fit and Heaps'
+vocabulary-growth points — the datasheet-grade numbers every corpus
+card reports (Zipf 1949; Heaps 1978; used e.g. in the Pile and C4
+analyses). The reference has no corpus-statistics tier
+(/root/reference/main.py:302-342 — per-run report totals only).
+
+Zipf: term frequency ~ C · rank^(-s). The fit is an ordinary
+least-squares line over (log2 rank, log2 freq) of the TOP-N head
+(head-only fitting is the statistical standard — the tail bends away
+from the power law — and it is also what bounds the integer
+arithmetic). Logs are the same piecewise-linear INTEGER base-2 log as
+``unigram.py`` (exact at powers of two, monotone, bit-identical in
+Spark and DuckDB), here in e3 fixed point so the OLS sums stay inside
+BIGINT: with N ≤ 4096 head points, x,y ≤ 5·10^4 e3-units (freq up to
+2^50), so Σxy ≤ 10^13 and the scaled numerator ≤ 5·10^17 — headroom
+documented per expression. The slope division is exact two-stage long
+division (quotient in e3, then the remainder refined to e6), so both
+engines agree bit-for-bit without a 128-bit intermediate.
+
+Why ranks without a global sort: the term table aggregates map-side to
+(term, freq); the DISTINCT-freq distribution (|distinct freq values|
+= O(sqrt(total tokens)) rows) gets rank spans from ONE bounded window;
+each span explodes locally back to (rank, freq) points. Terms within a
+freq class share arbitrary rank order — immaterial, because OLS
+consumes the (rank, freq) MULTISET, which is deterministic.
+
+Heaps: V(n) ~ K·n^beta, evidenced as vocabulary-vs-token-mass points
+over md5-ordered corpus prefixes (the ``sampling.py`` 60-bit md5
+convention, engine-portable): prefix b = docs whose bucket < b; a
+term's first appearance is its MIN bucket, so per-prefix vocabulary is
+one uniform-key aggregate plus a window over n_buckets rows — the
+corpus is scanned once and never shuffled on the doc key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from rag_document_parser_spark.operators.dedup import words
+
+__all__ = ["term_freqs", "zipf_points", "zipf_fit", "heaps_points"]
+
+# piecewise-linear base-2 log in e3 fixed point (module docstring)
+LOG2_E3 = ("((length(bin({n})) - 1) * 1000 + "
+           "({n} * 1000 div shiftleft(1L, length(bin({n})) - 1)) "
+           "- 1000)")
+
+
+def term_freqs(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(term, freq): corpus term frequencies — one map-side-combined
+    aggregate over the exploded token stream."""
+    toks = df.select(words(F.col(text_col)).alias("_t"))
+    return (toks.select(F.explode("_t").alias("term"))
+            .groupBy("term").agg(F.count("*").cast("long").alias("freq")))
+
+
+def zipf_points(df: DataFrame, text_col: str = "text",
+                top_n: int = 1024) -> DataFrame:
+    """(rank, freq) for the ``top_n`` most frequent terms, ranks 1-based
+    with ties ordered arbitrarily inside a frequency class (the
+    multiset is deterministic; see module docstring). The window runs
+    over the distinct-frequency distribution, never over terms."""
+    tf = term_freqs(df, text_col)
+    dist = tf.groupBy("freq").agg(F.count("*").cast("long").alias("nt"))
+    w = (Window.orderBy(F.col("freq").desc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    spans = dist.select(
+        "freq", "nt", F.sum("nt").over(w).cast("long").alias("rend"))
+    return (spans
+            .withColumn("rstart", F.col("rend") - F.col("nt") + 1)
+            .where(F.col("rstart") <= top_n)
+            .select(F.explode(F.expr(
+                f"sequence(rstart, least(rend, {int(top_n)}L))"))
+                .alias("rank"), "freq")
+            .select(F.col("rank").cast("long").alias("rank"), "freq"))
+
+
+def zipf_fit(df: DataFrame, text_col: str = "text",
+             top_n: int = 1024) -> DataFrame:
+    """One-row OLS fit of the Zipf head: ``(n_head, n_types,
+    neg_slope_e6, intercept_e3)`` — ``neg_slope_e6`` is the POSITIVE
+    Zipf exponent s (freq ~ rank^-s) in e6 fixed point;
+    ``intercept_e3`` the fitted log2-frequency at rank 1 in e3 units.
+
+    Integer bounds (top_n ≤ 4096, freq < 2^50): x ≤ 1.2e4, y ≤ 5e4
+    e3-units; den = n·Σx² − (Σx)² ≤ 2.4e14; the first-stage numerator
+    (Σx·Σy − n·Σxy)·10³ ≤ 5e17 — all inside BIGINT, division stays on
+    the truncate-toward-zero semantics both engines share.
+    """
+    tf = term_freqs(df, text_col)
+    dist = tf.groupBy("freq").agg(F.count("*").cast("long").alias("nt"))
+    wc = (Window.orderBy(F.col("freq").desc())
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wall = (Window.orderBy(F.col("freq").desc())
+            .rowsBetween(Window.unboundedPreceding,
+                         Window.unboundedFollowing))
+    # n_types rides the same lineage (max cumulative count over the
+    # distribution) — the corpus is tokenized exactly once
+    spans = dist.select(
+        "freq", "nt",
+        F.sum("nt").over(wc).cast("long").alias("rend"),
+        F.sum("nt").over(wall).cast("long").alias("tot"))
+    pts = (spans
+           .withColumn("rstart", F.col("rend") - F.col("nt") + 1)
+           .where(F.col("rstart") <= top_n)
+           .select(F.explode(F.expr(
+               f"sequence(rstart, least(rend, {int(top_n)}L))"))
+               .alias("rank"), "freq", "tot"))
+    sums = pts.select(
+        "tot",
+        F.expr(LOG2_E3.format(n="rank")).cast("long").alias("x"),
+        F.expr(LOG2_E3.format(n="freq")).cast("long").alias("y")
+    ).agg(F.count("*").cast("long").alias("n"),
+          F.max("tot").alias("n_types"),
+          F.sum("x").cast("long").alias("sx"),
+          F.sum("y").cast("long").alias("sy"),
+          F.sum(F.expr("x * y")).cast("long").alias("sxy"),
+          F.sum(F.expr("x * x")).cast("long").alias("sxx"))
+    return (sums.select(
+        F.col("n").alias("n_head"),
+        "n_types",
+        # two-stage exact long division: e3 quotient, remainder -> e6
+        F.expr("""
+          (sx * sy - n * sxy) * 1000 div nullif(n * sxx - sx * sx, 0)
+            * 1000
+          + ((sx * sy - n * sxy) * 1000
+             - (sx * sy - n * sxy) * 1000
+               div nullif(n * sxx - sx * sx, 0)
+               * (n * sxx - sx * sx)) * 1000
+            div nullif(n * sxx - sx * sx, 0)
+        """).cast("long").alias("neg_slope_e6"),
+        F.expr("""
+          (sy + (sx * sy - n * sxy) * 1000
+                div nullif(n * sxx - sx * sx, 0)
+                * sx div 1000) div n
+        """).cast("long").alias("intercept_e3")))
+
+
+def heaps_points(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", n_buckets: int = 8,
+                 salt: str = "") -> DataFrame:
+    """Vocabulary growth over md5-ordered corpus prefixes:
+    ``(prefix_buckets, n_docs, n_tokens, n_types)`` — one row per
+    prefix 1..n_buckets, cumulative. A term counts toward the first
+    prefix that contains it (its MIN bucket); empty buckets still
+    emit a row, so the shape is always ``n_buckets`` rows."""
+    u = F.conv(F.substring(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))),
+        1, 15), 16, 10).cast("long")
+    toks = df.select((u % n_buckets + 1).cast("long").alias("b"),
+                     words(F.col(text_col)).alias("_t"))
+    per_doc = toks.groupBy("b").agg(
+        F.count("*").cast("long").alias("docs"),
+        F.sum(F.size("_t")).cast("long").alias("tokens"))
+    first_seen = (toks.select("b", F.explode("_t").alias("term"))
+                  .groupBy("term").agg(F.min("b").alias("b"))
+                  .groupBy("b").agg(F.count("*").cast("long")
+                                    .alias("types")))
+    frame = (df.sparkSession.range(1, n_buckets + 1)
+             .select(F.col("id").alias("b")))
+    w = (Window.orderBy("b")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (frame
+            .join(per_doc, "b", "left").join(first_seen, "b", "left")
+            .select("b",
+                    F.coalesce("docs", F.lit(0)).alias("docs"),
+                    F.coalesce("tokens", F.lit(0)).alias("tokens"),
+                    F.coalesce("types", F.lit(0)).alias("types"))
+            .select(F.col("b").cast("long").alias("prefix_buckets"),
+                    F.sum("docs").over(w).cast("long").alias("n_docs"),
+                    F.sum("tokens").over(w).cast("long")
+                    .alias("n_tokens"),
+                    F.sum("types").over(w).cast("long")
+                    .alias("n_types")))

@@ -1,0 +1,113 @@
+"""Corpus scaling-law statistics (operators/corpstats.py) vs an
+independent pure-Python simulation: rank spans from the compacted
+frequency distribution, the fixed-point OLS Zipf fit (two-stage exact
+long division), Heaps' first-appearance vocabulary growth, a
+power-law corpus recovering its planted exponent, and the plan shape
+(no window over term-scale rows)."""
+
+import re
+from collections import Counter
+
+import pytest
+
+from rag_document_parser_spark.operators import corpstats as C
+
+
+def _words(t):
+    return [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+
+
+def _log2_e3(n):
+    il = n.bit_length() - 1
+    return il * 1000 + (n * 1000) // (1 << il) - 1000
+
+
+def _twin_points(docs, top_n):
+    tf = Counter(w for _, t in docs for w in _words(t))
+    out = []
+    for rank, (_, f) in enumerate(
+            sorted(tf.items(), key=lambda kv: -kv[1])[:top_n], start=1):
+        out.append((rank, f))
+    return out, len(tf)
+
+
+def _twin_fit(docs, top_n):
+    pts, n_types = _twin_points(docs, top_n)
+    xs = [_log2_e3(r) for r, _ in pts]
+    ys = [_log2_e3(f) for _, f in pts]
+    n, sx, sy = len(pts), sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    num, den = sx * sy - n * sxy, n * sxx - sx * sx
+
+    def tdiv(a, b):  # truncate toward zero, both engines' semantics
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    q1 = tdiv(num * 1000, den)
+    slope = q1 * 1000 + tdiv((num * 1000 - q1 * den) * 1000, den)
+    icept = tdiv(sy + tdiv(q1 * sx, 1000), n)
+    return n, n_types, slope, icept
+
+
+# a corpus with a planted power law: term w_k appears ~ 1024/k times
+ZIPF_DOCS = []
+_k = 0
+for k in range(1, 65):
+    reps = 1024 // k
+    ZIPF_DOCS.append((f"d{k}", " ".join(f"w{k:03d}" for _ in range(reps))))
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(ZIPF_DOCS, ["doc_id", "text"])
+
+
+def test_zipf_points_match_twin(spark, corpus):
+    pts, _ = _twin_points(ZIPF_DOCS, 40)
+    got = sorted((r.rank, r.freq) for r in
+                 C.zipf_points(corpus, top_n=40).collect())
+    # rank->freq multiset equality (tie order inside a class is free)
+    assert sorted(f for _, f in got) == sorted(f for _, f in pts)
+    assert [r for r, _ in got] == list(range(1, len(pts) + 1))
+
+
+def test_zipf_fit_matches_twin_and_recovers_exponent(spark, corpus):
+    n, n_types, slope, icept = _twin_fit(ZIPF_DOCS, 64)
+    row = C.zipf_fit(corpus, top_n=64).collect()[0]
+    assert (row.n_head, row.n_types) == (n, n_types)
+    assert row.neg_slope_e6 == slope
+    assert row.intercept_e3 == icept
+    # planted exponent is 1.0; the piecewise log bends it slightly
+    assert 850_000 < row.neg_slope_e6 < 1_150_000
+
+
+def test_heaps_points_match_twin(spark, corpus):
+    got = {r.prefix_buckets: r for r in
+           C.heaps_points(corpus, n_buckets=4, salt="t").collect()}
+    assert sorted(got) == [1, 2, 3, 4]
+    import hashlib
+    buckets = {
+        d: int(hashlib.md5((d + "t").encode()).hexdigest()[:15], 16)
+        % 4 + 1 for d, _ in ZIPF_DOCS}
+    for b in range(1, 5):
+        pref = [(d, t) for d, t in ZIPF_DOCS if buckets[d] <= b]
+        toks = [w for _, t in pref for w in _words(t)]
+        assert got[b].n_docs == len(pref), b
+        assert got[b].n_tokens == len(toks), b
+        assert got[b].n_types == len(set(toks)), b
+    # growth is monotone and ends at the full corpus
+    assert got[4].n_docs == len(ZIPF_DOCS)
+    assert all(got[b].n_types <= got[b + 1].n_types for b in (1, 2, 3))
+
+
+def test_no_window_over_term_scale_rows(spark, corpus):
+    """The rank window must run over the compacted distribution, not
+    the term table: the plan's Window sits above an aggregate keyed on
+    freq, and no Window consumes the raw term relation."""
+    plan = C.zipf_fit(corpus, top_n=64) \
+        ._jdf.queryExecution().optimizedPlan().toString()
+    # term-scale explode feeds an Aggregate, never a Window directly
+    assert "Window" in plan
+    win_idx = plan.index("Window")
+    assert "Aggregate" in plan[win_idx:], plan
