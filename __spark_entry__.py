@@ -3877,6 +3877,86 @@ SELECT d.doc_id, coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
 FROM documents d LEFT JOIN agg a USING (doc_id)"""
 
 
+def q_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tf-weighted Jaccard pairs (Σmin/Σmax over clamped term
+    frequencies) on the cloned corpus — the occurrence-mass similarity
+    that catches templated near-dups whose distinct-shingle Jaccard
+    understates the overlap (operators/wminhash.py)."""
+    from rag_document_parser_spark.operators import wminhash as WM
+    return WM.weighted_jaccard_pairs(
+        _cloned_docs(spark, sf_dir), n=3, threshold_e6=500_000,
+        max_weight=4, df_cap=1000)
+
+
+SQL_WEIGHTED_JACCARD = f"""
+WITH u AS (SELECT * FROM {CLONED_SQL}),
+s AS (SELECT doc_id AS id, {_SH3} AS sh FROM u),
+s2 AS (SELECT id, sh FROM s WHERE len(sh) > 0),
+ws AS (SELECT id, shingle, least(count(*), 4)::BIGINT AS w
+       FROM (SELECT id, unnest(sh) AS shingle FROM s2) z
+       GROUP BY id, shingle),
+freq AS (SELECT shingle, count(*) AS c FROM ws GROUP BY shingle),
+f2 AS (SELECT ws.id, ws.shingle, ws.w FROM ws
+       JOIN freq ON ws.shingle = freq.shingle WHERE freq.c <= 1000),
+tots AS (SELECT id, sum(w)::BIGINT AS tot FROM ws GROUP BY id),
+inter AS (SELECT a.id AS id_a, b.id AS id_b,
+                 sum(least(a.w, b.w))::BIGINT AS inter_w
+          FROM f2 a JOIN f2 b ON a.shingle = b.shingle AND a.id < b.id
+          GROUP BY a.id, b.id)
+SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b, inter_w,
+  ta.tot::BIGINT AS tot_a, tb.tot::BIGINT AS tot_b,
+  (inter_w * 1000000 // (ta.tot + tb.tot - inter_w))::BIGINT
+    AS wjaccard_e6
+FROM inter JOIN tots ta ON inter.id_a = ta.id
+           JOIN tots tb ON inter.id_b = tb.id
+WHERE inter_w * 1000000 // (ta.tot + tb.tot - inter_w) >= 500000"""
+
+
+_WM_K = 8
+_WM_M31 = 2147483647
+
+
+def q_wminhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted MinHash signatures over the integer-replica expansion
+    (collision probability = weighted Jaccard), comma-joined for
+    stable hashing like the unweighted `minhash_signatures` query."""
+    from rag_document_parser_spark.operators import wminhash as WM
+    sigs = WM.weighted_minhash_signatures(
+        _docs(spark, sf_dir), n=3, k=_WM_K, max_weight=4)
+    return sigs.select(
+        F.col("id").cast("long").alias("id"),
+        F.array_join(F.transform("signature",
+                                 lambda x: x.cast("string")), ",")
+        .alias("sig"))
+
+
+def _wm_const(name: str, i: int, plus: int = 0,
+              mod: int = _WM_M31) -> str:
+    return (f"(('0x' || substring(md5('wminhash-{name}-{i}'), 1, 15))"
+            f"::BIGINT % {mod} + {plus})")
+
+
+SQL_WMINHASH_SIGS = f"""
+WITH s AS (SELECT doc_id AS id, {_SH3} AS sh FROM documents),
+s2 AS (SELECT id, sh FROM s WHERE len(sh) > 0),
+ws AS (SELECT id, shingle, least(count(*), 4)::BIGINT AS w
+       FROM (SELECT id, unnest(sh) AS shingle FROM s2) z
+       GROUP BY id, shingle),
+reps AS (SELECT id,
+           ('0x' || substring(md5(shingle || '#' || r::VARCHAR), 1, 15)
+           )::BIGINT % {_WM_M31} AS h
+         FROM (SELECT id, shingle, unnest(range(1, w + 1)) AS r
+               FROM ws) z),
+sigs AS (SELECT id, {", ".join(
+    f"min(({_wm_const('a', i, 1, _WM_M31 - 1)} * h"
+    f" + {_wm_const('b', i)})"
+    f" % {_WM_M31})::BIGINT AS m{i}" for i in range(_WM_K))}
+         FROM reps GROUP BY id)
+SELECT id::BIGINT AS id,
+  {" || ',' || ".join(f"m{i}::VARCHAR" for i in range(_WM_K))} AS sig
+FROM sigs"""
+
+
 def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OLS fit of the Zipf rank-frequency head (top 256 terms) in
     integer fixed point: the e3 piecewise-linear base-2 log and an
@@ -7233,6 +7313,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_segment": q_unigram_segment,
         "zipf_fit": q_zipf_fit,
         "heaps_points": q_heaps_points,
+        "weighted_jaccard": q_weighted_jaccard,
+        "wminhash_sigs": q_wminhash_sigs,
         "card_pii": q_card_pii,
         "source_reputation": q_source_reputation,
         "perceptual_hash": q_perceptual_hash,
@@ -7391,6 +7473,8 @@ def oracle_sql() -> dict[str, str]:
         "unigram_segment": SQL_UNIGRAM_SEGMENT,
         "zipf_fit": SQL_ZIPF_FIT,
         "heaps_points": SQL_HEAPS_POINTS,
+        "weighted_jaccard": SQL_WEIGHTED_JACCARD,
+        "wminhash_sigs": SQL_WMINHASH_SIGS,
         "card_pii": SQL_CARD_PII,
         "source_reputation": SQL_SOURCE_REPUTATION,
         "perceptual_hash": SQL_PERCEPTUAL_HASH,
