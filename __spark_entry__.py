@@ -2913,7 +2913,7 @@ def _minhash_consts() -> list[tuple[int, int]]:
     out = []
     for i in range(_K):
         a = int(hashlib.md5(f"minhash-a-{i}".encode()).hexdigest()[:15], 16) \
-            % (2**31 - 1) + 1
+            % (2**31 - 2) + 1
         b = int(hashlib.md5(f"minhash-b-{i}".encode()).hexdigest()[:15], 16) \
             % (2**31 - 1)
         out.append((a, b))
@@ -2931,7 +2931,7 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_minhash_sig_cte(src: str) -> str:
     consts = _minhash_consts()
     mins = ", ".join(
-        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {D.P}))::VARCHAR"
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {D.M31}))::VARCHAR"
         for a, b in consts)
     return f"""
 WITH s AS (SELECT doc_id AS id, list_distinct({_SH3}) AS sh FROM {src}),
@@ -2986,7 +2986,7 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_lsh_recall() -> str:
     consts = _minhash_consts()
     mins = ", ".join(
-        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {D.P}))::VARCHAR"
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {D.M31}))::VARCHAR"
         for a, b in consts)
     return f"""
 WITH u AS (SELECT * FROM {CLONED_SQL}),
@@ -3354,7 +3354,7 @@ def q_snapshot_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_snapshot_dedup() -> str:
     consts = _minhash_consts()
     mins = ", ".join(
-        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {D.P}))::VARCHAR"
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {D.M31}))::VARCHAR"
         for a, b in consts)
 
     def keys(src: str, nm: str) -> str:

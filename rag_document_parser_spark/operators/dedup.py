@@ -266,7 +266,7 @@ def _md5_long(c: Column) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
 
-P = 2305843009213693951  # 2^61 - 1 (Mersenne), > any 60-bit md5 value
+M31 = 2 ** 31 - 1  # Mersenne prime modulus for the affine permutations
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text",
@@ -274,11 +274,23 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
                        k: int = 32) -> DataFrame:
     """k-permutation MinHash signature per doc.
 
-    hash_i(s) = (a_i * md5_60(s) + b_i) mod (2^61-1), with a_i, b_i
+    hash_i(s) = (a_i * md5_60(s) + b_i) mod (2^31-1), with a_i, b_i
     themselves md5-derived from the permutation index — no RNG state, so
     signatures are reproducible anywhere (incl. the DuckDB oracle).
     Everything is per-row Catalyst (transform/aggregate over the shingle
     array): zero shuffles to produce signatures.
+
+    The 31-bit Mersenne modulus is load-bearing, not a size tweak:
+    base hashes are 31-bit, so an int64-safe multiplier into a 61-bit
+    modulus wraps the product at most once, leaving the "permutation"
+    near-MONOTONE in h — every slot then picks nearly the same argmin
+    shingle and the slot-collision rate collapses toward 0/1 instead
+    of estimating Jaccard (measured 0.34 on a planted J = 0.774 pair
+    under the old 2^61−1 modulus). Mod 2^31−1 the product wraps ~2^31
+    times and the estimator is unbiased; the collision-rate unit test
+    pins this. Banded LSH inherits the fix: band collisions now fire
+    per-band at rate J^r instead of rate ≈ [shared global-min
+    shingle].
     """
     base = shingle_df(df, text_col, id_col, n, drop_empty=True)
     # hash each shingle ONCE (md5 is the expensive part), then apply the k
@@ -286,18 +298,19 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     hashed = base.select(
         "id",
         F.transform("shingles",
-                    lambda s: F.pmod(_md5_long(s), F.lit(2**31 - 1))).alias("hs"),
+                    lambda s: F.pmod(_md5_long(s), F.lit(M31))).alias("hs"),
     )
 
     def _perm(a, b):
         # NB: defaults in the lambda signature would change its arity for
         # pyspark's HOF binding — close over a/b via this factory instead.
-        return lambda h: F.pmod(a * h + b, F.lit(P))
+        return lambda h: F.pmod(a * h + b, F.lit(M31))
 
     sig_cols = []
     for i in range(k):
-        a = F.pmod(_md5_long(F.lit(f"minhash-a-{i}")), F.lit(2**31 - 1)) + 1
-        b = F.pmod(_md5_long(F.lit(f"minhash-b-{i}")), F.lit(2**31 - 1))
+        # a in [1, M31-1]: a = M31 would be ≡ 0 and zero out the slot
+        a = F.pmod(_md5_long(F.lit(f"minhash-a-{i}")), F.lit(M31 - 1)) + 1
+        b = F.pmod(_md5_long(F.lit(f"minhash-b-{i}")), F.lit(M31))
         sig_cols.append(
             F.array_min(F.transform("hs", _perm(a, b))).alias(f"mh_{i}"))
     return hashed.select("id", F.array(*sig_cols).alias("signature"))

@@ -94,6 +94,24 @@ def test_minhash_signature_deterministic(spark, docs_df):
     assert s1["a"] == s1["b"]  # identical text → identical signature
 
 
+def test_minhash_collision_rate_estimates_jaccard(spark):
+    """Slot-collision rate must track exact Jaccard — the regression
+    gate for the permutation modulus: an int64-safe affine map into a
+    61-bit modulus wraps at most once, is near-monotone in the base
+    hash, and collapsed this rate to 0.34 on this planted J=0.77 pair
+    before the Mersenne-31 modulus fix (dedup.py docstring)."""
+    base = "the quick brown fox jumps over the lazy dog again and " * 4
+    docs = spark.createDataFrame(
+        [("x", base + "one two three"), ("y", base + "four five six")],
+        ["doc_id", "text"])
+    sa, sb = (_shingles(t) for _, t in docs.collect())
+    j = len(sa & sb) / len(sa | sb)
+    sigs = {r["id"]: list(r["signature"]) for r in
+            dedup.minhash_signatures(docs, k=64).collect()}
+    rate = sum(a == b for a, b in zip(sigs["x"], sigs["y"])) / 64
+    assert abs(rate - j) < 0.2, (rate, j)
+
+
 def test_simhash_near_pairs(spark, docs_df):
     sh = {r["id"]: r["simhash"] for r in dedup.simhash64(docs_df).collect()}
     assert sh["a"] == sh["b"]
