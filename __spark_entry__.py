@@ -3877,6 +3877,110 @@ SELECT d.doc_id, coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
 FROM documents d LEFT JOIN agg a USING (doc_id)"""
 
 
+def _classified_with_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """classify_lang's scored output joined with the true lang:
+    adds boolean `correct` — the calibration tier's input."""
+    from rag_document_parser_spark.operators.classify import (
+        classify, train_class_profiles)
+    docs = _docs(spark, sf_dir)
+    model = train_class_profiles(
+        SAM.hash_sample(docs, 0.25, salt="cls1"),
+        label_col="lang", min_count=2)
+    scored = classify(docs, model)
+    return (scored.join(docs.select("doc_id", "lang"), "doc_id")
+            .select("doc_id", "score_e6", "n_tokens",
+                    (F.col("label_pred").isNotNull()
+                     & (F.col("label_pred") == F.col("lang")))
+                    .alias("correct")))
+
+
+_CAL_TRUTH_SQL = f"""
+c AS (SELECT q.doc_id, q.score_e6, q.n_tokens,
+             (q.label_pred IS NOT NULL AND q.label_pred = d.lang)
+               AS correct
+      FROM ({{inner}}) q JOIN documents d USING (doc_id))"""
+
+
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram of the language classifier's confidence
+    (Guo et al. 2017 binned recipe): claimed mean confidence vs
+    observed accuracy per decile bin, integer fixed point
+    (operators/calibration.py)."""
+    from rag_document_parser_spark.operators import calibration as CAL
+    return CAL.reliability_bins(
+        _classified_with_truth(spark, sf_dir), n_bins=10)
+
+
+def q_classifier_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected calibration error + max bin gap of the language
+    classifier — the one-number go/no-go before its scores gate a
+    100 TB filter."""
+    from rag_document_parser_spark.operators import calibration as CAL
+    return CAL.expected_calibration_error(
+        _classified_with_truth(spark, sf_dir), n_bins=10)
+
+
+def q_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs and token mass kept at each candidate confidence
+    threshold (suffix-cumulative over score bins) — the cost side of
+    picking a filter threshold."""
+    from rag_document_parser_spark.operators import calibration as CAL
+    return CAL.retention_curve(
+        _classified_with_truth(spark, sf_dir),
+        weight_col="n_tokens", n_steps=10)
+
+
+def _sql_cal_base() -> str:
+    inner = SQL_CLASSIFY_LANG
+    return "WITH " + _CAL_TRUTH_SQL.format(inner=inner) + f""",
+b AS (SELECT least(9, score_e6 * 10 // 1000000) AS bin, score_e6,
+             n_tokens, correct FROM c),
+agg AS (SELECT bin, count(*) AS n, sum(score_e6) AS sc,
+               sum(correct::INT) AS pos, sum(n_tokens) AS wt
+        FROM b GROUP BY bin),
+frame AS (SELECT unnest(range(0, 10)) AS bin),
+bins AS (SELECT f.bin::BIGINT AS bin, coalesce(a.n, 0)::BIGINT AS n,
+           (a.sc // nullif(a.n, 0))::BIGINT AS conf_e6,
+           (a.pos * 1000000 // nullif(a.n, 0))::BIGINT AS acc_e6,
+           abs(a.sc // nullif(a.n, 0)
+               - a.pos * 1000000 // nullif(a.n, 0))::BIGINT AS gap_e6,
+           coalesce(a.n, 0)::BIGINT AS dn,
+           coalesce(a.wt, 0)::BIGINT AS dw
+         FROM frame f LEFT JOIN agg a USING (bin))"""
+
+
+def _sql_calibration_bins() -> str:
+    return _sql_cal_base() + """
+SELECT bin, n, conf_e6, acc_e6, gap_e6 FROM bins"""
+
+
+def _sql_classifier_ece() -> str:
+    return _sql_cal_base() + """
+SELECT sum(n)::BIGINT AS n_docs,
+  (sum(n * gap_e6) // sum(n))::BIGINT AS ece_e6,
+  max(gap_e6)::BIGINT AS max_gap_e6
+FROM bins WHERE n > 0"""
+
+
+def _sql_retention_curve() -> str:
+    return _sql_cal_base() + """
+SELECT bin AS step, (bin * 1000000 // 10)::BIGINT AS threshold_e6,
+  sum(dn) OVER (ORDER BY bin DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ::BIGINT AS docs_kept,
+  (sum(dn) OVER (ORDER BY bin DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+   * 1000000 // nullif(sum(dn) OVER (), 0))::BIGINT AS docs_frac_e6,
+  sum(dw) OVER (ORDER BY bin DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ::BIGINT AS weight_kept,
+  (sum(dw) OVER (ORDER BY bin DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+   * 1000000 // nullif(sum(dw) OVER (), 0))::BIGINT
+    AS weight_frac_e6
+FROM bins"""
+
+
 def q_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact tf-weighted Jaccard pairs (Σmin/Σmax over clamped term
     frequencies) on the cloned corpus — the occurrence-mass similarity
@@ -7315,6 +7419,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heaps_points": q_heaps_points,
         "weighted_jaccard": q_weighted_jaccard,
         "wminhash_sigs": q_wminhash_sigs,
+        "calibration_bins": q_calibration_bins,
+        "classifier_ece": q_classifier_ece,
+        "retention_curve": q_retention_curve,
         "card_pii": q_card_pii,
         "source_reputation": q_source_reputation,
         "perceptual_hash": q_perceptual_hash,
@@ -7475,6 +7582,9 @@ def oracle_sql() -> dict[str, str]:
         "heaps_points": SQL_HEAPS_POINTS,
         "weighted_jaccard": SQL_WEIGHTED_JACCARD,
         "wminhash_sigs": SQL_WMINHASH_SIGS,
+        "calibration_bins": _sql_calibration_bins(),
+        "classifier_ece": _sql_classifier_ece(),
+        "retention_curve": _sql_retention_curve(),
         "card_pii": SQL_CARD_PII,
         "source_reputation": SQL_SOURCE_REPUTATION,
         "perceptual_hash": SQL_PERCEPTUAL_HASH,
