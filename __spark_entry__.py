@@ -3877,6 +3877,44 @@ SELECT d.doc_id, coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
 FROM documents d LEFT JOIN agg a USING (doc_id)"""
 
 
+def q_merkle_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle integrity rollup of the corpus: 16 order-insensitive
+    bucket digests (bit_xor folds of row md5s) hashed up to one root
+    — the digest two materializations must share to be certified
+    byte-identical; a mismatch walks the tree to the divergent bucket
+    in log2(n) steps (operators/integrity.py)."""
+    from rag_document_parser_spark.operators import integrity as IG
+    return IG.merkle_tree(IG.leaf_checksums(_docs(spark, sf_dir),
+                                            n_buckets=16), 16)
+
+
+def _sql_merkle_level(child: str, lvl: int) -> str:
+    return (f"SELECT {lvl}::BIGINT AS level, (idx // 2)::BIGINT AS idx,"
+            f" md5(string_agg(node_hash, '' ORDER BY idx)) AS node_hash"
+            f" FROM {child} GROUP BY idx // 2")
+
+
+SQL_MERKLE_TREE = f"""
+WITH rows AS (SELECT
+    ('0x' || substring(md5(doc_id::VARCHAR || 'mk'), 1, 15))::BIGINT
+      % 16 AS idx,
+    ('0x' || substring(md5(doc_id::VARCHAR || chr(31) || text), 1, 15)
+    )::BIGINT AS h
+  FROM documents),
+agg AS (SELECT idx, bit_xor(h) AS x FROM rows GROUP BY idx),
+frame AS (SELECT unnest(range(0, 16)) AS idx),
+l4 AS (SELECT 4::BIGINT AS level, f.idx::BIGINT AS idx,
+              md5(coalesce(a.x, 0)::VARCHAR) AS node_hash
+       FROM frame f LEFT JOIN agg a USING (idx)),
+l3 AS ({_sql_merkle_level('l4', 3)}),
+l2 AS ({_sql_merkle_level('l3', 2)}),
+l1 AS ({_sql_merkle_level('l2', 1)}),
+l0 AS ({_sql_merkle_level('l1', 0)})
+SELECT * FROM l4 UNION ALL SELECT * FROM l3 UNION ALL
+SELECT * FROM l2 UNION ALL SELECT * FROM l1 UNION ALL
+SELECT * FROM l0"""
+
+
 def _classified_with_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """classify_lang's scored output joined with the true lang:
     adds boolean `correct` — the calibration tier's input."""
@@ -7422,6 +7460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calibration_bins": q_calibration_bins,
         "classifier_ece": q_classifier_ece,
         "retention_curve": q_retention_curve,
+        "merkle_tree": q_merkle_tree,
         "card_pii": q_card_pii,
         "source_reputation": q_source_reputation,
         "perceptual_hash": q_perceptual_hash,
@@ -7585,6 +7624,7 @@ def oracle_sql() -> dict[str, str]:
         "calibration_bins": _sql_calibration_bins(),
         "classifier_ece": _sql_classifier_ece(),
         "retention_curve": _sql_retention_curve(),
+        "merkle_tree": SQL_MERKLE_TREE,
         "card_pii": SQL_CARD_PII,
         "source_reputation": SQL_SOURCE_REPUTATION,
         "perceptual_hash": SQL_PERCEPTUAL_HASH,
