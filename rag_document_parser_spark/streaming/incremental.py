@@ -602,3 +602,82 @@ def stream_group_mass(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_integrity_ledger(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    n_buckets: int = 16,
+):
+    """Streaming face of ``operators.integrity``: per-bucket CUMULATIVE
+    bit_xor digests across micro-batches via ``applyInPandasWithState``.
+
+    Rows hash and bucket exactly like the batch ``leaf_checksums``
+    (md5-60 of ``doc_id || 0x1f || payload``, md5 bucket of doc_id), and
+    xor is commutative — so once a stream has drained a corpus, each
+    bucket's cumulative digest (and its md5 ``node_hash``) EQUALS the
+    batch leaf digest of the same rows, regardless of how the files were
+    split across micro-batches or runs (the unit test pins this
+    stream/batch agreement). Each batch emits the touched buckets with
+    batch deltas and the running digest; re-invoking continues from the
+    checkpointed state, making this a live integrity ledger for a
+    growing corpus.
+
+    The expensive work (md5, json render) runs JVM-side in the
+    pre-shuffle projection; the stateful Python op only folds int64
+    xors per bucket — one vectorized reduce per batch-group.
+    """
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = T.StructType([
+        T.StructField("idx", T.LongType()),
+        T.StructField("batch_docs", T.LongType()),
+        T.StructField("total_docs", T.LongType()),
+        T.StructField("xor_digest", T.LongType()),
+        T.StructField("node_hash", T.StringType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("total_docs", T.LongType()),
+        T.StructField("xor_digest", T.LongType()),
+    ])
+
+    def update(key, pdfs, state):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        docs, x = 0, 0
+        for pdf in pdfs:
+            docs += len(pdf)
+            if len(pdf):
+                x ^= int(np.bitwise_xor.reduce(
+                    pdf["h"].to_numpy(dtype="int64")))
+        td, tx = state.get if state.exists else (0, 0)
+        td, tx = td + docs, tx ^ x
+        state.update((td, tx))
+        yield pd.DataFrame({
+            "idx": [key[0]], "batch_docs": [docs], "total_docs": [td],
+            "xor_digest": [tx],
+            "node_hash": [hashlib.md5(str(tx).encode()).hexdigest()]})
+
+    u60 = ("cast(conv(substring(md5({c}), 1, 15), 16, 10) as long)")
+    stream = spark.readStream.schema(INPUT_SCHEMA).parquet(input_dir)
+    staged = stream.select(
+        F.expr(u60.format(c="concat(doc_id, 'mk')"))
+        .__mod__(n_buckets).cast("long").alias("idx"),
+        F.expr(u60.format(
+            c="concat(doc_id, '\\u001f', to_json(spans))")).alias("h"))
+    ledger = staged.groupBy("idx").applyInPandasWithState(
+        update, out_schema, state_schema, "append",
+        GroupStateTimeout.NoTimeout)
+    return (
+        ledger.writeStream.format("parquet")
+        .option("path", os.path.join(output_dir, "data"))
+        .option("checkpointLocation", os.path.join(output_dir, "_checkpoint"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -529,3 +529,47 @@ def test_stream_group_mass_matches_batch_weights(spark, tmp_path):
     got = sorted(map(tuple, MX.weights_from_mass(
         state, alpha="0.5").collect()))
     assert got == want
+
+
+def test_stream_integrity_ledger_matches_batch_leaves(spark, tmp_path):
+    """The streaming cumulative digests must CONVERGE to the batch
+    Merkle leaves: after draining a corpus across two incremental
+    runs, each bucket's final node_hash equals
+    ``integrity.leaf_checksums`` over the same rows — xor is
+    commutative, so the micro-batch split cannot matter."""
+    from rag_document_parser_spark.operators import integrity as IG
+    from rag_document_parser_spark.streaming import (
+        stream_integrity_ledger,
+    )
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    docs = fixture_df(spark, seed=31, n_docs=60)
+    first = docs.where(F.xxhash64("doc_id") % 2 == 0)
+    second = docs.subtract(first)
+
+    _write_slice(first, in_dir)
+    q = stream_integrity_ledger(spark, in_dir, out_dir)
+    q.awaitTermination(120)
+    _write_slice(second, in_dir)
+    q = stream_integrity_ledger(spark, in_dir, out_dir)
+    q.awaitTermination(120)
+
+    ledger = spark.read.parquet(os.path.join(out_dir, "data"))
+    # final state per bucket = the row with the highest running count
+    final = {r.idx: r for r in ledger.collect()
+             if r.total_docs == max(
+                 x.total_docs for x in ledger.collect()
+                 if x.idx == r.idx)}
+    batch = {r.idx: r.node_hash for r in IG.leaf_checksums(
+        docs.select("doc_id",
+                    F.to_json(F.col("spans")).alias("text")),
+        n_buckets=16).collect()}
+    assert sum(r.total_docs for r in final.values()) == docs.count()
+    for idx, r in final.items():
+        assert batch[idx] == r.node_hash, idx
+    # untouched buckets digest the empty sentinel on the batch side
+    import hashlib
+    empty = hashlib.md5(b"0").hexdigest()
+    for idx in set(range(16)) - set(final):
+        assert batch[idx] == empty
