@@ -3877,6 +3877,73 @@ SELECT d.doc_id, coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
 FROM documents d LEFT JOIN agg a USING (doc_id)"""
 
 
+def _evasion_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus + homoglyph-disguised clones of doc_id<20: Latin aeo →
+    Cyrillic аео plus a zero-width-space prefix — byte-distinct,
+    renders identically (the dedup-evasion fixture)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    clones = docs.where(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.lit("​"),
+                 F.translate("text", "aeo", "аео")).alias("text"))
+    return docs.unionByName(clones)
+
+
+_EVASION_SQL = ("(SELECT doc_id, text FROM documents UNION ALL "
+                "SELECT doc_id + 2000000 AS doc_id, "
+                "chr(8203) || translate(text, 'aeo', 'аео') AS text "
+                "FROM documents WHERE doc_id < 20)")
+
+
+def q_confusable_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UTS #39-subset evasion signals per doc: confusable and
+    invisible character counts over the corpus with planted
+    homoglyph-disguised clones (operators/confusables.py)."""
+    from rag_document_parser_spark.operators import confusables as CF
+    return CF.confusable_stats(_evasion_docs(spark, sf_dir))
+
+
+def q_skeleton_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate pairs UNDER the confusable skeleton: catches
+    the homoglyph/zero-width-disguised clones exact dedup misses,
+    flagging which pairs were actually disguised."""
+    from rag_document_parser_spark.operators import confusables as CF
+    return CF.skeleton_dedup_pairs(_evasion_docs(spark, sf_dir))
+
+
+def _sql_confusables() -> tuple[str, str]:
+    from rag_document_parser_spark.operators.confusables import (
+        INVISIBLES, SKELETON_MAP)
+    frm = "".join(SKELETON_MAP)
+    to = "".join(SKELETON_MAP.values())
+    inv = "[" + INVISIBLES + "]"
+    stats = f"""
+WITH u AS (SELECT * FROM {_EVASION_SQL})
+SELECT doc_id::BIGINT AS doc_id,
+  (length(text) - length(translate(text, '{frm}', '')))::BIGINT
+    AS n_confusables,
+  (length(text) - length(regexp_replace(text, '{inv}', '', 'g')))
+    ::BIGINT AS n_invisibles,
+  (length(text) - length(translate(text, '{frm}', ''))
+   + length(text) - length(regexp_replace(text, '{inv}', '', 'g'))
+   > 0) AS changed
+FROM u"""
+    pairs = f"""
+WITH u AS (SELECT * FROM {_EVASION_SQL}),
+sk AS (SELECT doc_id AS id, md5(text) AS raw_md5,
+         md5(regexp_replace(translate(text, '{frm}', '{to}'),
+                            '{inv}', '', 'g')) AS skel_md5
+       FROM u),
+grp AS (SELECT skel_md5, min(id) AS rep_id,
+               arg_min(raw_md5, id) AS rep_raw
+        FROM sk GROUP BY skel_md5
+        HAVING count(*) > 1 AND count(DISTINCT raw_md5) > 1)
+SELECT g.rep_id::BIGINT AS id_a, s.id::BIGINT AS id_b,
+       (s.raw_md5 <> g.rep_raw) AS disguised
+FROM sk s JOIN grp g USING (skel_md5) WHERE s.id <> g.rep_id"""
+    return stats, pairs
+
+
 def q_merkle_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merkle integrity rollup of the corpus: 16 order-insensitive
     bucket digests (bit_xor folds of row md5s) hashed up to one root
@@ -7461,6 +7528,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_ece": q_classifier_ece,
         "retention_curve": q_retention_curve,
         "merkle_tree": q_merkle_tree,
+        "confusable_stats": q_confusable_stats,
+        "skeleton_dedup": q_skeleton_dedup,
         "card_pii": q_card_pii,
         "source_reputation": q_source_reputation,
         "perceptual_hash": q_perceptual_hash,
@@ -7625,6 +7694,8 @@ def oracle_sql() -> dict[str, str]:
         "classifier_ece": _sql_classifier_ece(),
         "retention_curve": _sql_retention_curve(),
         "merkle_tree": SQL_MERKLE_TREE,
+        "confusable_stats": _sql_confusables()[0],
+        "skeleton_dedup": _sql_confusables()[1],
         "card_pii": SQL_CARD_PII,
         "source_reputation": SQL_SOURCE_REPUTATION,
         "perceptual_hash": SQL_PERCEPTUAL_HASH,
