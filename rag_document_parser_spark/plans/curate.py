@@ -35,7 +35,10 @@ Stage order and why:
    windows cut out of the text, doc kept (Lee et al. 2022 §4); token-
    space surgery, so it rewrites content as the tokenizer's word
    stream — off by default.
-6. exact dedup — md5 group, keep min doc_id.
+6. exact dedup — md5 group, keep min doc_id. Opt-in
+   ``skeleton_harden=True`` keys the group on the UTS #39 confusable
+   skeleton (``operators.confusables``) so homoglyph/zero-width
+   evasion folds into the originals; output text stays untouched.
 7. near dedup — MinHash LSH candidate pairs, verified at exact shingle
    Jaccard >= ``near_threshold`` -> connected components, keep the
    cluster minimum.
@@ -86,6 +89,7 @@ def curate(df: DataFrame, cfg: ExtractConfig | None = None,
            boilerplate_min_docs: int = 2,
            remove_repeated: bool = False, repeated_window: int = 20,
            repeated_min_docs: int = 2,
+           skeleton_harden: bool = False,
            near_dup: bool = True, near_threshold: float | None = 0.8,
            lsh_k: int = 32, lsh_bands: int = 8,
            materialize: bool = True,
@@ -271,9 +275,21 @@ def curate(df: DataFrame, cfg: ExtractConfig | None = None,
         live = live.localCheckpoint()
 
     body = live.where(~F.col("_empty"))
-    groups = exact_dedup(body, text_col="content")
+    dedup_col = "content"
+    if skeleton_harden:
+        # key the exact-dup stage on the UTS #39 confusable skeleton:
+        # homoglyph-swapped / zero-width-salted copies fold into their
+        # originals (reason stays exact_dup). Row-local projection —
+        # zero extra shuffles; output content is untouched. Scoped to
+        # the exact stage: the near-dup leg's shingle Jaccard already
+        # absorbs a few rewritten tokens.
+        from rag_document_parser_spark.operators.confusables import (
+            skeleton as _skel)
+        body = body.withColumn("_dtext", _skel(F.col("content")))
+        dedup_col = "_dtext"
+    groups = exact_dedup(body, text_col=dedup_col)
     exact_drop = (body.select(
-        "doc_id", F.md5("content").alias("content_hash"))
+        "doc_id", F.md5(F.col(dedup_col)).alias("content_hash"))
         .join(F.broadcast(groups), "content_hash")
         .where(F.col("doc_id") != F.col("keeper_id"))
         .select("doc_id", F.lit(True).alias("_exact_dup")))

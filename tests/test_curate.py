@@ -340,3 +340,26 @@ def test_drop_restricted_gates_rights_marked_docs(spark):
     dflt = {r["doc_id"]: r["kept"]
             for r in curate(corpus, near_dup=False).collect()}
     assert all(dflt.values())
+
+
+def test_curate_skeleton_harden_stage(spark):
+    """skeleton_harden=True folds a homoglyph-disguised copy into the
+    exact-dup stage; default curate misses it (byte-distinct) and the
+    near-dup leg is OFF here to isolate the stage."""
+    disguised = BODY.replace("a", "а").replace("e", "е")  # Cyrillic
+    docs = [
+        _text_doc("d01", BODY),
+        _text_doc("d02", "​" + disguised),
+        _text_doc("d03", NEAR_A),
+    ]
+    df = spark.createDataFrame(docs, schema=INPUT_SCHEMA)
+    soft = {r["doc_id"]: r for r in
+            curate(df, near_dup=False).collect()}
+    hard = {r["doc_id"]: r for r in
+            curate(df, near_dup=False, skeleton_harden=True).collect()}
+    assert soft["d02"]["kept"]                      # evasion worked
+    assert hard["d02"]["reason"] == "exact_dup"     # hardened catch
+    assert hard["d01"]["kept"] and hard["d03"]["kept"]
+    # survivor content is the ORIGINAL text, not the skeleton
+    assert hard["d02"]["content"] is None
+    assert BODY in hard["d01"]["content"]
