@@ -3944,6 +3944,157 @@ FROM sk s JOIN grp g USING (skel_md5) WHERE s.id <> g.rep_id"""
     return stats, pairs
 
 
+def _matrix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Originals + byte clones (+1e6) + homoglyph-disguised clones
+    (+2e6) of doc_id<20: the planted ground truth for the dedup
+    method matrix (same base id mod 1e6 = same source content)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    lo = docs.where(F.col("doc_id") < 20)
+    byte_c = lo.select((F.col("doc_id") + 1000000).alias("doc_id"),
+                       "text")
+    disg = lo.select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.lit("​"),
+                 F.translate("text", "aeo", "аео")).alias("text"))
+    return docs.unionByName(byte_c).unionByName(disg)
+
+
+_MATRIX_SQL = ("(SELECT doc_id, text FROM documents UNION ALL "
+               "SELECT doc_id + 1000000, text FROM documents "
+               "WHERE doc_id < 20 UNION ALL "
+               "SELECT doc_id + 2000000, "
+               "chr(8203) || translate(text, 'aeo', 'аео') "
+               "FROM documents WHERE doc_id < 20)")
+
+
+def q_dedup_method_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which dedup tier catches what: per method (exact, skeleton,
+    3-shingle Jaccard>=0.8, weighted Jaccard>=0.8, simhash<=3), the
+    count of PLANTED pairs found (same source content by
+    construction) vs extra pairs — the side-by-side that tells an
+    operator which tiers to stack before a 100 TB run. Measured at
+    sf0.01: exact finds only the 20 byte clones; the similarity tiers
+    (Jaccard/weighted/simhash) ALSO miss every disguised clone —
+    an aeo homoglyph swap rewrites nearly every token, so shingle
+    overlap collapses — and only the skeleton method folds all 40
+    planted pairs. Evasion defeats similarity dedup too; skeleton
+    normalization is the only countermeasure in the stack."""
+    from rag_document_parser_spark.operators import wminhash as WM
+    from rag_document_parser_spark.operators.confusables import skeleton
+    u = _matrix_docs(spark, sf_dir)
+
+    def group_pairs(keyed):
+        grp = (keyed.groupBy("k")
+               .agg(F.min("id").alias("rep"),
+                    F.count("*").alias("n"))
+               .where(F.col("n") > 1))
+        return (keyed.join(grp, "k")
+                .where(F.col("id") != F.col("rep"))
+                .select(F.col("rep").alias("id_a"),
+                        F.col("id").alias("id_b")))
+
+    methods = {
+        "exact": group_pairs(u.select(
+            F.col("doc_id").alias("id"), F.md5("text").alias("k"))),
+        "skeleton": group_pairs(u.select(
+            F.col("doc_id").alias("id"),
+            F.md5(skeleton(F.col("text"))).alias("k"))),
+        "jaccard_08": D.ngram_jaccard_pairs(
+            u, n=3, threshold=0.8, df_cap=1000)
+        .select("id_a", "id_b"),
+        "weighted_08": WM.weighted_jaccard_pairs(
+            u, n=3, threshold_e6=800_000, max_weight=4, df_cap=1000)
+        .select("id_a", "id_b"),
+        "simhash_3": D.simhash_near_pairs(u, max_hamming=3)
+        .select("id_a", "id_b"),
+    }
+    rows = []
+    for name, p in methods.items():
+        rows.append(p.select(
+            F.lit(name).alias("method"),
+            ((F.col("id_a") % 1000000) == (F.col("id_b") % 1000000))
+            .cast("long").alias("_pl"))
+            .groupBy("method")
+            .agg(F.sum("_pl").cast("long").alias("planted"),
+                 F.sum(1 - F.col("_pl")).cast("long").alias("extra")))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    # a method finding nothing still emits a row
+    frame = spark.createDataFrame(
+        [(m,) for m in methods], ["method"])
+    return (frame.join(out, "method", "left")
+            .select("method",
+                    F.coalesce("planted", F.lit(0)).cast("long")
+                    .alias("planted"),
+                    F.coalesce("extra", F.lit(0)).cast("long")
+                    .alias("extra")))
+
+
+def _sql_dedup_method_matrix() -> str:
+    from rag_document_parser_spark.operators.confusables import (
+        INVISIBLES, SKELETON_MAP)
+    frm = "".join(SKELETON_MAP)
+    to = "".join(SKELETON_MAP.values())
+    inv = "[" + INVISIBLES + "]"
+    skel = (f"regexp_replace(translate(text, '{frm}', '{to}'), "
+            f"'{inv}', '', 'g')")
+    cnt = ("SELECT '{m}' AS method, "
+           "coalesce(sum((id_a % 1000000 = id_b % 1000000)::INT), 0)"
+           "::BIGINT AS planted, "
+           "coalesce(sum((id_a % 1000000 <> id_b % 1000000)::INT), 0)"
+           "::BIGINT AS extra FROM {src}")
+    return _sql_simhash_cte(_MATRIX_SQL) + f""",
+u2 AS (SELECT * FROM {_MATRIX_SQL}),
+xp AS (SELECT a.id AS id_a, b.id AS id_b
+       FROM sh a JOIN sh b ON a.id < b.id
+       WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+xe1 AS (SELECT doc_id AS id, md5(text) AS k FROM u2),
+xe2 AS (SELECT k, min(id) AS rep FROM xe1 GROUP BY k
+        HAVING count(*) > 1),
+xep AS (SELECT xe2.rep AS id_a, xe1.id AS id_b
+        FROM xe1 JOIN xe2 USING (k) WHERE xe1.id <> xe2.rep),
+xs1 AS (SELECT doc_id AS id, md5({skel}) AS k FROM u2),
+xs2 AS (SELECT k, min(id) AS rep FROM xs1 GROUP BY k
+        HAVING count(*) > 1),
+xsp AS (SELECT xs2.rep AS id_a, xs1.id AS id_b
+        FROM xs1 JOIN xs2 USING (k) WHERE xs1.id <> xs2.rep),
+xsh AS (SELECT doc_id AS id, {_shingles_sql('text', 3)} AS g FROM u2),
+xjd AS (SELECT id, list_distinct(g) AS sh2, len(list_distinct(g))
+          AS n_sh FROM xsh WHERE len(g) > 0),
+xjf AS (SELECT id, n_sh, unnest(sh2) AS shingle FROM xjd),
+xjq AS (SELECT shingle FROM xjf GROUP BY shingle
+        HAVING count(*) <= 1000),
+xjg AS (SELECT xjf.* FROM xjf JOIN xjq USING (shingle)),
+xji AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter,
+               min(a.n_sh) AS n_a, min(b.n_sh) AS n_b
+        FROM xjg a JOIN xjg b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY a.id, b.id),
+xjp AS (SELECT id_a, id_b FROM xji
+        WHERE inter / (n_a + n_b - inter) >= 0.8),
+xw1 AS (SELECT id, shingle, least(count(*), 4)::BIGINT AS w
+        FROM (SELECT id, unnest(g) AS shingle FROM xsh
+              WHERE len(g) > 0) z
+        GROUP BY id, shingle),
+xwq AS (SELECT shingle FROM xw1 GROUP BY shingle
+        HAVING count(*) <= 1000),
+xwg AS (SELECT xw1.* FROM xw1 JOIN xwq USING (shingle)),
+xwt AS (SELECT id, sum(w)::BIGINT AS tot FROM xw1 GROUP BY id),
+xwi AS (SELECT a.id AS id_a, b.id AS id_b,
+               sum(least(a.w, b.w))::BIGINT AS iw
+        FROM xwg a JOIN xwg b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY a.id, b.id),
+xwp AS (SELECT id_a, id_b FROM xwi
+        JOIN xwt ta ON xwi.id_a = ta.id
+        JOIN xwt tb ON xwi.id_b = tb.id
+        WHERE iw * 1000000 // (ta.tot + tb.tot - iw) >= 800000)
+{cnt.format(m='exact', src='xep')} UNION ALL
+{cnt.format(m='skeleton', src='xsp')} UNION ALL
+{cnt.format(m='jaccard_08', src='xjp')} UNION ALL
+{cnt.format(m='weighted_08', src='xwp')} UNION ALL
+{cnt.format(m='simhash_3', src='xp')}"""
+
+
 def q_merkle_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merkle integrity rollup of the corpus: 16 order-insensitive
     bucket digests (bit_xor folds of row md5s) hashed up to one root
@@ -7530,6 +7681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merkle_tree": q_merkle_tree,
         "confusable_stats": q_confusable_stats,
         "skeleton_dedup": q_skeleton_dedup,
+        "dedup_method_matrix": q_dedup_method_matrix,
         "card_pii": q_card_pii,
         "source_reputation": q_source_reputation,
         "perceptual_hash": q_perceptual_hash,
@@ -7696,6 +7848,7 @@ def oracle_sql() -> dict[str, str]:
         "merkle_tree": SQL_MERKLE_TREE,
         "confusable_stats": _sql_confusables()[0],
         "skeleton_dedup": _sql_confusables()[1],
+        "dedup_method_matrix": _sql_dedup_method_matrix(),
         "card_pii": SQL_CARD_PII,
         "source_reputation": SQL_SOURCE_REPUTATION,
         "perceptual_hash": SQL_PERCEPTUAL_HASH,
