@@ -5848,6 +5848,52 @@ def q_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
                          max_epochs_e6=_EPOCH_CAP_E6)
 
 
+def q_unimax_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax water-filling allocation (Chung et al. 2023): the token
+    budget splits as uniformly as possible across languages subject
+    to the 4-epoch repetition cap — capped groups take their ceiling,
+    the remainder divides EQUALLY among the rest (epoch_plan's capped
+    shortfall, redistributed instead of dropped)."""
+    from rag_document_parser_spark.operators import mixture as MX
+    per = MX.temperature_weights(_docs(spark, sf_dir), "lang",
+                                 size_col="n_chars", alpha=_MIX_ALPHA)
+    return MX.unimax_allocation(per, budget_tokens=_EPOCH_BUDGET,
+                                max_epochs_e6=_EPOCH_CAP_E6)
+
+
+def _sql_unimax_plan() -> str:
+    return f"""
+WITH per AS (SELECT lang AS "group", sum(n_chars)::BIGINT AS mass
+             FROM documents GROUP BY lang),
+t1 AS (SELECT "group", mass,
+              (mass * {_EPOCH_CAP_E6} // 1000000)::BIGINT AS cap
+       FROM per),
+t2 AS (SELECT "group", mass, cap,
+         row_number() OVER (ORDER BY cap, "group")::BIGINT AS k,
+         sum(cap) OVER (ORDER BY cap, "group"
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW)::BIGINT AS p,
+         count(*) OVER ()::BIGINT AS n
+       FROM t1),
+t3 AS (SELECT *,
+         (cap * (n - k + 1) + (p - cap) <= {_EPOCH_BUDGET}) AS bind
+       FROM t2),
+t4 AS (SELECT *,
+         coalesce(max(CASE WHEN bind THEN k END) OVER (), 0) AS j,
+         coalesce(max(CASE WHEN bind THEN p END) OVER (), 0) AS pj
+       FROM t3),
+t5 AS (SELECT "group", mass, cap, k, j,
+         (CASE WHEN k <= j THEN cap
+               ELSE ({_EPOCH_BUDGET} - pj) // nullif(n - j, 0)
+          END)::BIGINT AS allocated
+       FROM t4)
+SELECT "group", mass, cap AS cap_tokens,
+  allocated AS allocated_tokens,
+  (allocated * 1000000 // mass)::BIGINT AS epochs_e6,
+  (k <= j) AS capped
+FROM t5"""
+
+
 def _sql_epoch_plan() -> str:
     return f"""
 WITH base AS ({_sql_temp_weights()}),
@@ -7682,6 +7728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "confusable_stats": q_confusable_stats,
         "skeleton_dedup": q_skeleton_dedup,
         "dedup_method_matrix": q_dedup_method_matrix,
+        "unimax_plan": q_unimax_plan,
         "card_pii": q_card_pii,
         "source_reputation": q_source_reputation,
         "perceptual_hash": q_perceptual_hash,
@@ -7849,6 +7896,7 @@ def oracle_sql() -> dict[str, str]:
         "confusable_stats": _sql_confusables()[0],
         "skeleton_dedup": _sql_confusables()[1],
         "dedup_method_matrix": _sql_dedup_method_matrix(),
+        "unimax_plan": _sql_unimax_plan(),
         "card_pii": SQL_CARD_PII,
         "source_reputation": SQL_SOURCE_REPUTATION,
         "perceptual_hash": SQL_PERCEPTUAL_HASH,

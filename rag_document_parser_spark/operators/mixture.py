@@ -32,7 +32,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = ["epoch_plan", "isqrt", "materialize_plan",
-           "temperature_weights", "weights_from_mass"]
+           "temperature_weights", "unimax_allocation",
+           "weights_from_mass"]
 
 E6 = 1_000_000
 # Pre-scale for the fixed-point roots: isqrt(n * E8) == sqrt(n) * 1e4,
@@ -197,3 +198,76 @@ def materialize_plan(df: DataFrame, plan: DataFrame,
                         F.explode(F.sequence(F.lit(1).cast("long"),
                                              F.col("_n"))))
             .drop("_n", "epochs_e6"))
+
+
+def unimax_allocation(per: DataFrame, budget_tokens: int,
+                      max_epochs_e6: int = 4 * E6) -> DataFrame:
+    """UniMax water-filling allocation (Chung et al. 2023, "UniMax:
+    Fairer and More Effective Language Sampling for Large-Scale
+    Multilingual Pretraining"): distribute ``budget_tokens`` as
+    UNIFORMLY as possible across groups subject to a per-group
+    repetition cap — the principled fix for ``epoch_plan``'s capped
+    shortfall, which temperature mixing silently drops instead of
+    redistributing to groups with headroom.
+
+    Input is a pre-aggregated ``(group, n_docs, mass)`` table (mass in
+    TOKENS — the :func:`temperature_weights` aggregate). Each group's
+    ceiling is ``cap = mass * max_epochs_e6 div 1e6``; water-filling
+    gives every group ``min(cap, L)`` where the level L spends the
+    whole budget: groups whose cap binds take their cap, the remainder
+    splits EQUALLY among the rest. Closed form on the sorted cap
+    table: with caps ascending (k = rank, P_k = prefix sum), group k
+    binds iff ``cap_k·(n−k+1) + P_{k−1} <= B``; j = the last binding
+    rank; ``L = (B − P_j) div (n − j)``.
+
+    Returns ``(group, mass, cap_tokens, allocated_tokens, epochs_e6,
+    capped)``. Invariants (property-tested): Σ allocated ≤ B with
+    deficit < n−j (integer split remainder), allocated ≤ cap
+    everywhere, all uncapped groups receive the identical level L, and
+    when Σ cap ≤ B every group is capped (budget exceeds the corpus's
+    useful repetition ceiling).
+
+    Shape: windows run over the |groups|-row table only; the corpus
+    was consumed by the ONE aggregate that produced ``per``. Headroom:
+    ``cap·(n−k+1)`` needs cap·n < 9.2e18 — groups are languages or
+    sources (hundreds), never high-cardinality keys.
+    """
+    from pyspark.sql import Window
+
+    if budget_tokens * E6 >= 2 ** 63:
+        raise ValueError("budget_tokens past BIGINT fixed-point "
+                         "headroom (>= 9.2e12); plan in larger units")
+    w = (Window.orderBy(F.col("cap").asc(), F.col("group").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wall = (Window.orderBy(F.col("cap").asc(), F.col("group").asc())
+            .rowsBetween(Window.unboundedPreceding,
+                         Window.unboundedFollowing))
+    t = per.select(
+        "group", "mass",
+        F.expr(f"mass * {int(max_epochs_e6)} div {E6}").cast("long")
+        .alias("cap"))
+    t = t.select(
+        "group", "mass", "cap",
+        F.row_number().over(
+            Window.orderBy(F.col("cap").asc(), F.col("group").asc()))
+        .cast("long").alias("k"),
+        F.sum("cap").over(w).cast("long").alias("P"),
+        F.count("*").over(wall).cast("long").alias("n"))
+    b = int(budget_tokens)
+    t = t.withColumn(
+        "bind", F.expr(f"cap * (n - k + 1) + (P - cap) <= {b}"))
+    t = t.select(
+        "*",
+        F.coalesce(F.max(F.when(F.col("bind"), F.col("k"))).over(wall),
+                   F.lit(0)).alias("j"),
+        F.coalesce(F.max(F.when(F.col("bind"), F.col("P"))).over(wall),
+                   F.lit(0)).alias("Pj"))
+    alloc = F.when(
+        F.col("k") <= F.col("j"), F.col("cap")).otherwise(
+        F.expr(f"({b} - Pj) div nullif(n - j, 0)"))
+    return (t.withColumn("allocated_tokens", alloc.cast("long"))
+            .select("group", "mass", F.col("cap").alias("cap_tokens"),
+                    "allocated_tokens",
+                    F.expr(f"allocated_tokens * {E6} div mass")
+                    .cast("long").alias("epochs_e6"),
+                    (F.col("k") <= F.col("j")).alias("capped")))
