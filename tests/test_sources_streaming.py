@@ -529,6 +529,16 @@ def test_stream_group_mass_matches_batch_weights(spark, tmp_path):
     got = sorted(map(tuple, MX.weights_from_mass(
         state, alpha="0.5").collect()))
     assert got == want
+    # ...and the UniMax allocation over the streamed state equals the
+    # batch allocation — the state IS unimax_allocation's input shape
+    want_u = sorted(map(tuple, MX.unimax_allocation(
+        whole.groupBy(F.col("lang").alias("group"))
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_chars").cast("long").alias("mass")),
+        budget_tokens=900).collect()))
+    got_u = sorted(map(tuple, MX.unimax_allocation(
+        state, budget_tokens=900).collect()))
+    assert got_u == want_u
 
 
 def test_stream_integrity_ledger_matches_batch_leaves(spark, tmp_path):
