@@ -278,6 +278,16 @@ def main() -> None:
     from rag_document_parser_spark.operators import corpstats as CS
     timed_reps("zipf_fit",
           lambda: CS.zipf_fit(docs, top_n=1024).collect())
+    from rag_document_parser_spark.operators import wminhash as WMH
+    timed_reps("weighted_jaccard",
+          lambda: WMH.weighted_jaccard_pairs(
+              docs, threshold_e6=500_000).count())
+    from rag_document_parser_spark.operators import integrity as IG
+    timed_reps("merkle_root",
+          lambda: IG.merkle_root(docs, n_buckets=64).collect())
+    from rag_document_parser_spark.operators import confusables as CFS
+    timed_reps("skeleton_dedup",
+          lambda: CFS.skeleton_dedup_pairs(docs).count())
     from rag_document_parser_spark.operators import winnow as WN
     timed_reps("winnow_pairs",
           lambda: WN.winnow_pairs(docs, k=5, w=4, min_shared=2).count())
