@@ -5861,6 +5861,44 @@ def q_unimax_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 max_epochs_e6=_EPOCH_CAP_E6)
 
 
+def q_mixture_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity summary of the UniMax allocation: fixed-point Shannon
+    entropy of the token shares and the effective number of groups
+    2^H (mixture perplexity) — the fairness numbers a mixture design
+    is judged by, via the same bit-portable integer log2/exp pair as
+    the tokenizer tier."""
+    from rag_document_parser_spark.operators import mixture as MX
+    per = MX.temperature_weights(_docs(spark, sf_dir), "lang",
+                                 size_col="n_chars", alpha=_MIX_ALPHA)
+    alloc = MX.unimax_allocation(per, budget_tokens=_EPOCH_BUDGET,
+                                 max_epochs_e6=_EPOCH_CAP_E6)
+    return MX.mixture_summary(alloc)
+
+
+_UMX_LOG2E3 = ("((length(bin({n})) - 1) * 1000 + "
+               "(({n} * 1000) // (1::BIGINT << (length(bin({n})) - 1)))"
+               " - 1000)")
+
+
+def _sql_mixture_summary() -> str:
+    return f"""
+WITH alloc AS ({_sql_unimax_plan()}),
+g AS (SELECT allocated_tokens AS tok FROM alloc),
+tot AS (SELECT sum(tok)::BIGINT AS t, count(*)::BIGINT AS n_groups,
+               max(tok)::BIGINT AS mx FROM g),
+ent AS (SELECT t, n_groups, mx,
+          sum(tok * ({_UMX_LOG2E3.format(n='t')}
+                     - {_UMX_LOG2E3.format(n='tok')}))::BIGINT AS hs
+        FROM g CROSS JOIN tot WHERE tok > 0
+        GROUP BY t, n_groups, mx)
+SELECT n_groups, t AS total_tokens,
+  (mx * 1000000 // t)::BIGINT AS max_share_e6,
+  (hs // t)::BIGINT AS entropy_e3,
+  ((1::BIGINT << (hs // t // 1000)::INT)
+   * (1000 + (hs // t) % 1000))::BIGINT AS effective_groups_e3
+FROM ent"""
+
+
 def _sql_unimax_plan() -> str:
     return f"""
 WITH per AS (SELECT lang AS "group", sum(n_chars)::BIGINT AS mass
@@ -7729,6 +7767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skeleton_dedup": q_skeleton_dedup,
         "dedup_method_matrix": q_dedup_method_matrix,
         "unimax_plan": q_unimax_plan,
+        "mixture_summary": q_mixture_summary,
         "card_pii": q_card_pii,
         "source_reputation": q_source_reputation,
         "perceptual_hash": q_perceptual_hash,
@@ -7897,6 +7936,7 @@ def oracle_sql() -> dict[str, str]:
         "skeleton_dedup": _sql_confusables()[1],
         "dedup_method_matrix": _sql_dedup_method_matrix(),
         "unimax_plan": _sql_unimax_plan(),
+        "mixture_summary": _sql_mixture_summary(),
         "card_pii": SQL_CARD_PII,
         "source_reputation": SQL_SOURCE_REPUTATION,
         "perceptual_hash": SQL_PERCEPTUAL_HASH,

@@ -32,8 +32,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = ["epoch_plan", "isqrt", "materialize_plan",
-           "temperature_weights", "unimax_allocation",
-           "weights_from_mass"]
+           "mixture_summary", "temperature_weights",
+           "unimax_allocation", "weights_from_mass"]
 
 E6 = 1_000_000
 # Pre-scale for the fixed-point roots: isqrt(n * E8) == sqrt(n) * 1e4,
@@ -274,3 +274,51 @@ def unimax_allocation(per: DataFrame, budget_tokens: int,
                     F.expr(f"allocated_tokens * {E6} div mass")
                     .cast("long").alias("epochs_e6"),
                     (F.col("k") <= F.col("j")).alias("capped")))
+
+
+def mixture_summary(alloc: DataFrame,
+                    tokens_col: str = "allocated_tokens") -> DataFrame:
+    """Diversity summary of a mixture/allocation table: one row
+    ``(n_groups, total_tokens, max_share_e6, entropy_e3,
+    effective_groups_e3)`` — the fairness numbers a mixture design is
+    judged by (UniMax §4 reports exactly these): Shannon entropy of
+    the token shares in base-2 e3 fixed point, and the "effective
+    number of groups" 2^H (perplexity of the mixture), so a corpus
+    that is 99% English scores effective ≈ 1 however many languages
+    it nominally contains.
+
+    Integer arithmetic end to end, reusing the piecewise-linear base-2
+    log (``corpstats.LOG2_E3``): ``H = Σ tok_g·(log2(T) − log2(tok_g))
+    div T`` in e3 units, and ``2^H`` splits into an exact integer shift
+    for the whole part times a linear-interpolated fractional part —
+    the same engine-portable discipline as every fixed-point tier
+    (DuckDB replays it bit-for-bit). Zero-token groups contribute
+    nothing (lim x·log x = 0). Shape: one aggregate over the
+    |groups|-row table.
+    """
+    from rag_document_parser_spark.operators.corpstats import LOG2_E3
+
+    g = alloc.select(F.col(tokens_col).cast("long").alias("tok"))
+    tot = g.agg(F.sum("tok").cast("long").alias("T"),
+                F.count("*").cast("long").alias("n_groups"),
+                F.max("tok").cast("long").alias("mx"))
+    ent = (g.crossJoin(F.broadcast(tot))
+           .where(F.col("tok") > 0)
+           .select(
+               "T", "n_groups", "mx",
+               F.expr(f"tok * ({LOG2_E3.format(n='T')} - "
+                      f"{LOG2_E3.format(n='tok')})").cast("long")
+               .alias("_h"))
+           .groupBy("T", "n_groups", "mx")
+           .agg(F.sum("_h").cast("long").alias("_hs")))
+    # 2^(H_e3/1000) = 2^whole * 2^frac; 2^frac linearly interpolated
+    # between 1 and 2 (the exact inverse of the piecewise-linear log)
+    return ent.select(
+        F.col("n_groups"),
+        F.col("T").alias("total_tokens"),
+        F.expr("mx * 1000000 div T").cast("long").alias("max_share_e6"),
+        F.expr("_hs div T").cast("long").alias("entropy_e3"),
+        F.expr("""
+          shiftleft(1L, cast(_hs div T div 1000 as int)) *
+          (1000 + (_hs div T) % 1000)
+        """).cast("long").alias("effective_groups_e3"))

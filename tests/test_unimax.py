@@ -80,3 +80,43 @@ def test_uncapped_beats_epoch_plan_shortfall(spark):
     assert got["sw"].capped and got["sw"].allocated_tokens == 40
     assert got["en"].allocated_tokens == budget - 40  # redistributed
     assert got["en"].epochs_e6 < 4 * E6
+
+
+def _log2_e3(n):
+    il = n.bit_length() - 1
+    return il * 1000 + (n * 1000) // (1 << il) - 1000
+
+
+def test_mixture_summary_entropy(spark):
+    """Fixed-point entropy + effective-group perplexity vs a
+    pure-Python twin; uniform mixtures hit effective == n exactly
+    (the piecewise exp is the exact inverse of the piecewise log at
+    powers of two), degenerate mixtures hit 1."""
+    cases = [
+        {"a": 100, "b": 100, "c": 100, "d": 100},  # uniform
+        {"a": 400},                                # single group
+        {"a": 397, "b": 2, "c": 1},                # near-degenerate
+        {"a": 250, "b": 125, "c": 125},
+    ]
+    for masses in cases:
+        alloc = spark.createDataFrame(
+            [(g, m, m, m, E6, False) for g, m in masses.items()],
+            ["group", "mass", "cap_tokens", "allocated_tokens",
+             "epochs_e6", "capped"])
+        row = MX.mixture_summary(alloc).collect()[0]
+        t = sum(masses.values())
+        hs = sum(m * (_log2_e3(t) - _log2_e3(m))
+                 for m in masses.values() if m > 0)
+        h = hs // t
+        eff = (1 << (h // 1000)) * (1000 + h % 1000)
+        assert row.total_tokens == t
+        assert row.entropy_e3 == h, masses
+        assert row.effective_groups_e3 == eff, masses
+        assert row.max_share_e6 == max(masses.values()) * E6 // t
+    # the uniform 4-group case lands exactly on effective = 4.000
+    alloc = spark.createDataFrame(
+        [(g, 64, 64, 64, E6, False) for g in "abcd"],
+        ["group", "mass", "cap_tokens", "allocated_tokens",
+         "epochs_e6", "capped"])
+    row = MX.mixture_summary(alloc).collect()[0]
+    assert row.entropy_e3 == 2000 and row.effective_groups_e3 == 4000
