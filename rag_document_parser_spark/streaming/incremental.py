@@ -681,3 +681,57 @@ def stream_integrity_ledger(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_bloom_state(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    n: int = 3,
+    m_bits: int = 1 << 15,
+):
+    """Streaming face of the Bloom decontamination filter: the eval
+    set GROWS (new benchmarks land over time), so the filter's set-bit
+    positions are maintained incrementally — each micro-batch builds
+    the batch's shingle Bloom and UNION-DISTINCT-merges it into the
+    persisted state at ``output_dir/bloom`` (the merge law
+    ``bloom_build`` documents: filters with identical geometry merge
+    by union). Bit-setting is idempotent and commutative, so after
+    draining any split of the eval corpus the state EQUALS the batch
+    ``bloom_build`` over everything ever streamed (test-pinned), and
+    ``bloom_decontaminate``'s broadcast-semi-join chain can read the
+    state table directly in place of a freshly built filter.
+
+    State is bounded by ``m_bits`` rows regardless of how much eval
+    data ever streams — the property that makes the Bloom form the
+    right cross-batch decontamination state (the exact shingle-string
+    state grows with the eval corpus; cf. the bounded/unbounded dedup
+    split at ``stream_extract_dedup``).
+    """
+    from rag_document_parser_spark.operators.bloom import bloom_build
+    from rag_document_parser_spark.operators.dedup import word_shingles
+
+    schema = ("doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    state_path = os.path.join(output_dir, "bloom")
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(input_dir))
+
+    def merge_batch(batch_df, _batch_id):
+        sh = batch_df.select(
+            F.explode(word_shingles(F.col("text"), n)).alias("term"))
+        delta = bloom_build(sh, m_bits=m_bits)
+        if os.path.isdir(state_path):
+            prev = spark.read.parquet(state_path)
+            delta = prev.unionByName(delta).distinct()
+        rows = delta.collect()
+        if rows:
+            spark.createDataFrame(rows, delta.schema).coalesce(1) \
+                .write.mode("overwrite").parquet(state_path)
+
+    return (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", os.path.join(output_dir, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )

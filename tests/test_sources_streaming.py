@@ -583,3 +583,51 @@ def test_stream_integrity_ledger_matches_batch_leaves(spark, tmp_path):
     empty = hashlib.md5(b"0").hexdigest()
     for idx in set(range(16)) - set(final):
         assert batch[idx] == empty
+
+
+def test_stream_bloom_state_matches_batch_filter(spark, tmp_path):
+    """The incrementally-merged Bloom state must EQUAL the batch
+    filter over the streamed union (bit-setting is idempotent and
+    commutative), and decontamination against the state must equal
+    decontamination against a fresh batch build."""
+    from rag_document_parser_spark.operators.bloom import (
+        bloom_build, bloom_decontaminate)
+    from rag_document_parser_spark.operators.dedup import word_shingles
+    from rag_document_parser_spark.streaming import stream_bloom_state
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    schema = ("doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    part_a = [(i, f"the shared benchmark passage number {i} appears "
+               f"verbatim in eval set alpha", "en", "s", 50)
+              for i in range(15)]
+    part_b = [(100 + i, f"another held out evaluation question {i} "
+               f"with distinctive phrasing", "en", "s", 50)
+              for i in range(15)]
+    spark.createDataFrame(part_a, schema).coalesce(1) \
+        .write.mode("append").parquet(in_dir)
+    q = stream_bloom_state(spark, in_dir, out_dir)
+    q.awaitTermination(120)
+    spark.createDataFrame(part_b, schema).coalesce(1) \
+        .write.mode("append").parquet(in_dir)
+    q = stream_bloom_state(spark, in_dir, out_dir)
+    q.awaitTermination(120)
+
+    state = spark.read.parquet(out_dir + "/bloom")
+    whole = spark.createDataFrame(part_a + part_b, schema)
+    batch = bloom_build(whole.select(
+        F.explode(word_shingles(F.col("text"), 3)).alias("term")))
+    assert {r.pos for r in state.collect()} == \
+        {r.pos for r in batch.collect()}
+
+    # screening against the streamed state behaves like the batch
+    # filter: the eval-quoting doc flags, the unrelated one does not
+    corpus = spark.createDataFrame(
+        [(1000, part_a[3][1] + " plus trailing context", "en", "s", 60),
+         (1001, "entirely unrelated text about arctic terns and "
+          "migratory distances across hemispheres", "en", "s", 60)],
+        schema)
+    flags = {r.id: bool(r.contaminated) for r in
+             bloom_decontaminate(corpus, whole).collect()}
+    assert flags[1000] and not flags[1001]
