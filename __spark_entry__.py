@@ -1549,6 +1549,99 @@ SELECT tk.doc_id::BIGINT AS doc_id,
 FROM tk LEFT JOIN agg USING (doc_id)"""
 
 
+# shared CTE prefix for the two Kneser-Ney twins: unpruned bigram
+# counts, context mass/fan-out, continuation counts — the exact
+# integer statistics _kn_tables derives (operators/lm.py)
+_SQL_KN_BASE = f"""
+WITH tk AS (
+  SELECT doc_id, {TOKS_SQL.format(c='text')} AS t FROM documents
+), bg AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= 2
+         THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+         ELSE []::VARCHAR[] END AS bgs
+  FROM tk
+), e AS (
+  SELECT doc_id, unnest(bgs) AS bigram FROM bg
+), allbi AS (
+  SELECT bigram, count(*) AS bc FROM e GROUP BY bigram
+), bi AS (
+  SELECT bigram, bc, split_part(bigram, ' ', 1) AS w1,
+         split_part(bigram, ' ', 2) AS w2
+  FROM allbi
+), fol AS (
+  SELECT w1, sum(bc) AS uc1, count(*) AS n1f FROM bi GROUP BY w1
+), lam AS (
+  SELECT w1, 3 * n1f * {_LM_SCALE} // (4 * uc1) AS lambda_e FROM fol
+), cont AS (
+  SELECT w2, count(*) * {_LM_SCALE} // (SELECT count(*) FROM bi) AS cont_e
+  FROM bi GROUP BY w2
+), bigr AS (
+  SELECT bigram, bi.w1, bi.w2,
+         greatest(4 * bc - 3, 0) * {_LM_SCALE} // (4 * uc1) AS disc_e
+  FROM bi JOIN fol USING (w1) WHERE bc >= {_LM_MIN_COUNT}
+)"""
+
+
+def q_kn_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM (Kneser & Ney 1995; Chen &
+    Goodman 1998) trained on the corpus: the 500 highest-probability
+    kept bigrams with their fixed-point discount / interpolation /
+    continuation parts (deterministic bigram tie-break)."""
+    from rag_document_parser_spark.operators.lm import train_kn_bigram_lm
+
+    docs = _docs(spark, sf_dir)
+    lm = train_kn_bigram_lm(docs, scale=_LM_SCALE,
+                            min_count=_LM_MIN_COUNT)
+    return (lm.orderBy(F.col("p_kn_e").desc(), "bigram").limit(500)
+            .select("bigram", F.col("disc_e").cast("long"),
+                    F.col("lambda_e").cast("long"),
+                    F.col("cont_e").cast("long"),
+                    F.col("p_kn_e").cast("long")))
+
+
+SQL_KN_LM = _SQL_KN_BASE + f"""
+SELECT bigram, disc_e::BIGINT AS disc_e, lam.lambda_e::BIGINT AS lambda_e,
+       cont.cont_e::BIGINT AS cont_e,
+       (disc_e + lam.lambda_e * cont.cont_e // {_LM_SCALE})::BIGINT AS p_kn_e
+FROM bigr JOIN lam USING (w1) JOIN cont USING (w2)
+ORDER BY p_kn_e DESC, bigram LIMIT 500"""
+
+
+def q_kn_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Kneser-Ney LM fit: integer mean of interpolated-KN
+    occurrence probabilities — unseen bigrams keep their backoff mass
+    lambda(w1)*P_cont(w2) instead of the unsmoothed hard zero."""
+    from rag_document_parser_spark.operators.lm import score_kn_bigram_lm
+
+    docs = _docs(spark, sf_dir)
+    out = score_kn_bigram_lm(docs, scale=_LM_SCALE,
+                             min_count=_LM_MIN_COUNT)
+    return out.select(F.col("doc_id").cast("long"),
+                      F.col("n_bigrams").cast("long"),
+                      F.col("kn_score").cast("long"))
+
+
+SQL_KN_SCORE = _SQL_KN_BASE + f"""
+, occ AS (
+  SELECT e.doc_id,
+    coalesce(bigr.disc_e, 0)
+      + coalesce(lam.lambda_e, 0) * coalesce(cont.cont_e, 0)
+        // {_LM_SCALE} AS occ_e
+  FROM e LEFT JOIN bigr USING (bigram)
+    LEFT JOIN lam ON split_part(e.bigram, ' ', 1) = lam.w1
+    LEFT JOIN cont ON split_part(e.bigram, ' ', 2) = cont.w2
+), agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_bigrams, sum(occ_e) AS s
+  FROM occ GROUP BY doc_id
+)
+SELECT tk.doc_id::BIGINT AS doc_id,
+  coalesce(agg.n_bigrams, 0)::BIGINT AS n_bigrams,
+  (CASE WHEN coalesce(agg.n_bigrams, 0) > 0 THEN agg.s // agg.n_bigrams
+        ELSE 0 END)::BIGINT AS kn_score
+FROM tk LEFT JOIN agg USING (doc_id)"""
+
+
 def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance resampling (Xie et al. 2023): English docs as
     the target domain, every doc scored against the target LM and the
@@ -7753,6 +7846,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # pair; the long-stable tail (green in r2 AND r3) yields its slots.
     return {
         # -- new this round / never driver-gated in any round ----------
+        "kn_lm": q_kn_lm,
+        "kn_score": q_kn_score,
         "unigram_vocab": q_unigram_vocab,
         "unigram_segment": q_unigram_segment,
         "zipf_fit": q_zipf_fit,
@@ -7922,6 +8017,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "kn_lm": SQL_KN_LM,
+        "kn_score": SQL_KN_SCORE,
         "unigram_vocab": SQL_UNIGRAM_VOCAB,
         "unigram_segment": SQL_UNIGRAM_SEGMENT,
         "zipf_fit": SQL_ZIPF_FIT,

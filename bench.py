@@ -318,6 +318,9 @@ def main() -> None:
     timed_reps("ccnet_buckets",
           lambda: LM.perplexity_buckets(docs, min_count=2)
           .groupBy("bucket").count().collect())
+    timed_reps("kn_score",
+          lambda: LM.score_kn_bigram_lm(docs, min_count=2)
+          .agg(F.sum("kn_score")).collect())
     timed_reps("remove_repeated",
           lambda: R.remove_repeated_windows(
               docs, R.repeated_windows(docs, window=8), window=8)
@@ -488,18 +491,20 @@ def main() -> None:
     timed_reps("contrastive_pairs",
           lambda: RET.mine_contrastive_pairs(
               docs.select("doc_id", "text")).count())
+    # candidate generation is benched on its own (dedup_simhash); stage
+    # the pair list once so these time the verify DP, not a simhash
+    # pass per rep (same discipline as leakage_split above)
+    clone_docs = docs.select("doc_id", "text").unionByName(
+        docs.where(F.col("doc_id") < 200).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"))
     clone_pairs = D.simhash_near_pairs(
-        docs.select("doc_id", "text").unionByName(
-            docs.where(F.col("doc_id") < 200).select(
-                (F.col("doc_id") + 1000000).alias("doc_id"), "text")),
-        max_hamming=3)
+        clone_docs, max_hamming=3).select("id_a", "id_b").localCheckpoint()
     timed_reps("edit_verify",
           lambda: D.edit_verify_pairs(
-              docs.select("doc_id", "text").unionByName(
-                  docs.where(F.col("doc_id") < 200).select(
-                      (F.col("doc_id") + 1000000).alias("doc_id"),
-                      "text")),
-              clone_pairs.select("id_a", "id_b")).count())
+              clone_docs, clone_pairs).count())
+    timed_reps("edit_verify_banded",
+          lambda: D.edit_verify_pairs(
+              clone_docs, clone_pairs, min_sim_e6=900_000).count())
     from rag_document_parser_spark.reporting import (corpus_datasheet,
                                                      snapshot_drift)
     timed_reps("corpus_datasheet",

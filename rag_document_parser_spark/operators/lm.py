@@ -211,6 +211,143 @@ def perplexity_buckets(df: DataFrame, lm: DataFrame | None = None,
                     bucket.alias("bucket")))
 
 
+def _kn_tables(reference: DataFrame, text_col: str, scale: int,
+               d_num: int, d_den: int, min_count: int):
+    """The three Kneser-Ney model tables, derived from ONE bigram-count
+    aggregate over the reference corpus:
+
+    - ``bigr(bigram, disc_e)`` — the discounted-ML term per SEEN bigram,
+      ``max(d_den·bc − d_num, 0) · scale div (d_den · c(w1 ·))``, pruned
+      to ``bc >= min_count`` (pruned bigrams back off like unseen ones,
+      the standard pruned-LM semantics; the STATISTICS below are always
+      computed over the unpruned counts).
+    - ``lam(w1, lambda_e)`` — the interpolation mass left for the
+      continuation distribution: ``d_num · N1+(w1 ·) · scale div
+      (d_den · c(w1 ·))``.
+    - ``cont(w2, cont_e)`` — the continuation probability ``N1+(· w2) ·
+      scale div N1+(· ·)`` (how many distinct contexts precede w2, not
+      how often it occurs — THE Kneser-Ney idea).
+
+    ``c(w1 ·)`` is the bigram-occurrence mass of the context (sum of bc
+    over bigrams starting w1), so numerator and denominator count the
+    same events and the fixed-point probabilities sum below 1.
+    """
+    staged = _staged_tokens(reference, text_col)
+    bi = (staged.select(
+              F.explode_outer(_bigrams(F.col("_t"))).alias("bigram"))
+          .where(F.col("bigram").isNotNull())
+          .groupBy("bigram").agg(F.count("*").alias("bc"))
+          .select("bigram", "bc",
+                  F.split_part("bigram", F.lit(" "), F.lit(1)).alias("w1"),
+                  F.split_part("bigram", F.lit(" "), F.lit(2)).alias("w2")))
+    follow = (bi.groupBy("w1")
+              .agg(F.sum("bc").alias("uc1"),
+                   F.count("*").alias("n1f")))
+    lam = follow.select(
+        "w1", F.expr(f"{int(d_num)} * n1f * {int(scale)}"
+                     f" div ({int(d_den)} * uc1)").alias("lambda_e"))
+    types = bi.agg(F.count("*").alias("_nt"))
+    cont = (bi.groupBy("w2").agg(F.count("*").alias("n1p"))
+            .crossJoin(F.broadcast(types))
+            .select("w2", F.expr(f"n1p * {int(scale)} div _nt")
+                    .alias("cont_e")))
+    bigr = (bi.where(F.col("bc") >= min_count)
+            .join(F.broadcast(follow), "w1")
+            .select("bigram", "w1", "w2",
+                    F.expr(f"greatest({int(d_den)} * bc - {int(d_num)}, 0)"
+                           f" * {int(scale)} div ({int(d_den)} * uc1)")
+                    .alias("disc_e")))
+    return bigr, lam, cont
+
+
+def train_kn_bigram_lm(reference: DataFrame, text_col: str = "text",
+                       scale: int = 1_000_000, d_num: int = 3,
+                       d_den: int = 4, min_count: int = 1) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM (Kneser & Ney 1995; Chen &
+    Goodman 1998 §4.1.6) — the smoothing KenLM implements and the
+    CCNet recipe trains its quality filter with. One row per kept
+    bigram: ``(bigram, disc_e, lambda_e, cont_e, p_kn_e)`` where
+
+        p_kn_e = disc_e + lambda_e · cont_e div scale
+
+    is the fixed-point interpolated probability ``max(c−D,0)/c(w1·) +
+    λ(w1)·P_cont(w2)`` with absolute discount ``D = d_num/d_den``
+    (Chen & Goodman's 0.75 default). Documented deltas from the
+    textbook form, both shared bit-exactly with the DuckDB oracle:
+    fixed-point integer arithmetic instead of floats (engine-portable),
+    and a constant discount instead of the count-of-counts estimate
+    (the paper's own recommended simplification).
+
+    Scale shape: one bigram-count aggregate over the corpus (map-side
+    combinable, the shingle-df discipline); every derived table is
+    bigram-type- or vocabulary-sized, never corpus-sized; the two
+    stat joins broadcast the vocabulary side.
+    """
+    bigr, lam, cont = _kn_tables(reference, text_col, scale,
+                                 d_num, d_den, min_count)
+    return (bigr.join(F.broadcast(lam), "w1")
+            .join(F.broadcast(cont), "w2")
+            .select("bigram", "disc_e", "lambda_e", "cont_e",
+                    (F.col("disc_e")
+                     + F.expr(f"lambda_e * cont_e div {int(scale)}"))
+                    .alias("p_kn_e")))
+
+
+def score_kn_bigram_lm(df: DataFrame, reference: DataFrame | None = None,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       scale: int = 1_000_000, d_num: int = 3,
+                       d_den: int = 4, min_count: int = 1,
+                       broadcast_lm: bool = True) -> DataFrame:
+    """Per-doc Kneser-Ney fit: ``(id_col, n_bigrams, kn_score)`` — the
+    integer mean of interpolated-KN occurrence probabilities. Unlike
+    the unsmoothed ``score_bigram_lm`` (unseen bigram → hard 0), every
+    occurrence keeps its backoff mass ``λ(w1)·P_cont(w2)``: a doc full
+    of fluent-but-novel word pairs scores well above gibberish whose
+    WORDS are novel too — the reason KN is the standard scoring LM.
+
+    The occurrence score is one branch-free expression over three left
+    joins (seen-bigram discount, context λ, continuation P_cont):
+    ``coalesce(disc,0) + coalesce(λ,0)·coalesce(cont,0) div scale`` —
+    for a seen bigram that IS the interpolated probability; for an
+    unseen one the disc leg is null and only backoff mass remains.
+
+    Scale shape: the doc bigrams explode once; λ and cont are
+    vocabulary-sized broadcasts; the bigram join broadcasts when the
+    pruned table fits (``broadcast_lm``), else shuffles on the
+    Zipf-skewed bigram key (keep AQE skew-join on). One map-side
+    combinable groupBy closes it.
+    """
+    if reference is None:
+        reference = df
+    bigr, lam, cont = _kn_tables(reference, text_col, scale,
+                                 d_num, d_den, min_count)
+    ex = _staged_tokens(df, text_col, id_col).select(
+        F.col(id_col),
+        F.posexplode_outer(_bigrams(F.col("_t"))).alias("_pos", "bigram"))
+    ex = ex.select(
+        id_col, "bigram",
+        F.split_part("bigram", F.lit(" "), F.lit(1)).alias("_w1"),
+        F.split_part("bigram", F.lit(" "), F.lit(2)).alias("_w2"))
+    b_side = bigr.select("bigram", "disc_e")
+    if broadcast_lm:
+        b_side = F.broadcast(b_side)
+    joined = (ex.join(b_side, "bigram", "left")
+              .join(F.broadcast(lam.withColumnRenamed("w1", "_w1")),
+                    "_w1", "left")
+              .join(F.broadcast(cont.withColumnRenamed("w2", "_w2")),
+                    "_w2", "left"))
+    occ = (F.coalesce("disc_e", F.lit(0))
+           + F.expr(f"coalesce(lambda_e, 0) * coalesce(cont_e, 0)"
+                    f" div {int(scale)}"))
+    return (joined.groupBy(id_col)
+            .agg(F.count("bigram").alias("n_bigrams"),
+                 F.sum(occ).alias("_s"))
+            .select(id_col, "n_bigrams",
+                    F.when(F.col("n_bigrams") > 0,
+                           F.expr("_s div n_bigrams"))
+                    .otherwise(F.lit(0)).cast("long").alias("kn_score")))
+
+
 def dsir_select(df: DataFrame, target: DataFrame, k: int,
                 text_col: str = "text", id_col: str = "doc_id",
                 scale: int = 1_000_000, min_count: int = 1,

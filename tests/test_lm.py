@@ -200,3 +200,73 @@ def test_perplexity_buckets_degenerate_all_tail(spark):
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     out = perplexity_buckets(df).collect()
     assert {r["bucket"] for r in out} == {"tail"}
+
+
+# ---- Kneser-Ney smoothing (Kneser & Ney 1995; Chen & Goodman 1998) ------
+
+from rag_document_parser_spark.operators.lm import (
+    score_kn_bigram_lm,
+    train_kn_bigram_lm,
+)
+
+
+def test_kn_table_hand_checked(corpus):
+    """Every fixed-point part recomputed by hand (scale=1000, D=3/4).
+
+    bc: 'a b'=3 'b a'=1 'b c'=1; c(a .)=3, c(b .)=2; N1+(a .)=1,
+    N1+(b .)=2; N1+(. a)=N1+(. b)=N1+(. c)=1; N1+(. .)=3.
+    """
+    rows = {r["bigram"]: r for r in
+            train_kn_bigram_lm(corpus, scale=1000).collect()}
+    assert rows["a b"]["disc_e"] == (4 * 3 - 3) * 1000 // (4 * 3)   # 750
+    assert rows["b a"]["disc_e"] == (4 * 1 - 3) * 1000 // (4 * 2)   # 125
+    assert rows["a b"]["lambda_e"] == 3 * 1 * 1000 // (4 * 3)       # 250
+    assert rows["b a"]["lambda_e"] == 3 * 2 * 1000 // (4 * 2)       # 750
+    assert rows["a b"]["cont_e"] == 1 * 1000 // 3                   # 333
+    assert rows["a b"]["p_kn_e"] == 750 + 250 * 333 // 1000         # 833
+    assert rows["b a"]["p_kn_e"] == 125 + 750 * 333 // 1000         # 374
+    assert rows["b c"]["p_kn_e"] == rows["b a"]["p_kn_e"]
+
+
+def test_kn_scores_integer_mean(corpus):
+    out = {r["doc_id"]: (r["n_bigrams"], r["kn_score"])
+           for r in score_kn_bigram_lm(corpus, scale=1000).collect()}
+    assert out["d1"] == (3, (833 + 374 + 833) // 3)
+    assert out["d2"] == (2, (833 + 374) // 2)
+    assert out["d3"] == (0, 0)
+
+
+def test_kn_backoff_keeps_mass_for_unseen_bigrams(spark, corpus):
+    """'b b' is an UNSEEN bigram of two SEEN words: the unsmoothed LM
+    scores it 0, KN keeps lambda(b)*P_cont(b). Fully-novel words still
+    floor at 0."""
+    web = spark.createDataFrame(
+        [("w1", "b b"), ("w2", "q r")], ["doc_id", "text"])
+    out = {r["doc_id"]: r["kn_score"]
+           for r in score_kn_bigram_lm(web, corpus, scale=1000).collect()}
+    assert out["w1"] == 750 * 333 // 1000      # backoff mass, not 0
+    assert out["w2"] == 0
+    unsmoothed = {r["doc_id"]: r["lm_score"] for r in score_bigram_lm(
+        web, train_bigram_lm(corpus, scale=1000)).collect()}
+    assert unsmoothed["w1"] == 0               # the gap KN closes
+
+
+def test_kn_min_count_prunes_discount_not_backoff(corpus):
+    """Pruned bigrams lose their discount leg but keep backoff — and
+    the KN statistics stay computed over the UNPRUNED counts."""
+    lm = {r["bigram"]: r for r in
+          train_kn_bigram_lm(corpus, scale=1000, min_count=2).collect()}
+    assert set(lm) == {"a b"}
+    assert lm["a b"]["lambda_e"] == 250        # stats unchanged by pruning
+    out = {r["doc_id"]: r["kn_score"]
+           for r in score_kn_bigram_lm(corpus, scale=1000,
+                                       min_count=2).collect()}
+    # d2: 'a b' seen (833); 'b c' pruned -> backoff only (249)
+    assert out["d2"] == (833 + 750 * 333 // 1000) // 2
+
+
+def test_kn_partition_invariance(corpus):
+    a = sorted(map(tuple, score_kn_bigram_lm(corpus).collect()))
+    b = sorted(map(tuple, score_kn_bigram_lm(
+        corpus.repartition(5), broadcast_lm=False).collect()))
+    assert a == b
