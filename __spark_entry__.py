@@ -3687,6 +3687,68 @@ SELECT query_id::BIGINT AS query_id, doc_id::BIGINT AS doc_id,
 FROM r WHERE rank <= {_BM25_K}"""
 
 
+_PH_K = 5
+_PH_QLEN = 2
+
+
+def q_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase retrieval over a positional index (Manning et al.
+    IIR §2.4.2): consecutive-token matching via the anchor = pos − idx
+    grouping, ranked by occurrence count. Queries are corpus-derived
+    and deterministic: the first 2 tokens of every doc with
+    ``doc_id % 97 == 3``."""
+    from rag_document_parser_spark.operators import retrieval as RET
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    staged = docs.where(F.col("doc_id") % 97 == 3).select(
+        "doc_id", D.words(F.col("text")).alias("_w"))
+    queries = staged.select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice("_w", 1, _PH_QLEN), " ").alias("text"))
+    out = RET.phrase_topk(docs, queries, k=_PH_K)
+    return out.select(F.col("query_id").cast("long"),
+                      F.col("doc_id").cast("long"),
+                      "n_matches", "rank")
+
+
+SQL_PHRASE_TOPK = f"""
+WITH qsrc AS (
+  SELECT doc_id AS query_id,
+         array_to_string(list_slice({_BMTOKS}, 1, {_PH_QLEN}), ' ') AS qt
+  FROM documents WHERE doc_id % 97 = 3
+), qq AS (
+  SELECT query_id, unnest(qtoks) AS term,
+         generate_subscripts(qtoks, 1) AS idx
+  FROM (SELECT query_id, {TOKS_SQL.format(c='qt')} AS qtoks FROM qsrc)
+), qlen AS (
+  SELECT query_id, len({TOKS_SQL.format(c='qt')})::BIGINT AS m FROM qsrc
+), toks AS (
+  SELECT doc_id, {_BMTOKS} AS t FROM documents
+), px AS (
+  SELECT doc_id, unnest(t) AS term, generate_subscripts(t, 1) AS pos
+  FROM toks
+), hits AS (
+  SELECT q.query_id, p.doc_id, p.pos - q.idx AS anchor
+  FROM px p JOIN qq q USING (term)
+), occ AS (
+  SELECT query_id, doc_id, anchor, count(*)::BIGINT AS c
+  FROM hits GROUP BY query_id, doc_id, anchor
+), fo AS (
+  SELECT o.query_id, o.doc_id FROM occ o JOIN qlen q USING (query_id)
+  WHERE o.c = q.m
+), agg AS (
+  SELECT query_id, doc_id, count(*)::BIGINT AS n_matches
+  FROM fo GROUP BY query_id, doc_id
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY n_matches DESC, doc_id ASC) AS rank
+  FROM agg
+)
+SELECT query_id::BIGINT AS query_id, doc_id::BIGINT AS doc_id,
+       n_matches, rank::BIGINT AS rank
+FROM r WHERE rank <= {_PH_K}"""
+
+
 # ---------------------------------------------------------------------------
 # similarity search over embeddings
 # ---------------------------------------------------------------------------
@@ -7848,6 +7910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new this round / never driver-gated in any round ----------
         "kn_lm": q_kn_lm,
         "kn_score": q_kn_score,
+        "phrase_topk": q_phrase_topk,
         "unigram_vocab": q_unigram_vocab,
         "unigram_segment": q_unigram_segment,
         "zipf_fit": q_zipf_fit,
@@ -8019,6 +8082,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "kn_lm": SQL_KN_LM,
         "kn_score": SQL_KN_SCORE,
+        "phrase_topk": SQL_PHRASE_TOPK,
         "unigram_vocab": SQL_UNIGRAM_VOCAB,
         "unigram_segment": SQL_UNIGRAM_SEGMENT,
         "zipf_fit": SQL_ZIPF_FIT,

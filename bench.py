@@ -334,6 +334,11 @@ def main() -> None:
         F.array_join(F.slice(_words(F.col("text")), 1, 4), " ").alias("text"))
     timed_reps("bm25_topk",
           lambda: RET.bm25_topk(docs, bm25_q, k=10).count())
+    phrase_q = docs.where(F.col("doc_id") < 8).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(_words(F.col("text")), 1, 2), " ").alias("text"))
+    timed_reps("phrase_topk",
+          lambda: RET.phrase_topk(docs, phrase_q, k=10).count())
 
     def _hybrid():
         lex = RET.bm25_topk(docs, bm25_q, k=20)

@@ -59,7 +59,8 @@ from pyspark.sql import DataFrame, functions as F
 from rag_document_parser_spark.operators.dedup import words
 from rag_document_parser_spark.operators.similarity import topk_per_query
 
-__all__ = ["bm25_topk", "inverted_index", "rrf_fuse"]
+__all__ = ["bm25_topk", "inverted_index", "phrase_match", "phrase_topk",
+           "positional_index", "rrf_fuse"]
 
 
 def inverted_index(df: DataFrame, text_col: str = "text",
@@ -192,6 +193,92 @@ def rrf_fuse(ranked: list[DataFrame], k: int = 10, k0: int = 60,
                    .cast("long").alias("rrf_e6")))
     return topk_per_query(scored, k, "query_id", "doc_id", "rrf_e6").select(
         "query_id", "doc_id", "n_lists", "rrf_e6",
+        F.col("rank").cast("long").alias("rank"))
+
+
+def positional_index(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Positional postings ``(term, doc_id, pos)`` — one row per token
+    OCCURRENCE with its 0-based position, the relation phrase and
+    proximity queries need (``inverted_index`` keeps only frequencies).
+
+    Scale shape: one staged-tokenizer scan, one ``posexplode`` inside
+    the scan's codegen span — no shuffle at all until a consumer keys
+    it. Roughly ``total_tokens`` rows, the same order of magnitude as
+    the frequency index at web scale (most (term, doc) pairs have
+    tf = 1).
+    """
+    staged = df.select(F.col(id_col).alias("doc_id"),
+                       words(F.col(text_col)).alias("_t"))
+    return (staged.select(
+                "doc_id",
+                F.posexplode_outer("_t").alias("pos", "term"))
+            .where(F.col("term").isNotNull())
+            .select("term", "doc_id", F.col("pos").cast("long").alias("pos")))
+
+
+def phrase_match(df: DataFrame, queries: DataFrame,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 qid_col: str = "query_id",
+                 phrase_col: str = "text") -> DataFrame:
+    """Exact-phrase occurrence counts: ``(query_id, doc_id, n_matches)``
+    with one row per (query, doc) whose token stream contains the
+    query's tokens CONSECUTIVELY, ``n_matches`` = number of distinct
+    start positions. Both sides run through the engine tokenizer, so
+    a phrase matches across any punctuation/case variation the
+    tokenizer normalizes — the semantics of a quoted query in a search
+    box.
+
+    The classic positional-index algorithm (Manning, Raghavan & Schütze,
+    IIR §2.4.2) as relational algebra: explode the phrase to
+    ``(idx, term)``, join the positional postings on term, and group by
+    the implied start ``anchor = pos − idx`` — an anchor holding all
+    ``m`` phrase positions is one occurrence. Repeated phrase terms are
+    handled for free: for a fixed (doc, anchor, idx) at most one
+    posting matches (pos = anchor + idx), so ``count(*) = m`` iff every
+    slot matched.
+
+    Scale shape: the query relation is tiny and rides two broadcasts
+    (terms, lengths); the corpus-sized postings never shuffle on the
+    Zipf-skewed term key — the term join is broadcast, and the only
+    exchange keys on (query, doc, anchor), bounded by occurrences of
+    query terms and uniform in doc_id. A stopword-only phrase degrades
+    to corpus-sized hit lists (same caveat as any positional engine);
+    AQE splits the straggling query if one dominates. Empty phrases
+    (zero tokens after tokenization) match nothing and are absent from
+    the output, documented over hidden.
+    """
+    qt = queries.select(F.col(qid_col).alias("query_id"),
+                        words(F.col(phrase_col)).alias("_qw"))
+    qterms = (qt.select("query_id",
+                        F.posexplode_outer("_qw").alias("idx", "term"))
+              .where(F.col("term").isNotNull()))
+    qlen = qt.select("query_id", F.size("_qw").cast("long").alias("_m"))
+    hits = (positional_index(df, text_col, id_col)
+            .join(F.broadcast(qterms), "term")
+            .select("query_id", "doc_id",
+                    (F.col("pos") - F.col("idx")).alias("_anchor")))
+    occ = (hits.groupBy("query_id", "doc_id", "_anchor")
+           .agg(F.count("*").cast("long").alias("_c")))
+    full = (occ.join(F.broadcast(qlen), "query_id")
+            .where(F.col("_c") == F.col("_m")))
+    return (full.groupBy("query_id", "doc_id")
+            .agg(F.count("*").cast("long").alias("n_matches")))
+
+
+def phrase_topk(df: DataFrame, queries: DataFrame, k: int = 10,
+                text_col: str = "text", id_col: str = "doc_id",
+                qid_col: str = "query_id",
+                phrase_col: str = "text") -> DataFrame:
+    """Top-``k`` documents per phrase query by occurrence count
+    (``phrase_match``), ties broken by ascending doc_id — the ranked
+    face a hybrid stack fuses with BM25/dense legs via ``rrf_fuse``.
+    Two-stage partial rank via ``topk_per_query``: no task sorts more
+    than its partition's share of one query's matches.
+    """
+    m = phrase_match(df, queries, text_col, id_col, qid_col, phrase_col)
+    return topk_per_query(m, k, "query_id", "doc_id", "n_matches").select(
+        "query_id", "doc_id", "n_matches",
         F.col("rank").cast("long").alias("rank"))
 
 

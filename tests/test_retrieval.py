@@ -269,3 +269,75 @@ def test_contrastive_id_zero_decodes_exactly(spark):
     got = {r.anchor: r for r in mine_contrastive_pairs(docs).collect()}
     assert got[1].pos_id == 0 and got[1].pos_jac_e6 == 1_000_000
     assert got[0].pos_id == 1 and got[0].neg_id == 3
+
+
+# ---- positional phrase retrieval (IIR §2.4.2) ---------------------------
+
+from rag_document_parser_spark.operators.retrieval import (
+    phrase_match,
+    phrase_topk,
+    positional_index,
+)
+
+
+@pytest.fixture(scope="module")
+def phrase_docs(spark):
+    return spark.createDataFrame(
+        [("d1", "the quick brown fox; the quick brown cat"),
+         ("d2", "quick brown shoes and a Quick-Brown hat"),
+         ("d3", "brown quick reversed order here"),
+         ("d4", "the the the repeated stopwords the the"),
+         ("d5", "")],
+        ["doc_id", "text"])
+
+
+def test_positional_index_positions(phrase_docs):
+    idx = {(r["term"], r["doc_id"], r["pos"])
+           for r in positional_index(
+               phrase_docs.where(F.col("doc_id") == "d3")).collect()}
+    assert idx == {("brown", "d3", 0), ("quick", "d3", 1),
+                   ("reversed", "d3", 2), ("order", "d3", 3),
+                   ("here", "d3", 4)}
+
+
+def test_phrase_match_consecutive_only(spark, phrase_docs):
+    qs = spark.createDataFrame([("q1", "quick brown")],
+                               ["query_id", "text"])
+    out = {(r["query_id"], r["doc_id"]): r["n_matches"]
+           for r in phrase_match(phrase_docs, qs).collect()}
+    # d1 has the phrase twice; d2 twice (punctuation/case fold through
+    # the tokenizer); d3 has both words but REVERSED -> no match
+    assert out == {("q1", "d1"): 2, ("q1", "d2"): 2}
+
+
+def test_phrase_match_repeated_terms(spark, phrase_docs):
+    """A phrase whose tokens repeat ('the the') must count overlapping
+    starts correctly: d4 = 'the the the repeated stopwords the the'
+    has starts at 0, 1, and 5."""
+    qs = spark.createDataFrame([("q2", "the the")], ["query_id", "text"])
+    out = {r["doc_id"]: r["n_matches"]
+           for r in phrase_match(phrase_docs, qs).collect()}
+    assert out == {"d4": 3}
+
+
+def test_phrase_match_empty_phrase_absent(spark, phrase_docs):
+    qs = spark.createDataFrame([("q3", ";;; ...")], ["query_id", "text"])
+    assert phrase_match(phrase_docs, qs).count() == 0
+
+
+def test_phrase_topk_rank_and_ties(spark, phrase_docs):
+    qs = spark.createDataFrame([("q1", "quick brown")],
+                               ["query_id", "text"])
+    rows = phrase_topk(phrase_docs, qs, k=5).orderBy("rank").collect()
+    # equal counts (2, 2) tie-break by ascending doc_id
+    assert [(r["doc_id"], r["n_matches"], r["rank"]) for r in rows] == \
+        [("d1", 2, 1), ("d2", 2, 2)]
+
+
+def test_phrase_match_partition_invariance(spark, phrase_docs):
+    qs = spark.createDataFrame(
+        [("q1", "quick brown"), ("q2", "the the")], ["query_id", "text"])
+    a = sorted(map(tuple, phrase_match(phrase_docs, qs).collect()))
+    b = sorted(map(tuple, phrase_match(
+        phrase_docs.repartition(7), qs).collect()))
+    assert a == b
