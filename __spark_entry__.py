@@ -4547,6 +4547,70 @@ SELECT b::BIGINT AS prefix_buckets,
 FROM frame LEFT JOIN per_doc d USING (b) LEFT JOIN fs f USING (b)"""
 
 
+_SO_K = 32
+
+
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV-sketch pairwise source-overlap matrix (Broder 1997 bottom-k;
+    Beyer et al. 2007): estimated Jaccard of distinct-content sets per
+    source pair. Overlap is planted deterministically — every doc with
+    ``doc_id % 7 == 0`` is re-homed under a synthetic 'srcdup' source —
+    so each real source shares exactly its %7 slice with srcdup."""
+    from rag_document_parser_spark.operators import corpstats as CS
+
+    docs = _docs(spark, sf_dir).select("source", "text")
+    planted = docs.unionByName(
+        _docs(spark, sf_dir).where(F.col("doc_id") % 7 == 0)
+        .select(F.lit("srcdup").alias("source"), "text"))
+    return CS.source_overlap(planted, k=_SO_K)
+
+
+SQL_SOURCE_OVERLAP = f"""
+WITH base AS (
+  SELECT source, text FROM documents
+  UNION ALL
+  SELECT 'srcdup' AS source, text FROM documents WHERE doc_id % 7 = 0
+), dh AS (
+  SELECT DISTINCT source, {_md5l('text')} AS h FROM base
+), cnt AS (
+  SELECT source, count(*)::BIGINT AS docs FROM dh GROUP BY source
+), sk AS (
+  SELECT source, h FROM (
+    SELECT source, h,
+           row_number() OVER (PARTITION BY source ORDER BY h) AS r
+    FROM dh) z
+  WHERE r <= {_SO_K}
+), srcs AS (
+  SELECT DISTINCT source FROM sk
+), pairs AS (
+  SELECT a.source AS a, b.source AS b FROM srcs a, srcs b
+  WHERE a.source < b.source
+), m AS (
+  SELECT a, b, h, max(ia) AS ia, max(ib) AS ib FROM (
+    SELECT p.a, p.b, s.h, 1 AS ia, 0 AS ib
+    FROM pairs p JOIN sk s ON s.source = p.a
+    UNION ALL
+    SELECT p.a, p.b, s.h, 0 AS ia, 1 AS ib
+    FROM pairs p JOIN sk s ON s.source = p.b) u
+  GROUP BY a, b, h
+), bott AS (
+  SELECT a, b, ia, ib FROM (
+    SELECT a, b, ia, ib,
+           row_number() OVER (PARTITION BY a, b ORDER BY h) AS r
+    FROM m) z
+  WHERE r <= {_SO_K}
+), est AS (
+  SELECT a, b, count(*)::BIGINT AS k_merged,
+         sum(ia * ib)::BIGINT AS n_both
+  FROM bott GROUP BY a, b
+)
+SELECT a AS source_a, b AS source_b, k_merged, n_both,
+  (n_both * 1000000 // k_merged)::BIGINT AS jaccard_e6,
+  ca.docs AS docs_a, cb.docs AS docs_b
+FROM est JOIN cnt ca ON ca.source = est.a
+  JOIN cnt cb ON cb.source = est.b"""
+
+
 def q_wordpiece_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy longest-match WordPiece segmentation under the first 2
     learned merges: per-doc piece counts + whole-word UNKs (BERT
@@ -7911,6 +7975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kn_lm": q_kn_lm,
         "kn_score": q_kn_score,
         "phrase_topk": q_phrase_topk,
+        "source_overlap": q_source_overlap,
         "unigram_vocab": q_unigram_vocab,
         "unigram_segment": q_unigram_segment,
         "zipf_fit": q_zipf_fit,
@@ -8083,6 +8148,7 @@ def oracle_sql() -> dict[str, str]:
         "kn_lm": SQL_KN_LM,
         "kn_score": SQL_KN_SCORE,
         "phrase_topk": SQL_PHRASE_TOPK,
+        "source_overlap": SQL_SOURCE_OVERLAP,
         "unigram_vocab": SQL_UNIGRAM_VOCAB,
         "unigram_segment": SQL_UNIGRAM_SEGMENT,
         "zipf_fit": SQL_ZIPF_FIT,

@@ -278,6 +278,8 @@ def main() -> None:
     from rag_document_parser_spark.operators import corpstats as CS
     timed_reps("zipf_fit",
           lambda: CS.zipf_fit(docs, top_n=1024).collect())
+    timed_reps("source_overlap",
+          lambda: CS.source_overlap(docs, k=128).count())
     from rag_document_parser_spark.operators import wminhash as WMH
     timed_reps("weighted_jaccard",
           lambda: WMH.weighted_jaccard_pairs(

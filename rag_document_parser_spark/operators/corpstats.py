@@ -38,7 +38,8 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from rag_document_parser_spark.operators.dedup import words
 
-__all__ = ["term_freqs", "zipf_points", "zipf_fit", "heaps_points"]
+__all__ = ["term_freqs", "zipf_points", "zipf_fit", "heaps_points",
+           "source_overlap"]
 
 # piecewise-linear base-2 log in e3 fixed point (module docstring)
 LOG2_E3 = ("((length(bin({n})) - 1) * 1000 + "
@@ -172,3 +173,83 @@ def heaps_points(df: DataFrame, text_col: str = "text",
                     .alias("n_tokens"),
                     F.sum("types").over(w).cast("long")
                     .alias("n_types")))
+
+
+def source_overlap(df: DataFrame, text_col: str = "text",
+                   source_col: str = "source", k: int = 128,
+                   max_sources: int = 512) -> DataFrame:
+    """Pairwise content-overlap matrix between sources via K-minimum-
+    values sketches (Broder 1997 bottom-k; Beyer et al. 2007): for
+    every unordered source pair, the estimated Jaccard similarity of
+    their DISTINCT document-content-hash sets — the mixture-design
+    signal for "these two crawls/domains are largely the same corpus".
+
+    Per source the sketch is the k smallest 60-bit md5 content hashes;
+    a pair's estimate is ``n_both · 1e6 div k'`` where k' is the size
+    of the MERGED bottom-k of the two sketches and ``n_both`` counts
+    merged-sketch members present in BOTH — the textbook KMV estimator,
+    fully deterministic (md5, no RNG), so the DuckDB oracle reproduces
+    every value. Output per pair ``(source_a, source_b, k_merged,
+    n_both, jaccard_e6, docs_a, docs_b)`` with exact per-source
+    distinct-hash counts for context; source_a < source_b.
+
+    Scale shape: one distinct on the uniform (source, hash) pair; the
+    bottom-k per source runs through ``topk_per_query``'s two-stage
+    partial rank (a mega-source never sorts inside one task); from
+    there everything is sketch-sized — at most ``n_sources · k`` rows
+    — so the pairwise stage is quadratic only in the SOURCE count,
+    never in documents. ``max_sources`` makes that budget structural:
+    the pair frame is built from a counted sketch relation and raises
+    before a quadratic blowup, the ``lsh_signature`` loud-fail
+    discipline.
+    """
+    from rag_document_parser_spark.operators.dedup import _md5_long
+    from rag_document_parser_spark.operators.similarity import (
+        topk_per_query)
+
+    dh = (df.select(F.col(source_col).alias("source"),
+                    _md5_long(F.col(text_col)).alias("h"))
+          .distinct())
+    cnt = dh.groupBy("source").agg(F.count("*").cast("long").alias("docs"))
+    sk = (topk_per_query(
+              dh.select("source", "h", (-F.col("h")).alias("_neg")),
+              k, qid_col="source", id_col="h", score_col="_neg")
+          .select("source", "h").localCheckpoint())
+    n_src = sk.select("source").distinct().count()
+    if n_src > max_sources:
+        raise ValueError(
+            f"source_overlap: {n_src} sources exceed max_sources="
+            f"{max_sources}; the pairwise matrix would hold "
+            f"{n_src * (n_src - 1) // 2} rows — raise max_sources "
+            "deliberately or pre-group sources")
+    srcs = sk.select("source").distinct()
+    pairs = (srcs.select(F.col("source").alias("a"))
+             .crossJoin(srcs.select(F.col("source").alias("b")))
+             .where(F.col("a") < F.col("b")))
+    ua = (pairs.join(sk.withColumnRenamed("source", "a"), "a")
+          .select("a", "b", "h", F.lit(1).alias("_ia"),
+                  F.lit(0).alias("_ib")))
+    ub = (pairs.join(sk.withColumnRenamed("source", "b"), "b")
+          .select("a", "b", "h", F.lit(0).alias("_ia"),
+                  F.lit(1).alias("_ib")))
+    merged = (ua.unionByName(ub)
+              .groupBy("a", "b", "h")
+              .agg(F.max("_ia").alias("_ia"), F.max("_ib").alias("_ib")))
+    w = Window.partitionBy("a", "b").orderBy(F.col("h").asc())
+    bott = (merged.withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") <= k))
+    est = (bott.groupBy("a", "b")
+           .agg(F.count("*").cast("long").alias("k_merged"),
+                F.sum(F.col("_ia") * F.col("_ib")).cast("long")
+                .alias("n_both")))
+    return (est
+            .join(cnt.withColumnRenamed("source", "a")
+                  .withColumnRenamed("docs", "docs_a"), "a")
+            .join(cnt.withColumnRenamed("source", "b")
+                  .withColumnRenamed("docs", "docs_b"), "b")
+            .select(F.col("a").alias("source_a"),
+                    F.col("b").alias("source_b"),
+                    "k_merged", "n_both",
+                    F.expr("n_both * 1000000 div k_merged")
+                    .cast("long").alias("jaccard_e6"),
+                    "docs_a", "docs_b"))

@@ -111,3 +111,69 @@ def test_no_window_over_term_scale_rows(spark, corpus):
     assert "Window" in plan
     win_idx = plan.index("Window")
     assert "Aggregate" in plan[win_idx:], plan
+
+
+# ---- KMV source-overlap matrix (Broder 1997; Beyer et al. 2007) ---------
+
+from rag_document_parser_spark.operators.corpstats import source_overlap
+
+
+@pytest.fixture(scope="module")
+def multi_source(spark):
+    # srcA and srcB share texts t0..t4 (of 10 each: J = 5/15);
+    # srcC is disjoint from both
+    rows = []
+    for i in range(10):
+        rows.append((f"a{i}", "srcA", f"shared text {i}" if i < 5
+                     else f"alpha only {i}"))
+        rows.append((f"b{i}", "srcB", f"shared text {i}" if i < 5
+                     else f"beta only {i}"))
+        rows.append((f"c{i}", "srcC", f"gamma only {i}"))
+    return spark.createDataFrame(rows, ["doc_id", "source", "text"])
+
+
+def test_source_overlap_exact_when_k_covers(multi_source):
+    """k >= |union| makes the KMV estimate EXACT Jaccard."""
+    out = {(r["source_a"], r["source_b"]): r
+           for r in source_overlap(multi_source, k=64).collect()}
+    ab = out[("srcA", "srcB")]
+    assert (ab["docs_a"], ab["docs_b"]) == (10, 10)
+    assert ab["k_merged"] == 15 and ab["n_both"] == 5
+    assert ab["jaccard_e6"] == 5 * 1_000_000 // 15
+    assert out[("srcA", "srcC")]["n_both"] == 0
+    assert out[("srcB", "srcC")]["jaccard_e6"] == 0
+
+
+def test_source_overlap_dedups_within_source(spark):
+    """Duplicate texts inside one source count once (set semantics)."""
+    df = spark.createDataFrame(
+        [("1", "x", "same"), ("2", "x", "same"), ("3", "y", "same")],
+        ["doc_id", "source", "text"])
+    out = source_overlap(df, k=8).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["docs_a"], r["docs_b"]) == (1, 1)
+    assert r["jaccard_e6"] == 1_000_000
+
+
+def test_source_overlap_sketch_is_bottom_k(multi_source):
+    """With k below the union size the estimate uses the merged
+    bottom-k only — still in [0, 1e6] and k_merged == k."""
+    out = {(r["source_a"], r["source_b"]): r
+           for r in source_overlap(multi_source, k=4).collect()}
+    for r in out.values():
+        assert r["k_merged"] == 4
+        assert 0 <= r["jaccard_e6"] <= 1_000_000
+
+
+def test_source_overlap_max_sources_guard(multi_source):
+    import pytest as _pt
+    with _pt.raises(ValueError, match="max_sources"):
+        source_overlap(multi_source, k=4, max_sources=2)
+
+
+def test_source_overlap_partition_invariance(multi_source):
+    a = sorted(map(tuple, source_overlap(multi_source, k=8).collect()))
+    b = sorted(map(tuple, source_overlap(
+        multi_source.repartition(7), k=8).collect()))
+    assert a == b
