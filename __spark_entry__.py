@@ -5954,6 +5954,47 @@ SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b,
 FROM s WHERE cos >= 0.95"""
 
 
+def q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination: every corpus vector
+    checked for cosine >= 0.95 against a broadcast LSH-banded eval set
+    (vec_id % 11 == 5 plays the benchmark). Eval members flag
+    themselves at cosine 1.0 by construction."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    ev = emb.where(F.col("vec_id") % 11 == 5)
+    out = V.semantic_decontaminate(emb, ev, threshold=0.95)
+    return out.select(F.col("id").cast("long"), "n_candidates",
+                      "max_cos_e6", "contaminated")
+
+
+SQL_SEMANTIC_DECONTAM = f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+           FROM embeddings),
+sig AS (SELECT vec_id, v,
+          list_reduce(list_transform(range({_NBITS}), b -> {_SIGBIT}),
+                      (a, b) -> a | b) AS s
+        FROM e),
+banded AS (SELECT vec_id, v, unnest(list_transform(range({_VBANDS}),
+             bi -> bi::VARCHAR || '|' ||
+                   ((s >> (bi*{_NBITS // _VBANDS})::INT)
+                    & {(1 << (_NBITS // _VBANDS)) - 1})::VARCHAR)) AS bk
+           FROM sig),
+cand AS (SELECT DISTINCT c.vec_id AS id, c.v AS v,
+                q.vec_id AS eid, q.v AS qv
+         FROM banded c JOIN banded q ON c.bk = q.bk
+         WHERE q.vec_id % 11 = 5),
+s AS (SELECT id,
+        {_DOT} / ({_NRM.format(x='v')} * {_NRM.format(x='qv')}) AS cos
+      FROM cand),
+hits AS (SELECT id, count(*)::BIGINT AS n_candidates, max(cos) AS mx
+         FROM s GROUP BY id)
+SELECT e.vec_id::BIGINT AS id,
+  coalesce(h.n_candidates, 0)::BIGINT AS n_candidates,
+  coalesce(floor(h.mx * 1000000), 0)::BIGINT AS max_cos_e6,
+  coalesce(h.mx >= 0.95, false) AS contaminated
+FROM e LEFT JOIN hits h ON h.id = e.vec_id"""
+
+
 _SD_THRESHOLD = 0.999
 
 
@@ -7976,6 +8017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kn_score": q_kn_score,
         "phrase_topk": q_phrase_topk,
         "source_overlap": q_source_overlap,
+        "semantic_decontam": q_semantic_decontam,
         "unigram_vocab": q_unigram_vocab,
         "unigram_segment": q_unigram_segment,
         "zipf_fit": q_zipf_fit,
@@ -8149,6 +8191,7 @@ def oracle_sql() -> dict[str, str]:
         "kn_score": SQL_KN_SCORE,
         "phrase_topk": SQL_PHRASE_TOPK,
         "source_overlap": SQL_SOURCE_OVERLAP,
+        "semantic_decontam": SQL_SEMANTIC_DECONTAM,
         "unigram_vocab": SQL_UNIGRAM_VOCAB,
         "unigram_segment": SQL_UNIGRAM_SEGMENT,
         "zipf_fit": SQL_ZIPF_FIT,

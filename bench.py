@@ -470,6 +470,12 @@ def main() -> None:
                                      (F.col("vec_id") + 100000)
                                      .alias("vec_id"), "embedding")),
                              threshold=0.999).where("NOT kept").count())
+    timed_reps("semantic_decontam",
+          lambda: V.semantic_decontaminate(
+              emb.select("vec_id", "embedding"),
+              emb.where(F.col("vec_id") % 11 == 5)
+              .select("vec_id", "embedding"))
+          .where("contaminated").count())
     timed_reps("mixture_resample",
           lambda: SAM.resample_by_group(
               docs, {"en": 2.5, "de": 0.0, "fr": 1.0}, "lang",

@@ -213,6 +213,72 @@ def embedding_near_dup_pairs(corpus: DataFrame, threshold: float = 0.95,
                     F.floor(cos * 1000000).cast("long").alias("cosine_e6")))
 
 
+def semantic_decontaminate(corpus: DataFrame, eval_df: DataFrame,
+                           threshold: float = 0.95,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           n_bits: int = 16, bands: int = 4) -> DataFrame:
+    """Embedding-space benchmark decontamination: flag corpus documents
+    whose embedding is near-identical (cosine >= threshold) to ANY
+    eval-set embedding — the semantic complement of the n-gram
+    ``repetition.decontaminate`` pass. Paraphrased or reformatted
+    benchmark questions slip through shingle overlap; their embeddings
+    don't (the Phi/GPT-4 technical-report decontamination recipe).
+
+    Output one row per corpus vector: ``(id, n_candidates,
+    max_cos_e6, contaminated)`` — ``n_candidates`` = eval vectors that
+    collided in >=1 LSH band (0 → max_cos_e6 = 0), ``max_cos_e6`` =
+    floor(1e6 · max candidate cosine), ``contaminated`` = the float
+    max >= threshold (degenerate zero-norm vectors yield NULL cosine
+    and never flag, the ``cosine_similarity_col`` convention).
+
+    Scale shape: the eval set (benchmark-sized, thousands of rows)
+    is sign-LSH banded and BROADCAST; the corpus bands in the scan
+    projection and candidate-joins against it — the 100 TB corpus
+    never shuffles at all, and exact cosine runs only on colliding
+    pairs. Same recall character as ``embedding_near_dup_pairs``:
+    a true near-dup missing every band is possible but exponentially
+    unlikely in ``bands``; raise ``bands`` (or lower ``width``) for
+    recall, the documented LSH trade.
+    """
+    width = n_bits // bands
+    mask = (1 << width) - 1
+
+    def banded(df, idn, vn):
+        staged = df.select(
+            F.col(id_col).alias(idn), F.col(vec_col).alias(vn),
+            lsh_signature(F.col(vec_col), n_bits).alias("_sig"))
+        return staged.select(
+            idn, vn,
+            F.posexplode_outer(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda bi: _shr(F.col("_sig"), bi * width)
+                    .bitwiseAND(F.lit(mask)),
+                )
+            ).alias("band", "band_val"),
+        ).where(F.col("band_val").isNotNull())
+
+    ev = banded(eval_df, "eid", "ev")
+    corp = banded(corpus, "id", "v")
+    cand = (corp.join(F.broadcast(ev), ["band", "band_val"])
+            .select("id", "v", "eid", "ev").distinct())
+    cos = cosine_similarity_col(F.col("v"), F.col("ev"))
+    hits = (cand.select("id", cos.alias("_cos"))
+            .groupBy("id")
+            .agg(F.count("*").cast("long").alias("n_candidates"),
+                 F.max("_cos").alias("_mx")))
+    base = corpus.select(F.col(id_col).alias("id")).distinct()
+    return (base.join(hits, "id", "left")
+            .select("id",
+                    F.coalesce("n_candidates", F.lit(0)).cast("long")
+                    .alias("n_candidates"),
+                    F.coalesce(F.floor(F.col("_mx") * 1_000_000),
+                               F.lit(0)).cast("long").alias("max_cos_e6"),
+                    F.coalesce(F.col("_mx") >= F.lit(float(threshold)),
+                               F.lit(False)).alias("contaminated")))
+
+
 def _centroid_scores(vec, centroids: list[tuple[int, list[float]]]):
     """Per-centroid score structs (negscore, cid), one dot product each.
 

@@ -751,3 +751,55 @@ def test_hamming_near_pairs_generic_kernel(spark):
             if h <= 3:
                 want.add((i, j, h))
     assert got == want and want
+
+
+# ---- semantic decontamination (embedding-space eval overlap) ------------
+
+from rag_document_parser_spark.operators.similarity import (
+    semantic_decontaminate,
+)
+
+
+def test_semantic_decontam_flags_eval_members_and_near(spark):
+    import math
+    # 8-dim unit-ish vectors: c0 IS the eval vector, c1 is a tiny
+    # perturbation (cosine ~0.9997), c2 is orthogonal
+    base = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0]
+    near = [x + (0.01 if i == 0 else 0.0) for i, x in enumerate(base)]
+    orth = [8.0, -7.0, 6.0, -5.0, 4.0, -3.0, 2.0, -1.0]
+    corpus = spark.createDataFrame(
+        [(0, base), (1, near), (2, orth)],
+        ["vec_id", "embedding"])
+    ev = spark.createDataFrame([(100, base)], ["vec_id", "embedding"])
+    out = {r["id"]: r for r in
+           semantic_decontaminate(corpus, ev, threshold=0.99).collect()}
+    assert out[0]["contaminated"] and out[0]["max_cos_e6"] >= 999_999
+    assert out[1]["contaminated"]           # paraphrase-grade near-dup
+    assert not out[2]["contaminated"]
+    # the orthogonal doc still appears with an explicit row
+    assert out[2]["max_cos_e6"] < 500_000 or out[2]["n_candidates"] == 0
+
+
+def test_semantic_decontam_zero_candidates_row(spark):
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], ["vec_id", "embedding"])
+    ev = spark.createDataFrame([(9, [1.0, 0.0])], ["vec_id", "embedding"])
+    out = {r["id"]: r for r in
+           semantic_decontaminate(corpus, ev).collect()}
+    assert len(out) == 2                    # every corpus id has a row
+    assert out[0]["contaminated"]
+    r1 = out[1]
+    assert not r1["contaminated"]
+    if r1["n_candidates"] == 0:
+        assert r1["max_cos_e6"] == 0
+
+
+def test_semantic_decontam_partition_invariance(spark):
+    rows = [(i, [float((i * 7 + j * 3) % 11 - 5) for j in range(8)])
+            for i in range(40)]
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    ev = spark.createDataFrame(rows[:5], ["vec_id", "embedding"])
+    a = sorted(map(tuple, semantic_decontaminate(corpus, ev).collect()))
+    b = sorted(map(tuple, semantic_decontaminate(
+        corpus.repartition(7), ev).collect()))
+    assert a == b
