@@ -39,7 +39,8 @@ from pyspark.sql import DataFrame, Window, functions as F
 from rag_document_parser_spark.operators.dedup import words
 
 __all__ = ["term_freqs", "zipf_points", "zipf_fit", "heaps_points",
-           "source_overlap"]
+           "source_overlap", "source_sketch", "merge_source_sketches",
+           "overlap_from_sketches"]
 
 # piecewise-linear base-2 log in e3 fixed point (module docstring)
 LOG2_E3 = ("((length(bin({n})) - 1) * 1000 + "
@@ -204,17 +205,71 @@ def source_overlap(df: DataFrame, text_col: str = "text",
     discipline.
     """
     from rag_document_parser_spark.operators.dedup import _md5_long
+
+    dh = (df.select(F.col(source_col).alias("source"),
+                    _md5_long(F.col(text_col)).alias("h"))
+          .distinct())
+    cnt = dh.groupBy("source").agg(F.count("*").cast("long").alias("docs"))
+    sk = source_sketch(df, text_col, source_col, k).localCheckpoint()
+    est = overlap_from_sketches(sk, k, max_sources)
+    return (est
+            .join(cnt.withColumnRenamed("source", "source_a")
+                  .withColumnRenamed("docs", "docs_a"), "source_a")
+            .join(cnt.withColumnRenamed("source", "source_b")
+                  .withColumnRenamed("docs", "docs_b"), "source_b")
+            .select("source_a", "source_b", "k_merged", "n_both",
+                    "jaccard_e6", "docs_a", "docs_b"))
+
+
+def source_sketch(df: DataFrame, text_col: str = "text",
+                  source_col: str = "source", k: int = 128) -> DataFrame:
+    """Per-source KMV sketch: the ``k`` smallest distinct 60-bit md5
+    content hashes, as ``(source, h)`` rows (< k rows for a source with
+    fewer distinct documents).
+
+    The sketch obeys the KMV MERGE LAW: ``bottom-k(A ∪ B) =
+    bottom-k(bottom-k(A) ∪ bottom-k(B))`` — union-merge then re-trim
+    equals the sketch of everything, regardless of how the corpus was
+    split. That makes it the right bounded cross-batch state for the
+    streaming face (``streaming.stream_source_sketch``) and for
+    snapshot-over-snapshot accumulation: state is ≤ sources · k rows
+    forever. Bottom-k runs through ``topk_per_query``'s two-stage
+    partial rank, so a mega-source never sorts inside one task.
+    """
+    from rag_document_parser_spark.operators.dedup import _md5_long
     from rag_document_parser_spark.operators.similarity import (
         topk_per_query)
 
     dh = (df.select(F.col(source_col).alias("source"),
                     _md5_long(F.col(text_col)).alias("h"))
           .distinct())
-    cnt = dh.groupBy("source").agg(F.count("*").cast("long").alias("docs"))
-    sk = (topk_per_query(
-              dh.select("source", "h", (-F.col("h")).alias("_neg")),
-              k, qid_col="source", id_col="h", score_col="_neg")
-          .select("source", "h").localCheckpoint())
+    return (topk_per_query(
+                dh.select("source", "h", (-F.col("h")).alias("_neg")),
+                k, qid_col="source", id_col="h", score_col="_neg")
+            .select("source", "h"))
+
+
+def merge_source_sketches(a: DataFrame, b: DataFrame,
+                          k: int = 128) -> DataFrame:
+    """Union-merge two KMV sketch relations and re-trim to bottom-k per
+    source (the merge law ``source_sketch`` documents). Sketch-sized
+    input, sketch-sized output — never touches a corpus."""
+    from rag_document_parser_spark.operators.similarity import (
+        topk_per_query)
+
+    u = a.unionByName(b).distinct()
+    return (topk_per_query(
+                u.select("source", "h", (-F.col("h")).alias("_neg")),
+                k, qid_col="source", id_col="h", score_col="_neg")
+            .select("source", "h"))
+
+
+def overlap_from_sketches(sk: DataFrame, k: int = 128,
+                          max_sources: int = 512) -> DataFrame:
+    """The pairwise KMV estimate over an existing sketch relation
+    ``(source, h)`` — ``source_overlap``'s second stage, callable
+    directly against persisted/streamed sketch state. Returns
+    ``(source_a, source_b, k_merged, n_both, jaccard_e6)``."""
     n_src = sk.select("source").distinct().count()
     if n_src > max_sources:
         raise ValueError(
@@ -242,14 +297,8 @@ def source_overlap(df: DataFrame, text_col: str = "text",
            .agg(F.count("*").cast("long").alias("k_merged"),
                 F.sum(F.col("_ia") * F.col("_ib")).cast("long")
                 .alias("n_both")))
-    return (est
-            .join(cnt.withColumnRenamed("source", "a")
-                  .withColumnRenamed("docs", "docs_a"), "a")
-            .join(cnt.withColumnRenamed("source", "b")
-                  .withColumnRenamed("docs", "docs_b"), "b")
-            .select(F.col("a").alias("source_a"),
-                    F.col("b").alias("source_b"),
-                    "k_merged", "n_both",
-                    F.expr("n_both * 1000000 div k_merged")
-                    .cast("long").alias("jaccard_e6"),
-                    "docs_a", "docs_b"))
+    return est.select(F.col("a").alias("source_a"),
+                      F.col("b").alias("source_b"),
+                      "k_merged", "n_both",
+                      F.expr("n_both * 1000000 div k_merged")
+                      .cast("long").alias("jaccard_e6"))

@@ -735,3 +735,51 @@ def stream_bloom_state(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_source_sketch(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    k: int = 128,
+):
+    """Streaming face of the KMV source-overlap sketches: each
+    micro-batch computes its per-source bottom-k content-hash sketch
+    (``corpstats.source_sketch``) and union-merges it into the state
+    at ``output_dir/sketch`` via ``merge_source_sketches`` — the KMV
+    merge law (bottom-k of a union equals bottom-k of the union of
+    bottom-ks) makes the accumulated state EQUAL the batch sketch of
+    everything ever streamed, regardless of batch boundaries
+    (test-pinned). ``corpstats.overlap_from_sketches`` reads the state
+    directly for the pairwise Jaccard matrix.
+
+    State is bounded by sources × k rows forever — like the HLL
+    registers and the Bloom bits, the sketch (not the corpus) is the
+    state, which is what makes driver-side rewrite per batch the
+    design rather than a shortcut.
+    """
+    from rag_document_parser_spark.operators.corpstats import (
+        merge_source_sketches, source_sketch)
+
+    schema = ("doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    state_path = os.path.join(output_dir, "sketch")
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(input_dir))
+
+    def merge_batch(batch_df, _batch_id):
+        delta = source_sketch(batch_df, k=k)
+        if os.path.isdir(state_path):
+            prev = spark.read.parquet(state_path)
+            delta = merge_source_sketches(prev, delta, k=k)
+        rows = delta.collect()
+        if rows:
+            spark.createDataFrame(rows, delta.schema).coalesce(1) \
+                .write.mode("overwrite").parquet(state_path)
+
+    return (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", os.path.join(output_dir, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -9,6 +9,7 @@ import re
 from collections import Counter
 
 import pytest
+from pyspark.sql import functions as F
 
 from rag_document_parser_spark.operators import corpstats as C
 
@@ -177,3 +178,17 @@ def test_source_overlap_partition_invariance(multi_source):
     b = sorted(map(tuple, source_overlap(
         multi_source.repartition(7), k=8).collect()))
     assert a == b
+
+
+def test_source_sketch_merge_law(spark, multi_source):
+    """bottom-k(A ∪ B) == bottom-k(bottom-k(A) ∪ bottom-k(B)) — the
+    property that makes the sketch valid cross-batch state."""
+    from rag_document_parser_spark.operators.corpstats import (
+        merge_source_sketches, source_sketch)
+    half_a = multi_source.where(F.col("doc_id").substr(2, 9).cast("int") < 5)
+    half_b = multi_source.subtract(half_a)
+    merged = merge_source_sketches(
+        source_sketch(half_a, k=6), source_sketch(half_b, k=6), k=6)
+    whole = source_sketch(multi_source, k=6)
+    assert sorted(map(tuple, merged.collect())) == \
+        sorted(map(tuple, whole.collect()))

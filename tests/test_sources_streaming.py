@@ -631,3 +631,53 @@ def test_stream_bloom_state_matches_batch_filter(spark, tmp_path):
     flags = {r.id: bool(r.contaminated) for r in
              bloom_decontaminate(corpus, whole).collect()}
     assert flags[1000] and not flags[1001]
+
+
+def test_stream_source_sketch_matches_batch(spark, tmp_path):
+    """The incrementally-merged KMV state must EQUAL the batch sketch
+    over the streamed union (the bottom-k merge law), and the pairwise
+    overlap read from the state must equal the batch source_overlap
+    estimate columns."""
+    from rag_document_parser_spark.operators.corpstats import (
+        overlap_from_sketches, source_overlap, source_sketch)
+    from rag_document_parser_spark.streaming import stream_source_sketch
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    schema = ("doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    # srcP and srcQ share the 'both' docs; split so shared docs arrive
+    # in DIFFERENT batches than their counterparts
+    part_a = ([(i, f"both corpora carry passage {i}", "en", "srcP", 30)
+               for i in range(8)]
+              + [(50 + i, f"only srcP text {i}", "en", "srcP", 20)
+                 for i in range(6)])
+    part_b = ([(100 + i, f"both corpora carry passage {i}", "en",
+                "srcQ", 30) for i in range(8)]
+              + [(150 + i, f"only srcQ text {i}", "en", "srcQ", 20)
+                 for i in range(6)])
+    spark.createDataFrame(part_a, schema).coalesce(1) \
+        .write.mode("append").parquet(in_dir)
+    q = stream_source_sketch(spark, in_dir, out_dir, k=16)
+    q.awaitTermination(120)
+    spark.createDataFrame(part_b, schema).coalesce(1) \
+        .write.mode("append").parquet(in_dir)
+    q = stream_source_sketch(spark, in_dir, out_dir, k=16)
+    q.awaitTermination(120)
+
+    state = spark.read.parquet(out_dir + "/sketch")
+    whole = spark.createDataFrame(part_a + part_b, schema)
+    batch = source_sketch(whole, k=16)
+    assert sorted(map(tuple, state.collect())) == \
+        sorted(map(tuple, batch.collect()))
+
+    # pairwise estimate from the streamed state == batch source_overlap
+    got = overlap_from_sketches(state, k=16).collect()
+    want = source_overlap(whole, k=16).collect()
+    assert [(r["source_a"], r["source_b"], r["k_merged"], r["n_both"],
+             r["jaccard_e6"]) for r in got] == \
+        [(r["source_a"], r["source_b"], r["k_merged"], r["n_both"],
+          r["jaccard_e6"]) for r in want]
+    # k=16 covers the union (14+14 distinct, 8 shared -> union 20 > 16):
+    # bottom-16 sketch estimate still lands in [0, 1e6] and is nonzero
+    assert 0 < got[0]["jaccard_e6"] <= 1_000_000
