@@ -4547,6 +4547,58 @@ SELECT b::BIGINT AS prefix_buckets,
 FROM frame LEFT JOIN per_doc d USING (b) LEFT JOIN fs f USING (b)"""
 
 
+_TT_W = 10
+_TT_P = 3
+_TT_CUT = 400_000
+
+
+def q_texttiling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextTiling topical segmentation (Hearst 1997): per-gap lexical
+    cohesion (block-set Jaccard, fixed point) and ±p-window depth
+    scores over w-token pseudo-sentences; boundaries at deep valleys."""
+    from rag_document_parser_spark.operators.tiling import texttiling
+
+    out = texttiling(_docs(spark, sf_dir), w=_TT_W, p=_TT_P,
+                     cutoff_e6=_TT_CUT)
+    return out.select(F.col("id").cast("long"), "gap_idx", "gap_token",
+                      "sim_e6", "depth_e6", "boundary")
+
+
+_TT_LEFT = (f"list_distinct(list_slice(t, (gidx-1)*{_TT_W}+1,"
+            f" gidx*{_TT_W}))")
+_TT_RIGHT = (f"list_distinct(list_slice(t, gidx*{_TT_W}+1,"
+             f" (gidx+1)*{_TT_W}))")
+_TT_INTER = f"len(list_intersect({_TT_LEFT}, {_TT_RIGHT}))"
+SQL_TEXTTILING = f"""
+WITH tk AS (
+  SELECT doc_id, {TOKS_SQL.format(c='text')} AS t FROM documents
+), g AS (
+  SELECT doc_id, t, unnest(
+    CASE WHEN (len(t) + {_TT_W} - 1) // {_TT_W} >= 2
+         THEN range(1, (len(t) + {_TT_W} - 1) // {_TT_W})
+         ELSE []::BIGINT[] END) AS gidx
+  FROM tk
+), sc AS (
+  SELECT doc_id, gidx,
+    ({_TT_INTER} * 1000000
+     // (len({_TT_LEFT}) + len({_TT_RIGHT}) - {_TT_INTER}))::BIGINT
+      AS sim_e6
+  FROM g
+), d AS (
+  SELECT doc_id, gidx, sim_e6,
+    (max(sim_e6) OVER (PARTITION BY doc_id ORDER BY gidx
+       ROWS BETWEEN {_TT_P} PRECEDING AND CURRENT ROW) - sim_e6
+     + max(sim_e6) OVER (PARTITION BY doc_id ORDER BY gidx
+       ROWS BETWEEN CURRENT ROW AND {_TT_P} FOLLOWING) - sim_e6)::BIGINT
+      AS depth_e6
+  FROM sc
+)
+SELECT doc_id::BIGINT AS id, gidx::BIGINT AS gap_idx,
+  (gidx * {_TT_W})::BIGINT AS gap_token, sim_e6, depth_e6,
+  depth_e6 >= {_TT_CUT} AS boundary
+FROM d"""
+
+
 _SO_K = 32
 
 
@@ -8018,6 +8070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_topk": q_phrase_topk,
         "source_overlap": q_source_overlap,
         "semantic_decontam": q_semantic_decontam,
+        "texttiling": q_texttiling,
         "unigram_vocab": q_unigram_vocab,
         "unigram_segment": q_unigram_segment,
         "zipf_fit": q_zipf_fit,
@@ -8192,6 +8245,7 @@ def oracle_sql() -> dict[str, str]:
         "phrase_topk": SQL_PHRASE_TOPK,
         "source_overlap": SQL_SOURCE_OVERLAP,
         "semantic_decontam": SQL_SEMANTIC_DECONTAM,
+        "texttiling": SQL_TEXTTILING,
         "unigram_vocab": SQL_UNIGRAM_VOCAB,
         "unigram_segment": SQL_UNIGRAM_SEGMENT,
         "zipf_fit": SQL_ZIPF_FIT,

@@ -329,6 +329,10 @@ def main() -> None:
           .agg(F.sum("n_removed")).collect())
     timed_reps("chunking",
           lambda: CH.chunk_documents(docs, 128, 16).count())
+    from rag_document_parser_spark.operators import tiling as TT
+    timed_reps("texttiling",
+          lambda: TT.texttiling(docs, w=20, p=5)
+          .agg(F.sum(F.col("boundary").cast("long"))).collect())
     from rag_document_parser_spark.operators import retrieval as RET
     from rag_document_parser_spark.operators.dedup import words as _words
     bm25_q = docs.where(F.col("doc_id") < 8).select(

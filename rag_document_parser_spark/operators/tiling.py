@@ -1,0 +1,121 @@
+"""TextTiling topical segmentation (Hearst 1997, "TextTiling:
+Segmenting Text into Multi-paragraph Subtopic Passages", CL 23(1)):
+find the token positions where a document changes subject, by scoring
+the lexical cohesion across every candidate gap and placing boundaries
+at deep similarity valleys. The pipeline uses it to split long
+documents into topically coherent chunks — the RAG-chunking complement
+to ``chunking.chunk_documents`` (fixed windows) and
+``sentences.sentence_chunks`` (sentence packing), which both cut at
+arbitrary topic-blind positions.
+
+Documented deltas from the paper, each chosen so both engines replay
+the arithmetic bit-exactly (the repo's oracle-gate discipline):
+
+- **Fixed-width pseudo-sentences** of ``w`` tokens (the paper's own
+  normalization — §3.1 notes real sentences make scores incomparable).
+- **Block size one pseudo-sentence per side.** The paper's block
+  comparison averages k=10-token-sentence blocks; one w-token block a
+  side is the same window mass with w sized accordingly.
+- **Set Jaccard instead of tf cosine** for the gap score: cosine needs
+  sqrt (not bit-portable); Jaccard of the block token SETS is the
+  integer-exact member of the same lexical-overlap family,
+  ``sim_e6 = |A∩B|·1e6 div |A∪B|``.
+- **Bounded ±p peak windows for depth.** The paper walks left/right to
+  the nearest peak; an unbounded walk is inherently sequential. Depth
+  here is ``(max sim over [g−p, g] − sim) + (max sim over [g, g+p] −
+  sim)`` — two frame-bounded window maxes, which is also how the
+  smoothed LC variant localizes peaks.
+- **Fixed integer cutoff** instead of the μ−σ/2 adaptive threshold
+  (σ needs sqrt). Callers wanting the adaptive rule can derive it from
+  the returned depth distribution.
+
+Scale shape: gap scores are computed entirely INSIDE the scan
+projection — the staged token array is sliced per gap by a
+``transform`` over the gap sequence, so no shuffle and no Python
+touches the text. The only exchange is the per-doc window for depth,
+partitioned by doc_id (uniform) and bounded by n_tokens/w rows per
+doc; a giant doc contributes many GAP rows, not a giant buffered
+window frame.
+
+No reference analog: the reference stops at cleaned text
+(`/root/reference/main.py:72-147`); segmentation is scale-path
+training-data tooling like the chunking/sentences tiers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from rag_document_parser_spark.operators.dedup import words
+
+__all__ = ["texttiling", "texttiling_segments"]
+
+
+def texttiling(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", w: int = 20, p: int = 5,
+               cutoff_e6: int = 400_000) -> DataFrame:
+    """Per-gap TextTiling scores: one row per candidate boundary
+    between w-token pseudo-sentences — ``(id, gap_idx, gap_token,
+    sim_e6, depth_e6, boundary)``. ``gap_token`` is the token offset
+    the gap sits at (gap_idx · w); ``boundary`` is ``depth_e6 >=
+    cutoff_e6``. Docs with fewer than ``w + 1`` tokens have no gaps
+    and emit no rows (a one-block doc has nothing to segment).
+    """
+    staged = df.select(F.col(id_col).alias("id"),
+                       words(F.col(text_col)).alias("_t"))
+    # nb = ceil(len / w) in pure integer form; the per-gap struct is one
+    # SQL expression so the block slices, distincts, and the integer
+    # `div` all stay inside the scan's codegen span
+    left = f"array_distinct(slice(_t, (g - 1) * {w} + 1, {w}))"
+    right = f"array_distinct(slice(_t, g * {w} + 1, {w}))"
+    inter = f"size(array_intersect({left}, {right}))"
+    gap_sim = F.expr(f"""
+        transform(
+          CASE WHEN (size(_t) + {w} - 1) div {w} >= 2
+               THEN sequence(1, cast((size(_t) + {w} - 1) div {w} as int)
+                                - 1)
+               ELSE cast(array() as array<int>) END,
+          g -> named_struct(
+            'gidx', cast(g as bigint),
+            'sim_e6', cast({inter} * 1000000
+                           div (size({left}) + size({right}) - {inter})
+                           as bigint)))
+    """)
+    gaps = (staged.select("id", F.explode_outer(gap_sim).alias("_g"))
+            .where(F.col("_g").isNotNull())
+            .select("id", F.col("_g.gidx").alias("gap_idx"),
+                    F.col("_g.sim_e6").alias("sim_e6")))
+    wl = (Window.partitionBy("id").orderBy("gap_idx")
+          .rowsBetween(-p, Window.currentRow))
+    wr = (Window.partitionBy("id").orderBy("gap_idx")
+          .rowsBetween(Window.currentRow, p))
+    depth = (F.max("sim_e6").over(wl) - F.col("sim_e6")
+             + F.max("sim_e6").over(wr) - F.col("sim_e6"))
+    return (gaps.select(
+        "id", "gap_idx",
+        (F.col("gap_idx") * w).cast("long").alias("gap_token"),
+        "sim_e6", depth.cast("long").alias("depth_e6"))
+        .withColumn("boundary", F.col("depth_e6") >= int(cutoff_e6)))
+
+
+def texttiling_segments(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", w: int = 20, p: int = 5,
+                        cutoff_e6: int = 400_000) -> DataFrame:
+    """Segment summary per document: ``(id, n_gaps, n_boundaries,
+    n_segments)`` where ``n_segments = n_boundaries + 1`` for any doc
+    that produced gaps (single-block docs report one segment over zero
+    gaps). One map-side-combinable aggregate over ``texttiling``."""
+    t = texttiling(df, text_col, id_col, w, p, cutoff_e6)
+    agg = (t.groupBy("id")
+           .agg(F.count("*").cast("long").alias("n_gaps"),
+                F.sum(F.col("boundary").cast("long")).cast("long")
+                .alias("n_boundaries")))
+    base = df.select(F.col(id_col).alias("id")).distinct()
+    return (base.join(agg, "id", "left")
+            .select("id",
+                    F.coalesce("n_gaps", F.lit(0)).cast("long")
+                    .alias("n_gaps"),
+                    F.coalesce("n_boundaries", F.lit(0)).cast("long")
+                    .alias("n_boundaries"))
+            .withColumn("n_segments",
+                        (F.col("n_boundaries") + 1).cast("long")))

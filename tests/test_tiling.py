@@ -1,0 +1,98 @@
+"""TextTiling topical segmentation (operators/tiling.py): boundary
+placement at planted topic shifts, hand-checked Jaccard gap scores, a
+pure-Python twin of the depth rule, and partition invariance."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from rag_document_parser_spark.operators.tiling import (
+    texttiling,
+    texttiling_segments,
+)
+
+
+def _topic(base: str, n: int) -> str:
+    return " ".join(f"{base}{i % 10}" for i in range(n))
+
+
+@pytest.fixture(scope="module")
+def tiled(spark):
+    # three disjoint-vocabulary topics of 40 tokens each
+    doc = " ".join([_topic("alpha", 40), _topic("beta", 40),
+                    _topic("gamma", 40)])
+    return spark.createDataFrame(
+        [("d1", doc), ("d2", "too short to segment"), ("d3", "")],
+        ["doc_id", "text"])
+
+
+def test_boundaries_at_topic_shifts(tiled):
+    out = texttiling(tiled, w=10, p=3, cutoff_e6=400_000)
+    rows = {r["gap_token"]: r for r in
+            out.where(F.col("id") == "d1").collect()}
+    # topic changes at tokens 40 and 80: zero similarity, max depth
+    assert rows[40]["boundary"] and rows[40]["sim_e6"] == 0
+    assert rows[80]["boundary"] and rows[80]["sim_e6"] == 0
+    # inside a topic the 10-token blocks repeat the same 10 words
+    assert rows[10]["sim_e6"] == 1_000_000 and not rows[10]["boundary"]
+    assert sum(1 for r in rows.values() if r["boundary"]) == 2
+
+
+def test_short_and_empty_docs_emit_no_gaps(tiled):
+    out = texttiling(tiled, w=10)
+    assert out.where(F.col("id").isin("d2", "d3")).count() == 0
+    seg = {r["id"]: r for r in texttiling_segments(tiled, w=10).collect()}
+    assert seg["d2"]["n_segments"] == 1 and seg["d2"]["n_gaps"] == 0
+    assert seg["d3"]["n_segments"] == 1
+
+
+def test_gap_jaccard_hand_checked(spark):
+    # blocks: [a b c d] | [c d e f] -> inter {c,d}=2, union 6 -> 333333
+    df = spark.createDataFrame([("x", "a b c d c d e f")],
+                               ["doc_id", "text"])
+    r = texttiling(df, w=4, p=1).collect()
+    assert len(r) == 1
+    assert r[0]["sim_e6"] == 2 * 1_000_000 // 6
+    assert r[0]["gap_token"] == 4
+
+
+def _python_tiling(tokens, w, p):
+    """Pure-Python twin of gap Jaccard + bounded-window depth."""
+    nb = (len(tokens) + w - 1) // w
+    sims = []
+    for g in range(1, nb):
+        a = set(tokens[(g - 1) * w: g * w])
+        b = set(tokens[g * w: (g + 1) * w])
+        inter = len(a & b)
+        sims.append(inter * 1_000_000 // (len(a) + len(b) - inter))
+    out = []
+    for i, s in enumerate(sims):
+        ml = max(sims[max(0, i - p): i + 1])
+        mr = max(sims[i: i + p + 1])
+        out.append((i + 1, s, (ml - s) + (mr - s)))
+    return out
+
+
+def test_matches_python_twin(spark):
+    import random
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = [(f"doc{j}", " ".join(rng.choice(vocab) for _ in range(117)))
+            for j in range(6)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {}
+    for r in texttiling(df, w=7, p=2).collect():
+        got.setdefault(r["id"], []).append(
+            (r["gap_idx"], r["sim_e6"], r["depth_e6"]))
+    for doc_id, text in rows:
+        toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+        assert sorted(got[doc_id]) == _python_tiling(toks, 7, 2)
+
+
+def test_partition_invariance(tiled):
+    a = sorted(map(tuple, texttiling(tiled, w=10).collect()))
+    b = sorted(map(tuple, texttiling(tiled.repartition(5), w=10).collect()))
+    assert a == b
