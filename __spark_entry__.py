@@ -4547,6 +4547,80 @@ SELECT b::BIGINT AS prefix_buckets,
 FROM frame LEFT JOIN per_doc d USING (b) LEFT JOIN fs f USING (b)"""
 
 
+def q_media_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage dedup for interleaved media: payload-sha dedup verdicts
+    (media_dedup) rewrite every duplicate media_ref inside the span
+    arrays to the cluster keeper, span order preserved. Refs/payloads
+    are synthesized deterministically: 37 refs over 20 payload classes,
+    two media spans per doc."""
+    from rag_document_parser_spark.operators.multimodal import (
+        media_dedup, remap_media_refs)
+
+    ids = _docs(spark, sf_dir).select("doc_id")
+    v1 = ids.select((F.col("doc_id") % 37).alias("v"))
+    v2 = ids.select(((F.col("doc_id") * 7) % 37).alias("v"))
+    items = (v1.unionByName(v2).distinct().select(
+        F.concat(F.lit("m"), F.col("v").cast("string")).alias("media_ref"),
+        F.lit("image").alias("modality"),
+        F.concat(F.lit("payload-"), (F.col("v") % 20).cast("string"))
+        .cast("binary").alias("payload")))
+    verdict = media_dedup(items)
+    ra = F.concat(F.lit("m"), (F.col("doc_id") % 37).cast("string"))
+    rb = F.concat(F.lit("m"), ((F.col("doc_id") * 7) % 37).cast("string"))
+    spans = ids.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(
+            F.struct(F.lit("text").alias("kind"),
+                     F.lit("txt").alias("text"),
+                     F.lit(None).cast("string").alias("media_ref"),
+                     F.lit(0).alias("offset")),
+            F.struct(F.lit("image").alias("kind"),
+                     F.lit(None).cast("string").alias("text"),
+                     ra.alias("media_ref"),
+                     F.lit(1).alias("offset")),
+            F.struct(F.lit("image").alias("kind"),
+                     F.lit(None).cast("string").alias("text"),
+                     rb.alias("media_ref"),
+                     F.lit(2).alias("offset")),
+        ).alias("spans"))
+    out = remap_media_refs(spans, verdict)
+    refs = F.expr("array_join(transform(filter(spans,"
+                  " s -> s.media_ref is not null),"
+                  " s -> s.media_ref), '|')")
+    return out.select(F.col("doc_id").cast("long"), "n_spans",
+                      "n_remapped", refs.alias("refs"))
+
+
+SQL_MEDIA_REMAP = """
+WITH ids AS (
+  SELECT doc_id FROM documents
+), vals AS (
+  SELECT DISTINCT v FROM (
+    SELECT doc_id % 37 AS v FROM ids
+    UNION ALL SELECT (doc_id * 7) % 37 AS v FROM ids) u
+), hashed AS (
+  SELECT 'm' || v::VARCHAR AS media_ref,
+         sha256('payload-' || (v % 20)::VARCHAR) AS sha
+  FROM vals
+), groups AS (
+  SELECT sha, min(media_ref) AS keeper FROM hashed GROUP BY sha
+), remap AS (
+  SELECT media_ref, keeper FROM hashed JOIN groups USING (sha)
+  WHERE media_ref <> keeper
+), r1 AS (
+  SELECT doc_id, 'm' || (doc_id % 37)::VARCHAR AS ra,
+         'm' || ((doc_id * 7) % 37)::VARCHAR AS rb
+  FROM ids
+)
+SELECT doc_id::BIGINT AS doc_id, 3::BIGINT AS n_spans,
+  (CASE WHEN ma.keeper IS NOT NULL THEN 1 ELSE 0 END
+   + CASE WHEN mb.keeper IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+    AS n_remapped,
+  coalesce(ma.keeper, ra) || '|' || coalesce(mb.keeper, rb) AS refs
+FROM r1 LEFT JOIN remap ma ON ra = ma.media_ref
+  LEFT JOIN remap mb ON rb = mb.media_ref"""
+
+
 _TT_W = 10
 _TT_P = 3
 _TT_CUT = 400_000
@@ -8071,6 +8145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": q_source_overlap,
         "semantic_decontam": q_semantic_decontam,
         "texttiling": q_texttiling,
+        "media_remap": q_media_remap,
         "unigram_vocab": q_unigram_vocab,
         "unigram_segment": q_unigram_segment,
         "zipf_fit": q_zipf_fit,
@@ -8246,6 +8321,7 @@ def oracle_sql() -> dict[str, str]:
         "source_overlap": SQL_SOURCE_OVERLAP,
         "semantic_decontam": SQL_SEMANTIC_DECONTAM,
         "texttiling": SQL_TEXTTILING,
+        "media_remap": SQL_MEDIA_REMAP,
         "unigram_vocab": SQL_UNIGRAM_VOCAB,
         "unigram_segment": SQL_UNIGRAM_SEGMENT,
         "zipf_fit": SQL_ZIPF_FIT,

@@ -582,6 +582,18 @@ def main() -> None:
     timed_reps("interleave_sequences",
           lambda: interleave_sequences(il, max_tokens=64, media_cost=16)
           .agg(F.sum("n_tok"), F.count("*")).collect())
+    from rag_document_parser_spark.operators.multimodal import (
+        media_dedup, remap_media_refs)
+    mm_items = (docs.select(F.pmod("doc_id", 9).alias("v")).distinct()
+                .select(F.concat(F.lit("img-"), F.col("v").cast("string"))
+                        .alias("media_ref"),
+                        F.lit("image").alias("modality"),
+                        F.concat(F.lit("p"), (F.col("v") % 4)
+                                 .cast("string"))
+                        .cast("binary").alias("payload")))
+    timed_reps("media_remap",
+          lambda: remap_media_refs(il, media_dedup(mm_items))
+          .agg(F.sum("n_remapped"), F.sum("n_spans")).collect())
     from rag_document_parser_spark.operators import posttrain as PT
     chat = docs.select(
         F.col("doc_id").alias("conv_id"),

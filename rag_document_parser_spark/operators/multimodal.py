@@ -632,3 +632,62 @@ def interleave_sequences(df: DataFrame, max_tokens: int = 128,
         .alias("text_joined"),
         F.array_join(F.transform(media, lambda s: s["media_ref"]), ",")
         .alias("media_refs"))
+
+
+def remap_media_refs(spans_df: DataFrame, dedup: DataFrame,
+                     id_col: str = "doc_id", spans_col: str = "spans",
+                     broadcast_map: bool = True) -> DataFrame:
+    """Canonicalize duplicate media inside interleaved span documents:
+    every media span whose ``media_ref`` is a ``media_dedup`` non-keeper
+    is rewritten to point at the cluster's ``keeper_ref``, so the
+    duplicate payload bytes can be garbage-collected while every
+    document keeps a valid reference — the storage-dedup rewrite that
+    follows payload dedup at 100 TB (one stored copy per distinct
+    image/audio/video, refs preserved in place).
+
+    ``dedup`` is ``media_dedup`` output (or any ``(media_ref,
+    keeper_ref, is_dup)`` relation). Returns the input shape plus
+    bookkeeping: ``(id_col, spans, n_spans, n_remapped)`` with span
+    ORDER preserved exactly (re-assembly sorts on the original array
+    position, not on offset — duplicate offsets cannot reorder).
+
+    Scale shape: the spans explode once; ONLY the remap relation is
+    joined (broadcast by default — the dup→keeper map is bounded by
+    distinct duplicated refs, orders of magnitude below span count;
+    set ``broadcast_map=False`` to shuffle on the uniform media_ref
+    key instead). Text spans carry a NULL join key and pass through
+    the left join untouched. Re-assembly is one groupBy on the uniform
+    doc key — the same single wide exchange any span-rewrite pass
+    pays, with ``array_sort`` over a (pos, span) struct restoring the
+    exact original order.
+    """
+    remap = (dedup.where(F.col("is_dup"))
+             .select(F.col("media_ref").alias("_from"),
+                     F.col("keeper_ref").alias("_to"))
+             .distinct())
+    if broadcast_map:
+        remap = F.broadcast(remap)
+    ex = spans_df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode_outer(F.col(spans_col)).alias("_pos", "_s"))
+    joined = ex.join(remap, ex["_s.media_ref"] == remap["_from"], "left")
+    new_span = F.struct(
+        F.col("_s.kind").alias("kind"),
+        F.col("_s.text").alias("text"),
+        F.coalesce(F.col("_to"), F.col("_s.media_ref")).alias("media_ref"),
+        F.col("_s.offset").alias("offset"))
+    rows = joined.select(
+        "_id", "_pos",
+        F.when(F.col("_s").isNotNull(), new_span).alias("_ns"),
+        F.when(F.col("_s").isNotNull() & F.col("_to").isNotNull(), 1)
+        .otherwise(0).alias("_hit"))
+    return (rows.groupBy("_id")
+            .agg(F.array_sort(F.collect_list(
+                     F.when(F.col("_ns").isNotNull(),
+                            F.struct(F.col("_pos"), F.col("_ns")))))
+                 .alias("_ps"),
+                 F.sum("_hit").cast("long").alias("n_remapped"))
+            .select(F.col("_id").alias(id_col),
+                    F.expr("transform(_ps, p -> p._ns)").alias(spans_col),
+                    F.size("_ps").cast("long").alias("n_spans"),
+                    "n_remapped"))

@@ -195,3 +195,77 @@ def test_phash_near_pairs_planted_clones(spark):
     for i in range(3):
         key = tuple(sorted((f"img://{i}", f"img://{8 + i}")))
         assert pairs[key] == 0, key
+
+
+# ---- media_ref canonicalization over interleaved spans -------------------
+
+def test_remap_media_refs_rewrites_dups_preserves_order(spark):
+    from rag_document_parser_spark.operators.multimodal import (
+        media_dedup, remap_media_refs)
+    from rag_document_parser_spark.schema import INPUT_SCHEMA
+
+    items = spark.createDataFrame(
+        [("img-a", "image", bytearray(b"same")),
+         ("img-b", "image", bytearray(b"same")),
+         ("img-c", "image", bytearray(b"other"))],
+        "media_ref string, modality string, payload binary")
+    ded = media_dedup(items)
+    spans = spark.createDataFrame(
+        [("d1", [("text", "hello", None, 0),
+                 ("image", None, "img-b", 1),
+                 ("image", None, "img-c", 2)]),
+         ("d2", [("image", None, "img-a", 0)]),
+         ("d3", [])],
+        INPUT_SCHEMA)
+    out = {r["doc_id"]: r for r in remap_media_refs(spans, ded).collect()}
+    d1 = [(s["kind"], s["media_ref"], s["offset"])
+          for s in out["d1"]["spans"]]
+    # img-b -> keeper img-a; img-c unique, untouched; order unchanged
+    assert d1 == [("text", None, 0), ("image", "img-a", 1),
+                  ("image", "img-c", 2)]
+    assert out["d1"]["n_remapped"] == 1 and out["d1"]["n_spans"] == 3
+    assert out["d2"]["n_remapped"] == 0      # the keeper itself
+    assert out["d3"]["n_spans"] == 0 and out["d3"]["spans"] == []
+
+
+def test_remap_media_refs_duplicate_offsets_keep_array_position(spark):
+    """Re-assembly sorts on the original array POSITION, so spans with
+    identical offsets (the chunk-boundary edge case) cannot swap."""
+    from rag_document_parser_spark.operators.multimodal import (
+        remap_media_refs)
+    from rag_document_parser_spark.schema import INPUT_SCHEMA
+
+    spans = spark.createDataFrame(
+        [("d1", [("image", None, "x", 5), ("image", None, "y", 5),
+                 ("text", "t", None, 5)])],
+        INPUT_SCHEMA)
+    empty = spark.createDataFrame(
+        [], "media_ref string, keeper_ref string, is_dup boolean")
+    out = remap_media_refs(spans, empty).collect()[0]
+    assert [(s["kind"], s["media_ref"]) for s in out["spans"]] == \
+        [("image", "x"), ("image", "y"), ("text", None)]
+
+
+def test_remap_media_refs_partition_invariance(spark):
+    from rag_document_parser_spark.operators.multimodal import (
+        media_dedup, remap_media_refs)
+    from rag_document_parser_spark.schema import INPUT_SCHEMA
+
+    items = spark.createDataFrame(
+        [(f"r{i}", "image", bytearray(b"p%d" % (i % 3)))
+         for i in range(9)],
+        "media_ref string, modality string, payload binary")
+    ded = media_dedup(items)
+    spans = spark.createDataFrame(
+        [(f"d{j}", [("image", None, f"r{(j * 5 + k) % 9}", k)
+                    for k in range(4)]) for j in range(12)],
+        INPUT_SCHEMA)
+    a = sorted((r["doc_id"], r["n_remapped"],
+                tuple(s["media_ref"] for s in r["spans"]))
+               for r in remap_media_refs(spans, ded).collect())
+    b = sorted((r["doc_id"], r["n_remapped"],
+                tuple(s["media_ref"] for s in r["spans"]))
+               for r in remap_media_refs(
+                   spans.repartition(7), ded,
+                   broadcast_map=False).collect())
+    assert a == b
