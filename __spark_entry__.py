@@ -4673,6 +4673,41 @@ SELECT doc_id::BIGINT AS id, gidx::BIGINT AS gap_idx,
 FROM d"""
 
 
+def q_tiling_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized TextTiling chunks: each doc's token stream cut at
+    its boundary valleys, one row per topical segment (whole-doc
+    segment when no boundary fires; empty docs emit one empty row)."""
+    from rag_document_parser_spark.operators.tiling import tiling_chunks
+
+    out = tiling_chunks(_docs(spark, sf_dir), w=_TT_W, p=_TT_P,
+                        cutoff_e6=_TT_CUT)
+    return out.select(F.col("id").cast("long"), "seg_idx",
+                      "start_token", "n_tokens", "text")
+
+
+SQL_TILING_CHUNKS = f"""
+WITH tt AS ({SQL_TEXTTILING}
+), cuts AS (
+  SELECT id, list_sort(list(gap_token)) AS c FROM tt
+  WHERE boundary GROUP BY id
+), tk2 AS (
+  SELECT doc_id, {TOKS_SQL.format(c='text')} AS t FROM documents
+), j AS (
+  SELECT doc_id, t, coalesce(c, []::BIGINT[]) AS c
+  FROM tk2 LEFT JOIN cuts ON cuts.id = tk2.doc_id
+), seg AS (
+  SELECT doc_id, t, c, unnest(range(0, len(c) + 1)) AS i FROM j
+)
+SELECT doc_id::BIGINT AS id, i::BIGINT AS seg_idx,
+  (CASE WHEN i = 0 THEN 0 ELSE c[i] END)::BIGINT AS start_token,
+  ((CASE WHEN i = len(c) THEN len(t) ELSE c[i + 1] END)
+   - (CASE WHEN i = 0 THEN 0 ELSE c[i] END))::BIGINT AS n_tokens,
+  array_to_string(list_slice(t,
+     (CASE WHEN i = 0 THEN 1 ELSE c[i] + 1 END),
+     (CASE WHEN i = len(c) THEN len(t) ELSE c[i + 1] END)), ' ') AS text
+FROM seg"""
+
+
 _SO_K = 32
 
 
@@ -8145,6 +8180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": q_source_overlap,
         "semantic_decontam": q_semantic_decontam,
         "texttiling": q_texttiling,
+        "tiling_chunks": q_tiling_chunks,
         "media_remap": q_media_remap,
         "unigram_vocab": q_unigram_vocab,
         "unigram_segment": q_unigram_segment,
@@ -8321,6 +8357,7 @@ def oracle_sql() -> dict[str, str]:
         "source_overlap": SQL_SOURCE_OVERLAP,
         "semantic_decontam": SQL_SEMANTIC_DECONTAM,
         "texttiling": SQL_TEXTTILING,
+        "tiling_chunks": SQL_TILING_CHUNKS,
         "media_remap": SQL_MEDIA_REMAP,
         "unigram_vocab": SQL_UNIGRAM_VOCAB,
         "unigram_segment": SQL_UNIGRAM_SEGMENT,

@@ -333,6 +333,9 @@ def main() -> None:
     timed_reps("texttiling",
           lambda: TT.texttiling(docs, w=20, p=5)
           .agg(F.sum(F.col("boundary").cast("long"))).collect())
+    timed_reps("tiling_chunks",
+          lambda: TT.tiling_chunks(docs, w=20, p=5)
+          .agg(F.sum("n_tokens"), F.count("*")).collect())
     from rag_document_parser_spark.operators import retrieval as RET
     from rag_document_parser_spark.operators.dedup import words as _words
     bm25_q = docs.where(F.col("doc_id") < 8).select(

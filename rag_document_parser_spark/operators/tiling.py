@@ -48,7 +48,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from rag_document_parser_spark.operators.dedup import words
 
-__all__ = ["texttiling", "texttiling_segments"]
+__all__ = ["texttiling", "texttiling_segments", "tiling_chunks"]
 
 
 def texttiling(df: DataFrame, text_col: str = "text",
@@ -119,3 +119,63 @@ def texttiling_segments(df: DataFrame, text_col: str = "text",
                     .alias("n_boundaries"))
             .withColumn("n_segments",
                         (F.col("n_boundaries") + 1).cast("long")))
+
+
+def tiling_chunks(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", w: int = 20, p: int = 5,
+                  cutoff_e6: int = 400_000) -> DataFrame:
+    """Materialized topical chunks: cut each document's token stream at
+    its TextTiling boundaries and emit one row per segment —
+    ``(id, seg_idx, start_token, n_tokens, text)`` with ``text`` the
+    space-joined token span. Docs without gaps (or without boundaries)
+    emit one whole-doc segment; empty docs emit one empty segment —
+    every input doc appears, the ``chunk_documents`` convention.
+
+    Scale shape: one groupBy on the uniform doc key collapses the
+    boundary gaps to a sorted cut-point array (bounded by
+    n_tokens/w per doc); the join back to the staged token array is
+    keyed by the same uniform id; segment slicing is a per-row
+    ``transform`` inside codegen. A giant doc costs one wide row, the
+    same unit the extraction job already banks on.
+    """
+    t = texttiling(df, text_col, id_col, w, p, cutoff_e6)
+    cuts = (t.where(F.col("boundary"))
+            .groupBy("id")
+            .agg(F.array_sort(F.collect_list("gap_token")).alias("_cuts")))
+    staged = df.select(F.col(id_col).alias("id"),
+                       words(F.col(text_col)).alias("_t"))
+    j = staged.join(cuts, "id", "left").select(
+        "id", "_t",
+        F.coalesce("_cuts", F.expr("cast(array() as array<bigint>)"))
+        .alias("_cuts"))
+    # starts = [0] ++ cuts; ends = cuts ++ [len]; one segment per pair.
+    # element_at is 1-based (matching the cut indices); the CASE guards
+    # keep every access in [1, size(_cuts)]
+    segs = F.expr("""
+        transform(
+          sequence(0, size(_cuts)),
+          i -> named_struct(
+            'seg_idx', cast(i as bigint),
+            'start_token',
+              cast(CASE WHEN i = 0 THEN 0
+                        ELSE element_at(_cuts, i) END as bigint),
+            'n_tokens', cast(
+              (CASE WHEN i = size(_cuts) THEN size(_t)
+                    ELSE element_at(_cuts, i + 1) END)
+              - (CASE WHEN i = 0 THEN 0
+                      ELSE element_at(_cuts, i) END) as bigint),
+            'text', array_join(slice(
+              _t,
+              cast(CASE WHEN i = 0 THEN 1
+                        ELSE element_at(_cuts, i) + 1 END as int),
+              cast((CASE WHEN i = size(_cuts) THEN size(_t)
+                         ELSE element_at(_cuts, i + 1) END)
+                   - (CASE WHEN i = 0 THEN 0
+                          ELSE element_at(_cuts, i) END)
+                   as int)), ' ')))
+    """)
+    return (j.select("id", F.explode(segs).alias("_s"))
+            .select("id", F.col("_s.seg_idx").alias("seg_idx"),
+                    F.col("_s.start_token").alias("start_token"),
+                    F.col("_s.n_tokens").alias("n_tokens"),
+                    F.col("_s.text").alias("text")))

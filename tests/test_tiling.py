@@ -96,3 +96,37 @@ def test_partition_invariance(tiled):
     a = sorted(map(tuple, texttiling(tiled, w=10).collect()))
     b = sorted(map(tuple, texttiling(tiled.repartition(5), w=10).collect()))
     assert a == b
+
+
+# ---- materialized topical chunks ---------------------------------------
+
+from rag_document_parser_spark.operators.tiling import tiling_chunks
+
+
+def test_tiling_chunks_cut_at_boundaries(tiled):
+    rows = [r for r in tiling_chunks(tiled, w=10, p=3)
+            .orderBy("id", "seg_idx").collect() if r["id"] == "d1"]
+    assert [(r["seg_idx"], r["start_token"], r["n_tokens"])
+            for r in rows] == [(0, 0, 40), (1, 40, 40), (2, 80, 40)]
+    assert rows[0]["text"].startswith("alpha0 ")
+    assert rows[1]["text"].startswith("beta0 ")
+    assert rows[2]["text"].startswith("gamma0 ")
+
+
+def test_tiling_chunks_whole_doc_and_empty(tiled):
+    out = {r["id"]: r for r in tiling_chunks(tiled, w=10).collect()
+           if r["id"] in ("d2", "d3")}
+    assert out["d2"]["seg_idx"] == 0 and out["d2"]["n_tokens"] == 4
+    assert out["d3"]["n_tokens"] == 0 and out["d3"]["text"] == ""
+
+
+def test_tiling_chunks_reassemble_to_full_token_stream(tiled):
+    """Concatenating a doc's segments reproduces the tokenized doc."""
+    got = {}
+    for r in tiling_chunks(tiled, w=10, p=3).collect():
+        got.setdefault(r["id"], []).append((r["seg_idx"], r["text"]))
+    for doc_id, text in [(r["doc_id"], r["text"])
+                         for r in tiled.collect()]:
+        toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+        joined = " ".join(t for _, t in sorted(got[doc_id]) if t)
+        assert joined == " ".join(toks)
