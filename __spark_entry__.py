@@ -3749,6 +3749,89 @@ SELECT query_id::BIGINT AS query_id, doc_id::BIGINT AS doc_id,
 FROM r WHERE rank <= {_PH_K}"""
 
 
+_MLT_K = 5
+_MLT_T = 8
+
+
+def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene-style more-like-this: seed docs (doc_id % 83 == 11)
+    contribute their 8 highest tf·idf terms as a query; BM25 retrieves
+    the 5 nearest documents per seed, the seed itself excluded."""
+    from rag_document_parser_spark.operators import retrieval as RET
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    seeds = docs.where(F.col("doc_id") % 83 == 11).select("doc_id")
+    out = RET.more_like_this(docs, seeds, k=_MLT_K, n_terms=_MLT_T)
+    return out.select(F.col("query_id").cast("long"),
+                      F.col("doc_id").cast("long"),
+                      "n_terms", "score_e6", "rank")
+
+
+SQL_MORE_LIKE_THIS = f"""
+WITH toks AS (
+  SELECT doc_id, {_BMTOKS} AS t FROM documents
+), post AS (
+  SELECT term, doc_id, count(*)::BIGINT AS tf, max(dl) AS dl
+  FROM (SELECT doc_id, len(t)::BIGINT AS dl, unnest(t) AS term FROM toks)
+  GROUP BY term, doc_id
+), seeds AS (
+  SELECT doc_id AS query_id FROM documents WHERE doc_id % 83 = 11
+), sp AS (
+  SELECT s.query_id, p.term, p.tf
+  FROM post p JOIN seeds s ON p.doc_id = s.query_id
+), cand AS (
+  SELECT DISTINCT term FROM sp
+), dfc AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df_t
+  FROM post JOIN cand USING (term) GROUP BY term
+), nd AS (
+  SELECT count(*)::BIGINT AS n_docs FROM documents
+), tsc AS (
+  SELECT query_id, term,
+    (tf::HUGEINT * ((n_docs::HUGEINT * 2 - df_t * 2 + 1) * 1000
+                    // (df_t::HUGEINT * 2 + 1)))::BIGINT AS s
+  FROM sp JOIN dfc USING (term) CROSS JOIN nd
+), qterms AS (
+  SELECT query_id, term FROM (
+    SELECT query_id, term,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY s DESC, term ASC) AS r
+    FROM tsc) z
+  WHERE r <= {_MLT_T}
+), matched AS (
+  SELECT p.term, p.doc_id, p.tf, p.dl, q.query_id
+  FROM post p JOIN qterms q USING (term)
+), stats AS (
+  SELECT count(*)::BIGINT AS n_docs,
+         coalesce(sum(len({_BMTOKS})), 0)::BIGINT AS total_toks
+  FROM documents
+), dfreq AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df_t
+  FROM matched GROUP BY term
+), sc AS (
+  SELECT m.query_id, m.doc_id,
+    ((s.n_docs::HUGEINT * 2 - d.df_t * 2 + 1) * 1000
+       // (d.df_t::HUGEINT * 2 + 1))
+    * (m.tf::HUGEINT * 22000000
+       // (m.tf::HUGEINT * 10000 + 3000
+           + (m.dl::HUGEINT * 1000000
+              // greatest(s.total_toks::HUGEINT * 1000
+                          // greatest(s.n_docs, 1), 1)) * 9)) AS ts
+  FROM matched m JOIN dfreq d USING (term) CROSS JOIN stats s
+), agg AS (
+  SELECT query_id, doc_id, count(*)::BIGINT AS n_terms,
+         sum(ts)::BIGINT AS score_e6
+  FROM sc WHERE doc_id <> query_id GROUP BY query_id, doc_id
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY score_e6 DESC, doc_id ASC) AS rank
+  FROM agg
+)
+SELECT query_id::BIGINT AS query_id, doc_id::BIGINT AS doc_id,
+       n_terms, score_e6, rank::BIGINT AS rank
+FROM r WHERE rank <= {_MLT_K}"""
+
+
 # ---------------------------------------------------------------------------
 # similarity search over embeddings
 # ---------------------------------------------------------------------------
@@ -8177,6 +8260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kn_lm": q_kn_lm,
         "kn_score": q_kn_score,
         "phrase_topk": q_phrase_topk,
+        "more_like_this": q_more_like_this,
         "source_overlap": q_source_overlap,
         "semantic_decontam": q_semantic_decontam,
         "texttiling": q_texttiling,
@@ -8354,6 +8438,7 @@ def oracle_sql() -> dict[str, str]:
         "kn_lm": SQL_KN_LM,
         "kn_score": SQL_KN_SCORE,
         "phrase_topk": SQL_PHRASE_TOPK,
+        "more_like_this": SQL_MORE_LIKE_THIS,
         "source_overlap": SQL_SOURCE_OVERLAP,
         "semantic_decontam": SQL_SEMANTIC_DECONTAM,
         "texttiling": SQL_TEXTTILING,

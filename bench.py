@@ -348,6 +348,10 @@ def main() -> None:
         F.array_join(F.slice(_words(F.col("text")), 1, 2), " ").alias("text"))
     timed_reps("phrase_topk",
           lambda: RET.phrase_topk(docs, phrase_q, k=10).count())
+    timed_reps("more_like_this",
+          lambda: RET.more_like_this(
+              docs, docs.where(F.col("doc_id") < 8).select("doc_id"),
+              k=10, n_terms=8).count())
 
     def _hybrid():
         lex = RET.bm25_topk(docs, bm25_q, k=20)

@@ -59,8 +59,8 @@ from pyspark.sql import DataFrame, functions as F
 from rag_document_parser_spark.operators.dedup import words
 from rag_document_parser_spark.operators.similarity import topk_per_query
 
-__all__ = ["bm25_topk", "inverted_index", "phrase_match", "phrase_topk",
-           "positional_index", "rrf_fuse"]
+__all__ = ["bm25_topk", "inverted_index", "more_like_this",
+           "phrase_match", "phrase_topk", "positional_index", "rrf_fuse"]
 
 
 def inverted_index(df: DataFrame, text_col: str = "text",
@@ -89,8 +89,12 @@ def inverted_index(df: DataFrame, text_col: str = "text",
 def bm25_topk(df: DataFrame, queries: DataFrame, k: int = 10,
               text_col: str = "text", id_col: str = "doc_id",
               qid_col: str = "query_id", qtext_col: str = "text",
-              postings: DataFrame | None = None) -> DataFrame:
+              postings: DataFrame | None = None,
+              exclude_self: bool = False) -> DataFrame:
     """Top-``k`` documents per query by fixed-point log-free BM25.
+
+    ``exclude_self=True`` drops rows where ``doc_id == query_id`` before
+    ranking (the more-like-this contract, where queries ARE documents).
 
     ``queries`` is ``(query_id, text)``; its DISTINCT tokens per query
     are the match terms (classic BM25's optional query-side saturation
@@ -147,9 +151,59 @@ def bm25_topk(df: DataFrame, queries: DataFrame, k: int = 10,
     agg = (scored.groupBy("query_id", "doc_id")
            .agg(F.count("*").cast("long").alias("n_terms"),
                 F.sum("_ts").cast("long").alias("score_e6")))
+    if exclude_self:
+        # more-like-this mode: query ids live in the document id domain;
+        # drop the seed's self-match BEFORE ranking so k real neighbors
+        # survive
+        agg = agg.where(F.col("doc_id") != F.col("query_id"))
     return topk_per_query(agg, k, "query_id", "doc_id", "score_e6").select(
         "query_id", "doc_id", "n_terms", "score_e6",
         F.col("rank").cast("long").alias("rank"))
+
+
+def more_like_this(df: DataFrame, seed_ids: DataFrame, k: int = 10,
+                   n_terms: int = 10, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   postings: DataFrame | None = None) -> DataFrame:
+    """Lucene-style more-like-this: for each seed document, extract its
+    ``n_terms`` most characteristic terms (tf · linear idf, the
+    ``bm25_topk`` idf form; ties broken by ascending term) and retrieve
+    the ``k`` nearest documents by BM25 over exactly those terms, the
+    seed itself excluded. ``seed_ids`` is a one-column relation of
+    document ids (tiny — it broadcasts). Returns the ``bm25_topk``
+    shape: ``(query_id, doc_id, n_terms, score_e6, rank)``.
+
+    Term selection and retrieval share ONE postings build (pass
+    ``postings=`` to amortize it further across calls). Scale shape:
+    seed postings come from a broadcast semi-join on the seed-id set;
+    document frequency is computed only for the seeds' candidate terms
+    (pruned postings, corpus-exact df — the ``bm25_topk`` argument);
+    the per-seed term top-k is the two-stage partial rank. The
+    retrieval leg is ``bm25_topk`` verbatim with ``exclude_self``.
+    """
+    post = postings if postings is not None else inverted_index(
+        df, text_col, id_col)
+    seeds = seed_ids.select(F.col(seed_ids.columns[0]).alias("query_id"))
+    sp = post.join(F.broadcast(seeds),
+                   post["doc_id"] == seeds["query_id"]).select(
+        "query_id", "term", "tf")
+    dfreq = (post.join(F.broadcast(sp.select("term").distinct()), "term")
+             .select("term", "doc_id").distinct()
+             .groupBy("term").agg(F.count("*").alias("df_t")))
+    n_docs = df.agg(F.count("*").alias("n_docs"))
+    tsc = (sp.join(F.broadcast(dfreq), "term")
+           .crossJoin(F.broadcast(n_docs))
+           .select("query_id", "term", F.expr(
+               "cast(tf as decimal(38,0))"
+               " * ((cast(n_docs as decimal(38,0)) * 2 - df_t * 2 + 1)"
+               "    * 1000 div (cast(df_t as decimal(38,0)) * 2 + 1))")
+               .cast("long").alias("_s")))
+    top = topk_per_query(tsc, n_terms, "query_id", "term", "_s")
+    queries = (top.groupBy("query_id")
+               .agg(F.array_join(F.array_sort(F.collect_list("term")), " ")
+                    .alias("text")))
+    return bm25_topk(df, queries, k, text_col, id_col,
+                     postings=post, exclude_self=True)
 
 
 def rrf_fuse(ranked: list[DataFrame], k: int = 10, k0: int = 60,

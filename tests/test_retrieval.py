@@ -341,3 +341,43 @@ def test_phrase_match_partition_invariance(spark, phrase_docs):
     b = sorted(map(tuple, phrase_match(
         phrase_docs.repartition(7), qs).collect()))
     assert a == b
+
+
+# ---- more-like-this (seed-doc top-terms -> BM25) ------------------------
+
+from rag_document_parser_spark.operators.retrieval import more_like_this
+
+
+@pytest.fixture(scope="module")
+def mlt_docs(spark):
+    return spark.createDataFrame(
+        [("s1", "penguin colony antarctic ice penguin krill"),
+         ("n1", "penguin krill diet in antarctic waters"),
+         ("n2", "ice shelf collapse antarctic survey"),
+         ("x1", "stock market prices rally on earnings"),
+         ("x2", "quarterly earnings beat market estimates"),
+         ("e1", "")],
+        ["doc_id", "text"])
+
+
+def test_mlt_finds_topical_neighbors_excludes_seed(mlt_docs):
+    seeds = mlt_docs.where(F.col("doc_id") == "s1").select("doc_id")
+    out = more_like_this(mlt_docs, seeds, k=3, n_terms=4).collect()
+    ids = [r["doc_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert "s1" not in ids                    # self excluded
+    assert set(ids[:2]) <= {"n1", "n2"}       # topical docs outrank finance
+    assert "x1" not in ids[:1] and "x2" not in ids[:1]
+
+
+def test_mlt_empty_seed_absent(mlt_docs):
+    seeds = mlt_docs.where(F.col("doc_id") == "e1").select("doc_id")
+    assert more_like_this(mlt_docs, seeds, k=3).count() == 0
+
+
+def test_mlt_deterministic_and_partition_invariant(mlt_docs):
+    seeds = mlt_docs.where(F.col("doc_id").isin("s1", "x1")) \
+        .select("doc_id")
+    a = sorted(map(tuple, more_like_this(mlt_docs, seeds, k=3).collect()))
+    b = sorted(map(tuple, more_like_this(
+        mlt_docs.repartition(7), seeds, k=3).collect()))
+    assert a == b
