@@ -211,6 +211,22 @@ def main() -> None:
           lambda: D.ngram_jaccard_pairs(docs, n=3, threshold=0.5).count())
     # cross-snapshot: index the corpus once, dedup the corpus-as-new-batch
     # against it (worst case: every doc an exact dup + full band collisions)
+    def _ingest():
+        # the full rolling-ingest plan on a 20% slice: two overlapping
+        # snapshots into a fresh dir — index build + annotate + kept
+        # write + ledger (a PLAN timing: dominated by its ~15 small
+        # jobs' fixed overhead, not per-doc cost; the per-doc dedup
+        # tier is benched on its own as snapshot_dedup below)
+        from rag_document_parser_spark.plans import ingest_snapshot
+        sl = docs.where(F.col("doc_id") % 10 < 2)
+        d = tempfile.mkdtemp(prefix="bench_ingest_", dir=out_base)
+        ingest_snapshot(spark, sl.where(F.col("doc_id") % 2 == 0),
+                        d, "a")
+        r = ingest_snapshot(spark, sl, d, "b")
+        shutil.rmtree(d, ignore_errors=True)
+        return r["n_kept"]
+
+    timed_reps("ingest_snapshot", _ingest, reps=2)
     timed_reps("snapshot_dedup",
           lambda: D.dedup_against_index(
               docs, D.build_dedup_index(docs, n=3, k=16, bands=4),

@@ -79,8 +79,11 @@ def ingest_snapshot(spark: SparkSession, new_docs: DataFrame,
     else:
         index = spark.createDataFrame([], "id string, kind string, "
                                           "key string")
+    # stage the verdict once (id + three booleans per NEW doc — slim):
+    # the counts aggregate, the kept-ids join, and nothing else re-run
+    # the signature build + index join lineage
     verdict = dedup_against_index(new_docs, index, text_col, id_col,
-                                  n, k, bands)
+                                  n, k, bands).localCheckpoint()
     counts = verdict.agg(
         F.count("*").alias("n_in"),
         F.sum(F.col("kept").cast("long")).alias("n_kept"),
