@@ -4704,6 +4704,115 @@ FROM r1 LEFT JOIN remap ma ON ra = ma.media_ref
   LEFT JOIN remap mb ON rb = mb.media_ref"""
 
 
+# sentence-length pair synthesis shared by the Gale-Church twins:
+# n = doc_id%5+2 lengths; the b side merges, splits, or jitters
+_GC_LA = ("transform(sequence(1, cast(doc_id % 5 + 2 as int)),"
+          " i -> (doc_id * 13 + i * 29) % 60 + 8)")
+
+
+def q_gale_church(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gale-Church sentence alignment (Gale & Church 1993) as a
+    row-local integer DP fold: per-pair minimum-cost bead sequence
+    over synthesized sentence-length pairs (b side merges two
+    sentences, splits one, or jitters lengths by doc_id class)."""
+    from rag_document_parser_spark.operators.align import (
+        gale_church_align)
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    pairs = docs.select(
+        F.col("doc_id").alias("pair_id"),
+        F.expr(_GC_LA).alias("la"),
+        F.expr(f"""
+          CASE cast(doc_id % 3 as int)
+            WHEN 0 THEN concat(
+              array(element_at({_GC_LA}, 1) + element_at({_GC_LA}, 2)
+                    + 1),
+              slice({_GC_LA}, 3, size({_GC_LA})))
+            WHEN 1 THEN concat(
+              array(element_at({_GC_LA}, 1) div 2,
+                    element_at({_GC_LA}, 1)
+                    - element_at({_GC_LA}, 1) div 2),
+              slice({_GC_LA}, 2, size({_GC_LA})))
+            ELSE transform({_GC_LA}, x -> x + 1)
+          END""").alias("lb"))
+    out = gale_church_align(pairs)
+    return out.select(F.col("pair_id").cast("long"), "bead_idx",
+                      "a_start", "a_len", "b_start", "b_len")
+
+
+def _sql_gale_church() -> str:
+    from rag_document_parser_spark.operators.align import INF, MOVES
+
+    def mc(sa, sb):
+        return f"(1000 * abs(({sa}) - ({sb})) // (({sa}) + ({sb}) + 1))"
+
+    cands = []
+    for da, db, pen in MOVES:
+        i, j = "((k+1) // w)", "((k+1) % w)"
+        sa = " + ".join(f"la[{i} - {x}]" for x in range(da)) or "0"
+        sb = " + ".join(f"lb[{j} - {x}]" for x in range(db)) or "0"
+        prev = f"c[(k+1) - {da} * w - {db} + 1]"
+        cands.append(
+            f"CASE WHEN {i} >= {da} AND {j} >= {db}"
+            f" THEN {prev} + {pen} + {mc(sa, sb)}"
+            f" ELSE {INF}::BIGINT END")
+    cl = "list_value(" + ", ".join(cands) + ")"
+    da = ("CASE m[k+1] WHEN 1 THEN 0 WHEN 2 THEN 1 WHEN 3 THEN 1"
+          " WHEN 4 THEN 2 WHEN 5 THEN 1 WHEN 6 THEN 2 END")
+    db = ("CASE m[k+1] WHEN 1 THEN 1 WHEN 2 THEN 0 WHEN 3 THEN 1"
+          " WHEN 4 THEN 1 WHEN 5 THEN 2 WHEN 6 THEN 2 END")
+    ga = ("list_transform(range(1, (doc_id % 5 + 2 + 1)::INT),"
+          " i -> (doc_id * 13 + i * 29) % 60 + 8)")
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_id AS pair_id, {ga}::BIGINT[] AS la,
+    (CASE (doc_id % 3)::INT
+      WHEN 0 THEN list_concat(
+        [{ga}[1] + {ga}[2] + 1],
+        list_slice({ga}, 3, len({ga})))
+      WHEN 1 THEN list_concat(
+        [{ga}[1] // 2, {ga}[1] - {ga}[1] // 2],
+        list_slice({ga}, 2, len({ga})))
+      ELSE list_transform({ga}, x -> x + 1)
+    END)::BIGINT[] AS lb
+  FROM documents
+), prep AS (
+  SELECT pair_id, la, lb, len(lb) + 1 AS w,
+         (len(la) + 1) * (len(lb) + 1) - 1 AS nm
+  FROM pairs
+), dp AS (
+  SELECT pair_id, la, lb, w, nm, 0 AS k,
+         [0]::BIGINT[] AS c, [0]::INT[] AS m
+  FROM prep
+  UNION ALL
+  SELECT pair_id, la, lb, w, nm, k + 1,
+         list_append(c, list_aggregate(cl, 'min')),
+         list_append(m, list_position(cl, list_aggregate(cl, 'min'))::INT)
+  FROM (SELECT *, {cl} AS cl FROM dp WHERE k < nm) z
+), dpf AS (
+  SELECT pair_id, w, nm, m FROM dp WHERE k = nm
+), bt AS (
+  SELECT pair_id, w, m, nm AS k,
+         []::STRUCT(a_start BIGINT, a_len BIGINT, b_start BIGINT,
+                    b_len BIGINT)[] AS b
+  FROM dpf
+  UNION ALL
+  SELECT pair_id, w, m, k - da * w - db,
+         list_append(b, {{'a_start': k // w - da, 'a_len': da,
+                          'b_start': k % w - db, 'b_len': db}})
+  FROM (SELECT *, {da} AS da, {db} AS db FROM bt WHERE k > 0) z
+), btf AS (
+  SELECT pair_id, list_reverse(b) AS b FROM bt WHERE k = 0
+)
+SELECT pair_id::BIGINT AS pair_id,
+       (generate_subscripts(b, 1) - 1)::BIGINT AS bead_idx,
+       unnest(b, recursive := true)
+FROM btf"""
+
+
+SQL_GALE_CHURCH = _sql_gale_church()
+
+
 _TT_W = 10
 _TT_P = 3
 _TT_CUT = 400_000
@@ -8266,6 +8375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "texttiling": q_texttiling,
         "tiling_chunks": q_tiling_chunks,
         "media_remap": q_media_remap,
+        "gale_church": q_gale_church,
         "unigram_vocab": q_unigram_vocab,
         "unigram_segment": q_unigram_segment,
         "zipf_fit": q_zipf_fit,
@@ -8444,6 +8554,7 @@ def oracle_sql() -> dict[str, str]:
         "texttiling": SQL_TEXTTILING,
         "tiling_chunks": SQL_TILING_CHUNKS,
         "media_remap": SQL_MEDIA_REMAP,
+        "gale_church": SQL_GALE_CHURCH,
         "unigram_vocab": SQL_UNIGRAM_VOCAB,
         "unigram_segment": SQL_UNIGRAM_SEGMENT,
         "zipf_fit": SQL_ZIPF_FIT,

@@ -486,6 +486,16 @@ def main() -> None:
     timed_reps("ivf_cosine_topk",
           lambda: V.ivf_cosine_topk(emb, queries8, k=10).count())
     from rag_document_parser_spark.operators import bitext as BX
+    from rag_document_parser_spark.operators.align import gale_church_align
+    gc_pairs = docs.select(
+        F.col("doc_id").alias("pair_id"),
+        F.expr("transform(sequence(1, cast(doc_id % 12 + 2 as int)),"
+               " i -> (doc_id * 13 + i * 29) % 60 + 8)").alias("la"),
+        F.expr("transform(sequence(1, cast(doc_id % 11 + 2 as int)),"
+               " i -> (doc_id * 17 + i * 31) % 60 + 8)").alias("lb"))
+    timed_reps("gale_church",
+          lambda: gale_church_align(gc_pairs)
+          .agg(F.count("*"), F.sum("a_len")).collect())
     timed_reps("bitext_mine",
           lambda: BX.margin_bitext_pairs(
               emb.where(F.col("vec_id") % 2 == 0),
