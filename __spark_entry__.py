@@ -4704,6 +4704,58 @@ FROM r1 LEFT JOIN remap ma ON ra = ma.media_ref
   LEFT JOIN remap mb ON rb = mb.media_ref"""
 
 
+def q_strand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRAND cross-language URL pairing (Resnik & Smith 2003): docs
+    whose synthesized URLs differ only in the language path segment
+    collapse to one template key and pair cross-language — the
+    candidate-generation stage ahead of bitext margin scoring and
+    Gale-Church alignment."""
+    from rag_document_parser_spark.operators.urls import strand_url_pairs
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    urls = docs.select(
+        "doc_id", "lang",
+        F.concat(F.lit("https://www.site"),
+                 (F.col("doc_id") % 50).cast("string"),
+                 F.lit(".example/"), F.col("lang"),
+                 F.lit("/article-"),
+                 (F.col("doc_id") % 25).cast("string")).alias("url"))
+    out = strand_url_pairs(urls)
+    return out.select("key", F.col("id_a").cast("long"), "lang_a",
+                      F.col("id_b").cast("long"), "lang_b")
+
+
+def _sql_strand_pairs() -> str:
+    from rag_document_parser_spark.operators.urls import (
+        STRAND_PATH_RE, STRAND_QS_RE, STRAND_SUB_RE)
+
+    # DuckDB replaces the first match unless 'g'; Spark replaces all —
+    # the 'g' flag keeps the engines identical
+    key = ("lower(regexp_replace(regexp_replace(regexp_replace(url, "
+           f"'{STRAND_SUB_RE}', '://', 'g'), "
+           f"'{STRAND_PATH_RE}', '/', 'g'), "
+           f"'{STRAND_QS_RE}', '', 'g'))")
+    return f"""
+WITH u AS (
+  SELECT doc_id, lang,
+    'https://www.site' || (doc_id % 50)::VARCHAR || '.example/'
+      || lang || '/article-' || (doc_id % 25)::VARCHAR AS url
+  FROM documents
+), keyed AS (
+  SELECT doc_id AS id, lang, {key} AS key FROM u
+), ok AS (
+  SELECT key FROM keyed GROUP BY key HAVING count(*) <= 16
+), pruned AS (
+  SELECT keyed.* FROM keyed JOIN ok USING (key)
+)
+SELECT a.key, a.id::BIGINT AS id_a, a.lang AS lang_a,
+       b.id::BIGINT AS id_b, b.lang AS lang_b
+FROM pruned a JOIN pruned b ON a.key = b.key AND a.lang < b.lang"""
+
+
+SQL_STRAND_PAIRS = _sql_strand_pairs()
+
+
 # sentence-length pair synthesis shared by the Gale-Church twins:
 # n = doc_id%5+2 lengths; the b side merges, splits, or jitters
 _GC_LA = ("transform(sequence(1, cast(doc_id % 5 + 2 as int)),"
@@ -8376,6 +8428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tiling_chunks": q_tiling_chunks,
         "media_remap": q_media_remap,
         "gale_church": q_gale_church,
+        "strand_pairs": q_strand_pairs,
         "unigram_vocab": q_unigram_vocab,
         "unigram_segment": q_unigram_segment,
         "zipf_fit": q_zipf_fit,
@@ -8555,6 +8608,7 @@ def oracle_sql() -> dict[str, str]:
         "tiling_chunks": SQL_TILING_CHUNKS,
         "media_remap": SQL_MEDIA_REMAP,
         "gale_church": SQL_GALE_CHURCH,
+        "strand_pairs": SQL_STRAND_PAIRS,
         "unigram_vocab": SQL_UNIGRAM_VOCAB,
         "unigram_segment": SQL_UNIGRAM_SEGMENT,
         "zipf_fit": SQL_ZIPF_FIT,

@@ -141,3 +141,62 @@ def canonicalize_urls(df: DataFrame, text_col: str = "text",
           .where(F.col("url").isNotNull()))
     return ex.select("doc_id", "url",
                      canonical_url(F.col("url")).alias("canon"))
+
+
+# ---- STRAND cross-language URL pairing (Resnik & Smith 2003) ------------
+
+# language markers stripped to form the template key: a path segment,
+# a subdomain prefix, or a lang/locale/hl query parameter. RE2-safe
+# (no lookaround) and shared VERBATIM with the DuckDB oracle.
+STRAND_LANGS = ("en|fr|de|es|ar|zh|ru|pt|ja|it|nl|ko|hi|tr")
+STRAND_PATH_RE = f"(?i)/({STRAND_LANGS})(-[a-zA-Z]{{2}})?/"
+STRAND_SUB_RE = f"(?i)://({STRAND_LANGS})\\."
+STRAND_QS_RE = "(?i)[?&](lang|locale|hl)=[a-zA-Z-]+"
+
+
+def strand_key(c: Column) -> Column:
+    """A URL's language-independent template key: subdomain language
+    prefixes, one path language segment, and lang-ish query parameters
+    stripped, then lower-cased — the STRAND observation that parallel
+    pages live at URLs differing only in a language marker."""
+    out = F.regexp_replace(c, STRAND_SUB_RE, "://")
+    out = F.regexp_replace(out, STRAND_PATH_RE, "/")
+    out = F.regexp_replace(out, STRAND_QS_RE, "")
+    return F.lower(out)
+
+
+def strand_url_pairs(df: DataFrame, url_col: str = "url",
+                     id_col: str = "doc_id", lang_col: str = "lang",
+                     max_per_key: int = 16) -> DataFrame:
+    """Candidate parallel-document pairs by URL structure (Resnik &
+    Smith 2003, STRAND): documents whose URLs collapse to the SAME
+    template key after language-marker stripping, taken cross-language
+    (``lang_a < lang_b`` lexically; ties inside a (key, lang) cell are
+    all paired, deterministically). Output: ``(key, id_a, lang_a,
+    id_b, lang_b)`` — feed the candidates to ``bitext`` margin scoring
+    and ``align.gale_church_align`` for the full mined-parallel-corpus
+    pipeline.
+
+    Scale shape: one groupBy-free self-join keyed on the template key;
+    ``max_per_key`` bounds the per-key fan-out STRUCTURALLY — keys
+    held by more documents (landing templates, calendars) are counted
+    first with one map-side-combinable aggregate and dropped before
+    the join, so the quadratic blowup a hot template would cause
+    never reaches the shuffle (a true STRAND template pairs one page
+    per language; oversubscribed keys are noise by construction).
+    """
+    keyed = df.select(F.col(id_col).alias("id"),
+                      F.col(lang_col).alias("lang"),
+                      strand_key(F.col(url_col)).alias("key"))
+    ok = (keyed.groupBy("key")
+          .agg(F.count("*").alias("_n"))
+          .where(F.col("_n") <= max_per_key)
+          .select("key"))
+    pruned = keyed.join(ok, "key")
+    a = pruned.select("key", F.col("id").alias("id_a"),
+                      F.col("lang").alias("lang_a"))
+    b = pruned.select("key", F.col("id").alias("id_b"),
+                      F.col("lang").alias("lang_b"))
+    return (a.join(b, "key")
+            .where(F.col("lang_a") < F.col("lang_b"))
+            .select("key", "id_a", "lang_a", "id_b", "lang_b"))

@@ -192,3 +192,58 @@ def test_bin_formula_duckdb_agreement_and_range(score, n_bins):
     assert 0 <= py <= n_bins - 1
     if score == 10**6:
         assert py == n_bins - 1
+
+
+# ---- STRAND URL pairing (Resnik & Smith 2003) ---------------------------
+
+from rag_document_parser_spark.operators.urls import (
+    strand_key,
+    strand_url_pairs,
+)
+
+
+def test_strand_key_strips_language_markers(spark):
+    from pyspark.sql import functions as F
+    rows = [
+        ("https://en.example.com/docs/page", "https://example.com/docs/page"),
+        ("https://www.site.org/en/guide/x", "https://www.site.org/guide/x"),
+        ("https://www.site.org/fr-CA/guide/x",
+         "https://www.site.org/guide/x"),
+        ("https://a.example/p?x=1&lang=de&y=2",
+         "https://a.example/p?x=1&y=2"),
+        ("https://a.example/ENGLISH/p", "https://a.example/english/p"),
+    ]
+    df = spark.createDataFrame(rows, ["url", "want"])
+    got = df.select(strand_key(F.col("url")).alias("k"), "want").collect()
+    for r in got:
+        assert r["k"] == r["want"], r
+
+
+def test_strand_pairs_cross_language_only(spark):
+    rows = [
+        (1, "en", "https://s.example/en/article-1"),
+        (2, "fr", "https://s.example/fr/article-1"),
+        (3, "de", "https://s.example/de/article-1"),
+        (4, "en", "https://s.example/en/article-2"),   # different key
+        (5, "en", "https://s.example/en/article-1"),   # same key, same lang
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "url"])
+    got = sorted((r["id_a"], r["lang_a"], r["id_b"], r["lang_b"])
+                 for r in strand_url_pairs(df).collect())
+    # cross-lang pairs among {1,5}(en), 2(fr), 3(de) on key article-1:
+    # de<en (3,1),(3,5); de<fr (3,2); en<fr (1,2),(5,2). Never en-en.
+    assert got == [(1, "en", 2, "fr"), (3, "de", 1, "en"),
+                   (3, "de", 2, "fr"), (3, "de", 5, "en"),
+                   (5, "en", 2, "fr")]
+
+
+def test_strand_hot_template_pruned(spark):
+    rows = [(i, "en" if i % 2 else "fr",
+             "https://hot.example/en/landing") for i in range(40)] + \
+        [(100, "en", "https://cool.example/en/a"),
+         (101, "fr", "https://cool.example/fr/a")]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "url"])
+    got = strand_url_pairs(df, max_per_key=16).collect()
+    # the 40-doc landing template is dropped before the join; the
+    # legitimate one-per-language template survives
+    assert [(r["id_a"], r["id_b"]) for r in got] == [(100, 101)]
