@@ -4704,6 +4704,80 @@ FROM r1 LEFT JOIN remap ma ON ra = ma.media_ref
   LEFT JOIN remap mb ON rb = mb.media_ref"""
 
 
+def q_robots_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 robots.txt audit: every synthesized URL decided
+    against its domain's synthesized policy (longest-match, Allow wins
+    ties, unmatched allowed). The TEXT parser runs on the Spark side
+    (robots bodies built as strings and parsed by parse_robots); the
+    oracle derives the identical rule relation from the synthesis
+    arithmetic — parser fidelity itself is pinned by the unit suite."""
+    from rag_document_parser_spark.operators.robots import (
+        robots_decisions)
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    doms = docs.select((F.col("doc_id") % 20).alias("d")).distinct()
+    robots = doms.select(
+        F.concat(F.lit("site"), F.col("d").cast("string"),
+                 F.lit(".example")).alias("domain"),
+        F.concat(
+            F.lit("User-agent: *\nDisallow: /admin/\n"
+                  "Allow: /admin/pub\n"),
+            F.when(F.col("d") % 3 == 0, F.lit("Disallow: /data\n"))
+            .otherwise(F.lit(""))).alias("body"))
+    paths = (F.when(F.col("doc_id") % 5 == 0,
+                    F.concat(F.lit("/admin/x"),
+                             F.col("doc_id").cast("string")))
+             .when(F.col("doc_id") % 5 == 1,
+                   F.concat(F.lit("/admin/pub/"),
+                            F.col("doc_id").cast("string")))
+             .when(F.col("doc_id") % 5 == 2,
+                   F.concat(F.lit("/data/"),
+                            F.col("doc_id").cast("string")))
+             .when(F.col("doc_id") % 5 == 3,
+                   F.concat(F.lit("/ok/"), F.col("doc_id").cast("string")))
+             .otherwise(F.lit("/admin/pub")))
+    urls = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://site"),
+                 (F.col("doc_id") % 20).cast("string"),
+                 F.lit(".example"), paths).alias("url"))
+    out = robots_decisions(urls, robots)
+    return out.select(F.col("id").cast("long"), "domain", "path",
+                      "allowed", "matched_prefix")
+
+
+SQL_ROBOTS_AUDIT = """
+WITH doms AS (
+  SELECT DISTINCT doc_id % 20 AS d FROM documents
+), rules AS (
+  SELECT 'site' || d::VARCHAR || '.example' AS domain, allow, prefix
+  FROM doms, (VALUES (false, '/admin/'), (true, '/admin/pub')) r(allow, prefix)
+  UNION ALL
+  SELECT 'site' || d::VARCHAR || '.example', false, '/data'
+  FROM doms WHERE d % 3 = 0
+), u AS (
+  SELECT doc_id AS id,
+    'site' || (doc_id % 20)::VARCHAR || '.example' AS domain,
+    CASE (doc_id % 5)::INT
+      WHEN 0 THEN '/admin/x' || doc_id::VARCHAR
+      WHEN 1 THEN '/admin/pub/' || doc_id::VARCHAR
+      WHEN 2 THEN '/data/' || doc_id::VARCHAR
+      WHEN 3 THEN '/ok/' || doc_id::VARCHAR
+      ELSE '/admin/pub' END AS path
+  FROM documents
+), cand AS (
+  SELECT u.id, u.domain, u.path, r.allow, r.prefix,
+    row_number() OVER (PARTITION BY u.id
+      ORDER BY length(r.prefix) DESC, r.allow DESC, r.prefix DESC)
+      AS rk
+  FROM u JOIN rules r ON r.domain = u.domain
+    AND starts_with(u.path, r.prefix)
+)
+SELECT u.id::BIGINT AS id, u.domain, u.path,
+  coalesce(c.allow, true) AS allowed, c.prefix AS matched_prefix
+FROM u LEFT JOIN (SELECT * FROM cand WHERE rk = 1) c USING (id)"""
+
+
 def q_strand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STRAND cross-language URL pairing (Resnik & Smith 2003): docs
     whose synthesized URLs differ only in the language path segment
@@ -8429,6 +8503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_remap": q_media_remap,
         "gale_church": q_gale_church,
         "strand_pairs": q_strand_pairs,
+        "robots_audit": q_robots_audit,
         "unigram_vocab": q_unigram_vocab,
         "unigram_segment": q_unigram_segment,
         "zipf_fit": q_zipf_fit,
@@ -8609,6 +8684,7 @@ def oracle_sql() -> dict[str, str]:
         "media_remap": SQL_MEDIA_REMAP,
         "gale_church": SQL_GALE_CHURCH,
         "strand_pairs": SQL_STRAND_PAIRS,
+        "robots_audit": SQL_ROBOTS_AUDIT,
         "unigram_vocab": SQL_UNIGRAM_VOCAB,
         "unigram_segment": SQL_UNIGRAM_SEGMENT,
         "zipf_fit": SQL_ZIPF_FIT,

@@ -1,0 +1,122 @@
+"""robots.txt evaluation at corpus scale (RFC 9309 subset).
+
+A compliant web-scale ingest must be able to answer, for every crawled
+URL it holds, "did robots.txt allow fetching this?" — both at crawl
+time and retroactively when policies are audited. This module
+evaluates a corpus of URLs against a corpus of robots.txt documents as
+pure relational algebra: parse the policy files into a (domain, allow,
+prefix) rule relation once, then decide every URL by the RFC's
+longest-match rule with one broadcast join.
+
+Documented subset of RFC 9309, shared exactly with the DuckDB oracle:
+
+- Only ``User-agent: *`` groups are honored (the corpus-audit case;
+  per-agent dispatch is a filter on the same rule relation).
+- ``Allow:`` / ``Disallow:`` with literal path prefixes; the ``*``
+  and ``$`` wildcards are NOT interpreted (rules containing ``*`` are
+  kept as literals — the conservative reading; a wildcard-aware
+  matcher would need per-rule regex compilation).
+- Decision per RFC §2.2.2: the rule with the LONGEST matching prefix
+  wins; on a length tie, ``Allow`` wins; no matching rule → allowed.
+  An empty ``Disallow:`` line matches nothing (explicit allow-all).
+
+Scale shape: the rule relation is (policy corpus)-sized — thousands of
+domains, a handful of rules each — and broadcasts; the URL corpus
+joins on the uniform domain key and evaluates its rules with one
+bounded per-(url, rule) prefix test + one map-side-combinable
+max_by aggregate. Nothing corpus-sized ever shuffles on a skewed key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from rag_document_parser_spark.operators.urls import url_domain
+
+__all__ = ["parse_robots", "robots_decisions", "url_path"]
+
+
+def url_path(c: Column) -> Column:
+    """The path-and-after part of a URL ('/': missing path)."""
+    p = F.regexp_extract(c, "https?://[A-Za-z0-9.\\-]+(/.*)", 1)
+    return F.when(p == "", F.lit("/")).otherwise(p)
+
+
+def parse_robots(robots: DataFrame, domain_col: str = "domain",
+                 body_col: str = "body") -> DataFrame:
+    """Parse robots.txt bodies into the rule relation ``(domain,
+    rule_idx, allow, prefix)`` — ``User-agent: *`` groups only, in
+    file order. A group ends at the next ``User-agent:`` line; multiple
+    ``*`` groups in one file all contribute (RFC: groups with the same
+    agent merge). Empty-prefix Disallow lines are dropped (they match
+    nothing); empty-prefix Allow lines likewise carry no information.
+
+    One projection per body (split + a running group-state fold inside
+    the scan), then a posexplode — zero shuffles.
+    """
+    # fold over lines carrying (in_star_group, rules array); directive
+    # names match case-insensitively, path prefixes keep their case
+    # (RFC 9309: paths are case-sensitive)
+    rules = F.expr("""
+      aggregate(
+        split(body, '\n'),
+        named_struct('g', false,
+                     'r', cast(array() as array<struct<
+                            allow: boolean, prefix: string>>)),
+        (acc, ln0) -> CASE
+          WHEN trim(ln0) rlike '(?i)^user-agent\\\\s*:'
+            THEN named_struct(
+              'g', trim(substring_index(trim(ln0), ':', -1)) = '*',
+              'r', acc.r)
+          WHEN acc.g AND trim(ln0) rlike '(?i)^(allow|disallow)\\\\s*:'
+            THEN named_struct('g', acc.g, 'r',
+              CASE WHEN trim(regexp_replace(trim(ln0),
+                            '(?i)^(allow|disallow)\\\\s*:', '')) = ''
+                   THEN acc.r
+                   ELSE concat(acc.r, array(named_struct(
+                     'allow', trim(ln0) rlike '(?i)^allow\\\\s*:',
+                     'prefix', trim(regexp_replace(trim(ln0),
+                               '(?i)^(allow|disallow)\\\\s*:', ''))))) END)
+          ELSE acc
+        END,
+        acc -> acc.r)
+    """)
+    return (robots.select(F.col(domain_col).alias("domain"),
+                          F.col(body_col).alias("body"))
+            .select("domain", F.posexplode_outer(rules)
+                    .alias("rule_idx", "_r"))
+            .where(F.col("_r").isNotNull())
+            .select("domain", F.col("rule_idx").cast("long"),
+                    F.col("_r.allow").alias("allow"),
+                    F.col("_r.prefix").alias("prefix")))
+
+
+def robots_decisions(urls: DataFrame, robots: DataFrame,
+                     url_col: str = "url", id_col: str = "doc_id",
+                     domain_col: str = "domain",
+                     body_col: str = "body") -> DataFrame:
+    """Per-URL fetch decision: ``(id, domain, path, allowed,
+    matched_prefix)`` — RFC 9309 longest-match over the parsed rules,
+    Allow wins length ties, unmatched (or undomained/ruleless) URLs
+    are allowed with a NULL ``matched_prefix``.
+    """
+    rules = parse_robots(robots, domain_col, body_col)
+    u = urls.select(F.col(id_col).alias("id"),
+                    url_domain(F.col(url_col)).alias("domain"),
+                    url_path(F.col(url_col)).alias("path"))
+    j = u.join(F.broadcast(rules), "domain", "left")
+    hit = F.col("prefix").isNotNull() & F.col("path").startswith(
+        F.col("prefix"))
+    # longest prefix wins; tie -> allow (rank allow above disallow)
+    cand = j.select(
+        "id", "domain", "path",
+        F.when(hit, F.struct(
+            F.length("prefix").alias("l"),
+            F.col("allow").cast("int").alias("a"),
+            F.col("allow"), F.col("prefix"))).alias("_m"))
+    agg = (cand.groupBy("id", "domain", "path")
+           .agg(F.max("_m").alias("_best")))
+    return agg.select(
+        "id", "domain", "path",
+        F.coalesce(F.col("_best.allow"), F.lit(True)).alias("allowed"),
+        F.col("_best.prefix").alias("matched_prefix"))

@@ -1,0 +1,97 @@
+"""robots.txt evaluation (operators/robots.py): RFC 9309 subset —
+group selection, longest-match, Allow-wins-ties, empty Disallow,
+case-insensitive directives with case-sensitive paths."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rag_document_parser_spark.operators.robots import (
+    parse_robots,
+    robots_decisions,
+    url_path,
+)
+
+BODY = """User-agent: googlebot
+Disallow: /private/
+User-agent: *
+Disallow: /admin/
+Allow: /admin/public/
+DISALLOW: /tmp
+Disallow:
+User-agent: other
+Disallow: /
+"""
+
+
+@pytest.fixture(scope="module")
+def robots(spark):
+    return spark.createDataFrame(
+        [("site.example", BODY),
+         ("open.example", "User-agent: *\n"),
+         ("closed.example", "user-agent: *\ndisallow: /\n")],
+        ["domain", "body"])
+
+
+def test_parse_star_groups_only(robots):
+    rules = [(r["domain"], r["rule_idx"], r["allow"], r["prefix"])
+             for r in parse_robots(robots)
+             .orderBy("domain", "rule_idx").collect()]
+    assert rules == [
+        ("closed.example", 0, False, "/"),
+        ("site.example", 0, False, "/admin/"),
+        ("site.example", 1, True, "/admin/public/"),
+        ("site.example", 2, False, "/tmp"),   # case-insensitive directive
+    ]                                          # empty Disallow dropped
+
+
+def test_decisions_longest_match_and_defaults(spark, robots):
+    urls = spark.createDataFrame([
+        (1, "https://site.example/admin/secret"),
+        (2, "https://site.example/admin/public/page"),
+        (3, "https://site.example/tmpfile"),     # prefix, not segment
+        (4, "https://site.example/ok"),
+        (5, "https://site.example/private/x"),   # googlebot group ignored
+        (6, "https://open.example/anything"),
+        (7, "https://norobots.example/x"),
+        (8, "https://closed.example/"),
+    ], ["doc_id", "url"])
+    got = {r["id"]: (r["allowed"], r["matched_prefix"])
+           for r in robots_decisions(urls, robots).collect()}
+    assert got[1] == (False, "/admin/")
+    assert got[2] == (True, "/admin/public/")
+    assert got[3] == (False, "/tmp")
+    assert got[4] == (True, None)
+    assert got[5] == (True, None)
+    assert got[6] == (True, None)
+    assert got[7] == (True, None)
+    assert got[8] == (False, "/")
+
+
+def test_paths_case_sensitive(spark):
+    robots = spark.createDataFrame(
+        [("c.example", "User-agent: *\nDisallow: /Admin/\n")],
+        ["domain", "body"])
+    urls = spark.createDataFrame(
+        [(1, "https://c.example/Admin/x"), (2, "https://c.example/admin/x")],
+        ["doc_id", "url"])
+    got = {r["id"]: r["allowed"]
+           for r in robots_decisions(urls, robots).collect()}
+    assert got == {1: False, 2: True}
+
+
+def test_url_path_root_default(spark):
+    df = spark.createDataFrame(
+        [("https://a.example",), ("https://a.example/x/y?q=1",)], ["u"])
+    got = [r[0] for r in df.select(url_path(F.col("u"))).collect()]
+    assert got == ["/", "/x/y?q=1"]
+
+
+def test_every_url_gets_exactly_one_row(spark, robots):
+    urls = spark.createDataFrame(
+        [(i, f"https://site.example/admin/p{i}") for i in range(30)],
+        ["doc_id", "url"])
+    out = robots_decisions(urls.repartition(7), robots)
+    assert out.count() == 30
+    assert out.select("id").distinct().count() == 30
