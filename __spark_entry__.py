@@ -4723,18 +4723,24 @@ def q_robots_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("User-agent: *\nDisallow: /admin/\n"
                   "Allow: /admin/pub\n"),
             F.when(F.col("d") % 3 == 0, F.lit("Disallow: /data\n"))
+            .otherwise(F.lit("")),
+            F.when(F.col("d") % 4 == 1,
+                   F.lit("Disallow: /*.json$\n"
+                         "Allow: /api/*/public\n"))
             .otherwise(F.lit(""))).alias("body"))
-    paths = (F.when(F.col("doc_id") % 5 == 0,
-                    F.concat(F.lit("/admin/x"),
-                             F.col("doc_id").cast("string")))
-             .when(F.col("doc_id") % 5 == 1,
-                   F.concat(F.lit("/admin/pub/"),
-                            F.col("doc_id").cast("string")))
-             .when(F.col("doc_id") % 5 == 2,
-                   F.concat(F.lit("/data/"),
-                            F.col("doc_id").cast("string")))
-             .when(F.col("doc_id") % 5 == 3,
-                   F.concat(F.lit("/ok/"), F.col("doc_id").cast("string")))
+    did = F.col("doc_id").cast("string")
+    paths = (F.when(F.col("doc_id") % 7 == 0,
+                    F.concat(F.lit("/admin/x"), did))
+             .when(F.col("doc_id") % 7 == 1,
+                   F.concat(F.lit("/admin/pub/"), did))
+             .when(F.col("doc_id") % 7 == 2,
+                   F.concat(F.lit("/data/"), did))
+             .when(F.col("doc_id") % 7 == 3,
+                   F.concat(F.lit("/ok/"), did))
+             .when(F.col("doc_id") % 7 == 4,
+                   F.concat(F.lit("/file"), did, F.lit(".json")))
+             .when(F.col("doc_id") % 7 == 5,
+                   F.concat(F.lit("/api/v"), did, F.lit("/public")))
              .otherwise(F.lit("/admin/pub")))
     urls = docs.select(
         "doc_id",
@@ -4746,7 +4752,7 @@ def q_robots_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "allowed", "matched_prefix")
 
 
-SQL_ROBOTS_AUDIT = """
+SQL_ROBOTS_AUDIT = r"""
 WITH doms AS (
   SELECT DISTINCT doc_id % 20 AS d FROM documents
 ), rules AS (
@@ -4755,14 +4761,32 @@ WITH doms AS (
   UNION ALL
   SELECT 'site' || d::VARCHAR || '.example', false, '/data'
   FROM doms WHERE d % 3 = 0
+  UNION ALL
+  SELECT 'site' || d::VARCHAR || '.example', w.allow, w.prefix
+  FROM doms, (VALUES (false, '/*.json$'), (true, '/api/*/public'))
+       w(allow, prefix)
+  WHERE d % 4 = 1
+), lk AS (
+  -- robots pattern -> LIKE pattern, the robots_like_pattern chain:
+  -- strip a trailing $, escape \ % _, * -> %, unanchored gets a
+  -- trailing %
+  SELECT domain, allow, prefix,
+    replace(replace(replace(replace(
+      CASE WHEN prefix LIKE '%$' THEN substring(prefix, 1, length(prefix) - 1)
+           ELSE prefix END,
+      '\', '\\'), '%', '\%'), '_', '\_'), '*', '%')
+    || (CASE WHEN prefix LIKE '%$' THEN '' ELSE '%' END) AS pat
+  FROM rules
 ), u AS (
   SELECT doc_id AS id,
     'site' || (doc_id % 20)::VARCHAR || '.example' AS domain,
-    CASE (doc_id % 5)::INT
+    CASE (doc_id % 7)::INT
       WHEN 0 THEN '/admin/x' || doc_id::VARCHAR
       WHEN 1 THEN '/admin/pub/' || doc_id::VARCHAR
       WHEN 2 THEN '/data/' || doc_id::VARCHAR
       WHEN 3 THEN '/ok/' || doc_id::VARCHAR
+      WHEN 4 THEN '/file' || doc_id::VARCHAR || '.json'
+      WHEN 5 THEN '/api/v' || doc_id::VARCHAR || '/public'
       ELSE '/admin/pub' END AS path
   FROM documents
 ), cand AS (
@@ -4770,8 +4794,8 @@ WITH doms AS (
     row_number() OVER (PARTITION BY u.id
       ORDER BY length(r.prefix) DESC, r.allow DESC, r.prefix DESC)
       AS rk
-  FROM u JOIN rules r ON r.domain = u.domain
-    AND starts_with(u.path, r.prefix)
+  FROM u JOIN lk r ON r.domain = u.domain
+    AND u.path LIKE r.pat ESCAPE '\'
 )
 SELECT u.id::BIGINT AS id, u.domain, u.path,
   coalesce(c.allow, true) AS allowed, c.prefix AS matched_prefix

@@ -33,7 +33,8 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from rag_document_parser_spark.operators.urls import url_domain
 
-__all__ = ["parse_robots", "robots_decisions", "url_path"]
+__all__ = ["parse_robots", "robots_decisions", "robots_like_pattern",
+           "url_path"]
 
 
 def url_path(c: Column) -> Column:
@@ -91,22 +92,54 @@ def parse_robots(robots: DataFrame, domain_col: str = "domain",
                     F.col("_r.prefix").alias("prefix")))
 
 
+def robots_like_pattern(prefix: Column) -> Column:
+    """A robots rule pattern as a SQL LIKE pattern (ESCAPE ``\\``):
+    ``*`` → ``%``; a trailing ``$`` anchors the end (no trailing
+    ``%``); LIKE metacharacters in the rule escape literally. Built
+    from literal ``replace`` calls only, so the DuckDB oracle produces
+    the byte-identical pattern and LIKE semantics agree exactly —
+    regex translation would need engine-specific backreference syntax.
+    """
+    anchored = prefix.endswith("$")
+    core = F.when(anchored,
+                  prefix.substr(F.lit(1), F.length(prefix) - 1)) \
+        .otherwise(prefix)
+    esc = F.replace(F.replace(F.replace(core, F.lit("\\"), F.lit("\\\\")),
+                              F.lit("%"), F.lit("\\%")),
+                    F.lit("_"), F.lit("\\_"))
+    lk = F.replace(esc, F.lit("*"), F.lit("%"))
+    return F.when(anchored, lk).otherwise(F.concat(lk, F.lit("%")))
+
+
 def robots_decisions(urls: DataFrame, robots: DataFrame,
                      url_col: str = "url", id_col: str = "doc_id",
                      domain_col: str = "domain",
-                     body_col: str = "body") -> DataFrame:
+                     body_col: str = "body",
+                     wildcards: bool = True) -> DataFrame:
     """Per-URL fetch decision: ``(id, domain, path, allowed,
     matched_prefix)`` — RFC 9309 longest-match over the parsed rules,
     Allow wins length ties, unmatched (or undomained/ruleless) URLs
-    are allowed with a NULL ``matched_prefix``.
+    are allowed with a NULL ``matched_prefix``. ``matched_prefix``
+    reports the winning rule's RAW pattern text.
+
+    ``wildcards=True`` (default) interprets ``*`` (any char run) and a
+    trailing ``$`` (end anchor) per RFC 9309 §2.2.3 via a portable
+    LIKE translation (``robots_like_pattern``); specificity remains
+    the RAW pattern length per the RFC. ``wildcards=False`` keeps the
+    conservative literal-prefix reading (a ``*`` matches itself).
     """
     rules = parse_robots(robots, domain_col, body_col)
     u = urls.select(F.col(id_col).alias("id"),
                     url_domain(F.col(url_col)).alias("domain"),
                     url_path(F.col(url_col)).alias("path"))
     j = u.join(F.broadcast(rules), "domain", "left")
-    hit = F.col("prefix").isNotNull() & F.col("path").startswith(
-        F.col("prefix"))
+    if wildcards:
+        j = j.withColumn("_lk", robots_like_pattern(F.col("prefix")))
+        hit = F.col("prefix").isNotNull() & F.expr(
+            "path like _lk escape '\\\\'")
+    else:
+        hit = F.col("prefix").isNotNull() & F.col("path").startswith(
+            F.col("prefix"))
     # longest prefix wins; tie -> allow (rank allow above disallow)
     cand = j.select(
         "id", "domain", "path",

@@ -95,3 +95,40 @@ def test_every_url_gets_exactly_one_row(spark, robots):
     out = robots_decisions(urls.repartition(7), robots)
     assert out.count() == 30
     assert out.select("id").distinct().count() == 30
+
+
+def test_wildcard_and_anchor_rules(spark):
+    body = ("User-agent: *\n"
+            "Disallow: /*.json$\n"
+            "Allow: /api/*/public\n"
+            "Disallow: /api/\n")
+    robots = spark.createDataFrame([("w.example", body)],
+                                   ["domain", "body"])
+    urls = spark.createDataFrame([
+        (1, "https://w.example/data/file.json"),      # *.json$ blocks
+        (2, "https://w.example/data/file.json.txt"),  # $ anchor: allowed
+        (3, "https://w.example/api/v2/public"),       # allow wildcard wins
+        (4, "https://w.example/api/v2/secret"),       # /api/ blocks
+        (5, "https://w.example/under_score.json"),    # _ literal in path
+    ], ["doc_id", "url"])
+    got = {r["id"]: (r["allowed"], r["matched_prefix"])
+           for r in robots_decisions(urls, robots).collect()}
+    assert got[1] == (False, "/*.json$")
+    assert got[2] == (True, None)
+    assert got[3] == (True, "/api/*/public")
+    assert got[4] == (False, "/api/")
+    assert got[5] == (False, "/*.json$")
+
+
+def test_wildcards_off_literal_reading(spark):
+    body = "User-agent: *\nDisallow: /*.json$\n"
+    robots = spark.createDataFrame([("w.example", body)],
+                                   ["domain", "body"])
+    urls = spark.createDataFrame(
+        [(1, "https://w.example/a.json"),
+         (2, "https://w.example/*.json$tail")], ["doc_id", "url"])
+    got = {r["id"]: r["allowed"]
+           for r in robots_decisions(urls, robots,
+                                     wildcards=False).collect()}
+    # conservative literal mode: the rule only matches itself as text
+    assert got == {1: True, 2: False}
