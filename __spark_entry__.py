@@ -4704,6 +4704,71 @@ FROM r1 LEFT JOIN remap ma ON ra = ma.media_ref
   LEFT JOIN remap mb ON rb = mb.media_ref"""
 
 
+# closed-form ISO 13616 check digits for the planted 'DE' + 18-digit
+# IBAN whose digit value IS doc_id: mod-97 of the rearranged number,
+# folded constant-by-constant (D=13, E=14, '00')
+_IBAN_M = ("((((((doc_id % 97) * 100 + 13) % 97) * 100 + 14) % 97)"
+           " * 10 % 97) * 10 % 97")
+_IBAN_C = f"(98 - ({_IBAN_M}))"
+_IBAN_W = f"(({_IBAN_C} + 50) % 100)"
+
+
+def q_iban_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mod-97-validated IBAN detection (ISO 13616): one valid IBAN
+    (check digits derived closed-form from doc_id) and one corrupted
+    twin planted per doc; only the valid one redacts."""
+    from rag_document_parser_spark.operators.pii import detect_ibans
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    planted = docs.select("doc_id", F.expr(f"""
+        concat('pay to DE',
+               lpad(cast({_IBAN_C} as string), 2, '0'),
+               lpad(cast(doc_id as string), 18, '0'),
+               ' or DE',
+               lpad(cast({_IBAN_W} as string), 2, '0'),
+               lpad(cast(doc_id as string), 18, '0'), ' end')
+    """).alias("text"))
+    out = detect_ibans(planted)
+    return out.select(F.col("doc_id").cast("long"),
+                      "n_iban_candidates", "n_iban_valid", "redacted")
+
+
+_IBAN_R_SQL = "substring(c, 5) || substring(c, 1, 4)"
+_IBAN_OK_SQL = (
+    "list_reduce(list_prepend(0, list_transform("
+    f"range(1, length({_IBAN_R_SQL}) + 1), "
+    f"i -> CASE WHEN ascii(substring({_IBAN_R_SQL}, i, 1)) "
+    "BETWEEN 48 AND 57 "
+    f"THEN 10000 + ascii(substring({_IBAN_R_SQL}, i, 1)) - 48 "
+    f"ELSE 100000 + ascii(substring({_IBAN_R_SQL}, i, 1)) - 55 END)), "
+    "(a, e) -> (a * (e // 1000) + e % 1000) % 97) = 1"
+)
+SQL_IBAN_PII = f"""
+WITH planted AS (
+  SELECT doc_id,
+    'pay to DE' || lpad(({_IBAN_C})::VARCHAR, 2, '0')
+      || lpad(doc_id::VARCHAR, 18, '0')
+      || ' or DE' || lpad(({_IBAN_W})::VARCHAR, 2, '0')
+      || lpad(doc_id::VARCHAR, 18, '0') || ' end' AS text
+  FROM documents
+), cand AS (
+  SELECT doc_id, text,
+    regexp_extract_all(text,
+      '\\b[A-Z]{{2}}[0-9]{{2}}[A-Z0-9]{{11,30}}\\b') AS cands
+  FROM planted
+), v AS (
+  SELECT doc_id, text, cands,
+    list_sort(list_filter(cands, c -> {_IBAN_OK_SQL})) AS valid
+  FROM cand
+)
+SELECT doc_id::BIGINT AS doc_id,
+  len(cands)::BIGINT AS n_iban_candidates,
+  len(valid)::BIGINT AS n_iban_valid,
+  list_reduce(list_prepend(text, valid),
+              (a, x) -> replace(a, x, '<IBAN>')) AS redacted
+FROM v"""
+
+
 def q_robots_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFC 9309 robots.txt audit: every synthesized URL decided
     against its domain's synthesized policy (longest-match, Allow wins
@@ -8528,6 +8593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gale_church": q_gale_church,
         "strand_pairs": q_strand_pairs,
         "robots_audit": q_robots_audit,
+        "iban_pii": q_iban_pii,
         "unigram_vocab": q_unigram_vocab,
         "unigram_segment": q_unigram_segment,
         "zipf_fit": q_zipf_fit,
@@ -8709,6 +8775,7 @@ def oracle_sql() -> dict[str, str]:
         "gale_church": SQL_GALE_CHURCH,
         "strand_pairs": SQL_STRAND_PAIRS,
         "robots_audit": SQL_ROBOTS_AUDIT,
+        "iban_pii": SQL_IBAN_PII,
         "unigram_vocab": SQL_UNIGRAM_VOCAB,
         "unigram_segment": SQL_UNIGRAM_SEGMENT,
         "zipf_fit": SQL_ZIPF_FIT,

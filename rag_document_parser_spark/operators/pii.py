@@ -142,3 +142,57 @@ def detect_cards(df: DataFrame, text_col: str = "text",
             .alias("redacted"),
         )
     )
+
+
+# IBAN candidates: 2 uppercase country letters, 2 check digits, 11-30
+# alphanumerics (total 15-34 chars), word-bounded. The mod-97 proof
+# (ISO 13616 / ECBS): move the first 4 chars to the end, expand
+# letters to two-digit values (A=10..Z=35), and the resulting decimal
+# number must be ≡ 1 (mod 97). Computed as an incremental fold — the
+# accumulator stays < 97·100 + 99, no big-integer needed — identical
+# arithmetic in Spark and the DuckDB oracle's list_reduce twin.
+IBAN_PATTERN = r"\b[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}\b"
+
+_IBAN_SQL = (
+    "aggregate(sequence(1, length({r})), 0, (acc, i) -> "
+    "CASE WHEN ascii(substring({r}, i, 1)) BETWEEN 48 AND 57 "
+    "THEN (acc * 10 + ascii(substring({r}, i, 1)) - 48) % 97 "
+    "ELSE (acc * 100 + ascii(substring({r}, i, 1)) - 55) % 97 END"
+    ") = 1"
+)
+
+
+def detect_ibans(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """mod-97-validated IBAN detection + redaction (the ``detect_cards``
+    contract for international bank account numbers): candidates are
+    word-bounded ``CCkk<bban>`` runs, valid ones pass the ISO 13616
+    checksum, and ``redacted`` replaces each VALID candidate with
+    ``<IBAN>`` — a failed checksum means the run is a reference code
+    or serial, not an account, and stays untouched.
+
+    Documented subset: structural pattern + mod-97 only; the
+    per-country BBAN length registry is not consulted (a wrong-length
+    candidate for its country still almost surely fails mod-97).
+    Row-local projection: extract / filter / fold inside codegen, zero
+    Python, zero shuffles.
+    """
+    keep = [c for c in df.columns if c != text_col]
+    rearr = "concat(substring(c, 5), substring(c, 1, 4))"
+    ok = _IBAN_SQL.format(r=rearr)
+    return (
+        df.select(*keep, F.col(text_col).alias("_t"))
+        .select("*", F.expr(
+            f"regexp_extract_all(_t, r'{IBAN_PATTERN}', 0)"
+        ).alias("_cands"))
+        .select("*", F.expr(
+            f"array_sort(filter(_cands, c -> {ok}))").alias("_valid"))
+        .select(
+            *keep,
+            F.size("_cands").cast("long").alias("n_iban_candidates"),
+            F.size("_valid").cast("long").alias("n_iban_valid"),
+            F.expr("aggregate(_valid, _t, "
+                   "(acc, x) -> replace(acc, x, '<IBAN>'))")
+            .alias("redacted"),
+        )
+    )

@@ -119,3 +119,50 @@ def test_gate_corpus_side_is_broadcast(rep_corpus):
     plan = (gate_by_source_reputation(rep_corpus, min_docs=5)
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+# ---- IBAN detection (ISO 13616 mod-97) ----------------------------------
+
+from rag_document_parser_spark.operators.pii import detect_ibans
+
+
+def test_iban_iso_examples_validate(spark):
+    rows = [
+        (1, "pay GB82WEST12345698765432 now"),       # ISO example, valid
+        (2, "ref GB82WEST12345698765433 here"),      # corrupted tail
+        (3, "DE89370400440532013000 FR1420041010050500013M02606"),
+        (4, "no ibans, THISISNOTANIBAN123 text"),
+    ]
+    got = {r["doc_id"]: r for r in detect_ibans(
+        spark.createDataFrame(rows, ["doc_id", "text"])).collect()}
+    assert (got[1]["n_iban_candidates"], got[1]["n_iban_valid"]) == (1, 1)
+    assert got[1]["redacted"] == "pay <IBAN> now"
+    assert (got[2]["n_iban_candidates"], got[2]["n_iban_valid"]) == (1, 0)
+    assert "GB82WEST" in got[2]["redacted"]          # invalid untouched
+    assert got[3]["n_iban_valid"] == 2
+    assert got[3]["redacted"] == "<IBAN> <IBAN>"
+    assert (got[4]["n_iban_candidates"], got[4]["n_iban_valid"]) == (0, 0)
+
+
+def test_iban_python_twin_mod97(spark):
+    """The engine checksum equals the textbook big-integer mod-97."""
+    import random
+    rng = random.Random(3)
+    cands = []
+    for _ in range(20):
+        body = "".join(rng.choice("0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ")
+                       for _ in range(16))
+        cands.append("GB" + f"{rng.randint(0, 99):02d}" + body)
+
+    def textbook(s):
+        r = s[4:] + s[:4]
+        num = "".join(str(int(ch, 36)) for ch in r)
+        return int(num) % 97 == 1
+
+    df = spark.createDataFrame(
+        [(i, f"x {c} y") for i, c in enumerate(cands)],
+        ["doc_id", "text"])
+    got = {r["doc_id"]: r["n_iban_valid"]
+           for r in detect_ibans(df).collect()}
+    for i, c in enumerate(cands):
+        assert got[i] == (1 if textbook(c) else 0), c
