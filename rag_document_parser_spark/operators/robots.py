@@ -12,10 +12,11 @@ Documented subset of RFC 9309, shared exactly with the DuckDB oracle:
 
 - Only ``User-agent: *`` groups are honored (the corpus-audit case;
   per-agent dispatch is a filter on the same rule relation).
-- ``Allow:`` / ``Disallow:`` with literal path prefixes; the ``*``
-  and ``$`` wildcards are NOT interpreted (rules containing ``*`` are
-  kept as literals — the conservative reading; a wildcard-aware
-  matcher would need per-rule regex compilation).
+- ``Allow:`` / ``Disallow:`` path rules with RFC §2.2.3 wildcards:
+  ``*`` matches any char run and a trailing ``$`` anchors the end,
+  interpreted through a portable LIKE translation
+  (``robots_like_pattern``); pass ``wildcards=False`` for the
+  conservative literal-prefix reading.
 - Decision per RFC §2.2.2: the rule with the LONGEST matching prefix
   wins; on a length tie, ``Allow`` wins; no matching rule → allowed.
   An empty ``Disallow:`` line matches nothing (explicit allow-all).
@@ -33,8 +34,8 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from rag_document_parser_spark.operators.urls import url_domain
 
-__all__ = ["parse_robots", "robots_decisions", "robots_like_pattern",
-           "url_path"]
+__all__ = ["parse_robots", "robots_crawl_meta", "robots_decisions",
+           "robots_like_pattern", "url_path"]
 
 
 def url_path(c: Column) -> Column:
@@ -153,3 +154,57 @@ def robots_decisions(urls: DataFrame, robots: DataFrame,
         "id", "domain", "path",
         F.coalesce(F.col("_best.allow"), F.lit(True)).alias("allowed"),
         F.col("_best.prefix").alias("matched_prefix"))
+
+
+def robots_crawl_meta(robots: DataFrame, domain_col: str = "domain",
+                      body_col: str = "body") -> DataFrame:
+    """Per-domain crawl metadata from robots.txt: ``(domain,
+    crawl_delay_ms, sitemaps)`` — the politeness knobs a crawl
+    scheduler joins against its frontier.
+
+    ``Crawl-delay`` (the de-facto extension; ignored by the RFC but
+    honored by most crawlers) is taken from the ``User-agent: *``
+    group, FIRST occurrence in file order, parsed as a fixed-point
+    millisecond integer (``1.5`` → 1500 — integer split on the dot,
+    first three fractional digits, no float parse). ``Sitemap`` lines
+    are group-independent per the sitemaps protocol and collected in
+    file order. Domains without a directive report NULL / empty.
+
+    Scan-local like ``parse_robots``: one line fold per body, zero
+    shuffles.
+    """
+    meta = F.expr("""
+      aggregate(
+        split(body, '\n'),
+        named_struct('g', false, 'd', cast(null as bigint),
+                     's', cast(array() as array<string>)),
+        (acc, ln0) -> CASE
+          WHEN trim(ln0) rlike '(?i)^user-agent\\\\s*:'
+            THEN named_struct(
+              'g', trim(substring_index(trim(ln0), ':', -1)) = '*',
+              'd', acc.d, 's', acc.s)
+          WHEN trim(ln0) rlike '(?i)^sitemap\\\\s*:'
+            THEN named_struct('g', acc.g, 'd', acc.d,
+              's', concat(acc.s, array(trim(regexp_replace(trim(ln0),
+                     '(?i)^sitemap\\\\s*:', '')))))
+          WHEN acc.g AND acc.d IS NULL
+               AND trim(ln0) rlike
+                   '(?i)^crawl-delay\\\\s*:\\\\s*[0-9]+(\\\\.[0-9]+)?$'
+            THEN named_struct('g', acc.g,
+              'd', cast(regexp_extract(trim(ln0),
+                     '(?i)^crawl-delay\\\\s*:\\\\s*([0-9]+)', 1)
+                     as bigint) * 1000
+                   + cast(rpad(substring(regexp_extract(trim(ln0),
+                       '(?i)^crawl-delay\\\\s*:\\\\s*[0-9]+\\\\.([0-9]+)',
+                       1), 1, 3), 3, '0') as bigint),
+              's', acc.s)
+          ELSE acc
+        END,
+        acc -> named_struct('d', acc.d, 's', acc.s))
+    """)
+    return (robots.select(F.col(domain_col).alias("domain"),
+                          F.col(body_col).alias("body"))
+            .select("domain", meta.alias("_m"))
+            .select("domain",
+                    F.col("_m.d").alias("crawl_delay_ms"),
+                    F.col("_m.s").alias("sitemaps")))

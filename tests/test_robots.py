@@ -132,3 +132,25 @@ def test_wildcards_off_literal_reading(spark):
                                      wildcards=False).collect()}
     # conservative literal mode: the rule only matches itself as text
     assert got == {1: True, 2: False}
+
+
+def test_crawl_meta_delay_and_sitemaps(spark):
+    from rag_document_parser_spark.operators.robots import (
+        robots_crawl_meta)
+    body = ("Sitemap: https://a.example/sm1.xml\n"
+            "User-agent: googlebot\n"
+            "Crawl-delay: 9\n"
+            "User-agent: *\n"
+            "crawl-delay: 1.5\n"
+            "Crawl-delay: 7\n"          # second star value ignored
+            "Disallow: /x\n"
+            "sitemap: https://a.example/sm2.xml\n")
+    robots = spark.createDataFrame(
+        [("a.example", body), ("b.example", "User-agent: *\n")],
+        ["domain", "body"])
+    got = {r["domain"]: (r["crawl_delay_ms"], r["sitemaps"])
+           for r in robots_crawl_meta(robots).collect()}
+    # googlebot's delay ignored; star's FIRST delay wins; 1.5s -> 1500ms
+    assert got["a.example"] == (1500, ["https://a.example/sm1.xml",
+                                       "https://a.example/sm2.xml"])
+    assert got["b.example"] == (None, [])
