@@ -4704,6 +4704,53 @@ FROM r1 LEFT JOIN remap ma ON ra = ma.media_ref
   LEFT JOIN remap mb ON rb = mb.media_ref"""
 
 
+_NP_CTX = 64
+
+
+def q_needle_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Needle-in-a-haystack probe generation: 64-token haystacks from
+    corpus docs, an md5-derived secret-token needle inserted at 10/50/90
+    percent token depth, ground-truth answer carried alongside."""
+    from rag_document_parser_spark.operators.evalgen import needle_probes
+
+    out = needle_probes(_docs(spark, sf_dir), context_tokens=_NP_CTX,
+                        depths=(10, 50, 90))
+    return out.select("probe_id", F.col("id").cast("long"),
+                      "depth_pct", "insert_pos", "n_tokens",
+                      "context", "answer")
+
+
+SQL_NEEDLE_PROBES = f"""
+WITH tk AS (
+  SELECT doc_id, {TOKS_SQL.format(c='text')} AS t FROM documents
+), st AS (
+  SELECT doc_id AS id, list_slice(t, 1, {_NP_CTX}) AS t
+  FROM tk WHERE len(t) >= {_NP_CTX}
+), ex AS (
+  SELECT id, t, unnest([10, 50, 90]) AS depth_pct FROM st
+), b AS (
+  SELECT id, t, depth_pct,
+    id::VARCHAR || '-' || depth_pct::VARCHAR AS probe_id,
+    {_NP_CTX} * depth_pct // 100 AS insert_pos
+  FROM ex
+), c AS (
+  SELECT *, 'the secret token for probe ' || probe_id || ' is '
+       || substring(md5('needle:' || probe_id), 1, 12) AS needle,
+     substring(md5('needle:' || probe_id), 1, 12) AS answer
+  FROM b
+)
+SELECT probe_id, id::BIGINT AS id, depth_pct::BIGINT AS depth_pct,
+  insert_pos::BIGINT AS insert_pos,
+  ({_NP_CTX} + len({TOKS_SQL.format(c='needle')}))::BIGINT AS n_tokens,
+  trim(concat_ws(' ',
+     array_to_string(list_slice(t, 1, insert_pos), ' '),
+     needle,
+     array_to_string(list_slice(t, insert_pos + 1, {_NP_CTX}), ' ')))
+    AS context,
+  answer
+FROM c"""
+
+
 # closed-form ISO 13616 check digits for the planted 'DE' + 18-digit
 # IBAN whose digit value IS doc_id: mod-97 of the rearranged number,
 # folded constant-by-constant (D=13, E=14, '00')
@@ -8594,6 +8641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strand_pairs": q_strand_pairs,
         "robots_audit": q_robots_audit,
         "iban_pii": q_iban_pii,
+        "needle_probes": q_needle_probes,
         "unigram_vocab": q_unigram_vocab,
         "unigram_segment": q_unigram_segment,
         "zipf_fit": q_zipf_fit,
@@ -8776,6 +8824,7 @@ def oracle_sql() -> dict[str, str]:
         "strand_pairs": SQL_STRAND_PAIRS,
         "robots_audit": SQL_ROBOTS_AUDIT,
         "iban_pii": SQL_IBAN_PII,
+        "needle_probes": SQL_NEEDLE_PROBES,
         "unigram_vocab": SQL_UNIGRAM_VOCAB,
         "unigram_segment": SQL_UNIGRAM_SEGMENT,
         "zipf_fit": SQL_ZIPF_FIT,
