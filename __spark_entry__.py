@@ -5162,6 +5162,70 @@ SELECT doc_id::BIGINT AS id, i::BIGINT AS seg_idx,
 FROM seg"""
 
 
+_SEG_REF_CUT = 200_000
+
+
+def q_seg_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pk / WindowDiff segmentation agreement (Beeferman 1999;
+    Pevzner & Hearst 2002): TextTiling boundaries at a loose cutoff
+    (the reference) vs the strict cutoff (the hypothesis), one depth
+    pass, per-doc fixed-point scores."""
+    from rag_document_parser_spark.operators.tiling import (
+        segmentation_agreement, texttiling)
+
+    t = texttiling(_docs(spark, sf_dir), w=_TT_W, p=_TT_P,
+                   cutoff_e6=_TT_CUT)
+    g = (t.groupBy("id")
+         .agg((F.count("*") + 1).cast("int").alias("n_units"),
+              F.array_sort(F.collect_list(
+                  F.when(F.col("depth_e6") >= _SEG_REF_CUT,
+                         F.col("gap_idx")))).alias("ref_bounds"),
+              F.array_sort(F.collect_list(
+                  F.when(F.col("depth_e6") >= _TT_CUT,
+                         F.col("gap_idx")))).alias("hyp_bounds")))
+    out = segmentation_agreement(g)
+    return out.select(F.col("id").cast("long"), "k", "n_windows",
+                      "pk_e6", "windowdiff_e6")
+
+
+_SEG_CR = "len(list_filter(ref, x -> x > i AND x <= i + k))"
+_SEG_CH = "len(list_filter(hyp, x -> x > i AND x <= i + k))"
+SQL_SEG_AGREEMENT = f"""
+WITH tt AS ({SQL_TEXTTILING}
+), g AS (
+  SELECT id, count(*) + 1 AS n,
+    coalesce(list_sort(list(gap_idx)
+      FILTER (WHERE depth_e6 >= {_SEG_REF_CUT})), []) AS ref,
+    coalesce(list_sort(list(gap_idx)
+      FILTER (WHERE depth_e6 >= {_TT_CUT})), []) AS hyp
+  FROM tt GROUP BY id
+), p AS (
+  SELECT id, n, ref, hyp,
+    greatest(1, n // (2 * (len(ref) + 1))) AS k
+  FROM g
+), w AS (
+  SELECT id, n, k, ref, hyp, unnest(range(0, n - k)) AS i
+  FROM p WHERE n - k >= 1
+), c AS (
+  SELECT id,
+    CASE WHEN ({_SEG_CR} > 0) != ({_SEG_CH} > 0) THEN 1 ELSE 0 END
+      AS pk1,
+    CASE WHEN {_SEG_CR} != {_SEG_CH} THEN 1 ELSE 0 END AS wd1
+  FROM w
+), a AS (
+  SELECT id, sum(pk1) AS pk, sum(wd1) AS wd, count(*) AS nw
+  FROM c GROUP BY id
+)
+SELECT p.id::BIGINT AS id, p.k::BIGINT AS k,
+  coalesce(a.nw, 0)::BIGINT AS n_windows,
+  (CASE WHEN coalesce(a.nw, 0) > 0
+        THEN a.pk * 1000000 // (p.n - p.k) END)::BIGINT AS pk_e6,
+  (CASE WHEN coalesce(a.nw, 0) > 0
+        THEN a.wd * 1000000 // (p.n - p.k) END)::BIGINT
+    AS windowdiff_e6
+FROM p LEFT JOIN a USING (id)"""
+
+
 _SO_K = 32
 
 
@@ -8642,6 +8706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_audit": q_robots_audit,
         "iban_pii": q_iban_pii,
         "needle_probes": q_needle_probes,
+        "seg_agreement": q_seg_agreement,
         "unigram_vocab": q_unigram_vocab,
         "unigram_segment": q_unigram_segment,
         "zipf_fit": q_zipf_fit,
@@ -8825,6 +8890,7 @@ def oracle_sql() -> dict[str, str]:
         "robots_audit": SQL_ROBOTS_AUDIT,
         "iban_pii": SQL_IBAN_PII,
         "needle_probes": SQL_NEEDLE_PROBES,
+        "seg_agreement": SQL_SEG_AGREEMENT,
         "unigram_vocab": SQL_UNIGRAM_VOCAB,
         "unigram_segment": SQL_UNIGRAM_SEGMENT,
         "zipf_fit": SQL_ZIPF_FIT,

@@ -48,7 +48,8 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from rag_document_parser_spark.operators.dedup import words
 
-__all__ = ["texttiling", "texttiling_segments", "tiling_chunks"]
+__all__ = ["segmentation_agreement", "texttiling",
+           "texttiling_segments", "tiling_chunks"]
 
 
 def texttiling(df: DataFrame, text_col: str = "text",
@@ -179,3 +180,59 @@ def tiling_chunks(df: DataFrame, text_col: str = "text",
                     F.col("_s.start_token").alias("start_token"),
                     F.col("_s.n_tokens").alias("n_tokens"),
                     F.col("_s.text").alias("text")))
+
+
+def segmentation_agreement(df: DataFrame, id_col: str = "id",
+                           n_col: str = "n_units",
+                           ref_col: str = "ref_bounds",
+                           hyp_col: str = "hyp_bounds") -> DataFrame:
+    """Pk (Beeferman, Berger & Lafferty 1999) and WindowDiff (Pevzner
+    & Hearst 2002): the standard near-miss-tolerant agreement metrics
+    between a reference and a hypothesis segmentation. Input: one row
+    per document — ``n_units`` positions with boundary sets given as
+    0-based gap indices in ``[1, n_units)``. Output per doc:
+    ``(id, k, n_windows, pk_e6, windowdiff_e6)``.
+
+    The probe window ``k = max(1, n div (2·(|ref|+1)))`` is the
+    conventional half-mean-reference-segment length (integer floor).
+    For each window start ``i`` in ``[0, n−k)``: Pk counts windows
+    where exactly one of the two segmentations has ANY boundary in
+    ``(i, i+k]``; WindowDiff counts windows where the boundary COUNTS
+    differ. Both report in e6 fixed point over ``n_windows = n − k``;
+    degenerate docs (``n <= k``) report zero windows and NULL scores,
+    documented over hidden.
+
+    Row-local like the rest of the tiling tier: the window sweep is a
+    ``transform`` + ``filter`` chain inside codegen — O(n·|bounds|)
+    per doc, bounded by segment granularity, no shuffle. Boundary
+    counts per window use ``filter`` over the (small) boundary arrays
+    rather than prefix sums: |bounds| ≪ n in any real segmentation.
+    """
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        F.col(n_col).cast("int").alias("_n"),
+        F.col(ref_col).cast("array<int>").alias("_r"),
+        F.col(hyp_col).cast("array<int>").alias("_h"))
+    staged = staged.withColumn(
+        "_k", F.expr("greatest(1, _n div (2 * (size(_r) + 1)))"))
+    cnt = ("size(filter({b}, x -> x > i AND x <= i + _k))")
+    sweep = F.expr(f"""
+      aggregate(
+        CASE WHEN _n - _k >= 1 THEN sequence(0, _n - _k - 1)
+             ELSE cast(array() as array<int>) END,
+        named_struct('pk', 0L, 'wd', 0L),
+        (acc, i) -> named_struct(
+          'pk', acc.pk + IF(({cnt.format(b='_r')} > 0)
+                            != ({cnt.format(b='_h')} > 0), 1L, 0L),
+          'wd', acc.wd + IF({cnt.format(b='_r')}
+                            != {cnt.format(b='_h')}, 1L, 0L)))
+    """)
+    out = staged.select("id", "_k", F.col("_n"), sweep.alias("_s"))
+    nw = F.greatest(F.col("_n") - F.col("_k"), F.lit(0)).cast("long")
+    return out.select(
+        "id", F.col("_k").cast("long").alias("k"),
+        nw.alias("n_windows"),
+        F.when(nw > 0, F.expr("_s.pk * 1000000 div (_n - _k)"))
+        .cast("long").alias("pk_e6"),
+        F.when(nw > 0, F.expr("_s.wd * 1000000 div (_n - _k)"))
+        .cast("long").alias("windowdiff_e6"))

@@ -130,3 +130,55 @@ def test_tiling_chunks_reassemble_to_full_token_stream(tiled):
         toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
         joined = " ".join(t for _, t in sorted(got[doc_id]) if t)
         assert joined == " ".join(toks)
+
+
+# ---- Pk / WindowDiff segmentation agreement -----------------------------
+
+from rag_document_parser_spark.operators.tiling import (
+    segmentation_agreement,
+)
+
+SEG_SCHEMA = ("id string, n_units int, ref_bounds array<int>, "
+              "hyp_bounds array<int>")
+
+
+def _py_seg(n, ref, hyp):
+    k = max(1, n // (2 * (len(ref) + 1)))
+    if n - k < 1:
+        return (k, 0, None, None)
+    pk = wd = 0
+    for i in range(0, n - k):
+        cr = sum(1 for b in ref if i < b <= i + k)
+        ch = sum(1 for b in hyp if i < b <= i + k)
+        pk += (cr > 0) != (ch > 0)
+        wd += cr != ch
+    return (k, n - k, pk * 10**6 // (n - k), wd * 10**6 // (n - k))
+
+
+def test_seg_agreement_matches_python_twin(spark):
+    import random
+    rng = random.Random(11)
+    cases = [("perfect", 30, [10, 20], [10, 20]),
+             ("near", 30, [10, 20], [11, 20]),
+             ("missed", 30, [10, 20], []),
+             ("over", 30, [10], [5, 10, 15, 20, 25]),
+             ("degen", 1, [], [])]
+    for i in range(10):
+        n = rng.randint(2, 60)
+        ref = sorted(rng.sample(range(1, n), min(n - 1, rng.randint(0, 4))))
+        hyp = sorted(rng.sample(range(1, n), min(n - 1, rng.randint(0, 4))))
+        cases.append((f"r{i}", n, ref, hyp))
+    df = spark.createDataFrame(cases, SEG_SCHEMA)
+    got = {r["id"]: (r["k"], r["n_windows"], r["pk_e6"],
+                     r["windowdiff_e6"])
+           for r in segmentation_agreement(df).collect()}
+    for cid, n, ref, hyp in cases:
+        assert got[cid] == _py_seg(n, ref, hyp), (cid, n, ref, hyp)
+
+
+def test_seg_agreement_near_miss_beats_total_miss(spark):
+    df = spark.createDataFrame(
+        [("near", 40, [20], [21]), ("far", 40, [20], [])], SEG_SCHEMA)
+    got = {r["id"]: r["pk_e6"]
+           for r in segmentation_agreement(df).collect()}
+    assert 0 < got["near"] < got["far"]   # the metric's design property
