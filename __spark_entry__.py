@@ -4414,6 +4414,37 @@ def q_classifier_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
         _classified_with_truth(spark, sf_dir), n_bins=10)
 
 
+def q_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of the language classifier's confidence as a
+    correctness ranker (Mann-Whitney with midrank ties): the
+    threshold-free discrimination number beside ECE's calibration
+    number."""
+    from rag_document_parser_spark.operators import calibration as CAL
+    return CAL.roc_auc(_classified_with_truth(spark, sf_dir))
+
+
+def _sql_classifier_auc() -> str:
+    inner = SQL_CLASSIFY_LANG
+    return "WITH " + _CAL_TRUTH_SQL.format(inner=inner) + """,
+d AS (SELECT score_e6 AS s, sum(correct::INT)::BIGINT AS np,
+             sum((NOT correct)::INT)::BIGINT AS nn,
+             count(*)::BIGINT AS t
+      FROM c GROUP BY score_e6),
+r AS (SELECT np, nn, t,
+        (sum(t) OVER (ORDER BY s ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t)
+          AS cb
+      FROM d),
+a AS (SELECT sum(np)::BIGINT AS n_pos, sum(nn)::BIGINT AS n_neg,
+             sum(np * (2 * cb + t + 1))::HUGEINT AS s2
+      FROM r)
+SELECT n_pos, n_neg,
+  (CASE WHEN n_pos > 0 AND n_neg > 0
+        THEN (s2 - n_pos::HUGEINT * (n_pos + 1)) * 1000000
+             // (n_pos::HUGEINT * 2 * n_neg) END)::BIGINT AS auc_e6
+FROM a"""
+
+
 def q_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Docs and token mass kept at each candidate confidence
     threshold (suffix-cumulative over score bins) — the cost side of
@@ -8707,6 +8738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iban_pii": q_iban_pii,
         "needle_probes": q_needle_probes,
         "seg_agreement": q_seg_agreement,
+        "classifier_auc": q_classifier_auc,
         "unigram_vocab": q_unigram_vocab,
         "unigram_segment": q_unigram_segment,
         "zipf_fit": q_zipf_fit,
@@ -8891,6 +8923,7 @@ def oracle_sql() -> dict[str, str]:
         "iban_pii": SQL_IBAN_PII,
         "needle_probes": SQL_NEEDLE_PROBES,
         "seg_agreement": SQL_SEG_AGREEMENT,
+        "classifier_auc": _sql_classifier_auc(),
         "unigram_vocab": SQL_UNIGRAM_VOCAB,
         "unigram_segment": SQL_UNIGRAM_SEGMENT,
         "zipf_fit": SQL_ZIPF_FIT,

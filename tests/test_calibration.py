@@ -95,3 +95,55 @@ def test_windows_only_over_bin_frame(spark, scored):
     assert plan.index("Window") < plan.index("HashAggregate"), plan
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+# ---- exact ROC-AUC (Mann-Whitney with midranks) -------------------------
+
+from rag_document_parser_spark.operators.calibration import roc_auc
+
+
+def _py_auc(pairs):
+    """Textbook twin: average over all (pos, neg) pairs of
+    1[s+ > s-] + 0.5·1[s+ = s-], in e6 integer floor."""
+    pos = [s for s, c in pairs if c]
+    neg = [s for s, c in pairs if not c]
+    if not pos or not neg:
+        return None
+    num = 0
+    for p in pos:
+        for n in neg:
+            num += 2 if p > n else (1 if p == n else 0)
+    return num * 10**6 // (2 * len(pos) * len(neg))
+
+
+def test_auc_hand_cases(spark):
+    cases = {
+        "perfect": [(90, True), (80, True), (20, False), (10, False)],
+        "inverted": [(10, True), (20, True), (80, False), (90, False)],
+        "ties": [(50, True), (50, False), (50, True), (50, False)],
+        "mixed": [(90, True), (60, False), (60, True), (30, False),
+                  (10, True)],
+    }
+    for name, pairs in cases.items():
+        df = spark.createDataFrame(pairs, "score_e6 long, correct boolean")
+        r = roc_auc(df).collect()[0]
+        assert r["auc_e6"] == _py_auc(pairs), name
+    assert _py_auc(cases["perfect"]) == 1_000_000
+    assert _py_auc(cases["inverted"]) == 0
+    assert _py_auc(cases["ties"]) == 500_000
+
+
+def test_auc_degenerate_single_class_null(spark):
+    df = spark.createDataFrame([(10, True), (20, True)],
+                               "score_e6 long, correct boolean")
+    r = roc_auc(df).collect()[0]
+    assert (r["n_pos"], r["n_neg"], r["auc_e6"]) == (2, 0, None)
+
+
+def test_auc_randomized_matches_pairwise_twin(spark):
+    import random
+    rng = random.Random(13)
+    pairs = [(rng.randint(0, 20), rng.random() < 0.5) for _ in range(80)]
+    df = spark.createDataFrame(pairs, "score_e6 long, correct boolean")
+    assert roc_auc(df.repartition(7)).collect()[0]["auc_e6"] == \
+        _py_auc(pairs)
