@@ -5193,6 +5193,48 @@ SELECT doc_id::BIGINT AS id, i::BIGINT AS seg_idx,
 FROM seg"""
 
 
+def q_annotator_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two synthetic annotators: annotator A
+    reports the true lang, annotator B corrupts every 7th doc to a
+    fixed wrong label — chance-corrected agreement in fixed point."""
+    from rag_document_parser_spark.operators.posttrain import cohen_kappa
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    pairs = docs.select(
+        F.col("lang").alias("label_a"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("xx"))
+        .otherwise(F.col("lang")).alias("label_b"))
+    return cohen_kappa(pairs)
+
+
+SQL_ANNOTATOR_KAPPA = """
+WITH p AS (
+  SELECT lang AS a,
+         CASE WHEN doc_id % 7 = 0 THEN 'xx' ELSE lang END AS b
+  FROM documents
+), tot AS (
+  SELECT count(*)::BIGINT AS n_items,
+         sum((a = b)::INT)::BIGINT AS agree
+  FROM p
+), am AS (SELECT a, count(*)::BIGINT AS na FROM p GROUP BY a),
+bm AS (SELECT b, count(*)::BIGINT AS nb FROM p GROUP BY b),
+pe AS (
+  SELECT coalesce(sum(na::HUGEINT * nb), 0) AS pe_num
+  FROM am JOIN bm ON am.a = bm.b
+), j AS (
+  SELECT n_items,
+    (agree * 1000000 // nullif(n_items, 0))::BIGINT AS po_e6,
+    (pe_num * 1000000
+     // nullif(n_items::HUGEINT * n_items, 0))::BIGINT AS pe_e6
+  FROM tot CROSS JOIN pe
+)
+SELECT n_items, po_e6, pe_e6,
+  (CASE WHEN pe_e6 < 1000000
+        THEN (po_e6 - pe_e6) * 1000000 // (1000000 - pe_e6)
+   END)::BIGINT AS kappa_e6
+FROM j"""
+
+
 _SEG_REF_CUT = 200_000
 
 
@@ -8739,6 +8781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "needle_probes": q_needle_probes,
         "seg_agreement": q_seg_agreement,
         "classifier_auc": q_classifier_auc,
+        "annotator_kappa": q_annotator_kappa,
         "unigram_vocab": q_unigram_vocab,
         "unigram_segment": q_unigram_segment,
         "zipf_fit": q_zipf_fit,
@@ -8924,6 +8967,7 @@ def oracle_sql() -> dict[str, str]:
         "needle_probes": SQL_NEEDLE_PROBES,
         "seg_agreement": SQL_SEG_AGREEMENT,
         "classifier_auc": _sql_classifier_auc(),
+        "annotator_kappa": SQL_ANNOTATOR_KAPPA,
         "unigram_vocab": SQL_UNIGRAM_VOCAB,
         "unigram_segment": SQL_UNIGRAM_SEGMENT,
         "zipf_fit": SQL_ZIPF_FIT,

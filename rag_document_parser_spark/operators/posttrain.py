@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["chat_offsets", "preference_pairs"]
+__all__ = ["chat_offsets", "cohen_kappa", "preference_pairs"]
 
 
 def chat_offsets(turns: DataFrame, conv_col: str = "conv_id",
@@ -100,3 +100,45 @@ def preference_pairs(df: DataFrame, score_col: str,
                     "rejected_id",
                     (F.col("chosen_score") - F.col("rejected_score"))
                     .alias("margin")))
+
+
+def cohen_kappa(df: DataFrame, a_col: str = "label_a",
+                b_col: str = "label_b") -> DataFrame:
+    """Inter-annotator agreement (Cohen 1960): chance-corrected
+    agreement between two label columns — the QC gate run over
+    double-annotated preference/SFT data before labels train a reward
+    model. One row: ``(n_items, po_e6, pe_e6, kappa_e6)`` with
+    ``kappa = (p_o − p_e)/(1 − p_e)`` in e6 fixed point; NULL kappa
+    when chance agreement is total (``p_e = 1`` — a single label
+    class, nothing to correct) or the input is empty.
+
+    Exact integer: observed agreement from one count, expected
+    agreement from the marginal product ``Σ_k n_a(k)·n_b(k)`` widened
+    to decimal(38,0) (safe to n ≈ 10¹⁵ items), divisions floor. Scale
+    shape: two map-side-combinable aggregates (overall + per-label
+    marginals) — the label domain, not the corpus, bounds the final
+    fold.
+    """
+    base = df.select(F.col(a_col).alias("_a"), F.col(b_col).alias("_b"))
+    tot = base.agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.sum((F.col("_a") == F.col("_b")).cast("long"))
+        .cast("long").alias("_agree"))
+    am = base.groupBy("_a").agg(F.count("*").cast("long").alias("_na"))
+    bm = base.groupBy("_b").agg(F.count("*").cast("long").alias("_nb"))
+    pe_num = (am.join(bm, am["_a"] == bm["_b"])
+              .agg(F.coalesce(F.sum(F.expr(
+                  "cast(_na as decimal(38,0)) * _nb")), F.lit(0))
+                  .cast("decimal(38,0)").alias("_pe_num")))
+    j = tot.crossJoin(pe_num)
+    po = F.expr("_agree * 1000000 div nullif(n_items, 0)")
+    pe = F.expr("cast(_pe_num * 1000000"
+                " div nullif(cast(n_items as decimal(38,0))"
+                " * n_items, 0) as bigint)")
+    return (j.select("n_items", po.cast("long").alias("po_e6"),
+                     pe.alias("pe_e6"))
+            .select("n_items", "po_e6", "pe_e6",
+                    F.when(F.col("pe_e6") < 1_000_000,
+                           F.expr("(po_e6 - pe_e6) * 1000000"
+                                  " div (1000000 - pe_e6)"))
+                    .cast("long").alias("kappa_e6")))

@@ -95,3 +95,38 @@ def test_paragraph_language_and_mixedness(spark):
     assert mix[2]["dominant_lang"] == "fr"
     assert mix[2]["dominant_frac_e6"] == 1_000_000
     assert 3 not in mix
+
+
+# ---- Cohen's kappa (inter-annotator agreement) --------------------------
+
+from rag_document_parser_spark.operators.posttrain import cohen_kappa
+
+
+def _py_kappa(pairs):
+    from collections import Counter
+    n = len(pairs)
+    po = sum(1 for a, b in pairs if a == b) * 10**6 // n
+    ca, cb = Counter(a for a, _ in pairs), Counter(b for _, b in pairs)
+    pe = sum(ca[k] * cb.get(k, 0) for k in ca) * 10**6 // (n * n)
+    if pe >= 10**6:
+        return (n, po, pe, None)
+    return (n, po, pe, (po - pe) * 10**6 // (10**6 - pe))
+
+
+def test_kappa_hand_and_random(spark):
+    import random
+    rng = random.Random(5)
+    cases = {
+        "perfect": [("x", "x")] * 10 + [("y", "y")] * 10,
+        "chance": [("x", "x"), ("x", "y"), ("y", "x"), ("y", "y")],
+        "degenerate": [("x", "x")] * 5,       # pe = 1 -> NULL
+        "random": [(rng.choice("abc"), rng.choice("abc"))
+                   for _ in range(60)],
+    }
+    for name, pairs in cases.items():
+        df = spark.createDataFrame(pairs, "label_a string, label_b string")
+        r = cohen_kappa(df).collect()[0]
+        assert (r["n_items"], r["po_e6"], r["pe_e6"], r["kappa_e6"]) == \
+            _py_kappa(pairs), name
+    assert _py_kappa(cases["perfect"])[3] == 1_000_000
+    assert _py_kappa(cases["chance"])[3] == 0
