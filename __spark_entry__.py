@@ -5193,6 +5193,84 @@ SELECT doc_id::BIGINT AS id, i::BIGINT AS seg_idx,
 FROM seg"""
 
 
+def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry strengths (Hunter 2004 MM, 2 fixed-point rounds)
+    over synthesized pairwise preferences: 20 items whose true
+    strength is item+1; the winner rule samples BT-consistently via
+    deterministic modular arithmetic."""
+    from rag_document_parser_spark.operators.posttrain import (
+        bradley_terry)
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    o = docs.select((F.col("doc_id") % 20).alias("a"),
+                    ((F.col("doc_id") * 7 + 3) % 20).alias("b"),
+                    "doc_id").where(F.col("a") != F.col("b"))
+    won = F.expr("(doc_id * 13) % (a + b + 2) < a + 1")
+    f = o.select(F.when(won, F.col("a")).otherwise(F.col("b"))
+                 .alias("winner"),
+                 F.when(won, F.col("b")).otherwise(F.col("a"))
+                 .alias("loser"))
+    out = bradley_terry(f, n_iter=2)
+    return out.select(F.col("item").cast("long"), "wins",
+                      "n_comparisons", "strength_e6")
+
+
+def _sql_bt_round(n: int, prev: str) -> str:
+    """One unrolled MM round reading strengths from CTE ``prev``."""
+    return f"""
+e{n} AS (
+  SELECT u.i, u.j, u.n_ij * 1000000000000 // (pi.p + pj.p) AS term
+  FROM und u JOIN {prev} pi ON pi.item = u.i
+    JOIN {prev} pj ON pj.item = u.j
+), d{n} AS (
+  SELECT item, sum(term)::BIGINT AS d FROM (
+    SELECT i AS item, term FROM e{n}
+    UNION ALL SELECT j AS item, term FROM e{n}) z
+  GROUP BY item
+), raw{n} AS (
+  SELECT c.item,
+    CASE WHEN d IS NULL OR d <= 0 THEN 1000000
+         ELSE greatest(coalesce(w.wins, 0) * 1000000000000 // d, 1)
+    END AS p
+  FROM comps c LEFT JOIN wins w USING (item)
+    LEFT JOIN d{n} USING (item)
+), t{n} AS (SELECT sum(p)::BIGINT AS t FROM raw{n}),
+p{n} AS (
+  SELECT item,
+    (p * ((SELECT n FROM ni) * 1000000) // (SELECT t FROM t{n}))::BIGINT
+      AS p
+  FROM raw{n}
+)"""
+
+
+SQL_BRADLEY_TERRY = f"""
+WITH o AS (
+  SELECT doc_id % 20 AS a, (doc_id * 7 + 3) % 20 AS b, doc_id
+  FROM documents
+), f AS (
+  SELECT CASE WHEN (doc_id * 13) % (a + b + 2) < a + 1 THEN a ELSE b
+         END AS w,
+         CASE WHEN (doc_id * 13) % (a + b + 2) < a + 1 THEN b ELSE a
+         END AS l
+  FROM o WHERE a <> b
+), und AS (
+  SELECT least(w, l) AS i, greatest(w, l) AS j, count(*)::BIGINT AS n_ij
+  FROM f GROUP BY 1, 2
+), wins AS (
+  SELECT w AS item, count(*)::BIGINT AS wins FROM f GROUP BY 1
+), comps AS (
+  SELECT item, count(*)::BIGINT AS n_comparisons FROM (
+    SELECT w AS item FROM f UNION ALL SELECT l AS item FROM f) z
+  GROUP BY item
+), ni AS (SELECT count(*)::BIGINT AS n FROM comps),
+p0 AS (SELECT item, 1000000::BIGINT AS p FROM comps),
+{_sql_bt_round(1, 'p0')},
+{_sql_bt_round(2, 'p1')}
+SELECT c.item::BIGINT AS item, coalesce(w.wins, 0)::BIGINT AS wins,
+  c.n_comparisons, p2.p AS strength_e6
+FROM comps c LEFT JOIN wins w USING (item) JOIN p2 USING (item)"""
+
+
 def q_annotator_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohen's kappa between two synthetic annotators: annotator A
     reports the true lang, annotator B corrupts every 7th doc to a
@@ -8782,6 +8860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seg_agreement": q_seg_agreement,
         "classifier_auc": q_classifier_auc,
         "annotator_kappa": q_annotator_kappa,
+        "bradley_terry": q_bradley_terry,
         "unigram_vocab": q_unigram_vocab,
         "unigram_segment": q_unigram_segment,
         "zipf_fit": q_zipf_fit,
@@ -8968,6 +9047,7 @@ def oracle_sql() -> dict[str, str]:
         "seg_agreement": SQL_SEG_AGREEMENT,
         "classifier_auc": _sql_classifier_auc(),
         "annotator_kappa": SQL_ANNOTATOR_KAPPA,
+        "bradley_terry": SQL_BRADLEY_TERRY,
         "unigram_vocab": SQL_UNIGRAM_VOCAB,
         "unigram_segment": SQL_UNIGRAM_SEGMENT,
         "zipf_fit": SQL_ZIPF_FIT,

@@ -30,7 +30,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["chat_offsets", "cohen_kappa", "preference_pairs"]
+__all__ = ["bradley_terry", "chat_offsets", "cohen_kappa",
+           "preference_pairs"]
 
 
 def chat_offsets(turns: DataFrame, conv_col: str = "conv_id",
@@ -142,3 +143,76 @@ def cohen_kappa(df: DataFrame, a_col: str = "label_a",
                            F.expr("(po_e6 - pe_e6) * 1000000"
                                   " div (1000000 - pe_e6)"))
                     .cast("long").alias("kappa_e6")))
+
+
+def bradley_terry(outcomes: DataFrame, winner_col: str = "winner",
+                  loser_col: str = "loser",
+                  n_iter: int = 5) -> DataFrame:
+    """Bradley-Terry preference strengths from pairwise outcomes via
+    Hunter's (2004) MM iteration — the diagnostic fit run over
+    preference data before it trains a reward model (inconsistent or
+    degenerate comparisons surface as collapsed strengths). Returns
+    one row per item: ``(item, wins, n_comparisons, strength_e6)``.
+
+    The update ``p_i ← W_i / Σ_j n_ij/(p_i+p_j)`` in e6 fixed point:
+    per unordered pair, ``term = n_ij·1e12 div (p_i+p_j)``; then
+    ``p_i' = max(W_i·1e12 div D_i, 1)`` (the floor keeps never-winning
+    items at a positive epsilon so later denominators stay nonzero —
+    the standard regularization, documented); each round closes with
+    an exact integer rescale to total mass ``n_items·1e6`` (BT is
+    scale-invariant; the rescale pins the gauge so both engines agree
+    bit-for-bit). Fixed ``n_iter`` rounds — MM converges
+    monotonically; the oracle unrolls the same rounds.
+
+    Scale shape: comparisons aggregate ONCE to the unordered-pair
+    relation (uniform (i, j) key, map-side combinable); each round is
+    one broadcast-or-shuffle join of the item-sized ``p`` onto pairs,
+    one groupBy per item, one 1-row total broadcast —
+    ``localCheckpoint`` per round caps lineage (the pagerank/bpe
+    discipline). Driver interaction is one scalar item count, total.
+    """
+    pairs = outcomes.select(F.col(winner_col).alias("_w"),
+                            F.col(loser_col).alias("_l"))
+    und = (pairs.select(F.least("_w", "_l").alias("i"),
+                        F.greatest("_w", "_l").alias("j"))
+           .groupBy("i", "j").agg(F.count("*").cast("long").alias("n_ij")))
+    wins = (pairs.groupBy(F.col("_w").alias("item"))
+            .agg(F.count("*").cast("long").alias("wins")))
+    comps = (pairs.select(F.col("_w").alias("item"))
+             .unionByName(pairs.select(F.col("_l").alias("item")))
+             .groupBy("item")
+             .agg(F.count("*").cast("long").alias("n_comparisons")))
+    items = comps.select("item").localCheckpoint()
+    n_items = items.count()
+    p = items.withColumn("p_e6", F.lit(1_000_000).cast("long"))
+    for _ in range(max(int(n_iter), 0)):
+        e = (und
+             .join(p.select(F.col("item").alias("i"),
+                            F.col("p_e6").alias("_pi")), "i")
+             .join(p.select(F.col("item").alias("j"),
+                            F.col("p_e6").alias("_pj")), "j")
+             .withColumn("_term", F.expr(
+                 "n_ij * 1000000000000 div (_pi + _pj)")))
+        d = (e.select(F.col("i").alias("item"), "_term")
+             .unionByName(e.select(F.col("j").alias("item"), "_term"))
+             .groupBy("item")
+             .agg(F.sum("_term").cast("long").alias("_d")))
+        raw = (items
+               .join(wins, "item", "left")
+               .join(d, "item", "left")
+               .select("item", F.expr(
+                   "CASE WHEN _d IS NULL OR _d <= 0 THEN 1000000"
+                   " ELSE greatest(coalesce(wins, 0) * 1000000000000"
+                   " div _d, 1) END").alias("p_e6")))
+        tot = raw.agg(F.sum("p_e6").cast("long").alias("_tot"))
+        p = (raw.crossJoin(F.broadcast(tot))
+             .select("item", F.expr(
+                 f"p_e6 * ({int(n_items)} * 1000000) div _tot")
+                 .cast("long").alias("p_e6"))
+             .localCheckpoint())
+    return (items.join(wins, "item", "left").join(comps, "item")
+            .join(p, "item")
+            .select("item", F.coalesce("wins", F.lit(0)).cast("long")
+                    .alias("wins"),
+                    "n_comparisons",
+                    F.col("p_e6").alias("strength_e6")))

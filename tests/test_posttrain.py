@@ -130,3 +130,70 @@ def test_kappa_hand_and_random(spark):
             _py_kappa(pairs), name
     assert _py_kappa(cases["perfect"])[3] == 1_000_000
     assert _py_kappa(cases["chance"])[3] == 0
+
+
+# ---- Bradley-Terry preference strengths (Hunter 2004 MM) ----------------
+
+from rag_document_parser_spark.operators.posttrain import bradley_terry
+
+
+def _py_bt(outcomes, n_iter):
+    """Pure-Python twin of the fixed-point MM rounds."""
+    from collections import Counter, defaultdict
+    und, wins, comps = Counter(), Counter(), Counter()
+    for w, l in outcomes:
+        und[(min(w, l), max(w, l))] += 1
+        wins[w] += 1
+        comps[w] += 1
+        comps[l] += 1
+    items = sorted(comps)
+    n = len(items)
+    p = {it: 10**6 for it in items}
+    for _ in range(n_iter):
+        d = defaultdict(int)
+        for (i, j), nij in und.items():
+            term = nij * 10**12 // (p[i] + p[j])
+            d[i] += term
+            d[j] += term
+        raw = {}
+        for it in items:
+            di = d.get(it, 0)
+            raw[it] = (10**6 if di <= 0
+                       else max(wins.get(it, 0) * 10**12 // di, 1))
+        tot = sum(raw.values())
+        p = {it: raw[it] * (n * 10**6) // tot for it in items}
+    return {it: (wins.get(it, 0), comps[it], p[it]) for it in items}
+
+
+def test_bt_recovers_ordering_and_matches_twin(spark):
+    rows = ([("b", "a")] * 6 + [("a", "b")] * 2
+            + [("c", "b")] * 6 + [("b", "c")] * 2
+            + [("c", "a")] * 7 + [("a", "c")] * 1)
+    df = spark.createDataFrame(rows, "winner string, loser string")
+    got = {r["item"]: (r["wins"], r["n_comparisons"], r["strength_e6"])
+           for r in bradley_terry(df, n_iter=3).collect()}
+    assert got == _py_bt(rows, 3)
+    s = {k: v[2] for k, v in got.items()}
+    assert s["a"] < s["b"] < s["c"]
+
+
+def test_bt_never_winner_floors_positive(spark):
+    rows = [("x", "z")] * 4 + [("y", "z")] * 4   # z never wins
+    df = spark.createDataFrame(rows, "winner string, loser string")
+    got = {r["item"]: r["strength_e6"]
+           for r in bradley_terry(df, n_iter=4).collect()}
+    assert got == {k: v[2] for k, v in _py_bt(rows, 4).items()}
+    assert got["z"] >= 1 and got["z"] < got["x"]
+
+
+def test_bt_partition_invariance(spark):
+    import random
+    rng = random.Random(9)
+    rows = [(f"i{rng.randint(0, 9)}", f"i{rng.randint(0, 9)}")
+            for _ in range(200)]
+    rows = [(w, l) for w, l in rows if w != l]
+    df = spark.createDataFrame(rows, "winner string, loser string")
+    a = sorted(map(tuple, bradley_terry(df, n_iter=2).collect()))
+    b = sorted(map(tuple, bradley_terry(
+        df.repartition(7), n_iter=2).collect()))
+    assert a == b
