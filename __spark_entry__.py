@@ -5271,6 +5271,52 @@ SELECT c.item::BIGINT AS item, coalesce(w.wins, 0)::BIGINT AS wins,
 FROM comps c LEFT JOIN wins w USING (item) JOIN p2 USING (item)"""
 
 
+def q_verbosity_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbosity-bias probe over synthesized preference pairs: chosen
+    = the doc's text, rejected = a prefix (half length) for docs with
+    doc_id % 3 != 0, the full text + padding otherwise — a corpus
+    with a known longer-wins skew the probe must report exactly."""
+    from rag_document_parser_spark.operators.posttrain import (
+        verbosity_bias)
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    pairs = docs.select(
+        F.col("text").alias("chosen"),
+        F.when(F.col("doc_id") % 3 != 0,
+               F.expr("substring(text, 1,"
+                      " cast(length(text) div 2 as int))"))
+        .otherwise(F.concat(F.col("text"), F.lit(" padded out longer")))
+        .alias("rejected"))
+    return verbosity_bias(pairs)
+
+
+SQL_VERBOSITY_BIAS = """
+WITH p AS (
+  SELECT text AS chosen,
+    CASE WHEN doc_id % 3 != 0
+         THEN substring(text, 1, (length(text) // 2)::INT)
+         ELSE text || ' padded out longer' END AS rejected
+  FROM documents
+), a AS (
+  SELECT count(*)::BIGINT AS n_pairs,
+    sum((length(chosen) > length(rejected))::INT)::BIGINT
+      AS n_longer_chosen,
+    sum((length(chosen) < length(rejected))::INT)::BIGINT
+      AS n_shorter_chosen,
+    sum((length(chosen) = length(rejected))::INT)::BIGINT AS n_equal,
+    sum(length(chosen)::BIGINT - length(rejected))::BIGINT AS gap
+  FROM p
+)
+SELECT n_pairs, n_longer_chosen, n_shorter_chosen, n_equal,
+  (n_longer_chosen * 1000000
+   // nullif(n_longer_chosen + n_shorter_chosen, 0))::BIGINT
+    AS longer_win_e6,
+  (CASE WHEN gap >= 0 THEN gap * 1000 // nullif(n_pairs, 0)
+        ELSE -((-gap) * 1000 // nullif(n_pairs, 0)) END)::BIGINT
+    AS mean_gap_chars_e3
+FROM a"""
+
+
 def q_annotator_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohen's kappa between two synthetic annotators: annotator A
     reports the true lang, annotator B corrupts every 7th doc to a
@@ -8861,6 +8907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_auc": q_classifier_auc,
         "annotator_kappa": q_annotator_kappa,
         "bradley_terry": q_bradley_terry,
+        "verbosity_bias": q_verbosity_bias,
         "unigram_vocab": q_unigram_vocab,
         "unigram_segment": q_unigram_segment,
         "zipf_fit": q_zipf_fit,
@@ -9048,6 +9095,7 @@ def oracle_sql() -> dict[str, str]:
         "classifier_auc": _sql_classifier_auc(),
         "annotator_kappa": SQL_ANNOTATOR_KAPPA,
         "bradley_terry": SQL_BRADLEY_TERRY,
+        "verbosity_bias": SQL_VERBOSITY_BIAS,
         "unigram_vocab": SQL_UNIGRAM_VOCAB,
         "unigram_segment": SQL_UNIGRAM_SEGMENT,
         "zipf_fit": SQL_ZIPF_FIT,

@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 __all__ = ["bradley_terry", "chat_offsets", "cohen_kappa",
-           "preference_pairs"]
+           "preference_pairs", "verbosity_bias"]
 
 
 def chat_offsets(turns: DataFrame, conv_col: str = "conv_id",
@@ -216,3 +216,43 @@ def bradley_terry(outcomes: DataFrame, winner_col: str = "winner",
                     .alias("wins"),
                     "n_comparisons",
                     F.col("p_e6").alias("strength_e6")))
+
+
+def verbosity_bias(pairs: DataFrame, chosen_col: str = "chosen",
+                   rejected_col: str = "rejected") -> DataFrame:
+    """Length-preference probe over preference pairs — the standard QC
+    for the RLHF verbosity failure mode (annotators and reward models
+    preferring longer answers regardless of quality; cf. the
+    length-controlled AlpacaEval correction). One row:
+    ``(n_pairs, n_longer_chosen, n_shorter_chosen, n_equal,
+    longer_win_e6, mean_gap_chars_e3)`` where ``longer_win_e6`` is
+    P(chosen strictly longer | lengths differ) in e6 fixed point —
+    500000 means length-neutral — and ``mean_gap_chars_e3`` is the
+    mean char-length gap (chosen − rejected) ×1000, exact integer
+    floor (negative when rejected responses run longer).
+
+    One map-side-combinable aggregate; nothing shuffles but the final
+    1-row combine.
+    """
+    lc = F.length(F.col(chosen_col)).cast("long")
+    lr = F.length(F.col(rejected_col)).cast("long")
+    agg = pairs.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum((lc > lr).cast("long")).cast("long")
+        .alias("n_longer_chosen"),
+        F.sum((lc < lr).cast("long")).cast("long")
+        .alias("n_shorter_chosen"),
+        F.sum((lc == lr).cast("long")).cast("long").alias("n_equal"),
+        F.sum(lc - lr).cast("long").alias("_gap"))
+    return agg.select(
+        "n_pairs", "n_longer_chosen", "n_shorter_chosen", "n_equal",
+        F.expr("n_longer_chosen * 1000000"
+               " div nullif(n_longer_chosen + n_shorter_chosen, 0)")
+        .cast("long").alias("longer_win_e6"),
+        # sign-split division (the pca.py discipline): Spark's `div`
+        # truncates toward zero while DuckDB's `//` floors, so negative
+        # gaps must divide on the absolute value
+        F.expr("CASE WHEN _gap >= 0"
+               " THEN _gap * 1000 div nullif(n_pairs, 0)"
+               " ELSE -((-_gap) * 1000 div nullif(n_pairs, 0)) END")
+        .cast("long").alias("mean_gap_chars_e3"))

@@ -197,3 +197,31 @@ def test_bt_partition_invariance(spark):
     b = sorted(map(tuple, bradley_terry(
         df.repartition(7), n_iter=2).collect()))
     assert a == b
+
+
+# ---- verbosity-bias probe -----------------------------------------------
+
+from rag_document_parser_spark.operators.posttrain import verbosity_bias
+
+
+def test_verbosity_bias_counts_and_sign_split(spark):
+    pairs = [("aaaa", "aa"),      # longer chosen (+2)
+             ("bb", "bbbb"),      # shorter chosen (-2)
+             ("cc", "cc"),        # equal
+             ("dddd", "d"),       # longer chosen (+3)
+             ("e", "eeeeee")]     # shorter chosen (-5)
+    df = spark.createDataFrame(pairs, "chosen string, rejected string")
+    r = verbosity_bias(df).collect()[0]
+    assert (r["n_pairs"], r["n_longer_chosen"],
+            r["n_shorter_chosen"], r["n_equal"]) == (5, 2, 2, 1)
+    assert r["longer_win_e6"] == 2 * 1_000_000 // 4
+    # gap sum = 2-2+0+3-5 = -2 -> sign-split: -((2*1000)//5) = -400
+    assert r["mean_gap_chars_e3"] == -400
+
+
+def test_verbosity_bias_degenerate_all_equal(spark):
+    df = spark.createDataFrame([("x", "x")] * 3,
+                               "chosen string, rejected string")
+    r = verbosity_bias(df).collect()[0]
+    assert r["longer_win_e6"] is None      # no unequal pair to score
+    assert r["mean_gap_chars_e3"] == 0
