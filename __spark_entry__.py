@@ -8102,6 +8102,58 @@ SELECT event_type, count(*)::BIGINT AS n_events,
 FROM events GROUP BY event_type"""
 
 
+_FUNNEL = ["view", "click", "signup", "purchase"]
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict ordered-funnel conversion over the events stream:
+    view → click → signup → purchase, the per-entity replay fold
+    advancing only on the exact next step."""
+    from rag_document_parser_spark.operators import events as EV
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return EV.funnel_counts(events, _FUNNEL)
+
+
+SQL_FUNNEL = f"""
+WITH st AS (
+  SELECT user_id AS u, epoch_us(ts) AS ts_us, event_id,
+    CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+         WHEN 'signup' THEN 3 WHEN 'purchase' THEN 4 END AS s
+  FROM events
+  WHERE event_type IN ('view', 'click', 'signup', 'purchase')
+), pu AS (
+  SELECT u, list(s ORDER BY ts_us, event_id) AS ev FROM st GROUP BY u
+), r AS (
+  SELECT list_reduce(list_prepend(0, ev),
+          (a, e) -> CASE WHEN e = a + 1 THEN a + 1 ELSE a END) AS reach
+  FROM pu
+), dist AS (
+  SELECT reach, count(*)::BIGINT AS n FROM r GROUP BY reach
+), frame AS (
+  SELECT unnest(range(1, 5)) AS step_idx
+), ps AS (
+  SELECT f.step_idx, coalesce(d.n, 0) AS n
+  FROM frame f LEFT JOIN dist d ON d.reach = f.step_idx
+), cum AS (
+  SELECT step_idx,
+    sum(n) OVER (ORDER BY step_idx DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+      AS n_users
+  FROM ps
+), fin AS (
+  SELECT step_idx, n_users,
+    lag(n_users) OVER (ORDER BY step_idx) AS prev,
+    first_value(n_users) OVER (ORDER BY step_idx) AS fst
+  FROM cum
+)
+SELECT step_idx::BIGINT AS step_idx,
+  ['view', 'click', 'signup', 'purchase'][step_idx] AS step, n_users,
+  (n_users * 1000000 // nullif(prev, 0))::BIGINT AS conv_from_prev_e6,
+  (n_users * 1000000 // nullif(fst, 0))::BIGINT AS conv_from_first_e6
+FROM fin"""
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (operators/events.py): 30-minute idle
     gap over the events stream, per-session stats. One entity-keyed
@@ -8908,6 +8960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "annotator_kappa": q_annotator_kappa,
         "bradley_terry": q_bradley_terry,
         "verbosity_bias": q_verbosity_bias,
+        "funnel": q_funnel,
         "unigram_vocab": q_unigram_vocab,
         "unigram_segment": q_unigram_segment,
         "zipf_fit": q_zipf_fit,
@@ -9096,6 +9149,7 @@ def oracle_sql() -> dict[str, str]:
         "annotator_kappa": SQL_ANNOTATOR_KAPPA,
         "bradley_terry": SQL_BRADLEY_TERRY,
         "verbosity_bias": SQL_VERBOSITY_BIAS,
+        "funnel": SQL_FUNNEL,
         "unigram_vocab": SQL_UNIGRAM_VOCAB,
         "unigram_segment": SQL_UNIGRAM_SEGMENT,
         "zipf_fit": SQL_ZIPF_FIT,

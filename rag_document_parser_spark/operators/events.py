@@ -38,7 +38,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["asof_join", "session_stats", "sessionize"]
+__all__ = ["asof_join", "funnel_counts", "session_stats",
+           "sessionize"]
 
 
 def _ts_us(ts_col: str) -> Column:
@@ -127,3 +128,74 @@ def asof_join(left: DataFrame, right: DataFrame,
     return (carried.where(F.col("_side") == 1)
             .select("event_id", "user", "ts_us", "asof_id", "asof_ts_us",
                     (F.col("ts_us") - F.col("asof_ts_us")).alias("gap_us")))
+
+
+def funnel_counts(df: DataFrame, steps: list,
+                  user_col: str = "user_id", ts_col: str = "ts",
+                  type_col: str = "event_type",
+                  id_col: str = "event_id") -> DataFrame:
+    """Strict ordered-funnel analysis: how many entities completed
+    step 1, then step 2 AFTER it, then step 3 after that — the classic
+    conversion query (view → click → signup → purchase) that a naive
+    per-step join answers wrongly (it ignores order). One row per
+    funnel step: ``(step_idx, step, n_users, conv_from_prev_e6,
+    conv_from_first_e6)``.
+
+    Semantics: per entity, events not naming a funnel step are
+    ignored; the remaining events replay in (ts, event_id) order and a
+    counter advances only when the event is exactly the NEXT step —
+    out-of-order or repeated steps neither advance nor reset (the
+    standard strict-funnel reading). ``n_users`` counts entities whose
+    counter reached the step; conversions are fixed-point ratios
+    against the previous step and step 1.
+
+    Scale shape: one scan-local filter + step mapping, one groupBy on
+    the uniform entity key collecting the entity's own (bounded)
+    step events, the replay as a row-local ``aggregate`` fold, then a
+    |steps|-row frame with one cumulative window — the corpus never
+    sorts globally and the final relation is funnel-sized.
+    """
+    k = len(steps)
+    if k == 0:
+        raise ValueError("funnel_counts needs at least one step")
+    sidx = F.lit(None).cast("int")
+    for i, s in reversed(list(enumerate(steps, start=1))):
+        sidx = F.when(F.col(type_col) == s, F.lit(i)).otherwise(sidx)
+    staged = (df.select(F.col(user_col).alias("user"),
+                        _ts_us(ts_col).alias("ts_us"),
+                        F.col(id_col).alias("event_id"),
+                        sidx.alias("_s"))
+              .where(F.col("_s").isNotNull()))
+    per_user = (staged.groupBy("user")
+                .agg(F.array_sort(F.collect_list(F.struct(
+                    "ts_us", "event_id", "_s"))).alias("_ev")))
+    reached = per_user.select(F.expr("""
+        aggregate(_ev, 0, (acc, e) ->
+                  IF(e._s = acc + 1, acc + 1, acc))
+    """).alias("_r"))
+    dist = reached.groupBy("_r").agg(F.count("*").cast("long")
+                                     .alias("_n"))
+    spark = df.sparkSession
+    frame = spark.range(1, k + 1).select(
+        F.col("id").cast("int").alias("step_idx"))
+    from pyspark.sql import Window as _W
+    wcum = (_W.orderBy(F.col("step_idx").desc())
+            .rowsBetween(_W.unboundedPreceding, _W.currentRow))
+    per_step = (frame.join(dist, frame["step_idx"] == dist["_r"], "left")
+                .select("step_idx",
+                        F.coalesce("_n", F.lit(0)).alias("_n")))
+    cum = per_step.select(
+        "step_idx", F.sum("_n").over(wcum).cast("long").alias("n_users"))
+    wprev = _W.orderBy("step_idx")
+    names = F.element_at(F.lit([str(s) for s in steps]),
+                         F.col("step_idx"))
+    return (cum.select(
+        F.col("step_idx").cast("long").alias("step_idx"),
+        names.alias("step"), "n_users",
+        F.lag("n_users").over(wprev).alias("_prev"),
+        F.first("n_users").over(wprev).alias("_first"))
+        .select("step_idx", "step", "n_users",
+                F.expr("n_users * 1000000 div nullif(_prev, 0)")
+                .cast("long").alias("conv_from_prev_e6"),
+                F.expr("n_users * 1000000 div nullif(_first, 0)")
+                .cast("long").alias("conv_from_first_e6")))

@@ -140,3 +140,45 @@ def test_asof_join_plan_shape(spark):
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
     assert len(re.findall(r"\bWindow \[", plan)) == 1, plan
     assert "Join" not in plan, plan
+
+
+# ---- strict ordered funnel ----------------------------------------------
+
+def test_funnel_strict_order_semantics(spark):
+    from rag_document_parser_spark.operators.events import funnel_counts
+    import datetime as dt
+    T = lambda m: dt.datetime(2026, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        (1, T(1), 1, "view"), (2, T(2), 1, "click"),
+        (3, T(3), 1, "purchase"),                  # u1: full funnel
+        (4, T(1), 2, "view"), (5, T(2), 2, "purchase"),   # u2: skips
+        (6, T(1), 3, "click"), (7, T(2), 3, "view"),      # u3: reversed
+        (8, T(1), 4, "view"), (9, T(2), 4, "click"),      # u4: two steps
+        (10, T(1), 5, "error"),                    # u5: never enters
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string")
+    got = [(r["step_idx"], r["step"], r["n_users"],
+            r["conv_from_prev_e6"], r["conv_from_first_e6"])
+           for r in funnel_counts(df, ["view", "click", "purchase"])
+           .orderBy("step_idx").collect()]
+    assert got == [(1, "view", 4, None, 1_000_000),
+                   (2, "click", 2, 500_000, 500_000),
+                   (3, "purchase", 1, 500_000, 250_000)]
+
+
+def test_funnel_partition_invariance(spark):
+    from rag_document_parser_spark.operators.events import funnel_counts
+    import datetime as dt
+    rows = [(i, dt.datetime(2026, 1, 1, 0, i % 50), i % 9,
+             ["view", "click", "signup", "purchase", "error"][i % 5])
+            for i in range(120)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string")
+    steps = ["view", "click", "signup", "purchase"]
+    a = sorted(map(tuple, funnel_counts(df, steps).collect()))
+    b = sorted(map(tuple, funnel_counts(df.repartition(7), steps)
+                   .collect()))
+    assert a == b
