@@ -8154,6 +8154,42 @@ SELECT step_idx::BIGINT AS step_idx,
 FROM fin"""
 
 
+_RET_BUCKET_S = 86_400  # daily cohorts: the synthetic log spans days
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix over the events stream: entities
+    bucketed by first-seen day, per-offset active fraction in fixed
+    point."""
+    from rag_document_parser_spark.operators import events as EV
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return EV.cohort_retention(events, bucket_s=_RET_BUCKET_S,
+                               max_offset=12)
+
+
+_RET_US = _RET_BUCKET_S * 1_000_000
+SQL_COHORT_RETENTION = f"""
+WITH s AS (
+  SELECT user_id AS u, epoch_us(ts) AS ts_us FROM events
+), f AS (
+  SELECT u, min(ts_us) // {_RET_US} AS cb FROM s GROUP BY u
+), a AS (
+  SELECT DISTINCT u, ts_us // {_RET_US} AS ab FROM s
+), j AS (
+  SELECT cb, ab - cb AS off FROM a JOIN f USING (u)
+  WHERE ab - cb BETWEEN 0 AND 12
+), cs AS (
+  SELECT cb, count(*)::BIGINT AS cohort_size FROM f GROUP BY cb
+), c AS (
+  SELECT cb, off, count(*)::BIGINT AS n_active FROM j GROUP BY cb, off
+)
+SELECT cb::BIGINT AS cohort_bucket, off::BIGINT AS week_offset,
+  cohort_size, n_active,
+  (n_active * 1000000 // cohort_size)::BIGINT AS retention_e6
+FROM c JOIN cs USING (cb)"""
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (operators/events.py): 30-minute idle
     gap over the events stream, per-session stats. One entity-keyed
@@ -8961,6 +8997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bradley_terry": q_bradley_terry,
         "verbosity_bias": q_verbosity_bias,
         "funnel": q_funnel,
+        "cohort_retention": q_cohort_retention,
         "unigram_vocab": q_unigram_vocab,
         "unigram_segment": q_unigram_segment,
         "zipf_fit": q_zipf_fit,
@@ -9150,6 +9187,7 @@ def oracle_sql() -> dict[str, str]:
         "bradley_terry": SQL_BRADLEY_TERRY,
         "verbosity_bias": SQL_VERBOSITY_BIAS,
         "funnel": SQL_FUNNEL,
+        "cohort_retention": SQL_COHORT_RETENTION,
         "unigram_vocab": SQL_UNIGRAM_VOCAB,
         "unigram_segment": SQL_UNIGRAM_SEGMENT,
         "zipf_fit": SQL_ZIPF_FIT,

@@ -38,8 +38,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["asof_join", "funnel_counts", "session_stats",
-           "sessionize"]
+__all__ = ["asof_join", "cohort_retention", "funnel_counts",
+           "session_stats", "sessionize"]
 
 
 def _ts_us(ts_col: str) -> Column:
@@ -199,3 +199,44 @@ def funnel_counts(df: DataFrame, steps: list,
                 .cast("long").alias("conv_from_prev_e6"),
                 F.expr("n_users * 1000000 div nullif(_first, 0)")
                 .cast("long").alias("conv_from_first_e6")))
+
+
+def cohort_retention(df: DataFrame, bucket_s: int = 7 * 86_400,
+                     user_col: str = "user_id", ts_col: str = "ts",
+                     max_offset: int = 12) -> DataFrame:
+    """Cohort retention matrix: entities grouped by their FIRST-seen
+    time bucket (default weekly), then for each later bucket offset
+    the fraction of the cohort still active — the telemetry companion
+    to ``funnel_counts``. One row per (cohort, offset) with activity:
+    ``(cohort_bucket, week_offset, cohort_size, n_active,
+    retention_e6)``; offset 0 is the cohort itself (retention 1e6 by
+    construction), offsets beyond ``max_offset`` are dropped (the
+    matrix stays bounded however long the log runs).
+
+    Buckets are integer epoch-microsecond floors (``ts_us div
+    bucket_us``) — engine-exact, no calendar arithmetic. Scale shape:
+    one min-aggregate on the entity key (first-seen), one distinct on
+    (entity, bucket), one broadcast-size cohort join keyed by the
+    entity, and a final (cohort, offset) aggregate — every key uniform,
+    the output bounded by cohorts × max_offset.
+    """
+    us = int(bucket_s) * 1_000_000
+    staged = df.select(F.col(user_col).alias("user"),
+                       _ts_us(ts_col).alias("ts_us"))
+    first = (staged.groupBy("user")
+             .agg(F.expr(f"min(ts_us) div {us}").alias("_cb")))
+    act = (staged.select("user", F.expr(f"ts_us div {us}").alias("_ab"))
+           .distinct())
+    j = (act.join(first, "user")
+         .select("_cb", (F.col("_ab") - F.col("_cb")).alias("_off"))
+         .where((F.col("_off") >= 0) & (F.col("_off") <= max_offset)))
+    cohort_sizes = first.groupBy("_cb").agg(
+        F.count("*").cast("long").alias("cohort_size"))
+    cells = (j.groupBy("_cb", "_off")
+             .agg(F.count("*").cast("long").alias("n_active")))
+    return (cells.join(cohort_sizes, "_cb")
+            .select(F.col("_cb").cast("long").alias("cohort_bucket"),
+                    F.col("_off").cast("long").alias("week_offset"),
+                    "cohort_size", "n_active",
+                    F.expr("n_active * 1000000 div cohort_size")
+                    .cast("long").alias("retention_e6")))

@@ -182,3 +182,30 @@ def test_funnel_partition_invariance(spark):
     b = sorted(map(tuple, funnel_counts(df.repartition(7), steps)
                    .collect()))
     assert a == b
+
+
+# ---- cohort retention ----------------------------------------------------
+
+def test_cohort_retention_matrix(spark):
+    from rag_document_parser_spark.operators.events import cohort_retention
+    import datetime as dt
+    D = lambda d, h=0: dt.datetime(2026, 1, 1 + d, h)  # noqa: E731
+    # cohort day0: u1 active days 0,1,2; u2 active day 0 only
+    # cohort day1: u3 active days 1,3
+    rows = [(1, D(0), 1, "view"), (2, D(1), 1, "view"),
+            (3, D(2), 1, "view"), (4, D(0, 5), 2, "view"),
+            (5, D(1), 3, "view"), (6, D(3), 3, "view")]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string")
+    got = {(r["cohort_bucket"] - 20454, r["week_offset"]):
+           (r["cohort_size"], r["n_active"], r["retention_e6"])
+           for r in cohort_retention(df, bucket_s=86_400).collect()}
+    base = min(k[0] for k in got)
+    got = {(c - base, o): v for (c, o), v in got.items()}
+    assert got[(0, 0)] == (2, 2, 1_000_000)
+    assert got[(0, 1)] == (2, 1, 500_000)
+    assert got[(0, 2)] == (2, 1, 500_000)
+    assert got[(1, 0)] == (1, 1, 1_000_000)
+    assert got[(1, 2)] == (1, 1, 1_000_000)
+    assert (1, 1) not in got                      # u3 idle day 2
