@@ -1642,6 +1642,79 @@ SELECT tk.doc_id::BIGINT AS doc_id,
 FROM tk LEFT JOIN agg USING (doc_id)"""
 
 
+def q_jm_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jelinek-Mercer deleted-interpolation EM (2 fixed-point rounds):
+    bigram-vs-unigram mixing weight fitted on a held-out fifth of the
+    corpus against models trained on the other four fifths."""
+    from rag_document_parser_spark.operators.lm import fit_jm_lambda
+
+    docs = _docs(spark, sf_dir)
+    train = docs.where(F.col("doc_id") % 5 != 0)
+    held = docs.where(F.col("doc_id") % 5 == 0)
+    return fit_jm_lambda(train, held, rounds=2,
+                         min_count=_LM_MIN_COUNT)
+
+
+SQL_JM_LAMBDA = f"""
+WITH tk AS (
+  SELECT {TOKS_SQL.format(c='text')} AS t FROM documents
+  WHERE doc_id % 5 <> 0
+), uni AS (
+  SELECT w1, count(*)::BIGINT AS uc
+  FROM (SELECT unnest(t) AS w1 FROM tk) z GROUP BY w1
+), bg AS (
+  SELECT CASE WHEN len(t) >= 2
+         THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+         ELSE []::VARCHAR[] END AS bgs
+  FROM tk
+), e AS (
+  SELECT unnest(bgs) AS bigram FROM bg
+), bi AS (
+  SELECT bigram, count(*)::BIGINT AS bc FROM e GROUP BY bigram
+  HAVING count(*) >= {_LM_MIN_COUNT}
+), lm AS (
+  SELECT bigram, bc * {_LM_SCALE} // uc AS pb
+  FROM bi JOIN uni ON split_part(bigram, ' ', 1) = uni.w1
+), tot AS (
+  SELECT sum(uc)::BIGINT AS tt FROM uni
+), puni AS (
+  SELECT w1 AS w2, uc * {_LM_SCALE} // (SELECT tt FROM tot) AS pu
+  FROM uni
+), htk AS (
+  SELECT {TOKS_SQL.format(c='text')} AS t FROM documents
+  WHERE doc_id % 5 = 0
+), hbg AS (
+  SELECT CASE WHEN len(t) >= 2
+         THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+         ELSE []::VARCHAR[] END AS bgs
+  FROM htk
+), he AS (
+  SELECT unnest(bgs) AS bigram FROM hbg
+), occ AS (
+  SELECT coalesce(lm.pb, 0) AS pb, coalesce(puni.pu, 0) AS pu
+  FROM he LEFT JOIN lm USING (bigram)
+    LEFT JOIN puni ON split_part(he.bigram, ' ', 2) = puni.w2
+  WHERE coalesce(lm.pb, 0) + coalesce(puni.pu, 0) > 0
+), n AS (
+  SELECT count(*)::BIGINT AS c FROM occ
+), l1 AS (
+  SELECT (sum(500000::HUGEINT * pb * 1000000
+              // (500000::HUGEINT * pb + 500000 * pu))
+          // (SELECT c FROM n))::BIGINT AS v
+  FROM occ
+), l2 AS (
+  SELECT (sum((SELECT v FROM l1)::HUGEINT * pb * 1000000
+              // ((SELECT v FROM l1)::HUGEINT * pb
+                  + (1000000 - (SELECT v FROM l1)) * pu))
+          // (SELECT c FROM n))::BIGINT AS v
+  FROM occ
+)
+SELECT 1::BIGINT AS round, (SELECT v FROM l1) AS lambda_e6,
+       (SELECT c FROM n) AS n_scored
+UNION ALL
+SELECT 2::BIGINT, (SELECT v FROM l2), (SELECT c FROM n)"""
+
+
 def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance resampling (Xie et al. 2023): English docs as
     the target domain, every doc scored against the target LM and the
@@ -8998,6 +9071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "verbosity_bias": q_verbosity_bias,
         "funnel": q_funnel,
         "cohort_retention": q_cohort_retention,
+        "jm_lambda": q_jm_lambda,
         "unigram_vocab": q_unigram_vocab,
         "unigram_segment": q_unigram_segment,
         "zipf_fit": q_zipf_fit,
@@ -9188,6 +9262,7 @@ def oracle_sql() -> dict[str, str]:
         "verbosity_bias": SQL_VERBOSITY_BIAS,
         "funnel": SQL_FUNNEL,
         "cohort_retention": SQL_COHORT_RETENTION,
+        "jm_lambda": SQL_JM_LAMBDA,
         "unigram_vocab": SQL_UNIGRAM_VOCAB,
         "unigram_segment": SQL_UNIGRAM_SEGMENT,
         "zipf_fit": SQL_ZIPF_FIT,

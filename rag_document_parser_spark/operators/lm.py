@@ -364,3 +364,69 @@ def dsir_select(df: DataFrame, target: DataFrame, k: int,
     w = dsir_weights(df, target, text_col, id_col, scale, min_count,
                      broadcast_lm)
     return w.orderBy(F.col("weight").desc(), F.col(id_col)).limit(k)
+
+
+def fit_jm_lambda(train: DataFrame, heldout: DataFrame,
+                  text_col: str = "text", rounds: int = 3,
+                  scale: int = 1_000_000, min_count: int = 1,
+                  lambda0_e6: int = 500_000,
+                  broadcast_lm: bool = True) -> DataFrame:
+    """Jelinek-Mercer interpolation weight by deleted-interpolation EM
+    (Jelinek & Mercer 1980; the classic held-out recipe): fit the λ in
+    ``p(w2|w1) = λ·p_bigram + (1−λ)·p_unigram`` that maximizes
+    held-out likelihood. Each EM round computes, per held-out bigram
+    occurrence, the bigram component's responsibility ``r = λ·p_bi /
+    (λ·p_bi + (1−λ)·p_uni)`` and sets λ to the mean responsibility —
+    all in e6 fixed point with per-occurrence floors, so the DuckDB
+    oracle unrolls the identical rounds. Returns one row per round:
+    ``(round, lambda_e6, n_scored)``.
+
+    Occurrences where BOTH probabilities are zero (novel word pairs
+    over a pruned model) carry no signal and are excluded from
+    ``n_scored``, the standard deleted-interpolation convention.
+
+    Scale shape: the held-out corpus explodes its bigrams ONCE and
+    joins both model tables (broadcast), then the scored occurrence
+    table is ``localCheckpoint``-staged — each round after that is ONE
+    map-side-combinable aggregate and one driver scalar (the
+    bpe/pagerank pacing discipline).
+    """
+    spark = train.sparkSession
+    lm = train_bigram_lm(train, text_col, scale, min_count) \
+        .withColumnRenamed("cond_e", "_pb")
+    toks = _staged_tokens(train, text_col)
+    uni = (toks.select(F.explode_outer("_t").alias("w2"))
+           .where(F.col("w2").isNotNull())
+           .groupBy("w2").agg(F.count("*").alias("_uc")))
+    tot = uni.agg(F.sum("_uc").alias("_tt"))
+    puni = (uni.crossJoin(F.broadcast(tot))
+            .select("w2", F.expr(f"_uc * {int(scale)} div _tt")
+                    .alias("_pu")))
+    ex = _staged_tokens(heldout, text_col).select(
+        F.posexplode_outer(_bigrams(F.col("_t"))).alias("_pos", "bigram"))
+    ex = ex.select("bigram",
+                   F.split_part("bigram", F.lit(" "), F.lit(2))
+                   .alias("_w2"))
+    b_side = F.broadcast(lm) if broadcast_lm else lm
+    occ = (ex.join(b_side, "bigram", "left")
+           .join(F.broadcast(puni.withColumnRenamed("w2", "_w2")),
+                 "_w2", "left")
+           .select(F.coalesce("_pb", F.lit(0)).cast("long").alias("pb"),
+                   F.coalesce("_pu", F.lit(0)).cast("long").alias("pu"))
+           .where(F.col("pb") + F.col("pu") > 0)
+           .localCheckpoint())
+    n = occ.count()
+    hist = []
+    lam = int(lambda0_e6)
+    for r in range(1, max(int(rounds), 0) + 1):
+        if n == 0:
+            hist.append((r, lam, 0))
+            continue
+        s = occ.agg(F.sum(F.expr(
+            f"{lam} * pb * 1000000"
+            f" div ({lam} * pb + ({1_000_000 - lam}) * pu)"))
+            .cast("long")).first()[0]
+        lam = int(s) // n
+        hist.append((r, lam, n))
+    return spark.createDataFrame(
+        hist, "round long, lambda_e6 long, n_scored long")

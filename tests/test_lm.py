@@ -270,3 +270,43 @@ def test_kn_partition_invariance(corpus):
     b = sorted(map(tuple, score_kn_bigram_lm(
         corpus.repartition(5), broadcast_lm=False).collect()))
     assert a == b
+
+
+# ---- Jelinek-Mercer deleted interpolation (EM lambda) -------------------
+
+from rag_document_parser_spark.operators.lm import fit_jm_lambda
+
+
+def test_jm_lambda_prefers_bigram_on_repetitive_data(spark):
+    """A corpus whose bigrams repeat verbatim gives the bigram model
+    all the held-out mass: lambda climbs above its 0.5 start."""
+    train = spark.createDataFrame(
+        [("t1", "the cat sat on the mat"),
+         ("t2", "the cat sat on the mat again")], ["doc_id", "text"])
+    held = spark.createDataFrame(
+        [("h1", "the cat sat on the mat")], ["doc_id", "text"])
+    rows = {r["round"]: r for r in
+            fit_jm_lambda(train, held, rounds=3).collect()}
+    assert rows[1]["n_scored"] == 5
+    assert rows[1]["lambda_e6"] > 500_000
+    assert rows[3]["lambda_e6"] >= rows[1]["lambda_e6"]   # EM monotone here
+
+
+def test_jm_lambda_prefers_unigram_on_novel_pairs(spark):
+    """Held-out bigrams unseen in training (words known, pairs not):
+    the unigram component takes the mass and lambda falls."""
+    train = spark.createDataFrame(
+        [("t1", "alpha beta gamma delta")], ["doc_id", "text"])
+    held = spark.createDataFrame(
+        [("h1", "delta alpha gamma beta")], ["doc_id", "text"])
+    rows = {r["round"]: r["lambda_e6"] for r in
+            fit_jm_lambda(train, held, rounds=2).collect()}
+    assert rows[1] < 500_000 and rows[2] <= rows[1]
+
+
+def test_jm_lambda_empty_heldout(spark):
+    train = spark.createDataFrame([("t1", "a b c")], ["doc_id", "text"])
+    held = spark.createDataFrame([("h1", "")], ["doc_id", "text"])
+    rows = fit_jm_lambda(train, held, rounds=2).collect()
+    assert [(r["round"], r["lambda_e6"], r["n_scored"])
+            for r in sorted(rows)] == [(1, 500_000, 0), (2, 500_000, 0)]
