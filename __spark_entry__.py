@@ -8227,6 +8227,60 @@ SELECT step_idx::BIGINT AS step_idx,
 FROM fin"""
 
 
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 2x2 chi-square A/B read-out over the events stream:
+    variant by user parity, conversion = the user ever purchased; the
+    determinant shortcut keeps the statistic rational end to end."""
+    from rag_document_parser_spark.operators import events as EV
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    users = (events.groupBy("user_id")
+             .agg(F.when(
+                 F.sum((F.col("event_type") == "purchase").cast("int"))
+                 >= 3, 1).otherwise(0).alias("converted"))
+             .select(F.when(F.col("user_id") % 2 == 0, F.lit("a"))
+                     .otherwise(F.lit("b")).alias("variant"),
+                     "converted"))
+    return EV.ab_test(users)
+
+
+SQL_AB_TEST = """
+WITH users AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS variant,
+         CASE WHEN sum((event_type = 'purchase')::INT) >= 3
+              THEN 1 ELSE 0 END AS converted
+  FROM events GROUP BY user_id
+), cells AS (
+  SELECT
+    sum(CASE WHEN variant = 'a' THEN converted ELSE 0 END)::BIGINT AS a,
+    sum(CASE WHEN variant = 'a' THEN 1 - converted ELSE 0 END)::BIGINT
+      AS b,
+    sum(CASE WHEN variant <> 'a' THEN converted ELSE 0 END)::BIGINT
+      AS c,
+    sum(CASE WHEN variant <> 'a' THEN 1 - converted ELSE 0 END)::BIGINT
+      AS d
+  FROM users
+), s AS (
+  SELECT a, b, c, d,
+    (a::HUGEINT * d - b::HUGEINT * c) AS det
+  FROM cells
+)
+SELECT (a + b)::BIGINT AS n_a, (c + d)::BIGINT AS n_b,
+  a AS conv_a, c AS conv_b,
+  (a * 1000000 // nullif(a + b, 0))::BIGINT AS rate_a_e6,
+  (c * 1000000 // nullif(c + d, 0))::BIGINT AS rate_b_e6,
+  (CASE WHEN (a+b) > 0 AND (c+d) > 0 AND (a+c) > 0 AND (b+d) > 0
+        THEN (a+b+c+d)::HUGEINT * det * det * 1000000
+             // ((a+b)::HUGEINT * (c+d) * (a+c) * (b+d)) END)::BIGINT
+    AS chi2_e6,
+  coalesce(
+    CASE WHEN (a+b) > 0 AND (c+d) > 0 AND (a+c) > 0 AND (b+d) > 0
+         THEN (a+b+c+d)::HUGEINT * det * det * 1000000
+              // ((a+b)::HUGEINT * (c+d) * (a+c) * (b+d)) >= 3841000
+    END, false) AS significant_95
+FROM s"""
+
+
 _RET_BUCKET_S = 86_400  # daily cohorts: the synthetic log spans days
 
 
@@ -9072,6 +9126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "cohort_retention": q_cohort_retention,
         "jm_lambda": q_jm_lambda,
+        "ab_test": q_ab_test,
         "unigram_vocab": q_unigram_vocab,
         "unigram_segment": q_unigram_segment,
         "zipf_fit": q_zipf_fit,
@@ -9263,6 +9318,7 @@ def oracle_sql() -> dict[str, str]:
         "funnel": SQL_FUNNEL,
         "cohort_retention": SQL_COHORT_RETENTION,
         "jm_lambda": SQL_JM_LAMBDA,
+        "ab_test": SQL_AB_TEST,
         "unigram_vocab": SQL_UNIGRAM_VOCAB,
         "unigram_segment": SQL_UNIGRAM_SEGMENT,
         "zipf_fit": SQL_ZIPF_FIT,

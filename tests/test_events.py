@@ -209,3 +209,40 @@ def test_cohort_retention_matrix(spark):
     assert got[(1, 0)] == (1, 1, 1_000_000)
     assert got[(1, 2)] == (1, 1, 1_000_000)
     assert (1, 1) not in got                      # u3 idle day 2
+
+
+# ---- 2x2 chi-square A/B test --------------------------------------------
+
+def test_ab_test_exact_chi_square(spark):
+    from rag_document_parser_spark.operators.events import ab_test
+    # a: 30 of 100 convert; b: 50 of 100 convert
+    rows = ([("a", 1)] * 30 + [("a", 0)] * 70
+            + [("b", 1)] * 50 + [("b", 0)] * 50)
+    df = spark.createDataFrame(rows, "variant string, converted int")
+    r = ab_test(df).collect()[0]
+    assert (r["n_a"], r["n_b"], r["conv_a"], r["conv_b"]) == \
+        (100, 100, 30, 50)
+    assert r["rate_a_e6"] == 300_000 and r["rate_b_e6"] == 500_000
+    # chi2 = 200*(30*50-70*50)^2 / (100*100*80*120)
+    det = 30 * 50 - 70 * 50
+    want = 200 * det * det * 10**6 // (100 * 100 * 80 * 120)
+    assert r["chi2_e6"] == want
+    assert r["significant_95"] is True        # 8.33 > 3.84
+
+
+def test_ab_test_degenerate_margin_null_not_significant(spark):
+    from rag_document_parser_spark.operators.events import ab_test
+    rows = [("a", 1)] * 5 + [("b", 1)] * 5     # everyone converts
+    df = spark.createDataFrame(rows, "variant string, converted int")
+    r = ab_test(df).collect()[0]
+    assert r["chi2_e6"] is None
+    assert r["significant_95"] is False
+
+
+def test_ab_test_no_difference_insignificant(spark):
+    from rag_document_parser_spark.operators.events import ab_test
+    rows = ([("a", 1)] * 40 + [("a", 0)] * 60
+            + [("b", 1)] * 40 + [("b", 0)] * 60)
+    df = spark.createDataFrame(rows, "variant string, converted int")
+    r = ab_test(df).collect()[0]
+    assert r["chi2_e6"] == 0 and r["significant_95"] is False
