@@ -8281,6 +8281,36 @@ SELECT (a + b)::BIGINT AS n_a, (c + d)::BIGINT AS n_b,
 FROM s"""
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition matrix over per-user
+    sequences: row-normalized fixed-point probabilities, deterministic
+    (ts, event_id) ordering."""
+    from rag_document_parser_spark.operators import events as EV
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return EV.event_transitions(events)
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH s AS (
+  SELECT user_id AS u, epoch_us(ts) AS ts_us, event_id,
+         event_type AS t
+  FROM events
+), p AS (
+  SELECT t AS from_type,
+    lead(t) OVER (PARTITION BY u ORDER BY ts_us, event_id) AS to_type
+  FROM s
+), c AS (
+  SELECT from_type, to_type, count(*)::BIGINT AS n
+  FROM p WHERE to_type IS NOT NULL GROUP BY from_type, to_type
+), tot AS (
+  SELECT from_type, sum(n)::BIGINT AS tt FROM c GROUP BY from_type
+)
+SELECT c.from_type, c.to_type, c.n,
+  (c.n * 1000000 // t.tt)::BIGINT AS p_e6
+FROM c JOIN tot t USING (from_type)"""
+
+
 _RET_BUCKET_S = 86_400  # daily cohorts: the synthetic log spans days
 
 
@@ -9127,6 +9157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "jm_lambda": q_jm_lambda,
         "ab_test": q_ab_test,
+        "event_transitions": q_event_transitions,
         "unigram_vocab": q_unigram_vocab,
         "unigram_segment": q_unigram_segment,
         "zipf_fit": q_zipf_fit,
@@ -9319,6 +9350,7 @@ def oracle_sql() -> dict[str, str]:
         "cohort_retention": SQL_COHORT_RETENTION,
         "jm_lambda": SQL_JM_LAMBDA,
         "ab_test": SQL_AB_TEST,
+        "event_transitions": SQL_EVENT_TRANSITIONS,
         "unigram_vocab": SQL_UNIGRAM_VOCAB,
         "unigram_segment": SQL_UNIGRAM_SEGMENT,
         "zipf_fit": SQL_ZIPF_FIT,

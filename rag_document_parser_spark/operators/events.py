@@ -39,7 +39,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 __all__ = ["ab_test", "asof_join", "cohort_retention",
-           "funnel_counts", "session_stats", "sessionize"]
+           "event_transitions", "funnel_counts", "session_stats",
+           "sessionize"]
 
 
 def _ts_us(ts_col: str) -> Column:
@@ -307,3 +308,36 @@ def ab_test(df: DataFrame, variant_col: str = "variant",
             .withColumn("significant_95",
                         F.coalesce(F.col("chi2_e6") >= 3_841_000,
                                    F.lit(False))))
+
+
+def event_transitions(df: DataFrame, user_col: str = "user_id",
+                      ts_col: str = "ts", type_col: str = "event_type",
+                      id_col: str = "event_id") -> DataFrame:
+    """First-order transition matrix over per-entity event sequences —
+    the process-mining primitive behind "what do users do after X".
+    One row per observed (from_type, to_type): ``(from_type, to_type,
+    n, p_e6)`` with ``p_e6`` the row-normalized transition probability
+    ``n(from→to) · 1e6 div n(from→·)`` in fixed point.
+
+    Transitions pair each event with the entity's NEXT event in
+    (ts, event_id) order (the deterministic tie-break every window in
+    this repo uses); an entity's last event emits none. One
+    entity-keyed window (the ``sessionize`` exchange), one pair
+    aggregate on the bounded (from, to) type-pair key, one broadcast
+    row-total join.
+    """
+    staged = df.select(F.col(user_col).alias("user"),
+                       _ts_us(ts_col).alias("ts_us"),
+                       F.col(id_col).alias("event_id"),
+                       F.col(type_col).alias("_t"))
+    w = Window.partitionBy("user").orderBy("ts_us", "event_id")
+    pairs = (staged.select(F.col("_t").alias("from_type"),
+                           F.lead("_t").over(w).alias("to_type"))
+             .where(F.col("to_type").isNotNull()))
+    cnt = (pairs.groupBy("from_type", "to_type")
+           .agg(F.count("*").cast("long").alias("n")))
+    totals = cnt.groupBy("from_type").agg(F.sum("n").alias("_tot"))
+    return (cnt.join(F.broadcast(totals), "from_type")
+            .select("from_type", "to_type", "n",
+                    F.expr("n * 1000000 div _tot").cast("long")
+                    .alias("p_e6")))

@@ -246,3 +246,31 @@ def test_ab_test_no_difference_insignificant(spark):
     df = spark.createDataFrame(rows, "variant string, converted int")
     r = ab_test(df).collect()[0]
     assert r["chi2_e6"] == 0 and r["significant_95"] is False
+
+
+# ---- first-order transition matrix --------------------------------------
+
+def test_event_transitions_counts_and_rows_normalize(spark):
+    from rag_document_parser_spark.operators.events import (
+        event_transitions)
+    import datetime as dt
+    T = lambda m: dt.datetime(2026, 1, 1, 0, m)  # noqa: E731
+    # u1: v -> c -> v -> c ; u2: v -> p
+    rows = [(1, T(0), 1, "v"), (2, T(1), 1, "c"), (3, T(2), 1, "v"),
+            (4, T(3), 1, "c"), (5, T(0), 2, "v"), (6, T(1), 2, "p")]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string")
+    got = {(r["from_type"], r["to_type"]): (r["n"], r["p_e6"])
+           for r in event_transitions(df).collect()}
+    # from 'v': 3 transitions (c, c, p) -> v->c 2/3, v->p 1/3
+    assert got[("v", "c")] == (2, 2_000_000 // 3)
+    assert got[("v", "p")] == (1, 1_000_000 // 3)
+    assert got[("c", "v")] == (1, 1_000_000)
+    # per-row probabilities sum to ~1e6 (floor slack < n_targets)
+    from collections import defaultdict
+    sums = defaultdict(int)
+    for (f, _), (_, p) in got.items():
+        sums[f] += p
+    for f, s in sums.items():
+        assert 1_000_000 - 3 <= s <= 1_000_000
