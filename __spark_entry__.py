@@ -8281,6 +8281,62 @@ SELECT (a + b)::BIGINT AS n_a, (c + d)::BIGINT AS n_b,
 FROM s"""
 
 
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation communities (Raghavan et al.
+    2007, deterministic smallest-label tie-break, 2 rounds) over a
+    synthesized 4-block graph — edges never cross blocks, so blocks
+    are the ground-truth communities."""
+    from rag_document_parser_spark.operators.graph import (
+        label_propagation)
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    u = F.col("doc_id") % 40
+    edges = docs.select(
+        u.alias("src"),
+        (u - u % 10 + (u % 10 + F.col("doc_id") % 3 + 1) % 10)
+        .alias("dst"))
+    out = label_propagation(edges, iters=2)
+    return out.select(F.col("node").cast("long"), "community")
+
+
+def _sql_lpa_round(n: int, prev: str) -> str:
+    return f"""
+nb{n} AS (
+  SELECT a.u, l.c AS lbl, count(*)::BIGINT AS cnt
+  FROM adj a JOIN {prev} l ON l.node = a.v
+  GROUP BY a.u, l.c
+), b{n} AS (
+  SELECT u, lbl FROM (
+    SELECT u, lbl, row_number() OVER (PARTITION BY u
+      ORDER BY cnt DESC, lbl ASC) AS rk
+    FROM nb{n}) z
+  WHERE rk = 1
+), l{n} AS (
+  SELECT nn.node, b{n}.lbl::BIGINT AS c
+  FROM nn JOIN b{n} ON b{n}.u = nn.node
+)"""
+
+
+SQL_LABEL_PROPAGATION = f"""
+WITH e0 AS (
+  SELECT doc_id % 40 AS src,
+    (doc_id % 40) - (doc_id % 40) % 10
+      + ((doc_id % 40) % 10 + doc_id % 3 + 1) % 10 AS dst
+  FROM documents
+), adj AS (
+  SELECT DISTINCT u, v FROM (
+    SELECT src AS u, dst AS v FROM e0
+    UNION ALL SELECT dst AS u, src AS v FROM e0) z
+), nn AS (
+  SELECT DISTINCT u AS node FROM adj
+), l0 AS (
+  SELECT node, node::BIGINT AS c FROM nn
+),
+{_sql_lpa_round(1, 'l0')},
+{_sql_lpa_round(2, 'l1')}
+SELECT node::BIGINT AS node, c AS community FROM l2"""
+
+
 def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order event-type transition matrix over per-user
     sequences: row-normalized fixed-point probabilities, deterministic
@@ -9158,6 +9214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jm_lambda": q_jm_lambda,
         "ab_test": q_ab_test,
         "event_transitions": q_event_transitions,
+        "label_propagation": q_label_propagation,
         "unigram_vocab": q_unigram_vocab,
         "unigram_segment": q_unigram_segment,
         "zipf_fit": q_zipf_fit,
@@ -9351,6 +9408,7 @@ def oracle_sql() -> dict[str, str]:
         "jm_lambda": SQL_JM_LAMBDA,
         "ab_test": SQL_AB_TEST,
         "event_transitions": SQL_EVENT_TRANSITIONS,
+        "label_propagation": SQL_LABEL_PROPAGATION,
         "unigram_vocab": SQL_UNIGRAM_VOCAB,
         "unigram_segment": SQL_UNIGRAM_SEGMENT,
         "zipf_fit": SQL_ZIPF_FIT,

@@ -36,7 +36,8 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from rag_document_parser_spark.operators.urls import extract_urls, url_domain
 
-__all__ = ["anchor_edges", "anchor_stats", "hits", "link_graph",
+__all__ = ["anchor_edges", "anchor_stats", "hits", "label_propagation",
+           "link_graph",
            "pagerank"]
 
 # RE2-safe (no lookaround/backrefs) and identical in Java regex and
@@ -244,3 +245,51 @@ def hits(edges: DataFrame, iters: int = 2, src_col: str = "src",
     return (hubs.join(auths, "node")
             .select("node", F.col("hub").alias("hub_e12"),
                     F.col("auth").alias("auth_e12")))
+
+
+def label_propagation(edges: DataFrame, iters: int = 3,
+                      src_col: str = "src",
+                      dst_col: str = "dst") -> DataFrame:
+    """Synchronous label propagation communities (Raghavan, Albert &
+    Kumara 2007) over an undirected reading of the edge list: every
+    node starts as its own label; each round it adopts the label held
+    by the MOST neighbors, ties broken by the smallest label — the
+    deterministic synchronous variant (the paper's asynchronous
+    random-order walk is not engine-portable). Fixed ``iters`` rounds
+    (LPA's convergence is fast; oscillation on bipartite structures is
+    the documented cost of synchronous determinism). Node ids must be
+    integral (labels negate for the tie-break). Returns
+    ``(node, community)``.
+
+    Scale shape per round: one join of the node-sized label relation
+    onto the doubled edge list (uniform neighbor key), one
+    map-side-combinable (node, label) count, one ``max(struct)``
+    argmax per node — never a per-node sorted window —
+    ``localCheckpoint`` caps lineage (the pagerank discipline).
+    Isolated nodes never appear in an edge list and are the caller's
+    frame to re-attach.
+    """
+    adj = (edges.select(F.col(src_col).alias("u"),
+                        F.col(dst_col).alias("v"))
+           .unionByName(edges.select(F.col(dst_col).alias("u"),
+                                     F.col(src_col).alias("v")))
+           .distinct())
+    nodes = adj.select(F.col("u").alias("node")).distinct() \
+        .localCheckpoint()
+    labels = nodes.withColumn("community", F.col("node").cast("long"))
+    for _ in range(max(int(iters), 0)):
+        nb = (adj.join(labels.select(F.col("node").alias("v"),
+                                     F.col("community").alias("_l")),
+                       "v")
+              .groupBy("u", "_l")
+              .agg(F.count("*").cast("long").alias("_c")))
+        best = (nb.groupBy("u")
+                .agg(F.max(F.struct(F.col("_c").alias("c"),
+                                    (-F.col("_l")).alias("nl")))
+                     .alias("_m")))
+        labels = (nodes.join(
+            best.select(F.col("u").alias("node"),
+                        (-F.col("_m.nl")).cast("long")
+                        .alias("community")), "node")
+            .localCheckpoint())
+    return labels

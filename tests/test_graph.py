@@ -208,3 +208,33 @@ def test_hits_validates_input(spark):
                                  "src string, dst string, weight long")
     with _pt.raises(ValueError):
         hits(good, iters=0)
+
+
+# ---- label propagation communities --------------------------------------
+
+def test_lpa_separates_bridged_triangles(spark):
+    from rag_document_parser_spark.operators.graph import (
+        label_propagation)
+    edges = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12),
+             (3, 10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    comm = {r["node"]: r["community"]
+            for r in label_propagation(df, iters=3).collect()}
+    assert comm[1] == comm[2] == comm[3]
+    assert comm[10] == comm[11] == comm[12]
+    assert comm[1] != comm[10]
+
+
+def test_lpa_deterministic_and_partition_invariant(spark):
+    from rag_document_parser_spark.operators.graph import (
+        label_propagation)
+    import random
+    rng = random.Random(17)
+    edges = list({(rng.randint(0, 30), rng.randint(0, 30))
+                  for _ in range(80)})
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = sorted(map(tuple, label_propagation(df, iters=2).collect()))
+    b = sorted(map(tuple, label_propagation(
+        df.repartition(7), iters=2).collect()))
+    assert a == b
