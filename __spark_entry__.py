@@ -6679,6 +6679,64 @@ SELECT e.lang, est_distinct::BIGINT AS est_distinct, exact_distinct
 FROM est e JOIN ex USING (lang)"""
 
 
+def q_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary overlap between languages from HLL sketches
+    alone: inclusion-exclusion over max-merged registers (the sketch
+    merge law), estimates and clamped intersections per lang pair."""
+    from rag_document_parser_spark.operators.dedup import words as _w
+    from rag_document_parser_spark.operators.sketches import hll_overlap
+
+    toks = (_docs(spark, sf_dir)
+            .select("lang", F.explode(_w(F.col("text"))).alias("term")))
+    return hll_overlap(toks, group_col="lang")
+
+
+def _sql_hll_est(src: str, keys: str) -> str:
+    """The fixed-point HLL estimator over register CTE ``src`` grouped
+    by ``keys`` (comma list) — the SQL_HLL_DISTINCT arithmetic."""
+    return f"""(
+  SELECT {keys},
+    ({_HLL_NUM_SQL} // (sum(CASE WHEN rho <= 30
+                            THEN 1073741824 >> rho ELSE 0 END)::BIGINT
+                        + (64 - count(*)) * 1073741824) // 1000000)
+      ::BIGINT AS est
+  FROM {src} GROUP BY {keys})"""
+
+
+SQL_HLL_OVERLAP = f"""
+WITH toks AS (
+  SELECT lang, unnest({TOKS_SQL.format(c='text')}) AS term FROM documents
+), pr AS (
+  SELECT lang, h % 64 AS bucket,
+         CASE WHEN h // 64 = 0 THEN 55
+              ELSE 55 - length(bin(h // 64)) END AS rho
+  FROM (SELECT lang, {_md5l("'hll:'||term")} AS h FROM toks) z
+), regs AS (
+  SELECT lang, bucket, max(rho) AS rho FROM pr GROUP BY 1, 2
+), est1 AS {_sql_hll_est('regs', 'lang')}
+, gs AS (
+  SELECT DISTINCT lang FROM regs
+), pairs AS (
+  SELECT a.lang AS ga, b.lang AS gb FROM gs a, gs b
+  WHERE a.lang < b.lang
+), mrg AS (
+  SELECT ga, gb, bucket, max(rho) AS rho FROM (
+    SELECT p.ga, p.gb, r.bucket, r.rho
+    FROM pairs p JOIN regs r ON r.lang = p.ga
+    UNION ALL
+    SELECT p.ga, p.gb, r.bucket, r.rho
+    FROM pairs p JOIN regs r ON r.lang = p.gb) u
+  GROUP BY ga, gb, bucket
+), estu AS {_sql_hll_est('mrg', 'ga, gb')}
+SELECT e.ga AS group_a, e.gb AS group_b,
+  sa.est AS est_a, sb.est AS est_b, e.est AS est_union,
+  greatest(sa.est + sb.est - e.est, 0)::BIGINT AS est_intersection,
+  (greatest(sa.est + sb.est - e.est, 0) * 1000000
+   // nullif(e.est, 0))::BIGINT AS jaccard_est_e6
+FROM estu e JOIN est1 sa ON sa.lang = e.ga
+  JOIN est1 sb ON sb.lang = e.gb"""
+
+
 _NBITS = 16
 _VBANDS = 4
 
@@ -9215,6 +9273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_test": q_ab_test,
         "event_transitions": q_event_transitions,
         "label_propagation": q_label_propagation,
+        "hll_overlap": q_hll_overlap,
         "unigram_vocab": q_unigram_vocab,
         "unigram_segment": q_unigram_segment,
         "zipf_fit": q_zipf_fit,
@@ -9409,6 +9468,7 @@ def oracle_sql() -> dict[str, str]:
         "ab_test": SQL_AB_TEST,
         "event_transitions": SQL_EVENT_TRANSITIONS,
         "label_propagation": SQL_LABEL_PROPAGATION,
+        "hll_overlap": SQL_HLL_OVERLAP,
         "unigram_vocab": SQL_UNIGRAM_VOCAB,
         "unigram_segment": SQL_UNIGRAM_SEGMENT,
         "zipf_fit": SQL_ZIPF_FIT,

@@ -32,7 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["DEPTH", "HLL_B", "QS_SUB", "cms_build", "cms_estimate",
+__all__ = ["DEPTH", "HLL_B", "QS_SUB", "cms_build", "cms_estimate", "hll_overlap",
            "hll_estimate", "hll_registers", "qsketch_build",
            "qsketch_quantiles"]
 
@@ -268,3 +268,63 @@ def qsketch_quantiles(cells: DataFrame, qs_e6: list[int]) -> DataFrame:
     return (hit.groupBy("q_e6")
             .agg(F.max("rank").alias("rank"),
                  F.min(_qs_lower(F.col("bucket"))).alias("est_lo")))
+
+
+def hll_overlap(tokens: DataFrame, group_col: str = "lang",
+                term_col: str = "term", salt: str = "",
+                max_groups: int = 256) -> DataFrame:
+    """Pairwise distinct-set overlap between groups from HLL sketches
+    alone: per unordered group pair, ``est_a``, ``est_b``, the union
+    estimate from the MAX-merged registers (the HLL merge law), and
+    the inclusion-exclusion intersection ``est_a + est_b − est_union``
+    clamped at 0 — the sketch-algebra answer to "how much vocabulary
+    do these two languages/sources share" without ever materializing
+    the sets. Output: ``(group_a, group_b, est_a, est_b, est_union,
+    est_intersection, jaccard_est_e6)`` with group_a < group_b.
+
+    Standard caveat, documented: inclusion-exclusion inherits BOTH
+    sketches' error, so small true intersections can estimate 0 (the
+    clamp) — use the exact `corpstats.source_sketch` KMV path when the
+    overlap itself must be tight. Scale shape: ONE register build over
+    the corpus (map-side combined, |groups|·64 rows), then everything
+    is register-algebra; the pair frame is counted and guarded by
+    ``max_groups`` before the quadratic join (`source_overlap`
+    discipline).
+    """
+    regs = hll_registers(tokens, term_col, (group_col,), salt) \
+        .withColumnRenamed(group_col, "g").localCheckpoint()
+    n_g = regs.select("g").distinct().count()
+    if n_g > max_groups:
+        raise ValueError(
+            f"hll_overlap: {n_g} groups exceed max_groups={max_groups};"
+            " raise it deliberately or pre-group")
+    singles = (hll_estimate(regs.withColumnRenamed("g", "grp"), ("grp",))
+               .withColumnRenamed("grp", "g"))
+    gs = regs.select("g").distinct()
+    pairs = (gs.select(F.col("g").alias("ga"))
+             .crossJoin(gs.select(F.col("g").alias("gb")))
+             .where(F.col("ga") < F.col("gb")))
+    merged = (pairs.join(regs.withColumnRenamed("g", "ga"), "ga")
+              .unionByName(
+                  pairs.join(regs.withColumnRenamed("g", "gb"), "gb")
+                  .select("ga", "gb", "bucket", "rho"))
+              .groupBy("ga", "gb", "bucket")
+              .agg(F.max("rho").alias("rho")))
+    uni = (hll_estimate(merged, ("ga", "gb"))
+           .withColumnRenamed("est_distinct", "est_union"))
+    out = (uni
+           .join(singles.select(F.col("g").alias("ga"),
+                                F.col("est_distinct").alias("est_a")),
+                 "ga")
+           .join(singles.select(F.col("g").alias("gb"),
+                                F.col("est_distinct").alias("est_b")),
+                 "gb"))
+    inter = F.greatest(
+        F.col("est_a") + F.col("est_b") - F.col("est_union"), F.lit(0))
+    return out.select(
+        F.col("ga").alias("group_a"), F.col("gb").alias("group_b"),
+        "est_a", "est_b", "est_union",
+        inter.cast("long").alias("est_intersection"),
+        F.expr("greatest(est_a + est_b - est_union, 0) * 1000000"
+               " div nullif(est_union, 0)").cast("long")
+        .alias("jaccard_est_e6"))

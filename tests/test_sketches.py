@@ -171,3 +171,42 @@ def test_hll_registers_plan_has_mapside_combine(spark):
     plan = (hll_registers(df)
             ._jdf.queryExecution().executedPlan().toString())
     assert "partial_max" in plan, plan
+
+
+# ---- HLL pairwise overlap (inclusion-exclusion) -------------------------
+
+def test_hll_overlap_estimates_track_truth(spark):
+    from pyspark.sql import functions as F
+    from rag_document_parser_spark.operators.sketches import hll_overlap
+    # A and B share 300 of 500 terms each; C is disjoint
+    rows = ([("A", f"shared{i}") for i in range(300)]
+            + [("A", f"onlyA{i}") for i in range(200)]
+            + [("B", f"shared{i}") for i in range(300)]
+            + [("B", f"onlyB{i}") for i in range(200)]
+            + [("C", f"onlyC{i}") for i in range(400)])
+    df = spark.createDataFrame(rows, "lang string, term string")
+    got = {(r["group_a"], r["group_b"]): r
+           for r in hll_overlap(df, group_col="lang").collect()}
+    ab = got[("A", "B")]
+    # 64-register HLL: ~13% relative error; check the broad shape
+    assert 300 <= ab["est_a"] <= 800 and 300 <= ab["est_b"] <= 800
+    assert ab["est_union"] >= max(ab["est_a"], ab["est_b"])
+    assert ab["est_intersection"] > 0
+    ac = got[("A", "C")]
+    # disjoint pair: intersection estimate stays far below the shared
+    # pair's (I-E noise may keep it above zero at 64 registers)
+    assert ac["est_intersection"] < ab["est_intersection"]
+    assert 0 <= ac["jaccard_est_e6"] <= 1_000_000
+
+
+def test_hll_overlap_guard_and_determinism(spark):
+    import pytest as _pt
+    from rag_document_parser_spark.operators.sketches import hll_overlap
+    rows = [(f"g{i % 5}", f"t{i}") for i in range(100)]
+    df = spark.createDataFrame(rows, "lang string, term string")
+    with _pt.raises(ValueError, match="max_groups"):
+        hll_overlap(df, group_col="lang", max_groups=2)
+    a = sorted(map(tuple, hll_overlap(df, group_col="lang").collect()))
+    b = sorted(map(tuple, hll_overlap(
+        df.repartition(7), group_col="lang").collect()))
+    assert a == b
