@@ -5496,6 +5496,50 @@ SELECT p.id::BIGINT AS id, p.k::BIGINT AS k,
 FROM p LEFT JOIN a USING (id)"""
 
 
+def q_term_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact total-variation distance between the English and
+    non-English corpora's unigram distributions — the log-free
+    distribution-shape drift metric, every product exact in
+    decimal(38,0)."""
+    from rag_document_parser_spark.operators.corpstats import (
+        term_distribution_distance)
+
+    docs = _docs(spark, sf_dir)
+    return term_distribution_distance(
+        docs.where(F.col("lang") == "en"),
+        docs.where(F.col("lang") != "en"))
+
+
+SQL_TERM_DRIFT = f"""
+WITH ta AS (
+  SELECT unnest({TOKS_SQL.format(c='text')}) AS term FROM documents
+  WHERE lang = 'en'
+), tb AS (
+  SELECT unnest({TOKS_SQL.format(c='text')}) AS term FROM documents
+  WHERE lang <> 'en'
+), ca AS (SELECT term, count(*)::BIGINT AS c FROM ta GROUP BY term),
+cb AS (SELECT term, count(*)::BIGINT AS c FROM tb GROUP BY term),
+j AS (
+  SELECT coalesce(ca.c, 0) AS a, coalesce(cb.c, 0) AS b
+  FROM ca FULL OUTER JOIN cb USING (term)
+), agg AS (
+  SELECT sum(a)::BIGINT AS total_a, sum(b)::BIGINT AS total_b,
+    sum((a > 0)::INT)::BIGINT AS n_types_a,
+    sum((b > 0)::INT)::BIGINT AS n_types_b,
+    sum((a > 0 AND b > 0)::INT)::BIGINT AS n_shared_types
+  FROM j
+), tv AS (
+  SELECT sum(abs(j.a::HUGEINT * agg.total_b
+                 - j.b::HUGEINT * agg.total_a)) AS s
+  FROM j CROSS JOIN agg
+)
+SELECT total_a, total_b, n_types_a, n_types_b, n_shared_types,
+  (CASE WHEN total_a > 0 AND total_b > 0
+        THEN s * 1000000 // (total_a::HUGEINT * 2 * total_b)
+   END)::BIGINT AS tv_e6
+FROM agg CROSS JOIN tv"""
+
+
 _SO_K = 32
 
 
@@ -9274,6 +9318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": q_event_transitions,
         "label_propagation": q_label_propagation,
         "hll_overlap": q_hll_overlap,
+        "term_drift": q_term_drift,
         "unigram_vocab": q_unigram_vocab,
         "unigram_segment": q_unigram_segment,
         "zipf_fit": q_zipf_fit,
@@ -9469,6 +9514,7 @@ def oracle_sql() -> dict[str, str]:
         "event_transitions": SQL_EVENT_TRANSITIONS,
         "label_propagation": SQL_LABEL_PROPAGATION,
         "hll_overlap": SQL_HLL_OVERLAP,
+        "term_drift": SQL_TERM_DRIFT,
         "unigram_vocab": SQL_UNIGRAM_VOCAB,
         "unigram_segment": SQL_UNIGRAM_SEGMENT,
         "zipf_fit": SQL_ZIPF_FIT,

@@ -40,7 +40,7 @@ from rag_document_parser_spark.operators.dedup import words
 
 __all__ = ["term_freqs", "zipf_points", "zipf_fit", "heaps_points",
            "source_overlap", "source_sketch", "merge_source_sketches",
-           "overlap_from_sketches"]
+           "overlap_from_sketches", "term_distribution_distance"]
 
 # piecewise-linear base-2 log in e3 fixed point (module docstring)
 LOG2_E3 = ("((length(bin({n})) - 1) * 1000 + "
@@ -302,3 +302,60 @@ def overlap_from_sketches(sk: DataFrame, k: int = 128,
                       "k_merged", "n_both",
                       F.expr("n_both * 1000000 div k_merged")
                       .cast("long").alias("jaccard_e6"))
+
+
+def term_distribution_distance(a: DataFrame, b: DataFrame,
+                               text_col: str = "text") -> DataFrame:
+    """Exact total-variation distance between two corpora's unigram
+    distributions: ``TV = ½·Σ_t |p_a(t) − p_b(t)|`` — the
+    distribution-shape drift metric beside ``reporting.snapshot_drift``
+     's count deltas (KL needs logs; TV is the log-free member of the
+    same family and is exactly rational). One row: ``(total_a,
+    total_b, n_types_a, n_types_b, n_shared_types, tv_e6)``; TV is 0
+    for identical distributions, 1e6 for disjoint supports. Empty
+    corpora yield NULL tv (no distribution to compare).
+
+    Exact integer: over the common denominator,
+    ``tv_e6 = Σ_t |c_a(t)·N_b − c_b(t)·N_a| · 1e6 div (2·N_a·N_b)``
+    with every product in decimal(38,0) — exact to ~10¹² tokens per
+    side. Scale shape: two map-side-combinable term-count aggregates,
+    one full-outer join on the term TYPE key (one row per type, so a
+    stopword is one row, not a hot partition), two 1-row broadcasts.
+    """
+    def counts(df, name):
+        return (df.select(words(F.col(text_col)).alias("_t"))
+                .select(F.explode_outer("_t").alias("term"))
+                .where(F.col("term").isNotNull())
+                .groupBy("term")
+                .agg(F.count("*").cast("long").alias(name)))
+
+    ca, cb = counts(a, "_ca"), counts(b, "_cb")
+    j = ca.join(cb, "term", "full_outer").select(
+        F.coalesce("_ca", F.lit(0)).alias("_ca"),
+        F.coalesce("_cb", F.lit(0)).alias("_cb")).localCheckpoint()
+    agg = j.agg(
+        F.sum("_ca").cast("long").alias("total_a"),
+        F.sum("_cb").cast("long").alias("total_b"),
+        F.sum((F.col("_ca") > 0).cast("long")).cast("long")
+        .alias("n_types_a"),
+        F.sum((F.col("_cb") > 0).cast("long")).cast("long")
+        .alias("n_types_b"),
+        F.sum(((F.col("_ca") > 0) & (F.col("_cb") > 0)).cast("long"))
+        .cast("long").alias("n_shared_types"))
+    # second pass over the (type-sized) joined relation with the totals
+    # as broadcast scalars; |ca·Nb − cb·Na| needs the totals first
+    tv = (j.crossJoin(F.broadcast(agg))
+          .agg(F.sum(F.expr(
+              "abs(cast(_ca as decimal(38,0)) * total_b"
+              " - cast(_cb as decimal(38,0)) * total_a)"))
+              .alias("_s"))
+          .select(F.col("_s")))
+    return (agg.crossJoin(F.broadcast(tv))
+            .select("total_a", "total_b", "n_types_a", "n_types_b",
+                    "n_shared_types",
+                    F.when((F.col("total_a") > 0)
+                           & (F.col("total_b") > 0),
+                           F.expr("cast(_s * 1000000"
+                                  " div (cast(total_a as decimal(38,0))"
+                                  " * 2 * total_b) as bigint)"))
+                    .alias("tv_e6")))

@@ -192,3 +192,37 @@ def test_source_sketch_merge_law(spark, multi_source):
     whole = source_sketch(multi_source, k=6)
     assert sorted(map(tuple, merged.collect())) == \
         sorted(map(tuple, whole.collect()))
+
+
+# ---- total-variation term-distribution distance -------------------------
+
+def test_tv_distance_identical_zero_disjoint_full(spark):
+    from rag_document_parser_spark.operators.corpstats import (
+        term_distribution_distance)
+    a = spark.createDataFrame([("1", "x y z x")], ["doc_id", "text"])
+    same = spark.createDataFrame([("2", "x x y z")], ["doc_id", "text"])
+    disj = spark.createDataFrame([("3", "p q r")], ["doc_id", "text"])
+    r_same = term_distribution_distance(a, same).collect()[0]
+    assert r_same["tv_e6"] == 0            # same multiset -> same dist
+    r_disj = term_distribution_distance(a, disj).collect()[0]
+    assert r_disj["tv_e6"] == 1_000_000    # disjoint supports
+    assert r_disj["n_shared_types"] == 0
+
+
+def test_tv_distance_hand_value(spark):
+    from rag_document_parser_spark.operators.corpstats import (
+        term_distribution_distance)
+    # p = {x: 3/4, y: 1/4}; q = {x: 1/4, y: 3/4} -> TV = 1/2
+    a = spark.createDataFrame([("1", "x x x y")], ["doc_id", "text"])
+    b = spark.createDataFrame([("2", "x y y y")], ["doc_id", "text"])
+    r = term_distribution_distance(a, b).collect()[0]
+    assert r["tv_e6"] == 500_000
+    assert (r["total_a"], r["total_b"]) == (4, 4)
+
+
+def test_tv_distance_empty_side_null(spark):
+    from rag_document_parser_spark.operators.corpstats import (
+        term_distribution_distance)
+    a = spark.createDataFrame([("1", "x y")], ["doc_id", "text"])
+    e = spark.createDataFrame([("2", "")], ["doc_id", "text"])
+    assert term_distribution_distance(a, e).collect()[0]["tv_e6"] is None
