@@ -5540,6 +5540,36 @@ SELECT total_a, total_b, n_types_a, n_types_b, n_shared_types,
 FROM agg CROSS JOIN tv"""
 
 
+def q_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing missing mass + bias-corrected Chao1 vocabulary
+    lower bound from the corpus frequency-of-frequencies table."""
+    from rag_document_parser_spark.operators.corpstats import (
+        vocab_richness)
+
+    return vocab_richness(_docs(spark, sf_dir))
+
+
+SQL_VOCAB_RICHNESS = f"""
+WITH tf AS (
+  SELECT term, count(*)::BIGINT AS freq FROM (
+    SELECT unnest({TOKS_SQL.format(c='text')}) AS term FROM documents) z
+  GROUP BY term
+), dist AS (
+  SELECT freq, count(*)::BIGINT AS nt FROM tf GROUP BY freq
+), agg AS (
+  SELECT coalesce(sum(freq * nt), 0)::BIGINT AS n_tokens,
+    coalesce(sum(nt), 0)::BIGINT AS n_types,
+    coalesce(sum(CASE WHEN freq = 1 THEN nt END), 0)::BIGINT AS f1,
+    coalesce(sum(CASE WHEN freq = 2 THEN nt END), 0)::BIGINT AS f2
+  FROM dist
+)
+SELECT n_tokens, n_types, f1, f2,
+  (CASE WHEN n_tokens > 0 THEN f1 * 1000000 // n_tokens END)::BIGINT
+    AS p_unseen_e6,
+  (n_types + f1 * (f1 - 1) // (2 * (f2 + 1)))::BIGINT AS chao1_est
+FROM agg"""
+
+
 _SO_K = 32
 
 
@@ -9319,6 +9349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation": q_label_propagation,
         "hll_overlap": q_hll_overlap,
         "term_drift": q_term_drift,
+        "vocab_richness": q_vocab_richness,
         "unigram_vocab": q_unigram_vocab,
         "unigram_segment": q_unigram_segment,
         "zipf_fit": q_zipf_fit,
@@ -9515,6 +9546,7 @@ def oracle_sql() -> dict[str, str]:
         "label_propagation": SQL_LABEL_PROPAGATION,
         "hll_overlap": SQL_HLL_OVERLAP,
         "term_drift": SQL_TERM_DRIFT,
+        "vocab_richness": SQL_VOCAB_RICHNESS,
         "unigram_vocab": SQL_UNIGRAM_VOCAB,
         "unigram_segment": SQL_UNIGRAM_SEGMENT,
         "zipf_fit": SQL_ZIPF_FIT,

@@ -40,7 +40,8 @@ from rag_document_parser_spark.operators.dedup import words
 
 __all__ = ["term_freqs", "zipf_points", "zipf_fit", "heaps_points",
            "source_overlap", "source_sketch", "merge_source_sketches",
-           "overlap_from_sketches", "term_distribution_distance"]
+           "overlap_from_sketches", "term_distribution_distance",
+           "vocab_richness"]
 
 # piecewise-linear base-2 log in e3 fixed point (module docstring)
 LOG2_E3 = ("((length(bin({n})) - 1) * 1000 + "
@@ -359,3 +360,41 @@ def term_distribution_distance(a: DataFrame, b: DataFrame,
                                   " div (cast(total_a as decimal(38,0))"
                                   " * 2 * total_b) as bigint)"))
                     .alias("tv_e6")))
+
+
+def vocab_richness(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Unseen-vocabulary estimators from the frequency-of-frequencies
+    table — the corpus-linguistics answer to "how much vocabulary has
+    this crawl NOT seen yet", complementing ``heaps_points``' growth
+    curve. One row: ``(n_tokens, n_types, f1, f2, p_unseen_e6,
+    chao1_est)`` where
+
+    - ``p_unseen_e6`` is the Good-Turing missing-mass estimate
+      ``f1 · 1e6 div N`` (Good 1953): the probability the next token
+      is a brand-new type;
+    - ``chao1_est`` is the bias-corrected Chao1 lower bound on total
+      vocabulary, ``V + f1·(f1−1) div (2·(f2+1))`` (Chao 1984; the
+      +1 form is defined even with no doubletons).
+
+    Exact integer throughout (f1² ≤ V² — decimal widening at ~3·10⁹
+    singleton types, far past any vocabulary). Scale shape: one term
+    count, one count-of-counts aggregate over the type-sized relation,
+    one final 1-row fold — the ``zipf_fit`` lineage discipline.
+    """
+    tf = term_freqs(df, text_col)
+    dist = tf.groupBy("freq").agg(F.count("*").cast("long").alias("nt"))
+    agg = dist.agg(
+        F.coalesce(F.sum(F.expr("freq * nt")), F.lit(0)).cast("long")
+        .alias("n_tokens"),
+        F.coalesce(F.sum("nt"), F.lit(0)).cast("long").alias("n_types"),
+        F.coalesce(F.sum(F.when(F.col("freq") == 1, F.col("nt"))),
+                   F.lit(0)).cast("long").alias("f1"),
+        F.coalesce(F.sum(F.when(F.col("freq") == 2, F.col("nt"))),
+                   F.lit(0)).cast("long").alias("f2"))
+    return agg.select(
+        "n_tokens", "n_types", "f1", "f2",
+        F.when(F.col("n_tokens") > 0,
+               F.expr("f1 * 1000000 div n_tokens"))
+        .cast("long").alias("p_unseen_e6"),
+        F.expr("n_types + f1 * (f1 - 1) div (2 * (f2 + 1))")
+        .cast("long").alias("chao1_est"))

@@ -226,3 +226,28 @@ def test_tv_distance_empty_side_null(spark):
     a = spark.createDataFrame([("1", "x y")], ["doc_id", "text"])
     e = spark.createDataFrame([("2", "")], ["doc_id", "text"])
     assert term_distribution_distance(a, e).collect()[0]["tv_e6"] is None
+
+
+# ---- vocabulary richness (Good-Turing + Chao1) --------------------------
+
+def test_vocab_richness_hand_counts(spark):
+    from rag_document_parser_spark.operators.corpstats import (
+        vocab_richness)
+    # freqs: a=3, b=2, c=1, d=1 -> N=7, V=4, f1=2, f2=1
+    df = spark.createDataFrame([("1", "a a a b b c d")],
+                               ["doc_id", "text"])
+    r = vocab_richness(df).collect()[0]
+    assert (r["n_tokens"], r["n_types"], r["f1"], r["f2"]) == (7, 4, 2, 1)
+    assert r["p_unseen_e6"] == 2 * 10**6 // 7
+    assert r["chao1_est"] == 4 + 2 * 1 // (2 * 2)   # 4 (floor)
+
+
+def test_vocab_richness_no_doubletons_defined(spark):
+    from rag_document_parser_spark.operators.corpstats import (
+        vocab_richness)
+    df = spark.createDataFrame([("1", "p q r")], ["doc_id", "text"])
+    r = vocab_richness(df).collect()[0]
+    # all singletons: f2=0, the +1 correction keeps Chao1 finite
+    assert (r["f1"], r["f2"]) == (3, 0)
+    assert r["chao1_est"] == 3 + 3 * 2 // 2
+    assert r["p_unseen_e6"] == 1_000_000
