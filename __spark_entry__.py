@@ -5540,6 +5540,34 @@ SELECT total_a, total_b, n_types_a, n_types_b, n_shared_types,
 FROM agg CROSS JOIN tv"""
 
 
+def q_source_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz source-concentration card: sources ranked by token mass
+    with fixed-point shares and cumulative shares."""
+    from rag_document_parser_spark.reporting import source_concentration
+
+    return source_concentration(_docs(spark, sf_dir))
+
+
+SQL_SOURCE_CONCENTRATION = f"""
+WITH per AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+    sum(len({TOKS_SQL.format(c='text')}))::BIGINT AS tokens
+  FROM documents GROUP BY source
+), r AS (
+  SELECT row_number() OVER (ORDER BY tokens DESC, source ASC)::BIGINT
+           AS rank,
+    source, n_docs, tokens,
+    sum(tokens) OVER (ORDER BY tokens DESC, source ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+    sum(tokens) OVER () AS tot
+  FROM per
+)
+SELECT rank, source, n_docs, tokens,
+  (tokens * 1000000 // nullif(tot, 0))::BIGINT AS share_e6,
+  (cum * 1000000 // nullif(tot, 0))::BIGINT AS cum_share_e6
+FROM r"""
+
+
 def q_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Good-Turing missing mass + bias-corrected Chao1 vocabulary
     lower bound from the corpus frequency-of-frequencies table."""
@@ -9350,6 +9378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_overlap": q_hll_overlap,
         "term_drift": q_term_drift,
         "vocab_richness": q_vocab_richness,
+        "source_concentration": q_source_concentration,
         "unigram_vocab": q_unigram_vocab,
         "unigram_segment": q_unigram_segment,
         "zipf_fit": q_zipf_fit,
@@ -9547,6 +9576,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_overlap": SQL_HLL_OVERLAP,
         "term_drift": SQL_TERM_DRIFT,
         "vocab_richness": SQL_VOCAB_RICHNESS,
+        "source_concentration": SQL_SOURCE_CONCENTRATION,
         "unigram_vocab": SQL_UNIGRAM_VOCAB,
         "unigram_segment": SQL_UNIGRAM_SEGMENT,
         "zipf_fit": SQL_ZIPF_FIT,

@@ -254,3 +254,41 @@ def snapshot_drift(old: DataFrame, new: DataFrame,
         F.col("new_value").cast("long").alias("new_value"),
         (F.col("new_value") - F.col("old_value")).cast("long")
         .alias("delta"))
+
+
+def source_concentration(docs: DataFrame, text_col: str = "text",
+                         source_col: str = "source") -> DataFrame:
+    """Lorenz-style source-concentration card: one row per source,
+    ranked by token mass — ``(rank, source, n_docs, tokens, share_e6,
+    cum_share_e6)`` — the "top 10 domains hold 60% of the corpus"
+    number every corpus datasheet reports (and the first thing a
+    mixture designer checks before reweighting).
+
+    Deterministic rank: token mass desc, source asc on ties. Scale
+    shape: one map-side-combinable aggregate to the per-source
+    relation (sources ≪ corpus), then one window over that small
+    relation — the corpus itself never sorts.
+    """
+    from rag_document_parser_spark.operators.dedup import words
+
+    per = (docs.select(F.col(source_col).alias("source"),
+                       F.size(words(F.col(text_col))).cast("long")
+                       .alias("_nw"))
+           .groupBy("source")
+           .agg(F.count("*").cast("long").alias("n_docs"),
+                F.sum("_nw").cast("long").alias("tokens")))
+    from pyspark.sql import Window
+    w = Window.orderBy(F.col("tokens").desc(), F.col("source").asc())
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    return (per.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "source", "n_docs", "tokens",
+        F.sum("tokens").over(wc).alias("_cum"),
+        F.sum("tokens").over(wall).alias("_tot"))
+        .select("rank", "source", "n_docs", "tokens",
+                F.expr("tokens * 1000000 div nullif(_tot, 0)")
+                .cast("long").alias("share_e6"),
+                F.expr("_cum * 1000000 div nullif(_tot, 0)")
+                .cast("long").alias("cum_share_e6")))

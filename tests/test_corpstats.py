@@ -251,3 +251,22 @@ def test_vocab_richness_no_doubletons_defined(spark):
     assert (r["f1"], r["f2"]) == (3, 0)
     assert r["chao1_est"] == 3 + 3 * 2 // 2
     assert r["p_unseen_e6"] == 1_000_000
+
+
+# ---- Lorenz source concentration ----------------------------------------
+
+def test_source_concentration_ranks_and_cumulates(spark):
+    from rag_document_parser_spark.reporting import source_concentration
+    df = spark.createDataFrame(
+        [("1", "big", "a b c d e f"),        # 6 tokens
+         ("2", "big", "g h i j"),            # big total: 10
+         ("3", "mid", "k l m n o"),          # 5
+         ("4", "tiny", "p q r s t")],        # 5 -> tie by name: mid<tiny
+        ["doc_id", "source", "text"])
+    rows = [(r["rank"], r["source"], r["tokens"], r["share_e6"],
+             r["cum_share_e6"])
+            for r in source_concentration(df).orderBy("rank").collect()]
+    assert rows == [
+        (1, "big", 10, 500_000, 500_000),
+        (2, "mid", 5, 250_000, 750_000),
+        (3, "tiny", 5, 250_000, 1_000_000)]
