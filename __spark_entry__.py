@@ -5018,6 +5018,53 @@ SELECT u.id::BIGINT AS id, u.domain, u.path,
 FROM u LEFT JOIN (SELECT * FROM cand WHERE rk = 1) c USING (id)"""
 
 
+def q_robots_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-politeness metadata parsed from synthesized robots.txt
+    bodies: star-group Crawl-delay (first wins, fractional seconds to
+    exact ms) and group-independent Sitemap lines in file order."""
+    from rag_document_parser_spark.operators.robots import (
+        robots_crawl_meta)
+
+    doms = (_docs(spark, sf_dir)
+            .select((F.col("doc_id") % 20).alias("d")).distinct())
+    robots = doms.select(
+        F.concat(F.lit("site"), F.col("d").cast("string"),
+                 F.lit(".example")).alias("domain"),
+        F.concat(
+            F.when(F.col("d") % 2 == 0,
+                   F.concat(F.lit("Sitemap: https://site"),
+                            F.col("d").cast("string"),
+                            F.lit(".example/sm.xml\n")))
+            .otherwise(F.lit("")),
+            F.lit("User-agent: googlebot\nCrawl-delay: 9\n"
+                  "User-agent: *\n"),
+            F.when(F.col("d") % 3 == 0,
+                   F.concat(F.lit("Crawl-delay: "),
+                            (F.col("d") % 5).cast("string"),
+                            F.lit("."),
+                            (F.col("d") % 10).cast("string"),
+                            F.lit("\n")))
+            .otherwise(F.lit("")),
+            F.lit("Disallow: /x\n")).alias("body"))
+    out = robots_crawl_meta(robots)
+    return out.select("domain", "crawl_delay_ms",
+                      F.expr("array_join(sitemaps, '|')").alias("sitemaps"))
+
+
+SQL_ROBOTS_META = """
+WITH doms AS (
+  SELECT DISTINCT doc_id % 20 AS d FROM documents
+)
+SELECT 'site' || d::VARCHAR || '.example' AS domain,
+  (CASE WHEN d % 3 = 0
+        THEN (d % 5) * 1000 + (d % 10) * 100 END)::BIGINT
+    AS crawl_delay_ms,
+  (CASE WHEN d % 2 = 0
+        THEN 'https://site' || d::VARCHAR || '.example/sm.xml'
+        ELSE '' END) AS sitemaps
+FROM doms"""
+
+
 def q_strand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STRAND cross-language URL pairing (Resnik & Smith 2003): docs
     whose synthesized URLs differ only in the language path segment
@@ -9379,6 +9426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_drift": q_term_drift,
         "vocab_richness": q_vocab_richness,
         "source_concentration": q_source_concentration,
+        "robots_meta": q_robots_meta,
         "unigram_vocab": q_unigram_vocab,
         "unigram_segment": q_unigram_segment,
         "zipf_fit": q_zipf_fit,
@@ -9577,6 +9625,7 @@ def oracle_sql() -> dict[str, str]:
         "term_drift": SQL_TERM_DRIFT,
         "vocab_richness": SQL_VOCAB_RICHNESS,
         "source_concentration": SQL_SOURCE_CONCENTRATION,
+        "robots_meta": SQL_ROBOTS_META,
         "unigram_vocab": SQL_UNIGRAM_VOCAB,
         "unigram_segment": SQL_UNIGRAM_SEGMENT,
         "zipf_fit": SQL_ZIPF_FIT,
