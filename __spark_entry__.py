@@ -7484,6 +7484,50 @@ SELECT doc_id, shard::BIGINT AS shard,
 FROM h"""
 
 
+def q_order_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-order certificate: per-shard xor digest of
+    md5(doc_id:pos) over the deterministic global shuffle — order-
+    sensitive through the bound position, order-free to aggregate."""
+    from rag_document_parser_spark.operators import sampling as SAM
+    from rag_document_parser_spark.operators.integrity import (
+        order_certificate)
+
+    out = SAM.global_shuffle(_docs(spark, sf_dir), n_shards=_GS_SHARDS,
+                             salt=_GS_SALT)
+    cert = order_certificate(out)
+    return cert.select(F.col("shard").cast("long"), "n_rows",
+                       "order_digest")
+
+
+SQL_ORDER_CERT = f"""
+WITH gs AS ({SQL_GLOBAL_SHUFFLE}
+)
+SELECT shard, count(*)::BIGINT AS n_rows,
+  bit_xor(('0x' || substring(md5(doc_id::VARCHAR || ':'
+                             || pos::VARCHAR), 1, 15))::BIGINT)::BIGINT
+    AS order_digest
+FROM gs GROUP BY shard"""
+
+
+def q_classifier_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Brier score of the language classifier's confidence
+    against correctness — the proper scoring rule beside ECE and
+    AUC."""
+    from rag_document_parser_spark.operators import calibration as CAL
+    return CAL.brier_score(_classified_with_truth(spark, sf_dir))
+
+
+def _sql_classifier_brier() -> str:
+    inner = SQL_CLASSIFY_LANG
+    return "WITH " + _CAL_TRUTH_SQL.format(inner=inner) + """
+SELECT count(*)::BIGINT AS n_items,
+  (CASE WHEN count(*) > 0
+        THEN sum((score_e6 - correct::INT * 1000000)::HUGEINT
+                 * (score_e6 - correct::INT * 1000000))
+             // (count(*)::HUGEINT * 1000000) END)::BIGINT AS brier_e6
+FROM c"""
+
+
 def q_chat_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SFT chat-record offsets (operators/posttrain.py chat_offsets):
     per-turn character intervals + assistant loss-mask flags inside the
@@ -9427,6 +9471,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_richness": q_vocab_richness,
         "source_concentration": q_source_concentration,
         "robots_meta": q_robots_meta,
+        "order_cert": q_order_cert,
+        "classifier_brier": q_classifier_brier,
         "unigram_vocab": q_unigram_vocab,
         "unigram_segment": q_unigram_segment,
         "zipf_fit": q_zipf_fit,
@@ -9626,6 +9672,8 @@ def oracle_sql() -> dict[str, str]:
         "vocab_richness": SQL_VOCAB_RICHNESS,
         "source_concentration": SQL_SOURCE_CONCENTRATION,
         "robots_meta": SQL_ROBOTS_META,
+        "order_cert": SQL_ORDER_CERT,
+        "classifier_brier": _sql_classifier_brier(),
         "unigram_vocab": SQL_UNIGRAM_VOCAB,
         "unigram_segment": SQL_UNIGRAM_SEGMENT,
         "zipf_fit": SQL_ZIPF_FIT,

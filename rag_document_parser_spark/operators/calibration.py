@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 __all__ = ["reliability_bins", "expected_calibration_error",
            "retention_curve",
-           "roc_auc"]
+           "brier_score", "roc_auc"]
 
 
 def _binned(df: DataFrame, score_col: str, n_bins: int) -> DataFrame:
@@ -173,3 +173,26 @@ def roc_auc(df: DataFrame, score_col: str = "score_e6",
                       " div (cast(n_pos as decimal(38,0)) * 2 * n_neg)"
                       " as bigint)"))
         .alias("auc_e6"))
+
+
+def brier_score(df: DataFrame, score_col: str = "score_e6",
+                label_col: str = "correct") -> DataFrame:
+    """Exact Brier score (Brier 1950): the mean squared gap between
+    the claimed probability and the 0/1 outcome — the proper scoring
+    rule beside ECE's binned gaps and AUC's ranking. One row:
+    ``(n_items, brier_e6)`` with ``brier_e6 = Σ(s − l)² div (n·1e6)``
+    over e6-scaled scores and labels (0 = perfectly sharp and right,
+    1e6 = confidently wrong everywhere). Squared e6 terms widen to
+    decimal(38,0) — exact past 10¹² items. Empty input yields NULL.
+    """
+    d = df.select(
+        (F.col(score_col).cast("long")
+         - F.col(label_col).cast("long") * 1_000_000).alias("_g"))
+    return (d.agg(F.count("*").cast("long").alias("n_items"),
+                  F.sum(F.expr("cast(_g as decimal(38,0)) * _g"))
+                  .alias("_s"))
+            .select("n_items",
+                    F.when(F.col("n_items") > 0, F.expr(
+                        "cast(_s div (cast(n_items as decimal(38,0))"
+                        " * 1000000) as bigint)"))
+                    .alias("brier_e6")))

@@ -34,7 +34,7 @@ from functools import reduce
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["leaf_checksums", "merkle_tree", "merkle_root"]
+__all__ = ["leaf_checksums", "merkle_tree", "merkle_root", "order_certificate"]
 
 
 def _u60(col):
@@ -103,3 +103,30 @@ def merkle_root(df: DataFrame, id_col: str = "doc_id",
     return (tree.where(F.col("level") == 0)
             .select(F.lit(n_buckets).cast("long").alias("n_buckets"),
                     F.col("node_hash").alias("root_hash")))
+
+
+def order_certificate(shuffled: DataFrame, key_col: str = "doc_id",
+                      shard_col: str = "shard",
+                      pos_col: str = "pos") -> DataFrame:
+    """Training-ORDER certificate over a ``sampling.global_shuffle``
+    output: one digest per shard that changes if any example moves,
+    joins, or leaves its position — the order-sensitive companion to
+    the content-only Merkle rollup (two materializations of a training
+    run must deliver byte-identical ORDER, not just the same set).
+
+    Each row contributes ``md5_60bit(key ':' pos)`` and the shard
+    digest is the ``bit_xor`` fold — order-SENSITIVE through the bound
+    position (a swap changes both terms), yet the aggregate itself is
+    commutative and map-side combinable, so no task ever sorts and the
+    certificate is reproducible on any partitioning. Output:
+    ``(shard, n_rows, order_digest)``.
+    """
+    from rag_document_parser_spark.operators.dedup import _md5_long
+
+    h = _md5_long(F.concat(F.col(key_col).cast("string"), F.lit(":"),
+                           F.col(pos_col).cast("string")))
+    return (shuffled.select(F.col(shard_col).alias("shard"),
+                            h.alias("_h"))
+            .groupBy("shard")
+            .agg(F.count("*").cast("long").alias("n_rows"),
+                 F.bit_xor("_h").cast("long").alias("order_digest")))

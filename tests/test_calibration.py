@@ -147,3 +147,17 @@ def test_auc_randomized_matches_pairwise_twin(spark):
     df = spark.createDataFrame(pairs, "score_e6 long, correct boolean")
     assert roc_auc(df.repartition(7)).collect()[0]["auc_e6"] == \
         _py_auc(pairs)
+
+
+def test_brier_hand_values(spark):
+    from rag_document_parser_spark.operators.calibration import (
+        brier_score)
+    rows = [(1_000_000, True), (0, False)]       # perfect: 0
+    df = spark.createDataFrame(rows, "score_e6 long, correct boolean")
+    assert brier_score(df).collect()[0]["brier_e6"] == 0
+    rows = [(1_000_000, False), (0, True)]       # maximally wrong: 1e6
+    df = spark.createDataFrame(rows, "score_e6 long, correct boolean")
+    assert brier_score(df).collect()[0]["brier_e6"] == 1_000_000
+    rows = [(500_000, True), (500_000, False)]   # hedged: 0.25
+    df = spark.createDataFrame(rows, "score_e6 long, correct boolean")
+    assert brier_score(df).collect()[0]["brier_e6"] == 250_000

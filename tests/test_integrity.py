@@ -99,3 +99,30 @@ def test_corpus_scale_plan_is_one_aggregate(spark, corpus):
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert plan.index("Exchange") < plan.index("partial_bit_xor"), plan
+
+
+# ---- training-order certificate -----------------------------------------
+
+def test_order_certificate_detects_swaps(spark):
+    from rag_document_parser_spark.operators.integrity import (
+        order_certificate)
+    base = spark.createDataFrame(
+        [(f"d{i}", i % 3, i // 3) for i in range(12)],
+        "doc_id string, shard int, pos int")
+    a = {r["shard"]: (r["n_rows"], r["order_digest"])
+         for r in order_certificate(base).collect()}
+    # same rows, two positions swapped inside shard 0
+    swapped = spark.createDataFrame(
+        [(f"d{i}",
+          i % 3,
+          (3 if i == 0 else 0 if i == 3 else i // 3))
+         for i in range(12)],
+        "doc_id string, shard int, pos int")
+    b = {r["shard"]: (r["n_rows"], r["order_digest"])
+         for r in order_certificate(swapped).collect()}
+    assert a[0] != b[0]                     # order change -> new digest
+    assert a[1] == b[1] and a[2] == b[2]    # untouched shards agree
+    # re-materialization on another partitioning certifies identical
+    c = {r["shard"]: (r["n_rows"], r["order_digest"])
+         for r in order_certificate(base.repartition(7)).collect()}
+    assert a == c
