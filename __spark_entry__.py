@@ -5615,6 +5615,35 @@ SELECT rank, source, n_docs, tokens,
 FROM r"""
 
 
+def q_source_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl token-mass concentration across sources plus the
+    equivalent even-source count."""
+    from rag_document_parser_spark.reporting import source_hhi
+
+    return source_hhi(_docs(spark, sf_dir))
+
+
+SQL_SOURCE_HHI = f"""
+WITH per AS (
+  SELECT source, sum(len({TOKS_SQL.format(c='text')}))::BIGINT AS t
+  FROM documents GROUP BY source
+), agg AS (
+  SELECT count(*)::BIGINT AS n_sources,
+    coalesce(sum(t), 0)::BIGINT AS total_tokens,
+    sum(t::HUGEINT * t) AS sq
+  FROM per
+)
+SELECT n_sources, total_tokens,
+  (CASE WHEN total_tokens > 0
+        THEN sq * 1000000 // (total_tokens::HUGEINT * total_tokens)
+   END)::BIGINT AS hhi_e6,
+  (CASE WHEN total_tokens > 0
+        THEN 1000000000 // nullif(sq * 1000000
+             // (total_tokens::HUGEINT * total_tokens), 0) END)::BIGINT
+    AS effective_sources_e3
+FROM agg"""
+
+
 def q_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Good-Turing missing mass + bias-corrected Chao1 vocabulary
     lower bound from the corpus frequency-of-frequencies table."""
@@ -9473,6 +9502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_meta": q_robots_meta,
         "order_cert": q_order_cert,
         "classifier_brier": q_classifier_brier,
+        "source_hhi": q_source_hhi,
         "unigram_vocab": q_unigram_vocab,
         "unigram_segment": q_unigram_segment,
         "zipf_fit": q_zipf_fit,
@@ -9674,6 +9704,7 @@ def oracle_sql() -> dict[str, str]:
         "robots_meta": SQL_ROBOTS_META,
         "order_cert": SQL_ORDER_CERT,
         "classifier_brier": _sql_classifier_brier(),
+        "source_hhi": SQL_SOURCE_HHI,
         "unigram_vocab": SQL_UNIGRAM_VOCAB,
         "unigram_segment": SQL_UNIGRAM_SEGMENT,
         "zipf_fit": SQL_ZIPF_FIT,

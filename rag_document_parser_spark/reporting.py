@@ -292,3 +292,38 @@ def source_concentration(docs: DataFrame, text_col: str = "text",
                 .cast("long").alias("share_e6"),
                 F.expr("_cum * 1000000 div nullif(_tot, 0)")
                 .cast("long").alias("cum_share_e6")))
+
+
+def source_hhi(docs: DataFrame, text_col: str = "text",
+               source_col: str = "source") -> DataFrame:
+    """Herfindahl-Hirschman concentration of token mass across
+    sources — the one-number companion to ``source_concentration``'s
+    Lorenz rows: ``HHI = Σ_s share_s²``, 1e6 when one source holds
+    everything, 1e6/n under a perfectly even n-source split. One row:
+    ``(n_sources, total_tokens, hhi_e6, effective_sources_e3)`` where
+    ``effective_sources_e3 = 1e9 div hhi_e6`` is the equivalent count
+    of equal sources (×1000).
+
+    Exact integer: ``hhi_e6 = Σ tokens_s² · 1e6 div (Σ tokens)²``
+    with squares in decimal(38,0) (exact past 10¹⁵ tokens/source).
+    One per-source aggregate, one 1-row fold. Empty corpus → NULLs.
+    """
+    from rag_document_parser_spark.operators.dedup import words
+
+    per = (docs.select(F.col(source_col).alias("source"),
+                       F.size(words(F.col(text_col))).cast("long")
+                       .alias("_nw"))
+           .groupBy("source").agg(F.sum("_nw").alias("_t")))
+    agg = per.agg(
+        F.count("*").cast("long").alias("n_sources"),
+        F.coalesce(F.sum("_t"), F.lit(0)).cast("long")
+        .alias("total_tokens"),
+        F.sum(F.expr("cast(_t as decimal(38,0)) * _t")).alias("_sq"))
+    return agg.select(
+        "n_sources", "total_tokens",
+        F.when(F.col("total_tokens") > 0, F.expr(
+            "cast(_sq * 1000000 div (cast(total_tokens as decimal(38,0))"
+            " * total_tokens) as bigint)")).alias("hhi_e6")
+    ).withColumn(
+        "effective_sources_e3",
+        F.expr("1000000000 div nullif(hhi_e6, 0)").cast("long"))

@@ -270,3 +270,19 @@ def test_source_concentration_ranks_and_cumulates(spark):
         (1, "big", 10, 500_000, 500_000),
         (2, "mid", 5, 250_000, 750_000),
         (3, "tiny", 5, 250_000, 1_000_000)]
+
+
+def test_source_hhi_even_vs_concentrated(spark):
+    from rag_document_parser_spark.reporting import source_hhi
+    even = spark.createDataFrame(
+        [("1", "a", "w x"), ("2", "b", "y z")],
+        ["doc_id", "source", "text"])
+    r = source_hhi(even).collect()[0]
+    assert r["hhi_e6"] == 500_000               # two equal sources
+    assert r["effective_sources_e3"] == 2_000
+    conc = spark.createDataFrame(
+        [("1", "a", "w x y z v u"), ("2", "b", "q")],
+        ["doc_id", "source", "text"])
+    r2 = source_hhi(conc).collect()[0]
+    # shares 6/7 and 1/7: HHI = (36+1)*1e6 // 49
+    assert r2["hhi_e6"] == 37 * 10**6 // 49
