@@ -5615,6 +5615,50 @@ SELECT rank, source, n_docs, tokens,
 FROM r"""
 
 
+def q_temporal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal metadata over documents with deterministically planted
+    date mentions: ISO-date counts and the min/max year span per doc
+    — the cutoff-aware curation signal."""
+    from rag_document_parser_spark.operators.textstats import (
+        temporal_metadata)
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    planted = docs.select(
+        "doc_id",
+        F.expr("concat(text, ' published 20', lpad(cast(doc_id % 30"
+               " as string), 2, '0'), '-0', cast(doc_id % 9 + 1"
+               " as string), '-1', cast(doc_id % 9 as string),"
+               " ' archived 19', lpad(cast(doc_id % 100 as string),"
+               " 2, '0'))").alias("text"))
+    out = temporal_metadata(planted)
+    return out.select(F.col("id").cast("long"), "n_iso_dates",
+                      "n_years", "min_year", "max_year")
+
+
+SQL_TEMPORAL_META = r"""
+WITH planted AS (
+  SELECT doc_id,
+    text || ' published 20' || lpad((doc_id % 30)::VARCHAR, 2, '0')
+      || '-0' || (doc_id % 9 + 1)::VARCHAR
+      || '-1' || (doc_id % 9)::VARCHAR
+      || ' archived 19' || lpad((doc_id % 100)::VARCHAR, 2, '0') AS t
+  FROM documents
+), m AS (
+  SELECT doc_id,
+    len(regexp_extract_all(t,
+      '\b(19|20)[0-9]{2}-(0[1-9]|1[0-2])-(0[1-9]|[12][0-9]|3[01])\b',
+      0))::BIGINT AS n_iso_dates,
+    list_transform(regexp_extract_all(t, '\b(19|20)[0-9]{2}\b', 0),
+                   y -> y::INT) AS ys
+  FROM planted
+)
+SELECT doc_id::BIGINT AS id, n_iso_dates,
+  len(ys)::BIGINT AS n_years,
+  list_min(ys)::BIGINT AS min_year,
+  list_max(ys)::BIGINT AS max_year
+FROM m"""
+
+
 def q_source_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Herfindahl token-mass concentration across sources plus the
     equivalent even-source count."""
@@ -9503,6 +9547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_cert": q_order_cert,
         "classifier_brier": q_classifier_brier,
         "source_hhi": q_source_hhi,
+        "temporal_meta": q_temporal_meta,
         "unigram_vocab": q_unigram_vocab,
         "unigram_segment": q_unigram_segment,
         "zipf_fit": q_zipf_fit,
@@ -9705,6 +9750,7 @@ def oracle_sql() -> dict[str, str]:
         "order_cert": SQL_ORDER_CERT,
         "classifier_brier": _sql_classifier_brier(),
         "source_hhi": SQL_SOURCE_HHI,
+        "temporal_meta": SQL_TEMPORAL_META,
         "unigram_vocab": SQL_UNIGRAM_VOCAB,
         "unigram_segment": SQL_UNIGRAM_SEGMENT,
         "zipf_fit": SQL_ZIPF_FIT,

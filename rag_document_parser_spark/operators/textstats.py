@@ -780,3 +780,37 @@ def tokenizer_fertility(docs: DataFrame, segmented: DataFrame,
         .alias("fertility_e3"),
         F.expr("total_chars * 1000 div greatest(total_subwords, 1)")
         .alias("chars_per_subword_e3"))
+
+
+# RE2-safe date patterns, shared verbatim with the DuckDB oracle:
+# ISO dates and standalone years 1900-2099 (word-bounded)
+ISO_DATE_RE = r"\b(19|20)[0-9]{2}-(0[1-9]|1[0-2])-(0[1-9]|[12][0-9]|3[01])\b"
+YEAR_RE = r"\b(19|20)[0-9]{2}\b"
+
+
+def temporal_metadata(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Temporal signals for cutoff-aware curation: how many ISO dates
+    a document cites and the span of years it mentions — the metadata
+    a training-cutoff filter keys on ("drop documents that reference
+    years past the cutoff", leakage screening for time-split evals).
+    One row per doc: ``(id, n_iso_dates, n_years, min_year, max_year)``
+    — year columns NULL when nothing matches.
+
+    Patterns are word-bounded RE2-safe literals shared with the
+    oracle; years are the 1900-2099 window (a bare number like 1850 or
+    2500 is far more often a quantity than a date — the documented
+    trade). Row-local projection: two ``regexp_extract_all`` passes +
+    array folds inside codegen, zero shuffles.
+    """
+    years = F.expr(
+        f"transform(regexp_extract_all({text_col}, r'{YEAR_RE}', 0),"
+        " y -> cast(y as int))")
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.expr(f"size(regexp_extract_all({text_col},"
+               f" r'{ISO_DATE_RE}', 0))").cast("long")
+        .alias("n_iso_dates"),
+        F.size(years).cast("long").alias("n_years"),
+        F.array_min(years).cast("long").alias("min_year"),
+        F.array_max(years).cast("long").alias("max_year"))

@@ -416,3 +416,26 @@ def test_term_blocklist_zero_exchange(spark):
     plan = (term_blocklist(df, ["badx"])
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan, plan
+
+
+# ---- temporal metadata (cutoff-aware curation signal) -------------------
+
+def test_temporal_metadata_extraction(spark):
+    from rag_document_parser_spark.operators.textstats import (
+        temporal_metadata)
+    rows = [
+        (1, "released 2023-05-17, updated 2024-01-01, see also 1999"),
+        (2, "no dates at all here"),
+        (3, "year 2150 and 1850 are out of window; 2000 is in"),
+        (4, "2023-13-01 is not a date but 2023 is a year"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["id"]: (r["n_iso_dates"], r["n_years"],
+                     r["min_year"], r["max_year"])
+           for r in temporal_metadata(df).collect()}
+    assert got[1] == (2, 3, 1999, 2024)
+    assert got[2] == (0, 0, None, None)
+    assert got[3] == (0, 1, 2000, 2000)     # 2150/1850 out of window
+    # invalid month: no ISO date, but BOTH '2023' tokens count as
+    # years (the \b boundary sits before the hyphen)
+    assert got[4] == (0, 2, 2023, 2023)
