@@ -5615,6 +5615,41 @@ SELECT rank, source, n_docs, tokens,
 FROM r"""
 
 
+def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-length burstiness (mean absolute deviation, exact
+    common-denominator integers) — the flat-prose/machine-text
+    heuristic — over the documents corpus."""
+    from rag_document_parser_spark.operators.sentences import (
+        sentence_burstiness)
+
+    out = sentence_burstiness(_docs(spark, sf_dir))
+    return out.select(F.col("id").cast("long"), "n_sentences",
+                      "mean_len_e3", "mad_e3")
+
+
+SQL_BURSTINESS = r"""
+WITH s AS (
+  SELECT doc_id,
+    list_filter(string_split(regexp_replace(text,
+      '([.!?])\s+', '\1' || chr(1), 'g'), chr(1)), x -> x <> '')
+      AS sents
+  FROM documents
+), l AS (
+  SELECT doc_id, list_transform(sents, x -> length(x)::BIGINT) AS ls
+  FROM s
+), a AS (
+  SELECT doc_id, ls, len(ls)::BIGINT AS n,
+    coalesce(list_sum(ls), 0)::BIGINT AS sm
+  FROM l
+)
+SELECT doc_id::BIGINT AS id, n AS n_sentences,
+  (CASE WHEN n > 0 THEN sm * 1000 // n END)::BIGINT AS mean_len_e3,
+  (CASE WHEN n > 0 THEN
+     list_sum(list_transform(ls, x -> abs(x * n - sm))) * 1000
+     // (n * n) END)::BIGINT AS mad_e3
+FROM a"""
+
+
 def q_temporal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal metadata over documents with deterministically planted
     date mentions: ISO-date counts and the min/max year span per doc
@@ -9548,6 +9583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_brier": q_classifier_brier,
         "source_hhi": q_source_hhi,
         "temporal_meta": q_temporal_meta,
+        "burstiness": q_burstiness,
         "unigram_vocab": q_unigram_vocab,
         "unigram_segment": q_unigram_segment,
         "zipf_fit": q_zipf_fit,
@@ -9751,6 +9787,7 @@ def oracle_sql() -> dict[str, str]:
         "classifier_brier": _sql_classifier_brier(),
         "source_hhi": SQL_SOURCE_HHI,
         "temporal_meta": SQL_TEMPORAL_META,
+        "burstiness": SQL_BURSTINESS,
         "unigram_vocab": SQL_UNIGRAM_VOCAB,
         "unigram_segment": SQL_UNIGRAM_SEGMENT,
         "zipf_fit": SQL_ZIPF_FIT,

@@ -29,7 +29,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 from rag_document_parser_spark.operators.dedup import paragraph_dedup
 
 __all__ = ["SENT_BOUNDARY", "sentence_chunks", "sentence_dedup",
-           "sentences_expr", "split_sentences"]
+           "sentences_expr", "split_sentences", "sentence_burstiness"]
 
 # RE2-safe boundary pattern, shared with the oracle. Replacement
 # syntax is engine-specific ($1 Java / \1 RE2) — callers building SQL
@@ -196,3 +196,37 @@ def sentence_chunks(df: DataFrame, max_tokens: int = 128,
         .alias("n_tok"),
         F.array_join(F.slice("_s", F.col("z.b"), ln), " ")
         .alias("chunk_text"))
+
+
+def sentence_burstiness(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Sentence-length burstiness: mean absolute deviation of a
+    document's sentence char-lengths — the classic machine-text
+    heuristic (human prose alternates long and short sentences;
+    template and LLM-generated text runs flat). One row per doc:
+    ``(id, n_sentences, mean_len_e3, mad_e3)`` in e3 fixed point;
+    NULL stats for sentence-less docs.
+
+    Exact integer without a float mean: ``mad = Σ|l_i·n − S| div n²``
+    over the common denominator (l·n ≤ chars·sentences — decimal-safe
+    far past any document). Row-local: split, length transform, and
+    the fold all inside codegen, zero shuffles.
+    """
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        sentences_expr(F.col(text_col)).alias("_s"))
+    staged = staged.select(
+        "id", F.expr("transform(_s, s -> length(s))").alias("_l"))
+    staged = staged.select(
+        "id", "_l", F.size("_l").cast("long").alias("n_sentences"),
+        F.expr("aggregate(_l, 0L, (a, x) -> a + x)").alias("_sum"))
+    return staged.select(
+        "id", "n_sentences",
+        F.when(F.col("n_sentences") > 0,
+               F.expr("_sum * 1000 div n_sentences")).cast("long")
+        .alias("mean_len_e3"),
+        F.when(F.col("n_sentences") > 0, F.expr(
+            "aggregate(_l, 0L, (a, x) ->"
+            " a + abs(x * n_sentences - _sum)) * 1000"
+            " div (n_sentences * n_sentences)")).cast("long")
+        .alias("mad_e3"))

@@ -147,3 +147,26 @@ def test_sentence_chunks_zero_exchange_plan(spark):
     plan = sentence_chunks(df, max_tokens=4)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ---- sentence-length burstiness -----------------------------------------
+
+def test_burstiness_flat_vs_bursty(spark):
+    from rag_document_parser_spark.operators.sentences import (
+        sentence_burstiness)
+    rows = [
+        (1, "aaaa. bbbb. cccc."),                 # flat: equal lengths
+        (2, "a. bbbbbbbbbbbbbbbb. cc."),           # bursty
+        (3, ""),                                   # no sentences
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["id"]: (r["n_sentences"], r["mean_len_e3"], r["mad_e3"])
+           for r in sentence_burstiness(df).collect()}
+    # doc1 sentences: 'aaaa.', 'bbbb.', 'cccc.' -> lengths 5,5,5
+    assert got[1] == (3, 5_000, 0)
+    n2, mean2, mad2 = got[2]
+    assert n2 == 3 and mad2 > 0
+    # hand value: lengths 2,17,3 -> S=22, sum|li*3-22| = 16+29+13 = 58
+    assert mean2 == 22_000 // 3
+    assert mad2 == 58 * 1000 // 9
+    assert got[3] == (0, None, None)
