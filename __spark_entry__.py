@@ -5615,6 +5615,39 @@ SELECT rank, source, n_docs, tokens,
 FROM r"""
 
 
+_MSTTR_W = 25
+
+
+def q_msttr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean segmental type-token ratio over 25-token windows — the
+    length-robust lexical-diversity card."""
+    from rag_document_parser_spark.operators.textstats import msttr
+
+    out = msttr(_docs(spark, sf_dir), w=_MSTTR_W)
+    return out.select(F.col("id").cast("long"), "n_windows", "msttr_e6")
+
+
+SQL_MSTTR = f"""
+WITH tk AS (
+  SELECT doc_id, {TOKS_SQL.format(c='text')} AS t FROM documents
+), wn AS (
+  SELECT doc_id, t, len(t) // {_MSTTR_W} AS nw FROM tk
+), ex AS (
+  SELECT doc_id, nw, unnest(range(0, nw)) AS i FROM wn WHERE nw >= 1
+), tc AS (
+  SELECT doc_id,
+    sum(len(list_distinct(list_slice(wn.t, i * {_MSTTR_W} + 1,
+                                     (i + 1) * {_MSTTR_W}))))::BIGINT
+      AS types
+  FROM ex JOIN wn USING (doc_id) GROUP BY doc_id
+)
+SELECT w.doc_id::BIGINT AS id, w.nw::BIGINT AS n_windows,
+  (CASE WHEN w.nw > 0
+        THEN tc.types * 1000000 // (w.nw * {_MSTTR_W}) END)::BIGINT
+    AS msttr_e6
+FROM wn w LEFT JOIN tc ON tc.doc_id = w.doc_id"""
+
+
 def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sentence-length burstiness (mean absolute deviation, exact
     common-denominator integers) — the flat-prose/machine-text
@@ -9584,6 +9617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_hhi": q_source_hhi,
         "temporal_meta": q_temporal_meta,
         "burstiness": q_burstiness,
+        "msttr": q_msttr,
         "unigram_vocab": q_unigram_vocab,
         "unigram_segment": q_unigram_segment,
         "zipf_fit": q_zipf_fit,
@@ -9788,6 +9822,7 @@ def oracle_sql() -> dict[str, str]:
         "source_hhi": SQL_SOURCE_HHI,
         "temporal_meta": SQL_TEMPORAL_META,
         "burstiness": SQL_BURSTINESS,
+        "msttr": SQL_MSTTR,
         "unigram_vocab": SQL_UNIGRAM_VOCAB,
         "unigram_segment": SQL_UNIGRAM_SEGMENT,
         "zipf_fit": SQL_ZIPF_FIT,

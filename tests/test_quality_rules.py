@@ -439,3 +439,18 @@ def test_temporal_metadata_extraction(spark):
     # invalid month: no ISO date, but BOTH '2023' tokens count as
     # years (the \b boundary sits before the hyphen)
     assert got[4] == (0, 2, 2023, 2023)
+
+
+def test_msttr_diverse_vs_repetitive(spark):
+    from rag_document_parser_spark.operators.textstats import msttr
+    diverse = " ".join(f"w{i}" for i in range(20))       # all distinct
+    flat = " ".join("same word here over" for _ in range(5))
+    short = "too short"
+    df = spark.createDataFrame(
+        [(1, diverse), (2, flat), (3, short)], ["doc_id", "text"])
+    got = {r["id"]: (r["n_windows"], r["msttr_e6"])
+           for r in msttr(df, w=10).collect()}
+    assert got[1] == (2, 1_000_000)          # every window all-types
+    # flat doc: 20 tokens over 4 distinct words -> 4/10 per window
+    assert got[2] == (2, 400_000)
+    assert got[3] == (0, None)
