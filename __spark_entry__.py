@@ -9576,12 +9576,104 @@ WHERE bit_count(xor(a.ahash, b.ahash)) <= 3"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ORDER MATTERS: the driver gates the FIRST ~50 entries per round
-    # (CORRECTNESS_r03 == the dict's first 50). Never-driver-gated
-    # queries lead, then round-2-only ones, then the flagship extract
-    # pair; the long-stable tail (green in r2 AND r3) yields its slots.
+    # ORDER MATTERS: the driver gates the FIRST ~50 entries per round.
+    # Round-5 rotation (VERDICT r4 task #1): ALL 81 queries that have
+    # never received a driver CORRECTNESS row in rounds 1-4 lead, with
+    # the two-round-stale seven first, then quality/curation, then
+    # retrieval/ANN, dedup, sketches, events, mixture, and the rest.
+    # Previously driver-gated queries (116, all green) form the tail in
+    # their prior relative order.
     return {
-        # -- new this round / never driver-gated in any round ----------
+        # -- never driver-gated (r1-r4): stale seven ----------------
+        "pdf_images": q_pdf_images,
+        "arabic_tables": q_arabic_tables,
+        "failed_docs_poisoned": q_failed_docs_poisoned,
+        "summary_poisoned": q_summary_poisoned,
+        "kmeans_centroids": q_kmeans_centroids,
+        "segment_audio": q_segment_audio,
+        "semdedup": q_semdedup,
+        # -- never gated: quality / curation tier -------------------
+        "gopher_rules": q_gopher_rules,
+        "c4_line_filter": q_c4_line_filter,
+        "remove_repeated": q_remove_repeated,
+        "dsir_select": q_dsir_select,
+        "quality_chain": q_quality_chain,
+        "leakage_split": q_leakage_split,
+        "ccnet_buckets": q_ccnet_buckets,
+        "fix_mojibake": q_fix_mojibake,
+        "sentence_dedup": q_sentence_dedup,
+        "toxicity_gate": q_toxicity_gate,
+        "readability": q_readability,
+        "keep_best": q_keep_best,
+        "soft_dedup": q_soft_dedup,
+        "decontam_surgery": q_decontam_surgery,
+        # -- never gated: retrieval / ANN ---------------------------
+        "bm25_topk": q_bm25_topk,
+        "hybrid_topk": q_hybrid_topk,
+        "pq_topk": q_pq_topk,
+        "ivf_quantized_topk": q_ivf_quantized_topk,
+        "quantized_topk": q_quantized_topk,
+        "quantized_recall": q_quantized_recall,
+        "lsh_recall": q_lsh_recall,
+        "pq_codebooks": q_pq_codebooks,
+        # -- never gated: dedup machinery ---------------------------
+        "cdc_dedup": q_cdc_dedup,
+        "snapshot_dedup": q_snapshot_dedup,
+        "edit_verify": q_edit_verify,
+        "containment_pairs": q_containment_pairs,
+        "prefix_join": q_prefix_join,
+        "winnow_fp": q_winnow_fp,
+        "winnow_pairs": q_winnow_pairs,
+        "sentence_chunks": q_sentence_chunks,
+        # -- never gated: sketches ----------------------------------
+        "cms_heavy_hitters": q_cms_heavy_hitters,
+        "hll_distinct": q_hll_distinct,
+        "bloom_decontam": q_bloom_decontam,
+        "quantile_sketch": q_quantile_sketch,
+        # -- never gated: events ------------------------------------
+        "sessionize": q_sessionize,
+        "asof_purchase_click": q_asof_purchase_click,
+        # -- never gated: mixture -----------------------------------
+        "temperature_mixture": q_temperature_mixture,
+        "epoch_plan": q_epoch_plan,
+        "materialize_mixture": q_materialize_mixture,
+        "mixture_summary": q_mixture_summary,
+        # -- never gated: remainder ---------------------------------
+        "card_pii": q_card_pii,
+        "source_reputation": q_source_reputation,
+        "perceptual_hash": q_perceptual_hash,
+        "phash_pairs": q_phash_pairs,
+        "contrastive_pairs": q_contrastive_pairs,
+        "pack_stream": q_pack_stream,
+        "tokenizer_fertility": q_tokenizer_fertility,
+        "snapshot_drift": q_snapshot_drift,
+        "license_signals": q_license_signals,
+        "source_prior": q_source_prior,
+        "hits_scores": q_hits,
+        "corpus_datasheet": q_corpus_datasheet,
+        "caption_candidates": q_caption_candidates,
+        "bucket_skew": q_bucket_skew,
+        "weighted_sample": q_weighted_sample,
+        "anchor_stats": q_anchor_stats,
+        "global_shuffle": q_global_shuffle,
+        "interleave_sequences": q_interleave_sequences,
+        "chat_offsets": q_chat_offsets,
+        "preference_pairs": q_preference_pairs,
+        "paragraph_lang": q_paragraph_lang,
+        "lang_mixedness": q_lang_mixedness,
+        "shipping_priority": q_shipping_priority,
+        "pca_component": q_pca_component,
+        "pca_scores": q_pca_scores,
+        "random_projection": q_random_projection,
+        "pca_components": q_pca_components,
+        "pca_embedding": q_pca_embedding,
+        "mean_pool": q_mean_pool,
+        "truncate_normalize": q_truncate_normalize,
+        "warc_records": q_warc_records,
+        "bitext_mine": q_bitext_mine,
+        "wordpiece_merges": q_wordpiece_merges,
+        "wordpiece_segment": q_wordpiece_segment,
+        # -- previously driver-gated tail (green in r1-r4) ----------
         "kn_lm": q_kn_lm,
         "kn_score": q_kn_score,
         "phrase_topk": q_phrase_topk,
@@ -9632,88 +9724,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skeleton_dedup": q_skeleton_dedup,
         "dedup_method_matrix": q_dedup_method_matrix,
         "unimax_plan": q_unimax_plan,
-        "mixture_summary": q_mixture_summary,
-        "card_pii": q_card_pii,
-        "source_reputation": q_source_reputation,
-        "perceptual_hash": q_perceptual_hash,
-        "phash_pairs": q_phash_pairs,
-        "cdc_dedup": q_cdc_dedup,
-        "contrastive_pairs": q_contrastive_pairs,
-        "pack_stream": q_pack_stream,
-        "tokenizer_fertility": q_tokenizer_fertility,
-        "snapshot_drift": q_snapshot_drift,
-        "edit_verify": q_edit_verify,
-        "snapshot_dedup": q_snapshot_dedup,
-        "soft_dedup": q_soft_dedup,
-        "hybrid_topk": q_hybrid_topk,
-        "leakage_split": q_leakage_split,
-        "license_signals": q_license_signals,
-        "source_prior": q_source_prior,
-        "decontam_surgery": q_decontam_surgery,
-        "sentence_chunks": q_sentence_chunks,
-        "readability": q_readability,
-        "hits_scores": q_hits,
-        "containment_pairs": q_containment_pairs,
-        "corpus_datasheet": q_corpus_datasheet,
-        "keep_best": q_keep_best,
-        "quantized_topk": q_quantized_topk,
-        "quantized_recall": q_quantized_recall,
-        "cms_heavy_hitters": q_cms_heavy_hitters,
-        "hll_distinct": q_hll_distinct,
-        "bloom_decontam": q_bloom_decontam,
-        "sessionize": q_sessionize,
-        "asof_purchase_click": q_asof_purchase_click,
-        "caption_candidates": q_caption_candidates,
-        "lsh_recall": q_lsh_recall,
-        "ivf_quantized_topk": q_ivf_quantized_topk,
-        "bucket_skew": q_bucket_skew,
-        "weighted_sample": q_weighted_sample,
-        "anchor_stats": q_anchor_stats,
-        "bm25_topk": q_bm25_topk,
-        "fix_mojibake": q_fix_mojibake,
-        "sentence_dedup": q_sentence_dedup,
-        "gopher_rules": q_gopher_rules,
-        "quality_chain": q_quality_chain,
-        "ccnet_buckets": q_ccnet_buckets,
-        "c4_line_filter": q_c4_line_filter,
-        "dsir_select": q_dsir_select,
-        "remove_repeated": q_remove_repeated,
-        "arabic_tables": q_arabic_tables,
-        "failed_docs_poisoned": q_failed_docs_poisoned,
-        "summary_poisoned": q_summary_poisoned,
-        "pdf_images": q_pdf_images,
-        "kmeans_centroids": q_kmeans_centroids,
-        "segment_audio": q_segment_audio,
-        "semdedup": q_semdedup,
-        "temperature_mixture": q_temperature_mixture,
-        "epoch_plan": q_epoch_plan,
-        "quantile_sketch": q_quantile_sketch,
-        "materialize_mixture": q_materialize_mixture,
-        "global_shuffle": q_global_shuffle,
-        "interleave_sequences": q_interleave_sequences,
-        "chat_offsets": q_chat_offsets,
-        "preference_pairs": q_preference_pairs,
-        "paragraph_lang": q_paragraph_lang,
-        "lang_mixedness": q_lang_mixedness,
-        "shipping_priority": q_shipping_priority,
-        "pca_component": q_pca_component,
-        "pca_scores": q_pca_scores,
-        "random_projection": q_random_projection,
-        "pca_components": q_pca_components,
-        "pca_embedding": q_pca_embedding,
-        "mean_pool": q_mean_pool,
-        "truncate_normalize": q_truncate_normalize,
-        "pq_codebooks": q_pq_codebooks,
-        "pq_topk": q_pq_topk,
-        "warc_records": q_warc_records,
-        "bitext_mine": q_bitext_mine,
-        "wordpiece_merges": q_wordpiece_merges,
-        "wordpiece_segment": q_wordpiece_segment,
-        "winnow_fp": q_winnow_fp,
-        "winnow_pairs": q_winnow_pairs,
-        "toxicity_gate": q_toxicity_gate,
-        "prefix_join": q_prefix_join,
-        # -- green in round 2 but absent from the round-3 driver set ---
         "ivf_cosine_topk": q_ivf_cosine_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "failed_docs": q_failed_docs,
@@ -9730,10 +9740,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_report": q_orders_report,
         "lineitem_pricing": q_lineitem_pricing,
         "events_report": q_events_report,
-        # -- flagship extraction pair (keep inside every gate) ----------
         "extract_content": q_extract_content,
         "extract_content_arrow": q_extract_content_arrow,
-        # -- round-3-green tail (most-recently-gated last) --------------
         "single_doc": q_single_doc,
         "route_stats": q_route_stats,
         "summary_report": q_summary_report,
