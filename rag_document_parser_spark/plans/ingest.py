@@ -19,7 +19,13 @@ the pieces the operator tiers already provide into that loop:
    snapshot id is a no-op skip, the ``plans.job`` resume contract at
    the snapshot granularity. A crash after docs/index but before the
    ledger re-runs the snapshot; both writes are per-snapshot-directory
-   overwrites, so the retry replaces rather than duplicates.
+   overwrites, so the retry replaces rather than duplicates. The index
+   read EXCLUDES the in-flight snapshot's own partition — a crash
+   after step 3 but before step 4 must not let the retry see the
+   snapshot's own keys, or every doc would flag ``exact_dup`` against
+   itself and the retry would commit an empty snapshot (on Iceberg
+   this is the partition predicate ``snapshot != <id>`` pushed into
+   the index scan; here, the equivalent directory exclusion).
 
 Scale shape: every join in the loop is keyed by uniform md5/band keys;
 the index grows by (1 + bands) short rows per ACCEPTED doc only; the
@@ -74,8 +80,20 @@ def ingest_snapshot(spark: SparkSession, new_docs: DataFrame,
 
     t0 = time.time()
     index_root = os.path.join(corpus_dir, "index")
+    # Crash-window safety: a retry of an uncommitted snapshot must not
+    # dedup the snapshot against its OWN keys (written on the crashed
+    # attempt), so the in-flight partition is excluded by name. The
+    # exclusion is exact (directory-name match, no partition-value
+    # type inference) and lists only the snapshot directories — a
+    # bounded, per-ingest driver listing, not a data scan.
+    prior = []
     if os.path.isdir(index_root):
-        index = spark.read.parquet(index_root)
+        prior = [os.path.join(index_root, name)
+                 for name in sorted(os.listdir(index_root))
+                 if name.startswith("snapshot=")
+                 and name != f"snapshot={snapshot_id}"]
+    if prior:
+        index = spark.read.parquet(*prior)
     else:
         index = spark.createDataFrame([], "id string, kind string, "
                                           "key string")

@@ -66,3 +66,45 @@ def test_within_snapshot_dups_survive_to_intra_batch_pass(spark, tmp_path):
     assert r1["n_kept"] == 2
     r2 = ingest_snapshot(spark, _docs(spark, [("y3", dup)]), d, "s2")
     assert r2["n_kept"] == 0 and r2["n_exact_dup"] == 1
+
+
+def test_crash_before_ledger_retry_keeps_the_snapshot(spark, tmp_path):
+    """ADVICE r4 (medium): a crash AFTER index/snapshot=<id> is written
+    but BEFORE the ledger commit must not make the retry dedup the
+    snapshot against its own keys — that would flag every doc as its
+    own exact dup and overwrite docs/snapshot=<id> with zero rows."""
+    import shutil
+
+    d = str(tmp_path / "corpus")
+    snap_a = _docs(spark, [("a1", "an established document about rivers")])
+    ingest_snapshot(spark, snap_a, d, "s1")
+
+    snap_b = _docs(spark, [
+        ("b1", "a genuinely new document on kite aerodynamics"),
+        ("b2", "another new document describing salt marsh ecology")])
+    r_first = ingest_snapshot(spark, snap_b, d, "s2")
+    assert r_first["n_kept"] == 2
+
+    # Simulate the crash window: s2's docs + index partitions exist,
+    # but its ledger row does not (strip it and rewrite the ledger).
+    survivors = [tuple(r) for r in read_ingest_ledger(spark, d)
+                 .where(F.col("snapshot_id") != "s2").collect()]
+    shutil.rmtree(d + "/ledger")
+    spark.createDataFrame(
+        survivors, "snapshot_id string, n_in long, n_kept long, "
+                   "n_exact_dup long, n_near_dup long, wall_ms long, "
+                   "committed_at long"
+    ).coalesce(1).write.mode("overwrite").parquet(d + "/ledger")
+
+    r_retry = ingest_snapshot(spark, snap_b, d, "s2")
+    assert not r_retry["skipped"]
+    assert (r_retry["n_in"], r_retry["n_kept"],
+            r_retry["n_exact_dup"]) == (2, 2, 0)
+    docs = spark.read.parquet(d + "/docs")
+    assert sorted(r["doc_id"] for r in docs.collect()) == \
+        ["a1", "b1", "b2"]
+    # and a THIRD snapshot still sees s2's keys as prior index
+    r3 = ingest_snapshot(spark, _docs(
+        spark, [("c1", "a genuinely new document on kite aerodynamics")]),
+        d, "s3")
+    assert r3["n_exact_dup"] == 1 and r3["n_kept"] == 0
