@@ -23,15 +23,25 @@ discipline):
   2-1, 1-2, 2-2) when two alignments cost the same.
 
 The DP is a ROW-LOCAL FOLD (the ``unigram.py`` Viterbi discipline):
-one ``aggregate`` over the (n+1)·(m+1) cell sequence builds the cost
-and backpointer arrays entirely inside the engine — no Python touches
-the data, no shuffle, each pair one task-local computation. A second
-bounded fold walks the backpointers from (n, m) to (0, 0). Cost of
-the fold is O(cells²) element copies (the accumulator array is copied
-per step), so pairs are capped at ``max_cells`` cells (default 4096 ≈
-63×63 sentences) with a loud in-plan raise — chop longer documents
-into windows upstream (``tiling``/``chunking``) before aligning, the
-same cap discipline as ``lsh_signature``.
+one ``aggregate`` over the (n+1)·(m+1) cell sequence builds the DP
+table entirely inside the engine — no Python touches the data, no
+shuffle, each pair one task-local computation. A second bounded fold
+walks the backpointers from (n, m) to (0, 0). The accumulator is ONE
+flat ``array<bigint>`` with each cell's (cost, move) PACKED as
+``cost*16 + move_id`` (the ``sentence_chunks`` index-fold discipline
+— round-4 VERDICT task #2): ``array_min`` over packed candidates
+selects min cost with the MOVES-order tie-break for free, the
+6-candidate array is evaluated ONCE per cell instead of three times,
+and the per-step copy is a single primitive array rather than a
+struct of two. Copying an immutable accumulator is still O(cells²)
+element moves in the worst case, so pairs stay capped at
+``max_cells`` cells (default 4096 ≈ 63×63 sentences) with a loud
+in-plan raise — chop longer documents into windows upstream
+(``tiling``/``chunking``) before aligning, the same cap discipline as
+``lsh_signature``. Packing headroom: feasible costs are bounded by
+``max_cells·(450+1000) ≈ 6.2e6`` so packed values stay ≤ 1e8, far
+under bigint; the INF sentinel (1e15) exceeds every feasible packed
+value.
 
 Scale shape: alignment parallelism is per PAIR — a corpus of mined
 pairs spreads one bounded DP per row across the cluster; nothing
@@ -100,25 +110,28 @@ def _mc(sa: str, sb: str) -> str:
 
 
 def _cands_expr() -> str:
-    """The 6-candidate cost array for cell ``kk`` over accumulator
-    ``acc`` (struct c: costs so far, m: moves so far)."""
+    """The 6-candidate PACKED cost array for cell ``kk`` over the flat
+    accumulator ``acc`` (array<bigint> of ``cost*16 + move_id`` per
+    completed cell; ``div 16`` recovers a predecessor's cost)."""
     cands = []
-    for da, db, pen in MOVES:
+    for mid, (da, db, pen) in enumerate(MOVES, start=1):
         sa = (" + ".join(f"element_at(_la, {_I} - {x})"
                          for x in range(da)) or "0L")
         sb = (" + ".join(f"element_at(_lb, {_J} - {x})"
                          for x in range(db)) or "0L")
-        prev = f"element_at(acc.c, kk - {da} * _w - {db} + 1)"
+        prev = f"(element_at(acc, kk - {da} * _w - {db} + 1) div 16)"
         cands.append(
             f"IF({_I} >= {da} AND {_J} >= {db},"
-            f" {prev} + {pen} + {_mc(sa, sb)}, cast({INF} as bigint))")
+            f" ({prev} + {pen} + {_mc(sa, sb)}) * 16 + {mid},"
+            f" cast({INF} as bigint))")
     return "array(" + ", ".join(cands) + ")"
 
 
-_DA = ("CASE element_at(_dp.m, acc.k + 1)"
+_MOVE = "cast(element_at(_dp, acc.k + 1) % 16 as int)"
+_DA = (f"CASE {_MOVE}"
        " WHEN 1 THEN 0 WHEN 2 THEN 1 WHEN 3 THEN 1"
        " WHEN 4 THEN 2 WHEN 5 THEN 1 WHEN 6 THEN 2 END")
-_DB = ("CASE element_at(_dp.m, acc.k + 1)"
+_DB = (f"CASE {_MOVE}"
        " WHEN 1 THEN 1 WHEN 2 THEN 0 WHEN 3 THEN 1"
        " WHEN 4 THEN 1 WHEN 5 THEN 2 WHEN 6 THEN 2 END")
 
@@ -158,13 +171,8 @@ def gale_church_align(pairs: DataFrame, pair_id_col: str = "pair_id",
           aggregate(
             CASE WHEN _nm >= 1 THEN sequence(1, _nm)
                  ELSE cast(array() as array<int>) END,
-            named_struct('c', array(cast(0 as bigint)),
-                         'm', array(cast(0 as int))),
-            (acc, kk) -> named_struct(
-              'c', concat(acc.c, array(array_min({cands}))),
-              'm', concat(acc.m, array(cast(
-                     array_position({cands}, array_min({cands}))
-                     as int)))))
+            array(cast(0 as bigint)),
+            (acc, kk) -> concat(acc, array(array_min({cands}))))
         """).alias("_dp"))
     beads = dp.select(
         "pair_id", "_w", "_nm", "_dp",
