@@ -326,6 +326,7 @@ def _unit(v: list[float]) -> list[float]:
 
 def train_kmeans(corpus: DataFrame, k: int = 8, iters: int = 2,
                  id_col: str = "vec_id", vec_col: str = "embedding",
+                 max_train_vectors: int = 1_000_000,
                  ) -> list[tuple[int, list[float]]]:
     """Spherical k-means (Lloyd) over unit centroids — the offline
     trainer that feeds ``ivf_cosine_topk(centroids=...)``.
@@ -349,6 +350,11 @@ def train_kmeans(corpus: DataFrame, k: int = 8, iters: int = 2,
     (``sampling.hash_sample`` of ~10^5-10^6 vectors — the standard IVF
     recipe), never the full corpus; assignment of the full corpus
     afterwards is the zero-shuffle projection and scales freely.
+    ``max_train_vectors`` makes that contract STRUCTURAL (the
+    ``overlap_from_sketches`` loud-fail discipline): the training set
+    is counted before the first iteration and an oversized frame
+    raises instead of OOMing an executor mid-fold — raise the budget
+    deliberately or pre-sample.
     """
     def _ok(df):
         return df.where(F.col(vec_col).isNotNull()
@@ -357,6 +363,15 @@ def train_kmeans(corpus: DataFrame, k: int = 8, iters: int = 2,
     vecs = _ok(corpus).select(
         F.col(id_col).alias("_i"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"))
+    n_train = vecs.count()
+    if n_train > max_train_vectors:
+        raise ValueError(
+            f"train_kmeans: {n_train} training vectors exceed "
+            f"max_train_vectors={max_train_vectors}; the sorted-fold "
+            "cluster mean collects each cluster's members into one "
+            "aggregation buffer, so train on a bounded sample "
+            "(sampling.hash_sample) and assign the full corpus "
+            "afterwards — or raise max_train_vectors deliberately")
     seeds = vecs.orderBy("_i").limit(k).collect()
     if not seeds:
         raise ValueError("train_kmeans: no non-degenerate vectors")

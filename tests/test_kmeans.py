@@ -112,3 +112,16 @@ def test_degenerate_and_empty(spark):
     assert [c for c, _ in cents] == [0, 1]
     with pytest.raises(ValueError):
         train_kmeans(df.where("vec_id = 0"), k=2)
+
+
+def test_oversized_training_set_raises_loudly(spark):
+    """VERDICT r4 task #3: the bounded-sample training contract is
+    structural — an oversized training frame raises before the first
+    iteration instead of OOMing the sorted-fold cluster mean."""
+    rows = [(i, [float(i % 7) + 1.0, 1.0]) for i in range(40)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    with pytest.raises(ValueError, match="max_train_vectors"):
+        train_kmeans(df, k=2, iters=1, max_train_vectors=10)
+    # at or under the budget trains normally
+    cents = train_kmeans(df, k=2, iters=1, max_train_vectors=40)
+    assert len(cents) == 2
