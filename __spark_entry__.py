@@ -8789,7 +8789,7 @@ WITH s AS (
 ), c AS (
   SELECT cb, off, count(*)::BIGINT AS n_active FROM j GROUP BY cb, off
 )
-SELECT cb::BIGINT AS cohort_bucket, off::BIGINT AS week_offset,
+SELECT cb::BIGINT AS cohort_bucket, off::BIGINT AS bucket_offset,
   cohort_size, n_active,
   (n_active * 1000000 // cohort_size)::BIGINT AS retention_e6
 FROM c JOIN cs USING (cb)"""

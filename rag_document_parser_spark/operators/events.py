@@ -209,8 +209,10 @@ def cohort_retention(df: DataFrame, bucket_s: int = 7 * 86_400,
     time bucket (default weekly), then for each later bucket offset
     the fraction of the cohort still active — the telemetry companion
     to ``funnel_counts``. One row per (cohort, offset) with activity:
-    ``(cohort_bucket, week_offset, cohort_size, n_active,
-    retention_e6)``; offset 0 is the cohort itself (retention 1e6 by
+    ``(cohort_bucket, bucket_offset, cohort_size, n_active,
+    retention_e6)`` (the offset is in BUCKET units — weeks only at the
+    default ``bucket_s``; a daily ``bucket_s=86400`` makes it a day
+    offset); offset 0 is the cohort itself (retention 1e6 by
     construction), offsets beyond ``max_offset`` are dropped (the
     matrix stays bounded however long the log runs).
 
@@ -237,7 +239,7 @@ def cohort_retention(df: DataFrame, bucket_s: int = 7 * 86_400,
              .agg(F.count("*").cast("long").alias("n_active")))
     return (cells.join(cohort_sizes, "_cb")
             .select(F.col("_cb").cast("long").alias("cohort_bucket"),
-                    F.col("_off").cast("long").alias("week_offset"),
+                    F.col("_off").cast("long").alias("bucket_offset"),
                     "cohort_size", "n_active",
                     F.expr("n_active * 1000000 div cohort_size")
                     .cast("long").alias("retention_e6")))

@@ -198,7 +198,7 @@ def test_cohort_retention_matrix(spark):
     df = spark.createDataFrame(
         rows, "event_id long, ts timestamp, user_id long, "
               "event_type string")
-    got = {(r["cohort_bucket"] - 20454, r["week_offset"]):
+    got = {(r["cohort_bucket"] - 20454, r["bucket_offset"]):
            (r["cohort_size"], r["n_active"], r["retention_e6"])
            for r in cohort_retention(df, bucket_s=86_400).collect()}
     base = min(k[0] for k in got)
