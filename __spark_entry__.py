@@ -4923,10 +4923,13 @@ FROM v"""
 def q_robots_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFC 9309 robots.txt audit: every synthesized URL decided
     against its domain's synthesized policy (longest-match, Allow wins
-    ties, unmatched allowed). The TEXT parser runs on the Spark side
-    (robots bodies built as strings and parsed by parse_robots); the
-    oracle derives the identical rule relation from the synthesis
-    arithmetic — parser fidelity itself is pinned by the unit suite."""
+    ties, unmatched allowed). BOTH engines parse the policy TEXT: the
+    Spark side builds robots bodies as strings and runs parse_robots;
+    the oracle builds the identical bodies and parses them in SQL
+    (line split + governing-User-agent window + directive split), so
+    the cross-engine gate covers the parser path — including star-
+    group gating via a decoy non-star group appended to some bodies
+    (ADVICE r4)."""
     from rag_document_parser_spark.operators.robots import (
         robots_decisions)
 
@@ -4943,6 +4946,11 @@ def q_robots_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("d") % 4 == 1,
                    F.lit("Disallow: /*.json$\n"
                          "Allow: /api/*/public\n"))
+            .otherwise(F.lit("")),
+            # decoy non-star group: a parser that ignores group
+            # boundaries would disallow EVERYTHING on these domains
+            F.when(F.col("d") % 5 == 2,
+                   F.lit("User-agent: otherbot\nDisallow: /\n"))
             .otherwise(F.lit(""))).alias("body"))
     did = F.col("doc_id").cast("string")
     paths = (F.when(F.col("doc_id") % 7 == 0,
@@ -4971,17 +4979,43 @@ def q_robots_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_ROBOTS_AUDIT = r"""
 WITH doms AS (
   SELECT DISTINCT doc_id % 20 AS d FROM documents
+), bodies AS (
+  -- the SAME body strings the Spark side synthesizes and parses
+  SELECT 'site' || d::VARCHAR || '.example' AS domain,
+    'User-agent: *' || chr(10) || 'Disallow: /admin/' || chr(10)
+      || 'Allow: /admin/pub' || chr(10)
+    || (CASE WHEN d % 3 = 0 THEN 'Disallow: /data' || chr(10)
+        ELSE '' END)
+    || (CASE WHEN d % 4 = 1 THEN 'Disallow: /*.json$' || chr(10)
+        || 'Allow: /api/*/public' || chr(10) ELSE '' END)
+    || (CASE WHEN d % 5 = 2 THEN 'User-agent: otherbot' || chr(10)
+        || 'Disallow: /' || chr(10) ELSE '' END) AS body
+  FROM doms
+), lines AS (
+  -- parse the text in SQL: line index + trimmed line (parallel
+  -- unnests zip by position in DuckDB)
+  SELECT domain, i, trim(line) AS line
+  FROM (SELECT domain, unnest(string_split(body, chr(10))) AS line,
+               unnest(range(1, len(string_split(body, chr(10))) + 1))
+                 AS i
+        FROM bodies)
+), govern AS (
+  -- each line's governing User-agent line (last one at or above it)
+  SELECT domain, i, line,
+    max(CASE WHEN lower(line) LIKE 'user-agent%' THEN i END)
+      OVER (PARTITION BY domain ORDER BY i) AS ga_i
+  FROM lines
+), agents AS (
+  SELECT domain, i AS ga_i, trim(split_part(line, ':', 2)) AS agent
+  FROM lines WHERE lower(line) LIKE 'user-agent%'
 ), rules AS (
-  SELECT 'site' || d::VARCHAR || '.example' AS domain, allow, prefix
-  FROM doms, (VALUES (false, '/admin/'), (true, '/admin/pub')) r(allow, prefix)
-  UNION ALL
-  SELECT 'site' || d::VARCHAR || '.example', false, '/data'
-  FROM doms WHERE d % 3 = 0
-  UNION ALL
-  SELECT 'site' || d::VARCHAR || '.example', w.allow, w.prefix
-  FROM doms, (VALUES (false, '/*.json$'), (true, '/api/*/public'))
-       w(allow, prefix)
-  WHERE d % 4 = 1
+  SELECT g.domain,
+    lower(split_part(g.line, ':', 1)) = 'allow' AS allow,
+    trim(substr(g.line, strpos(g.line, ':') + 1)) AS prefix
+  FROM govern g JOIN agents a ON a.domain = g.domain AND a.ga_i = g.ga_i
+  WHERE a.agent = '*'
+    AND lower(split_part(g.line, ':', 1)) IN ('allow', 'disallow')
+    AND trim(substr(g.line, strpos(g.line, ':') + 1)) <> ''
 ), lk AS (
   -- robots pattern -> LIKE pattern, the robots_like_pattern chain:
   -- strip a trailing $, escape \ % _, * -> %, unanchored gets a
