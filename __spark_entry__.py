@@ -165,14 +165,16 @@ XML_POST = ("</p>\n<note>a &amp; b</note>\n"
             "<data><![CDATA[if a>b & ok]]></data>\n"
             "<num>caf&#233; &#x42;</num>\n</root>")
 MD_PRE = "# Title\n\n**"
-# probes: fenced code (content verbatim — emphasis/link/pipe inside the
-# fence must survive untouched) and a pipe table (separator row vanishes,
-# cells land on their own lines). Must stay byte-identical to
+# probes: fenced code (content verbatim — emphasis/link/pipe/tags inside
+# the fence must survive untouched), a pipe table (separator row vanishes,
+# cells land on their own lines), and inline HTML passthrough (tags strip,
+# entities decode — the round-5 E4 promotion). Must stay byte-identical to
 # corpus.spans_df_from_documents' md_span literal.
 MD_POST = ("** and *tail* done\nsee [the spec][r1]\n"
            "[r1]: http://example.com/spec\n"
-           "```py\nkeep *raw* [x](y) | pipe\n```\n"
-           "| h1 | h2 |\n|----|:---:|\n| a | b |\n---\n> quote")
+           "```py\nkeep *raw* [x](y) | pipe <div>tag</div>\n```\n"
+           "| h1 | h2 |\n|----|:---:|\n| a | b |\n---\n> quote\n"
+           "raw <b>bold</b> &amp; caf&#233; <em x=1>ok</em> html")
 
 
 def _entity_chain(expr: str) -> str:
@@ -185,14 +187,21 @@ def _entity_chain(expr: str) -> str:
 def _md_chain(expr: str) -> str:
     # fence-aware (semantics.md_rules_text): split on fence delimiter
     # lines, rules only on the 1-based-odd (0-based-even) segments,
-    # fence content verbatim, rejoin with ''
+    # fence content verbatim, rejoin with ''. A ruled segment still
+    # carrying a tag opener gets the E4 HTML passthrough (tag strip +
+    # charref + named entities — semantics.RE_MD_HTML_GATE note),
+    # applied in a second list_transform so the rule chain runs once.
     inner = "x"
     for pat, repl in S.MD_RULES:
         inner = (f"regexp_replace({inner}, {_sq(pat)}, "
                  f"{_sq(repl.replace('G1', chr(92) + '1'))}, 'g')")
-    return ("array_to_string(list_transform(regexp_split_to_array("
-            f"{expr}, {_sq(S.MD_FENCE_SPLIT)}), "
-            f"(x, i) -> CASE WHEN i % 2 = 1 THEN {inner} ELSE x END), '')")
+    hp = _html_ent_sql(f"regexp_replace(x, {P_TAG}, '', 'g')")
+    return ("array_to_string(list_transform(list_transform("
+            f"regexp_split_to_array({expr}, {_sq(S.MD_FENCE_SPLIT)}), "
+            f"(x, i) -> CASE WHEN i % 2 = 1 THEN {inner} ELSE x END), "
+            f"(x, i) -> CASE WHEN i % 2 = 1 AND "
+            f"regexp_matches(x, {_sq(S.RE_MD_HTML_GATE)}) "
+            f"THEN {hp} ELSE x END), '')")
 
 
 # DOM html extraction oracle (semantics.html_dom_strip), generic: block

@@ -426,8 +426,9 @@ def spans_df_from_documents(spark: SparkSession, sf_dir: str, mult: int = 1,
         F.lit(0).cast("int").alias("offset"),
     ))
 
-    # fenced-code + pipe-table probes in the tail — must stay
-    # byte-identical to __spark_entry__.MD_PRE/MD_POST (the SQL twin)
+    # fenced-code + pipe-table + inline-HTML-passthrough probes in the
+    # tail — must stay byte-identical to __spark_entry__.MD_PRE/MD_POST
+    # (the SQL twin)
     md_span = F.array(F.struct(
         F.lit("markdown").alias("kind"),
         F.concat(
@@ -435,8 +436,9 @@ def spans_df_from_documents(spark: SparkSession, sf_dir: str, mult: int = 1,
             F.col("text"),
             F.lit("** and *tail* done\nsee [the spec][r1]\n"
                   "[r1]: http://example.com/spec\n"
-                  "```py\nkeep *raw* [x](y) | pipe\n```\n"
-                  "| h1 | h2 |\n|----|:---:|\n| a | b |\n---\n> quote"),
+                  "```py\nkeep *raw* [x](y) | pipe <div>tag</div>\n```\n"
+                  "| h1 | h2 |\n|----|:---:|\n| a | b |\n---\n> quote\n"
+                  "raw <b>bold</b> &amp; caf&#233; <em x=1>ok</em> html"),
         ).alias("text"),
         F.lit(None).cast("string").alias("media_ref"),
         F.lit(0).cast("int").alias("offset"),

@@ -186,16 +186,31 @@ def markdown_strip(c: Column, cfg: ExtractConfig = DEFAULT_CONFIG) -> Column:
     Fence-aware (semantics.md_rules_text): split on fence delimiter
     lines, rules only on even-index segments, fence content verbatim,
     rejoin with '' — all inside one transform over the split array, so
-    the route stays a pure Catalyst projection.
+    the route stays a pure Catalyst projection. Outside-fence segments
+    still carrying a tag opener after the rules get the E4 HTML
+    passthrough (semantics.RE_MD_HTML_GATE note): tag strip + charref
+    decode + named entities, no whitespace collapse; the ruled segment
+    is staged once (``_bind1``) so the gate does not re-run the chain.
     """
     def rules(x: Column) -> Column:
         for pat, repl in S.MD_RULES:
             x = F.regexp_replace(x, pat, repl.replace("G1", "$1"))
         return x
 
+    def html_pass(y: Column) -> Column:
+        z = F.regexp_replace(y, S.RE_TAG, "")
+        z = decode_charrefs(z)
+        for ent, ch in S.HTML_ENTITIES:
+            z = F.replace(z, F.lit(ent), F.lit(ch))
+        return z
+
+    def seg(x: Column) -> Column:
+        return _bind1(rules(x), lambda y: F.when(
+            y.rlike(S.RE_MD_HTML_GATE), html_pass(y)).otherwise(y))
+
     segs = F.split(c, S.MD_FENCE_SPLIT, -1)
     c = F.array_join(
-        F.transform(segs, lambda x, i: F.when(i % 2 == 0, rules(x))
+        F.transform(segs, lambda x, i: F.when(i % 2 == 0, seg(x))
                     .otherwise(x)), "")
     return post_process_text(c, cfg)
 

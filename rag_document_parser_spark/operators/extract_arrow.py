@@ -523,6 +523,23 @@ def _clean_batch(batch: pa.RecordBatch, cfg: ExtractConfig) -> pa.RecordBatch:
         for pat, repl in S.MD_RULES:
             plain = pc.replace_substring_regex(
                 plain, pattern=pat, replacement=repl.replace("G1", "\\1"))
+        # E4 HTML passthrough (semantics.RE_MD_HTML_GATE note): rows
+        # still carrying a tag opener after MD_RULES get the tag strip
+        # + charref + entity chain; rows without one are untouched so
+        # their literal entities survive. Fenced rows are blank here
+        # (the python splitter applies the same gate per segment).
+        gate = pc.fill_null(
+            pc.match_substring_regex(plain, pattern=S.RE_MD_HTML_GATE),
+            False)
+        if pc.any(gate).as_py():
+            sub = pc.if_else(gate, plain, "")
+            sub = pc.replace_substring_regex(sub, pattern=S.RE_TAG,
+                                             replacement="")
+            sub = _gated_pass(sub, "&#", _decode_charrefs)
+            for ent, ch in S.HTML_ENTITIES:
+                sub = pc.replace_substring(sub, pattern=ent,
+                                           replacement=ch)
+            plain = pc.if_else(gate, sub, plain)
         if any_fenced:
             vals = pc.if_else(fenced, t, "").to_pylist()
             done = pa.array(

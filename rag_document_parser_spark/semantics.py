@@ -232,6 +232,19 @@ XML_ENTITIES = [
 # semantics is the documented subset choice, same class as the other
 # MD divergences).
 MD_FENCE_SPLIT = r"(?m)^```[^\n]*$"
+# HTML passthrough (E4 residual, promoted round 5): the reference
+# renders markdown via markdown.Markdown then strips with get_text
+# (/root/reference/parsers/text_parser.py:223-237), so raw HTML
+# embedded in markdown source passes through the renderer and loses
+# its tags while keeping inner text (script/style contents INCLUDED —
+# get_text does not decompose). Subset: an outside-fence segment that
+# still contains a tag opener (``<`` + letter or ``/``) after MD_RULES
+# gets the XML-style strip — tag removal, numeric charref decode,
+# named-entity chain (&amp; last) — with NO whitespace collapse, so
+# markdown line layout survives. Segments without a tag opener are
+# untouched (entities there stay literal — documented divergence, same
+# class as the other MD subset rules); fence content stays verbatim.
+RE_MD_HTML_GATE = r"<[A-Za-z/]"
 MD_RULES: list[tuple[str, str]] = [
     (r"(?m)^```[^\n]*$", ""),                   # code-fence delimiter lines
     (r"(?m)^#{1,6}[ \t]+", ""),                 # ATX headers
@@ -389,18 +402,34 @@ def xml_strip(s: str, cfg: ExtractConfig = DEFAULT_CONFIG) -> str:
     return post_process_text(s, cfg)
 
 
+def md_html_passthrough(seg: str) -> str:
+    """The E4 HTML-passthrough strip for one outside-fence segment
+    that still carries a tag opener after MD_RULES (see the
+    RE_MD_HTML_GATE note): tag strip + charref decode + named
+    entities, no whitespace collapse."""
+    seg = re.sub(RE_TAG, "", seg)
+    seg = decode_charrefs(seg)
+    for ent, ch in HTML_ENTITIES:
+        seg = seg.replace(ent, ch)
+    return seg
+
+
 def md_rules_text(s: str) -> str:
     """Apply MD_RULES fence-aware: split on fence delimiter lines, run
     the rules only on the segments OUTSIDE fences (even 0-based index),
     keep fence content verbatim, rejoin with '' (the delimiters' own
     newlines live in the adjacent segments, so the join reproduces the
-    old delimiter-line-dropped layout exactly)."""
+    old delimiter-line-dropped layout exactly). Outside-fence segments
+    still containing a tag opener afterwards get the HTML-passthrough
+    strip (``md_html_passthrough``)."""
     segs = re.split(MD_FENCE_SPLIT, s)
     out = []
     for i, seg in enumerate(segs):
         if i % 2 == 0:
             for pat, repl in MD_RULES:
                 seg = re.sub(pat, repl.replace("G1", r"\1"), seg)
+            if re.search(RE_MD_HTML_GATE, seg):
+                seg = md_html_passthrough(seg)
         out.append(seg)
     return "".join(out)
 

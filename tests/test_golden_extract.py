@@ -258,3 +258,47 @@ def test_arabic_tables_three_way_parity(spark):
     assert "الإِسْمُ" in exp_off["full"][0][0][1]  # verbatim when off
     _assert_equal(exp_off, _actual(extract_arrow(df, off)))
     _assert_equal(exp_off, _actual(extract_catalyst(df, off)))
+
+
+MD_HTML_DOCS = [
+    # inline HTML after rules: tags strip, entities decode, layout kept
+    "# H\n\nplain *em* text\nraw <b>bold</b> &amp; caf&#233; "
+    "<em x=1>ok</em> end",
+    # tag opener inside a FENCE only: verbatim, no entity decode
+    "before\n```\n<div>kept</div> &amp; raw\n```\nafter no tags",
+    # no tag opener at all: entities stay literal (documented subset)
+    "a &amp; b &#65; c",
+    # closing-tag opener gates too; script content is KEPT (get_text
+    # does not decompose — reference text_parser.py:223-237)
+    "x</span> <script>var q=2;</script> y",
+    # prose less-than does NOT gate (no letter after <)
+    "3 < 4 and 5 <= 6 stay",
+]
+
+
+def test_markdown_inline_html_passthrough_all_engines(spark):
+    """E4 HTML passthrough (round-5 promotion): markdown spans whose
+    post-MD_RULES text still carries a tag opener get tag strip +
+    charref + named entities in Python, Arrow, and Catalyst alike;
+    fences and tagless segments stay untouched."""
+    from rag_document_parser_spark.schema import INPUT_SCHEMA
+
+    cfg = ExtractConfig(normalize_unicode=False, flatten_json=False)
+    docs = [{"doc_id": f"mdhtml-{i}",
+             "spans": [{"kind": "markdown", "text": t, "media_ref": None,
+                        "offset": 0}]}
+            for i, t in enumerate(MD_HTML_DOCS)]
+    expected = _expected(docs, cfg)
+    df = spark.createDataFrame(docs, schema=INPUT_SCHEMA)
+    _assert_equal(expected, _actual(extract_arrow(df, cfg)))
+    _assert_equal(expected, _actual(extract_catalyst(df, cfg)))
+
+    txt = {d["doc_id"]: (expected[d["doc_id"]][0][0][1]
+                         if expected[d["doc_id"]][0] else "")
+           for d in docs}
+    assert "raw bold & café ok end" in txt["mdhtml-0"]
+    assert "<b>" not in txt["mdhtml-0"]
+    assert "<div>kept</div> &amp; raw" in txt["mdhtml-1"]   # fence verbatim
+    assert txt["mdhtml-2"] == "a &amp; b &#65; c"           # no gate
+    assert txt["mdhtml-3"] == "x var q=2; y"                # script text kept
+    assert txt["mdhtml-4"] == "3 < 4 and 5 <= 6 stay"       # prose <
