@@ -318,12 +318,27 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", n: int = 3,
-                      k: int = 32, bands: int = 8) -> DataFrame:
+                      k: int = 32, bands: int = 8,
+                      bucket_cap: int | None = None) -> DataFrame:
     """Candidate near-dup pairs via banded LSH over MinHash signatures.
 
     rows-per-band = k/bands; two docs collide if any band of their
     signatures is identical. Returns distinct (id_a, id_b) candidates.
-    Shuffle keys: (band_idx, band-signature hash) — uniform by construction.
+    Shuffle keys: (band_idx, band-signature hash) — uniform by
+    construction for a deduplicated corpus.
+
+    ``bucket_cap`` (default None = exact semantics) is the skew valve
+    for corpora that still carry mega duplicate groups: a group of N
+    near-identical docs puts N rows under ONE (band, band_sig) key,
+    making the self-join quadratic in N on a single shuffle partition.
+    With a cap, band buckets holding more than ``bucket_cap`` docs are
+    dropped by a map-side-combinable count + BROADCAST anti-join (the
+    ``ngram_jaccard_pairs`` df_cap discipline — the exploded relation
+    never shuffles on the hot key). Trade: pairs INSIDE a mega-bucket
+    are only found through their other, smaller bands (or not at all) —
+    acceptable because the exact-dup tier upstream owns identical-text
+    groups; the cap bounds worst-case join work at N·bands·cap instead
+    of N².
     """
     r = k // bands
     sigs = minhash_signatures(df, text_col, id_col, n, k)
@@ -339,6 +354,14 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
             )
         ).alias("band", "band_sig"),
     ).where(F.col("band_sig").isNotNull())
+    if bucket_cap is not None:
+        banded = banded.localCheckpoint()  # one signature build, 3 reads
+        over = (banded.groupBy("band", "band_sig")
+                .agg(F.count("*").alias("n"))
+                .where(F.col("n") > bucket_cap)
+                .select("band", "band_sig"))
+        banded = banded.join(F.broadcast(over), ["band", "band_sig"],
+                             "left_anti")
     a = banded.withColumnsRenamed({"id": "id_a"})
     b = banded.withColumnsRenamed({"id": "id_b"})
     return (
