@@ -9618,6 +9618,232 @@ FROM ah a JOIN ah b ON a.id < b.id
 WHERE bit_count(xor(a.ahash, b.ahash)) <= 3"""
 
 
+
+# ---------------------------------------------------------------------------
+# web-source tier (round 5): registrable domains, page metadata, frontier
+# ---------------------------------------------------------------------------
+
+
+def q_registrable_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """eTLD+1 publisher aggregation (operators/urls.py
+    registrable_domain_stats): per-doc URLs synthesized over hosts that
+    exercise every suffix tier — two-label PSL entries (co.uk),
+    one-label (com), private registries (github.io), and an unmatched
+    TLD (.example, the last-two-labels fallback) — then pooled to
+    registrable domains. BOTH engines parse the same text strings
+    (extract -> host -> longest-suffix match), so the gate covers the
+    URL regex and the suffix logic."""
+    from rag_document_parser_spark.operators.urls import (
+        registrable_domain_stats)
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    h = _hcol(F.col("doc_id"))
+    p10 = (h % 10).cast("string")
+    host_a = (
+        F.when(h % 4 == 0, F.concat(F.lit("www.pub"), p10, F.lit(".co.uk")))
+        .when(h % 4 == 1, F.concat(F.lit("a.b.pub"), p10, F.lit(".com")))
+        .when(h % 4 == 2, F.concat(F.lit("cdn"), (h % 3).cast("string"),
+                                   F.lit(".pub"), p10, F.lit(".github.io")))
+        .otherwise(F.concat(F.lit("pub"), p10, F.lit(".example"))))
+    host_b = F.concat(F.lit("m"), (h % 2).cast("string"),
+                      F.lit(".pub"), (h % 7).cast("string"), F.lit(".com"))
+    text = F.concat(F.lit("ref http://"), host_a, F.lit("/p"),
+                    F.col("doc_id").cast("string"),
+                    F.lit(" plus https://"), host_b, F.lit("/x"))
+    out = registrable_domain_stats(
+        docs.select("doc_id", text.alias("text")), k=100)
+    return out.select("registrable",
+                      F.col("n_docs").cast("long").alias("n_docs"),
+                      F.col("n_urls").cast("long").alias("n_urls"),
+                      F.col("n_hosts").cast("long").alias("n_hosts"))
+
+
+def _sql_registrable_domains() -> str:
+    from rag_document_parser_spark.operators.urls import (
+        DOMAIN_PATTERN, PUBLIC_SUFFIXES, URL_PATTERN)
+
+    s1 = ", ".join(_sq(s) for s in PUBLIC_SUFFIXES if s.count(".") == 0)
+    s2 = ", ".join(_sq(s) for s in PUBLIC_SUFFIXES if s.count(".") == 1)
+    s3 = ", ".join(_sq(s) for s in PUBLIC_SUFFIXES if s.count(".") == 2)
+    return f"""
+WITH base AS (
+  SELECT doc_id, {_md5l("doc_id::VARCHAR")} AS h FROM documents
+), t AS (
+  SELECT doc_id,
+    'ref http://' || host_a || '/p' || doc_id::VARCHAR
+      || ' plus https://' || host_b || '/x' AS text
+  FROM (
+    SELECT doc_id,
+      CASE (h % 4)::INT
+        WHEN 0 THEN 'www.pub' || (h % 10)::VARCHAR || '.co.uk'
+        WHEN 1 THEN 'a.b.pub' || (h % 10)::VARCHAR || '.com'
+        WHEN 2 THEN 'cdn' || (h % 3)::VARCHAR || '.pub'
+                    || (h % 10)::VARCHAR || '.github.io'
+        ELSE 'pub' || (h % 10)::VARCHAR || '.example' END AS host_a,
+      'm' || (h % 2)::VARCHAR || '.pub' || (h % 7)::VARCHAR
+        || '.com' AS host_b
+    FROM base)
+), u AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, {_sq(URL_PATTERN)})) AS url
+  FROM t
+), hosts AS (
+  SELECT doc_id, lower(regexp_extract(url, {_sq(DOMAIN_PATTERN)}, 1)) AS host
+  FROM u
+), lbl AS (
+  SELECT doc_id, host, string_split(host, '.') AS l,
+         len(string_split(host, '.')) AS n
+  FROM hosts
+), m AS (
+  SELECT doc_id, host, l, n,
+    CASE
+      WHEN n >= 3 AND array_to_string(l[greatest(n-2,1):], '.') IN ({s3})
+        THEN 3
+      WHEN n >= 2 AND array_to_string(l[greatest(n-1,1):], '.') IN ({s2})
+        THEN 2
+      WHEN l[n] IN ({s1}) THEN 1
+      ELSE 0 END AS ml
+  FROM lbl
+), reg AS (
+  SELECT doc_id, host,
+    array_to_string(l[(n - least(CASE WHEN ml > 0 THEN ml + 1 ELSE 2 END,
+                                 n) + 1):], '.') AS registrable
+  FROM m
+)
+SELECT registrable, count(DISTINCT doc_id)::BIGINT AS n_docs,
+       count(*)::BIGINT AS n_urls, count(DISTINCT host)::BIGINT AS n_hosts
+FROM reg GROUP BY registrable
+ORDER BY n_docs DESC, registrable ASC LIMIT 100"""
+
+
+def q_page_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML page-metadata mining (operators/webmeta.py page_meta):
+    OpenGraph title/description, canonical link, robots meta with the
+    noindex gate, JSON-LD block count, and the <title> fallback — over
+    synthesized head sections with every field present/absent by hash
+    arithmetic. BOTH engines parse the same HTML strings with the
+    shared regex subset, so the gate covers the extraction patterns."""
+    from rag_document_parser_spark.operators import webmeta as WM
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    h = _hcol(F.col("doc_id"))
+    did = F.col("doc_id").cast("string")
+    og_t = F.when(h % 3 == 0, F.concat(
+        F.lit('<meta property="og:title" content="OG '),
+        (h % 5).cast("string"), F.lit('"/>'))).otherwise(F.lit(""))
+    og_d = F.when(h % 3 != 2, F.concat(
+        F.lit('<meta property="og:description" content="about doc '),
+        did, F.lit('"/>'))).otherwise(F.lit(""))
+    canon = F.when(h % 4 == 1, F.concat(
+        F.lit('<link rel="canonical" href="https://site'),
+        (h % 10).cast("string"), F.lit(".example/c"), did,
+        F.lit('"/>'))).otherwise(F.lit(""))
+    robots = (
+        F.when(h % 5 == 0,
+               F.lit('<meta name="robots" content="noindex, nofollow"/>'))
+        .when(h % 5 == 1,
+              F.lit('<meta name="robots" content="index, follow"/>'))
+        .otherwise(F.lit("")))
+    jsonld = F.repeat(
+        F.lit('<script type="application/ld+json">'
+              '{"@type":"Article"}</script>'),
+        (h % 3).cast("int"))
+    html = F.concat(F.lit("<html><head><title>T"), (h % 7).cast("string"),
+                    F.lit("</title>"), og_t, og_d, canon, robots, jsonld,
+                    F.lit("</head><body>"), F.col("text"),
+                    F.lit("</body></html>"))
+    out = WM.page_meta(docs.select("doc_id", html.alias("text")))
+    return out.select(F.col("id").cast("long").alias("doc_id"),
+                      "og_title", "og_description", "canonical",
+                      "robots_meta", "noindex", "n_jsonld", "title")
+
+
+def _sql_page_meta() -> str:
+    from rag_document_parser_spark.operators.webmeta import (
+        RE_CANONICAL, RE_JSONLD, RE_META_ROBOTS, RE_OG, RE_TITLE_TAG)
+
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, {_md5l("doc_id::VARCHAR")} AS h FROM documents
+), page AS (
+  SELECT doc_id,
+    '<html><head><title>T' || (h % 7)::VARCHAR || '</title>'
+    || (CASE WHEN h % 3 = 0 THEN '<meta property="og:title" content="OG '
+             || (h % 5)::VARCHAR || '"/>' ELSE '' END)
+    || (CASE WHEN h % 3 <> 2
+             THEN '<meta property="og:description" content="about doc '
+             || doc_id::VARCHAR || '"/>' ELSE '' END)
+    || (CASE WHEN h % 4 = 1
+             THEN '<link rel="canonical" href="https://site'
+             || (h % 10)::VARCHAR || '.example/c' || doc_id::VARCHAR
+             || '"/>' ELSE '' END)
+    || (CASE WHEN h % 5 = 0
+             THEN '<meta name="robots" content="noindex, nofollow"/>'
+             WHEN h % 5 = 1
+             THEN '<meta name="robots" content="index, follow"/>'
+             ELSE '' END)
+    || repeat('<script type="application/ld+json">' ||
+              '{{"@type":"Article"}}</script>', (h % 3)::INT)
+    || '</head><body>' || text || '</body></html>' AS html
+  FROM base
+)
+SELECT doc_id,
+  nullif(regexp_extract(html, {_sq(RE_OG.format("title"))}, 1), '')
+    AS og_title,
+  nullif(regexp_extract(html, {_sq(RE_OG.format("description"))}, 1), '')
+    AS og_description,
+  nullif(regexp_extract(html, {_sq(RE_CANONICAL)}, 1), '') AS canonical,
+  nullif(regexp_extract(html, {_sq(RE_META_ROBOTS)}, 1), '')
+    AS robots_meta,
+  coalesce(contains(lower(nullif(regexp_extract(html,
+    {_sq(RE_META_ROBOTS)}, 1), '')), 'noindex'), false) AS noindex,
+  len(regexp_extract_all(html, {_sq(RE_JSONLD)}))::BIGINT AS n_jsonld,
+  nullif(regexp_extract(html, {_sq(RE_TITLE_TAG)}, 1), '') AS title
+FROM page"""
+
+
+def q_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness-aware host-diverse frontier scheduling
+    (operators/frontier.py frontier_schedule): per-host priority
+    ranking with a per-host cap, a global fetch budget, and
+    crawl-delay-derived earliest-start offsets — delay is a host
+    attribute by construction so same-host rows agree."""
+    from rag_document_parser_spark.operators.frontier import (
+        frontier_schedule)
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    h = _hcol(F.col("doc_id"))
+    frontier = docs.select(
+        F.col("doc_id").alias("url_id"),
+        F.concat(F.lit("h"), (h % 9).cast("string")).alias("host"),
+        (h % 13).alias("priority"),
+        (((h % 9) % 4 + 1) * 100).alias("delay_ms"))
+    out = frontier_schedule(frontier, per_host_cap=5, budget=40)
+    return out.select(F.col("url_id").cast("long"), "host",
+                      F.col("priority").cast("long"),
+                      "rank_in_host", "not_before_ms")
+
+
+SQL_FRONTIER_SCHEDULE = f"""
+WITH base AS (
+  SELECT doc_id, {_md5l("doc_id::VARCHAR")} AS h FROM documents
+), f AS (
+  SELECT doc_id AS url_id, 'h' || (h % 9)::VARCHAR AS host,
+         (h % 13)::BIGINT AS priority,
+         (((h % 9) % 4 + 1) * 100)::BIGINT AS delay_ms
+  FROM base
+), r AS (
+  SELECT url_id, host, priority, delay_ms,
+    row_number() OVER (PARTITION BY host
+                       ORDER BY priority DESC, url_id ASC) AS rk
+  FROM f
+)
+SELECT url_id::BIGINT AS url_id, host, priority,
+       rk::BIGINT AS rank_in_host,
+       ((rk - 1) * delay_ms)::BIGINT AS not_before_ms
+FROM r WHERE rk <= 5
+ORDER BY priority DESC, url_id ASC LIMIT 40"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver gates the FIRST ~50 entries per round.
     # Round-5 rotation (VERDICT r4 task #1): ALL 81 queries that have
@@ -9833,6 +10059,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "cosine_topk": q_cosine_topk,
         "lsh_cosine_topk": q_lsh_cosine_topk,
+        # -- round-5 web-source tier (added after the rotation freeze) ----
+        "registrable_domains": q_registrable_domains,
+        "page_meta": q_page_meta,
+        "frontier_schedule": q_frontier_schedule,
     }
 
 
@@ -10035,4 +10265,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_report": SQL_ORDERS,
         "lineitem_pricing": SQL_LINEITEM_PRICING,
         "events_report": SQL_EVENTS,
+        "registrable_domains": _sql_registrable_domains(),
+        "page_meta": _sql_page_meta(),
+        "frontier_schedule": SQL_FRONTIER_SCHEDULE,
     }

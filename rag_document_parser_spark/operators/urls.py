@@ -200,3 +200,86 @@ def strand_url_pairs(df: DataFrame, url_col: str = "url",
     return (a.join(b, "key")
             .where(F.col("lang_a") < F.col("lang_b"))
             .select("key", "id_a", "lang_a", "id_b", "lang_b"))
+
+
+# ---------------------------------------------------------------------------
+# eTLD+1 registrable domains (public-suffix longest-match)
+# ---------------------------------------------------------------------------
+#
+# Source-level curation keys on the REGISTRABLE domain, not the host:
+# "a.cdn.site.co.uk" and "www.site.co.uk" are the same publisher and
+# must pool in source statistics, mixture weights, and blocklists. The
+# registrable domain is one label more than the host's longest matching
+# PUBLIC SUFFIX (Mozilla PSL semantics). Documented subset: a literal
+# suffix table below (multi-label entries included) instead of the full
+# externally-maintained PSL — swap in the full list as a DataFrame at
+# deploy time; wildcard (*.ck) and exception (!) rules are out of
+# subset. Unmatched hosts fall back to their last TWO labels (the PSL
+# "prevailing rule is '*'" default reduced to 1-label suffixes).
+PUBLIC_SUFFIXES = [
+    "com", "org", "net", "edu", "gov", "mil", "int", "io", "ai", "dev",
+    "app", "info", "biz", "co",
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp",
+    "com.br", "com.cn", "com.mx", "co.in", "co.kr", "co.za",
+    "github.io", "gitlab.io", "blogspot.com", "s3.amazonaws.com",
+]
+
+
+def registrable_domain(c: Column) -> Column:
+    """eTLD+1 of a HOST column via the PUBLIC_SUFFIXES table, pure
+    Catalyst: the host's label array is probed at every suffix length
+    present in the table (an array filter over a literal array — no
+    join, no shuffle), the longest hit wins, and the registrable
+    domain keeps one more label. A host that IS a bare suffix, or has
+    no extra label, returns itself.
+    """
+    by_len: dict[int, list[str]] = {}
+    for s in PUBLIC_SUFFIXES:
+        by_len.setdefault(s.count(".") + 1, []).append(s)
+    labels = F.split(F.lower(c), r"\.")
+    n = F.size(labels)
+
+    def tail(k: int) -> Column:
+        # greatest(...,1): slice start must stay positive even when the
+        # host has fewer labels than k (the n >= k conjunct then
+        # rejects the hit, but codegen still evaluates the slice)
+        return F.array_join(
+            F.slice(labels, F.greatest(n - k + 1, F.lit(1)), k), ".")
+
+    # longest matching suffix length (0 = no table hit)
+    match_len = F.lit(0)
+    for k in sorted(by_len):   # ascending: later (longer) wins the CASE
+        hit = tail(k).isin(by_len[k]) & (n >= k)
+        match_len = F.when(hit, F.lit(k)).otherwise(match_len)
+    # fallback: last 2 labels; never more labels than the host has
+    keep = F.least(
+        F.when(match_len > 0, match_len + 1).otherwise(F.lit(2)), n)
+    return F.array_join(F.slice(labels, n - keep + 1, keep), ".")
+
+
+def registrable_domain_stats(df: DataFrame, text_col: str = "text",
+                             id_col: str = "doc_id",
+                             k: int = 100) -> DataFrame:
+    """Top-k REGISTRABLE domains by citing-document count — the
+    publisher-level twin of ``domain_stats``. Returns ``(registrable,
+    n_docs, n_urls, n_hosts)`` ordered by ``n_docs`` desc, registrable
+    asc. Same scale shape as ``domain_stats`` (scan-local explode,
+    map-side-combinable aggregate, TakeOrdered tail) plus a distinct
+    host count per publisher (bounded by the publisher's own host
+    fan-out)."""
+    ex = (df.select(F.col(id_col).alias("id"),
+                    F.explode_outer(extract_urls(F.col(text_col)))
+                    .alias("url"))
+          .where(F.col("url").isNotNull())
+          .select("id", url_domain(F.col("url")).alias("host")))
+    return (ex.select("id", "host",
+                      registrable_domain(F.col("host"))
+                      .alias("registrable"))
+            .groupBy("registrable")
+            .agg(F.count_distinct("id").alias("n_docs"),
+                 F.count("*").alias("n_urls"),
+                 F.count_distinct("host").alias("n_hosts"))
+            .orderBy(F.desc("n_docs"), F.asc("registrable"))
+            .limit(k))

@@ -1,0 +1,71 @@
+"""Page-level metadata mining from raw HTML: OpenGraph, canonical
+link, robots meta, JSON-LD presence.
+
+A web-scale extraction pipeline keeps more than the cleaned text: the
+page's self-declared metadata drives dedup (canonical URL beats string
+canonicalization), snippet/caption mining (og:title / og:description
+are editor-written summaries), index gating (robots meta noindex), and
+structured-data harvesting (JSON-LD blocks). The reference's HTML
+parser stops at text + <title> (/root/reference/parsers/
+text_parser.py:155-180); this tier is the forward extension a crawl
+actually needs.
+
+Documented regex subset (RE2-safe, shared verbatim with the DuckDB
+oracle): attributes are matched in their conventional order
+(``property``/``name``/``rel`` before ``content``/``href``), values
+must be quoted with ' or ", tags may not contain ``>`` inside
+attribute values. Out of subset: reversed attribute order, unquoted
+values, and entity decoding inside attribute values (the E1 text path
+owns entities).
+
+Scale shape: every extraction is a row-local regexp projection inside
+the scan — zero shuffles, zero UDFs; the whole operator fuses into one
+WholeStageCodegen span over the HTML column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = ["page_meta", "RE_OG", "RE_CANONICAL", "RE_META_ROBOTS",
+           "RE_JSONLD", "RE_TITLE_TAG"]
+
+# {0} is the og property name; group 1 the content value
+RE_OG = (r"(?i)<meta[^>]*property=[\"']og:{0}[\"'][^>]*"
+         r"content=[\"']([^\"'>]*)[\"']")
+RE_CANONICAL = (r"(?i)<link[^>]*rel=[\"']canonical[\"'][^>]*"
+                r"href=[\"']([^\"'>]*)[\"']")
+RE_META_ROBOTS = (r"(?i)<meta[^>]*name=[\"']robots[\"'][^>]*"
+                  r"content=[\"']([^\"'>]*)[\"']")
+RE_JSONLD = r"(?i)<script[^>]*type=[\"']application/ld\+json[\"']"
+RE_TITLE_TAG = r"(?is)<title[^>]*>([^<]*)</title>"
+
+
+def _first(c: Column, pattern: str) -> Column:
+    return F.nullif(F.regexp_extract(c, pattern, 1), F.lit(""))
+
+
+def page_meta(df: DataFrame, html_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """One row per document: ``(id, og_title, og_description,
+    canonical, robots_meta, noindex, n_jsonld, title)``.
+
+    ``noindex`` is the index gate a crawler acts on: true iff the
+    robots meta content contains the ``noindex`` token
+    (case-insensitive, comma/space-delimited — substring match is the
+    documented subset). Missing fields are NULL; ``n_jsonld`` counts
+    JSON-LD script openings (0 when none).
+    """
+    c = F.col(html_col)
+    robots = _first(c, RE_META_ROBOTS)
+    return df.select(
+        F.col(id_col).alias("id"),
+        _first(c, RE_OG.format("title")).alias("og_title"),
+        _first(c, RE_OG.format("description")).alias("og_description"),
+        _first(c, RE_CANONICAL).alias("canonical"),
+        robots.alias("robots_meta"),
+        F.coalesce(F.lower(robots).contains("noindex"), F.lit(False))
+        .alias("noindex"),
+        F.regexp_count(c, F.lit(RE_JSONLD)).cast("long").alias("n_jsonld"),
+        _first(c, RE_TITLE_TAG).alias("title"),
+    )

@@ -1,0 +1,104 @@
+"""Round-5 web-source tier: registrable domains (eTLD+1), page
+metadata mining, frontier scheduling."""
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rag_document_parser_spark.operators.frontier import frontier_schedule
+from rag_document_parser_spark.operators.urls import (
+    registrable_domain,
+    registrable_domain_stats,
+)
+from rag_document_parser_spark.operators.webmeta import page_meta
+
+
+def test_registrable_domain_suffix_tiers(spark):
+    cases = {
+        "a.b.site.co.uk": "site.co.uk",      # two-label PSL entry
+        "www.x.com": "x.com",                # one-label
+        "cdn.y.github.io": "y.github.io",    # private registry
+        "x.blogspot.com": "x.blogspot.com",  # private beats .com
+        "deep.a.b.co.jp": "b.co.jp",
+        "plain.example": "plain.example",    # unmatched: last two labels
+        "com": "com",                        # bare suffix: itself
+        "localhost": "localhost",            # single label: itself
+    }
+    df = spark.createDataFrame([(h,) for h in cases], ["h"])
+    got = {r["h"]: r["r"] for r in
+           df.select("h", registrable_domain(F.col("h")).alias("r"))
+           .collect()}
+    assert got == cases
+
+
+def test_registrable_domain_stats_pools_hosts(spark):
+    df = spark.createDataFrame([
+        (1, "see http://www.site.co.uk/a and http://cdn.site.co.uk/b"),
+        (2, "see https://site.co.uk/c"),
+        (3, "see http://other.com/x"),
+    ], ["doc_id", "text"])
+    got = {r["registrable"]: (r["n_docs"], r["n_urls"], r["n_hosts"])
+           for r in registrable_domain_stats(df).collect()}
+    assert got == {"site.co.uk": (2, 3, 3), "other.com": (1, 1, 1)}
+
+
+def test_page_meta_fields_and_absences(spark):
+    html = ('<html><head><title>Page T</title>'
+            '<meta property="og:title" content="OG title"/>'
+            '<meta property="og:description" content="OG desc"/>'
+            '<link rel="canonical" href="https://x.example/c"/>'
+            '<meta name="robots" content="NOINDEX, nofollow"/>'
+            '<script type="application/ld+json">{"a":1}</script>'
+            '<script type="application/ld+json">{"b":2}</script>'
+            '</head><body>body</body></html>')
+    bare = "<html><head></head><body>no meta at all</body></html>"
+    df = spark.createDataFrame([(1, html), (2, bare)], ["doc_id", "text"])
+    got = {r["id"]: r.asDict() for r in page_meta(df).collect()}
+    full = got[1]
+    assert full["og_title"] == "OG title"
+    assert full["og_description"] == "OG desc"
+    assert full["canonical"] == "https://x.example/c"
+    assert full["robots_meta"] == "NOINDEX, nofollow"
+    assert full["noindex"] is True           # case-insensitive token
+    assert full["n_jsonld"] == 2
+    assert full["title"] == "Page T"
+    none = got[2]
+    for f in ("og_title", "og_description", "canonical", "robots_meta",
+              "title"):
+        assert none[f] is None
+    assert none["noindex"] is False and none["n_jsonld"] == 0
+
+
+def test_frontier_schedule_politeness_and_diversity(spark):
+    rows = [(i, "hot", 100 - i, 200) for i in range(10)]   # 10 urls, 1 host
+    rows += [(100 + i, f"cold{i}", 1, 500) for i in range(3)]
+    df = spark.createDataFrame(
+        rows, ["url_id", "host", "priority", "delay_ms"])
+    out = frontier_schedule(df, per_host_cap=4, budget=6)
+    got = out.collect()
+    # hot host capped at 4 despite having the 10 best priorities; the
+    # budget's remaining 2 slots go to the best cold urls
+    assert [r["url_id"] for r in got] == [0, 1, 2, 3, 100, 101]
+    hot = {r["url_id"]: r for r in got if r["host"] == "hot"}
+    assert [hot[i]["rank_in_host"] for i in range(4)] == [1, 2, 3, 4]
+    assert [hot[i]["not_before_ms"] for i in range(4)] == [0, 200, 400, 600]
+    # cold hosts each start immediately
+    assert all(r["not_before_ms"] == 0 for r in got if r["host"] != "hot")
+
+
+def test_frontier_schedule_order_invariance(spark):
+    rows = [(i, f"h{i % 3}", (i * 7) % 11, 100) for i in range(30)]
+    df = spark.createDataFrame(
+        rows, ["url_id", "host", "priority", "delay_ms"])
+    a = frontier_schedule(df, per_host_cap=5, budget=12).collect()
+    b = frontier_schedule(df.orderBy(F.rand(7)), per_host_cap=5,
+                          budget=12).collect()
+    assert a == b
+
+
+def test_frontier_schedule_host_queue_guard(spark):
+    df = spark.createDataFrame(
+        [(i, "mega", 1, 100) for i in range(50)],
+        ["url_id", "host", "priority", "delay_ms"])
+    with pytest.raises(Exception, match="max_host_queue"):
+        frontier_schedule(df, max_host_queue=10).collect()
