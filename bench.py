@@ -685,6 +685,16 @@ def main() -> None:
           lambda: VEC.mean_pool(
               emb.selectExpr("vec_id div 4 as grp", "embedding"),
               group_col="grp").agg(F.sum("mean_e6")).collect())
+    # round-5 web-source tier
+    timed_reps("registrable_domains",
+          lambda: _E.q_registrable_domains(spark, SF_DIR)
+          .agg(F.sum("n_urls")).collect())
+    timed_reps("page_meta",
+          lambda: _E.q_page_meta(spark, SF_DIR)
+          .agg(F.sum("n_jsonld"),
+               F.sum(F.col("noindex").cast("long"))).collect())
+    timed_reps("frontier_schedule",
+          lambda: _E.q_frontier_schedule(spark, SF_DIR).collect())
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
