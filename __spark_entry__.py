@@ -9844,6 +9844,59 @@ FROM r WHERE rk <= 5
 ORDER BY priority DESC, url_id ASC LIMIT 40"""
 
 
+
+def q_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-link dedup (operators/webmeta.py canonical_dedup):
+    synthesized pages declare SHARED canonical targets (group key
+    (h%10, h%17)) for three quarters of docs and none for the rest;
+    groups collapse to their min doc_id. Both engines parse the link
+    tag out of the same HTML strings (RE_CANONICAL)."""
+    from rag_document_parser_spark.operators import webmeta as WM
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    h = _hcol(F.col("doc_id"))
+    canon = F.when(h % 4 != 3, F.concat(
+        F.lit('<link rel="canonical" href="https://site'),
+        (h % 10).cast("string"), F.lit(".example/c"),
+        (h % 17).cast("string"), F.lit('"/>'))).otherwise(F.lit(""))
+    html = F.concat(F.lit("<html><head>"), canon,
+                    F.lit("</head><body>"), F.col("text"),
+                    F.lit("</body></html>"))
+    out = WM.canonical_dedup(docs.select("doc_id", html.alias("text")))
+    return out.select(F.col("id").cast("long").alias("doc_id"),
+                      "canonical", F.col("rep_id").cast("long"),
+                      "canonical_dup")
+
+
+def _sql_canonical_dedup() -> str:
+    from rag_document_parser_spark.operators.webmeta import RE_CANONICAL
+
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, {_md5l("doc_id::VARCHAR")} AS h FROM documents
+), page AS (
+  SELECT doc_id,
+    '<html><head>'
+    || (CASE WHEN h % 4 <> 3
+             THEN '<link rel="canonical" href="https://site'
+             || (h % 10)::VARCHAR || '.example/c' || (h % 17)::VARCHAR
+             || '"/>' ELSE '' END)
+    || '</head><body>' || text || '</body></html>' AS html
+  FROM base
+), meta AS (
+  SELECT doc_id,
+    nullif(regexp_extract(html, {_sq(RE_CANONICAL)}, 1), '') AS canonical
+  FROM page
+), groups AS (
+  SELECT canonical, min(doc_id) AS rep0 FROM meta
+  WHERE canonical IS NOT NULL GROUP BY canonical
+)
+SELECT m.doc_id::BIGINT AS doc_id, m.canonical,
+       coalesce(g.rep0, m.doc_id)::BIGINT AS rep_id,
+       coalesce(g.rep0, m.doc_id) <> m.doc_id AS canonical_dup
+FROM meta m LEFT JOIN groups g USING (canonical)"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver gates the FIRST ~50 entries per round.
     # Round-5 rotation (VERDICT r4 task #1): ALL 81 queries that have
@@ -10063,6 +10116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "registrable_domains": q_registrable_domains,
         "page_meta": q_page_meta,
         "frontier_schedule": q_frontier_schedule,
+        "canonical_dedup": q_canonical_dedup,
     }
 
 
@@ -10268,4 +10322,5 @@ def oracle_sql() -> dict[str, str]:
         "registrable_domains": _sql_registrable_domains(),
         "page_meta": _sql_page_meta(),
         "frontier_schedule": SQL_FRONTIER_SCHEDULE,
+        "canonical_dedup": _sql_canonical_dedup(),
     }

@@ -69,3 +69,31 @@ def page_meta(df: DataFrame, html_col: str = "text",
         F.regexp_count(c, F.lit(RE_JSONLD)).cast("long").alias("n_jsonld"),
         _first(c, RE_TITLE_TAG).alias("title"),
     )
+
+
+def canonical_dedup(df: DataFrame, html_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Canonical-link deduplication: documents DECLARING the same
+    ``<link rel=canonical>`` target are one logical page (print views,
+    mobile mirrors, tracking-param variants), regardless of how much
+    their bodies differ — the publisher-asserted dedup signal that
+    string canonicalization (``urls.canonical_url``) cannot recover.
+
+    Per-doc verdict ``(id, canonical, rep_id, canonical_dup)``: the
+    lowest doc id of each canonical group represents it; docs without
+    a canonical declaration represent themselves.
+
+    Scale shape: one aggregate keyed on the canonical URL (map-side
+    partial absorbs hot targets) and one join back on the same key —
+    a mega-group's members meet ONE group row each, so the join output
+    stays linear in the corpus. Run AFTER exact dedup (identical
+    bodies never reach this tier).
+    """
+    meta = page_meta(df, html_col, id_col).select("id", "canonical")
+    groups = (meta.where(F.col("canonical").isNotNull())
+              .groupBy("canonical")
+              .agg(F.min("id").alias("rep_id")))
+    return (meta.join(groups, "canonical", "left")
+            .select("id", "canonical",
+                    F.coalesce("rep_id", "id").alias("rep_id"))
+            .withColumn("canonical_dup", F.col("rep_id") != F.col("id")))

@@ -102,3 +102,19 @@ def test_frontier_schedule_host_queue_guard(spark):
         ["url_id", "host", "priority", "delay_ms"])
     with pytest.raises(Exception, match="max_host_queue"):
         frontier_schedule(df, max_host_queue=10).collect()
+
+
+def test_canonical_dedup_groups_and_solo_docs(spark):
+    from rag_document_parser_spark.operators.webmeta import canonical_dedup
+    mk = ('<html><head><link rel="canonical" href="{}"/>'
+          '</head><body>b</body></html>')
+    df = spark.createDataFrame([
+        (1, mk.format("https://x.example/a")),
+        (5, mk.format("https://x.example/a")),   # same target, later id
+        (3, mk.format("https://x.example/b")),
+        (9, "<html><head></head><body>no canonical</body></html>"),
+    ], ["doc_id", "text"])
+    got = {r["id"]: (r["rep_id"], r["canonical_dup"])
+           for r in canonical_dedup(df).collect()}
+    assert got == {1: (1, False), 5: (1, True),
+                   3: (3, False), 9: (9, False)}
