@@ -223,7 +223,7 @@ PUBLIC_SUFFIXES = [
     "com.au", "net.au", "org.au",
     "co.jp", "ne.jp", "or.jp",
     "com.br", "com.cn", "com.mx", "co.in", "co.kr", "co.za",
-    "github.io", "gitlab.io", "blogspot.com", "s3.amazonaws.com",
+    "github.io", "gitlab.io", "blogspot.com", "blogspot.co.uk",
 ]
 
 
