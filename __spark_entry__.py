@@ -9897,6 +9897,42 @@ SELECT m.doc_id::BIGINT AS doc_id, m.canonical,
 FROM meta m LEFT JOIN groups g USING (canonical)"""
 
 
+
+def q_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness-aware recrawl intervals (operators/frontier.py
+    recrawl_schedule) over the events table as fetch history: user_id
+    is the url entity, 'click' fetches observed a change. Closed-form
+    integer Cho-Garcia-Molina revisit estimate, clamped."""
+    from rag_document_parser_spark.operators.frontier import (
+        recrawl_schedule)
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").alias("url_id"), "ts",
+        (F.col("event_type") == "click").alias("changed"))
+    return recrawl_schedule(ev, min_interval_s=3600,
+                            max_interval_s=30 * 86_400)
+
+
+SQL_RECRAWL_SCHEDULE = """
+WITH per AS (
+  SELECT user_id AS url_id, count(*) AS n_obs,
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+           AS n_changed,
+         min(epoch_us(ts)) AS f, max(epoch_us(ts)) AS l
+  FROM events GROUP BY user_id
+), iv AS (
+  SELECT url_id, n_obs, n_changed, l,
+    CASE WHEN n_obs < 2 OR n_changed = 0 THEN 2592000000000
+         ELSE least(greatest((l - f) // n_changed, 3600000000),
+                    2592000000000) END AS interval_us
+  FROM per
+)
+SELECT url_id::BIGINT AS url_id, n_obs::BIGINT AS n_obs,
+       n_changed::BIGINT AS n_changed, interval_us::BIGINT AS interval_us,
+       (l + interval_us)::BIGINT AS next_fetch_us
+FROM iv"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver gates the FIRST ~50 entries per round.
     # Round-5 rotation (VERDICT r4 task #1): ALL 81 queries that have
@@ -10117,6 +10153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_meta": q_page_meta,
         "frontier_schedule": q_frontier_schedule,
         "canonical_dedup": q_canonical_dedup,
+        "recrawl_schedule": q_recrawl_schedule,
     }
 
 
@@ -10323,4 +10360,5 @@ def oracle_sql() -> dict[str, str]:
         "page_meta": _sql_page_meta(),
         "frontier_schedule": SQL_FRONTIER_SCHEDULE,
         "canonical_dedup": _sql_canonical_dedup(),
+        "recrawl_schedule": SQL_RECRAWL_SCHEDULE,
     }

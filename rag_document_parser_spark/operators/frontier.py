@@ -72,3 +72,50 @@ def frontier_schedule(df: DataFrame, id_col: str = "url_id",
         .cast("long").alias("not_before_ms"))
         .orderBy(F.desc("priority"), F.asc("url_id"))
         .limit(budget))
+
+
+def recrawl_schedule(df: DataFrame, id_col: str = "url_id",
+                     ts_col: str = "ts", changed_col: str = "changed",
+                     min_interval_s: int = 3600,
+                     max_interval_s: int = 30 * 86_400) -> DataFrame:
+    """Freshness-aware recrawl intervals from observation history — the
+    incremental companion of ``frontier_schedule`` (Cho &
+    Garcia-Molina 2003's estimate-and-revisit loop, reduced to the
+    integer form both engines replay exactly).
+
+    Input: one row per past fetch ``(id, ts, changed)`` — ``changed``
+    true when the fetch observed new content. Per entity the mean
+    change interval is ``span_us div n_changed`` (observed span over
+    observed changes); entities that never changed, or were seen once,
+    sit at ``max_interval_s``; everything clamps into
+    ``[min_interval_s, max_interval_s]``. Output ``(url_id, n_obs,
+    n_changed, interval_us, next_fetch_us)`` with ``next_fetch_us =
+    last fetch + interval``.
+
+    Scale shape: ONE map-side-combinable aggregate keyed on the entity
+    (count/sum/min/max) and a closed-form projection — no windows, no
+    joins, no per-entity history buffering; a URL fetched 10^6 times
+    still costs one partial-agg row per task.
+    """
+    from rag_document_parser_spark.operators.events import _ts_us
+
+    lo = int(min_interval_s) * 1_000_000
+    hi = int(max_interval_s) * 1_000_000
+    per = (df.select(F.col(id_col).alias("url_id"),
+                     _ts_us(ts_col).alias("_us"),
+                     F.col(changed_col).cast("long").alias("_ch"))
+           .groupBy("url_id")
+           .agg(F.count("*").alias("n_obs"),
+                F.sum("_ch").alias("n_changed"),
+                F.min("_us").alias("_first"),
+                F.max("_us").alias("_last")))
+    raw = F.expr("(_last - _first) div nullif(n_changed, 0)")
+    interval = F.when(
+        (F.col("n_obs") < 2) | (F.col("n_changed") == 0), F.lit(hi)
+    ).otherwise(F.least(F.greatest(raw, F.lit(lo)), F.lit(hi)))
+    return per.select("url_id",
+                      F.col("n_obs").cast("long").alias("n_obs"),
+                      F.col("n_changed").cast("long").alias("n_changed"),
+                      interval.cast("long").alias("interval_us"),
+                      (F.col("_last") + interval).cast("long")
+                      .alias("next_fetch_us"))

@@ -118,3 +118,35 @@ def test_canonical_dedup_groups_and_solo_docs(spark):
            for r in canonical_dedup(df).collect()}
     assert got == {1: (1, False), 5: (1, True),
                    3: (3, False), 9: (9, False)}
+
+
+def test_recrawl_schedule_intervals(spark):
+    from datetime import datetime
+    from rag_document_parser_spark.operators.frontier import (
+        recrawl_schedule)
+
+    def t(h):
+        return datetime(2024, 1, 1, h)
+
+    rows = [
+        # url 1: 5 fetches over 4h, 2 changes -> interval = 4h/2 = 2h
+        *[(1, t(i), i in (1, 3)) for i in range(5)],
+        # url 2: never changed -> max interval
+        *[(2, t(i), False) for i in range(3)],
+        # url 3: single observation -> max interval
+        (3, t(0), True),
+        # url 4: changes every fetch over 2h -> raw 40min, clamped to
+        # the 1h floor
+        *[(4, t(i), True) for i in range(4)],
+    ]
+    df = spark.createDataFrame(rows, ["url_id", "ts", "changed"])
+    got = {r["url_id"]: r.asDict() for r in
+           recrawl_schedule(df, min_interval_s=3600,
+                            max_interval_s=86_400).collect()}
+    H = 3_600_000_000
+    assert got[1]["interval_us"] == 2 * H
+    assert got[1]["next_fetch_us"] == got[1]["interval_us"] + \
+        int(datetime(2024, 1, 1, 4).timestamp() * 1e6)
+    assert got[2]["interval_us"] == 24 * H
+    assert got[3]["interval_us"] == 24 * H and got[3]["n_obs"] == 1
+    assert got[4]["interval_us"] == H          # clamped to the floor
