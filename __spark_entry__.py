@@ -9933,6 +9933,134 @@ SELECT url_id::BIGINT AS url_id, n_obs::BIGINT AS n_obs,
 FROM iv"""
 
 
+
+def q_sitemap_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap XML parsing (operators/webmeta.py parse_sitemaps):
+    synthesized per-domain sitemaps with h-arithmetic entry counts, a
+    lastmod on even entries only, and one loc-less entry that must be
+    dropped without misaligning its neighbours. Both engines parse the
+    same XML strings (block-scoped extraction)."""
+    from rag_document_parser_spark.operators import webmeta as WM
+
+    doms = (_docs(spark, sf_dir)
+            .select((F.col("doc_id") % 25).alias("d")).distinct())
+    h = _hcol(F.col("d"))
+    ds = F.col("d").cast("string")
+    ent = F.expr("""
+      array_join(transform(sequence(0, cast(_n as int)), i -> CASE
+        WHEN i = cast(_n as int) THEN
+          '<url><lastmod>2026-01-09</lastmod></url>'
+        WHEN i % 2 = 0 THEN
+          '<url><loc>https://s' || _ds || '.example/p' || i
+          || '</loc><lastmod>2026-0' || (i % 9 + 1) || '-0'
+          || (i % 7 + 1) || '</lastmod></url>'
+        ELSE '<url><loc>https://s' || _ds || '.example/p' || i
+          || '</loc></url>' END), '')
+    """)
+    xml = doms.select(
+        F.col("d").alias("site"), (h % 4 + 1).alias("_n"),
+        ds.alias("_ds")).select(
+        "site",
+        F.concat(F.lit('<?xml version="1.0"?><urlset>'), ent,
+                 F.lit("</urlset>")).alias("text"))
+    out = WM.parse_sitemaps(xml, id_col="site")
+    return out.select(F.col("id").cast("long").alias("site"),
+                      "entry_idx", "loc", "lastmod")
+
+
+def _sql_sitemap_entries() -> str:
+    from rag_document_parser_spark.operators.webmeta import (
+        RE_SITEMAP_LASTMOD, RE_SITEMAP_LOC, RE_SITEMAP_URLBLOCK)
+
+    return f"""
+WITH doms AS (
+  SELECT DISTINCT doc_id % 25 AS d FROM documents
+), syn AS (
+  SELECT d AS site, ({_md5l("d::VARCHAR")} % 4 + 1) AS n FROM doms
+), xml AS (
+  SELECT site,
+    '<?xml version="1.0"?><urlset>' || array_to_string(
+      list_transform(range(0, n::INT + 1), i -> CASE
+        WHEN i = n::INT THEN '<url><lastmod>2026-01-09</lastmod></url>'
+        WHEN i % 2 = 0 THEN '<url><loc>https://s' || site::VARCHAR
+          || '.example/p' || i::VARCHAR || '</loc><lastmod>2026-0'
+          || (i % 9 + 1)::VARCHAR || '-0' || (i % 7 + 1)::VARCHAR
+          || '</lastmod></url>'
+        ELSE '<url><loc>https://s' || site::VARCHAR || '.example/p'
+          || i::VARCHAR || '</loc></url>' END), '') || '</urlset>'
+      AS body
+  FROM syn
+), blocks AS (
+  SELECT site, i - 1 AS entry_idx, b
+  FROM (SELECT site,
+          unnest(regexp_extract_all(body, {_sq(RE_SITEMAP_URLBLOCK)}, 1))
+            AS b,
+          unnest(range(1, len(regexp_extract_all(body,
+            {_sq(RE_SITEMAP_URLBLOCK)}, 1)) + 1)) AS i
+        FROM xml)
+)
+SELECT site::BIGINT AS site, entry_idx::BIGINT AS entry_idx,
+  nullif(regexp_extract(b, {_sq(RE_SITEMAP_LOC)}, 1), '') AS loc,
+  nullif(regexp_extract(b, {_sq(RE_SITEMAP_LASTMOD)}, 1), '') AS lastmod
+FROM blocks
+WHERE nullif(regexp_extract(b, {_sq(RE_SITEMAP_LOC)}, 1), '') IS NOT NULL"""
+
+
+def q_hreflang_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hreflang alternate mining (operators/webmeta.py
+    hreflang_alternates): pages declare 1-3 language alternates by
+    hash arithmetic; the miner emits one row per declaration in tag
+    order. Both engines parse the same HTML strings."""
+    from rag_document_parser_spark.operators import webmeta as WM
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    h = _hcol(F.col("doc_id"))
+    did = F.col("doc_id").cast("string")
+    alt = F.expr("""
+      array_join(transform(sequence(1, cast(_k as int)), i ->
+        '<link rel="alternate" hreflang="' ||
+        element_at(array('EN', 'fr', 'de-AT'), i) ||
+        '" href="https://alt' || i || '.example/d' || _did || '"/>'),
+        '')
+    """)
+    html = docs.select(
+        "doc_id", (h % 3 + 1).alias("_k"), did.alias("_did")).select(
+        "doc_id",
+        F.concat(F.lit("<html><head>"), alt,
+                 F.lit("</head><body>b</body></html>")).alias("text"))
+    out = WM.hreflang_alternates(html)
+    return out.select(F.col("id").cast("long").alias("doc_id"),
+                      "alt_idx", "hreflang", "href")
+
+
+def _sql_hreflang_pairs() -> str:
+    from rag_document_parser_spark.operators.webmeta import RE_HREFLANG
+
+    return f"""
+WITH base AS (
+  SELECT doc_id, ({_md5l("doc_id::VARCHAR")} % 3 + 1) AS k FROM documents
+), page AS (
+  SELECT doc_id,
+    '<html><head>' || array_to_string(
+      list_transform(range(1, k::INT + 1), i ->
+        '<link rel="alternate" hreflang="' ||
+        (['EN', 'fr', 'de-AT'])[i] ||
+        '" href="https://alt' || i::VARCHAR || '.example/d'
+        || doc_id::VARCHAR || '"/>'), '')
+    || '</head><body>b</body></html>' AS html
+  FROM base
+)
+SELECT doc_id::BIGINT AS doc_id, i - 1 AS alt_idx,
+       lower(l) AS hreflang, h AS href
+FROM (
+  SELECT doc_id,
+    unnest(regexp_extract_all(html, {_sq(RE_HREFLANG)}, 1)) AS l,
+    unnest(regexp_extract_all(html, {_sq(RE_HREFLANG)}, 2)) AS h,
+    unnest(range(1, len(regexp_extract_all(html,
+      {_sq(RE_HREFLANG)}, 1)) + 1)) AS i
+  FROM page)"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver gates the FIRST ~50 entries per round.
     # Round-5 rotation (VERDICT r4 task #1): ALL 81 queries that have
@@ -10154,6 +10282,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_schedule": q_frontier_schedule,
         "canonical_dedup": q_canonical_dedup,
         "recrawl_schedule": q_recrawl_schedule,
+        "sitemap_entries": q_sitemap_entries,
+        "hreflang_pairs": q_hreflang_pairs,
     }
 
 
@@ -10361,4 +10491,6 @@ def oracle_sql() -> dict[str, str]:
         "frontier_schedule": SQL_FRONTIER_SCHEDULE,
         "canonical_dedup": _sql_canonical_dedup(),
         "recrawl_schedule": SQL_RECRAWL_SCHEDULE,
+        "sitemap_entries": _sql_sitemap_entries(),
+        "hreflang_pairs": _sql_hreflang_pairs(),
     }

@@ -97,3 +97,67 @@ def canonical_dedup(df: DataFrame, html_col: str = "text",
             .select("id", "canonical",
                     F.coalesce("rep_id", "id").alias("rep_id"))
             .withColumn("canonical_dup", F.col("rep_id") != F.col("id")))
+
+
+RE_SITEMAP_URLBLOCK = r"(?is)<url>(.*?)</url>"
+RE_SITEMAP_LOC = r"(?is)<loc>([^<]*)</loc>"
+RE_SITEMAP_LASTMOD = r"(?is)<lastmod>([^<]*)</lastmod>"
+RE_HREFLANG = (r"(?i)<link[^>]*rel=[\"']alternate[\"'][^>]*"
+               r"hreflang=[\"']([A-Za-z-]+)[\"'][^>]*"
+               r"href=[\"']([^\"'>]*)[\"']")
+
+
+def parse_sitemaps(df: DataFrame, xml_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Sitemap XML → one row per ``<url>`` entry: ``(id, entry_idx,
+    loc, lastmod)`` — the crawl-seed feed ``robots_crawl_meta``'s
+    Sitemap lines point at, upstream of ``frontier_schedule``.
+
+    Per-entry extraction scopes ``<loc>``/``<lastmod>`` INSIDE each
+    ``<url>`` block (posexplode of the block array), so a missing
+    lastmod in one entry cannot misalign with its neighbour's — the
+    failure mode of extracting the two tag streams independently.
+    Entries without a ``<loc>`` are dropped; ``lastmod`` is NULL when
+    absent. Scale shape: regex extract + posexplode inside the scan,
+    zero shuffles.
+    """
+    c = F.col(xml_col)
+    blocks = F.regexp_extract_all(c, F.lit(RE_SITEMAP_URLBLOCK), 1)
+    ex = (df.select(F.col(id_col).alias("id"),
+                    F.posexplode_outer(blocks).alias("entry_idx", "_b"))
+          .where(F.col("_b").isNotNull()))
+    return (ex.select(
+        "id", F.col("entry_idx").cast("long").alias("entry_idx"),
+        F.nullif(F.regexp_extract("_b", RE_SITEMAP_LOC, 1), F.lit(""))
+        .alias("loc"),
+        F.nullif(F.regexp_extract("_b", RE_SITEMAP_LASTMOD, 1), F.lit(""))
+        .alias("lastmod"))
+        .where(F.col("loc").isNotNull()))
+
+
+def hreflang_alternates(df: DataFrame, html_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """``<link rel=alternate hreflang=..>`` mining → one row per
+    declared alternate: ``(id, hreflang, href)``, lang lower-cased.
+
+    The publisher-asserted counterpart of STRAND URL pairing
+    (``urls.strand_url_pairs``): hreflang clusters ARE the
+    cross-language document groups a bitext miner wants, no URL
+    heuristics needed. Feed the output to ``bitext``/``align`` keyed
+    on the page's own URL + href. Attribute-order subset as the other
+    webmeta patterns (rel before hreflang before href).
+
+    Scale shape: regexp_extract_all + posexplode inside the scan,
+    zero shuffles.
+    """
+    c = F.col(html_col)
+    langs = F.regexp_extract_all(c, F.lit(RE_HREFLANG), 1)
+    hrefs = F.regexp_extract_all(c, F.lit(RE_HREFLANG), 2)
+    pairs = F.arrays_zip(langs.alias("l"), hrefs.alias("h"))
+    ex = (df.select(F.col(id_col).alias("id"),
+                    F.posexplode_outer(pairs).alias("alt_idx", "_p"))
+          .where(F.col("_p").isNotNull()))
+    return ex.select("id",
+                     F.col("alt_idx").cast("long").alias("alt_idx"),
+                     F.lower(F.col("_p.l")).alias("hreflang"),
+                     F.col("_p.h").alias("href"))

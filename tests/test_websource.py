@@ -150,3 +150,39 @@ def test_recrawl_schedule_intervals(spark):
     assert got[2]["interval_us"] == 24 * H
     assert got[3]["interval_us"] == 24 * H and got[3]["n_obs"] == 1
     assert got[4]["interval_us"] == H          # clamped to the floor
+
+
+def test_parse_sitemaps_block_scoped(spark):
+    from rag_document_parser_spark.operators.webmeta import parse_sitemaps
+    xml = ('<?xml version="1.0"?><urlset>'
+           '<url><loc>https://a.example/1</loc>'
+           '<lastmod>2026-02-03</lastmod></url>'
+           '<url><loc>https://a.example/2</loc></url>'   # no lastmod
+           '<url><lastmod>2026-09-09</lastmod></url>'    # no loc: dropped
+           '<url><loc>https://a.example/3</loc>'
+           '<lastmod>2026-04-05</lastmod></url>'
+           '</urlset>')
+    got = [(r["entry_idx"], r["loc"], r["lastmod"]) for r in
+           parse_sitemaps(spark.createDataFrame([(1, xml)],
+                                                ["doc_id", "text"]))
+           .orderBy("entry_idx").collect()]
+    # the loc-less block is dropped WITHOUT stealing lastmods from its
+    # neighbours (the misalignment an unscoped two-stream extract makes)
+    assert got == [(0, "https://a.example/1", "2026-02-03"),
+                   (1, "https://a.example/2", None),
+                   (3, "https://a.example/3", "2026-04-05")]
+
+
+def test_hreflang_alternates_order_and_case(spark):
+    from rag_document_parser_spark.operators.webmeta import (
+        hreflang_alternates)
+    html = ('<html><head>'
+            '<link rel="alternate" hreflang="EN" href="https://x/en"/>'
+            '<link rel="alternate" hreflang="de-AT" href="https://x/de"/>'
+            '<link rel="stylesheet" href="https://x/css"/>'
+            '</head><body></body></html>')
+    got = [(r["alt_idx"], r["hreflang"], r["href"]) for r in
+           hreflang_alternates(spark.createDataFrame(
+               [(7, html)], ["doc_id", "text"]))
+           .orderBy("alt_idx").collect()]
+    assert got == [(0, "en", "https://x/en"), (1, "de-at", "https://x/de")]
