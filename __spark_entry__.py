@@ -10061,6 +10061,74 @@ FROM (
   FROM page)"""
 
 
+
+_TR_ITERS = 2
+
+
+def q_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank (graph.trustrank) over the same citation graph as
+    `pagerank`, teleporting only to two trusted seed domains: trust
+    decays with link distance, unlinked-from-seed nodes keep only
+    propagated mass. Integer fixed-point, unrolled-CTE oracle."""
+    d = _docs(spark, sf_dir)
+    staged = d.select("doc_id", "source", _weburl_text().alias("t"))
+    edges = G.link_graph(staged, text_col="t").select(
+        F.concat(F.lit("s:"), F.col("src")).alias("src"),
+        F.concat(F.lit("d:"), F.col("dst")).alias("dst"), "weight")
+    seeds = spark.createDataFrame(
+        [("d:" + _DOMAINS[0].lower(),), ("d:" + _DOMAINS[1].lower(),)],
+        "node string")
+    return G.trustrank(edges, seeds, iters=_TR_ITERS)
+
+
+def _sql_trustrank() -> str:
+    from rag_document_parser_spark.operators.graph import SCALE
+    from rag_document_parser_spark.operators.urls import (
+        DOMAIN_PATTERN, URL_PATTERN)
+
+    seed_lits = ", ".join(
+        f"('d:' || {_sq(d.lower())})" for d in _DOMAINS[:2])
+    ctes = [f"""{_sql_weburl_ctes()},
+ex AS (
+  SELECT source, unnest(regexp_extract_all(t, {_sq(URL_PATTERN)})) AS url
+  FROM d
+), ed0 AS (
+  SELECT 's:' || source AS src,
+         'd:' || lower(regexp_extract(url, {_sq(DOMAIN_PATTERN)}, 1)) AS dst
+  FROM ex WHERE lower(regexp_extract(url, {_sq(DOMAIN_PATTERN)}, 1)) <> ''
+), edges AS (SELECT src, dst, count(*) AS w FROM ed0 GROUP BY src, dst),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+seed AS (SELECT node FROM (VALUES {seed_lits}) s(node)
+         WHERE node IN (SELECT node FROM nodes)),
+sn AS (SELECT count(*) AS ns FROM seed),
+o AS (SELECT src, sum(w) AS wout FROM edges GROUP BY src),
+r0 AS (SELECT nodes.node,
+         CASE WHEN seed.node IS NOT NULL THEN {SCALE} // ns ELSE 0 END
+           AS rank
+       FROM nodes CROSS JOIN sn
+       LEFT JOIN seed ON nodes.node = seed.node)"""]
+    prev = "r0"
+    for i in range(1, _TR_ITERS + 1):
+        ctes.append(f"""
+d{i} AS (SELECT coalesce(sum(rank), 0) AS dm FROM {prev}
+         WHERE node NOT IN (SELECT src FROM o)),
+c{i} AS (SELECT e.dst AS node,
+                sum(((r.rank * 85) // 100 * e.w) // o.wout) AS infl
+         FROM edges e JOIN {prev} r ON e.src = r.node
+         JOIN o ON e.src = o.src GROUP BY e.dst),
+r{i} AS (SELECT nodes.node,
+           (CASE WHEN seed.node IS NOT NULL
+                 THEN (({SCALE} * 15) // 100) // ns + ((dm * 85) // 100) // ns
+                 ELSE 0 END)
+           + coalesce(infl, 0) AS rank
+         FROM nodes CROSS JOIN sn CROSS JOIN d{i}
+         LEFT JOIN seed ON nodes.node = seed.node
+         LEFT JOIN c{i} ON nodes.node = c{i}.node)""")
+        prev = f"r{i}"
+    return (f"WITH {', '.join(ctes)}\n"
+            f"SELECT node, rank::BIGINT AS trust_e12 FROM {prev}")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver gates the FIRST ~50 entries per round.
     # Round-5 rotation (VERDICT r4 task #1): ALL 81 queries that have
@@ -10284,6 +10352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recrawl_schedule": q_recrawl_schedule,
         "sitemap_entries": q_sitemap_entries,
         "hreflang_pairs": q_hreflang_pairs,
+        "trustrank": q_trustrank,
     }
 
 
@@ -10493,4 +10562,5 @@ def oracle_sql() -> dict[str, str]:
         "recrawl_schedule": SQL_RECRAWL_SCHEDULE,
         "sitemap_entries": _sql_sitemap_entries(),
         "hreflang_pairs": _sql_hreflang_pairs(),
+        "trustrank": _sql_trustrank(),
     }

@@ -36,7 +36,7 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from rag_document_parser_spark.operators.urls import extract_urls, url_domain
 
-__all__ = ["anchor_edges", "anchor_stats", "hits", "label_propagation",
+__all__ = ["anchor_edges", "anchor_stats", "hits", "label_propagation", "trustrank",
            "link_graph",
            "pagerank"]
 
@@ -293,3 +293,73 @@ def label_propagation(edges: DataFrame, iters: int = 3,
                         .alias("community")), "node")
             .localCheckpoint())
     return labels
+
+
+def trustrank(edges: DataFrame, seeds: DataFrame, iters: int = 2,
+              damping_pct: int = 85, src_col: str = "src",
+              dst_col: str = "dst",
+              weight_col: str = "weight") -> DataFrame:
+    """TrustRank (Gyöngyi, Garcia-Molina & Pedersen 2004): PageRank
+    with teleport restricted to a trusted SEED set — trust flows out
+    from hand-vetted sources and decays with link distance, so spam
+    farms that manufacture in-links among themselves accumulate
+    little mass. The standard web-corpus demotion signal next to
+    ``pagerank``'s popularity signal.
+
+    Same integer fixed-point discipline as ``pagerank`` (every ``//``
+    an exact floor, order-free SUM inflow, bitwise engine-exact):
+    start mass ``SCALE // n_seeds`` on each seed, zero elsewhere;
+    per iteration seeds split the ``(100-damping_pct)%`` teleport AND
+    the damped dangling mass; non-seeds receive only propagated
+    trust. ``seeds`` is one column ``node``; seeds absent from the
+    graph are ignored (documented — they can receive no links).
+    Returns ``(node, trust_e12)``.
+
+    Scale shape: identical to ``pagerank`` — the seed frame is tiny
+    (hand-curated by nature) and broadcast into the start/teleport
+    joins; per-iteration cost is the same edge join + map-side SUM.
+    """
+    if iters < 0:
+        raise ValueError(f"iters must be >= 0, got {iters}")
+    if not 0 <= damping_pct <= 100:
+        raise ValueError(f"damping_pct must be in [0, 100], got {damping_pct}")
+    e = edges.select(F.col(src_col).alias("src"),
+                     F.col(dst_col).alias("dst"),
+                     F.col(weight_col).cast("long").alias("w"))
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node")))
+             .distinct().localCheckpoint())
+    seed = (seeds.select(F.col("node")).distinct()
+            .join(nodes, "node").localCheckpoint())
+    ns = seed.count()
+    if ns == 0:
+        raise ValueError("trustrank: no seed appears in the graph")
+    out = e.groupBy("src").agg(F.sum("w").alias("wout"))
+    ej = e.join(out, "src").localCheckpoint()
+    is_seed = F.col("_s").isNotNull()
+    seeded = F.broadcast(seed.withColumn("_s", F.lit(1)))
+    teleport_each = (SCALE * (100 - damping_pct) // 100) // ns
+    ranks = (nodes.join(seeded, "node", "left")
+             .select("node", F.when(is_seed, F.lit(SCALE // ns))
+                     .otherwise(F.lit(0)).cast("long").alias("rank")))
+    for _ in range(iters):
+        ranks = ranks.localCheckpoint()
+        dangling = (ranks.join(out.select(F.col("src").alias("node")),
+                               "node", "left_anti")
+                    .agg(F.coalesce(F.sum("rank"), F.lit(0))).first()[0])
+        dang_each = (int(dangling) * damping_pct // 100) // ns
+        inflow = (ej.join(ranks.withColumnRenamed("node", "src"), "src")
+                  .select(F.col("dst").alias("node"),
+                          _idiv(_idiv(F.col("rank") * damping_pct, 100)
+                                * F.col("w"),
+                                F.col("wout")).alias("_c"))
+                  .groupBy("node").agg(F.sum("_c").alias("_in")))
+        ranks = (nodes.join(inflow, "node", "left")
+                 .join(seeded, "node", "left")
+                 .select("node",
+                         (F.when(is_seed,
+                                 F.lit(teleport_each + dang_each))
+                          .otherwise(F.lit(0))
+                          + F.coalesce(F.col("_in"), F.lit(0)))
+                         .cast("long").alias("rank")))
+    return ranks.select("node", F.col("rank").alias("trust_e12"))

@@ -238,3 +238,36 @@ def test_lpa_deterministic_and_partition_invariant(spark):
     b = sorted(map(tuple, label_propagation(
         df.repartition(7), iters=2).collect()))
     assert a == b
+
+
+def test_trustrank_trust_decays_from_seeds(spark):
+    """Seeds hold teleport mass; a node only reachable from spam (no
+    path from any seed) ends with ZERO trust, however many in-links it
+    manufactures — the property separating TrustRank from PageRank."""
+    from rag_document_parser_spark.operators.graph import (
+        pagerank, trustrank)
+    edges = spark.createDataFrame(
+        [("seedA", "good1", 1), ("good1", "good2", 1),
+         # spam farm: 3 nodes linking a target heavily, unreachable
+         # from the seed
+         ("spam1", "target", 5), ("spam2", "target", 5),
+         ("spam3", "target", 5), ("target", "spam1", 1)],
+        ["src", "dst", "weight"])
+    seeds = spark.createDataFrame([("seedA",)], "node string")
+    t = {r["node"]: r["trust_e12"]
+         for r in trustrank(edges, seeds, iters=3).collect()}
+    assert t["good1"] > 0 and t["good2"] > 0
+    assert t["target"] == 0 and t["spam1"] == 0
+    # pagerank, by contrast, rewards the farm's in-links
+    p = {r["node"]: r["rank_e12"]
+         for r in pagerank(edges, iters=3).collect()}
+    assert p["target"] > p["good2"]
+
+
+def test_trustrank_no_seed_in_graph_raises(spark):
+    from rag_document_parser_spark.operators.graph import trustrank
+    edges = spark.createDataFrame([("a", "b", 1)],
+                                  ["src", "dst", "weight"])
+    seeds = spark.createDataFrame([("zzz",)], "node string")
+    with pytest.raises(ValueError, match="no seed"):
+        trustrank(edges, seeds)
