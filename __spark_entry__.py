@@ -10129,6 +10129,46 @@ r{i} AS (SELECT nodes.node,
             f"SELECT node, rank::BIGINT AS trust_e12 FROM {prev}")
 
 
+
+def q_dup_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram — the dedup datasheet card
+    (how much of the corpus is singletons vs 2-clusters vs mega
+    groups) over exact md5 groups. Clones planted at two
+    multiplicities (ids<5 four copies, ids 5-19 two copies) so three
+    histogram rows exist. Two map-side-combinable aggregates, output
+    |distinct sizes| rows."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    c1 = docs.where(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    c2 = docs.where(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "text")
+    c3 = docs.where(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"), "text")
+    u = docs.unionByName(c1).unionByName(c2).unionByName(c3)
+    sizes = (u.groupBy(F.md5("text").alias("_h"))
+             .agg(F.count("*").alias("cluster_size")))
+    return (sizes.groupBy("cluster_size")
+            .agg(F.count("*").cast("long").alias("n_clusters"),
+                 F.sum("cluster_size").cast("long").alias("n_docs"))
+            .select(F.col("cluster_size").cast("long"), "n_clusters",
+                    "n_docs"))
+
+
+SQL_DUP_HISTOGRAM = """
+WITH u AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 20
+  UNION ALL SELECT doc_id + 2000000, text FROM documents WHERE doc_id < 5
+  UNION ALL SELECT doc_id + 3000000, text FROM documents WHERE doc_id < 5
+), sizes AS (
+  SELECT md5(text) AS h, count(*) AS cluster_size FROM u GROUP BY md5(text)
+)
+SELECT cluster_size::BIGINT AS cluster_size,
+       count(*)::BIGINT AS n_clusters,
+       sum(cluster_size)::BIGINT AS n_docs
+FROM sizes GROUP BY cluster_size"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver gates the FIRST ~50 entries per round.
     # Round-5 rotation (VERDICT r4 task #1): ALL 81 queries that have
@@ -10353,6 +10393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_entries": q_sitemap_entries,
         "hreflang_pairs": q_hreflang_pairs,
         "trustrank": q_trustrank,
+        "dup_histogram": q_dup_histogram,
     }
 
 
@@ -10563,4 +10604,5 @@ def oracle_sql() -> dict[str, str]:
         "sitemap_entries": _sql_sitemap_entries(),
         "hreflang_pairs": _sql_hreflang_pairs(),
         "trustrank": _sql_trustrank(),
+        "dup_histogram": SQL_DUP_HISTOGRAM,
     }
