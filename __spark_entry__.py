@@ -10169,6 +10169,53 @@ SELECT cluster_size::BIGINT AS cluster_size,
 FROM sizes GROUP BY cluster_size"""
 
 
+
+_CD_HOPS = 4
+
+
+def q_crawl_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-depth BFS labels (graph.crawl_depth): a synthesized
+    37-node functional link graph (h%37 -> (h div 7)%37 per doc,
+    deduplicated), seeds n0/n1, 4 hops; unreached nodes NULL. The
+    oracle unrolls the same frontier expansions."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    h = _hcol(F.col("doc_id"))
+    edges = docs.select(
+        h.alias("_h")).select(
+        F.concat(F.lit("n"), (F.col("_h") % 37).cast("string"))
+        .alias("src"),
+        F.concat(F.lit("n"), (F.expr("_h div 7") % 37)
+                 .cast("string")).alias("dst"))
+    seeds = spark.createDataFrame([("n0",), ("n1",)], "node string")
+    out = G.crawl_depth(edges, seeds, max_hops=_CD_HOPS)
+    return out.select("node", "depth")
+
+
+def _sql_crawl_depth() -> str:
+    ctes = [f"""base AS (
+  SELECT {_md5l("doc_id::VARCHAR")} AS h FROM documents
+), edges AS (
+  SELECT DISTINCT 'n' || (h % 37)::VARCHAR AS src,
+                  'n' || ((h // 7) % 37)::VARCHAR AS dst
+  FROM base
+), nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+s0 AS (SELECT node, 0 AS depth FROM (VALUES ('n0'), ('n1')) s(node)
+       WHERE node IN (SELECT node FROM nodes)),
+f0 AS (SELECT node FROM s0)"""]
+    prev_s, prev_f = "s0", "f0"
+    for i in range(1, _CD_HOPS + 1):
+        ctes.append(f"""
+f{i} AS (SELECT DISTINCT e.dst AS node
+         FROM edges e JOIN {prev_f} ON e.src = {prev_f}.node
+         WHERE e.dst NOT IN (SELECT node FROM {prev_s})),
+s{i} AS (SELECT * FROM {prev_s}
+         UNION ALL SELECT node, {i} FROM f{i})""")
+        prev_s, prev_f = f"s{i}", f"f{i}"
+    return (f"WITH {', '.join(ctes)}\n"
+            f"SELECT nodes.node, depth::BIGINT AS depth\n"
+            f"FROM nodes LEFT JOIN {prev_s} USING (node)")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver gates the FIRST ~50 entries per round.
     # Round-5 rotation (VERDICT r4 task #1): ALL 81 queries that have
@@ -10394,6 +10441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hreflang_pairs": q_hreflang_pairs,
         "trustrank": q_trustrank,
         "dup_histogram": q_dup_histogram,
+        "crawl_depth": q_crawl_depth,
     }
 
 
@@ -10605,4 +10653,5 @@ def oracle_sql() -> dict[str, str]:
         "hreflang_pairs": _sql_hreflang_pairs(),
         "trustrank": _sql_trustrank(),
         "dup_histogram": SQL_DUP_HISTOGRAM,
+        "crawl_depth": _sql_crawl_depth(),
     }

@@ -363,3 +363,45 @@ def trustrank(edges: DataFrame, seeds: DataFrame, iters: int = 2,
                           + F.coalesce(F.col("_in"), F.lit(0)))
                          .cast("long").alias("rank")))
     return ranks.select("node", F.col("rank").alias("trust_e12"))
+
+
+def crawl_depth(edges: DataFrame, seeds: DataFrame, max_hops: int = 4,
+                src_col: str = "src",
+                dst_col: str = "dst") -> DataFrame:
+    """Minimum link distance from a trusted seed set — the crawl-depth
+    label (Mercator's frontier depth; pages far from any seed
+    correlate with lower quality, the prior ``trustrank`` expresses
+    continuously and this expresses ordinally). Directed BFS: seeds at
+    depth 0, then ``max_hops`` synchronous frontier expansions; nodes
+    still unreached report depth NULL (unreachable within the
+    horizon). Returns ``(node, depth)``.
+
+    Scale shape per hop: one join of the CURRENT FRONTIER (only the
+    nodes first reached last hop — shrinking, never the full depth
+    relation) onto the edge list, one min-aggregate, one anti-join
+    against the settled set; ``localCheckpoint`` caps lineage. A hop
+    over a hub node fans out once — depth is min-distance, so every
+    node settles exactly once and rows never revisit.
+    """
+    if max_hops < 0:
+        raise ValueError(f"max_hops must be >= 0, got {max_hops}")
+    e = edges.select(F.col(src_col).alias("src"),
+                     F.col(dst_col).alias("dst")).distinct()
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node")))
+             .distinct().localCheckpoint())
+    settled = (seeds.select("node").distinct().join(nodes, "node")
+               .withColumn("depth", F.lit(0).cast("long"))
+               .localCheckpoint())
+    frontier = settled
+    for hop in range(1, max_hops + 1):
+        nxt = (e.join(frontier.select(F.col("node").alias("src")), "src")
+               .select(F.col("dst").alias("node")).distinct()
+               .join(settled.select("node"), "node", "left_anti")
+               .withColumn("depth", F.lit(hop).cast("long"))
+               .localCheckpoint())
+        if nxt.isEmpty():
+            break
+        settled = settled.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return nodes.join(settled, "node", "left")

@@ -271,3 +271,21 @@ def test_trustrank_no_seed_in_graph_raises(spark):
     seeds = spark.createDataFrame([("zzz",)], "node string")
     with pytest.raises(ValueError, match="no seed"):
         trustrank(edges, seeds)
+
+
+def test_crawl_depth_bfs_and_horizon(spark):
+    from rag_document_parser_spark.operators.graph import crawl_depth
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),
+         ("a", "c"),            # shortcut: c is depth 1, not 2
+         ("x", "y")],           # disconnected from the seed
+        ["src", "dst"])
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {r["node"]: r["depth"]
+           for r in crawl_depth(edges, seeds, max_hops=2).collect()}
+    assert got == {"a": 0, "b": 1, "c": 1, "d": 2,
+                   "e": None, "x": None, "y": None}  # e beyond horizon
+    # widening the horizon settles e; min-distance is stable
+    got3 = {r["node"]: r["depth"]
+            for r in crawl_depth(edges, seeds, max_hops=4).collect()}
+    assert got3["e"] == 3 and got3["c"] == 1
