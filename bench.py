@@ -700,6 +700,24 @@ def main() -> None:
                F.sum(F.col("noindex").cast("long"))).collect())
     timed_reps("frontier_schedule",
           lambda: _E.q_frontier_schedule(spark, SF_DIR).collect())
+    timed_reps("canonical_dedup",
+          lambda: _E.q_canonical_dedup(spark, SF_DIR)
+          .agg(F.sum(F.col("canonical_dup").cast("long"))).collect())
+    timed_reps("recrawl_schedule",
+          lambda: _E.q_recrawl_schedule(spark, SF_DIR)
+          .agg(F.sum("interval_us")).collect())
+    timed_reps("sitemap_entries",
+          lambda: _E.q_sitemap_entries(spark, SF_DIR).count())
+    timed_reps("hreflang_pairs",
+          lambda: _E.q_hreflang_pairs(spark, SF_DIR).count())
+    timed_reps("trustrank",
+          lambda: _E.q_trustrank(spark, SF_DIR)
+          .agg(F.sum("trust_e12")).collect())
+    timed_reps("crawl_depth",
+          lambda: _E.q_crawl_depth(spark, SF_DIR)
+          .agg(F.sum("depth"), F.count("*")).collect())
+    timed_reps("dup_histogram",
+          lambda: _E.q_dup_histogram(spark, SF_DIR).collect())
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
