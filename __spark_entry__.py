@@ -10216,6 +10216,80 @@ s{i} AS (SELECT * FROM {prev_s}
             f"FROM nodes LEFT JOIN {prev_s} USING (node)")
 
 
+
+def q_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML table mining (operators/webmeta.py html_tables): every doc
+    carries a 2x2 data table (th header + td row, entity and inner-tag
+    probes in cells); h%3==0 docs add a second single-row table; both
+    engines parse the same HTML strings block-scoped."""
+    from rag_document_parser_spark.operators import webmeta as WM
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    h = _hcol(F.col("doc_id"))
+    t1 = F.concat(
+        F.lit("<table><tr><th>Source</th><th>Chars &amp; more</th></tr>"
+              "<tr><td><b>"), F.col("source"),
+        F.lit("</b></td><td> "), F.col("n_chars").cast("string"),
+        F.lit(" </td></tr></table>"))
+    t2 = F.when(h % 3 == 0, F.concat(
+        F.lit("<table><tr><td>x"), (h % 7).cast("string"),
+        F.lit("</td><td>y&lt;z</td><td></td></tr></table>")))\
+        .otherwise(F.lit(""))
+    html = F.concat(F.lit("<html><body><p>pre</p>"), t1, t2,
+                    F.lit("</body></html>"))
+    out = WM.html_tables(docs.select("doc_id", html.alias("text")))
+    return out.select(F.col("id").cast("long").alias("doc_id"),
+                      "table_idx", "row_idx", "n_cells", "cells")
+
+
+def _sql_html_tables() -> str:
+    from rag_document_parser_spark.operators.webmeta import (
+        RE_ANY_TAG, RE_CELL, RE_CELL_WS, RE_TABLE_BLOCK, RE_TR_BLOCK)
+    import rag_document_parser_spark.semantics as _S
+
+    cell = f"regexp_replace(cell, {_sq(RE_ANY_TAG)}, '', 'g')"
+    for ent, ch in _S.HTML_ENTITIES:
+        cell = f"replace({cell}, {_sq(ent)}, {_sq(ch)})"
+    cell = f"trim(regexp_replace({cell}, {_sq(RE_CELL_WS)}, ' ', 'g'))"
+    return f"""
+WITH base AS (
+  SELECT doc_id, source, n_chars, {_md5l("doc_id::VARCHAR")} AS h
+  FROM documents
+), page AS (
+  SELECT doc_id,
+    '<html><body><p>pre</p>'
+    || '<table><tr><th>Source</th><th>Chars &amp; more</th></tr>'
+    || '<tr><td><b>' || source || '</b></td><td> '
+    || n_chars::VARCHAR || ' </td></tr></table>'
+    || (CASE WHEN h % 3 = 0 THEN '<table><tr><td>x'
+        || (h % 7)::VARCHAR || '</td><td>y&lt;z</td><td></td></tr>'
+        || '</table>' ELSE '' END)
+    || '</body></html>' AS html
+  FROM base
+), tb AS (
+  SELECT doc_id, ti - 1 AS table_idx, t
+  FROM (SELECT doc_id,
+          unnest(regexp_extract_all(html, {_sq(RE_TABLE_BLOCK)}, 1)) AS t,
+          unnest(range(1, len(regexp_extract_all(html,
+            {_sq(RE_TABLE_BLOCK)}, 1)) + 1)) AS ti
+        FROM page)
+), tr AS (
+  SELECT doc_id, table_idx, ri - 1 AS row_idx, r
+  FROM (SELECT doc_id, table_idx,
+          unnest(regexp_extract_all(t, {_sq(RE_TR_BLOCK)}, 1)) AS r,
+          unnest(range(1, len(regexp_extract_all(t,
+            {_sq(RE_TR_BLOCK)}, 1)) + 1)) AS ri
+        FROM tb)
+)
+SELECT doc_id::BIGINT AS doc_id, table_idx::BIGINT AS table_idx,
+  row_idx::BIGINT AS row_idx,
+  len(regexp_extract_all(r, {_sq(RE_CELL)}, 1))::BIGINT AS n_cells,
+  array_to_string(list_transform(
+    regexp_extract_all(r, {_sq(RE_CELL)}, 1), cell -> {cell}), ' | ')
+    AS cells
+FROM tr"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver gates the FIRST ~50 entries per round.
     # Round-5 rotation (VERDICT r4 task #1): ALL 81 queries that have
@@ -10442,6 +10516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trustrank": q_trustrank,
         "dup_histogram": q_dup_histogram,
         "crawl_depth": q_crawl_depth,
+        "html_tables": q_html_tables,
     }
 
 
@@ -10654,4 +10729,5 @@ def oracle_sql() -> dict[str, str]:
         "trustrank": _sql_trustrank(),
         "dup_histogram": SQL_DUP_HISTOGRAM,
         "crawl_depth": _sql_crawl_depth(),
+        "html_tables": _sql_html_tables(),
     }

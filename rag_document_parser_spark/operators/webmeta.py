@@ -27,6 +27,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from rag_document_parser_spark.semantics import HTML_ENTITIES
+
 __all__ = ["page_meta", "RE_OG", "RE_CANONICAL", "RE_META_ROBOTS",
            "RE_JSONLD", "RE_TITLE_TAG"]
 
@@ -161,3 +163,56 @@ def hreflang_alternates(df: DataFrame, html_col: str = "text",
                      F.col("alt_idx").cast("long").alias("alt_idx"),
                      F.lower(F.col("_p.l")).alias("hreflang"),
                      F.col("_p.h").alias("href"))
+
+
+RE_TABLE_BLOCK = r"(?is)<table[^>]*>(.*?)</table>"
+RE_TR_BLOCK = r"(?is)<tr[^>]*>(.*?)</tr>"
+RE_CELL = r"(?is)<t[dh][^>]*>(.*?)</t[dh]>"
+RE_ANY_TAG = r"<[^>]+>"
+RE_CELL_WS = r"[ \t\r\n]+"
+
+
+def html_tables(df: DataFrame, html_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Structured table mining from HTML — the web-format twin of the
+    reference's PDF/DOCX/PPTX table extractors (its HTML path stops at
+    get_text, flattening tables into prose). One row per ``<tr>``:
+    ``(id, table_idx, row_idx, n_cells, cells)`` with ``cells`` the
+    row's td/th texts joined by `` | `` after tag strip, named-entity
+    decode, and whitespace collapse.
+
+    Documented subset (shared with the DuckDB oracle): non-nested
+    tables (an inner ``<table>`` truncates the outer block at ITS
+    ``</table>`` — first-match non-greedy), td/th only (no
+    colspan/rowspan expansion), named entities only (the markdown/XML
+    chain; numeric charrefs pass through). Rows with zero cells (e.g.
+    a ``<tr>`` holding only comments) are kept with ``n_cells = 0`` —
+    the caller's signal of malformed rows.
+
+    Scale shape: three nested block-scoped regex extracts + two
+    posexplodes inside the scan, an element-wise ``transform`` for the
+    cell cleanup — zero shuffles, zero UDFs.
+    """
+    c = F.col(html_col)
+    tables = F.regexp_extract_all(c, F.lit(RE_TABLE_BLOCK), 1)
+    t = (df.select(F.col(id_col).alias("id"),
+                   F.posexplode_outer(tables).alias("table_idx", "_t"))
+         .where(F.col("_t").isNotNull()))
+    rows = F.regexp_extract_all(F.col("_t"), F.lit(RE_TR_BLOCK), 1)
+    r = (t.select("id", "table_idx",
+                  F.posexplode_outer(rows).alias("row_idx", "_r"))
+         .where(F.col("_r").isNotNull()))
+
+    def clean(cell):
+        x = F.regexp_replace(cell, RE_ANY_TAG, "")
+        for ent, ch in HTML_ENTITIES:
+            x = F.replace(x, F.lit(ent), F.lit(ch))
+        return F.trim(F.regexp_replace(x, RE_CELL_WS, " "))
+
+    cells = F.transform(
+        F.regexp_extract_all(F.col("_r"), F.lit(RE_CELL), 1), clean)
+    return r.select("id",
+                    F.col("table_idx").cast("long").alias("table_idx"),
+                    F.col("row_idx").cast("long").alias("row_idx"),
+                    F.size(cells).cast("long").alias("n_cells"),
+                    F.array_join(cells, " | ").alias("cells"))

@@ -186,3 +186,27 @@ def test_hreflang_alternates_order_and_case(spark):
                [(7, html)], ["doc_id", "text"]))
            .orderBy("alt_idx").collect()]
     assert got == [(0, "en", "https://x/en"), (1, "de-at", "https://x/de")]
+
+
+def test_html_tables_structure_and_cleanup(spark):
+    from rag_document_parser_spark.operators.webmeta import html_tables
+    html = ('<html><body>'
+            '<table class="x"><tr><th>H1</th><th>A &amp; B</th></tr>'
+            '<tr><td><b>bold</b>\n  text</td><td>  2 </td></tr></table>'
+            '<p>between</p>'
+            '<table><tr><td>only</td></tr>'
+            '<tr><!-- no cells --></tr></table>'
+            '</body></html>')
+    df = spark.createDataFrame([(1, html)], ["doc_id", "text"])
+    got = [(r["table_idx"], r["row_idx"], r["n_cells"], r["cells"])
+           for r in html_tables(df).orderBy("table_idx",
+                                            "row_idx").collect()]
+    assert got == [
+        (0, 0, 2, "H1 | A & B"),          # entity decoded
+        (0, 1, 2, "bold text | 2"),       # tag strip + ws collapse + trim
+        (1, 0, 1, "only"),
+        (1, 1, 0, ""),                    # cell-less row kept, flagged 0
+    ]
+    assert html_tables(spark.createDataFrame(
+        [(2, "<html><body>no tables</body></html>")],
+        ["doc_id", "text"])).count() == 0
