@@ -10290,6 +10290,103 @@ SELECT doc_id::BIGINT AS doc_id, table_idx::BIGINT AS table_idx,
 FROM tr"""
 
 
+
+def _sql_registrable_expr(host_sql: str) -> str:
+    """DuckDB expression computing the eTLD+1 of a host expression —
+    the SQL twin of urls.registrable_domain, staged through the
+    one-element list_transform binding idiom (_CREF_FRAG style)."""
+    from rag_document_parser_spark.operators.urls import PUBLIC_SUFFIXES
+
+    s1 = ", ".join(_sq(s) for s in PUBLIC_SUFFIXES if s.count(".") == 0)
+    s2 = ", ".join(_sq(s) for s in PUBLIC_SUFFIXES if s.count(".") == 1)
+    s3 = ", ".join(_sq(s) for s in PUBLIC_SUFFIXES if s.count(".") == 2)
+    ml = (f"CASE WHEN n >= 3 AND array_to_string(l[greatest(n-2,1):], '.')"
+          f" IN ({s3}) THEN 3"
+          f" WHEN n >= 2 AND array_to_string(l[greatest(n-1,1):], '.')"
+          f" IN ({s2}) THEN 2"
+          f" WHEN l[n] IN ({s1}) THEN 1 ELSE 0 END")
+    inner = (f"array_to_string(l[(n - least(CASE WHEN ({ml}) > 0"
+             f" THEN ({ml}) + 1 ELSE 2 END, n) + 1):], '.')")
+    return (f"list_transform([string_split({host_sql}, '.')], l -> "
+            f"list_transform([len(l)], n -> {inner})[1])[1]")
+
+
+def q_outlink_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink internal/external profile (operators/urls.py
+    outlink_profile): each page's own registrable domain vs its
+    outlinks' — one always-internal cdn link, one always-external
+    link, an extra internal apex link for h%3==0, and NO links for
+    h%5==0 (the NULL-frac leg)."""
+    from rag_document_parser_spark.operators.urls import outlink_profile
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    h = _hcol(F.col("doc_id"))
+    p10 = (h % 10).cast("string")
+    page_url = F.concat(F.lit("https://www.pub"), p10, F.lit(".co.uk/p"),
+                        F.col("doc_id").cast("string"))
+    body = F.when(h % 5 == 0, F.lit("no links here")).otherwise(F.concat(
+        F.lit("see https://cdn.pub"), p10, F.lit(".co.uk/a and http://m"),
+        (h % 2).cast("string"), F.lit(".pub"), (h % 7).cast("string"),
+        F.lit(".com/b"),
+        F.when(h % 3 == 0, F.concat(
+            F.lit(" plus https://pub"), p10, F.lit(".co.uk/c")))
+        .otherwise(F.lit(""))))
+    out = outlink_profile(
+        docs.select("doc_id", page_url.alias("url"), body.alias("text")))
+    return out.select(F.col("id").cast("long").alias("doc_id"),
+                      "page_registrable", "n_links", "n_internal",
+                      "n_external", "internal_frac_e6")
+
+
+def _sql_outlink_profile() -> str:
+    from rag_document_parser_spark.operators.urls import (
+        DOMAIN_PATTERN, URL_PATTERN)
+
+    return f"""
+WITH base AS (
+  SELECT doc_id, {_md5l("doc_id::VARCHAR")} AS h FROM documents
+), page AS (
+  SELECT doc_id,
+    'https://www.pub' || (h % 10)::VARCHAR || '.co.uk/p'
+      || doc_id::VARCHAR AS url,
+    CASE WHEN h % 5 = 0 THEN 'no links here'
+         ELSE 'see https://cdn.pub' || (h % 10)::VARCHAR
+           || '.co.uk/a and http://m' || (h % 2)::VARCHAR || '.pub'
+           || (h % 7)::VARCHAR || '.com/b'
+           || (CASE WHEN h % 3 = 0 THEN ' plus https://pub'
+               || (h % 10)::VARCHAR || '.co.uk/c' ELSE '' END) END
+      AS body
+  FROM base
+), preg AS (
+  SELECT doc_id,
+    {_sql_registrable_expr(
+        f"lower(regexp_extract(url, {_sq(DOMAIN_PATTERN)}, 1))")}
+      AS page_registrable,
+    body
+  FROM page
+), links AS (
+  SELECT doc_id, page_registrable,
+    {_sql_registrable_expr(
+        f"lower(regexp_extract(u, {_sq(DOMAIN_PATTERN)}, 1))")} AS lr
+  FROM (SELECT doc_id, page_registrable,
+          unnest(regexp_extract_all(body, {_sq(URL_PATTERN)})) AS u
+        FROM preg)
+), agg AS (
+  SELECT doc_id, count(*) AS n_links,
+         sum(CASE WHEN lr = page_registrable THEN 1 ELSE 0 END)
+           AS n_internal
+  FROM links GROUP BY doc_id
+)
+SELECT p.doc_id::BIGINT AS doc_id, p.page_registrable,
+  coalesce(a.n_links, 0)::BIGINT AS n_links,
+  coalesce(a.n_internal, 0)::BIGINT AS n_internal,
+  (coalesce(a.n_links, 0) - coalesce(a.n_internal, 0))::BIGINT
+    AS n_external,
+  (a.n_internal * 1000000 // nullif(a.n_links, 0))::BIGINT
+    AS internal_frac_e6
+FROM preg p LEFT JOIN agg a USING (doc_id)"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver gates the FIRST ~50 entries per round.
     # Round-5 rotation (VERDICT r4 task #1): ALL 81 queries that have
@@ -10517,6 +10614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_histogram": q_dup_histogram,
         "crawl_depth": q_crawl_depth,
         "html_tables": q_html_tables,
+        "outlink_profile": q_outlink_profile,
     }
 
 
@@ -10730,4 +10828,5 @@ def oracle_sql() -> dict[str, str]:
         "dup_histogram": SQL_DUP_HISTOGRAM,
         "crawl_depth": _sql_crawl_depth(),
         "html_tables": _sql_html_tables(),
+        "outlink_profile": _sql_outlink_profile(),
     }

@@ -283,3 +283,51 @@ def registrable_domain_stats(df: DataFrame, text_col: str = "text",
                  F.count_distinct("host").alias("n_hosts"))
             .orderBy(F.desc("n_docs"), F.asc("registrable"))
             .limit(k))
+
+
+def outlink_profile(df: DataFrame, page_url_col: str = "url",
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Per-page outlink profile at the REGISTRABLE-domain level:
+    ``(id, page_registrable, n_links, n_internal, n_external,
+    internal_frac_e6)`` — internal means the outlink's eTLD+1 equals
+    the page's own (www./cdn. hosts pool, per ``registrable_domain``).
+    The classic nav-vs-content quality feature: boilerplate-heavy
+    pages link mostly inside their own site, citation-rich content
+    links out. ``internal_frac_e6`` is exact integer
+    ``n_internal * 1e6 div n_links`` and NULL for link-less pages.
+
+    Scale shape: the registrable probe is the literal isin expression
+    (no join); extract + explode are scan-local; one aggregate keyed
+    on the doc id; one join back to the page frame on the same id —
+    both uniform keys.
+    """
+    page = df.select(
+        F.col(id_col).alias("id"),
+        registrable_domain(url_domain(F.col(page_url_col)))
+        .alias("page_registrable"),
+        F.col(text_col).alias("_t"))
+    ex = (page.select(
+        "id", "page_registrable",
+        F.explode_outer(extract_urls(F.col("_t"))).alias("_u"))
+        .where(F.col("_u").isNotNull())
+        .select("id", "page_registrable",
+                registrable_domain(url_domain(F.col("_u")))
+                .alias("_lr")))
+    agg = (ex.groupBy("id")
+           .agg(F.count("*").cast("long").alias("n_links"),
+                F.sum((F.col("_lr") == F.col("page_registrable"))
+                      .cast("long")).alias("n_internal")))
+    return (page.select("id", "page_registrable")
+            .join(agg, "id", "left")
+            .select(
+                "id", "page_registrable",
+                F.coalesce("n_links", F.lit(0)).cast("long")
+                .alias("n_links"),
+                F.coalesce("n_internal", F.lit(0)).cast("long")
+                .alias("n_internal"),
+                (F.coalesce("n_links", F.lit(0))
+                 - F.coalesce("n_internal", F.lit(0))).cast("long")
+                .alias("n_external"),
+                F.expr("n_internal * 1000000 div nullif(n_links, 0)")
+                .cast("long").alias("internal_frac_e6")))

@@ -210,3 +210,20 @@ def test_html_tables_structure_and_cleanup(spark):
     assert html_tables(spark.createDataFrame(
         [(2, "<html><body>no tables</body></html>")],
         ["doc_id", "text"])).count() == 0
+
+
+def test_outlink_profile_internal_vs_external(spark):
+    from rag_document_parser_spark.operators.urls import outlink_profile
+    df = spark.createDataFrame([
+        (1, "https://www.site.co.uk/p",
+         "see https://cdn.site.co.uk/a and http://other.com/b "
+         "and https://site.co.uk/c"),
+        (2, "https://www.site.co.uk/q", "no links at all"),
+    ], ["doc_id", "url", "text"])
+    got = {r["id"]: r.asDict() for r in outlink_profile(df).collect()}
+    a = got[1]
+    assert a["page_registrable"] == "site.co.uk"
+    assert (a["n_links"], a["n_internal"], a["n_external"]) == (3, 2, 1)
+    assert a["internal_frac_e6"] == 666666    # exact floor of 2/3
+    b = got[2]
+    assert (b["n_links"], b["internal_frac_e6"]) == (0, None)
