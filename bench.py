@@ -718,6 +718,12 @@ def main() -> None:
           .agg(F.sum("depth"), F.count("*")).collect())
     timed_reps("dup_histogram",
           lambda: _E.q_dup_histogram(spark, SF_DIR).collect())
+    timed_reps("html_tables",
+          lambda: _E.q_html_tables(spark, SF_DIR)
+          .agg(F.sum("n_cells")).collect())
+    timed_reps("outlink_profile",
+          lambda: _E.q_outlink_profile(spark, SF_DIR)
+          .agg(F.sum("n_internal"), F.sum("n_external")).collect())
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

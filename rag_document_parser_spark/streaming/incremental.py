@@ -783,3 +783,90 @@ def stream_source_sketch(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_recrawl_state(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    id_col: str = "url_id",
+    ts_col: str = "ts",
+    changed_col: str = "changed",
+    max_files_per_trigger: int = 1,
+):
+    """Running per-URL fetch-history state over a growing fetch log —
+    the streaming face of ``operators.frontier.recrawl_schedule``.
+
+    The batch operator's per-entity quantities ``(n_obs, n_changed,
+    first_us, last_us)`` are algebraic (sum/sum/min/max), so each
+    micro-batch's partial merges into the persisted state at
+    ``output_dir/state`` by the same laws — the merged state equals a
+    batch aggregate over every fetch ever streamed regardless of batch
+    boundaries (the ``stream_group_mass`` merge-law argument).
+    ``recrawl_from_state`` then applies the identical closed-form
+    interval arithmetic, so the streamed schedule is bit-equal to
+    batch ``recrawl_schedule`` on the union — the test pins it. State
+    is |urls| fixed-width rows.
+    """
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField(ts_col, T.TimestampType()),
+        T.StructField(changed_col, T.BooleanType()),
+    ])
+    state_path = os.path.join(output_dir, "state")
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", str(max_files_per_trigger))
+              .parquet(input_dir))
+
+    def merge_batch(batch_df, _batch_id):
+        per = (batch_df.select(
+            F.col(id_col).alias("url_id"),
+            F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us"),
+            F.col(changed_col).cast("long").alias("_ch"))
+            .groupBy("url_id")
+            .agg(F.count("*").alias("n_obs"),
+                 F.sum("_ch").alias("n_changed"),
+                 F.min("_us").alias("first_us"),
+                 F.max("_us").alias("last_us")))
+        if os.path.isdir(state_path):
+            prev = spark.read.parquet(state_path)
+            per = (prev.unionByName(per)
+                   .groupBy("url_id")
+                   .agg(F.sum("n_obs").alias("n_obs"),
+                        F.sum("n_changed").alias("n_changed"),
+                        F.min("first_us").alias("first_us"),
+                        F.max("last_us").alias("last_us")))
+        rows = per.collect()
+        if rows:
+            spark.createDataFrame(rows, per.schema).coalesce(1) \
+                .write.mode("overwrite").parquet(state_path)
+
+    return (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", os.path.join(output_dir, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def recrawl_from_state(spark: SparkSession, output_dir: str,
+                       min_interval_s: int = 3600,
+                       max_interval_s: int = 30 * 86_400):
+    """The schedule implied by ``stream_recrawl_state``'s persisted
+    state — the same closed form as the batch operator, so streamed ≡
+    batch on identical fetch history."""
+    lo = int(min_interval_s) * 1_000_000
+    hi = int(max_interval_s) * 1_000_000
+    st = spark.read.parquet(os.path.join(output_dir, "state"))
+    raw = F.expr("(last_us - first_us) div nullif(n_changed, 0)")
+    interval = F.when(
+        (F.col("n_obs") < 2) | (F.col("n_changed") == 0), F.lit(hi)
+    ).otherwise(F.least(F.greatest(raw, F.lit(lo)), F.lit(hi)))
+    return st.select("url_id",
+                     F.col("n_obs").cast("long").alias("n_obs"),
+                     F.col("n_changed").cast("long").alias("n_changed"),
+                     interval.cast("long").alias("interval_us"),
+                     (F.col("last_us") + interval).cast("long")
+                     .alias("next_fetch_us"))

@@ -681,3 +681,41 @@ def test_stream_source_sketch_matches_batch(spark, tmp_path):
     # k=16 covers the union (14+14 distinct, 8 shared -> union 20 > 16):
     # bottom-16 sketch estimate still lands in [0, 1e6] and is nonzero
     assert 0 < got[0]["jaccard_e6"] <= 1_000_000
+
+
+def test_stream_recrawl_state_matches_batch_schedule(spark, tmp_path):
+    """The streamed per-URL fetch state, merged across micro-batches,
+    must yield the exact schedule batch recrawl_schedule computes on
+    the union — the crawl tier's streaming face."""
+    from datetime import datetime
+
+    from rag_document_parser_spark.operators.frontier import (
+        recrawl_schedule)
+    from rag_document_parser_spark.streaming.incremental import (
+        recrawl_from_state, stream_recrawl_state)
+
+    def t(h):
+        return datetime(2024, 3, 1, h)
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    batch_a = [(1, t(0), False), (1, t(1), True), (2, t(0), False)]
+    batch_b = [(1, t(2), False), (1, t(5), True),
+               (2, t(3), False), (3, t(4), True)]
+    schema = "url_id long, ts timestamp, changed boolean"
+    spark.createDataFrame(batch_a, schema).coalesce(1) \
+        .write.mode("append").parquet(in_dir)
+    spark.createDataFrame(batch_b, schema).coalesce(1) \
+        .write.mode("append").parquet(in_dir)
+
+    q = stream_recrawl_state(spark, in_dir, out_dir,
+                             max_files_per_trigger=1)
+    q.awaitTermination(120)
+
+    got = sorted(map(tuple, recrawl_from_state(
+        spark, out_dir, min_interval_s=3600,
+        max_interval_s=86_400).collect()))
+    want = sorted(map(tuple, recrawl_schedule(
+        spark.createDataFrame(batch_a + batch_b, schema),
+        min_interval_s=3600, max_interval_s=86_400).collect()))
+    assert got == want and len(got) == 3
