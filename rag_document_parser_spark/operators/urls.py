@@ -298,9 +298,10 @@ def outlink_profile(df: DataFrame, page_url_col: str = "url",
     ``n_internal * 1e6 div n_links`` and NULL for link-less pages.
 
     Scale shape: the registrable probe is the literal isin expression
-    (no join); extract + explode are scan-local; one aggregate keyed
-    on the doc id; one join back to the page frame on the same id —
-    both uniform keys.
+    (no join anywhere); extract + explode_outer are scan-local, and
+    the NULL row explode_outer emits for link-less pages keeps every
+    doc through the ONE aggregate keyed on the uniform doc id — no
+    join-back, exactly one exchange.
     """
     page = df.select(
         F.col(id_col).alias("id"),
@@ -310,24 +311,20 @@ def outlink_profile(df: DataFrame, page_url_col: str = "url",
     ex = (page.select(
         "id", "page_registrable",
         F.explode_outer(extract_urls(F.col("_t"))).alias("_u"))
-        .where(F.col("_u").isNotNull())
-        .select("id", "page_registrable",
-                registrable_domain(url_domain(F.col("_u")))
+        .select("id", "page_registrable", "_u",
+                F.when(F.col("_u").isNotNull(),
+                       registrable_domain(url_domain(F.col("_u"))))
                 .alias("_lr")))
-    agg = (ex.groupBy("id")
-           .agg(F.count("*").cast("long").alias("n_links"),
-                F.sum((F.col("_lr") == F.col("page_registrable"))
-                      .cast("long")).alias("n_internal")))
-    return (page.select("id", "page_registrable")
-            .join(agg, "id", "left")
+    return (ex.groupBy("id", "page_registrable")
+            .agg(F.sum(F.col("_u").isNotNull().cast("long"))
+                 .cast("long").alias("n_links"),
+                 F.coalesce(
+                     F.sum((F.col("_lr") == F.col("page_registrable"))
+                           .cast("long")), F.lit(0))
+                 .cast("long").alias("n_internal"))
             .select(
-                "id", "page_registrable",
-                F.coalesce("n_links", F.lit(0)).cast("long")
-                .alias("n_links"),
-                F.coalesce("n_internal", F.lit(0)).cast("long")
-                .alias("n_internal"),
-                (F.coalesce("n_links", F.lit(0))
-                 - F.coalesce("n_internal", F.lit(0))).cast("long")
+                "id", "page_registrable", "n_links", "n_internal",
+                (F.col("n_links") - F.col("n_internal")).cast("long")
                 .alias("n_external"),
                 F.expr("n_internal * 1000000 div nullif(n_links, 0)")
                 .cast("long").alias("internal_frac_e6")))

@@ -67,3 +67,40 @@ def test_frontier_schedule_one_host_window_no_smj(spark):
     c = _counts(frontier_schedule(f))
     assert c["window"] == 1, c["plan"]
     assert c["smj"] == 0, c["plan"]
+
+
+def test_html_tables_is_a_pure_projection(spark):
+    """Three nested block extracts + two posexplodes all live inside
+    the scan: zero shuffles, zero joins."""
+    from rag_document_parser_spark.operators.webmeta import html_tables
+    df = spark.createDataFrame(
+        [(1, "<table><tr><td>a</td></tr></table>")], ["doc_id", "text"])
+    c = _counts(html_tables(df))
+    assert c["exchange"] == 0 and c["bcast"] == 0 and c["smj"] == 0, \
+        c["plan"]
+
+
+def test_outlink_profile_single_aggregate_no_join(spark):
+    """The registrable probe is a literal isin and explode_outer's
+    NULL row keeps link-less docs through the one aggregate: exactly
+    one exchange, no join of any kind."""
+    from rag_document_parser_spark.operators.urls import outlink_profile
+    df = spark.createDataFrame(
+        [(1, "https://www.a.co.uk/p", "see https://b.com/x")],
+        ["doc_id", "url", "text"])
+    c = _counts(outlink_profile(df))
+    assert c["exchange"] == 1, c["plan"]
+    assert c["smj"] == 0 and c["bcast"] == 0, c["plan"]
+
+
+def test_recrawl_schedule_single_aggregate_no_window(spark):
+    """One map-side-combinable aggregate and a closed-form projection:
+    exactly one exchange, zero windows, zero joins."""
+    from datetime import datetime
+    from rag_document_parser_spark.operators.frontier import (
+        recrawl_schedule)
+    df = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), True)], ["url_id", "ts", "changed"])
+    c = _counts(recrawl_schedule(df))
+    assert c["exchange"] == 1 and c["window"] == 0, c["plan"]
+    assert c["bcast"] == 0 and c["smj"] == 0, c["plan"]
