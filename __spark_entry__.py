@@ -10387,6 +10387,69 @@ SELECT p.doc_id::BIGINT AS doc_id, p.page_registrable,
 FROM preg p LEFT JOIN agg a USING (doc_id)"""
 
 
+
+def q_heading_outline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heading-outline mining (operators/webmeta.py heading_outline):
+    synthesized pages carry an h1 (inner-tag + entity probes) plus
+    h%3 deeper section headings at alternating levels; both engines
+    parse the same HTML strings."""
+    from rag_document_parser_spark.operators import webmeta as WM
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    h = _hcol(F.col("doc_id"))
+    secs = F.expr("""
+      array_join(transform(
+        CASE WHEN _k >= 1 THEN sequence(1, cast(_k as int))
+             ELSE cast(array() as array<int>) END, i ->
+        '<h' || (i % 2 + 2) || ' class="s">Sec ' || i || ' &amp; '
+        || _src || '</h' || (i % 2 + 2) || '><p>body</p>'), '')
+    """)
+    html = docs.select(
+        "doc_id", (h % 3).alias("_k"), F.col("source").alias("_src")
+    ).select(
+        "doc_id",
+        F.concat(F.lit("<html><body><h1>Title <em>"), F.col("_src"),
+                 F.lit("</em></h1>"), secs,
+                 F.lit("</body></html>")).alias("text"))
+    out = WM.heading_outline(html)
+    return out.select(F.col("id").cast("long").alias("doc_id"),
+                      "heading_idx", "level", "heading")
+
+
+def _sql_heading_outline() -> str:
+    from rag_document_parser_spark.operators.webmeta import (
+        RE_ANY_TAG, RE_CELL_WS, RE_HEADING)
+    import rag_document_parser_spark.semantics as _S
+
+    hx = f"regexp_replace(b, {_sq(RE_ANY_TAG)}, '', 'g')"
+    for ent, ch in _S.HTML_ENTITIES:
+        hx = f"replace({hx}, {_sq(ent)}, {_sq(ch)})"
+    hx = f"trim(regexp_replace({hx}, {_sq(RE_CELL_WS)}, ' ', 'g'))"
+    return f"""
+WITH base AS (
+  SELECT doc_id, source, ({_md5l("doc_id::VARCHAR")} % 3) AS k
+  FROM documents
+), page AS (
+  SELECT doc_id,
+    '<html><body><h1>Title <em>' || source || '</em></h1>'
+    || coalesce(array_to_string(list_transform(range(1, k::INT + 1), i ->
+        '<h' || (i % 2 + 2)::VARCHAR || ' class="s">Sec ' || i::VARCHAR
+        || ' &amp; ' || source || '</h' || (i % 2 + 2)::VARCHAR
+        || '><p>body</p>'), ''), '')
+    || '</body></html>' AS html
+  FROM base
+)
+SELECT doc_id::BIGINT AS doc_id, i - 1 AS heading_idx,
+       l::BIGINT AS level, {hx} AS heading
+FROM (
+  SELECT doc_id,
+    unnest(regexp_extract_all(html, {_sq(RE_HEADING)}, 1)) AS l,
+    unnest(regexp_extract_all(html, {_sq(RE_HEADING)}, 2)) AS b,
+    unnest(range(1, len(regexp_extract_all(html,
+      {_sq(RE_HEADING)}, 1)) + 1)) AS i
+  FROM page)"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver gates the FIRST ~50 entries per round.
     # Round-5 rotation (VERDICT r4 task #1): ALL 81 queries that have
@@ -10615,6 +10678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_depth": q_crawl_depth,
         "html_tables": q_html_tables,
         "outlink_profile": q_outlink_profile,
+        "heading_outline": q_heading_outline,
     }
 
 
@@ -10829,4 +10893,5 @@ def oracle_sql() -> dict[str, str]:
         "crawl_depth": _sql_crawl_depth(),
         "html_tables": _sql_html_tables(),
         "outlink_profile": _sql_outlink_profile(),
+        "heading_outline": _sql_heading_outline(),
     }

@@ -216,3 +216,41 @@ def html_tables(df: DataFrame, html_col: str = "text",
                     F.col("row_idx").cast("long").alias("row_idx"),
                     F.size(cells).cast("long").alias("n_cells"),
                     F.array_join(cells, " | ").alias("cells"))
+
+
+RE_HEADING = r"(?is)<h([1-6])[^>]*>(.*?)</h[1-6]>"
+
+
+def heading_outline(df: DataFrame, html_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Document heading outline from HTML: one row per ``<h1>``-``<h6>``
+    in document order — ``(id, heading_idx, level, heading)`` with the
+    heading text tag-stripped, entity-decoded, whitespace-collapsed.
+    The section skeleton RAG chunking splits on (the reference's HTML
+    path flattens headings into prose; ``tiling`` then re-derives
+    topical structure statistically — this keeps the author-declared
+    structure when it exists).
+
+    Same documented subset as the other webmeta miners: non-nested
+    heading tags, first-match non-greedy blocks (mismatched close
+    levels accept — ``</h[1-6]>`` — the html.parser recovery
+    behavior). Scale shape: two parallel regexp_extract_all passes
+    (level digits, bodies) zipped positionally + one posexplode inside
+    the scan, per-element cleanup transform — zero shuffles.
+    """
+    c = F.col(html_col)
+    levels = F.regexp_extract_all(c, F.lit(RE_HEADING), 1)
+    bodies = F.regexp_extract_all(c, F.lit(RE_HEADING), 2)
+    pairs = F.arrays_zip(levels.alias("l"), bodies.alias("b"))
+    ex = (df.select(F.col(id_col).alias("id"),
+                    F.posexplode_outer(pairs).alias("heading_idx", "_p"))
+          .where(F.col("_p").isNotNull()))
+    x = F.regexp_replace(F.col("_p.b"), RE_ANY_TAG, "")
+    for ent, ch in HTML_ENTITIES:
+        x = F.replace(x, F.lit(ent), F.lit(ch))
+    x = F.trim(F.regexp_replace(x, RE_CELL_WS, " "))
+    return ex.select("id",
+                     F.col("heading_idx").cast("long")
+                     .alias("heading_idx"),
+                     F.col("_p.l").cast("long").alias("level"),
+                     x.alias("heading"))

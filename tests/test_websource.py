@@ -227,3 +227,19 @@ def test_outlink_profile_internal_vs_external(spark):
     assert a["internal_frac_e6"] == 666666    # exact floor of 2/3
     b = got[2]
     assert (b["n_links"], b["internal_frac_e6"]) == (0, None)
+
+
+def test_heading_outline_order_levels_cleanup(spark):
+    from rag_document_parser_spark.operators.webmeta import heading_outline
+    html = ('<html><body><h1>Top <em>em</em></h1><p>x</p>'
+            '<h2 class="a">A &amp; B</h2>'
+            '<h3>  spaced\n out  </h3>'
+            '<h2>Second</h2></body></html>')
+    df = spark.createDataFrame([(1, html)], ["doc_id", "text"])
+    got = [(r["heading_idx"], r["level"], r["heading"]) for r in
+           heading_outline(df).orderBy("heading_idx").collect()]
+    assert got == [(0, 1, "Top em"), (1, 2, "A & B"),
+                   (2, 3, "spaced out"), (3, 2, "Second")]
+    assert heading_outline(spark.createDataFrame(
+        [(2, "<html><body><p>no headings</p></body></html>")],
+        ["doc_id", "text"])).count() == 0
