@@ -724,6 +724,9 @@ def main() -> None:
     timed_reps("outlink_profile",
           lambda: _E.q_outlink_profile(spark, SF_DIR)
           .agg(F.sum("n_internal"), F.sum("n_external")).collect())
+    timed_reps("heading_outline",
+          lambda: _E.q_heading_outline(spark, SF_DIR)
+          .agg(F.sum("level"), F.count("*")).collect())
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
