@@ -10450,6 +10450,78 @@ FROM (
   FROM page)"""
 
 
+
+def q_url_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical URL features (operators/urls.py url_features):
+    synthesized URLs cover deep/shallow paths, digit-run ids, query
+    params incl. a session key, percent escapes, and all suffix
+    tiers; both engines derive every feature from the same strings."""
+    from rag_document_parser_spark.operators.urls import url_features
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    h = _hcol(F.col("doc_id"))
+    did = F.col("doc_id").cast("string")
+    url = F.concat(
+        F.lit("https://www.pub"), (h % 10).cast("string"),
+        F.when(h % 4 == 0, F.lit(".co.uk")).otherwise(F.lit(".com")),
+        F.when(h % 3 == 0,
+               F.concat(F.lit("/a/b/c/item"), did, F.lit("4711")))
+        .otherwise(F.concat(F.lit("/p"), did)),
+        F.when(h % 5 == 0,
+               F.concat(F.lit("?q="), (h % 9).cast("string"),
+                        F.lit("&sessionid=abc"), did))
+        .when(h % 5 == 1, F.lit("?ref=x%20y"))
+        .otherwise(F.lit("")))
+    out = url_features(docs.select("doc_id", url.alias("url")))
+    return out.select(F.col("id").cast("long").alias("doc_id"),
+                      "host", "registrable", "path_depth", "path_len",
+                      "n_params", "n_digits", "longest_digit_run",
+                      "has_session_param", "pct_encoded")
+
+
+def _sql_url_features() -> str:
+    from rag_document_parser_spark.operators.urls import (
+        DOMAIN_PATTERN, _SCHEME_HOST)
+
+    host = f"lower(regexp_extract(url, {_sq(DOMAIN_PATTERN)}, 1))"
+    return f"""
+WITH base AS (
+  SELECT doc_id, {_md5l("doc_id::VARCHAR")} AS h FROM documents
+), u AS (
+  SELECT doc_id,
+    'https://www.pub' || (h % 10)::VARCHAR
+    || (CASE WHEN h % 4 = 0 THEN '.co.uk' ELSE '.com' END)
+    || (CASE WHEN h % 3 = 0 THEN '/a/b/c/item' || doc_id::VARCHAR
+        || '4711' ELSE '/p' || doc_id::VARCHAR END)
+    || (CASE WHEN h % 5 = 0 THEN '?q=' || (h % 9)::VARCHAR
+        || '&sessionid=abc' || doc_id::VARCHAR
+        WHEN h % 5 = 1 THEN '?ref=x%20y' ELSE '' END) AS url
+  FROM base
+), parts AS (
+  SELECT doc_id, url, {host} AS host,
+    regexp_replace(regexp_replace(url, {_sq(_SCHEME_HOST)}, ''),
+                   '[?#].*', '') AS path,
+    regexp_extract(regexp_replace(url, {_sq(_SCHEME_HOST)}, ''),
+                   '\\?([^#]*)', 1) AS query
+  FROM u
+)
+SELECT doc_id::BIGINT AS doc_id, host,
+  {_sql_registrable_expr("host")} AS registrable,
+  len(list_filter(string_split(path, '/'), x -> x <> ''))::BIGINT
+    AS path_depth,
+  length(path)::BIGINT AS path_len,
+  len(list_filter(string_split(query, '&'),
+                  x -> contains(x, '=')))::BIGINT AS n_params,
+  length(regexp_replace(path, '[^0-9]', '', 'g'))::BIGINT AS n_digits,
+  coalesce(list_max(list_transform(
+    regexp_extract_all(path, '[0-9]+'), x -> length(x))), 0)::BIGINT
+    AS longest_digit_run,
+  regexp_matches(lower(query), '(^|&)(sessionid|sid|phpsessid)=')
+    AS has_session_param,
+  contains(url, '%') AS pct_encoded
+FROM parts"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver gates the FIRST ~50 entries per round.
     # Round-5 rotation (VERDICT r4 task #1): ALL 81 queries that have
@@ -10679,6 +10751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_tables": q_html_tables,
         "outlink_profile": q_outlink_profile,
         "heading_outline": q_heading_outline,
+        "url_features": q_url_features,
     }
 
 
@@ -10894,4 +10967,5 @@ def oracle_sql() -> dict[str, str]:
         "html_tables": _sql_html_tables(),
         "outlink_profile": _sql_outlink_profile(),
         "heading_outline": _sql_heading_outline(),
+        "url_features": _sql_url_features(),
     }

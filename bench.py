@@ -727,6 +727,9 @@ def main() -> None:
     timed_reps("heading_outline",
           lambda: _E.q_heading_outline(spark, SF_DIR)
           .agg(F.sum("level"), F.count("*")).collect())
+    timed_reps("url_features",
+          lambda: _E.q_url_features(spark, SF_DIR)
+          .agg(F.sum("n_digits"), F.sum("path_depth")).collect())
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

@@ -328,3 +328,46 @@ def outlink_profile(df: DataFrame, page_url_col: str = "url",
                 .alias("n_external"),
                 F.expr("n_internal * 1000000 div nullif(n_links, 0)")
                 .cast("long").alias("internal_frac_e6")))
+
+
+def url_features(df: DataFrame, url_col: str = "url",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Lexical URL features — the URL-level quality/spam signals a
+    crawl filter scores before fetching a byte of content (C4/FineWeb
+    practice: URL blocklists plus pattern heuristics): ``(id, host,
+    registrable, path_depth, path_len, n_params, n_digits,
+    longest_digit_run, has_session_param, pct_encoded)``.
+
+    All integer/boolean, pure row-local regexp projections — zero
+    shuffles, zero joins; the registrable probe is the literal isin.
+    ``path_depth`` counts non-empty ``/`` segments before the query;
+    ``n_params`` counts ``=`` -carrying query parts;
+    ``has_session_param`` flags the classic session/tracking keys
+    (sessionid/sid/phpsessid, case-insensitive);
+    ``longest_digit_run`` is the longest consecutive digit span in
+    the path (auto-generated spam URLs run long ids).
+    """
+    c = F.col(url_col)
+    host = url_domain(c)
+    after = F.regexp_replace(c, _SCHEME_HOST, "")
+    path = F.regexp_replace(after, r"[?#].*", "")
+    query = F.regexp_extract(after, r"\?([^#]*)", 1)
+    segs = F.filter(F.split(path, "/"), lambda x: x != "")
+    params = F.filter(F.split(query, "&"),
+                      lambda x: x.contains("="))
+    digit_runs = F.regexp_extract_all(path, F.lit(r"[0-9]+"), 0)
+    longest = F.coalesce(
+        F.array_max(F.transform(digit_runs, F.length)), F.lit(0))
+    return df.select(
+        F.col(id_col).alias("id"),
+        host.alias("host"),
+        registrable_domain(host).alias("registrable"),
+        F.size(segs).cast("long").alias("path_depth"),
+        F.length(path).cast("long").alias("path_len"),
+        F.size(params).cast("long").alias("n_params"),
+        F.length(F.regexp_replace(path, r"[^0-9]", "")).cast("long")
+        .alias("n_digits"),
+        longest.cast("long").alias("longest_digit_run"),
+        F.lower(query).rlike("(^|&)(sessionid|sid|phpsessid)=")
+        .alias("has_session_param"),
+        c.contains("%").alias("pct_encoded"))

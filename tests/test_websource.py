@@ -243,3 +243,24 @@ def test_heading_outline_order_levels_cleanup(spark):
     assert heading_outline(spark.createDataFrame(
         [(2, "<html><body><p>no headings</p></body></html>")],
         ["doc_id", "text"])).count() == 0
+
+
+def test_url_features_lexical_signals(spark):
+    from rag_document_parser_spark.operators.urls import url_features
+    df = spark.createDataFrame([
+        (1, "https://www.shop.co.uk/a/b/item99123?q=1&SESSIONID=zz&x"),
+        (2, "https://plain.com/p%20q"),
+        (3, "https://h.com/"),
+    ], ["doc_id", "url"])
+    got = {r["id"]: r.asDict() for r in url_features(df).collect()}
+    a = got[1]
+    assert a["registrable"] == "shop.co.uk"
+    assert (a["path_depth"], a["n_params"]) == (3, 2)  # bare 'x' not a param
+    assert a["n_digits"] == 5 and a["longest_digit_run"] == 5
+    assert a["has_session_param"] is True              # case-insensitive
+    assert a["pct_encoded"] is False
+    b = got[2]
+    assert b["pct_encoded"] is True and b["has_session_param"] is False
+    c = got[3]
+    assert (c["path_depth"], c["path_len"], c["n_params"],
+            c["longest_digit_run"]) == (0, 1, 0, 0)
