@@ -10522,6 +10522,103 @@ SELECT doc_id::BIGINT AS doc_id, host,
 FROM parts"""
 
 
+
+def q_feed_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSS/Atom feed parsing (operators/webmeta.py parse_feeds):
+    even-h feeds are RSS (<item>, text links, pubDate), odd-h feeds
+    Atom (<entry>, href links, updated); one malformed field-less
+    item per h%4==0 feed must drop without misaligning neighbours."""
+    from rag_document_parser_spark.operators import webmeta as WM
+
+    doms = (_docs(spark, sf_dir)
+            .select((F.col("doc_id") % 30).alias("d")).distinct())
+    h = _hcol(F.col("d"))
+    ds = F.col("d").cast("string")
+    items = F.expr("""
+      array_join(transform(
+        CASE WHEN _n >= 1 THEN sequence(1, cast(_n as int))
+             ELSE cast(array() as array<int>) END, i ->
+        CASE WHEN _rss = 1 THEN
+          '<item><title>Post ' || i || ' of ' || _ds
+          || '</title><link>https://f' || _ds || '.example/p' || i
+          || '</link><pubDate>2026-0' || (i % 9 + 1)
+          || '-01</pubDate></item>'
+        ELSE
+          '<entry><title>Note ' || i || '</title>'
+          || '<link href="https://f' || _ds || '.example/n' || i
+          || '"/><updated>2026-0' || (i % 9 + 1)
+          || '-02</updated></entry>'
+        END), '')
+    """)
+    xml = doms.select(
+        F.col("d").alias("feed"), (h % 3 + 1).alias("_n"),
+        (h % 2 == 0).cast("int").alias("_rss"), ds.alias("_ds")
+    ).select(
+        "feed", "_rss",
+        F.concat(
+            F.lit("<feed><title>channel</title>"), items,
+            F.when(_hcol(F.col("feed")) % 4 == 0,
+                   F.lit("<item><category>only</category></item>"))
+            .otherwise(F.lit("")),
+            F.lit("</feed>")).alias("text"))
+    out = WM.parse_feeds(xml.select("feed", "text"), id_col="feed")
+    return out.select(F.col("id").cast("long").alias("feed"),
+                      "item_idx", "title", "link", "published")
+
+
+def _sql_feed_items() -> str:
+    from rag_document_parser_spark.operators.webmeta import (
+        RE_FEED_DATE, RE_FEED_ITEM, RE_FEED_LINK_HREF,
+        RE_FEED_LINK_TEXT, RE_FEED_TITLE)
+
+    return f"""
+WITH doms AS (
+  SELECT DISTINCT doc_id % 30 AS d FROM documents
+), syn AS (
+  SELECT d AS feed, ({_md5l("d::VARCHAR")} % 3 + 1) AS n,
+         ({_md5l("d::VARCHAR")} % 2 = 0) AS rss
+  FROM doms
+), xml AS (
+  SELECT feed,
+    '<feed><title>channel</title>' || coalesce(array_to_string(
+      list_transform(range(1, n::INT + 1), i -> CASE WHEN rss THEN
+        '<item><title>Post ' || i::VARCHAR || ' of ' || feed::VARCHAR
+        || '</title><link>https://f' || feed::VARCHAR || '.example/p'
+        || i::VARCHAR || '</link><pubDate>2026-0'
+        || (i % 9 + 1)::VARCHAR || '-01</pubDate></item>'
+      ELSE
+        '<entry><title>Note ' || i::VARCHAR || '</title>'
+        || '<link href="https://f' || feed::VARCHAR || '.example/n'
+        || i::VARCHAR || '"/><updated>2026-0' || (i % 9 + 1)::VARCHAR
+        || '-02</updated></entry>' END), ''), '')
+    || (CASE WHEN {_md5l("feed::VARCHAR")} % 4 = 0
+        THEN '<item><category>only</category></item>' ELSE '' END)
+    || '</feed>' AS body
+  FROM syn
+), blocks AS (
+  SELECT feed, i - 1 AS item_idx, b
+  FROM (SELECT feed,
+          unnest(regexp_extract_all(body, {_sq(RE_FEED_ITEM)}, 1)) AS b,
+          unnest(range(1, len(regexp_extract_all(body,
+            {_sq(RE_FEED_ITEM)}, 1)) + 1)) AS i
+        FROM xml)
+), fields AS (
+  SELECT feed, item_idx,
+    nullif(trim(regexp_extract(b, {_sq(RE_FEED_TITLE)}, 1)), '')
+      AS title,
+    coalesce(
+      nullif(trim(regexp_extract(b, {_sq(RE_FEED_LINK_TEXT)}, 1)), ''),
+      nullif(regexp_extract(b, {_sq(RE_FEED_LINK_HREF)}, 1), ''))
+      AS link,
+    nullif(trim(regexp_extract(b, {_sq(RE_FEED_DATE)}, 1)), '')
+      AS published
+  FROM blocks
+)
+SELECT feed::BIGINT AS feed, item_idx::BIGINT AS item_idx,
+       title, link, published
+FROM fields WHERE title IS NOT NULL OR link IS NOT NULL"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver gates the FIRST ~50 entries per round.
     # Round-5 rotation (VERDICT r4 task #1): ALL 81 queries that have
@@ -10752,6 +10849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outlink_profile": q_outlink_profile,
         "heading_outline": q_heading_outline,
         "url_features": q_url_features,
+        "feed_items": q_feed_items,
     }
 
 
@@ -10968,4 +11066,5 @@ def oracle_sql() -> dict[str, str]:
         "outlink_profile": _sql_outlink_profile(),
         "heading_outline": _sql_heading_outline(),
         "url_features": _sql_url_features(),
+        "feed_items": _sql_feed_items(),
     }

@@ -730,6 +730,8 @@ def main() -> None:
     timed_reps("url_features",
           lambda: _E.q_url_features(spark, SF_DIR)
           .agg(F.sum("n_digits"), F.sum("path_depth")).collect())
+    timed_reps("feed_items",
+          lambda: _E.q_feed_items(spark, SF_DIR).count())
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

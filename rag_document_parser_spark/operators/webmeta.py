@@ -254,3 +254,48 @@ def heading_outline(df: DataFrame, html_col: str = "text",
                      .alias("heading_idx"),
                      F.col("_p.l").cast("long").alias("level"),
                      x.alias("heading"))
+
+
+RE_FEED_ITEM = r"(?is)<(?:item|entry)[^>]*>(.*?)</(?:item|entry)>"
+RE_FEED_TITLE = r"(?is)<title[^>]*>([^<]*)</title>"
+RE_FEED_LINK_TEXT = r"(?is)<link[^>]*>([^<]+)</link>"
+RE_FEED_LINK_HREF = r"(?i)<link[^>]*href=[\"']([^\"'>]*)[\"']"
+RE_FEED_DATE = (r"(?is)<(?:pubDate|updated|published)[^>]*>"
+                r"([^<]*)</(?:pubDate|updated|published)>")
+
+
+def parse_feeds(df: DataFrame, xml_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """RSS/Atom feed parsing → one row per item/entry: ``(id,
+    item_idx, title, link, published)`` — the other crawl-seed feed
+    next to ``parse_sitemaps`` (feeds carry editorial freshness
+    signals sitemaps lack).
+
+    Block-scoped like the sitemap parser (a field-less item cannot
+    steal from its neighbour); the link accepts BOTH conventions —
+    RSS text content ``<link>url</link>`` and Atom
+    ``<link href="url"/>`` — text form first (an Atom entry whose
+    link has no text yields no text match, so the href form then
+    applies). ``published`` unifies pubDate/updated/published; items
+    with no title AND no link are dropped as malformed. Zero
+    shuffles, zero UDFs.
+    """
+    c = F.col(xml_col)
+    blocks = F.regexp_extract_all(c, F.lit(RE_FEED_ITEM), 1)
+    ex = (df.select(F.col(id_col).alias("id"),
+                    F.posexplode_outer(blocks).alias("item_idx", "_b"))
+          .where(F.col("_b").isNotNull()))
+    title = F.nullif(
+        F.trim(F.regexp_extract("_b", RE_FEED_TITLE, 1)), F.lit(""))
+    link = F.coalesce(
+        F.nullif(F.trim(F.regexp_extract("_b", RE_FEED_LINK_TEXT, 1)),
+                 F.lit("")),
+        F.nullif(F.regexp_extract("_b", RE_FEED_LINK_HREF, 1),
+                 F.lit("")))
+    pub = F.nullif(
+        F.trim(F.regexp_extract("_b", RE_FEED_DATE, 1)), F.lit(""))
+    return (ex.select(
+        "id", F.col("item_idx").cast("long").alias("item_idx"),
+        title.alias("title"), link.alias("link"),
+        pub.alias("published"))
+        .where(F.col("title").isNotNull() | F.col("link").isNotNull()))

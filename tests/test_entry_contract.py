@@ -15,7 +15,7 @@ import __spark_entry__ as entry
 REPO = Path(__file__).resolve().parents[1]
 
 # Bump this deliberately (together with SURVEY.md) when adding queries.
-EXPECTED_QUERY_COUNT = 211
+EXPECTED_QUERY_COUNT = 212
 
 
 def test_query_count_pinned():

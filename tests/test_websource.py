@@ -264,3 +264,25 @@ def test_url_features_lexical_signals(spark):
     c = got[3]
     assert (c["path_depth"], c["path_len"], c["n_params"],
             c["longest_digit_run"]) == (0, 1, 0, 0)
+
+
+def test_parse_feeds_rss_and_atom(spark):
+    from rag_document_parser_spark.operators.webmeta import parse_feeds
+    rss = ('<rss><channel><title>chan</title>'
+           '<item><title>A</title><link>https://x/a</link>'
+           '<pubDate>2026-01-02</pubDate></item>'
+           '<item><category>bare</category></item>'   # malformed: dropped
+           '<item><link> https://x/b </link></item>'  # link-only kept
+           '</channel></rss>')
+    atom = ('<feed><title>f</title>'
+            '<entry><title> N1 </title>'
+            '<link rel="alternate" href="https://y/1"/>'
+            '<updated>2026-02-03</updated></entry></feed>')
+    df = spark.createDataFrame([(1, rss), (2, atom)], ["doc_id", "text"])
+    got = [(r["id"], r["item_idx"], r["title"], r["link"], r["published"])
+           for r in parse_feeds(df).orderBy("id", "item_idx").collect()]
+    assert got == [
+        (1, 0, "A", "https://x/a", "2026-01-02"),
+        (1, 2, None, "https://x/b", None),   # idx counts the dropped one
+        (2, 0, "N1", "https://y/1", "2026-02-03"),
+    ]
